@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship hydrology classification pipeline at
+sf0.001. ``queries()`` maps every implemented SURVEY §2 operator (plus
+the beyond-reference LLM-data operators) to a
+``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` carries the
+DuckDB twin the driver hash-compares against at sf0.01.
 """
 
 from __future__ import annotations
@@ -13,26 +13,67 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hrfco_data_pipeline_spark.plans import hydro, llm, relational, wire
+from hrfco_data_pipeline_spark.oracles import (
+    HYDRO_ORACLES,
+    LLM_ORACLES,
+    RELATIONAL_ORACLES,
+    WIRE_ORACLES,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full hydrology classify→alert pipeline at sf0.001."""
+    return hydro.alerts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- hydrology pipeline (SURVEY §2 hot path: T3-T6, F1-F2, J1, C1-C6) ---
+        "hydro_classify_alerts": hydro.alerts,
+        "hydro_internal_levels": hydro.internal_levels,
+        "hydro_alert_counts": hydro.alert_counts,
+        "hydro_station_list": hydro.station_list,
+        "hydro_archive_partitions": hydro.archive_partitions,
+        "hydro_threshold_audit": hydro.threshold_audit,
+        # --- JSON wire path (T1-T3, T12, W8 DLQ) ---
+        "wire_parse": wire.wire_parse,
+        "wire_dlq": wire.wire_dlq,
+        # --- monitoring / dashboard analytics (A1-A9, K1-K4) ---
+        "mon_status_counts": relational.mon_status_counts,
+        "mon_summary": relational.mon_summary,
+        "mon_activity_delta": relational.mon_activity_delta,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
+        "recent_events_top200": relational.recent_events_top200,
+        # --- general relational surface (joins/windows/rollup/set ops) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "top_customers_per_nation": relational.top_customers_per_nation,
+        "orders_rollup": relational.orders_rollup,
+        "customers_without_orders": relational.customers_without_orders,
+        "customer_order_stats": relational.customer_order_stats,
+        "purchase_and_signup_users": relational.purchase_and_signup_users,
+        # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
+        "dedup_exact_docs": llm.dedup_exact_docs,
+        "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,
+        "docs_token_stats": llm.docs_token_stats,
+        "docs_quality_score": llm.docs_quality_score,
+        "docs_lang_id": llm.docs_lang_id,
+        "doc_fingerprints": llm.doc_fingerprints,
+        "ann_cosine_topk": llm.ann_cosine_topk,
+        "embedding_label_stats": llm.embedding_label_stats,
+        "multimodal_blob_stats": llm.multimodal_blob_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # docs_lang_id deliberately has no oracle yet (rows-only check) —
+    # see plans/llm.py; everything else is hash-checked.
+    return {
+        **HYDRO_ORACLES,
+        **RELATIONAL_ORACLES,
+        **WIRE_ORACLES,
+        **LLM_ORACLES,
+    }

@@ -1,0 +1,106 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (BASELINE.json north star): image/audio/video payloads ride as
+``binary`` columns with a metadata struct; decode / feature-extract /
+resize / frame-sample run as Arrow-batched pandas functions via
+``mapInPandas`` — the only place Python touches data, and it does so
+in columnar batches, not per row.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT available in this
+container, so ``decode_image_batch`` raises NotImplementedError unless
+``fake=True``, which substitutes a deterministic byte-histogram
+"feature" — the Spark-side plumbing (schemas, batching, partition
+shape) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MULTIMODAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("n_bytes", LongType()),
+                    StructField("content_hash", StringType()),
+                    StructField("source", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def to_multimodal(docs: DataFrame, modality: str = "text-blob") -> DataFrame:
+    """Lift a documents table into the multimodal layout (text payload
+    stands in for image/audio bytes)."""
+    blob = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.lit(modality).alias("modality"),
+        blob.alias("content"),
+        F.struct(
+            F.length(blob).cast("long").alias("n_bytes"),
+            F.md5(blob).alias("content_hash"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    mm: DataFrame, fake: bool = False, n_bins: int = 16
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Real deployments plug a codec into ``_decode``; here the fake path
+    computes a deterministic byte-histogram so the distributed plumbing
+    (batch shape, schema, partition parallelism) is exercised end to
+    end without codec libraries.
+    """
+
+    def _decode(content: bytes) -> list[float]:
+        if not fake:
+            raise NotImplementedError(
+                "image/audio codecs are not available in this environment; "
+                "pass fake=True for the deterministic byte-histogram stand-in"
+            )
+        hist = [0] * n_bins
+        for b in content:
+            hist[b % n_bins] += 1
+        total = float(len(content)) or 1.0
+        return [h / total for h in hist]
+
+    def batches(it: Iterator) -> Iterator:
+        for pdf in it:
+            out = pdf[["doc_id", "modality"]].copy()
+            out["n_bytes"] = pdf["content"].map(len)
+            out["feature"] = pdf["content"].map(_decode)
+            yield out
+
+    return mm.mapInPandas(batches, FEATURE_SCHEMA)

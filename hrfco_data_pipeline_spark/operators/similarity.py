@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the scale guidance in BASELINE.json:
+- ``brute_force_topk``: exact cosine top-k of a bounded query set —
+  broadcast the queries, one corpus scan. Right answer for
+  |queries| ≪ |corpus|; linear in corpus size.
+- ``hyperplane_lsh_topk``: sign-LSH bucketing (random hyperplanes) —
+  queries only compare against corpus vectors sharing a signature
+  prefix band. Sub-linear candidate set; the 100 TB path for
+  corpus×corpus workloads. Planes are deterministic literals (seeded),
+  so results are reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Fold-left dot product of two equal-length double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def as_double_vec(col: str, out: str = "v") -> Column:
+    return F.transform(col, lambda x: x.cast("double")).alias(out)
+
+
+def with_norm(df: DataFrame, vec: str = "v", out: str = "nrm") -> DataFrame:
+    return df.withColumn(out, F.sqrt(dot(vec, vec)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan + window."""
+    c = with_norm(corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")), "cv", "cn")
+    q = with_norm(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv", "qn")
+    joined = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+    cos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        joined.select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_planes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit-ish random hyperplanes (pure-python PRNG)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def hyperplane_signature(
+    vec: Column | str, planes: list[list[float]]
+) -> Column:
+    """Sign-LSH signature as a long bitmask: bit_i = 1{dot(v, p_i) > 0}."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(x) for x in p])) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates share ≥1 signature band.
+
+    Bands of n_planes/bands bits each; join key = (band, band_bits).
+    Recall rises with bands; cost with bucket size. Same output schema
+    as ``brute_force_topk`` (qid, cid, cos_sim, rank) for easy A/B.
+    """
+    planes = hyperplane_planes(dim, n_planes, seed)
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+
+    def banded(df: DataFrame, idn: str, vecn: str, nrm: str) -> DataFrame:
+        sig = hyperplane_signature(vecn, planes)
+        d = df.withColumn("sig", sig)
+        return d.select(
+            idn,
+            vecn,
+            nrm,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bnd: F.struct(
+                        bnd.alias("band"),
+                        F.shiftright("sig", bnd * rows)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(idn, vecn, nrm, F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))
+
+    c = with_norm(corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")), "cv", "cn")
+    q = with_norm(queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")), "qv", "qn")
+    cb = banded(c, "cid", "cv", "cn")
+    qb = banded(q, "qid", "qv", "qn")
+    cand = cb.join(
+        F.broadcast(qb),
+        (cb["band"] == qb["band"])
+        & (cb["bits"] == qb["bits"])
+        & (cb["cid"] != qb["qid"]),
+    ).dropDuplicates(["qid", "cid"])
+    cos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        cand.select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

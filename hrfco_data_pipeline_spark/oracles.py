@@ -1,0 +1,463 @@
+"""DuckDB oracle SQL for the hydrology pipeline queries.
+
+The driver runs these side-by-side with the Spark queries at sf0.01 and
+compares row count + schema + order-insensitive value hash. Each string
+mirrors the Spark transforms (operators/classify.py) semantically — the
+derivation CTEs are textual twins of sources/synthetic.py.
+"""
+
+from __future__ import annotations
+
+from hrfco_data_pipeline_spark.sources.synthetic import OBS_SQL, STATIONS_SQL
+
+# Layered CTE prefix implementing parse (T3-T6), F1, F2, J1, C1-C4.
+HYDRO_CTE = f"""
+WITH obs AS ({OBS_SQL}),
+st AS ({STATIONS_SQL}),
+stv AS (
+  SELECT wlobscd, obsnm, addr,
+    TRY_CAST(NULLIF(TRIM(attwl), '') AS DOUBLE) AS attwl,
+    TRY_CAST(NULLIF(TRIM(wrnwl), '') AS DOUBLE) AS wrnwl,
+    TRY_CAST(NULLIF(TRIM(almwl), '') AS DOUBLE) AS almwl,
+    TRY_CAST(NULLIF(TRIM(srswl), '') AS DOUBLE) AS srswl
+  FROM st
+),
+parsed AS (
+  SELECT obs_id, wlobscd, ymdhm,
+    TRY_CAST(NULLIF(TRIM(wl), '') AS DOUBLE) AS water_level,
+    TRY_CAST(NULLIF(TRIM(fw), '') AS DOUBLE) AS flow_rate,
+    CASE WHEN length(ymdhm) = 12 THEN
+      substr(ymdhm, 1, 4) || '-' || substr(ymdhm, 5, 2) || '-' || substr(ymdhm, 7, 2)
+      || ' ' || substr(ymdhm, 9, 2) || ':' || substr(ymdhm, 11, 2)
+    ELSE ymdhm END AS obs_time_str
+  FROM obs
+  WHERE wlobscd IS NOT NULL AND TRIM(wlobscd) <> ''
+    AND ymdhm IS NOT NULL AND TRIM(ymdhm) <> ''
+    AND NOT ((wl IS NULL OR TRIM(wl) = '') AND (fw IS NULL OR TRIM(fw) = ''))
+),
+joined AS (
+  SELECT p.obs_id, p.wlobscd, p.ymdhm, p.water_level, p.flow_rate, p.obs_time_str,
+    s.wlobscd IS NOT NULL AS station_found,
+    s.attwl, s.wrnwl, s.almwl, s.srswl
+  FROM parsed p LEFT JOIN stv s ON p.wlobscd = s.wlobscd
+),
+flagged AS (
+  SELECT *,
+    (water_level IS NULL OR (water_level >= -10.0 AND water_level <= 50.0))
+      AND (flow_rate IS NULL OR (flow_rate >= 0.0 AND flow_rate <= 50000.0)) AS range_valid,
+    (CASE WHEN attwl IS NOT NULL AND attwl > 0 THEN 1 ELSE 0 END
+     + CASE WHEN wrnwl IS NOT NULL AND wrnwl > 0 THEN 1 ELSE 0 END
+     + CASE WHEN almwl IS NOT NULL AND almwl > 0 THEN 1 ELSE 0 END
+     + CASE WHEN srswl IS NOT NULL AND srswl > 0 THEN 1 ELSE 0 END) AS valid_threshold_cnt,
+    CASE WHEN water_level IS NULL
+           OR (attwl IS NULL AND wrnwl IS NULL AND almwl IS NULL AND srswl IS NULL)
+      THEN NULL
+      ELSE CASE
+        WHEN srswl IS NOT NULL AND water_level >= srswl THEN 'CRITICAL'
+        WHEN almwl IS NOT NULL AND water_level >= almwl THEN 'WARNING'
+        WHEN wrnwl IS NOT NULL AND water_level >= wrnwl THEN 'CAUTION'
+        WHEN attwl IS NOT NULL AND water_level >= attwl THEN 'ATTENTION'
+        ELSE 'NORMAL' END
+    END AS c3_level
+  FROM joined
+),
+classified AS (
+  SELECT *,
+    NOT range_valid AS is_anomaly,
+    CASE WHEN NOT range_valid THEN NULL
+         WHEN NOT station_found THEN 'NO_THRESHOLD'
+         WHEN water_level IS NOT NULL AND valid_threshold_cnt = 0 THEN 'NO_THRESHOLD'
+         WHEN water_level IS NOT NULL AND valid_threshold_cnt = 1 THEN 'PARTIAL_THRESHOLD'
+         ELSE COALESCE(c3_level, 'NORMAL') END AS flood_warning_level
+  FROM flagged
+),
+alerts AS (
+  SELECT obs_id,
+    wlobscd AS observation_code,
+    obs_time_str AS observation_time,
+    water_level, flow_rate,
+    CASE WHEN is_anomaly THEN 'ANOMALY'
+         WHEN flood_warning_level IN ('NO_THRESHOLD', 'PARTIAL_THRESHOLD') THEN 'NORMAL'
+         ELSE flood_warning_level END AS warning_level,
+    is_anomaly
+  FROM classified
+),
+alerts_msg AS (
+  SELECT *,
+    CASE WHEN is_anomaly THEN
+      '관측소 ' || observation_code || '에서 이상치 감지 (수위: '
+        || COALESCE(printf('%.2f', water_level), 'nu') || ' m)'
+    ELSE
+      '관측소 ' || observation_code || '에서 ' || warning_level || ' 수위 경보 (수위: '
+        || COALESCE(printf('%.2f', water_level), 'nu') || ' m)'
+    END AS message
+  FROM alerts
+)
+"""
+
+HYDRO_ORACLES: dict[str, str] = {
+    "hydro_classify_alerts": HYDRO_CTE
+    + """
+    SELECT obs_id, observation_code, observation_time, water_level, flow_rate,
+           warning_level, is_anomaly, message
+    FROM alerts_msg
+    """,
+    "hydro_internal_levels": HYDRO_CTE
+    + """
+    SELECT flood_warning_level, is_anomaly, count(*) AS n
+    FROM classified GROUP BY 1, 2
+    """,
+    "hydro_alert_counts": HYDRO_CTE
+    + """
+    SELECT CASE WHEN is_anomaly OR warning_level = 'ANOMALY' THEN 'anomaly'
+                ELSE lower(warning_level) END AS category,
+           count(*) AS n
+    FROM alerts GROUP BY 1
+    """,
+    "hydro_station_list": f"""
+    WITH st AS ({STATIONS_SQL})
+    SELECT wlobscd AS code, obsnm AS name, addr AS address FROM st
+    """,
+    "hydro_archive_partitions": HYDRO_CTE
+    + """
+    SELECT CASE WHEN is_anomaly THEN 'anomalies' ELSE 'normal' END AS kind,
+           substr(obs_time_str, 1, 10) AS obs_date,
+           count(*) AS n
+    FROM classified GROUP BY 1, 2
+    """,
+    "hydro_threshold_audit": f"""
+    WITH st AS ({STATIONS_SQL}),
+    stv AS (
+      SELECT wlobscd,
+        TRY_CAST(NULLIF(TRIM(attwl), '') AS DOUBLE) AS attwl,
+        TRY_CAST(NULLIF(TRIM(wrnwl), '') AS DOUBLE) AS wrnwl,
+        TRY_CAST(NULLIF(TRIM(almwl), '') AS DOUBLE) AS almwl,
+        TRY_CAST(NULLIF(TRIM(srswl), '') AS DOUBLE) AS srswl
+      FROM st
+    )
+    SELECT wlobscd,
+      (CASE WHEN attwl IS NOT NULL AND attwl > 0 THEN 1 ELSE 0 END
+       + CASE WHEN wrnwl IS NOT NULL AND wrnwl > 0 THEN 1 ELSE 0 END
+       + CASE WHEN almwl IS NOT NULL AND almwl > 0 THEN 1 ELSE 0 END
+       + CASE WHEN srswl IS NOT NULL AND srswl > 0 THEN 1 ELSE 0 END) AS valid_threshold_cnt,
+      CASE
+        WHEN (CASE WHEN attwl IS NOT NULL AND attwl > 0 THEN 1 ELSE 0 END
+              + CASE WHEN wrnwl IS NOT NULL AND wrnwl > 0 THEN 1 ELSE 0 END
+              + CASE WHEN almwl IS NOT NULL AND almwl > 0 THEN 1 ELSE 0 END
+              + CASE WHEN srswl IS NOT NULL AND srswl > 0 THEN 1 ELSE 0 END) = 0 THEN 'NO_THRESHOLD'
+        WHEN (CASE WHEN attwl IS NOT NULL AND attwl > 0 THEN 1 ELSE 0 END
+              + CASE WHEN wrnwl IS NOT NULL AND wrnwl > 0 THEN 1 ELSE 0 END
+              + CASE WHEN almwl IS NOT NULL AND almwl > 0 THEN 1 ELSE 0 END
+              + CASE WHEN srswl IS NOT NULL AND srswl > 0 THEN 1 ELSE 0 END) = 1 THEN 'PARTIAL_THRESHOLD'
+        ELSE 'COMPLETE' END AS completeness
+    FROM stv
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# General relational surface (plans/relational.py)
+# ---------------------------------------------------------------------------
+
+RELATIONAL_ORACLES: dict[str, str] = {
+    "q1_pricing_summary": """
+    WITH d AS (
+      SELECT l_returnflag, l_linestatus,
+        CAST(l_quantity AS BIGINT) AS qty,
+        TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2)) AS price,
+        TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2)) AS disc,
+        TRY_CAST(printf('%.2f', l_tax) AS DECIMAL(12,2)) AS tax
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    )
+    SELECT l_returnflag, l_linestatus,
+      sum(qty) AS sum_qty,
+      CAST(sum(price) AS DOUBLE) AS sum_base_price,
+      CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
+      sum(qty) / count(*) AS avg_qty,
+      CAST(sum(price) AS DOUBLE) / count(*) AS avg_price,
+      CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
+      count(*) AS count_order
+    FROM d GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+    SELECT l_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      o_orderpriority,
+      CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+               * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    "q5_region_revenue": """
+    SELECT n_name,
+      CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+               * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+    "top_customers_per_nation": """
+    WITH ranked AS (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+      FROM customer
+    )
+    SELECT n_name, rk, c_custkey, c_name, c_acctbal AS acctbal
+    FROM ranked JOIN nation ON c_nationkey = n_nationkey
+    WHERE rk <= 3
+    """,
+    "orders_rollup": """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      CAST(sum(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "customers_without_orders": """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "customer_order_stats": """
+    SELECT c_custkey, c_name, n_orders, total_spent, avg_order
+    FROM (
+      SELECT o_custkey, count(*) AS n_orders,
+        CAST(sum(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2))) AS DOUBLE)
+          AS total_spent,
+        CAST(sum(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2))) AS DOUBLE)
+          / count(*) AS avg_order
+      FROM orders GROUP BY o_custkey
+    ) o JOIN customer ON o_custkey = c_custkey
+    """,
+    "purchase_and_signup_users": """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+    "mon_status_counts": """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    "mon_summary": """
+    SELECT count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users,
+      CAST(sum(TRY_CAST(printf('%.2f', value) AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+      sum(CASE WHEN value >= 450.0 THEN 1 ELSE 0 END) AS backpressure_cnt,
+      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        / count(*) * 100 AS error_pct,
+      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0 AS has_errors
+    FROM events
+    """,
+    "mon_activity_delta": """
+    SELECT user_id, event_id,
+      value - lag(value) OVER w AS delta,
+      value <> lag(value) OVER w AS changed
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "events_hourly": """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+      event_type, count(*) AS n,
+      CAST(sum(TRY_CAST(printf('%.2f', value) AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+    FROM per_sess GROUP BY user_id
+    """,
+    "recent_events_top200": """
+    SELECT event_id, user_id, event_type,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 200
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# JSON wire path (plans/wire.py)
+# ---------------------------------------------------------------------------
+
+_WIRE_CTE = f"""
+WITH obs AS ({OBS_SQL}),
+wire AS (
+  SELECT obs_id,
+    CASE WHEN obs_id % 53 = 0 THEN substr(js, 1, 15) ELSE js END AS value
+  FROM (
+    SELECT obs_id,
+      '{{"wlobscd":' || CASE WHEN wlobscd IS NULL THEN 'null' ELSE '"' || wlobscd || '"' END
+      || ',"ymdhm":' || CASE WHEN ymdhm IS NULL THEN 'null' ELSE '"' || ymdhm || '"' END
+      || ',"wl":' || CASE WHEN wl IS NULL THEN 'null' ELSE '"' || wl || '"' END
+      || ',"fw":' || CASE WHEN fw IS NULL THEN 'null' ELSE '"' || fw || '"' END
+      || ',"junk":1}}' AS js
+    FROM obs
+  ) b
+)
+"""
+
+WIRE_ORACLES: dict[str, str] = {
+    "wire_parse": _WIRE_CTE
+    + """
+    SELECT obs_id,
+      json_extract_string(value, '$.wlobscd') AS wlobscd,
+      json_extract_string(value, '$.ymdhm') AS ymdhm,
+      json_extract_string(value, '$.wl') AS wl,
+      json_extract_string(value, '$.fw') AS fw
+    FROM wire WHERE json_valid(value)
+    """,
+    "wire_dlq": _WIRE_CTE
+    + """
+    SELECT CAST(obs_id AS VARCHAR) AS original_key,
+      value AS original_value,
+      'Processing failed: JsonParseException' AS error_reason
+    FROM wire WHERE NOT json_valid(value)
+    """,
+}
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (plans/llm.py)
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = r"""
+WITH tok AS (
+  SELECT doc_id, lang, source, n_chars,
+    regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+)
+"""
+
+LLM_ORACLES: dict[str, str] = {
+    "dedup_exact_docs": """
+    SELECT md5(lower(trim(text))) AS text_hash,
+      count(*) AS n_copies, min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY 1
+    """,
+    "docs_token_stats": _TOK_CTE
+    + """
+    SELECT doc_id, n_chars,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_uniq_tokens,
+      CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        / len(toks) AS avg_token_len,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+      len(list_filter(toks, x -> x IN ('the','a','of','and','data'))) AS stopword_cnt,
+      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
+        / len(toks) AS stopword_ratio
+    FROM tok
+    """,
+    "docs_quality_score": _TOK_CTE
+    + """
+    , stats AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
+          / len(toks) AS stopword_ratio
+      FROM tok
+    ), scored AS (
+      SELECT doc_id,
+        (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN ttr >= 0.3 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5
+                THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+        ) AS score
+      FROM stats
+    )
+    SELECT doc_id, score AS quality, score >= 0.7 AS keep FROM scored
+    """,
+    "doc_fingerprints": _TOK_CTE
+    + """
+    SELECT doc_id,
+      md5(array_to_string(toks[1:8], ' ')) AS prefix_fp,
+      md5(lower(trim(text))) AS full_fp
+    FROM tok JOIN documents USING (doc_id)
+    """,
+    "multimodal_blob_stats": """
+    SELECT source, count(*) AS n_docs,
+      sum(octet_length(encode(text))) AS total_bytes,
+      count(DISTINCT md5(text)) AS n_distinct_blobs
+    FROM documents GROUP BY source
+    """,
+    "embedding_label_stats": """
+    WITH v AS (
+      SELECT label,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n,
+      round(avg(nrm), 4) AS avg_norm,
+      min(nrm) AS min_norm,
+      max(nrm) AS max_norm
+    FROM v GROUP BY label
+    """,
+    "ann_cosine_topk": """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM e WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+        round(list_sum(list_transform(range(len(e.v)),
+                i -> e.v[i + 1] * q.qv[i + 1])) / (e.nrm * q.qn), 4) AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    "docs_ngram_jaccard_pairs": _TOK_CTE
+    + """
+    , sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, common,
+      CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+    """,
+}

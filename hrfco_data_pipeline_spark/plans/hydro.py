@@ -1,0 +1,104 @@
+"""The hydrology pipeline bound to the driver's synthetic tables.
+
+Each function is a ``(spark, sf_dir) -> DataFrame`` query over the
+derived observation/station frames, matching an entry in
+``__spark_entry__.oracle_sql``. Physical shape at scale: one parquet
+scan of `events` → codegen'd projection (derive + parse + validate) →
+broadcast hash join against the 100-row stations dim → codegen'd
+classification. No shuffle anywhere until an aggregation asks for one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.functions.coercion import java_double
+from hrfco_data_pipeline_spark.operators.classify import (
+    THRESHOLD_COLS,
+    build_alerts,
+    process_observations,
+    valid_threshold_count,
+)
+from hrfco_data_pipeline_spark.sources.synthetic import (
+    synthetic_observations,
+    synthetic_stations,
+)
+
+
+def classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse → F1 → F2 → J1 → C1-C4 on the derived wire records."""
+    obs = synthetic_observations(spark, sf_dir)
+    stations = synthetic_stations(spark)
+    return process_observations(obs, stations)
+
+
+def alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5-normalized alert stream (the reference's hrfco-alerts topic)."""
+    return build_alerts(classified(spark, sf_dir), extra_cols=("obs_id",))
+
+
+def internal_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution over the *internal* C2-C4 levels (NO_THRESHOLD /
+    PARTIAL_THRESHOLD still visible; anomaly rows have NULL level)."""
+    return (
+        classified(spark, sf_dir)
+        .groupBy("flood_warning_level", "is_anomaly")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def alert_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: dashboard counts by category with anomaly precedence
+    (dashboard.html:957-988 — isAnomaly OR level=='ANOMALY' wins)."""
+    a = alerts(spark, sf_dir)
+    category = F.when(
+        F.col("is_anomaly") | (F.col("warning_level") == "ANOMALY"), "anomaly"
+    ).otherwise(F.lower(F.col("warning_level")))
+    return a.groupBy(category.alias("category")).agg(F.count("*").alias("n"))
+
+
+def station_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10/S7: full station scan + projection (StationService.java:50-60)."""
+    st = synthetic_stations(spark)
+    return st.select(
+        F.col("wlobscd").alias("code"),
+        F.col("obsnm").alias("name"),
+        F.col("addr").alias("address"),
+    )
+
+
+def archive_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/W3: MinIO-style routing — kind = anomalies|normal plus the
+    date partition path, with per-partition file counts. (We partition
+    by *event* date, not the reference's wall-clock-now quirk —
+    HRFCOStorageService.java:207 — documented deviation.)"""
+    c = classified(spark, sf_dir)
+    return (
+        c.withColumn(
+            "kind", F.when(F.col("is_anomaly"), "anomalies").otherwise("normal")
+        )
+        .withColumn("obs_date", F.substring("obs_time_str", 1, 10))
+        .groupBy("kind", "obs_date")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 as a standalone dimension audit: per-station valid-threshold
+    count and completeness class."""
+    st = synthetic_stations(spark)
+    coerced = st.select(
+        "wlobscd", *[java_double(c).alias(c) for c in THRESHOLD_COLS]
+    )
+    vcnt = valid_threshold_count(*[F.col(c) for c in THRESHOLD_COLS])
+    completeness = (
+        F.when(vcnt == 0, "NO_THRESHOLD")
+        .when(vcnt == 1, "PARTIAL_THRESHOLD")
+        .otherwise("COMPLETE")
+    )
+    return coerced.select(
+        "wlobscd",
+        vcnt.alias("valid_threshold_cnt"),
+        completeness.alias("completeness"),
+    )

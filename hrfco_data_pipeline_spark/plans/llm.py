@@ -1,0 +1,264 @@
+"""LLM-training-data pipeline operators over documents/embeddings.
+
+Beyond-reference surface (BASELINE.json north star): deduplication,
+text analysis, similarity search, multimodal plumbing — each shaped for
+100 TB:
+
+- exact dedup: hash-groupBy — one shuffle on a 16-byte key, map-side
+  partial counts;
+- n-gram Jaccard near-dup: shingle-explode → self-join on shingle →
+  pair aggregation. The shingle join is the classic MinHash-LSH
+  *candidate generation* degenerate (bands = every shingle); at scale
+  you band the minhashes instead (operators/dedup.py) — same plan
+  shape, bounded key fan-out;
+- ANN cosine: brute-force top-k for a bounded query set — a broadcast
+  of the query vectors against a full scan, no quadratic shuffle;
+- all expressions JVM-side (higher-order array functions, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.sources.tables import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "data")
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def _r4(c: Column) -> Column:
+    return F.round(c, 4)
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text hash; keeps min doc_id per group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.lower(F.trim("text"))))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via 5-token shingle overlap + Jaccard.
+
+    Plan: per-doc distinct shingle arrays → explode → self equi-join on
+    shingle (doc_a < doc_b) → per-pair common count → Jaccard. The
+    explode inflates rows ~|tokens| per doc, but the join key (shingle)
+    is selective, so the shuffle carries only (shingle, doc_id) pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    shingles = F.when(
+        n >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 4),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(5))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc_id", shingles.alias("sh")).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return pairs.filter(jac >= 0.2).select(
+        "doc_a", "doc_b", "common", jac.alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality signals, all higher-order-function based."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "n_chars", _tokens().alias("toks"))
+    n = F.size("toks")
+    total_len = F.aggregate(
+        "toks", F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_uniq = F.size(F.array_distinct("toks"))
+    stop_cnt = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+    return t.select(
+        "doc_id",
+        "n_chars",
+        n.alias("n_tokens"),
+        n_uniq.alias("n_uniq_tokens"),
+        (total_len.cast("double") / n).alias("avg_token_len"),
+        (n_uniq.cast("double") / n).alias("ttr"),
+        stop_cnt.alias("stopword_cnt"),
+        (stop_cnt.cast("double") / n).alias("stopword_ratio"),
+    )
+
+
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality score (length / diversity / stopword bands) —
+    the heuristic filter an LLM-data pipeline runs before training."""
+    stats = docs_token_stats(spark, sf_dir)
+    score = (
+        F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 0.4).otherwise(0.0)
+        + F.when(F.col("ttr") >= 0.3, 0.3).otherwise(0.0)
+        + F.when(
+            (F.col("stopword_ratio") >= 0.01) & (F.col("stopword_ratio") <= 0.5), 0.3
+        ).otherwise(0.0)
+    )
+    return stats.select(
+        "doc_id", score.alias("quality"), (score >= 0.7).alias("keep")
+    )
+
+
+LANG_MARKERS = {
+    "en": ("the", "a", "an", "of", "and"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def docs_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID heuristic with deterministic argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", _tokens().alias("toks"))
+    def _in_set(markers):
+        # nb: a `m=m` default arg would change the lambda's arity, which
+        # pyspark uses to decide between (value) and (value, index) HOFs
+        return lambda x: x.isin(*markers)
+
+    cnts = {
+        lg: F.size(F.filter("toks", _in_set(m))) for lg, m in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # deterministic argmax: earlier langs win ties (chain built in reverse)
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        no_one_beats = (
+            sum((cnts[o] > cnts[lg]).cast("int") for o in langs if o != lg) == 0
+        )
+        pred = F.when((cnts[lg] > 0) & no_one_beats, lg).otherwise(pred)
+    out = t.select(
+        "doc_id",
+        "lang",
+        *[cnts[lg].alias(f"cnt_{lg}") for lg in langs],
+        pred.alias("pred_lang"),
+    )
+    return out.withColumn("match", F.col("pred_lang") == F.col("lang"))
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: hash of the 8-token prefix (header hash) +
+    full-text hash — the cheap pre-cluster key for near-dup pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", _tokens().alias("toks"), F.col("text"))
+    return t.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice("toks", 1, 8))).alias("prefix_fp"),
+        F.md5(F.lower(F.trim("text"))).alias("full_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a bounded query set (vec_id%50==0).
+
+    Scale path: the query side is tiny → broadcast it and stream the
+    corpus once; ranking is a per-query top-k (window over the join
+    output). For corpus×corpus at 100 TB use the LSH-bucketed variant
+    (operators/similarity.py) instead.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecd = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    with_norm = vecd.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = with_norm.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    joined = with_norm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    cos = _r4(_dot("qv", "v") / (F.col("qn") * F.col("nrm")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats (norm distribution)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecd = emb.select(
+        "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nrm = F.sqrt(_dot("v", "v"))
+    return (
+        vecd.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            _r4(F.avg("nrm")).alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing (binary columns + typed metadata)
+# --------------------------------------------------------------------------
+
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat text as an opaque blob (the image/audio stand-in): encode to
+    binary, carry byte-length + content hash metadata, aggregate per
+    source. The decode/feature-extract stage is the pandas-UDF path in
+    operators/multimodal.py (stubbed: codec libs absent here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = docs.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("blob"),
+    ).select(
+        "doc_id",
+        "source",
+        F.length("blob").alias("n_bytes"),
+        F.md5("blob").alias("content_hash"),
+    )
+    return blob.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.count_distinct("content_hash").alias("n_distinct_blobs"),
+    )

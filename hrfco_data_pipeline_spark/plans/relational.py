@@ -1,0 +1,317 @@
+"""General relational query surface over the star schema.
+
+The reference has no generic relational operators (SURVEY §2.9 "absent"
+list); Spark provides them natively. These queries exercise that
+surface — multi-way joins, broadcast dims, window functions, rollup,
+set ops, top-K — in the shapes the monitoring/dashboard layer computes
+(A1-A9, K1-K4) plus TPC-H-style analytics.
+
+Scale notes, per query, are in docstrings; the global rules:
+- dimension tables (region/nation/customer≤dim-sized) are broadcast;
+- aggregates are partial (map-side combine) by construction of groupBy;
+- floating aggregates are rounded to 4 decimals so results are stable
+  across summation orders (and hash-comparable against DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.sources.tables import load_table
+
+
+def _r4(c):
+    return F.round(c, 4)
+
+
+def _dec(c, prec: int = 12) -> F.Column:
+    """Portable per-row double→DECIMAL(prec,2) for 2-decimal-valued data.
+
+    Goes through ``%.2f`` string formatting: for data that is genuinely
+    2-decimal (money columns here), the format is identity on both
+    engines, and the string→decimal parse is exact. A direct
+    double→decimal CAST is NOT portable (Spark rounds the binary value
+    HALF_UP, DuckDB rounds a scaled binary ties-away — they disagree
+    near ties), and double sums are order-dependent; exact decimal sums
+    are not. Final outputs are cast back to double (same binary on both
+    engines), and divisions happen in double on identical operands — so
+    no rounding is needed anywhere.
+    """
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.format_string("%.2f", c).cast(f"decimal({prec},2)")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy agg with map-side partial aggregation.
+
+    At 100 TB this is a pure scan+partial-agg: no shuffle of data rows,
+    only of per-partition aggregate states (one row per group).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount")
+    tax = _dec("l_tax")
+    qty = F.col("l_quantity").cast("long")
+    n = F.count("*")
+    sum_qty = F.sum(qty)
+    sum_price = F.sum(price)
+    sum_disc = F.sum(disc)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                price
+                * (F.lit(1).cast("decimal(3,2)") - disc)
+                * (F.lit(1).cast("decimal(3,2)") + tax)
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (sum_qty / n).alias("avg_qty"),
+            (sum_price.cast("double") / n).alias("avg_price"),
+            (sum_disc.cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast the filtered customer dim into orders,
+    shuffle-join lineitem on orderkey, top-10 by revenue."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join — all dims broadcast, single shuffle
+    for the final small aggregation."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-per-group via rank window (K1-K3 pattern generalized)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "rk", "c_custkey", "c_name", F.col("c_acctbal").alias("acctbal"))
+    )
+
+
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (grouping sets surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS surface)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + per-customer aggregate (semi-join shape via inner agg)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+            (F.sum(_dec("o_totalprice")).cast("double") / F.count("*")).alias(
+                "avg_order"
+            ),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_orders", "total_spent", "avg_order")
+    )
+
+
+def purchase_and_signup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT of distinct user sets."""
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return buys.intersect(signups)
+
+
+# --------------------------------------------------------------------------
+# Monitoring-layer aggregations (A1-A9) re-expressed over `events`
+# --------------------------------------------------------------------------
+
+def mon_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: counts by run status (event_type ≙ processor status)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def mon_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A4/A6/A9: one-row roll-up — totals, conditional counts,
+    derived ratios. Single ``agg()`` with multiple expressions: one
+    partial-agg pass, no row shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+        F.sum(F.when(F.col("value") >= 450.0, 1).otherwise(0)).alias(
+            "backpressure_cnt"
+        ),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("errors"),
+        (
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            / F.count("*")
+            * 100
+        ).alias("error_pct"),
+        (F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)) > 0).alias(
+            "has_errors"
+        ),
+    )
+
+
+def mon_activity_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: lag() delta per entity over time — change detection.
+
+    Shuffles once on user_id (the window partition key); at scale the
+    key cardinality (users/processors) dwarfs the partition count so
+    distribution is even.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        (F.col("value") != F.lag("value").over(w)).alias("changed"),
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (batch analog of streaming windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows via gap detection (lag + cumulative sum) — the
+    batch twin of streaming session windows. 30-minute inactivity gap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        F.lag(F.col("ts").cast("timestamp")).over(w)
+    )
+    with_flag = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    with_sess = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+def recent_events_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1-K3: recency ordering + display cap."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(200)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )

@@ -1,0 +1,97 @@
+"""JSON wire-format path: T1-T3 parse + W8 DLQ split.
+
+The reference consumes JSON strings from Kafka and dead-letters parse
+failures (WaterLevelProcessor.java:90-94). Here we synthesize the JSON
+wire (string concat, mirrored in DuckDB), then:
+- parse with ``from_json`` PERMISSIVE + corrupt-record column (T3),
+- route corrupt rows to a DLQ envelope (T12/W8),
+- keep the silent-drop asymmetry for F1 failures (they are NOT DLQ'd).
+
+``from_json`` is codegen'd JVM parsing — at 100 TB this is the same
+single-pass scan shape as the classify pipeline, no Python involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.sources.synthetic import synthetic_observations
+
+WIRE_SCHEMA = (
+    "wlobscd string, ymdhm string, wl string, fw string, _corrupt string"
+)
+
+
+def _jstr(c: Column) -> Column:
+    """JSON string literal or null keyword (no escaping needed here)."""
+    return F.when(c.isNull(), "null").otherwise(F.concat(F.lit('"'), c, F.lit('"')))
+
+
+def synthetic_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-encoded observation records; every 53rd truncated (corrupt)."""
+    obs = synthetic_observations(spark, sf_dir)
+    js = F.concat(
+        F.lit('{"wlobscd":'),
+        _jstr(F.col("wlobscd")),
+        F.lit(',"ymdhm":'),
+        _jstr(F.col("ymdhm")),
+        F.lit(',"wl":'),
+        _jstr(F.col("wl")),
+        F.lit(',"fw":'),
+        _jstr(F.col("fw")),
+        F.lit(',"junk":1}'),
+    )
+    return obs.select(
+        "obs_id",
+        F.when(F.col("obs_id") % 53 == 0, F.substring(js, 1, 15))
+        .otherwise(js)
+        .alias("value"),
+    )
+
+
+def parsed_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: PERMISSIVE JSON parse with corrupt-record capture."""
+    wire = synthetic_wire(spark, sf_dir)
+    parsed = wire.withColumn(
+        "rec",
+        F.from_json(
+            "value",
+            WIRE_SCHEMA,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    return parsed.select(
+        "obs_id",
+        "value",
+        F.col("rec.wlobscd").alias("wlobscd"),
+        F.col("rec.ymdhm").alias("ymdhm"),
+        F.col("rec.wl").alias("wl"),
+        F.col("rec.fw").alias("fw"),
+        F.col("rec._corrupt").alias("_corrupt"),
+    )
+
+
+def wire_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-formed records only (unknown ``junk`` field ignored — the
+    POJO ignore-unknown behavior, WaterLevelData.java:9)."""
+    return (
+        parsed_wire(spark, sf_dir)
+        .filter(F.col("_corrupt").isNull())
+        .select("obs_id", "wlobscd", "ymdhm", "wl", "fw")
+    )
+
+
+def wire_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8/T12: DLQ envelope for parse failures
+    (DeadLetterQueueProducer.java:51-57; publish timestamp added at the
+    sink, kept out for determinism)."""
+    return (
+        parsed_wire(spark, sf_dir)
+        .filter(F.col("_corrupt").isNotNull())
+        .select(
+            F.col("obs_id").cast("string").alias("original_key"),
+            F.col("value").alias("original_value"),
+            F.lit("Processing failed: JsonParseException").alias("error_reason"),
+        )
+    )

@@ -1,0 +1,82 @@
+"""MinHash-LSH / SimHash dedup and similarity-search operator tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hrfco_data_pipeline_spark.operators.dedup import (
+    minhash_dedup,
+    minhash_signatures,
+    simhash_pairs,
+)
+from hrfco_data_pipeline_spark.operators.similarity import (
+    as_double_vec,
+    brute_force_topk,
+    hyperplane_lsh_topk,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm mat near the old wooden door of the farm house"
+)
+NEAR = DOC.replace("lazy dog", "sleepy dog")  # 2-token edit → near-dup
+FAR = (
+    "completely different words about spark query engines and columnar "
+    "execution with vectorized operators running on large clusters today"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, NEAR), (3, FAR), (4, DOC)], "doc_id long, text string"
+    )
+
+
+def test_minhash_finds_near_and_exact_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_dedup(_docs(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 4)] == 1.0  # exact dup → identical signatures
+    assert (1, 2) in pairs  # near dup above threshold
+    assert all(3 not in p for p in pairs)  # unrelated doc never paired
+
+
+def test_minhash_signature_shape(spark):
+    sigs = minhash_signatures(_docs(spark), k=32).collect()
+    assert all(len(r.sig) == 32 for r in sigs)
+    by_id = {r.id: r.sig for r in sigs}
+    assert by_id[1] == by_id[4]
+    assert by_id[1] != by_id[3]
+
+
+def test_simhash_hamming(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_pairs(_docs(spark), max_hamming=6).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert all(3 not in p for p in pairs)
+
+
+def _vectors(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    return emb.select("vec_id", as_double_vec("embedding", "v"))
+
+
+def test_lsh_topk_approximates_brute_force(spark):
+    vecs = _vectors(spark)
+    queries = vecs.filter(F.col("vec_id") % 25 == 0)
+    exact = brute_force_topk(vecs, queries, k=5)
+    approx = hyperplane_lsh_topk(vecs, queries, k=5, dim=64, n_planes=16, bands=4)
+    exact_top1 = {r.qid: r.cid for r in exact.filter("rank = 1").collect()}
+    approx_rows = approx.collect()
+    approx_by_q = {}
+    for r in approx_rows:
+        approx_by_q.setdefault(r.qid, set()).add(r.cid)
+    # sign-LSH with 4 bands should recover the true top-1 for most queries
+    hits = sum(1 for q, c in exact_top1.items() if c in approx_by_q.get(q, set()))
+    assert hits >= len(exact_top1) * 0.5
+    # approx candidate sets are strictly smaller than the corpus
+    assert all(len(v) < vecs.count() - 1 for v in approx_by_q.values())

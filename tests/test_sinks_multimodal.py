@@ -1,0 +1,53 @@
+"""Sink writers (W2-W5) and multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from hrfco_data_pipeline_spark.operators.multimodal import (
+    extract_features,
+    to_multimodal,
+)
+from hrfco_data_pipeline_spark.sinks.writers import merge_stations
+from hrfco_data_pipeline_spark.sources.synthetic import synthetic_stations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_merge_stations_upsert(spark, tmp_path):
+    path = str(tmp_path / "stations")
+    st = synthetic_stations(spark)
+    merge_stations(spark, path, st)
+    assert spark.read.parquet(path).count() == 100
+
+    updates = spark.createDataFrame(
+        [("0", "renamed", "addr", "9.0", None, None, None),
+         ("999", "new", "addr", None, None, None, None)],
+        "wlobscd string, obsnm string, addr string, attwl string, "
+        "wrnwl string, almwl string, srswl string",
+    )
+    merge_stations(spark, path, updates)
+    merged = spark.read.parquet(path)
+    assert merged.count() == 101  # 1 update + 1 insert
+    row = merged.filter(F.col("wlobscd") == "0").collect()[0]
+    assert row.obsnm == "renamed" and row.attwl == "9.0"
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    mm = to_multimodal(docs)
+    assert mm.schema["content"].dataType.typeName() == "binary"
+    feats = extract_features(mm, fake=True, n_bins=8).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9  # normalized histogram
+        assert r.n_bytes > 0
+
+
+def test_multimodal_decode_stub_raises(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(1)
+    mm = to_multimodal(docs)
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        extract_features(mm, fake=False).collect()

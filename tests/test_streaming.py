@@ -1,0 +1,44 @@
+"""E2E streaming pipeline test: file source → foreachBatch 3-way fan-out."""
+
+from __future__ import annotations
+
+from hrfco_data_pipeline_spark.plans.wire import synthetic_wire
+from hrfco_data_pipeline_spark.sources.synthetic import synthetic_stations
+from hrfco_data_pipeline_spark.streaming import (
+    observations_file_stream,
+    run_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_fanout(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    synthetic_wire(spark, SF).select("value").coalesce(2).write.mode(
+        "overwrite"
+    ).text(src)
+
+    q = run_stream(
+        spark,
+        observations_file_stream(spark, src),
+        synthetic_stations(spark),
+        out,
+        ckpt,
+    )
+    assert q.awaitTermination(300)
+
+    archive = spark.read.json(f"{out}/archive")
+    fact = spark.read.parquet(f"{out}/fact")
+    dlq = spark.read.parquet(f"{out}/dlq")
+    alerts = spark.read.parquet(f"{out}/alerts")
+
+    n = archive.count()
+    assert n > 0 and n == fact.count() == alerts.count()
+    # parse-corrupt records are DLQ'd (W8), F1 drops are NOT (silent)
+    assert dlq.count() > 0
+    kinds = {r["kind"] for r in archive.select("kind").distinct().collect()}
+    assert kinds == {"normal", "anomalies"}
+    levels = {r["warning_level"] for r in alerts.select("warning_level").distinct().collect()}
+    assert "ANOMALY" in levels and "NORMAL" in levels
+    # C5: internal levels never leak into the published alerts
+    assert not levels & {"NO_THRESHOLD", "PARTIAL_THRESHOLD"}
