@@ -46,6 +46,15 @@ def main() -> None:
     spark = get_spark(app_name="hrfco-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm up the JVM / codegen / parquet footer caches so timings
+    # reflect steady-state execution, not session bring-up.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "events").limit(1000).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -71,7 +71,13 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select("doc_id", shingles.alias("sh")).withColumn(
         "n_sh", F.size("sh")
     )
-    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    # shuffle int64 shingle hashes, not the strings: same pairs (xxhash64
+    # collisions are ~2^-64), a fraction of the shuffle bytes
+    ex = sh.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
+    )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
