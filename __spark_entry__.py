@@ -36,9 +36,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_station_list": hydro.station_list,
         "hydro_archive_partitions": hydro.archive_partitions,
         "hydro_threshold_audit": hydro.threshold_audit,
+        "hydro_station_detail": hydro.station_detail,
+        "hydro_alerts_filtered": hydro.alerts_filtered,
+        "hydro_recent_alerts_500": hydro.recent_alerts_500,
         # --- JSON wire path (T1-T3, T12, W8 DLQ) ---
         "wire_parse": wire.wire_parse,
         "wire_dlq": wire.wire_dlq,
+        "wire_batch_flatten": wire.wire_batch_flatten,
         # --- monitoring / dashboard analytics (A1-A9, K1-K4) ---
         "mon_status_counts": relational.mon_status_counts,
         "mon_summary": relational.mon_summary,
@@ -46,6 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": relational.events_hourly,
         "events_sessionize": relational.events_sessionize,
         "recent_events_top200": relational.recent_events_top200,
+        "mon_error_bulletins": relational.mon_error_bulletins,
+        "mon_type_pivot": relational.mon_type_pivot,
+        "metrics_format_bytes": relational.metrics_format_bytes,
         # --- general relational surface (joins/windows/rollup/set ops) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,
@@ -65,6 +72,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": llm.ann_cosine_topk,
         "embedding_label_stats": llm.embedding_label_stats,
         "multimodal_blob_stats": llm.multimodal_blob_stats,
+        # --- scale-path variants (rows-only checks: engine-specific hashing) ---
+        "minhash_near_dups": llm.minhash_near_dups,
+        "simhash_clusters": llm.simhash_clusters,
+        "lsh_cosine_topk": llm.lsh_cosine_topk,
+        "multimodal_features": llm.multimodal_features,
     }
 
 

@@ -140,27 +140,34 @@ def simhash_64(text: Column) -> Column:
     heavy but linear, no shuffle.
     """
     toks = F.split(F.trim(text), r"\s+")
+    # nb: F.shiftright/shiftleft take a *Python int* shift, so the 64
+    # bit positions are unrolled as literal expressions, not a HOF lambda
     counters = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda j: F.when(
-                    F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1
-                )
-                .otherwise(-1)
-                .cast("long"),
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), j).bitwiseAND(F.lit(1)) == 1, 1
+                    )
+                    .otherwise(-1)
+                    .cast("long")
+                    for j in range(64)
+                ]
             ),
             lambda a, b: a + b,
         ),
     )
-    bit_longs = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda j: F.when(
-            F.element_at(counters, j + 1) > 0, F.shiftleft(F.lit(1).cast("long"), j)
-        ).otherwise(F.lit(0).cast("long")),
+    bit_longs = F.array(
+        *[
+            F.when(
+                F.element_at(counters, j + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+            for j in range(64)
+        ]
     )
     return F.aggregate(bit_longs, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
@@ -184,14 +191,16 @@ def simhash_pairs(
         "id",
         "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda c: F.struct(
-                    c.alias("chunk"),
-                    F.shiftright("sh", c * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sh", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("cv"),
     ).select("id", "sh", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))

@@ -112,14 +112,16 @@ def hyperplane_lsh_topk(
             vecn,
             nrm,
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda bnd: F.struct(
-                        bnd.alias("band"),
-                        F.shiftright("sig", bnd * rows)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bits"),
-                    ),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bnd).alias("band"),
+                            F.shiftright("sig", bnd * rows)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bits"),
+                        )
+                        for bnd in range(bands)
+                    ]
                 )
             ).alias("bb"),
         ).select(idn, vecn, nrm, F.col("bb.band").alias("band"), F.col("bb.bits").alias("bits"))

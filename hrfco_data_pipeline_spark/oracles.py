@@ -461,3 +461,112 @@ LLM_ORACLES: dict[str, str] = {
     WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Coverage round 2: dashboard filters, point lookups, T13, T1
+# ---------------------------------------------------------------------------
+
+HYDRO_ORACLES["hydro_station_detail"] = f"""
+    WITH st AS ({STATIONS_SQL})
+    SELECT wlobscd AS "observationCode", obsnm, addr, attwl, wrnwl, almwl, srswl
+    FROM st WHERE wlobscd = '42'
+    """
+
+HYDRO_ORACLES["hydro_alerts_filtered"] = HYDRO_CTE + """
+    SELECT obs_id, observation_code, warning_level, water_level
+    FROM alerts
+    WHERE warning_level IN ('ATTENTION', 'CAUTION', 'WARNING', 'CRITICAL')
+      AND NOT is_anomaly
+    """
+
+HYDRO_ORACLES["hydro_recent_alerts_500"] = HYDRO_CTE + """
+    SELECT obs_id, observation_code, observation_time, warning_level
+    FROM alerts
+    ORDER BY observation_time DESC, obs_id DESC
+    LIMIT 500
+    """
+
+RELATIONAL_ORACLES["mon_error_bulletins"] = """
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events WHERE event_type = 'error'
+    ORDER BY ts DESC, event_id DESC LIMIT 20
+    """
+
+RELATIONAL_ORACLES["mon_type_pivot"] = """
+    SELECT count(*) AS total,
+      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+    FROM events
+    """
+
+# /1024 divisions are dyadic → DECIMAL(18,2) cast == Java %.2f exactly
+# (both round the exact value, ties away from zero); see plans/relational.
+RELATIONAL_ORACLES["metrics_format_bytes"] = """
+    WITH b AS (
+      SELECT event_id, CAST(trunc(value * 1000000) AS BIGINT) AS n_bytes FROM events
+    ), fmtd AS (
+      SELECT event_id, n_bytes,
+        CASE
+          WHEN n_bytes < 0 THEN '0 B'
+          WHEN n_bytes < 1024 THEN CAST(n_bytes AS VARCHAR) || ' B'
+          WHEN n_bytes < 1048576 THEN
+            CAST(CAST(n_bytes / 1024.0 AS DECIMAL(18,2)) AS VARCHAR) || ' KB'
+          WHEN n_bytes < 1073741824 THEN
+            CAST(CAST(n_bytes / 1048576.0 AS DECIMAL(18,2)) AS VARCHAR) || ' MB'
+          ELSE CAST(CAST(n_bytes / 1073741824.0 AS DECIMAL(18,2)) AS VARCHAR) || ' GB'
+        END AS formatted
+      FROM b
+    )
+    SELECT event_id, n_bytes, formatted,
+      CASE
+        WHEN formatted IS NULL OR formatted = '' OR formatted = '0 B' THEN 0
+        WHEN len(regexp_split_to_array(trim(formatted), '\\s+')) < 2
+          THEN COALESCE(TRY_CAST(trim(formatted) AS BIGINT), 0)
+        ELSE COALESCE(CAST(trunc(
+          TRY_CAST(regexp_split_to_array(trim(formatted), '\\s+')[1] AS DOUBLE)
+          * CASE upper(regexp_split_to_array(trim(formatted), '\\s+')[2])
+              WHEN 'B' THEN 1.0 WHEN 'KB' THEN 1024.0
+              WHEN 'MB' THEN 1048576.0 WHEN 'GB' THEN 1073741824.0
+              WHEN 'TB' THEN 1099511627776.0 ELSE 0.0 END
+          ) AS BIGINT), 0)
+      END AS parsed_back
+    FROM fmtd
+    """
+
+_BATCH_CTE = f"""
+WITH obs AS ({OBS_SQL}),
+els AS (
+  SELECT obs_id // 100 AS batch_id,
+    '{{"wlobscd":' || CASE WHEN wlobscd IS NULL THEN 'null' ELSE '"' || wlobscd || '"' END
+    || ',"ymdhm":' || CASE WHEN ymdhm IS NULL THEN 'null' ELSE '"' || ymdhm || '"' END
+    || ',"wl":' || CASE WHEN wl IS NULL THEN 'null' ELSE '"' || wl || '"' END
+    || ',"fw":' || CASE WHEN fw IS NULL THEN 'null' ELSE '"' || fw || '"' END
+    || '}}' AS el
+  FROM obs
+),
+batches AS (
+  SELECT batch_id, '[' || string_agg(el, ',' ORDER BY el) || ']' AS doc
+  FROM els GROUP BY batch_id
+),
+positions AS (
+  SELECT batch_id, doc,
+    unnest(generate_series(0, CAST(json_array_length(doc) AS BIGINT) - 1)) AS i
+  FROM batches
+),
+flattened AS (
+  SELECT batch_id, CAST(i AS INTEGER) AS pos,
+    json_extract_string(doc, '$[' || i || '].wlobscd') AS wlobscd,
+    json_extract_string(doc, '$[' || i || '].ymdhm') AS ymdhm,
+    json_extract_string(doc, '$[' || i || '].wl') AS wl,
+    json_extract_string(doc, '$[' || i || '].fw') AS fw
+  FROM positions
+)
+"""
+
+WIRE_ORACLES["wire_batch_flatten"] = _BATCH_CTE + """
+    SELECT batch_id, pos, wlobscd, ymdhm, wl, fw FROM flattened
+    """

@@ -102,3 +102,40 @@ def threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         vcnt.alias("valid_threshold_cnt"),
         completeness.alias("completeness"),
     )
+
+
+def station_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/T11/J2: point lookup by station code with ``_id`` renamed
+    (StationService.java:87-98). At scale the predicate prunes to one
+    dim partition; here it's a trivially broadcastable filter."""
+    st = synthetic_stations(spark)
+    return st.filter(F.col("wlobscd") == "42").select(
+        F.col("wlobscd").alias("observationCode"),
+        "obsnm",
+        "addr",
+        "attwl",
+        "wrnwl",
+        "almwl",
+        "srswl",
+    )
+
+
+def alerts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: dashboard 'alert' category filter — warning tiers only
+    (dashboard.html:991-1006; anomaly precedence excluded here)."""
+    a = alerts(spark, sf_dir)
+    return a.filter(
+        F.col("warning_level").isin("ATTENTION", "CAUTION", "WARNING", "CRITICAL")
+        & ~F.col("is_anomaly")
+    ).select("obs_id", "observation_code", "warning_level", "water_level")
+
+
+def recent_alerts_500(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2: newest-500 retention cap with deterministic tiebreak
+    (dashboard.html:942-947)."""
+    a = alerts(spark, sf_dir)
+    return (
+        a.orderBy(F.desc("observation_time"), F.desc("obs_id"))
+        .limit(500)
+        .select("obs_id", "observation_code", "observation_time", "warning_level")
+    )

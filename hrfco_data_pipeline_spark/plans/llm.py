@@ -268,3 +268,57 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.count_distinct("content_hash").alias("n_distinct_blobs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scale-path variants (rows-only driver checks: engine-specific hashing /
+# pandas stages have no portable SQL twin)
+# --------------------------------------------------------------------------
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (operators/dedup.py) — the bounded-
+    shuffle variant of docs_ngram_jaccard_pairs."""
+    from hrfco_data_pipeline_spark.operators.dedup import minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.5)
+
+
+def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs (operators/dedup.py)."""
+    from hrfco_data_pipeline_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH approximate cosine top-5 (operators/similarity.py) —
+    the sub-linear variant of ann_cosine_topk."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        hyperplane_lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return hyperplane_lsh_topk(vecs, queries, k=5, dim=64, n_planes=16, bands=4)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads
+    (operators/multimodal.py, deterministic fake decode)."""
+    from hrfco_data_pipeline_spark.operators.multimodal import (
+        extract_features,
+        to_multimodal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(to_multimodal(docs), fake=True, n_bins=16)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("bin0"),
+        F.round(F.element_at("feature", 2), 6).alias("bin1"),
+    )

@@ -316,3 +316,60 @@ def recent_events_top200(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         )
     )
+
+
+def mon_error_bulletins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/F4/K4: severity-filtered bulletin feed, newest 20
+    (NiFiMonitoringService.java:633-657)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "error")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(20)
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+def mon_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dashboard-stat shape: one row, one count column per category
+    (conditional aggregation ≙ pivot with a fixed domain)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = lambda t: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == t, 1).otherwise(0)
+    )
+    return ev.agg(
+        F.count("*").alias("total"),
+        cnt("click").alias("click"),
+        cnt("view").alias("view"),
+        cnt("purchase").alias("purchase"),
+        cnt("signup").alias("signup"),
+        cnt("error").alias("error"),
+    )
+
+
+def metrics_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: humanize + parse round-trip over a synthetic byte count.
+
+    Parity note: the /1024 divisions are dyadic, so Spark's %.2f and a
+    DuckDB DECIMAL(18,2) cast agree exactly (both round the exact value,
+    ties away from zero) — see sources/synthetic.py for why this pair is
+    used instead of printf.
+    """
+    from hrfco_data_pipeline_spark.functions.metrics import (
+        format_bytes,
+        parse_formatted_bytes,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (F.col("value") * 1_000_000).cast("long")
+    fmt = format_bytes(b)
+    return ev.select(
+        "event_id",
+        b.alias("n_bytes"),
+        fmt.alias("formatted"),
+        parse_formatted_bytes(fmt).alias("parsed_back"),
+    )

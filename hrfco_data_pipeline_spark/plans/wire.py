@@ -95,3 +95,48 @@ def wire_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Processing failed: JsonParseException").alias("error_reason"),
         )
     )
+
+
+def wire_batch_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: SplitJson — one record per element of a JSON array batch.
+
+    The reference's NiFi flow polls one JSON document per cycle and
+    splits ``$.content`` into per-record FlowFiles. Here: records are
+    batched into JSON arrays (deterministically: 100 per batch, sorted
+    within the batch), then flattened with ``posexplode(from_json(
+    array<struct>))`` — the Spark-native SplitJson.
+    """
+    obs = synthetic_observations(spark, sf_dir)
+    el = F.concat(
+        F.lit('{"wlobscd":'),
+        _jstr(F.col("wlobscd")),
+        F.lit(',"ymdhm":'),
+        _jstr(F.col("ymdhm")),
+        F.lit(',"wl":'),
+        _jstr(F.col("wl")),
+        F.lit(',"fw":'),
+        _jstr(F.col("fw")),
+        F.lit("}"),
+    )
+    batches = (
+        obs.select((F.col("obs_id") / 100).cast("long").alias("batch_id"), el.alias("el"))
+        .groupBy("batch_id")
+        .agg(
+            F.concat(
+                F.lit("["), F.concat_ws(",", F.sort_array(F.collect_list("el"))), F.lit("]")
+            ).alias("doc")
+        )
+    )
+    rec_schema = "array<struct<wlobscd:string,ymdhm:string,wl:string,fw:string>>"
+    exploded = batches.select(
+        "batch_id",
+        F.posexplode(F.from_json("doc", rec_schema)).alias("pos", "rec"),
+    )
+    return exploded.select(
+        "batch_id",
+        "pos",
+        F.col("rec.wlobscd").alias("wlobscd"),
+        F.col("rec.ymdhm").alias("ymdhm"),
+        F.col("rec.wl").alias("wl"),
+        F.col("rec.fw").alias("fw"),
+    )

@@ -1,0 +1,42 @@
+"""The same pipeline semantics through spark.sql over registered views."""
+
+from __future__ import annotations
+
+from hrfco_data_pipeline_spark.sql import register_all
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sql_views_match_dataframe_api(spark):
+    frames = register_all(spark, SF)
+
+    # SQL over the classified view == DataFrame pipeline output
+    sql_counts = {
+        (r.flood_warning_level, r.is_anomaly): r.n
+        for r in spark.sql(
+            "SELECT flood_warning_level, is_anomaly, count(*) AS n "
+            "FROM classified GROUP BY 1, 2"
+        ).collect()
+    }
+    df_counts = {
+        (r.flood_warning_level, r.is_anomaly): r.n
+        for r in frames["classified"]
+        .groupBy("flood_warning_level", "is_anomaly")
+        .agg({"*": "count"})
+        .withColumnRenamed("count(1)", "n")
+        .collect()
+    }
+    assert sql_counts == df_counts and len(sql_counts) > 3
+
+
+def test_sql_join_across_views(spark):
+    register_all(spark, SF)
+    out = spark.sql(
+        """
+        SELECT s.obsnm, count(*) AS n_alerts
+        FROM alerts a JOIN stations s ON a.observation_code = s.wlobscd
+        WHERE a.warning_level = 'CRITICAL'
+        GROUP BY s.obsnm
+        """
+    )
+    assert out.count() > 0
