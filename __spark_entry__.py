@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mon_error_bulletins": relational.mon_error_bulletins,
         "mon_type_pivot": relational.mon_type_pivot,
         "metrics_format_bytes": relational.metrics_format_bytes,
+        "events_props_extract": relational.events_props_extract,
+        "events_approx_stats": relational.events_approx_stats,
         # --- general relational surface (joins/windows/rollup/set ops) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,

@@ -180,3 +180,25 @@ def process_observations(
     kept = required_fields_filter(parsed)
     joined = join_thresholds(kept, stations)
     return classify(joined, **bounds)
+
+
+def alerts_kafka_frame(alerts: DataFrame) -> DataFrame:
+    """W7: the keyed Kafka publish frame — key = station code (preserves
+    per-station partition ordering, AlertPublisher.java:66-67), value =
+    the alert JSON envelope. Feed to ``.write.format("kafka")`` /
+    ``writeStream`` with a topic option.
+    """
+    return alerts.select(
+        F.col("observation_code").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("observation_code").alias("observationCode"),
+                F.col("observation_time").alias("observationTime"),
+                F.col("water_level").alias("waterLevel"),
+                F.col("flow_rate").alias("flowRate"),
+                F.col("warning_level").alias("warningLevel"),
+                F.col("is_anomaly").alias("isAnomaly"),
+                F.col("message").alias("message"),
+            )
+        ).alias("value"),
+    )

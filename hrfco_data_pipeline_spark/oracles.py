@@ -570,3 +570,9 @@ flattened AS (
 WIRE_ORACLES["wire_batch_flatten"] = _BATCH_CTE + """
     SELECT batch_id, pos, wlobscd, ymdhm, wl, fw FROM flattened
     """
+
+
+RELATIONAL_ORACLES["events_props_extract"] = """
+    SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """

@@ -373,3 +373,26 @@ def metrics_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt.alias("formatted"),
         parse_formatted_bytes(fmt).alias("parsed_back"),
     )
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: JSON field extraction (`get_json_object` ≙ EvaluateJsonPath
+    `$.k`) over the events props column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+    )
+
+
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (SURVEY §2.9 gap list): HLL distinct +
+    t-digest percentiles. Sketch results are engine-specific → rows-only
+    driver check; the test bounds them against exact values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("event_id").alias("approx_events"),
+        F.round(F.percentile_approx("value", 0.5), 2).alias("p50_value"),
+        F.round(F.percentile_approx("value", 0.95), 2).alias("p95_value"),
+    )

@@ -40,3 +40,20 @@ def test_sql_join_across_views(spark):
         """
     )
     assert out.count() > 0
+
+
+def test_approx_stats_bounds(spark):
+    from hrfco_data_pipeline_spark.plans.relational import events_approx_stats
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    r = events_approx_stats(spark, SF).collect()[0]
+    exact = (
+        load_table(spark, SF, "events")
+        .agg(F.count_distinct("user_id").alias("u"))
+        .collect()[0]
+        .u
+    )
+    # HLL default rsd=5% — allow 3σ
+    assert abs(r.approx_users - exact) <= max(3, 0.15 * exact)
+    assert r.p50_value < r.p95_value

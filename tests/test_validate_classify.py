@@ -168,3 +168,18 @@ def test_threshold_string_coercion_in_join(spark):
     got = _levels(spark, [("ZEROS", "t2", "100.0", None)])
     # wl=100 is out of physical range → anomaly wins over any threshold logic
     assert got[("ZEROS", "t2")] == (None, True)
+
+
+def test_w7_kafka_frame(spark):
+    from hrfco_data_pipeline_spark.operators.classify import alerts_kafka_frame
+    import json
+
+    rows = [("FULL", "202501010000", "9.5", None)]
+    frame = alerts_kafka_frame(build_alerts(_run(spark, rows)))
+    assert frame.columns == ["key", "value"]
+    r = frame.collect()[0]
+    assert r.key == "FULL"
+    payload = json.loads(r.value)
+    assert payload["warningLevel"] == "CRITICAL"
+    assert payload["isAnomaly"] is False
+    assert payload["observationTime"] == "2025-01-01 00:00"
