@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_station_detail": hydro.station_detail,
         "hydro_alerts_filtered": hydro.alerts_filtered,
         "hydro_recent_alerts_500": hydro.recent_alerts_500,
+        "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
         # --- JSON wire path (T1-T3, T12, W8 DLQ) ---
         "wire_parse": wire.wire_parse,
         "wire_dlq": wire.wire_dlq,
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_format_bytes": relational.metrics_format_bytes,
         "events_props_extract": relational.events_props_extract,
         "events_approx_stats": relational.events_approx_stats,
+        "events_asof_last_error": relational.events_asof_last_error,
         # --- general relational surface (joins/windows/rollup/set ops) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_shipping_priority": relational.q3_shipping_priority,

@@ -576,3 +576,32 @@ RELATIONAL_ORACLES["events_props_extract"] = """
     SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
     """
+
+
+RELATIONAL_ORACLES["events_asof_last_error"] = """
+    WITH r AS (
+      SELECT user_id, ts, max(value) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id,
+      strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      r.err_value AS err_value_asof
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """
+
+HYDRO_ORACLES["hydro_fact_hourly_rollup"] = HYDRO_CTE + """
+    , fact AS (
+      SELECT wlobscd, is_anomaly, water_level,
+        date_trunc('hour', try_strptime(obs_time_str, '%Y-%m-%d %H:%M')) AS bucket_ts
+      FROM classified
+    )
+    SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M') AS bucket, wlobscd,
+      count(*) AS n,
+      sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS n_anom,
+      CAST(sum(TRY_CAST(printf('%.2f', water_level) AS DECIMAL(12,2))) AS DOUBLE)
+        / count(water_level) AS avg_wl,
+      max(water_level) AS max_wl
+    FROM fact GROUP BY 1, 2
+    """

@@ -139,3 +139,38 @@ def recent_alerts_500(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(500)
         .select("obs_id", "observation_code", "observation_time", "warning_level")
     )
+
+
+def fact_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate analog (operators/rollup.py):
+    per-station hourly buckets over the classified fact with exact
+    decimal water-level sums (see plans/relational._dec for why)."""
+    from hrfco_data_pipeline_spark.operators.rollup import rollup_by_bucket
+
+    c = classified(spark, sf_dir)
+    ts = F.try_to_timestamp(
+        F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm")
+    ).cast("timestamp_ntz")
+    # try_cast: null water levels format as the literal 'nu' (Java quirk)
+    wl_dec = F.format_string("%.2f", F.col("water_level")).try_cast("decimal(12,2)")
+    with_ts = c.withColumn("obs_ts", ts).withColumn("wl_dec", wl_dec)
+    rolled = rollup_by_bucket(
+        with_ts,
+        time_col="obs_ts",
+        keys=["wlobscd"],
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.col("is_anomaly").cast("int")).alias("n_anom"),
+            (F.sum("wl_dec").cast("double") / F.count("water_level")).alias("avg_wl"),
+            F.max("water_level").alias("max_wl"),
+        ],
+        width="hour",
+    )
+    return rolled.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm").alias("bucket"),
+        "wlobscd",
+        "n",
+        "n_anom",
+        "avg_wl",
+        "max_wl",
+    )

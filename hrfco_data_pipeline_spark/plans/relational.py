@@ -396,3 +396,30 @@ def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("value", 0.5), 2).alias("p50_value"),
         F.round(F.percentile_approx("value", 0.95), 2).alias("p95_value"),
     )
+
+
+def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event enriched with
+    the most recent error value at-or-before it for the same user.
+    DuckDB's native ASOF JOIN is the oracle."""
+    from hrfco_data_pipeline_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    joined = asof_join(
+        left, right, on="user_id", left_time="ts", right_time="ts",
+        payload_cols=("err_value",),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("err_value_asof"),
+    )

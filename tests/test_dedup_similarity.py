@@ -80,3 +80,27 @@ def test_lsh_topk_approximates_brute_force(spark):
     assert hits >= len(exact_top1) * 0.5
     # approx candidate sets are strictly smaller than the corpus
     assert all(len(v) < vecs.count() - 1 for v in approx_by_q.values())
+
+
+def test_asof_join_semantics(spark):
+    from hrfco_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 10)], "lid long, t long"
+    ).selectExpr("lid", "t", "lid AS k")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 15, "b"), (2, 99, "z")], "k long, t long, v string"
+    )
+    out = asof_join(
+        left.select("lid", "k", "t"),
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        payload_cols=("v",),
+    )
+    got = {r.lid * 100 + r.t: r.v_asof for r in out.collect()}
+    assert got[110] == "a"   # exact-time right row is eligible (<=)
+    assert got[120] == "b"   # latest at-or-before wins
+    assert got[105] is None  # nothing before t=5
+    assert got[210] is None  # key 2: right row is later than left
