@@ -85,8 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # docs_lang_id deliberately has no oracle yet (rows-only check) —
-    # see plans/llm.py; everything else is hash-checked.
+    # rows-only (no oracle): events_approx_stats, minhash_near_dups,
+    # simhash_clusters, lsh_cosine_topk, multimodal_features — sketches /
+    # engine-specific hashing / pandas stages with no portable SQL twin.
     return {
         **HYDRO_ORACLES,
         **RELATIONAL_ORACLES,

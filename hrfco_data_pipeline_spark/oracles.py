@@ -605,3 +605,27 @@ HYDRO_ORACLES["hydro_fact_hourly_rollup"] = HYDRO_CTE + """
       max(water_level) AS max_wl
     FROM fact GROUP BY 1, 2
     """
+
+
+LLM_ORACLES["docs_lang_id"] = _TOK_CTE + """
+    , cnts AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('the','a','an','of','and'))) AS cnt_en,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS cnt_de,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS cnt_fr,
+        len(list_filter(toks, x -> x IN ('el','la','los','y','es'))) AS cnt_es
+      FROM tok
+    ), pred AS (
+      SELECT *,
+        CASE
+          WHEN cnt_en > 0 AND cnt_en >= cnt_de AND cnt_en >= cnt_fr AND cnt_en >= cnt_es THEN 'en'
+          WHEN cnt_de > 0 AND cnt_de >= cnt_en AND cnt_de >= cnt_fr AND cnt_de >= cnt_es THEN 'de'
+          WHEN cnt_fr > 0 AND cnt_fr >= cnt_en AND cnt_fr >= cnt_de AND cnt_fr >= cnt_es THEN 'fr'
+          WHEN cnt_es > 0 AND cnt_es >= cnt_en AND cnt_es >= cnt_de AND cnt_es >= cnt_fr THEN 'es'
+          ELSE 'und' END AS pred_lang
+      FROM cnts
+    )
+    SELECT doc_id, lang, cnt_en, cnt_de, cnt_fr, cnt_es, pred_lang,
+      pred_lang = lang AS match
+    FROM pred
+    """
