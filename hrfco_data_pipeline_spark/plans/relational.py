@@ -282,8 +282,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch twin of streaming session windows. 30-minute inactivity gap."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
-        F.lag(F.col("ts").cast("timestamp")).over(w)
+    # timestampdiff on the NTZ values directly — unix_timestamp would
+    # route through the session timezone (DST-edge hazard)
+    prev = F.lag("ts").over(w)
+    # truncate to whole seconds first: DuckDB's date_diff('second') counts
+    # boundary crossings, which equals a diff of second-truncated values
+    gap = F.timestamp_diff(
+        "SECOND", F.date_trunc("second", prev), F.date_trunc("second", F.col("ts"))
     )
     with_flag = ev.withColumn(
         "new_session",
