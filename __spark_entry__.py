@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_score": llm.docs_quality_score,
         "docs_lang_id": llm.docs_lang_id,
         "doc_fingerprints": llm.doc_fingerprints,
+        "docs_bpe_token_count": llm.docs_bpe_token_count,
         "ann_cosine_topk": llm.ann_cosine_topk,
         "embedding_label_stats": llm.embedding_label_stats,
         "multimodal_blob_stats": llm.multimodal_blob_stats,
@@ -81,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_clusters": llm.simhash_clusters,
         "lsh_cosine_topk": llm.lsh_cosine_topk,
         "multimodal_features": llm.multimodal_features,
+        "embedding_near_dups": llm.embedding_near_dups,
     }
 
 

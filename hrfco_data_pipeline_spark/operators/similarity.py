@@ -143,3 +143,69 @@ def hyperplane_lsh_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def lsh_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup: corpus×corpus pairs with cos ≥ τ.
+
+    Candidate pairs must share a signature band (self-join on
+    (band, bits) — bounded buckets, the 100 TB shape), then the exact
+    cosine filters. Output: (id_a, id_b, cos_sim).
+    """
+    planes = hyperplane_planes(dim, n_planes, seed)
+    rows = n_planes // bands
+    mask = (1 << rows) - 1
+    v = with_norm(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vv")),
+        "vv",
+        "nn",
+    ).withColumn("sig", hyperplane_signature("vv", planes))
+    banded = v.select(
+        "id",
+        "vv",
+        "nn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * rows)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "vv", "nn", "bb.band", "bb.bits")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vv").alias("va"),
+            F.col("b.vv").alias("vb"),
+            F.col("a.nn").alias("na"),
+            F.col("b.nn").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return cand.select("id_a", "id_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= threshold
+    )

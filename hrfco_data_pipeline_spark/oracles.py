@@ -629,3 +629,11 @@ LLM_ORACLES["docs_lang_id"] = _TOK_CTE + """
       pred_lang = lang AS match
     FROM pred
     """
+
+
+LLM_ORACLES["docs_bpe_token_count"] = r"""
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
+      len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS n_uniq_pieces
+    FROM documents
+    """

@@ -322,3 +322,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("bin0"),
         F.round(F.element_at("feature", 2), 6).alias("bin1"),
     )
+
+
+def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word pieces + standalone punctuation via
+    a regex whose semantics agree between Java regex and RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.array_distinct(pieces)).alias("n_uniq_pieces"),
+    )
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-LSH banding
+    (operators/similarity.lsh_near_dup_pairs)."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        lsh_near_dup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    # the synthetic embeddings top out near cos~0.45; 0.35 captures the
+    # genuine tail while keeping the candidate set sparse
+    return lsh_near_dup_pairs(vecs, threshold=0.35)

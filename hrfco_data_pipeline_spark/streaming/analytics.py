@@ -1,0 +1,144 @@
+"""Streaming analytics: watermarked windows + custom stateful operators.
+
+The reference's dashboard counts (A1) and activity deltas (A7) are
+recomputed client-side per SSE event; Spark-natively they are streaming
+aggregations:
+
+- ``windowed_alert_counts``: event-time tumbling window + watermark —
+  late observations beyond the watermark are dropped, closed windows
+  emit finalized counts (append mode) — the scalable form of the
+  dashboard's running tallies.
+- ``station_delta_stream``: per-station stateful change detection via
+  ``applyInPandasWithState`` — carries the last seen water level per
+  station across micro-batches (the A7 lag pattern, but unbounded
+  stream-safe with explicit state + timeout).
+
+State scales by key cardinality (stations), not stream length; the
+watermark bounds both state retention and out-of-order tolerance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def with_event_time(parsed: DataFrame) -> DataFrame:
+    """Attach the event-time column parsed from ymdhm (bad → null).
+
+    Kept as TIMESTAMP (LTZ) — watermarks reject TIMESTAMP_NTZ — so
+    window boundaries follow the session timezone; production configs
+    pin ``spark.sql.session.timeZone=Asia/Seoul`` (SURVEY §7 risk #4).
+    """
+    return parsed.withColumn(
+        "event_ts",
+        F.try_to_timestamp(F.col("ymdhm"), F.lit("yyyyMMddHHmm")),
+    )
+
+
+def windowed_alert_counts(
+    classified: DataFrame,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """A1 as an event-time window: counts per (window, warning level).
+
+    Works over batch or stream; on a stream the watermark lets Spark
+    finalize + evict window state.
+    """
+    with_ts = with_event_time(classified)
+    stream_side = with_ts.filter(F.col("event_ts").isNotNull())
+    if classified.isStreaming:
+        stream_side = stream_side.withWatermark("event_ts", watermark)
+    return (
+        stream_side.groupBy(
+            F.window("event_ts", f"{window_minutes} minutes").alias("win"),
+            F.col("flood_warning_level").alias("level"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "level",
+            "n",
+        )
+    )
+
+
+DELTA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_wl", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+DELTA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("wlobscd", StringType()),
+        StructField("event_ts", TimestampType()),
+        StructField("water_level", DoubleType()),
+        StructField("delta", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _delta_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-station state: last water level + running count.
+
+    Emits one row per observation with the delta vs the previous one
+    (across micro-batch boundaries — the property a plain window lag
+    cannot give on an unbounded stream).
+    """
+    (code,) = key
+    last_wl, n_seen = state.get if state.exists else (None, 0)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["event_ts"], kind="stable")
+        for row in pdf.itertuples(index=False):
+            # arrow batches carry nulls as NaN — pd.notna, not `is None`
+            wl = row.water_level if pd.notna(row.water_level) else None
+            delta = (
+                wl - last_wl if wl is not None and last_wl is not None else None
+            )
+            n_seen += 1
+            out.append((code, row.event_ts, wl, delta, n_seen))
+            if wl is not None:
+                last_wl = wl
+    state.update((last_wl, n_seen))
+    yield pd.DataFrame(out, columns=[f.name for f in DELTA_OUTPUT_SCHEMA.fields])
+
+
+def station_delta_stream(parsed_stream: DataFrame) -> DataFrame:
+    """A7 as a custom stateful streaming operator.
+
+    Input: the parsed observation stream (wlobscd, ymdhm, water_level).
+    Groups by station; state = (last level, count), no timeout (station
+    cardinality is small and bounded).
+    """
+    src = with_event_time(parsed_stream).select(
+        "wlobscd", "event_ts", "water_level"
+    )
+    return src.groupBy("wlobscd").applyInPandasWithState(
+        _delta_fn,
+        outputStructType=DELTA_OUTPUT_SCHEMA,
+        stateStructType=DELTA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
