@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": relational.customers_without_orders,
         "customer_order_stats": relational.customer_order_stats,
         "purchase_and_signup_users": relational.purchase_and_signup_users,
+        "big_orders_having": relational.big_orders_having,
         # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,

@@ -1,0 +1,48 @@
+"""Bucketing: pre-shuffled storage for co-located joins.
+
+At 100 TB the lineitem⋈orders shuffle dominates TPC-H-style plans.
+Writing both fact tables bucketed by the join key (same bucket count)
+lets Spark plan a sort-merge join with NO exchange on either side —
+the shuffle is paid once at write time and amortized over every
+subsequent join. This is the persistent complement to the broadcast
+(dim) and AQE (runtime) strategies used elsewhere in the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str,
+    force_sort_merge: bool = False,
+) -> DataFrame:
+    """Join two co-bucketed tables on their bucket key.
+
+    With matching bucket counts Spark elides both shuffle Exchanges
+    (verify via ``.explain``: no "Exchange hashpartitioning" above either
+    scan). ``force_sort_merge`` adds a MERGE hint — useful to observe the
+    zero-shuffle plan when the data is small enough that AQE would
+    otherwise broadcast one side.
+    """
+    left = spark.table(left_table)
+    if force_sort_merge:
+        left = left.hint("merge")
+    return left.join(spark.table(right_table), on)

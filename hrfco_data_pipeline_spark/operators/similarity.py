@@ -209,3 +209,77 @@ def lsh_near_dup_pairs(
     return cand.select("id_a", "id_b", cos.alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
     )
+
+
+def ivf_centroids(
+    vectors: DataFrame, n_centroids: int = 16, vec_col: str = "v"
+) -> list[list[float]]:
+    """Deterministic IVF centroids: one averaging pass over a hashed
+    pre-assignment (a single Lloyd step from a deterministic seed —
+    enough structure for probing, no iterative training loop)."""
+    seeded = vectors.select(
+        (F.xxhash64(F.col("vec_id")) % n_centroids).alias("c"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("c", F.abs("c"))
+    dim = len(vectors.select(vec_col).first()[0])
+    sums = seeded.groupBy("c").agg(
+        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        F.count("*").alias("n"),
+    )
+    rows = {r["c"]: r for r in sums.collect()}
+    cents = []
+    for c in range(n_centroids):
+        r = rows.get(c)
+        if r is None:
+            cents.append([0.0] * dim)
+        else:
+            cents.append([r[f"s{i}"] / r["n"] for i in range(dim)])
+    return cents
+
+
+def _nearest_centroid(vec: Column | str, cents: list[list[float]]) -> Column:
+    """argmax of centroid dot products, unrolled as literal expressions."""
+    dots = [
+        dot(vec, F.array(*[F.lit(x) for x in c])).alias(f"d{i}")
+        for i, c in enumerate(cents)
+    ]
+    best = F.lit(0)
+    best_d = dots[0]
+    for i in range(1, len(cents)):
+        cond = dots[i] > best_d
+        best = F.when(cond, F.lit(i)).otherwise(best)
+        best_d = F.when(cond, dots[i]).otherwise(best_d)
+    return best
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """IVF-flat ANN: corpus partitioned by nearest centroid; each query
+    probes only its own cell (nprobe=1). The inverted-file analog of the
+    sign-LSH variant: the shuffle key is the centroid id, candidate cost
+    is |cell| not |corpus|.
+    """
+    c = with_norm(
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")),
+        "cv",
+        "cn",
+    ).withColumn("cell", _nearest_centroid("cv", cents))
+    q = with_norm(
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")),
+        "qv",
+        "qn",
+    ).withColumn("cell", _nearest_centroid("qv", cents))
+    joined = c.join(F.broadcast(q), (c["cell"] == q["cell"]) & (c["cid"] != q["qid"]))
+    cos = dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("cid"))
+    return (
+        joined.select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -637,3 +637,14 @@ LLM_ORACLES["docs_bpe_token_count"] = r"""
       len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS n_uniq_pieces
     FROM documents
     """
+
+
+RELATIONAL_ORACLES["big_orders_having"] = """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) >= 120
+    )
+    SELECT l_orderkey, total_qty, o_orderstatus,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM big JOIN orders ON l_orderkey = o_orderkey
+    """

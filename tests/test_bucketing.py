@@ -1,0 +1,58 @@
+"""Bucketed co-located join: shuffle elimination is visible in the plan."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from hrfco_data_pipeline_spark.operators.bucketing import (
+    bucketed_join,
+    write_bucketed,
+)
+from hrfco_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    # managed tables land in ./spark-warehouse (gitignored)
+    import shutil
+
+    for t in ("li_b", "ord_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    write_bucketed(li, "li_b", "l_orderkey", n_buckets=8)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_b",
+        "l_orderkey",
+        n_buckets=8,
+    )
+
+    joined = bucketed_join(
+        spark, "li_b", "ord_b", on="l_orderkey", force_sort_merge=True
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-bucketed sides: no shuffle exchange anywhere in the join plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SortMergeJoin" in plan
+
+    # and the join result is correct
+    expect = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).count()
+    assert joined.count() == expect
+
+    # contrast: the plain (unbucketed) join does shuffle both sides
+    plain_plan = (
+        li.hint("merge")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" in plain_plan
+
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
