@@ -36,6 +36,9 @@ HEADLINE = [
     "docs_token_stats",
     "docs_ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "minhash_near_dups",
+    "events_asof_last_error",
+    "hydro_fact_hourly_rollup",
 ]
 
 
