@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "big_orders_having": relational.big_orders_having,
         # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
         "dedup_exact_docs": llm.dedup_exact_docs,
+        "dedup_docs_kept": llm.dedup_docs_kept,
         "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,
         "docs_token_stats": llm.docs_token_stats,
         "docs_quality_score": llm.docs_quality_score,
@@ -84,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cosine_topk": llm.lsh_cosine_topk,
         "multimodal_features": llm.multimodal_features,
         "embedding_near_dups": llm.embedding_near_dups,
+        "dup_components": llm.dup_components,
     }
 
 

@@ -239,3 +239,87 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_keep_best(
+    df: DataFrame, key: Column | str, order: list[Column]
+) -> DataFrame:
+    """Exact dedup with a deterministic keep policy.
+
+    ``dropDuplicates`` keeps an arbitrary row per key; training-data
+    pipelines need a *policy* (keep longest / newest / lowest id). One
+    window per key, rank 1 wins. Same single shuffle as dropDuplicates.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster labeling: connected components of the near-dup
+    pair graph via iterative min-label propagation.
+
+    The classic post-pass after MinHash/SimHash: transitive closure
+    groups pairwise matches into clusters so one canonical doc per
+    cluster survives. Iterative (non-SQL-expressible) algorithm:
+    each node adopts the minimum label among itself and its neighbors
+    until fixpoint; iterations ∝ graph diameter (near-dup clusters are
+    shallow, so a handful). Each round is one join + one aggregate;
+    ``localCheckpoint`` truncates the growing lineage.
+
+    Returns (id, component) where component = min node id in the
+    cluster. Nodes only appear if they occur in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -648,3 +648,14 @@ RELATIONAL_ORACLES["big_orders_having"] = """
       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
     FROM big JOIN orders ON l_orderkey = o_orderkey
     """
+
+
+LLM_ORACLES["dedup_docs_kept"] = """
+    WITH h AS (
+      SELECT doc_id, lang, source, md5(lower(trim(text))) AS text_hash,
+        row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT doc_id, text_hash, lang, source FROM h WHERE rk = 1
+    """

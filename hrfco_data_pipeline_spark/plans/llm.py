@@ -351,3 +351,23 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic embeddings top out near cos~0.45; 0.35 captures the
     # genuine tail while keeping the candidate set sparse
     return lsh_near_dup_pairs(vecs, threshold=0.35)
+
+
+def dedup_docs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with keep-lowest-id policy — the surviving rows."""
+    from hrfco_data_pipeline_spark.operators.dedup import dedup_keep_best
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5(F.lower(F.trim("text")))
+    )
+    kept = dedup_keep_best(docs, "text_hash", [F.asc("doc_id")])
+    return kept.select("doc_id", "text_hash", "lang", "source")
+
+
+def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the shingle-Jaccard
+    pair graph (iterative min-label propagation; rows-only check)."""
+    from hrfco_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    return connected_components(pairs, "doc_a", "doc_b")

@@ -131,3 +131,33 @@ def test_ivf_topk(spark):
     # IVF with nprobe=1 finds a neighbor within 2x of the best cosine mostly
     ok = sum(1 for q in got if exact.get(q, 0) <= 0 or got[q] >= exact[q] * 0.5)
     assert ok >= len(got) * 0.5
+
+
+def test_connected_components(spark):
+    from hrfco_data_pipeline_spark.operators.dedup import connected_components
+
+    # two chains + an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert {got[i] for i in (10, 11)} == {10}
+    assert {got[i] for i in (20, 21, 22)} == {20}
+
+
+def test_dedup_keep_best_policy(spark):
+    from hrfco_data_pipeline_spark.operators.dedup import dedup_keep_best
+    import pyspark.sql.functions as FF
+
+    df = spark.createDataFrame(
+        [("k1", 5, "short"), ("k1", 3, "longest text"), ("k2", 9, "x")],
+        "k string, id long, text string",
+    )
+    # keep longest text, tiebreak lowest id
+    kept = dedup_keep_best(
+        df, "k", [FF.desc(FF.length("text")), FF.asc("id")]
+    ).collect()
+    got = {r.k: r.id for r in kept}
+    assert got == {"k1": 3, "k2": 9}
