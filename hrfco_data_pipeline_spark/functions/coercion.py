@@ -32,13 +32,22 @@ def java_double(col: Column | str) -> Column:
     """Java-parity string→nullable-double coercion.
 
     Semantics (WaterLevelData.java:62-79): trim; null/""/" " → null;
-    ``Double.parseDouble`` failure → null. Spark's ANSI-off cast of
-    string→double delegates to Java's parse with failure→null, so a
-    trim+nullif+cast chain is bit-exact with the reference, including
-    "NaN" → NaN, "Infinity" → +inf, "1.2d"/"1.2f" suffix forms, and
-    leading "+".
+    ``Double.parseDouble`` failure → null. Spark's string→double
+    ``try_cast`` matches Java's parse on nearly the whole grammar —
+    "NaN"/"Infinity", "1.2d"/"1.2f" suffix forms, hex floats, leading
+    "+" — but is *laxer* on the special values: it accepts
+    case-insensitive "inf"/"infinity"/"nan", which Java rejects
+    (property-fuzzed in tests/test_coercion_property.py). The regex
+    guard nulls exactly those lax forms; Java's exact-case "NaN" /
+    "[+-]Infinity" still pass.
     """
-    return blank_to_null(col).try_cast("double")
+    t = blank_to_null(col)
+    lax_special = t.rlike(r"(?i)^[+-]?(inf(inity)?|nan)$") & ~t.rlike(
+        r"^[+-]?(Infinity|NaN)$"
+    )
+    return F.when(lax_special, F.lit(None).cast("double")).otherwise(
+        t.try_cast("double")
+    )
 
 
 def reformat_ymdhm(col: Column | str) -> Column:
