@@ -170,11 +170,11 @@ RELATIONAL_ORACLES: dict[str, str] = {
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
     )
     SELECT l_returnflag, l_linestatus,
-      sum(qty) AS sum_qty,
+      CAST(sum(qty) AS BIGINT) AS sum_qty,
       CAST(sum(price) AS DOUBLE) AS sum_base_price,
       CAST(sum(price * (1 - disc)) AS DOUBLE) AS sum_disc_price,
       CAST(sum(price * (1 - disc) * (1 + tax)) AS DOUBLE) AS sum_charge,
-      sum(qty) / count(*) AS avg_qty,
+      CAST(sum(qty) AS BIGINT) / count(*) AS avg_qty,
       CAST(sum(price) AS DOUBLE) / count(*) AS avg_price,
       CAST(sum(disc) AS DOUBLE) / count(*) AS avg_disc,
       count(*) AS count_order
@@ -217,7 +217,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
       FROM customer
     )
-    SELECT n_name, rk, c_custkey, c_name, c_acctbal AS acctbal
+    SELECT n_name, CAST(rk AS INTEGER) AS rk, c_custkey, c_name, c_acctbal AS acctbal
     FROM ranked JOIN nation ON c_nationkey = n_nationkey
     WHERE rk <= 3
     """,
@@ -254,9 +254,9 @@ RELATIONAL_ORACLES: dict[str, str] = {
     SELECT count(*) AS n_events,
       count(DISTINCT user_id) AS n_users,
       CAST(sum(TRY_CAST(printf('%.2f', value) AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
-      sum(CASE WHEN value >= 450.0 THEN 1 ELSE 0 END) AS backpressure_cnt,
-      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
-      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      CAST(sum(CASE WHEN value >= 450.0 THEN 1 ELSE 0 END) AS BIGINT) AS backpressure_cnt,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
         / count(*) * 100 AS error_pct,
       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0 AS has_errors
     FROM events
@@ -364,12 +364,12 @@ LLM_ORACLES: dict[str, str] = {
     "docs_token_stats": _TOK_CTE
     + """
     SELECT doc_id, n_chars,
-      len(toks) AS n_tokens,
-      len(list_distinct(toks)) AS n_uniq_tokens,
+      CAST(len(toks) AS INTEGER) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
       CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
         / len(toks) AS avg_token_len,
       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
-      len(list_filter(toks, x -> x IN ('the','a','of','and','data'))) AS stopword_cnt,
+      CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','data'))) AS INTEGER) AS stopword_cnt,
       CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
         / len(toks) AS stopword_ratio
     FROM tok
@@ -403,7 +403,7 @@ LLM_ORACLES: dict[str, str] = {
     """,
     "multimodal_blob_stats": """
     SELECT source, count(*) AS n_docs,
-      sum(octet_length(encode(text))) AS total_bytes,
+      CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
       count(DISTINCT md5(text)) AS n_distinct_blobs
     FROM documents GROUP BY source
     """,
@@ -436,7 +436,8 @@ LLM_ORACLES: dict[str, str] = {
                                    ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
     """,
     "docs_ngram_jaccard_pairs": _TOK_CTE
     + """
@@ -495,11 +496,11 @@ RELATIONAL_ORACLES["mon_error_bulletins"] = """
 
 RELATIONAL_ORACLES["mon_type_pivot"] = """
     SELECT count(*) AS total,
-      sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-      sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-      sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
     FROM events
     """
 
@@ -599,7 +600,7 @@ HYDRO_ORACLES["hydro_fact_hourly_rollup"] = HYDRO_CTE + """
     )
     SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M') AS bucket, wlobscd,
       count(*) AS n,
-      sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS n_anom,
+      CAST(sum(CASE WHEN is_anomaly THEN 1 ELSE 0 END) AS BIGINT) AS n_anom,
       CAST(sum(TRY_CAST(printf('%.2f', water_level) AS DECIMAL(12,2))) AS DOUBLE)
         / count(water_level) AS avg_wl,
       max(water_level) AS max_wl
@@ -610,10 +611,10 @@ HYDRO_ORACLES["hydro_fact_hourly_rollup"] = HYDRO_CTE + """
 LLM_ORACLES["docs_lang_id"] = _TOK_CTE + """
     , cnts AS (
       SELECT doc_id, lang,
-        len(list_filter(toks, x -> x IN ('the','a','an','of','and'))) AS cnt_en,
-        len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS cnt_de,
-        len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS cnt_fr,
-        len(list_filter(toks, x -> x IN ('el','la','los','y','es'))) AS cnt_es
+        CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','and'))) AS INTEGER) AS cnt_en,
+        CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INTEGER) AS cnt_de,
+        CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS INTEGER) AS cnt_fr,
+        CAST(len(list_filter(toks, x -> x IN ('el','la','los','y','es'))) AS INTEGER) AS cnt_es
       FROM tok
     ), pred AS (
       SELECT *,
@@ -633,15 +634,15 @@ LLM_ORACLES["docs_lang_id"] = _TOK_CTE + """
 
 LLM_ORACLES["docs_bpe_token_count"] = r"""
     SELECT doc_id,
-      len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_pieces,
-      len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS n_uniq_pieces
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_pieces,
+      CAST(len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))) AS INTEGER) AS n_uniq_pieces
     FROM documents
     """
 
 
 RELATIONAL_ORACLES["big_orders_having"] = """
     WITH big AS (
-      SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
       FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS BIGINT)) >= 120
     )
     SELECT l_orderkey, total_qty, o_orderstatus,
