@@ -79,13 +79,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": llm.ann_cosine_topk,
         "embedding_label_stats": llm.embedding_label_stats,
         "multimodal_blob_stats": llm.multimodal_blob_stats,
+        "dup_components": llm.dup_components,
         # --- scale-path variants (rows-only checks: engine-specific hashing) ---
         "minhash_near_dups": llm.minhash_near_dups,
         "simhash_clusters": llm.simhash_clusters,
         "lsh_cosine_topk": llm.lsh_cosine_topk,
         "multimodal_features": llm.multimodal_features,
         "embedding_near_dups": llm.embedding_near_dups,
-        "dup_components": llm.dup_components,
     }
 
 

@@ -265,21 +265,43 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    strict: bool = True,
 ) -> DataFrame:
     """Duplicate-cluster labeling: connected components of the near-dup
-    pair graph via iterative min-label propagation.
+    pair graph via iterative min-label propagation + pointer jumping.
 
     The classic post-pass after MinHash/SimHash: transitive closure
     groups pairwise matches into clusters so one canonical doc per
-    cluster survives. Iterative (non-SQL-expressible) algorithm:
-    each node adopts the minimum label among itself and its neighbors
-    until fixpoint; iterations ∝ graph diameter (near-dup clusters are
-    shallow, so a handful). Each round is one join + one aggregate;
-    ``localCheckpoint`` truncates the growing lineage.
+    cluster survives. Iterative (non-SQL-expressible) algorithm: each
+    round every node adopts the min label among itself and its
+    neighbors, then labels are pointer-jumped (label := label of the
+    label node), so a path of diameter d converges in O(log d) rounds
+    rather than d — a 20-iteration budget covers components of
+    diameter ~2^20.
+
+    Durability: each round truncates lineage via reliable
+    ``checkpoint()`` when ``sparkContext.setCheckpointDir`` has been
+    called (survives executor loss — required at cluster scale), and
+    falls back to ``localCheckpoint`` otherwise (fine on local[N],
+    fragile to block loss on a real cluster).
+
+    ``strict=True`` raises RuntimeError if the fixpoint is not reached
+    within ``max_iterations`` — silently returning half-propagated
+    labels would split real clusters.
 
     Returns (id, component) where component = min node id in the
     cluster. Nodes only appear if they occur in ``pairs``.
     """
+    spark = pairs.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if reliable:
+            df = df.checkpoint(eager=True)
+        else:
+            df = df.localCheckpoint(eager=True)
+        return df
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -294,6 +316,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -309,17 +332,37 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
+        # pointer jumping: component ids are themselves node ids, so one
+        # extra self-join halves the remaining propagation distance
+        lookup = updated.select(
+            F.col("id").alias("cid"), F.col("component").alias("cc")
+        )
+        jumped = (
+            updated.alias("x")
+            .join(lookup, F.col("x.component") == F.col("cid"), "left")
+            .select(
+                F.col("x.id").alias("id"),
+                F.coalesce("cc", F.col("x.component")).alias("component"),
+            )
+        )
+        jumped = _truncate(jumped)
         changed = (
-            updated.alias("u")
+            jumped.alias("u")
             .join(labels.alias("l"), "id")
             .filter(F.col("u.component") != F.col("l.component"))
             .limit(1)
             .count()
         )
         labels.unpersist()
-        labels = updated
+        labels = jumped
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; raise max_iterations (diameter coverage doubles "
+            "per extra iteration) or pass strict=False"
+        )
     return labels

@@ -450,10 +450,14 @@ LLM_ORACLES: dict[str, str] = {
       FROM tok
     ), ex AS (
       SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         a.n_sh AS na, b.n_sh AS nb, count(*) AS common
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b, common,
@@ -648,6 +652,48 @@ RELATIONAL_ORACLES["big_orders_having"] = """
     SELECT l_orderkey, total_qty, o_orderstatus,
       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
     FROM big JOIN orders ON l_orderkey = o_orderkey
+    """
+
+
+# Connected components of the near-dup pair graph. The Spark side is
+# iterative min-label propagation (operators/dedup.connected_components);
+# DuckDB can express the same fixpoint as a recursive transitive closure
+# at oracle scale (sf0.01: tens of pairs).
+LLM_ORACLES["dup_components"] = r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jp AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ), reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
     """
 
 

@@ -48,13 +48,28 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int = 50
+) -> DataFrame:
     """Near-dup candidate pairs via 5-token shingle overlap + Jaccard.
 
     Plan: per-doc distinct shingle arrays → explode → self equi-join on
     shingle (doc_a < doc_b) → per-pair common count → Jaccard. The
     explode inflates rows ~|tokens| per doc, but the join key (shingle)
     is selective, so the shuffle carries only (shingle, doc_id) pairs.
+
+    Hot-shingle cap: a shingle appearing in > ``max_shingle_df`` docs
+    (boilerplate headers, licence blocks) would fan the self-join out
+    quadratically in that bucket — the standard document-frequency cap
+    drops those shingles from *candidate generation* (the Jaccard
+    denominators still use the full shingle-set sizes, so reported
+    similarity is a lower bound for affected pairs). The hot set is
+    tiny by construction, so it broadcasts into a left-anti join.
+
+    Why groupBy+broadcast-anti rather than a count-window on the same
+    key: groupBy partial-aggregates map-side, so a pathological shingle
+    (df in the millions) never concentrates its raw rows in one task —
+    a window over partitionBy(s) would.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("toks"))
@@ -77,7 +92,14 @@ def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_sh",
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
+    ).persist()
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_df)
+        .select("s")
     )
+    ex = ex.join(F.broadcast(hot), "s", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

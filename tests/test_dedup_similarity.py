@@ -147,6 +147,57 @@ def test_connected_components(spark):
     assert {got[i] for i in (20, 21, 22)} == {20}
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    from hrfco_data_pipeline_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-40: diameter 40 ≫ max_iterations=8, but
+    # pointer jumping doubles coverage per round (2^8 > 40)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(pairs, max_iterations=8).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == 41
+
+
+def test_connected_components_strict_raises_on_nonconvergence(spark):
+    import pytest
+
+    from hrfco_data_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=2)
+    # non-strict: returns partially propagated labels instead
+    rows = connected_components(pairs, max_iterations=2, strict=False).collect()
+    assert len(rows) == 41
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    from hrfco_data_pipeline_spark.operators.dedup import connected_components
+
+    prev = spark.sparkContext.getCheckpointDir()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long"
+        )
+        got = {r.id: r.component for r in connected_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+        # reliable checkpoint files must actually exist
+        import os
+
+        assert any(os.scandir(str(tmp_path / "ckpt")))
+    finally:
+        if prev:
+            spark.sparkContext.setCheckpointDir(prev)
+
+
 def test_dedup_keep_best_policy(spark):
     from hrfco_data_pipeline_spark.operators.dedup import dedup_keep_best
     import pyspark.sql.functions as FF
