@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_archive_partitions": hydro.archive_partitions,
         "hydro_threshold_audit": hydro.threshold_audit,
         "hydro_station_detail": hydro.station_detail,
+        "hydro_station_tail": hydro.station_tail,
         "hydro_alerts_filtered": hydro.alerts_filtered,
         "hydro_recent_alerts_500": hydro.recent_alerts_500,
         "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,

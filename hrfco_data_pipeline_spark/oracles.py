@@ -478,6 +478,15 @@ HYDRO_ORACLES["hydro_station_detail"] = f"""
     FROM st WHERE wlobscd = '42'
     """
 
+# T7 dynamic tail: every non-threshold station field as a coerced
+# (station, field, value) pair — text trimmed, empty → null
+HYDRO_ORACLES["hydro_station_tail"] = f"""
+    WITH st AS ({STATIONS_SQL})
+    SELECT wlobscd, 'obsnm' AS field, NULLIF(TRIM(obsnm), '') AS value FROM st
+    UNION ALL
+    SELECT wlobscd, 'addr' AS field, NULLIF(TRIM(addr), '') AS value FROM st
+    """
+
 HYDRO_ORACLES["hydro_alerts_filtered"] = HYDRO_CTE + """
     SELECT obs_id, observation_code, warning_level, water_level
     FROM alerts

@@ -120,6 +120,21 @@ def station_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def station_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 full form: the dynamic station-field tail as exploded
+    (station, field, value) pairs. Non-threshold fields (here obsnm /
+    addr) are carried through the keep-everything MapType tail with
+    per-value coercion (operators/stations.py;
+    StationThresholdLoader.java:74-99) instead of being dropped."""
+    from hrfco_data_pipeline_spark.operators.stations import (
+        dynamic_station_tail,
+        explode_station_tail,
+    )
+
+    st = synthetic_stations(spark)
+    return explode_station_tail(dynamic_station_tail(st))
+
+
 def alerts_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3: dashboard 'alert' category filter — warning tiers only
     (dashboard.html:991-1006; anomaly precedence excluded here)."""
