@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mon_error_bulletins": relational.mon_error_bulletins,
         "mon_type_pivot": relational.mon_type_pivot,
         "metrics_format_bytes": relational.metrics_format_bytes,
+        "metrics_durations": relational.metrics_durations,
+        "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,
         "events_approx_stats": relational.events_approx_stats,
         "events_asof_last_error": relational.events_asof_last_error,

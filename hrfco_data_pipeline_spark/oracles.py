@@ -551,6 +551,58 @@ RELATIONAL_ORACLES["metrics_format_bytes"] = """
     FROM fmtd
     """
 
+# A6 full form: truncating long division with the Java zero-guards
+RELATIONAL_ORACLES["mon_processing_times"] = """
+    WITH staged AS (
+      SELECT event_id,
+        (event_id * 13) % 500 AS flowfiles_in,
+        (event_id * 29) % 480 AS flowfiles_out,
+        event_id % 5 AS task_count,
+        CASE WHEN event_id % 11 = 0 THEN CAST(0 AS BIGINT)
+             ELSE (event_id * 104729) % 9000000000 END AS tasks_duration_nanos,
+        greatest((event_id * 13) % 500, (event_id * 29) % 480) AS flowfiles_processed
+      FROM events
+    )
+    SELECT event_id, flowfiles_in, flowfiles_out, task_count,
+      tasks_duration_nanos // 1000000 AS total_ms,
+      CASE WHEN flowfiles_processed > 0 AND tasks_duration_nanos > 0
+           THEN tasks_duration_nanos // flowfiles_processed // 1000000
+           ELSE CAST(0 AS BIGINT) END AS avg_ms,
+      flowfiles_in > 0 OR flowfiles_out > 0 OR task_count > 0 AS has_activity
+    FROM staged
+    """
+
+# T13 rest: Korean relative-duration formatting + queued-count parse
+RELATIONAL_ORACLES["metrics_durations"] = r"""
+    WITH staged AS (
+      SELECT event_id,
+        CAST(CASE WHEN event_id % 13 = 0 THEN event_id % 60
+             WHEN event_id % 13 = 1 THEN 60 + event_id % 3540
+             WHEN event_id % 13 = 2 THEN 3600 + event_id % 82800
+             ELSE 86400 + event_id % 200000 END AS BIGINT) AS secs,
+        CASE WHEN event_id % 7 = 0 THEN NULL
+             WHEN event_id % 7 = 1 THEN ''
+             WHEN event_id % 7 = 2 THEN 'abc'
+             ELSE format('{:,}', (event_id * 31) % 1000000) || ' ('
+                  || ((event_id * 31) % 1000000) || ' bytes)' END AS queued
+      FROM events
+    )
+    SELECT event_id, secs,
+      CASE WHEN secs < 60 THEN secs || '초 전'
+           WHEN secs < 3600 THEN (secs // 60) || '분 ' || (secs % 60) || '초 전'
+           WHEN secs < 86400 THEN (secs // 3600) || '시간 '
+                                  || ((secs % 3600) // 60) || '분 전'
+           ELSE (secs // 86400) || '일 '
+                || ((secs % 86400) // 3600) || '시간 전' END AS dur_str,
+      queued,
+      CASE WHEN queued IS NULL OR queued = '' THEN 0
+           ELSE COALESCE(TRY_CAST(
+             replace(regexp_split_to_array(queued, '\s+')[1], ',', '')
+             AS INTEGER), 0) END AS queued_cnt
+    FROM staged
+    """
+
+
 _BATCH_CTE = f"""
 WITH obs AS ({OBS_SQL}),
 els AS (

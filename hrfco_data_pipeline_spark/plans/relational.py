@@ -380,6 +380,95 @@ def metrics_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mon_processing_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (full form): per-processor task-duration telemetry
+    (NiFiMonitoringService.java:490-516).
+
+    totalProcessingTimeMs = tasksDurationNanos / 1e6 (long division);
+    avgProcessingTimeMs = nanos / max(flowFilesIn, flowFilesOut) / 1e6
+    guarded to 0 when nothing was processed or duration is 0 — all in
+    truncating integer arithmetic, exactly like the Java. The counters
+    are derived deterministically from event_id so every branch
+    (zero-flow, zero-duration, active) has population.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    staged = ev.select(
+        "event_id",
+        ((eid * 13) % 500).alias("flowfiles_in"),
+        ((eid * 29) % 480).alias("flowfiles_out"),
+        (eid % 5).alias("task_count"),
+        F.when(eid % 11 == 0, F.lit(0).cast("long"))
+        .otherwise((eid * 104729) % 9000000000)
+        .alias("tasks_duration_nanos"),
+    ).withColumn(
+        "flowfiles_processed", F.greatest("flowfiles_in", "flowfiles_out")
+    )
+    return staged.select(
+        "event_id",
+        "flowfiles_in",
+        "flowfiles_out",
+        "task_count",
+        F.expr("tasks_duration_nanos div 1000000").alias("total_ms"),
+        F.when(
+            (F.col("flowfiles_processed") > 0)
+            & (F.col("tasks_duration_nanos") > 0),
+            F.expr("tasks_duration_nanos div flowfiles_processed div 1000000"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("avg_ms"),
+        (
+            (F.col("flowfiles_in") > 0)
+            | (F.col("flowfiles_out") > 0)
+            | (F.col("task_count") > 0)
+        ).alias("has_activity"),
+    )
+
+
+def metrics_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 (rest): formatDuration Korean relative time + parseQueuedCount
+    (NiFiMetricsUtils.java:87-120), over deterministic derivations that
+    populate every branch — sub-minute / minutes / hours / days, and
+    null / empty / garbage / comma-grouped queue strings.
+    """
+    from hrfco_data_pipeline_spark.functions.metrics import (
+        format_duration,
+        parse_queued_count,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    secs = (
+        F.when(eid % 13 == 0, eid % 60)
+        .when(eid % 13 == 1, F.lit(60) + eid % 3540)
+        .when(eid % 13 == 2, F.lit(3600) + eid % 82800)
+        .otherwise(F.lit(86400) + eid % 200000)
+        .cast("long")
+    )
+    n = (eid * 31) % 1000000
+    queued = (
+        F.when(eid % 7 == 0, F.lit(None).cast("string"))
+        .when(eid % 7 == 1, "")
+        .when(eid % 7 == 2, "abc")
+        .otherwise(
+            F.concat(
+                F.format_string("%,d", n),
+                F.lit(" ("),
+                n.cast("string"),
+                F.lit(" bytes)"),
+            )
+        )
+    )
+    staged = ev.select("event_id", secs.alias("secs"), queued.alias("queued"))
+    return staged.select(
+        "event_id",
+        "secs",
+        format_duration(F.col("secs")).alias("dur_str"),
+        "queued",
+        parse_queued_count(F.col("queued")).alias("queued_cnt"),
+    )
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2: JSON field extraction (`get_json_object` ≙ EvaluateJsonPath
     `$.k`) over the events props column."""
