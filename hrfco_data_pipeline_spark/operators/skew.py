@@ -13,6 +13,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _salt(cols: list[str], buckets: int, seed: int = 7) -> Column:
+    """Deterministic row salt in [0, buckets).
+
+    ``F.rand`` is only deterministic per partition-id, so AQE re-plans,
+    task retries, or a different input split re-deal the salts;
+    ``pmod(xxhash64(cols…, seed), buckets)`` depends on row *content*
+    only — fully reproducible. Hashing non-key attribute columns (or
+    a unique id) still spreads a hot key's rows across buckets.
+    """
+    return F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(buckets)).cast("int")
+
+
 def salted_count(
     df: DataFrame, keys: list[str], salt_buckets: int = 16
 ) -> DataFrame:
@@ -20,11 +32,10 @@ def salted_count(
 
     Phase 1 groups on (keys, salt) — the hot key's rows spread over
     ``salt_buckets`` reducers; phase 2 sums the partials per key. Same
-    result as a plain count, bounded per-task input.
+    result as a plain count, bounded per-task input. The salt hashes
+    ALL columns, so rows of a hot key scatter by their attributes.
     """
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=7) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("__salt", _salt(df.columns, salt_buckets))
     partial = salted.groupBy(*keys, "__salt").agg(F.count("*").alias("__n"))
     return partial.groupBy(*keys).agg(F.sum("__n").alias("n"))
 
@@ -41,7 +52,7 @@ def salted_join(
     salt values, join on (key, salt). Row multiplicity is preserved —
     each big row joins exactly one replica of its small-side match.
     """
-    big_s = big.withColumn("__salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    big_s = big.withColumn("__salt", _salt(big.columns, salt_buckets))
     small_s = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )

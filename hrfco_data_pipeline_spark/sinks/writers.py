@@ -83,20 +83,44 @@ def merge_stations(
 
     Merge-by-rewrite: existing rows not in `updates` are kept, matched
     keys are replaced, new keys inserted. The stations dim is tiny, so
-    a full rewrite is cheap at any scale; swap for Delta MERGE INTO
-    where available.
+    a full rewrite is cheap at any scale; swap for Delta/Iceberg
+    ``MERGE INTO`` where a transactional format is available.
+
+    Durability: the merged result is fully written to a STAGING dir
+    while the live table is still untouched (the merge plan reads the
+    live table lazily, so nothing may overwrite it mid-computation),
+    then swapped in with two renames — live → backup, staging → live —
+    and the backup removed. A crash anywhere before the first rename
+    leaves the live table intact; a crash between the renames leaves
+    the full backup on disk (``<table>__old__``) for manual restore.
+    Never a state where the only copy is a half-written directory.
+    Rename-as-commit assumes a filesystem with atomic dir rename
+    (local/HDFS); on S3-like stores use a transactional table format
+    instead.
     """
+    import os
+    import shutil
+
+    staging = f"{table_path}__staging__"
+    backup = f"{table_path}__old__"
+    shutil.rmtree(staging, ignore_errors=True)
+
     try:
         current = spark.read.parquet(table_path)
+        exists = True
     except Exception:
-        updates.write.mode("overwrite").parquet(table_path)
-        return
-    merged = current.join(updates, on=key, how="left_anti").unionByName(
-        updates, allowMissingColumns=True
-    )
-    # write through a staging dir is unnecessary here: parquet overwrite
-    # is atomic-enough for a dim table in this environment
-    merged_cached = merged.cache()
-    merged_cached.count()
-    merged_cached.write.mode("overwrite").parquet(table_path)
-    merged_cached.unpersist()
+        current, exists = None, False
+
+    if exists:
+        merged = current.join(updates, on=key, how="left_anti").unionByName(
+            updates, allowMissingColumns=True
+        )
+    else:
+        merged = updates
+
+    merged.write.mode("overwrite").parquet(staging)
+    shutil.rmtree(backup, ignore_errors=True)
+    if exists:
+        os.rename(table_path, backup)
+    os.rename(staging, table_path)
+    shutil.rmtree(backup, ignore_errors=True)

@@ -34,6 +34,35 @@ def test_merge_stations_upsert(spark, tmp_path):
     assert row.obsnm == "renamed" and row.attwl == "9.0"
 
 
+def test_merge_stations_failure_leaves_table_intact(spark, tmp_path, monkeypatch):
+    """A crash during the merge write must not lose the live table."""
+    path = str(tmp_path / "stations")
+    merge_stations(spark, path, synthetic_stations(spark))
+    before = spark.read.parquet(path).count()
+
+    bad = spark.createDataFrame([("x",)], "wlobscd string").withColumn(
+        "boom", F.lit(1) / F.lit(0)  # ANSI mode: division by zero throws at write
+    )
+    with pytest.raises(Exception):
+        merge_stations(spark, path, bad)
+    assert spark.read.parquet(path).count() == before
+
+    # crash at the swap itself: staging written, renames blocked
+    import os as _os
+
+    def no_rename(*a, **k):
+        raise OSError("simulated crash at swap")
+
+    monkeypatch.setattr(_os, "rename", no_rename)
+    good = spark.createDataFrame(
+        [("999", "new")], "wlobscd string, obsnm string"
+    )
+    with pytest.raises(OSError):
+        merge_stations(spark, path, good)
+    monkeypatch.undo()
+    assert spark.read.parquet(path).count() == before
+
+
 def test_multimodal_plumbing(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
     mm = to_multimodal(docs)
