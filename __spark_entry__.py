@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_stats": relational.customer_order_stats,
         "purchase_and_signup_users": relational.purchase_and_signup_users,
         "big_orders_having": relational.big_orders_having,
+        "events_cube": relational.events_cube,
         # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,
@@ -83,10 +84,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": llm.embedding_label_stats,
         "multimodal_blob_stats": llm.multimodal_blob_stats,
         "dup_components": llm.dup_components,
+        "embedding_quantize": llm.embedding_quantize,
+        "docs_ngram_freq": llm.docs_ngram_freq,
         # --- scale-path variants (rows-only checks: engine-specific hashing) ---
         "minhash_near_dups": llm.minhash_near_dups,
         "simhash_clusters": llm.simhash_clusters,
         "lsh_cosine_topk": llm.lsh_cosine_topk,
+        "ivf_cosine_topk": llm.ivf_cosine_topk,
         "multimodal_features": llm.multimodal_features,
         "embedding_near_dups": llm.embedding_near_dups,
     }

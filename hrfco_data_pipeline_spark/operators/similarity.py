@@ -238,18 +238,17 @@ def ivf_centroids(
 
 
 def _nearest_centroid(vec: Column | str, cents: list[list[float]]) -> Column:
-    """argmax of centroid dot products, unrolled as literal expressions."""
-    dots = [
-        dot(vec, F.array(*[F.lit(x) for x in c])).alias(f"d{i}")
-        for i, c in enumerate(cents)
-    ]
-    best = F.lit(0)
-    best_d = dots[0]
-    for i in range(1, len(cents)):
-        cond = dots[i] > best_d
-        best = F.when(cond, F.lit(i)).otherwise(best)
-        best_d = F.when(cond, dots[i]).otherwise(best_d)
-    return best
+    """argmax of centroid dot products over a literal centroid matrix.
+
+    One ``transform`` over an array-of-arrays literal computes all dots;
+    argmax = position of the max (first occurrence wins ties, same as a
+    strict > scan). Plan size is LINEAR in n_centroids — the previous
+    unrolled when-chain re-nested every earlier dot expression and blew
+    up quadratically beyond ~64 centroids.
+    """
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    dots = F.transform(cent_arr, lambda c: dot(vec, c))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
 
 
 def ivf_topk(

@@ -716,6 +716,53 @@ RELATIONAL_ORACLES["big_orders_having"] = """
     """
 
 
+RELATIONAL_ORACLES["events_cube"] = """
+    SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod, count(*) AS n
+    FROM events GROUP BY CUBE(event_type, CAST(hour(ts) AS INTEGER))
+    """
+
+# int8 quantization stats: explicit floor(x/scale + 0.5) on both engines
+# so negative values and ties round identically
+LLM_ORACLES["embedding_quantize"] = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+        list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM v
+    ), q AS (
+      SELECT vec_id, round(amax / 127.0, 4) AS scale,
+        CASE WHEN amax = 0
+          THEN list_transform(v, x -> CAST(0 AS BIGINT))
+          ELSE list_transform(v, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT))
+        END AS q
+      FROM s
+    )
+    SELECT vec_id, scale,
+      CAST(list_sum(q) AS BIGINT) AS q_sum,
+      CAST(list_min(q) AS BIGINT) AS q_min,
+      CAST(list_max(q) AS BIGINT) AS q_max
+    FROM q
+    """
+
+LLM_ORACLES["docs_ngram_freq"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, len(toks) - 1)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT unnest(shingles) AS shingle FROM sh
+    )
+    SELECT shingle, count(*) AS df FROM ex
+    GROUP BY shingle ORDER BY df DESC, shingle ASC LIMIT 50
+    """
+
 # Connected components of the near-dup pair graph. The Spark side is
 # iterative min-label propagation (operators/dedup.connected_components);
 # DuckDB can express the same fixpoint as a recursive transitive closure

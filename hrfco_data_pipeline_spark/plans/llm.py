@@ -265,6 +265,60 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization stats per embedding — the storage-
+    shrink pass an LLM-data pipeline runs before indexing.
+
+    scale = max|v| / 127 (0-vector → scale 0, all-zero codes);
+    q_i = floor(v_i / scale + 0.5) — explicit floor-plus-half instead of
+    round() so Spark and DuckDB agree bit-for-bit on negatives and ties.
+    Returns per-vector code stats (sum/min/max) rather than the int8
+    array itself to keep the checked schema scalar.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", v.alias("v"))
+    amax = F.array_max(F.transform("v", F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.when(amax == 0.0, F.transform("v", lambda x: F.lit(0).cast("long"))).otherwise(
+        F.transform("v", lambda x: F.floor(x / scale + F.lit(0.5)))
+    )
+    withq = staged.select("vec_id", _r4(scale).alias("scale"), q.alias("q"))
+    return withq.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
+def docs_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level shingle document-frequency table, top-50 — the stats
+    pass that backs boilerplate detection / the hot-shingle cap in
+    docs_ngram_jaccard_pairs. One explode + one partial-aggregated
+    groupBy; top-K is TakeOrdered, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    shingles = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(3))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = toks.select(F.explode(shingles).alias("shingle"))
+    return (
+        ex.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(50)
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing (binary columns + typed metadata)
 # --------------------------------------------------------------------------
@@ -326,6 +380,24 @@ def lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
     queries = vecs.filter(F.col("vec_id") % 50 == 0)
     return hyperplane_lsh_topk(vecs, queries, k=5, dim=64, n_planes=16, bands=4)
+
+
+def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5 (operators/similarity.py): corpus bucketed by
+    nearest centroid, nprobe=1 — the inverted-file sibling of
+    lsh_cosine_topk. Rows-only check: centroid averaging is
+    float-summation-order specific, no portable SQL twin."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = ivf_centroids(vecs, n_centroids=16)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(vecs, queries, cents, k=5)
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -356,6 +356,18 @@ def mon_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: counts over (event_type, hour-of-day) with
+    every subtotal combination — the other half of the grouping-sets
+    surface next to orders_rollup's ROLLUP."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hod", F.hour("ts"))
+        .cube("event_type", "hod")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def metrics_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13: humanize + parse round-trip over a synthetic byte count.
 
