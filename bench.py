@@ -65,6 +65,9 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries that cache intermediates (minhash sigs, shingle
+        # exploders) must not leave blocks behind to skew later timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

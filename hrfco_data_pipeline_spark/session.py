@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Floor on scan splits: small inputs (single sub-128MB parquet
+        # file) would otherwise scan in ONE task, idling every other
+        # core. At cluster scale files outnumber cores and this floor is
+        # inert; locally it saturates local[N] on the driver testdata.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

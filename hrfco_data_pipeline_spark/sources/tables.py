@@ -9,6 +9,8 @@ parquet reader (check ``PushedFilters`` / ``ReadSchema`` in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -47,12 +49,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; we read it as a long (legacy conf) and rebuild a
     TIMESTAMP_NTZ column, which matches how DuckDB sees the same file
     (naive nanosecond timestamp, truncated to micros).
+
+    NOTE on small-file parallelism: the driver testdata is one
+    single-row-group parquet file per table, so the scan runs as ONE
+    task regardless of split configuration. An automatic
+    ``repartition(cores)`` after the scan was tried and REVERTED: it
+    sped the narrow CPU-bound pipelines up slightly (classify 3.5s →
+    3.2s at sf0.1) but cost far more on every window/aggregation query
+    (the extra round-robin shuffle ahead of the hash shuffle took
+    events_asof_last_error from ~0.9s to ~14s in the same bench). At
+    cluster scale inputs span many row groups and the question is moot.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.parquet(path)
         return df.withColumn("ts", _nanos_to_ntz(F.col("ts")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
