@@ -46,6 +46,15 @@ def synthetic_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     - fw: null/blank/out-of-range ``60000.0``, else 0.00-39999.99.
     """
     ev = load_table(spark, sf_dir, "events")
+    # The classify/wire pipelines downstream are compute-bound string
+    # work with NO shuffle of their own; a single-row-group events file
+    # scans as one task and would serialize them on one core. Spreading
+    # the tiny input here is safe exactly because nothing below needs a
+    # particular partitioning (the window/aggregation queries read
+    # events directly and are NOT affected — see load_table's note).
+    cores = spark.sparkContext.defaultParallelism
+    if cores > 1 and ev.rdd.getNumPartitions() < cores:
+        ev = ev.repartition(cores)
     eid = F.col("event_id")
     code = (F.col("user_id") % 120).cast("string")
     wl_cents = (eid * 7919 + F.col("user_id") * 13) % 1300
