@@ -108,12 +108,22 @@ def run_stream(
     checkpoint_dir: str,
     trigger_seconds: int | None = None,
     dedup: bool = False,
+    breakers: dict | None = None,
 ) -> StreamingQuery:
     """Bind the full pipeline to a streaming source.
 
     ``dedup=True`` adds the idiomatic-Spark upgrade the reference lacks:
     per-(station, minute) duplicate drop with a 1-hour watermark (off by
     default for parity — SURVEY §7 Phase 3).
+
+    ``breakers`` (R2) optionally maps sink name ("archive" / "fact" /
+    "alerts") to a ``sinks.reliability.SinkCircuitBreaker``. A guarded
+    sink that fails — or whose breaker is open — no longer kills the
+    trigger: the failure lands in the DLQ as a storage-failure envelope
+    (W8's isPartialFailure path, WaterLevelProcessor.java:70-75) and the
+    stream carries on, exactly the reference's degrade-and-continue
+    contract. Without breakers, sink errors propagate and fail the
+    query (fail-stop default).
     """
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
@@ -128,14 +138,42 @@ def run_stream(
             classified = process_observations(
                 good.drop("value", "_corrupt"), stations
             ).persist()
-            # W6 fan-out: three independent writes over one cached batch
-            write_archive(classified, f"{out_dir}/archive", fmt="json")
-            write_fact(classified, f"{out_dir}/fact")
+
+            def write_alerts() -> None:
+                build_alerts(classified).withColumn(
+                    "timestamp", F.unix_millis(F.current_timestamp())
+                ).write.mode("append").parquet(f"{out_dir}/alerts")
+
+            sinks = (
+                ("archive", lambda: write_archive(classified, f"{out_dir}/archive", fmt="json")),
+                ("fact", lambda: write_fact(classified, f"{out_dir}/fact")),
+                ("alerts", write_alerts),
+            )
+            # W6 fan-out: independent writes over one cached batch
+            storage_failures: list[tuple[str, str]] = []
+            for name, fn in sinks:
+                breaker = (breakers or {}).get(name)
+                if breaker is None and breakers is not None:
+                    fn()
+                    continue
+                if breakers is None:
+                    fn()  # fail-stop default: no breaker layer at all
+                    continue
+                try:
+                    breaker.call(fn)
+                except Exception as exc:  # noqa: BLE001 — degrade, DLQ, continue
+                    storage_failures.append((name, type(exc).__name__))
+
+            if storage_failures:
+                env = spark.createDataFrame(
+                    [
+                        (None, f"batch {batch_id}", f"Storage failed: {n}: {e}")
+                        for n, e in storage_failures
+                    ],
+                    "original_key string, original_value string, error_reason string",
+                )
+                dlq = dlq.unionByName(env)
             write_dlq(dlq, f"{out_dir}/dlq")
-            alerts = build_alerts(classified)
-            alerts.withColumn(
-                "timestamp", F.unix_millis(F.current_timestamp())
-            ).write.mode("append").parquet(f"{out_dir}/alerts")
             classified.unpersist()
         finally:
             batch.unpersist()
