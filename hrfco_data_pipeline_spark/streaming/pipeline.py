@@ -180,6 +180,12 @@ def run_stream(
 
     src = stream
     if dedup:
+        # dropDuplicatesWithinWatermark, NOT dropDuplicates: with plain
+        # dropDuplicates the dedup state only evicts when the watermark
+        # column is itself part of the key subset — (wlobscd, ymdhm)
+        # isn't, so state would grow without bound on a real stream.
+        # The WithinWatermark variant expires keys once they fall behind
+        # the watermark, bounding state to one hour of traffic.
         src = (
             src.withColumn(
                 "event_ts",
@@ -189,7 +195,7 @@ def run_stream(
                 ),
             )
             .withWatermark("event_ts", "1 hour")
-            .dropDuplicates(["wlobscd", "ymdhm"])
+            .dropDuplicatesWithinWatermark(["wlobscd", "ymdhm"])
         )
 
     writer = (
