@@ -71,6 +71,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_and_signup_users": relational.purchase_and_signup_users,
         "big_orders_having": relational.big_orders_having,
         "events_cube": relational.events_cube,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "part_min_price_supplier": relational.part_min_price_supplier,
+        "nation_trade_volume": relational.nation_trade_volume,
         # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,
@@ -86,6 +90,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": llm.dup_components,
         "embedding_quantize": llm.embedding_quantize,
         "docs_ngram_freq": llm.docs_ngram_freq,
+        "docs_normalize": llm.docs_normalize,
+        "docs_pii_redact": llm.docs_pii_redact,
+        "docs_sample_stratified": llm.docs_sample_stratified,
+        "docs_sample_hash_topk": llm.docs_sample_hash_topk,
+        "docs_domain_mix": llm.docs_domain_mix,
+        "docs_pack_sequences": llm.docs_pack_sequences,
         # --- scale-path variants (rows-only checks: engine-specific hashing) ---
         "minhash_near_dups": llm.minhash_near_dups,
         "simhash_clusters": llm.simhash_clusters,

@@ -814,3 +814,201 @@ LLM_ORACLES["dedup_docs_kept"] = """
     )
     SELECT doc_id, text_hash, lang, source FROM h WHERE rk = 1
     """
+
+
+# --- text normalization + PII redaction (operators/textnorm.py) -----------
+# Patterns restricted to Java-regex/RE2-identical syntax; DuckDB
+# regexp_replace needs the 'g' flag to match Spark's replace-all.
+
+LLM_ORACLES["docs_normalize"] = r"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN text || chr(9) || 'tail' || chr(13) || chr(10)
+             WHEN doc_id % 3 = 1 THEN '  ' || text || '  '
+             ELSE text END AS raw
+      FROM documents
+    ), norm AS (
+      SELECT doc_id, raw,
+        trim(regexp_replace(regexp_replace(raw, '[\x00-\x1f\x7f]', ' ', 'g'),
+                            '\s+', ' ', 'g')) AS n
+      FROM aug
+    )
+    SELECT doc_id,
+      CAST(length(raw) AS INTEGER) AS n_chars_raw,
+      CAST(length(n) AS INTEGER) AS n_chars_norm,
+      md5(n) AS norm_hash
+    FROM norm
+    """
+
+LLM_ORACLES["docs_pii_redact"] = r"""
+    WITH aug AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 0
+               THEN text || ' contact a' || CAST(doc_id AS VARCHAR) || '@example.com'
+             WHEN doc_id % 4 = 1
+               THEN text || ' see https://data.example.org/d/' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 4 = 2
+               THEN text || ' call 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-1234'
+             ELSE text || ' ref 9' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+        END AS raw
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw, 'https?://[A-Za-z0-9./_%-]+')) AS INTEGER) AS n_url,
+        regexp_replace(raw, 'https?://[A-Za-z0-9./_%-]+', '<URL>', 'g') AS t
+      FROM aug
+    ), s2 AS (
+      SELECT *,
+        CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT *,
+        CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{3,4}-\d{4}\b')) AS INTEGER) AS n_phone,
+        regexp_replace(t2, '\b\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g') AS t3
+      FROM s2
+    ), s4 AS (
+      SELECT *,
+        CAST(len(regexp_extract_all(t3, '\b\d{9,}\b')) AS INTEGER) AS n_idnum,
+        regexp_replace(t3, '\b\d{9,}\b', '<NUM>', 'g') AS t4
+      FROM s3
+    )
+    SELECT doc_id, n_url, n_email, n_phone, n_idnum, md5(t4) AS redacted_hash
+    FROM s4
+    """
+
+
+# --- corpus curation: sampling / mixing / packing (operators/sampling.py) --
+
+LLM_ORACLES["docs_sample_stratified"] = """
+    WITH b AS (
+      SELECT doc_id, lang, source,
+        (doc_id * 2654435761) % 2147483648 % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, source, bucket FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 300
+                             WHEN 'fr' THEN 300 WHEN 'es' THEN 200
+                             ELSE 100 END
+    """
+
+LLM_ORACLES["docs_sample_hash_topk"] = """
+    SELECT doc_id, lang, source,
+      (doc_id * 2654435761) % 2147483648 AS h
+    FROM documents
+    ORDER BY h ASC, doc_id ASC
+    LIMIT 100
+    """
+
+# double arithmetic mirrors operators/sampling.domain_mix_rates exactly
+# (same operand order), so the unrounded doubles hash-match; sum() over
+# BIGINT is HUGEINT in DuckDB -> cast back
+LLM_ORACLES["docs_domain_mix"] = """
+    WITH counts AS (
+      SELECT source AS domain, count(*) AS n_docs FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS n_total FROM counts
+    ), tgt AS (
+      SELECT *,
+        CASE domain WHEN 'src0' THEN CAST(0.15 AS DOUBLE)
+                    WHEN 'src1' THEN CAST(0.15 AS DOUBLE)
+                    WHEN 'src2' THEN CAST(0.1 AS DOUBLE)
+                    WHEN 'src3' THEN CAST(0.05 AS DOUBLE)
+                    WHEN 'src4' THEN CAST(0.05 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END AS target_frac
+      FROM tot
+    ), sc AS (
+      SELECT *,
+        min(CASE WHEN target_frac * n_total > 0
+                 THEN n_docs / (target_frac * n_total) END) OVER () AS s
+      FROM tgt
+    ), rt AS (
+      SELECT *,
+        CASE WHEN target_frac * n_total > 0
+             THEN least(CAST(1.0 AS DOUBLE), s * (target_frac * n_total) / n_docs)
+             ELSE CAST(0.0 AS DOUBLE) END AS keep_rate
+      FROM sc
+    )
+    SELECT domain, n_docs, n_total, target_frac, keep_rate,
+      CAST(floor(keep_rate * n_docs) AS BIGINT) AS n_kept
+    FROM rt
+    """
+
+LLM_ORACLES["docs_pack_sequences"] = r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tok
+    )
+    SELECT doc_id, lang, n_tokens,
+      CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS pack_id
+    FROM c
+    """
+
+
+# --- TPC-H shapes Q6/Q4/Q2/Q7 (plans/relational.py) ------------------------
+
+RELATIONAL_ORACLES["q6_forecast_revenue"] = """
+    SELECT
+      CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+               * TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))) AS DOUBLE)
+        AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= CAST(0.04 AS DOUBLE)
+      AND l_discount <= CAST(0.08 AS DOUBLE)
+      AND l_quantity < 24
+    """
+
+RELATIONAL_ORACLES["q4_order_priority"] = """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """
+
+RELATIONAL_ORACLES["part_min_price_supplier"] = """
+    WITH lu AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice / l_quantity AS unit_price
+      FROM lineitem
+    ), mins AS (
+      SELECT l_partkey, min(unit_price) AS min_unit FROM lu GROUP BY 1
+    ), best AS (
+      SELECT lu.l_partkey AS p_partkey, mins.min_unit,
+        min(lu.l_suppkey) AS s_suppkey
+      FROM lu JOIN mins
+        ON lu.l_partkey = mins.l_partkey AND lu.unit_price = mins.min_unit
+      GROUP BY 1, 2
+    )
+    SELECT p_partkey, min_unit, best.s_suppkey, s_name
+    FROM best JOIN supplier ON best.s_suppkey = supplier.s_suppkey
+    """
+
+RELATIONAL_ORACLES["nation_trade_volume"] = """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+               * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2
+    """

@@ -458,6 +458,138 @@ def dedup_docs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "text_hash", "lang", "source")
 
 
+# --------------------------------------------------------------------------
+# Text normalization + PII redaction
+# --------------------------------------------------------------------------
+
+def docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control-char normalization over an augmented corpus.
+
+    The synthetic documents are already clean, so a deterministic
+    fixture injects tabs/CRLF/padding per doc_id band — the operator
+    (operators/textnorm.normalize_text) then has real work to undo.
+    Pure projection: no shuffle, codegen'd regex, scales as the scan.
+    """
+    from hrfco_data_pipeline_spark.operators.textnorm import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    aug = (
+        F.when(m == 0, F.concat("text", F.lit("\ttail\r\n")))
+        .when(m == 1, F.concat(F.lit("  "), "text", F.lit("  ")))
+        .otherwise(F.col("text"))
+    )
+    staged = docs.select("doc_id", aug.alias("raw"))
+    norm = normalize_text("raw")
+    return staged.select(
+        "doc_id",
+        F.length("raw").alias("n_chars_raw"),
+        F.length(norm).alias("n_chars_norm"),
+        F.md5(norm).alias("norm_hash"),
+    )
+
+
+def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking (URL/email/phone/ID-run) with per-pattern counts.
+
+    Deterministic PII fixture: each doc_id band gets one synthetic PII
+    token appended so every mask is exercised; counts are taken on the
+    progressively-redacted text (operators/textnorm.pii_counts) so a
+    pattern inside an earlier match is never double-counted. The
+    redacted-text md5 verifies the full replacement byte-for-byte.
+    """
+    from hrfco_data_pipeline_spark.operators.textnorm import pii_counts, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    did = F.col("doc_id").cast("string")
+    aug = (
+        F.when(m == 0, F.concat("text", F.lit(" contact a"), did, F.lit("@example.com")))
+        .when(m == 1, F.concat("text", F.lit(" see https://data.example.org/d/"), did))
+        .when(
+            m == 2,
+            F.concat(
+                "text",
+                F.lit(" call 010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit("-1234"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                "text",
+                F.lit(" ref 9"),
+                F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+            )
+        )
+    )
+    staged = docs.select("doc_id", aug.alias("raw"))
+    return staged.select(
+        "doc_id",
+        *pii_counts("raw"),
+        F.md5(redact_pii("raw")).alias("redacted_hash"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus curation: sampling, domain mixing, sequence packing
+# --------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.2}
+MIX_TARGETS = {"src0": 0.15, "src1": 0.15, "src2": 0.1, "src3": 0.05, "src4": 0.05}
+
+
+def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic sample (hash-bucket Bernoulli,
+    per-stratum rates; operators/sampling.stratified_sample). Exactly
+    reproducible across runs/engines — unlike F.rand, which re-deals on
+    partition-layout changes (AQE, retries)."""
+    from hrfco_data_pipeline_spark.operators.sampling import (
+        hash_bucket,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", SAMPLE_RATES, default=0.1)
+    return kept.select("doc_id", "lang", "source", hash_bucket("doc_id").alias("bucket"))
+
+
+def docs_sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample: top-100 by multiplicative key hash —
+    the deterministic distributed analog of reservoir sampling. Plan is
+    TakeOrderedAndProject (per-partition top-k then merge), never a
+    global sort."""
+    from hrfco_data_pipeline_spark.operators.sampling import KNUTH
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(2_147_483_648)
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"))
+        .orderBy(F.asc("h"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+def docs_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing plan: per-source keep rates realizing MIX_TARGETS
+    in exact proportion, bounded by the scarcest targeted domain
+    (operators/sampling.domain_mix_rates)."""
+    from hrfco_data_pipeline_spark.operators.sampling import domain_mix_rates
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_rates(docs, "source", MIX_TARGETS)
+
+
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (512-token packs, per-language
+    running sum; operators/sampling.pack_sequences)."""
+    from hrfco_data_pipeline_spark.operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.size(_tokens()).alias("n_tokens"))
+    return pack_sequences(toks, "n_tokens", "doc_id", budget=512, stratum="lang")
+
+
 def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the shingle-Jaccard
     pair graph (iterative min-label propagation; rows-only check)."""

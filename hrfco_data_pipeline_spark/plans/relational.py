@@ -368,6 +368,120 @@ def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate scan + scalar agg — the pushdown
+    showcase. All four filters reach the parquet scan (PushedFilters),
+    only two columns are read past it, and no data row ever shuffles:
+    the exchange carries one partial-agg state per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.08)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join, then priority counts.
+
+    The semi join ships only the join key + predicate column from the
+    lineitem side and short-circuits per order — never materializing
+    the match multiplicity the way an inner-join+distinct would.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    late = window.join(
+        li,
+        (window["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] >= window["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def part_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-part argmin with a join-back.
+
+    Aggregate the min unit price per part, join it back to lineitem on
+    (key, min) to recover the achieving rows, then take the lowest
+    suppkey as the deterministic tie-break. The join-back is the
+    grouped-argmin pattern that avoids a global window: both sides
+    shuffle once on l_partkey and the agg side is tiny per key.
+    Unit-price equality is safe across engines: both compute the same
+    double division on the same operands, so the binaries match.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    unit = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    lu = li.select("l_partkey", "l_suppkey", unit)
+    mins = lu.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("unit_price").alias("min_unit")
+    )
+    best = (
+        lu.join(
+            mins,
+            (F.col("l_partkey") == F.col("m_partkey"))
+            & (F.col("unit_price") == F.col("min_unit")),
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"), F.col("min_unit"))
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    return best.join(F.broadcast(supp), "s_suppkey").select(
+        "p_partkey", "min_unit", "s_suppkey", "s_name"
+    )
+
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: customer-nation × supplier-nation trade matrix.
+
+    lineitem ⋈ orders (the one fact⋈fact shuffle) with customer,
+    supplier, and both nation legs broadcast — a five-way star join
+    whose physical plan has exactly one exchange on orderkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def metrics_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13: humanize + parse round-trip over a synthetic byte count.
 

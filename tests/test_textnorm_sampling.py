@@ -1,0 +1,114 @@
+"""Invariant tests for text normalization, PII redaction, and corpus
+curation (sampling / mixing / packing) — properties the DuckDB oracle
+can't express (idempotence, post-conditions, budget bounds)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.operators.sampling import (
+    domain_mix_rates,
+    hash_bucket,
+    pack_sequences,
+    sample_exact,
+    stratified_sample,
+)
+from hrfco_data_pipeline_spark.operators.textnorm import (
+    PII_PATTERNS,
+    normalize_text,
+    pii_counts,
+    redact_pii,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+def test_normalize_is_idempotent(spark):
+    messy = spark.createDataFrame(
+        [("a\tb\r\n  c",), ("  x   y  ",), ("", ), ("\x00\x01",)], ["t"]
+    )
+    once = messy.select(normalize_text("t").alias("n1"))
+    twice = once.select("n1", normalize_text("n1").alias("n2"))
+    assert twice.filter(F.col("n1") != F.col("n2")).count() == 0
+    rows = {r["n1"] for r in once.collect()}
+    assert rows == {"a b c", "x y", ""}
+
+
+def test_redact_leaves_no_matches(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me@x.org or https://x.org/a?b=1 or 010-123-4567 id 123456789",),
+            ("nested http://a.b/c@d.com path",),
+            ("clean text",),
+        ],
+        ["t"],
+    )
+    red = df.select(redact_pii("t").alias("r"))
+    for _, pat, _ in PII_PATTERNS:
+        leftover = red.filter(F.size(F.regexp_extract_all("r", F.lit(pat), 0)) > 0)
+        assert leftover.count() == 0, pat
+
+
+def test_pii_counts_no_double_counting(spark):
+    # the email-like tail inside the URL must count as URL only
+    df = spark.createDataFrame([("see https://a.b/c@d.com now",)], ["t"])
+    row = df.select(*pii_counts("t")).first()
+    assert row["n_url"] == 1 and row["n_email"] == 0
+
+
+def test_hash_bucket_deterministic_and_uniformish(spark):
+    docs = _docs(spark)
+    b1 = docs.select("doc_id", hash_bucket("doc_id").alias("b"))
+    assert b1.filter((F.col("b") < 0) | (F.col("b") >= 1000)).count() == 0
+    # exact sample at 30%: within a loose band of the target
+    n = docs.count()
+    kept = sample_exact(docs, "doc_id", 0.3).count()
+    assert 0.15 * n < kept < 0.45 * n
+    # rerun produces the identical id set (determinism)
+    ids_a = {r["doc_id"] for r in sample_exact(docs, "doc_id", 0.3).select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in sample_exact(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert ids_a == ids_b
+
+
+def test_stratified_rates_respected(spark):
+    docs = _docs(spark)
+    kept = stratified_sample(docs, "doc_id", "lang", {"en": 1.0}, default=0.0)
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en"}
+    assert kept.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_domain_mix_hits_target_proportions(spark):
+    docs = _docs(spark)
+    plan = domain_mix_rates(docs, "source", {"src0": 0.2, "src1": 0.1})
+    rows = {r["domain"]: r for r in plan.collect()}
+    assert set(rows) >= {"src0", "src1"}
+    # untargeted domains are dropped entirely
+    assert all(r["keep_rate"] == 0.0 for d, r in rows.items() if d not in ("src0", "src1"))
+    # kept counts realize the 2:1 target ratio (exact proportion rule)
+    k0, k1 = rows["src0"]["n_kept"], rows["src1"]["n_kept"]
+    assert k1 > 0 and abs(k0 / k1 - 2.0) < 0.35
+    assert all(0.0 <= r["keep_rate"] <= 1.0 for r in rows.values())
+
+
+def test_pack_budget_overflow_bound(spark):
+    docs = _docs(spark)
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens")
+    )
+    budget = 256
+    packed = pack_sequences(toks, "n_tokens", "doc_id", budget=budget, stratum="lang")
+    per_pack = packed.groupBy("lang", "pack_id").agg(
+        F.sum("n_tokens").alias("tot"), F.max("n_tokens").alias("mx")
+    )
+    # running-sum packing overflows a pack by at most its last document
+    assert per_pack.filter(F.col("tot") > budget + F.col("mx")).count() == 0
+    # pack ids start at 0 in every stratum
+    firsts = per_pack.groupBy("lang").agg(F.min("pack_id").alias("p0"))
+    assert firsts.filter(F.col("p0") != 0).count() == 0
