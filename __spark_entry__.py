@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": llm.dup_components,
         "embedding_quantize": llm.embedding_quantize,
         "docs_ngram_freq": llm.docs_ngram_freq,
+        "docs_repetition_score": llm.docs_repetition_score,
+        "docs_decontaminate": llm.docs_decontaminate,
         "docs_normalize": llm.docs_normalize,
         "docs_pii_redact": llm.docs_pii_redact,
         "docs_sample_stratified": llm.docs_sample_stratified,

@@ -1012,3 +1012,49 @@ RELATIONAL_ORACLES["nation_trade_volume"] = """
     WHERE cn.n_name <> sn.n_name
     GROUP BY 1, 2
     """
+
+
+LLM_ORACLES["docs_repetition_score"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+        ELSE [] END AS g
+      FROM tok
+    )
+    SELECT doc_id,
+      CAST(len(g) AS INTEGER) AS n_grams,
+      CAST(len(list_distinct(g)) AS INTEGER) AS n_uniq_grams,
+      CASE WHEN len(g) > 0
+           THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+           ELSE CAST(0.0 AS DOUBLE) END AS dup_gram_frac
+    FROM g
+    """
+
+# overlap via the shingle STRING here; the Spark side joins on xxhash64
+# of the same strings (collision odds ~2^-64 — same pair set)
+LLM_ORACLES["docs_decontaminate"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, len(toks) - 1)])
+        ELSE [] END AS sh
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), ev AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+    ), tr AS (
+      SELECT DISTINCT doc_id FROM ex
+      WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev)
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM tr JOIN documents d USING (doc_id)
+    """

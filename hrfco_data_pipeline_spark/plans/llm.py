@@ -531,6 +531,70 @@ def docs_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: duplicate 3-gram fraction per doc —
+    the Gopher-style quality signal that catches boilerplate loops and
+    degenerate generations. dup_ngram_frac = 1 - distinct/total
+    3-grams. Pure per-row HOFs: no shuffle, scales as the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select("doc_id", grams.alias("g"))
+    total = F.size("g")
+    uniq = F.size(F.array_distinct("g"))
+    return g.select(
+        "doc_id",
+        total.alias("n_grams"),
+        uniq.alias("n_uniq_grams"),
+        F.when(total > 0, 1.0 - uniq.cast("double") / total)
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+    )
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 3-token
+    shingle with the eval set (doc_id % 97 == 0 stands in for the
+    benchmark corpus).
+
+    Scale shape: the eval shingle set is tiny relative to the corpus →
+    distinct xxhash64 shingle keys, broadcast, left-semi join against
+    the exploded training shingles. The training side never shuffles;
+    contaminated ids come back from a map-side semi probe. This is the
+    standard n-gram-overlap decontamination pass (GPT-3 appendix C
+    style) expressed as a broadcast semi-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    shingles = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, F.lit(3)))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    sh = toks.select("doc_id", shingles.alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    eval_sh = ex.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    train = ex.filter(F.col("doc_id") % 97 != 0)
+    contaminated = (
+        train.join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return contaminated.join(docs, "doc_id").select("doc_id", "lang", "source")
+
+
 # --------------------------------------------------------------------------
 # Corpus curation: sampling, domain mixing, sequence packing
 # --------------------------------------------------------------------------
