@@ -572,21 +572,27 @@ def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     style) expressed as a broadcast semi-join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens().alias("toks"))
-    n = F.size("toks")
-    shingles = F.when(
-        n >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 2),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("toks", i, F.lit(3)))),
-            )
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    sh = toks.select("doc_id", shingles.alias("sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    eval_sh = ex.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
-    train = ex.filter(F.col("doc_id") % 97 != 0)
+
+    def _shingled(df: DataFrame) -> DataFrame:
+        toks = df.select("doc_id", _tokens().alias("toks"))
+        n = F.size("toks")
+        shingles = F.when(
+            n >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice("toks", i, F.lit(3)))
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return toks.select("doc_id", F.explode(shingles).alias("s"))
+
+    # shingle the (tiny) eval split on its own scan — the big corpus is
+    # tokenized exactly once, not once per side
+    eval_sh = _shingled(docs.filter(F.col("doc_id") % 97 == 0)).select("s").distinct()
+    train = _shingled(docs.filter(F.col("doc_id") % 97 != 0))
     contaminated = (
         train.join(F.broadcast(eval_sh), "s", "left_semi")
         .select("doc_id")
