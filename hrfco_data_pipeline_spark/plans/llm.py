@@ -143,18 +143,26 @@ def docs_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (length / diversity / stopword bands) —
-    the heuristic filter an LLM-data pipeline runs before training."""
-    stats = docs_token_stats(spark, sf_dir)
-    score = (
-        F.when((F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000), 0.4).otherwise(0.0)
-        + F.when(F.col("ttr") >= 0.3, 0.3).otherwise(0.0)
-        + F.when(
-            (F.col("stopword_ratio") >= 0.01) & (F.col("stopword_ratio") <= 0.5), 0.3
-        ).otherwise(0.0)
+def quality_score_expr(toks: Column) -> Column:
+    """Composite quality score (length / diversity / stopword bands)
+    from a token-array column — shared by the batch query and the
+    streaming curation twin (streaming/curation.py)."""
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    ratio = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    return (
+        F.when((n >= 20) & (n <= 1000), 0.4).otherwise(0.0)
+        + F.when(ttr >= 0.3, 0.3).otherwise(0.0)
+        + F.when((ratio >= 0.01) & (ratio <= 0.5), 0.3).otherwise(0.0)
     )
-    return stats.select(
+
+
+def docs_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate over the documents table — the heuristic filter an
+    LLM-data pipeline runs before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = quality_score_expr(_tokens())
+    return docs.select(
         "doc_id", score.alias("quality"), (score >= 0.7).alias("keep")
     )
 

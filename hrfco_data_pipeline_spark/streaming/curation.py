@@ -1,0 +1,54 @@
+"""LLM-corpus curation under Structured Streaming.
+
+The same normalize → redact → quality-gate → exact-dedup chain as the
+batch queries (plans/llm.py), bound to a stream: every expression is a
+per-row projection or filter (stateless, so batch and stream plans are
+identical), except the dedup stage, which on a stream uses
+``dropDuplicatesWithinWatermark`` keyed on the content hash so state is
+bounded to the watermark horizon instead of growing with corpus size.
+
+At 100 TB-equivalent stream rates the state store holds one 16-byte
+md5 key per *distinct* document inside the watermark window — dedup
+state scales with recent-unique volume, not total history. Cross-run
+(historical) dedup belongs in the batch layer (dedup_exact_docs /
+minhash_dedup) over the accumulated archive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.operators.textnorm import normalize_text, redact_pii
+from hrfco_data_pipeline_spark.plans.llm import _tokens, quality_score_expr
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_quality: float = 0.7,
+    dedup: bool = True,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Normalize, redact, quality-gate, and dedup a documents frame.
+
+    Works on batch and streaming inputs; `df.isStreaming` picks the
+    dedup form (bounded-state WithinWatermark vs plain dropDuplicates).
+    Output: doc_id, lang, source, text (cleaned), quality, text_hash.
+    """
+    clean = docs.withColumn("text", redact_pii(normalize_text("text")))
+    scored = clean.withColumn("quality", quality_score_expr(_tokens()))
+    kept = scored.filter(F.col("quality") >= min_quality).withColumn(
+        "text_hash", F.md5(F.lower(F.trim("text")))
+    )
+    cols = ["doc_id", "lang", "source", "text", "quality", "text_hash"]
+    if not dedup:
+        return kept.select(*cols)
+    if kept.isStreaming:
+        deduped = (
+            kept.withColumn("ingest_ts", F.current_timestamp())
+            .withWatermark("ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(["text_hash"])
+        )
+    else:
+        deduped = kept.dropDuplicates(["text_hash"])
+    return deduped.select(*cols)
