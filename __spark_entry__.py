@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": relational.q4_order_priority,
         "part_min_price_supplier": relational.part_min_price_supplier,
         "nation_trade_volume": relational.nation_trade_volume,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "events_moving_stats": relational.events_moving_stats,
         # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,

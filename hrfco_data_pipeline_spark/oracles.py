@@ -1058,3 +1058,36 @@ LLM_ORACLES["docs_decontaminate"] = r"""
     SELECT d.doc_id, d.lang, d.source
     FROM tr JOIN documents d USING (doc_id)
     """
+
+
+RELATIONAL_ORACLES["q14_promo_revenue"] = """
+    WITH j AS (
+      SELECT p_type,
+        TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+          * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-07-01'
+    ), s AS (
+      SELECT
+        CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN rev ELSE 0 END) AS DOUBLE)
+          AS promo_revenue,
+        CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        count(*) AS n_items
+      FROM j
+    )
+    SELECT CAST(100.0 AS DOUBLE) * promo_revenue / total_revenue AS promo_pct,
+      promo_revenue, total_revenue, n_items
+    FROM s
+    """
+
+RELATIONAL_ORACLES["events_moving_stats"] = """
+    SELECT event_id, user_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+      count(*) OVER w AS n_in_frame,
+      min(value) OVER w AS min_val,
+      max(value) OVER w AS max_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """

@@ -482,6 +482,60 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact⋈dim broadcast join + conditional-revenue
+    ratio. part is the broadcast side; the ratio divides two exact
+    decimal sums cast to double (portable — see _dec)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(26,4)")
+    )
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    ).join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    agg = joined.agg(
+        F.sum(promo).alias("promo_rev_dec"),
+        F.sum(rev).alias("total_rev_dec"),
+        F.count("*").alias("n_items"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0) * F.col("promo_rev_dec").cast("double")
+            / F.col("total_rev_dec").cast("double")
+        ).alias("promo_pct"),
+        F.col("promo_rev_dec").cast("double").alias("promo_revenue"),
+        F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        "n_items",
+    )
+
+
+def events_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window-frame stats: per-user trailing 4-row count/min/max
+    over the event stream (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW).
+
+    Only order-insensitive exact aggregates (count/min/max) so the
+    frame is engine-portable; the total ordering (ts, event_id) makes
+    frame membership deterministic. One shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.count("*").over(w).alias("n_in_frame"),
+        F.min("value").over(w).alias("min_val"),
+        F.max("value").over(w).alias("max_val"),
+    )
+
+
 def metrics_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13: humanize + parse round-trip over a synthetic byte count.
 
