@@ -31,10 +31,22 @@ BUCKETS = 1000
 
 
 def hash_bucket(key: Column | str, buckets: int = BUCKETS) -> Column:
-    """Deterministic bucket in [0, buckets) from an integer key."""
+    """Deterministic bucket in [0, buckets) from an integer key.
+
+    The key is pre-reduced mod 2^31 before the multiply so the product
+    stays inside BIGINT under ANSI mode (2^31 · KNUTH < 2^63) for the
+    full long-key domain; for keys in [0, 2^31) — every id in the test
+    corpus — the pre-reduction is the identity, which is what the
+    DuckDB oracles mirror. The final double-mod canonicalizes negative
+    keys (Spark's and DuckDB's % both keep the dividend's sign) so the
+    bucket is always in [0, buckets).
+    """
     if isinstance(key, str):
         key = F.col(key)
-    return (key.cast("long") * F.lit(KNUTH)) % F.lit(2_147_483_648) % F.lit(buckets)
+    b = F.lit(buckets)
+    m = F.lit(2_147_483_648)
+    h = ((key.cast("long") % m) * F.lit(KNUTH)) % m % b
+    return (h + b) % b
 
 
 def sample_exact(df: DataFrame, key: str, rate: float, buckets: int = BUCKETS) -> DataFrame:

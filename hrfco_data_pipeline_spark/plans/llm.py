@@ -640,7 +640,10 @@ def docs_sample_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hrfco_data_pipeline_spark.operators.sampling import KNUTH
 
     docs = load_table(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(KNUTH)) % F.lit(2_147_483_648)
+    # pre-reduce mod 2^31 to stay in BIGINT under ANSI (identity for
+    # the id range here; the oracle mirrors the unreduced form)
+    m = F.lit(2_147_483_648)
+    h = ((F.col("doc_id") % m) * F.lit(KNUTH)) % m
     return (
         docs.select("doc_id", "lang", "source", h.alias("h"))
         .orderBy(F.asc("h"), F.asc("doc_id"))

@@ -112,3 +112,32 @@ def test_pack_budget_overflow_bound(spark):
     # pack ids start at 0 in every stratum
     firsts = per_pack.groupBy("lang").agg(F.min("pack_id").alias("p0"))
     assert firsts.filter(F.col("p0") != 0).count() == 0
+
+
+def test_hash_bucket_negative_keys_in_range(spark):
+    df = spark.createDataFrame([(-(10**12),), (-7,), (0,), (7,)], ["k"])
+    out = df.select(hash_bucket("k").alias("b"))
+    assert out.filter((F.col("b") < 0) | (F.col("b") >= 1000)).count() == 0
+
+
+def test_normalize_property_fuzz(spark):
+    """Property fuzz: normalized text is idempotent, has no control
+    chars, no double spaces, and no leading/trailing whitespace."""
+    import random
+
+    rng = random.Random(13)
+    pieces = ["word", "a", "", "\t", "\r\n", "  ", "\x00", "\x1f", "x y", "ümlaut"]
+    rows = [
+        ("".join(rng.choice(pieces) for _ in range(rng.randint(0, 12))),)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["t"])
+    n = df.select(normalize_text("t").alias("n"))
+    bad = n.filter(
+        F.col("n").rlike(r"[\x00-\x1f\x7f]")
+        | F.col("n").rlike(r"\s\s")
+        | F.col("n").rlike(r"^\s")
+        | F.col("n").rlike(r"\s$")
+        | (normalize_text("n") != F.col("n"))
+    )
+    assert bad.count() == 0
