@@ -1,0 +1,92 @@
+"""Small-file compaction for partitioned append sinks.
+
+Micro-batch appends (streaming/pipeline.py writes one file set per
+trigger per partition) fragment the archive/fact tables into thousands
+of tiny files — the classic 100 TB operational tax: NameNode/listing
+pressure, per-file open cost, undersized scan tasks. Compaction
+rewrites each partition's fragments into ~target-size files.
+
+Spark-idiomatic form: read → repartition on the partition columns
+(one shuffle keyed so each output partition's rows co-locate) →
+``maxRecordsPerFile`` caps file size → write to a staging dir → atomic
+swap (same crash-safe rename protocol as ``writers.merge_stations``).
+On Delta/Iceberg this is ``OPTIMIZE`` / ``rewriteDataFiles``; this is
+the plain-parquet equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+    max_records_per_file: int = 1_000_000,
+    files_per_partition: int = 1,
+) -> dict[str, int]:
+    """Rewrite a partitioned dataset into few large files per partition.
+
+    Returns {"files_before": n, "files_after": m, "rows": r}. The swap
+    is staging-dir + rename: a crash before the final rename leaves the
+    original table untouched.
+    """
+    df = spark.read.format(fmt).load(path)
+    rows = df.count()
+    files_before = _count_data_files(path)
+
+    staging = path.rstrip("/") + ".compact-staging"
+    backup = path.rstrip("/") + ".compact-backup"
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # repartition on the partition columns: each output task holds
+    # complete hive-partitions, so every partition compacts to one file
+    # (oversized ones split by maxRecordsPerFile).
+    if partition_cols:
+        compacted = df.repartition(*[F.col(c) for c in partition_cols])
+    else:
+        compacted = df.repartition(max(files_per_partition, 1))
+    writer = (
+        compacted.write.format(fmt)
+        .mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(staging)
+
+    # verify before swapping — never replace good data with a bad rewrite
+    recount = spark.read.format(fmt).load(staging).count()
+    if recount != rows:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(f"compaction row mismatch: {rows} -> {recount}")
+
+    os.rename(path.rstrip("/"), backup)
+    try:
+        os.rename(staging, path.rstrip("/"))
+    except OSError:
+        os.rename(backup, path.rstrip("/"))  # roll back
+        raise
+    shutil.rmtree(backup, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": _count_data_files(path),
+        "rows": rows,
+    }
+
+
+def _count_data_files(path: str) -> int:
+    n = 0
+    for root, _dirs, files in os.walk(path):
+        n += sum(
+            1
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return n
