@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_label_stats": llm.embedding_label_stats,
         "multimodal_blob_stats": llm.multimodal_blob_stats,
         "dup_components": llm.dup_components,
+        "dedup_incremental": llm.dedup_incremental,
         "embedding_quantize": llm.embedding_quantize,
         "docs_ngram_freq": llm.docs_ngram_freq,
         "docs_repetition_score": llm.docs_repetition_score,

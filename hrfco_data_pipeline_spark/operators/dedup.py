@@ -266,6 +266,28 @@ def dedup_keep_best(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    key: str = "text_hash",
+) -> DataFrame:
+    """Dedup a new batch against the accumulated corpus: keep new rows
+    whose content key is absent from ``seen`` (left-anti join), then
+    dedup within the batch itself (first occurrence by the key).
+
+    The recurring-crawl shape: ``seen`` is the historical key index —
+    a narrow one-column table, so at 100 TB it stays a fraction of the
+    corpus (16-byte md5 per distinct doc) and the anti-join shuffles
+    only keys. If the index fits the broadcast threshold Spark
+    broadcasts it automatically; pre-bucket both sides on the key to
+    elide the shuffle entirely on repeated runs (operators/bucketing).
+    """
+    survivors = new_docs.join(
+        seen.select(key).distinct(), key, "left_anti"
+    )
+    return dedup_keep_best(survivors, key, [F.asc("doc_id")])
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -1091,3 +1091,20 @@ RELATIONAL_ORACLES["events_moving_stats"] = """
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """
+
+
+LLM_ORACLES["dedup_incremental"] = """
+    WITH h AS (
+      SELECT doc_id, lang, source, md5(lower(trim(text))) AS text_hash
+      FROM documents
+    ), seen AS (
+      SELECT DISTINCT text_hash FROM h WHERE doc_id < 250
+    ), survivors AS (
+      SELECT h.* FROM h
+      WHERE doc_id >= 250 AND text_hash NOT IN (SELECT text_hash FROM seen)
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id ASC) AS rk
+      FROM survivors
+    )
+    SELECT doc_id, text_hash, lang, source FROM ranked WHERE rk = 1
+    """

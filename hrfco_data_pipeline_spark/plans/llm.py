@@ -671,6 +671,21 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "n_tokens", "doc_id", budget=512, stratum="lang")
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run dedup: docs with id >= 250 (the 'new crawl') against
+    the hash index of docs with id < 250 (the accumulated corpus), then
+    within-batch first-occurrence dedup
+    (operators/dedup.incremental_dedup)."""
+    from hrfco_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "text_hash", F.md5(F.lower(F.trim("text")))
+    )
+    seen = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return incremental_dedup(new, seen).select("doc_id", "text_hash", "lang", "source")
+
+
 def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the shingle-Jaccard
     pair graph (iterative min-label propagation; rows-only check)."""
