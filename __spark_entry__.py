@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_volume": relational.nation_trade_volume,
         "q14_promo_revenue": relational.q14_promo_revenue,
         "events_moving_stats": relational.events_moving_stats,
+        "events_view_only_users": relational.events_view_only_users,
+        "events_value_bands": relational.events_value_bands,
         # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,

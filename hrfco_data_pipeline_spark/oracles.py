@@ -1108,3 +1108,28 @@ LLM_ORACLES["dedup_incremental"] = """
     )
     SELECT doc_id, text_hash, lang, source FROM ranked WHERE rk = 1
     """
+
+
+RELATIONAL_ORACLES["events_view_only_users"] = """
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day FROM (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'view'
+      EXCEPT
+      SELECT DISTINCT user_id, CAST(ts AS DATE)
+      FROM events WHERE event_type = 'purchase'
+    )
+    """
+
+# the oracle proves the bucket equi-join equals the naive BETWEEN join
+RELATIONAL_ORACLES["events_value_bands"] = """
+    WITH bands AS (
+      SELECT i AS band_id, i * 50.0 AS lo, (i + 1) * 50.0 AS hi
+      FROM range(10) t(i)
+    )
+    SELECT CAST(band_id AS INTEGER) AS band_id,
+      CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+      count(*) AS n_events,
+      min(value) AS min_val, max(value) AS max_val
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY 1, 2, 3
+    """

@@ -536,6 +536,54 @@ def events_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_view_only_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set op: (user, day) pairs with views but no purchase.
+
+    ``subtract`` (EXCEPT DISTINCT) compiles to a left-anti join over
+    distinct keys — one shuffle per side, no row explosion. The set-op
+    sibling of purchase_and_signup_users' INTERSECT.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    key = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t).select(
+            "user_id", F.to_date("ts").alias("day")
+        )
+    )
+    return key("view").subtract(key("purchase")).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
+
+
+def events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join expressed as bucket equi-join.
+
+    Joining events to a [lo, hi) bands dimension on an inequality is a
+    BroadcastNestedLoopJoin — O(rows × bands) comparisons. Because the
+    bands are uniform, the bucket id is computable per row
+    (floor(value/width)), turning the range join into a hash equi-join
+    + residual range filter: the standard de-nested-loop trick for
+    interval joins (non-uniform bands: bucket by a coarse grid, keep
+    the residual filter). Oracle joins on BETWEEN to prove equivalence.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(i, i * 50.0, (i + 1) * 50.0) for i in range(10)],
+        "band_id: int, lo: double, hi: double",
+    )
+    bucketed = ev.withColumn("band_id", F.floor(F.col("value") / 50.0).cast("int"))
+    joined = bucketed.join(F.broadcast(bands), "band_id").filter(
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi"))
+    )
+    return (
+        joined.groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
 def metrics_format_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13: humanize + parse round-trip over a synthetic byte count.
 

@@ -212,3 +212,23 @@ def test_dedup_keep_best_policy(spark):
     ).collect()
     got = {r.k: r.id for r in kept}
     assert got == {"k1": 3, "k2": 9}
+
+
+def test_ivf_argmax_plan_stays_linear(spark):
+    """128 centroids x 64 dims: the array-HOF argmax keeps the plan
+    linear in n_centroids (the old unrolled when-chain re-nested every
+    earlier dot product — quadratic blowup beyond ~64)."""
+    from hrfco_data_pipeline_spark.operators.similarity import _nearest_centroid
+
+    cents = [[float((i * j) % 7) - 3.0 for j in range(64)] for i in range(128)]
+    df = spark.createDataFrame(
+        [(list(float(j) for j in range(64)),)], "v: array<double>"
+    )
+    out = df.select(_nearest_centroid("v", cents).alias("cell"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # linear-size plan: well under a MB even at 128 centroids
+    assert len(plan) < 1_000_000
+    cell = out.first()["cell"]
+    # cross-check against numpy-free python argmax
+    dots = [sum(a * b for a, b in zip(range(64), c)) for c in cents]
+    assert cell == dots.index(max(dots))
