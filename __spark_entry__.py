@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_score": llm.docs_quality_score,
         "docs_lang_id": llm.docs_lang_id,
         "doc_fingerprints": llm.doc_fingerprints,
+        "doc_winnow_fingerprints": llm.doc_winnow_fingerprints,
         "docs_bpe_token_count": llm.docs_bpe_token_count,
         "ann_cosine_topk": llm.ann_cosine_topk,
         "embedding_label_stats": llm.embedding_label_stats,

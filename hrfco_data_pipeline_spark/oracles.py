@@ -401,6 +401,27 @@ LLM_ORACLES: dict[str, str] = {
       md5(lower(trim(text))) AS full_fp
     FROM tok JOIN documents USING (doc_id)
     """,
+    "doc_winnow_fingerprints": _TOK_CTE
+    + """
+    , g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4 THEN
+          list_transform(generate_series(1, len(toks) - 3),
+            i -> md5(array_to_string(list_slice(toks, i, i + 3), ' ')))
+        ELSE CAST([] AS VARCHAR[]) END AS h
+      FROM tok
+    ), f AS (
+      SELECT doc_id,
+        CASE WHEN len(h) >= 5 THEN
+          list_distinct(list_transform(generate_series(1, len(h) - 4),
+            i -> list_min(list_slice(h, i, i + 4))))
+        ELSE list_distinct(h) END AS fps
+      FROM g
+    )
+    SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+      md5(array_to_string(list_sort(fps), '|')) AS fp_set_hash
+    FROM f
+    """,
     "multimodal_blob_stats": """
     SELECT source, count(*) AS n_docs,
       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
