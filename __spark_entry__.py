@@ -104,6 +104,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_sample_hash_topk": llm.docs_sample_hash_topk,
         "docs_domain_mix": llm.docs_domain_mix,
         "docs_pack_sequences": llm.docs_pack_sequences,
+        "docs_inverted_index": llm.docs_inverted_index,
+        "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
+        "docs_shard_assign": llm.docs_shard_assign,
         # --- scale-path variants (rows-only checks: engine-specific hashing) ---
         "minhash_near_dups": llm.minhash_near_dups,
         "simhash_clusters": llm.simhash_clusters,

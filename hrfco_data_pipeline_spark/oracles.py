@@ -422,6 +422,50 @@ LLM_ORACLES: dict[str, str] = {
       md5(array_to_string(list_sort(fps), '|')) AS fp_set_hash
     FROM f
     """,
+    "docs_inverted_index": _TOK_CTE
+    + """
+    , terms AS (
+      SELECT doc_id, unnest(list_distinct(toks)) AS term FROM tok
+    )
+    SELECT term, count(*) AS df,
+      min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+      md5(array_to_string(
+        list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)),
+        ',')) AS posting_hash
+    FROM terms GROUP BY term
+    ORDER BY df DESC, term ASC LIMIT 100
+    """,
+    "docs_tfidf_top_terms": _TOK_CTE
+    + """
+    , terms AS (
+      SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM tok
+    ), tf AS (
+      SELECT doc_id, n_tokens, term, count(*) AS tf_cnt
+      FROM terms GROUP BY doc_id, n_tokens, term
+    ), df AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+        (CAST(tf.tf_cnt AS DOUBLE) / CAST(tf.n_tokens AS DOUBLE))
+          * (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+             / CAST(df.df AS DOUBLE)) AS tfidf
+      FROM tf JOIN df USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+    "docs_shard_assign": """
+    SELECT ((doc_id % 2147483648) * 2654435761) % 2147483648 % 16 AS shard,
+      count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1 ORDER BY shard
+    """,
     "multimodal_blob_stats": """
     SELECT source, count(*) AS n_docs,
       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

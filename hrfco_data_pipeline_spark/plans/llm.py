@@ -736,3 +736,100 @@ def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
     return connected_components(pairs, "doc_a", "doc_b")
+
+
+def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (term -> posting list), the retrieval-side
+    primitive of a corpus pipeline: explode distinct terms per doc, one
+    partial-aggregated groupBy on term, emit df + posting-list summary
+    (min/max doc + md5 of the sorted postings — scalar so the driver
+    hash stays portable; at scale the full posting array would be
+    written bucketed-by-term instead of summarized). Top-100 by df is
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("term")
+    )
+    postings = F.transform(
+        F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.md5(F.concat_ws(",", postings)).alias("posting_hash"),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 distinctive terms by a rational TF-IDF
+    (tf/n_tokens scaled by N/df — no transcendental log, so the double
+    arithmetic is IEEE-identical across engines; same ranking order as
+    log-idf for fixed tf). Shapes: one explode + (doc,term) groupBy,
+    a term-df groupBy joined back on term (shuffle on term — fine, df
+    table is corpus-vocabulary-sized), N via broadcast scalar join, and
+    a per-doc window for the top-3. No driver actions, no UDFs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    terms = toks.select(
+        "doc_id", F.size("toks").alias("n_tokens"), F.explode("toks").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "n_tokens", "term").agg(
+        F.count("*").alias("tf_cnt")
+    )
+    df_tbl = (
+        terms.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("tf_cnt").cast("double") / F.col("n_tokens").cast("double"))
+            * (F.col("n_total").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tfidf")
+    )
+
+
+def docs_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-output sharding: multiplicative Knuth hash
+    of doc_id -> 16 shards, verified balanced via per-shard counts and
+    byte mass. The hash (not doc_id % N) decorrelates shard from crawl
+    order, so every shard is an unbiased corpus sample — what a
+    downstream trainer wants from a shard file. Arithmetic stays in
+    BIGINT under ANSI (doc_id % 2^31 * KNUTH < 2^63). One groupBy on a
+    16-value key; at 100 TB this is the partitionBy("shard") write key.
+    """
+    from hrfco_data_pipeline_spark.operators.sampling import KNUTH
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.lit(2_147_483_648)
+    shard = (((F.col("doc_id") % m) * F.lit(KNUTH)) % m) % F.lit(16)
+    return (
+        docs.select(shard.alias("shard"), "doc_id", "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )
