@@ -671,42 +671,51 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "n_tokens", "doc_id", budget=512, stratum="lang")
 
 
-def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al., MOSS): per document,
-    hash every 4-token gram, slide a 5-hash window, keep each window's
-    minimum, distinct the selections.
+def winnow_fingerprints_expr(
+    toks: Column, gram: int = 4, window: int = 5
+) -> Column:
+    """Winnowing fingerprint selection (Schleimer et al., MOSS) as a
+    pure column expression over a token array: hash every ``gram``-token
+    gram, slide a ``window``-hash window, keep each window's minimum,
+    distinct the selections.
 
-    Guarantees: any shared run of ≥ 8 tokens between two documents
-    yields at least one shared fingerprint — the local-similarity
-    primitive exact/MinHash dedup lacks (both are whole-document).
-    Hashes are md5 hex strings compared lexicographically — uniform
-    order, portable to the DuckDB oracle byte-for-byte (at scale you'd
-    xxhash64 to shrink the shuffle; same algorithm). Entirely per-row
-    HOFs: no shuffle, no UDFs.
+    Guarantee: any shared token run of length >= gram + window - 1
+    between two documents yields at least one shared fingerprint — the
+    local-similarity primitive exact/MinHash dedup lacks (both are
+    whole-document). Hashes are md5 hex strings compared
+    lexicographically — uniform order, portable to a DuckDB oracle
+    byte-for-byte (at scale you'd xxhash64 to shrink the shuffle; same
+    algorithm). Entirely per-row HOFs: no shuffle, no UDFs.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens().alias("toks"))
-    n = F.size("toks")
+    n = F.size(toks)
     grams = F.when(
-        n >= 4,
+        n >= gram,
         F.transform(
-            F.sequence(F.lit(1), n - 3),
-            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, F.lit(4)))),
+            F.sequence(F.lit(1), n - (gram - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, F.lit(gram)))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    h = toks.select("doc_id", grams.alias("h"))
-    nh = F.size("h")
-    w = 5
-    fps = F.when(
-        nh >= w,
+    nh = F.size(grams)
+    return F.when(
+        nh >= window,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(1), nh - (w - 1)),
-                lambda i: F.array_min(F.slice("h", i, F.lit(w))),
+                F.sequence(F.lit(1), nh - (window - 1)),
+                lambda i: F.array_min(F.slice(grams, i, F.lit(window))),
             )
         ),
-    ).otherwise(F.array_distinct("h"))
-    out = h.select("doc_id", fps.alias("fps"))
+    ).otherwise(F.array_distinct(grams))
+
+
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary (4-gram, window 5 —
+    detects any shared run of >= 8 tokens); selection logic in
+    winnow_fingerprints_expr."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    out = toks.select(
+        "doc_id", winnow_fingerprints_expr(F.col("toks")).alias("fps")
+    )
     return out.select(
         "doc_id",
         F.size("fps").alias("n_fps"),

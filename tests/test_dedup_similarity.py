@@ -232,3 +232,37 @@ def test_ivf_argmax_plan_stays_linear(spark):
     # cross-check against numpy-free python argmax
     dots = [sum(a * b for a, b in zip(range(64), c)) for c in cents]
     assert cell == dots.index(max(dots))
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Any shared run of >= gram+window-1 = 8 tokens must yield at
+    least one shared fingerprint (the MOSS winnowing guarantee)."""
+    from hrfco_data_pipeline_spark.plans.llm import winnow_fingerprints_expr
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    a = "one two three four five " + shared + " six seven eight nine"
+    b = "red green blue yellow purple " + shared + " cyan magenta white"
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        winnow_fingerprints_expr(F.split(F.trim("text"), r"\s+")).alias("fps"),
+    ).collect()
+    sets = {r.doc_id: set(r.fps) for r in rows}
+    assert sets[1] & sets[2], "shared 8-token run must share a fingerprint"
+
+
+def test_winnowing_disjoint_docs_and_short_doc(spark):
+    from hrfco_data_pipeline_spark.plans.llm import winnow_fingerprints_expr
+
+    df = spark.createDataFrame(
+        [(1, DOC), (2, FAR), (3, "too short")], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id",
+        winnow_fingerprints_expr(F.split(F.trim("text"), r"\s+")).alias("fps"),
+    ).collect()
+    sets = {r.doc_id: set(r.fps) for r in rows}
+    assert not (sets[1] & sets[2]), "no shared 4-gram -> no shared fingerprint"
+    assert sets[3] == set(), "docs shorter than the gram size select nothing"
