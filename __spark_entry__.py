@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_min_price_supplier": relational.part_min_price_supplier,
         "nation_trade_volume": relational.nation_trade_volume,
         "q14_promo_revenue": relational.q14_promo_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_late_shipments": relational.q12_late_shipments,
         "events_moving_stats": relational.events_moving_stats,
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,

@@ -1198,3 +1198,30 @@ RELATIONAL_ORACLES["events_value_bands"] = """
     FROM events JOIN bands ON value >= lo AND value < hi
     GROUP BY 1, 2, 3
     """
+
+RELATIONAL_ORACLES["q10_returned_items"] = """
+    SELECT c_custkey, c_name, n_name,
+      CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+               * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1997-10-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """
+
+RELATIONAL_ORACLES["q12_late_shipments"] = """
+    SELECT l_linestatus,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """
