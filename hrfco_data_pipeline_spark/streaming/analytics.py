@@ -142,3 +142,55 @@ def station_delta_stream(parsed_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def alerts_with_flow_context(
+    alerts: DataFrame,
+    flows: DataFrame,
+    watermark: str = "2 hours",
+    lookback_minutes: int = 10,
+) -> DataFrame:
+    """Stream-stream interval join: enrich each water-level alert with
+    flow-rate readings from the same station observed in the
+    ``lookback_minutes`` before the alert.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on both sides (equi-key + interval), which is exactly what
+    Structured Streaming needs to evict join state: a buffered flow row
+    can be dropped once the alert-side watermark passes
+    ``flow_ts + lookback``. Without the interval bound the state would
+    grow with the stream. State scales as (stations × lookback window),
+    independent of stream length — the 100 TB/day-safe shape.
+
+    ``alerts`` needs (wlobscd, event_ts, water_level, flood_warning_level);
+    ``flows`` needs (wlobscd, event_ts, flow_rate). Works identically on
+    batch frames (the batch twin the tests cross-check).
+    """
+    a = alerts.select(
+        F.col("wlobscd").alias("a_station"),
+        F.col("event_ts").alias("alert_ts"),
+        "water_level",
+        "flood_warning_level",
+    )
+    fl = flows.select(
+        F.col("wlobscd").alias("f_station"),
+        F.col("event_ts").alias("flow_ts"),
+        "flow_rate",
+    )
+    if alerts.isStreaming:
+        a = a.withWatermark("alert_ts", watermark)
+    if flows.isStreaming:
+        fl = fl.withWatermark("flow_ts", watermark)
+    cond = (
+        (F.col("a_station") == F.col("f_station"))
+        & (F.col("flow_ts") >= F.col("alert_ts") - F.expr(f"INTERVAL {lookback_minutes} MINUTES"))
+        & (F.col("flow_ts") <= F.col("alert_ts"))
+    )
+    return a.join(fl, cond, "inner").select(
+        F.col("a_station").alias("wlobscd"),
+        "alert_ts",
+        "water_level",
+        "flood_warning_level",
+        "flow_ts",
+        "flow_rate",
+    )

@@ -101,3 +101,65 @@ def test_station_delta_stateful(spark, tmp_path):
             assert r.delta is not None and abs(r.delta - (r.water_level - prev)) < 1e-9
         if r.water_level is not None:
             prev = r.water_level
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: alerts enriched with same-station
+    flow readings from the trailing 10 minutes; batch twin agrees."""
+    from hrfco_data_pipeline_spark.streaming.analytics import (
+        alerts_with_flow_context,
+        with_event_time,
+    )
+
+    # single staged file -> one micro-batch -> no cross-batch watermark
+    # drops, so the stream result must equal the batch twin exactly
+    src = str(tmp_path / "src1")
+    synthetic_wire(spark, SF).select("value").coalesce(1).write.mode(
+        "overwrite"
+    ).text(src)
+
+    def classified_of(df):
+        return process_observations(df, synthetic_stations(spark))
+
+    def split_sides(cls):
+        ts = with_event_time(cls).filter(F.col("event_ts").isNotNull())
+        alerts = ts.filter(
+            F.col("water_level").isNotNull()
+            & (F.col("flood_warning_level") != "NORMAL")
+        )
+        flows = ts.filter(F.col("flow_rate").isNotNull())
+        return alerts, flows
+
+    stream = observations_file_stream(spark, src).filter(
+        F.col("_corrupt").isNull()
+    ).drop("value", "_corrupt")
+    s_alerts, s_flows = split_sides(classified_of(stream))
+    q = (
+        alerts_with_flow_context(s_alerts, s_flows)
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM ssj").collect()
+    assert len(got) > 0
+    for r in got[:200]:
+        assert r.flow_ts <= r.alert_ts
+        assert (r.alert_ts - r.flow_ts).total_seconds() <= 600
+
+    batch_raw = (
+        spark.read.text(src)
+        .select(
+            F.from_json(
+                "value", "wlobscd string, ymdhm string, wl string, fw string"
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("wlobscd").isNotNull())
+    )
+    b_alerts, b_flows = split_sides(classified_of(batch_raw))
+    want = alerts_with_flow_context(b_alerts, b_flows).count()
+    assert len(got) == want
