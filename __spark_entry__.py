@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_alerts_filtered": hydro.alerts_filtered,
         "hydro_recent_alerts_500": hydro.recent_alerts_500,
         "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
+        "hydro_sensor_gaps": hydro.sensor_gaps,
+        "hydro_resample_10min": hydro.resample_10min,
         # --- JSON wire path (T1-T3, T12, W8 DLQ) ---
         "wire_parse": wire.wire_parse,
         "wire_dlq": wire.wire_dlq,

@@ -1225,3 +1225,22 @@ RELATIONAL_ORACLES["q12_late_shipments"] = """
     WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
     GROUP BY l_linestatus ORDER BY l_linestatus
     """
+
+HYDRO_ORACLES["hydro_sensor_gaps"] = HYDRO_CTE + """
+    , ts AS (
+      SELECT obs_id, wlobscd,
+        try_strptime(obs_time_str, '%Y-%m-%d %H:%M') AS obs_ts
+      FROM parsed
+    ), g AS (
+      SELECT wlobscd,
+        CAST(epoch(obs_ts) AS BIGINT)
+          - CAST(epoch(lag(obs_ts) OVER (
+              PARTITION BY wlobscd ORDER BY obs_ts, obs_id)) AS BIGINT) AS gap_s
+      FROM ts WHERE obs_ts IS NOT NULL
+    )
+    SELECT wlobscd, count(*) AS n_gaps,
+      CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+      CAST(sum(gap_s) AS BIGINT) AS total_gap_s
+    FROM g WHERE gap_s > 7200
+    GROUP BY wlobscd ORDER BY wlobscd
+    """

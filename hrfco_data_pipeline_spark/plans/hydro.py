@@ -189,3 +189,65 @@ def fact_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_wl",
         "max_wl",
     )
+
+
+def sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-outage detection: per-station event-time gaps over the
+    parsed observation stream; a gap > 2 h between consecutive readings
+    is an outage (the ops-side audit a 10-min-cadence sensor network
+    needs; reference surfaces only liveness counts —
+    NiFiMonitoringService.java's activity deltas — this is the
+    station-level root-cause view).
+
+    One shuffle on wlobscd (the lag window partition); the per-station
+    aggregate reuses the same partitioning, so no second exchange. Gap
+    arithmetic is integer epoch seconds — TZ- and engine-invariant in
+    differences.
+    """
+    from pyspark.sql import Window
+
+    c = classified(spark, sf_dir)
+    # keep the LTZ timestamp: ANSI forbids TIMESTAMP->BIGINT casts, so
+    # epoch seconds come from unix_timestamp(); gap differences are
+    # session-TZ-invariant (constant offset cancels; rig runs UTC)
+    ts = F.try_to_timestamp(F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm"))
+    t = c.withColumn("obs_ts", ts).filter(F.col("obs_ts").isNotNull())
+    w = Window.partitionBy("wlobscd").orderBy(F.asc("obs_ts"), F.asc("obs_id"))
+    epoch_s = F.unix_timestamp("obs_ts")
+    gap = (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s")
+    g = t.select("wlobscd", gap).filter(F.col("gap_s") > 7200)
+    return (
+        g.groupBy("wlobscd")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").alias("total_gap_s"),
+        )
+        .orderBy("wlobscd")
+    )
+
+
+def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface for operators/resample.resample_stations over
+    the classified observation stream (rows-only check: pandas linear
+    interpolation has no portable SQL twin; semantics pinned exactly in
+    tests/test_resample.py). Summarized per station so the row count
+    stays stable: grid size, real vs interpolated point counts."""
+    from hrfco_data_pipeline_spark.operators.resample import resample_stations
+
+    c = classified(spark, sf_dir)
+    ts = F.try_to_timestamp(F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm"))
+    t = (
+        c.withColumn("obs_ts", ts)
+        .filter(F.col("obs_ts").isNotNull() & F.col("water_level").isNotNull())
+    )
+    r = resample_stations(t, freq_minutes=10)
+    return (
+        r.groupBy("wlobscd")
+        .agg(
+            F.count("*").alias("n_grid"),
+            F.sum(F.col("interpolated").cast("int")).alias("n_interp"),
+            F.max("water_level").alias("max_wl"),
+        )
+        .orderBy("wlobscd")
+    )
