@@ -39,6 +39,11 @@ HEADLINE = [
     "minhash_near_dups",
     "events_asof_last_error",
     "hydro_fact_hourly_rollup",
+    # round-2 additions: keep the new heavy operators accountable
+    "docs_tfidf_top_terms",
+    "doc_winnow_fingerprints",
+    "hydro_sensor_gaps",
+    "hydro_resample_10min",
 ]
 
 
