@@ -793,12 +793,9 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "n_tokens", "term").agg(
         F.count("*").alias("tf_cnt")
     )
-    df_tbl = (
-        terms.select("doc_id", "term")
-        .distinct()
-        .groupBy("term")
-        .agg(F.count("*").alias("df"))
-    )
+    # tf is already distinct on (doc, term), so df falls out of it —
+    # no second explode / distinct pass over the corpus
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_total"))
     scored = (
         tf.join(df_tbl, "term")
