@@ -266,3 +266,46 @@ def test_winnowing_disjoint_docs_and_short_doc(spark):
     sets = {r.doc_id: set(r.fps) for r in rows}
     assert not (sets[1] & sets[2]), "no shared 4-gram -> no shared fingerprint"
     assert sets[3] == set(), "docs shorter than the gram size select nothing"
+
+
+def _py_winnow(toks, g=4, w=5):
+    """Pure-Python reference of winnow_fingerprints_expr."""
+    import hashlib
+
+    grams = (
+        [
+            hashlib.md5(" ".join(toks[i : i + g]).encode()).hexdigest()
+            for i in range(len(toks) - g + 1)
+        ]
+        if len(toks) >= g
+        else []
+    )
+    if len(grams) >= w:
+        return {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+    return set(grams)
+
+
+_tok_st = None
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _tok_st = st.sampled_from(["a", "b", "ab", "x1", "tok", "zz"])
+except ImportError:  # pragma: no cover
+    pass
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.lists(_tok_st, min_size=0, max_size=15), min_size=48, max_size=48))
+def test_winnowing_matches_python_reference(spark, batch):
+    """Fuzz the selection across the g/w boundary sizes against a
+    pure-Python twin (one Spark job per example, batched docs)."""
+    from hrfco_data_pipeline_spark.plans.llm import winnow_fingerprints_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(batch)], "i long, toks array<string>"
+    )
+    rows = df.select(
+        "i", winnow_fingerprints_expr(F.col("toks")).alias("fps")
+    ).collect()
+    for r in rows:
+        assert set(r.fps) == _py_winnow(batch[r.i]), batch[r.i]
