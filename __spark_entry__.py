@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
         "hydro_sensor_gaps": hydro.sensor_gaps,
         "hydro_resample_10min": hydro.resample_10min,
+        "hydro_station_obs_coverage": hydro.station_obs_coverage,
         # --- JSON wire path (T1-T3, T12, W8 DLQ) ---
         "wire_parse": wire.wire_parse,
         "wire_dlq": wire.wire_dlq,

@@ -1244,3 +1244,17 @@ HYDRO_ORACLES["hydro_sensor_gaps"] = HYDRO_CTE + """
     FROM g WHERE gap_s > 7200
     GROUP BY wlobscd ORDER BY wlobscd
     """
+
+HYDRO_ORACLES["hydro_station_obs_coverage"] = HYDRO_CTE + """
+    , per_station AS (
+      SELECT wlobscd, count(*) AS n_obs FROM classified GROUP BY wlobscd
+    ), dim AS (
+      SELECT wlobscd AS st_code FROM st
+    )
+    SELECT coalesce(wlobscd, st_code) AS code,
+      coalesce(n_obs, 0) AS n_obs,
+      st_code IS NOT NULL AS in_dim,
+      wlobscd IS NOT NULL AS has_obs
+    FROM per_station FULL OUTER JOIN dim ON wlobscd = st_code
+    ORDER BY code
+    """

@@ -251,3 +251,26 @@ def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("wlobscd")
     )
+
+
+def station_obs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit via FULL OUTER join (the one join type the
+    rest of the surface doesn't exercise): stations dim vs per-station
+    observation counts — surfaces both silent stations (dim row, no
+    obs) and orphan observations (obs rows whose station code is not in
+    the dim; the reference silently NO_THRESHOLDs those —
+    StationThresholdLoader.java:60-72). Per-station counts are
+    pre-aggregated before the join, so the dim side broadcasts and the
+    join is 100-row × 120-row scale regardless of fact size."""
+    c = classified(spark, sf_dir)
+    per_station = c.groupBy("wlobscd").agg(F.count("*").alias("n_obs"))
+    st = synthetic_stations(spark).select(F.col("wlobscd").alias("st_code"))
+    j = per_station.join(
+        st, per_station["wlobscd"] == st["st_code"], "full_outer"
+    )
+    return j.select(
+        F.coalesce("wlobscd", "st_code").alias("code"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("st_code").isNotNull().alias("in_dim"),
+        F.col("wlobscd").isNotNull().alias("has_obs"),
+    ).orderBy("code")
