@@ -41,6 +41,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # sources/wire_datasource.py pushes station filters into the reader
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # Floor on scan splits: small inputs (single sub-128MB parquet
         # file) would otherwise scan in ONE task, idling every other

@@ -1,0 +1,164 @@
+"""Spark 4 Python DataSource for the HRFCO wire format (S2/S4).
+
+The reference's ingestion edge is NiFi InvokeHTTP + Kafka
+(`nifi/HRFCO_Data_Pipeline.json`; `HRFCOStreamsApp.java:85-89`): JSON
+records of stringly-typed observations. This connector re-expresses
+that edge as a first-class Spark source via the Python DataSource API
+(pyspark >= 4.0): ``spark.read.format("hrfco_wire").load(dir)`` for
+batch and ``spark.readStream.format("hrfco_wire")`` for streams —
+executor-side, partition-per-file parallel reads (unlike the
+driver-side `sources/http.py` loader, which models the API *fetch*
+fan-in).
+
+Scale/behavior notes:
+
+- Batch: one ``InputPartition`` per file — a 100 TB landing dir scales
+  to as many tasks as files; the per-file JSON parse runs on
+  executors, never the driver.
+- Equality/not-null filters on ``wlobscd`` are pushed into the reader
+  (``pushFilters``) — rows for other stations are dropped before they
+  reach Spark.
+- Streaming: ``SimpleDataSourceStreamReader`` with the offset =
+  count of files consumed from the sorted listing (append-only landing
+  dir contract, the NiFi/Kafka cadence twin). Replays are exact:
+  ``readBetweenOffsets`` re-reads the same file slice.
+- Malformed JSON lines surface as all-null rows with the raw line in
+  ``value`` — same PERMISSIVE + corrupt-record contract as
+  `plans/wire.parsed_wire`, so `wire_dlq` routing works unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    InputPartition,
+    IsNotNull,
+    SimpleDataSourceStreamReader,
+)
+
+WIRE_SCHEMA = "wlobscd string, ymdhm string, wl string, fw string, value string"
+
+_FIELDS = ("wlobscd", "ymdhm", "wl", "fw")
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(path, f))
+    )
+
+
+def _parse_line(line: str):
+    line = line.rstrip("\n")
+    if not line.strip():
+        return None
+    try:
+        d = json.loads(line)
+        if not isinstance(d, dict):
+            raise ValueError("not an object")
+    except ValueError:
+        # corrupt-record contract: nulls + raw line
+        return (None, None, None, None, line)
+    vals = tuple(
+        v if isinstance(v, str) or v is None else str(v)
+        for v in (d.get(k) for k in _FIELDS)
+    )
+    return vals + (line,)
+
+
+def _read_file(fp: str, station_eq: str | None, station_notnull: bool):
+    with open(fp, encoding="utf-8") as fh:
+        for line in fh:
+            row = _parse_line(line)
+            if row is None:
+                continue
+            if station_notnull and row[0] is None:
+                continue
+            if station_eq is not None and row[0] != station_eq:
+                continue
+            yield row
+
+
+class _WireBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hrfco_wire requires a path: .load(dir)")
+        self.station_eq: str | None = None
+        self.station_notnull = False
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("wlobscd",):
+                self.station_eq = f.value
+            elif isinstance(f, IsNotNull) and f.attribute == ("wlobscd",):
+                self.station_notnull = True
+            else:
+                yield f
+
+    def partitions(self):
+        return [InputPartition(fp) for fp in _list_files(self.path)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        yield from _read_file(partition.value, self.station_eq, self.station_notnull)
+
+
+class _WireStreamReader(SimpleDataSourceStreamReader):
+    """Offset = number of files consumed from the sorted listing of an
+    append-only landing directory."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hrfco_wire requires a path option")
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict):
+        files = _list_files(self.path)
+        end = {"n_files": len(files)}
+        return self._slice(files, start["n_files"], len(files)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _list_files(self.path)
+        return self._slice(files, start["n_files"], end["n_files"])
+
+    @staticmethod
+    def _slice(files: list[str], lo: int, hi: int):
+        # materialized, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator. SimpleDataSourceStreamReader
+        # buffers batches driver-side by design — for executor-parallel
+        # streaming reads use the Kafka binding (docs/KAFKA.md) or the
+        # batch reader under foreachBatch.
+        return [
+            row for fp in files[lo:hi] for row in _read_file(fp, None, False)
+        ]
+
+
+class HrfcoWireDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "hrfco_wire"
+
+    def schema(self) -> str:
+        return WIRE_SCHEMA
+
+    def reader(self, schema) -> _WireBatchReader:
+        return _WireBatchReader(self.options)
+
+    def simpleStreamReader(self, schema) -> _WireStreamReader:
+        return _WireStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(HrfcoWireDataSource)
