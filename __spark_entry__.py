@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_parse": wire.wire_parse,
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,
+        "wire_connector_station_counts": wire.wire_connector_station_counts,
         # --- monitoring / dashboard analytics (A1-A9, K1-K4) ---
         "mon_status_counts": relational.mon_status_counts,
         "mon_summary": relational.mon_summary,

@@ -1258,3 +1258,14 @@ HYDRO_ORACLES["hydro_station_obs_coverage"] = HYDRO_CTE + """
     FROM per_station FULL OUTER JOIN dim ON wlobscd = st_code
     ORDER BY code
     """
+
+WIRE_ORACLES["wire_connector_station_counts"] = f"""
+    WITH obs AS ({OBS_SQL})
+    SELECT CASE WHEN obs_id % 53 = 0 THEN NULL ELSE wlobscd END AS wlobscd,
+      count(*) AS n,
+      CAST(sum(CASE WHEN obs_id % 53 <> 0 AND wl IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_wl,
+      CAST(sum(CASE WHEN obs_id % 53 <> 0 AND fw IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_fw
+    FROM obs GROUP BY 1 ORDER BY wlobscd
+    """

@@ -140,3 +140,34 @@ def wire_batch_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.wl").alias("wl"),
         F.col("rec.fw").alias("fw"),
     )
+
+
+def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource connector under the driver's oracle gate:
+    stage the wire lines as text once (cached per sf under /tmp), read
+    them back through ``format("hrfco_wire")`` (executor-side parse,
+    partition per file), and aggregate per station. Corrupt lines
+    surface as the NULL-station group — the connector's
+    corrupt-record contract, mirrored in the oracle via the obs_id%53
+    truncation rule.
+    """
+    import os
+
+    from hrfco_data_pipeline_spark.sources.wire_datasource import register
+
+    stage = "/tmp/hrfco_wire_stage_" + os.path.basename(os.path.normpath(sf_dir))
+    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        synthetic_wire(spark, sf_dir).select("value").coalesce(4).write.mode(
+            "overwrite"
+        ).text(stage)
+    register(spark)
+    df = spark.read.format("hrfco_wire").load(stage)
+    return (
+        df.groupBy("wlobscd")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("wl").isNotNull().cast("int")).alias("n_wl"),
+            F.sum(F.col("fw").isNotNull().cast("int")).alias("n_fw"),
+        )
+        .orderBy("wlobscd")
+    )
