@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_stats": relational.events_moving_stats,
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,
+        "events_value_percentiles": relational.events_value_percentiles,
+        "events_hll_user_rollup": relational.events_hll_user_rollup,
         # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,

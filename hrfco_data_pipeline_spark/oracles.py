@@ -1269,3 +1269,11 @@ WIRE_ORACLES["wire_connector_station_counts"] = f"""
                THEN 1 ELSE 0 END) AS BIGINT) AS n_fw
     FROM obs GROUP BY 1 ORDER BY wlobscd
     """
+
+RELATIONAL_ORACLES["events_value_percentiles"] = """
+    SELECT event_type,
+      median(value) AS med,
+      quantile_cont(value, 0.9) AS p90,
+      count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """

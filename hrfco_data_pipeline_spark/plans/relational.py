@@ -820,3 +820,48 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern:
+    build one DataSketches HLL per (event_type, day) partial, then
+    merge sketches upward to per-type totals instead of rescanning raw
+    data. At scale the per-day sketch table is the stored rollup;
+    daily increments union in. Output compares the merged estimate to
+    the exact distinct per type (rows-only: sketch internals are
+    engine-specific; tests pin <5% relative error).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    daily = ev.groupBy(F.col("event_type"), day).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("exact_day"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select("event_type", "n_days", "exact_users", "approx_users")
+        .orderBy("event_type")
+    )
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median / p90 per event type (single-pass sort-based exact
+    percentile — the oracle-checkable twin of the approx_percentile
+    sketch in events_approx_stats)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.median("value").alias("med"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -57,3 +57,16 @@ def test_approx_stats_bounds(spark):
     # HLL default rsd=5% — allow 3σ
     assert abs(r.approx_users - exact) <= max(3, 0.15 * exact)
     assert r.p50_value < r.p95_value
+
+
+def test_hll_rollup_merge_accuracy(spark):
+    """Merged per-day HLL sketches estimate per-type distincts within
+    5% of exact — the mergeability contract the 100 TB rollup rests on."""
+    from hrfco_data_pipeline_spark.plans.relational import events_hll_user_rollup
+
+    rows = events_hll_user_rollup(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_days > 1  # merge actually spans partials
+        err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert err < 0.05, (r.event_type, r.exact_users, r.approx_users)
