@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_inverted_index": llm.docs_inverted_index,
         "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
         "docs_shard_assign": llm.docs_shard_assign,
+        "docs_chunk_windows": llm.docs_chunk_windows,
+        "events_props_variant": relational.events_props_variant,
         # --- scale-path variants (rows-only checks: engine-specific hashing) ---
         "minhash_near_dups": llm.minhash_near_dups,
         "simhash_clusters": llm.simhash_clusters,

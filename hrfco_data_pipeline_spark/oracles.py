@@ -1277,3 +1277,28 @@ RELATIONAL_ORACLES["events_value_percentiles"] = """
       count(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """
+
+RELATIONAL_ORACLES["events_props_variant"] = """
+    WITH kk AS (
+      SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT k % 10 AS k_bucket, count(*) AS n,
+      CAST(sum(k) AS BIGINT) AS k_sum,
+      min(k) AS k_min, max(k) AS k_max
+    FROM kk GROUP BY 1 ORDER BY k_bucket
+    """
+
+LLM_ORACLES["docs_chunk_windows"] = _TOK_CTE + """
+    , starts AS (
+      SELECT doc_id, toks,
+        CAST(unnest(generate_series(1, len(toks), 64)) AS INTEGER) AS start
+      FROM tok WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+      (start - 1) // 64 AS chunk_idx,
+      start,
+      CAST(len(list_slice(toks, start, start + 127)) AS INTEGER) AS n_chunk_toks,
+      md5(array_to_string(list_slice(toks, start, start + 127), ' ')) AS chunk_hash
+    FROM starts
+    """

@@ -875,3 +875,35 @@ def docs_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence chunking: split each document into overlapping
+    token windows (size 128, stride 64) — the context-window prep step
+    between cleaning and packing in an LLM data pipeline. One explode
+    over per-row chunk starts; slices reference the materialized token
+    attribute (O(window) each — see window_min_fps_expr's warning).
+    Emits chunk coordinates + content hash; the text itself would be
+    carried alongside in production (hash keeps the checked schema
+    scalar and the oracle exact).
+    """
+    size, stride = 128, 64
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice("toks", F.col("start"), F.lit(size))
+    return starts.select(
+        "doc_id",
+        F.expr("div(start - 1, 64)").alias("chunk_idx"),
+        "start",
+        F.size(chunk).alias("n_chunk_toks"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

@@ -865,3 +865,30 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 on Spark 4's VARIANT type: parse props once into the binary
+    semi-structured encoding, then typed-path extraction + aggregation
+    over it (`variant_get`). At scale this replaces per-access JSON
+    re-parsing (get_json_object re-parses the string for every path)
+    with a parse-once columnar encoding — the shredded form a 100 TB
+    semi-structured column wants. Aggregates per k-bucket so the
+    output is stable and oracle-checkable in plain SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", F.try_parse_json("props").alias("pv")
+    )
+    k = F.try_variant_get("pv", "$.k", "long")
+    return (
+        v.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("k_bucket")
+    )

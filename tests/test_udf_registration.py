@@ -42,3 +42,33 @@ def test_grouped_agg_pandas_udaf(spark):
     )
     got = {r["k"]: r["p"] for r in df.groupBy("k").agg(F.expr("p90(v) AS p")).collect()}
     assert got["a"] == 9.0 and got["b"] == 5.0
+
+
+def test_python_udtf_lateral_join(spark):
+    """Spark 4 Python UDTF surface: a table function registered in SQL
+    and applied per input row via LATERAL — the extension point for
+    row-expanding custom ops the HOF/explode forms can't express."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, lo bigint, hi bigint")
+    class RangeChunks:
+        def eval(self, n: int, size: int):
+            i = 0
+            lo = 0
+            while lo < n:
+                yield i, lo, min(lo + size, n)
+                i += 1
+                lo += size
+
+    spark.udtf.register("range_chunks", RangeChunks)
+    rows = spark.sql(
+        """
+        SELECT t.id, c.chunk_idx, c.lo, c.hi
+        FROM (SELECT id FROM range(2)) t,
+        LATERAL range_chunks(5, CAST(2 AS INT)) c
+        """
+    ).collect()
+    got = sorted((r.id, r.chunk_idx, r.lo, r.hi) for r in rows)
+    per_row = [(c, lo, hi) for (_, c, lo, hi) in got if _ == 0]
+    assert per_row == [(0, 0, 2), (1, 2, 4), (2, 4, 5)]
+    assert len(got) == 6  # both outer rows expanded
