@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
         "docs_shard_assign": llm.docs_shard_assign,
         "docs_chunk_windows": llm.docs_chunk_windows,
+        "docs_split_assign": llm.docs_split_assign,
+        "docs_curation_funnel": llm.docs_curation_funnel,
         "events_props_variant": relational.events_props_variant,
         # --- scale-path variants (rows-only checks: engine-specific hashing) ---
         "minhash_near_dups": llm.minhash_near_dups,

@@ -1302,3 +1302,51 @@ LLM_ORACLES["docs_chunk_windows"] = _TOK_CTE + """
       md5(array_to_string(list_slice(toks, start, start + 127), ' ')) AS chunk_hash
     FROM starts
     """
+
+LLM_ORACLES["docs_split_assign"] = """
+    SELECT lang,
+      CASE WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 < 80
+           THEN 'train'
+           WHEN ((doc_id % 2147483648) * 2654435761) % 2147483648 % 100 < 90
+           THEN 'val' ELSE 'test' END AS split,
+      count(*) AS n
+    FROM documents GROUP BY 1, 2 ORDER BY lang, split
+    """
+
+LLM_ORACLES["docs_curation_funnel"] = r"""
+    WITH base AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(text, '[\x00-\x1f\x7f]', ' ', 'g'),
+                            '\s+', ' ', 'g')) AS norm
+      FROM documents
+    ), flags AS (
+      SELECT doc_id, norm,
+        length(norm) > 0 AS nonempty,
+        regexp_split_to_array(norm, '\s+') AS toks,
+        md5(lower(norm)) AS h
+      FROM base
+    ), scored AS (
+      SELECT h, nonempty, len(toks) AS n_toks,
+        nonempty AND (
+          (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000
+                THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+           + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+                  THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+           + CASE WHEN CAST(len(list_filter(toks,
+                    x -> x IN ('the','a','of','and','data'))) AS DOUBLE) / len(toks)
+                    BETWEEN 0.01 AND 0.5
+                  THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) >= 0.7
+        ) AS quality
+      FROM flags
+    ), totals AS (
+      SELECT count(*) AS n_total,
+        CAST(sum(CASE WHEN nonempty THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+        CAST(sum(CASE WHEN quality THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+      FROM scored
+    ), uniq AS (
+      SELECT count(*) AS n_unique,
+        CAST(sum(toks_g) AS BIGINT) AS surviving_tokens
+      FROM (SELECT h, min(n_toks) AS toks_g FROM scored WHERE quality GROUP BY h)
+    )
+    SELECT * FROM totals, uniq
+    """

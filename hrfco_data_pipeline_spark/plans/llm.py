@@ -907,3 +907,73 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_toks"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by Knuth hash
+    of doc_id — stable across runs/retries/AQE (no rand()), stratified
+    reporting per language. The canonical last step before sharded
+    output; at scale `split` joins `shard` as partitionBy keys."""
+    from hrfco_data_pipeline_spark.operators.sampling import KNUTH
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.lit(2_147_483_648)
+    pct = (((F.col("doc_id") % m) * F.lit(KNUTH)) % m) % F.lit(100)
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "split")
+    )
+
+
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline as a one-row funnel report: how many
+    documents survive each stage (normalize → non-empty → quality gate
+    → exact dedup) and the surviving token budget — the
+    acceptance-dashboard number a corpus build publishes per run.
+
+    Shapes: one scan computing all flags, a single groupBy on the
+    16-byte content hash for the dedup level (identical text ⇒
+    identical token count, so per-group min is exact), then two scalar
+    aggregates joined — no window, no second scan of the corpus.
+    """
+    from hrfco_data_pipeline_spark.operators.textnorm import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = normalize_text("text")
+    base = docs.select(
+        F.col("doc_id"),
+        n.alias("norm"),
+    ).select(
+        "doc_id",
+        "norm",
+        (F.length("norm") > 0).alias("nonempty"),
+        F.split(F.col("norm"), r"\s+").alias("toks"),
+        F.md5(F.lower("norm")).alias("h"),
+    )
+    q = quality_score_expr(F.col("toks")) >= 0.7
+    flagged = base.select(
+        "h",
+        "nonempty",
+        (F.col("nonempty") & q).alias("quality"),
+        F.size("toks").alias("n_toks"),
+    )
+    totals = flagged.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("nonempty").cast("int")).alias("n_nonempty"),
+        F.sum(F.col("quality").cast("int")).alias("n_quality"),
+    )
+    uniq = (
+        flagged.filter("quality")
+        .groupBy("h")
+        .agg(F.min("n_toks").alias("toks_g"))
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("toks_g").alias("surviving_tokens"),
+        )
+    )
+    return totals.crossJoin(uniq)
