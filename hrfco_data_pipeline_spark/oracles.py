@@ -1350,3 +1350,15 @@ LLM_ORACLES["docs_curation_funnel"] = r"""
     )
     SELECT * FROM totals, uniq
     """
+
+RELATIONAL_ORACLES["events_range_window"] = """
+    SELECT event_id, user_id,
+      count(*) OVER w AS n_10m,
+      min(value) OVER w AS min_10m,
+      max(value) OVER w AS max_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY epoch_ns(ts) // 1000000000
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id LIMIT 2000
+    """

@@ -892,3 +892,29 @@ def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: per user, stats of the
+    trailing 10-minute interval at each event (RANGE BETWEEN INTERVAL
+    frames, complementing events_moving_stats' ROWS frames). Counts and
+    min/max only — order-insensitive within the frame, so the doubles
+    hash-match the oracle exactly. One shuffle on user_id.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-600, Window.currentRow)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_10m"),
+        F.min("value").over(w).alias("min_10m"),
+        F.max("value").over(w).alias("max_10m"),
+    )
+    return out.orderBy("event_id").limit(2000)
