@@ -194,3 +194,32 @@ def alerts_with_flow_context(
         "flow_ts",
         "flow_rate",
     )
+
+
+def session_windowed_counts(
+    classified: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per-station event
+    bursts separated by >= ``gap`` of inactivity — the engine-managed
+    form of plans/relational.events_sessionize's manual lag+cumsum
+    sessionization. On a stream the watermark closes sessions whose gap
+    has definitively elapsed (state per open session, not per event);
+    identical semantics on batch frames (the tests' cross-check).
+    """
+    from hrfco_data_pipeline_spark.streaming.analytics import with_event_time
+
+    with_ts = with_event_time(classified).filter(F.col("event_ts").isNotNull())
+    if classified.isStreaming:
+        with_ts = with_ts.withWatermark("event_ts", watermark)
+    return (
+        with_ts.groupBy(
+            F.session_window("event_ts", gap).alias("sw"), F.col("wlobscd")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "wlobscd",
+            "n",
+        )
+    )

@@ -163,3 +163,51 @@ def test_stream_stream_interval_join(spark, tmp_path):
     b_alerts, b_flows = split_sides(classified_of(batch_raw))
     want = alerts_with_flow_context(b_alerts, b_flows).count()
     assert len(got) == want
+
+
+def test_native_session_windows_stream_equals_batch(spark, tmp_path):
+    from hrfco_data_pipeline_spark.streaming.analytics import (
+        session_windowed_counts,
+    )
+
+    src = str(tmp_path / "src_sw")
+    synthetic_wire(spark, SF).select("value").coalesce(1).write.mode(
+        "overwrite"
+    ).text(src)
+
+    stream = observations_file_stream(spark, src).filter(
+        F.col("_corrupt").isNull()
+    ).drop("value", "_corrupt")
+    s_cls = process_observations(stream, synthetic_stations(spark))
+    q = (
+        session_windowed_counts(s_cls, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sw_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.session_start, r.session_end, r.wlobscd): r.n
+        for r in spark.sql("SELECT * FROM sw_counts").collect()
+    }
+    assert len(got) > 0
+
+    batch_raw = (
+        spark.read.text(src)
+        .select(
+            F.from_json(
+                "value", "wlobscd string, ymdhm string, wl string, fw string"
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("wlobscd").isNotNull())
+    )
+    b_cls = process_observations(batch_raw, synthetic_stations(spark))
+    want = {
+        (r.session_start, r.session_end, r.wlobscd): r.n
+        for r in session_windowed_counts(b_cls).collect()
+    }
+    assert got == want
