@@ -40,7 +40,12 @@ def java_parse(s: str | None) -> float | None:
         return None
     core = t[:-1] if t[-1] in "fFdD" else t
     if "x" in core.lower():
-        return float.fromhex(core)
+        try:
+            return float.fromhex(core)
+        except OverflowError:
+            # Java parseDouble rounds oversized hex exponents to ±Infinity;
+            # float.fromhex raises instead
+            return sign * math.inf
     return float(core)
 
 
@@ -48,7 +53,7 @@ _pieces = st.sampled_from(
     ["", "+", "-", "0", "1", "9", "12", "007", ".", "e", "E", "e5", "e-3",
      "E+10", "d", "f", "D", "F", "NaN", "Infinity", "inf", "nan", "0x1p3",
      "0x", "p3", " ", "  ", "abc", "_", "1_0", ",", "1.5", ".5", "5.",
-     "e999", "1e999", "1e-999"]
+     "e999", "1e999", "1e-999", "0x1p3007", "-0x1p3007", "0x1p-3007"]
 )
 _numeric_strings = st.lists(_pieces, min_size=0, max_size=4).map("".join)
 
