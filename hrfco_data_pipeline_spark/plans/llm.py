@@ -855,15 +855,13 @@ def docs_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     of doc_id -> 16 shards, verified balanced via per-shard counts and
     byte mass. The hash (not doc_id % N) decorrelates shard from crawl
     order, so every shard is an unbiased corpus sample — what a
-    downstream trainer wants from a shard file. Arithmetic stays in
-    BIGINT under ANSI (doc_id % 2^31 * KNUTH < 2^63). One groupBy on a
+    downstream trainer wants from a shard file. One groupBy on a
     16-value key; at 100 TB this is the partitionBy("shard") write key.
     """
-    from hrfco_data_pipeline_spark.operators.sampling import KNUTH
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    m = F.lit(2_147_483_648)
-    shard = (((F.col("doc_id") % m) * F.lit(KNUTH)) % m) % F.lit(16)
+    shard = hash_bucket("doc_id", 16)
     return (
         docs.select(shard.alias("shard"), "doc_id", "n_chars")
         .groupBy("shard")
@@ -902,7 +900,7 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk = F.slice("toks", F.col("start"), F.lit(size))
     return starts.select(
         "doc_id",
-        F.expr("div(start - 1, 64)").alias("chunk_idx"),
+        F.expr(f"div(start - 1, {stride})").alias("chunk_idx"),
         "start",
         F.size(chunk).alias("n_chunk_toks"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
@@ -914,11 +912,10 @@ def docs_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     of doc_id — stable across runs/retries/AQE (no rand()), stratified
     reporting per language. The canonical last step before sharded
     output; at scale `split` joins `shard` as partitionBy keys."""
-    from hrfco_data_pipeline_spark.operators.sampling import KNUTH
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
 
     docs = load_table(spark, sf_dir, "documents")
-    m = F.lit(2_147_483_648)
-    pct = (((F.col("doc_id") % m) * F.lit(KNUTH)) % m) % F.lit(100)
+    pct = hash_bucket("doc_id", 100)
     split = (
         F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
     )

@@ -835,7 +835,6 @@ def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.date_trunc("day", "ts").alias("day")
     daily = ev.groupBy(F.col("event_type"), day).agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("exact_day"),
     )
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),

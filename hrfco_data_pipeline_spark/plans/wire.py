@@ -151,15 +151,31 @@ def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     corrupt-record contract, mirrored in the oracle via the obs_id%53
     truncation rule.
     """
+    import hashlib
     import os
+    import shutil
 
     from hrfco_data_pipeline_spark.sources.wire_datasource import register
 
-    stage = "/tmp/hrfco_wire_stage_" + os.path.basename(os.path.normpath(sf_dir))
+    # key the stage by source identity + content version (size/mtime of
+    # the events file the wire derives from), so regenerated test data
+    # or same-basename trees never reuse a stale stage; publish the dir
+    # with an atomic rename so concurrent runs never see a partial one
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    stage = f"/tmp/hrfco_wire_stage_{key}"
     if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+        tmp = f"{stage}.tmp.{os.getpid()}"
         synthetic_wire(spark, sf_dir).select("value").coalesce(4).write.mode(
             "overwrite"
-        ).text(stage)
+        ).text(tmp)
+        try:
+            os.rename(tmp, stage)
+        except OSError:  # lost the publish race — another run staged it
+            shutil.rmtree(tmp, ignore_errors=True)
     register(spark)
     df = spark.read.format("hrfco_wire").load(stage)
     return (

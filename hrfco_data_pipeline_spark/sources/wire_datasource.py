@@ -113,8 +113,17 @@ class _WireBatchReader(DataSourceReader):
 
 
 class _WireStreamReader(SimpleDataSourceStreamReader):
-    """Offset = number of files consumed from the sorted listing of an
-    append-only landing directory."""
+    """Offset = lexicographic high-water mark of consumed file names.
+
+    Contract: the landing directory is append-only with monotonically
+    increasing file names (timestamp-prefixed, the standard landing
+    convention). A mark never double-reads a file under ANY naming —
+    a late file sorting below the mark is skipped, not duplicated (a
+    positional offset into a re-sorted listing would replay old files
+    instead). For arbitrary naming use Spark's native file source,
+    which keeps a full seen-files log, or the batch reader under
+    foreachBatch.
+    """
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -122,27 +131,37 @@ class _WireStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("hrfco_wire requires a path option")
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"mark": ""}
 
     def read(self, start: dict):
-        files = _list_files(self.path)
-        end = {"n_files": len(files)}
-        return self._slice(files, start["n_files"], len(files)), end
+        new = [
+            fp
+            for fp in _list_files(self.path)
+            if os.path.basename(fp) > start["mark"]
+        ]
+        end = {"mark": os.path.basename(new[-1])} if new else start
+        return self._read_all(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = _list_files(self.path)
-        return self._slice(files, start["n_files"], end["n_files"])
+        sel = [
+            fp
+            for fp in _list_files(self.path)
+            if start["mark"] < os.path.basename(fp) <= end["mark"]
+        ]
+        return self._read_all(sel)
 
     @staticmethod
-    def _slice(files: list[str], lo: int, hi: int):
-        # materialized, not a generator: Spark's prefetch cache
-        # copy.copy()s the returned iterator. SimpleDataSourceStreamReader
-        # buffers batches driver-side by design — for executor-parallel
+    def _read_all(files: list[str]):
+        # a materialized list ITERATOR, not a generator: Spark's
+        # prefetch cache copy.copy()s it (generators aren't copyable)
+        # and next()s it to validate the no-new-data case (a bare list
+        # isn't an iterator). SimpleDataSourceStreamReader buffers
+        # batches driver-side by design — for executor-parallel
         # streaming reads use the Kafka binding (docs/KAFKA.md) or the
         # batch reader under foreachBatch.
-        return [
-            row for fp in files[lo:hi] for row in _read_file(fp, None, False)
-        ]
+        return iter(
+            [row for fp in files for row in _read_file(fp, None, False)]
+        )
 
 
 class HrfcoWireDataSource(DataSource):

@@ -206,8 +206,6 @@ def session_windowed_counts(
     has definitively elapsed (state per open session, not per event);
     identical semantics on batch frames (the tests' cross-check).
     """
-    from hrfco_data_pipeline_spark.streaming.analytics import with_event_time
-
     with_ts = with_event_time(classified).filter(F.col("event_ts").isNotNull())
     if classified.isStreaming:
         with_ts = with_ts.withWatermark("event_ts", watermark)

@@ -285,13 +285,9 @@ def _py_winnow(toks, g=4, w=5):
     return set(grams)
 
 
-_tok_st = None
-try:
-    from hypothesis import given, settings, strategies as st
+from hypothesis import given, settings, strategies as st
 
-    _tok_st = st.sampled_from(["a", "b", "ab", "x1", "tok", "zz"])
-except ImportError:  # pragma: no cover
-    pass
+_tok_st = st.sampled_from(["a", "b", "ab", "x1", "tok", "zz"])
 
 
 @settings(max_examples=6, deadline=None)

@@ -133,3 +133,39 @@ def test_stream_offsets_resume_across_restarts(spark, tmp_path):
         f.write('{"wlobscd":"3","ymdhm":"202401011220","wl":"1.2","fw":"2.2"}\n')
     # same checkpoint: only the new file is appended to the sink
     assert run_once() == ["1", "2", "3"]
+
+
+def test_stream_mark_never_double_reads_out_of_order_names(spark, tmp_path):
+    """A late file sorting BELOW the consumed mark is skipped, never
+    replayed as a duplicate (the mark contract; positional offsets into
+    a re-sorted listing would double-read)."""
+    import os
+
+    src = str(tmp_path / "ooo")
+    os.makedirs(src)
+    with open(os.path.join(src, "b_second.txt"), "w") as f:
+        f.write('{"wlobscd":"1","ymdhm":"202401011200","wl":"1.0","fw":"2.0"}\n')
+    register(spark)
+    out = str(tmp_path / "out_ooo")
+
+    def run_once():
+        q = (
+            spark.readStream.format("hrfco_wire")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ck_ooo"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return sorted(r.wlobscd for r in spark.read.parquet(out).collect())
+
+    assert run_once() == ["1"]
+    # arrives late with a name below the mark: out of contract -> skipped;
+    # crucially nothing already consumed is emitted again
+    with open(os.path.join(src, "a_first.txt"), "w") as f:
+        f.write('{"wlobscd":"9","ymdhm":"202401011100","wl":"0.5","fw":"1.0"}\n')
+    assert run_once() == ["1"]
