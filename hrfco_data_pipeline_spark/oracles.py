@@ -1362,3 +1362,23 @@ RELATIONAL_ORACLES["events_range_window"] = """
                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
     ORDER BY event_id LIMIT 2000
     """
+
+RELATIONAL_ORACLES["dq_referential_report"] = """
+    SELECT * FROM (
+      SELECT 'orders_null_custkey' AS check,
+        (SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS violations
+      UNION ALL SELECT 'orders_orphan_custkey',
+        (SELECT count(*) FROM orders
+         WHERE o_custkey IS NOT NULL
+           AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+      UNION ALL SELECT 'lineitem_orphan_orderkey',
+        (SELECT count(*) FROM lineitem
+         WHERE l_orderkey IS NOT NULL
+           AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+      UNION ALL SELECT 'customer_dup_custkey',
+        (SELECT count(*) FROM
+          (SELECT c_custkey FROM customer GROUP BY 1 HAVING count(*) > 1))
+      UNION ALL SELECT 'events_null_user',
+        (SELECT count(*) FROM events WHERE user_id IS NULL)
+    ) ORDER BY "check"
+    """

@@ -917,3 +917,53 @@ def events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").over(w).alias("max_10m"),
     )
     return out.orderBy("event_id").limit(2000)
+
+
+def dq_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the star schema: one row per check —
+    null/duplicate keys and referential integrity (fact keys ⊆ dim
+    keys via left-anti counts). The pre-load gate a pipeline runs
+    before publishing a snapshot. Anti-joins broadcast the dim side
+    where small; counts are map-side partial. Unioned scalar results
+    keep the report one scan per check.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("check"), F.count("*").cast("long").alias("violations")
+        )
+
+    checks = [
+        one("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        one(
+            "orders_orphan_custkey",
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders["o_custkey"] == cust["c_custkey"],
+                "left_anti",
+            ),
+        ),
+        one(
+            "lineitem_orphan_orderkey",
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == orders["o_orderkey"],
+                "left_anti",
+            ),
+        ),
+        one(
+            "customer_dup_custkey",
+            cust.groupBy("c_custkey")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+        one("events_null_user", ev.filter(F.col("user_id").isNull())),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check")
