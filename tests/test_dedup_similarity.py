@@ -305,3 +305,21 @@ def test_winnowing_matches_python_reference(spark, batch):
     ).collect()
     for r in rows:
         assert set(r.fps) == _py_winnow(batch[r.i]), batch[r.i]
+
+
+def test_winnowing_two_stage_handles_giant_doc(spark):
+    """A 50k-token document completes through the two-stage winnow plan
+    shape and matches the Python reference — the inline O(n²) form
+    would need ~2.5e9 md5 calls and never finish (the regression this
+    test guards; see plans/llm.window_min_fps_expr)."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        gram_hashes_expr,
+        window_min_fps_expr,
+    )
+
+    toks = [f"t{i % 997}" for i in range(50_000)]
+    df = spark.createDataFrame([(1, toks)], "doc_id long, toks array<string>")
+    h = df.select("doc_id", gram_hashes_expr(F.col("toks")).alias("h"))
+    h = h.repartition(2)
+    got = h.select(F.size(window_min_fps_expr(F.col("h"))).alias("n")).collect()
+    assert got[0].n == len(_py_winnow(toks))

@@ -80,3 +80,41 @@ def test_multimodal_decode_stub_raises(spark):
     mm = to_multimodal(docs)
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         extract_features(mm, fake=False).collect()
+
+
+def test_sharded_split_write_roundtrip(spark, tmp_path):
+    """The training-output write path end-to-end: hash shard + split
+    assignment as partitionBy keys; read-back is lossless and a
+    single-shard read prunes to that partition's files."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pct = hash_bucket("doc_id", 100)
+    out = str(tmp_path / "corpus")
+    staged = docs.select(
+        "doc_id",
+        "text",
+        hash_bucket("doc_id", 4).alias("shard"),
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split"),
+    )
+    staged.write.partitionBy("split", "shard").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # partition dirs exist for every split
+    assert {d.name for d in os.scandir(out) if d.is_dir()} >= {
+        "split=train", "split=val", "split=test"
+    }
+    # partition-pruned read touches one shard only and matches the plan
+    one = spark.read.parquet(out).filter(
+        (F.col("split") == "train") & (F.col("shard") == 1)
+    )
+    want = staged.filter((F.col("split") == "train") & (F.col("shard") == 1)).count()
+    assert one.count() == want > 0
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "split=train" not in plan

@@ -42,3 +42,52 @@ def test_stream_fanout(spark, tmp_path):
     assert "ANOMALY" in levels and "NORMAL" in levels
     # C5: internal levels never leak into the published alerts
     assert not levels & {"NO_THRESHOLD", "PARTIAL_THRESHOLD"}
+
+
+def test_stream_restart_exactly_once_fact_rows(spark, tmp_path):
+    """R3/W4 continuity: stop after batch 1, add data, restart on the
+    same checkpoint — the fact sink ends with exactly the union of both
+    runs' valid rows, no duplicates and no loss."""
+    import pyspark.sql.functions as F
+
+    src, out, ckpt = str(tmp_path / "src2"), str(tmp_path / "o2"), str(tmp_path / "ck2")
+    wire = synthetic_wire(spark, SF).select("obs_id", "value")
+    first = wire.filter(F.col("obs_id") < 500)
+    second = wire.filter(F.col("obs_id") >= 500)
+    first.select("value").coalesce(1).write.mode("overwrite").text(src)
+
+    def run_once():
+        q = run_stream(
+            spark,
+            observations_file_stream(spark, src),
+            synthetic_stations(spark),
+            out,
+            ckpt,
+        )
+        assert q.awaitTermination(300)
+
+    run_once()
+    n1 = spark.read.parquet(f"{out}/fact").count()
+    assert n1 > 0
+
+    # land the second half as NEW files (append-only source contract)
+    second.select("value").coalesce(1).write.mode("append").text(src)
+    run_once()
+    n2 = spark.read.parquet(f"{out}/fact").count()
+    assert n2 > n1
+    # exactly-once: fact row count equals the batch twin over BOTH
+    # landed files — a replayed batch would overshoot, a lost one undershoot
+    from hrfco_data_pipeline_spark.operators.classify import process_observations
+
+    batch_raw = (
+        spark.read.text(src)
+        .select(
+            F.from_json(
+                "value", "wlobscd string, ymdhm string, wl string, fw string"
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("wlobscd").isNotNull())
+    )
+    want = process_observations(batch_raw, synthetic_stations(spark)).count()
+    assert n2 == want
