@@ -1382,3 +1382,20 @@ RELATIONAL_ORACLES["dq_referential_report"] = """
         (SELECT count(*) FROM events WHERE user_id IS NULL)
     ) ORDER BY "check"
     """
+
+RELATIONAL_ORACLES["q17_small_quantity_revenue"] = """
+    WITH per_part AS (
+      SELECT l_partkey AS ap_key,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT
+      CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2)))
+           AS DOUBLE) / 7.0 AS avg_yearly,
+      count(*) AS n_small
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN per_part ON l_partkey = ap_key
+    WHERE p_brand = 'Brand#4'
+      AND CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
+    """

@@ -967,3 +967,32 @@ def dq_referential_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("check")
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery decorrelated the
+    Spark way: the per-part average quantity becomes a groupBy'd
+    aggregate joined back to the fact (one extra shuffle on partkey
+    instead of a per-row subquery), brand dim filter broadcast. Exact
+    decimal revenue; the 0.2×avg threshold is computed as the same
+    explicit double expression on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#4"
+    )
+    qty = F.col("l_quantity").cast("long")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity").cast("double") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count("*").alias("n_small"),
+        )
+    )
