@@ -221,3 +221,89 @@ def session_windowed_counts(
             "n",
         )
     )
+
+
+SILENCE_OUTPUT_SCHEMA = (
+    "wlobscd string, kind string, last_epoch_ms bigint, n_seen bigint"
+)
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class SilenceAlarmProcessor(StatefulProcessor):
+    """``transformWithStateInPandas`` stateful processor (Spark 4
+    arbitrary-state API): per-station sensor-silence alarm via
+    processing-time TIMERS — the capability the older
+    ``applyInPandasWithState`` lacks (it only sees a key again when new
+    data arrives; a timer fires for a key precisely when data does
+    NOT arrive). Every batch of readings refreshes the station's
+    ``last_seen`` state and re-arms a timer ``silence_ms`` out; if the
+    timer expires before new readings, an ``ALARM`` row is emitted for
+    that station. State is one tuple + one timer per station —
+    station-cardinality-bounded, stream-length-independent.
+    """
+
+    def __init__(self, silence_ms: int = 1000):
+        self.silence_ms = silence_ms
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.last_seen = handle.getValueState(
+            "last_seen", "last_epoch_ms long, n_seen long"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n_new = 0
+        for pdf in rows:
+            n_new += len(pdf)
+        prev = self.last_seen.get()
+        n_total = (prev[1] if prev else 0) + n_new
+        now_ms = timerValues.getCurrentProcessingTimeInMs()
+        self.last_seen.update((now_ms, n_total))
+        # re-arm: drop any previous timer, schedule the next silence check
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        self.handle.registerTimer(now_ms + self.silence_ms)
+        yield pd.DataFrame(
+            {
+                "wlobscd": [key[0]],
+                "kind": ["SEEN"],
+                "last_epoch_ms": [now_ms],
+                "n_seen": [n_total],
+            }
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        prev = self.last_seen.get()
+        yield pd.DataFrame(
+            {
+                "wlobscd": [key[0]],
+                "kind": ["ALARM"],
+                "last_epoch_ms": [prev[0] if prev else None],
+                "n_seen": [prev[1] if prev else 0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def silence_alarms(parsed_stream: DataFrame, silence_ms: int = 1000) -> DataFrame:
+    """Bind SilenceAlarmProcessor to a parsed observation stream."""
+    return (
+        parsed_stream.select("wlobscd")
+        .groupBy("wlobscd")
+        .transformWithStateInPandas(
+            statefulProcessor=SilenceAlarmProcessor(silence_ms),
+            outputStructType=SILENCE_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="ProcessingTime",
+        )
+    )

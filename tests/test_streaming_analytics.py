@@ -211,3 +211,73 @@ def test_native_session_windows_stream_equals_batch(spark, tmp_path):
         for r in session_windowed_counts(b_cls).collect()
     }
     assert got == want
+
+
+def test_silence_alarm_timers_fire_without_new_data(spark, tmp_path):
+    """transformWithStateInPandas with processing-time timers: a
+    station that stops reporting raises an ALARM in a later batch even
+    though no new rows arrive for its key — the timer capability
+    applyInPandasWithState lacks. Timers + state survive the restart
+    (RocksDB state store, same checkpoint).
+
+    The TWS worker protocol needs google.protobuf, which this container
+    does not ship — skipped here, runnable on any standard install
+    (same env-blocked status as the Kafka bindings, docs/KAFKA.md).
+    """
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState worker protocol needs protobuf (absent here)",
+    )
+    import json
+    import os
+    import time
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        from hrfco_data_pipeline_spark.streaming.analytics import silence_alarms
+
+        src = str(tmp_path / "src_silence")
+        os.makedirs(src)
+        out = str(tmp_path / "out_silence")
+
+        def land(name, codes):
+            with open(os.path.join(src, name), "w") as f:
+                for c in codes:
+                    f.write(json.dumps({"wlobscd": c, "ymdhm": "202401011200",
+                                        "wl": "1.0", "fw": "2.0"}) + "\n")
+
+        def run_once():
+            stream = observations_file_stream(spark, src).filter(
+                F.col("_corrupt").isNull()
+            ).drop("value", "_corrupt")
+            q = (
+                silence_alarms(stream, silence_ms=500)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", str(tmp_path / "ck_silence"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+
+        land("a.txt", ["1", "2"])
+        run_once()
+        seen1 = spark.read.parquet(out).collect()
+        assert {(r.wlobscd, r.kind) for r in seen1} == {("1", "SEEN"), ("2", "SEEN")}
+
+        time.sleep(1.5)  # let both stations' 500 ms timers expire
+        land("b.txt", ["2"])  # only station 2 reports again
+        run_once()
+        rows = spark.read.parquet(out).collect()
+        kinds = {(r.wlobscd, r.kind) for r in rows}
+        assert ("1", "ALARM") in kinds, kinds  # silent station alarmed via timer
+        n2 = max(r.n_seen for r in rows if r.wlobscd == "2" and r.kind == "SEEN")
+        assert n2 == 2  # station 2's state carried across the restart
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
