@@ -265,8 +265,10 @@ class SilenceAlarmProcessor(StatefulProcessor):
         n_total = (prev[1] if prev else 0) + n_new
         now_ms = timerValues.getCurrentProcessingTimeInMs()
         self.last_seen.update((now_ms, n_total))
-        # re-arm: drop any previous timer, schedule the next silence check
-        for t in self.handle.listTimers():
+        # re-arm: drop any previous timer, schedule the next silence
+        # check (materialize before deleting — the iterator pages
+        # through the state API and must not see concurrent mutation)
+        for t in list(self.handle.listTimers()):
             self.handle.deleteTimer(t)
         self.handle.registerTimer(now_ms + self.silence_ms)
         yield pd.DataFrame(
