@@ -1,0 +1,75 @@
+"""Physical-plan regression guards for flagship queries.
+
+PLANS.md is the human-readable audit; these assertions pin the
+load-bearing plan properties in CI so an optimizer-hostile refactor
+(lost pushdown, dropped broadcast, surprise exchange) fails fast
+instead of surfacing as a 100× regression at scale.
+"""
+
+from __future__ import annotations
+
+from hrfco_data_pipeline_spark.plans import hydro, llm, relational
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_scan_pushdown_and_pruning(spark):
+    s = _formatted(relational.q6_forecast_revenue(spark, SF))
+    # filters reach the parquet scan...
+    assert "PushedFilters" in s and "l_shipdate" in s.split("PushedFilters", 1)[1][:400]
+    # ...and the scan reads only the referenced columns, not the table
+    read_schema = s.split("ReadSchema", 1)[1][:300]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_q3_customer_dim_broadcast(spark):
+    s = _plan(relational.q3_shipping_priority(spark, SF))
+    assert "BroadcastHashJoin" in s
+    # the fact-fact join must NOT be broadcast at scale: orderkey side
+    # stays a shuffle join under the 64 MB threshold at real SFs; at
+    # sf0.01 AQE may still broadcast it, so only assert the dim side.
+
+
+def test_hydro_hot_path_has_no_data_shuffle(spark):
+    s = _plan(hydro.alerts(spark, SF))
+    # allowed: the broadcast of the stations dim, and the deliberate
+    # round-robin input spread (sources/synthetic.py core-spread for
+    # single-split scans). NOT allowed: any hash/range exchange — the
+    # classify path must stay shuffle-free.
+    stripped = s.replace("BroadcastExchange", "").replace(
+        "Exchange RoundRobinPartitioning", ""
+    )
+    assert "Exchange" not in stripped
+    assert "BroadcastHashJoin" in s  # stations dim join
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    s = _plan(llm.dedup_exact_docs(spark, SF))
+    # two HashAggregate nodes (partial + final) around one exchange:
+    # map-side combine is what keeps the shuffle tiny at 100 TB
+    assert s.count("HashAggregate") >= 2
+    assert s.count("Exchange") >= 1
+
+
+def test_tfidf_window_group_limit_before_shuffle(spark):
+    s = _plan(llm.docs_tfidf_top_terms(spark, SF))
+    # rank<=3 must be applied partially before the doc_id exchange
+    assert "WindowGroupLimit" in s
+
+
+def test_top200_is_take_ordered_not_global_sort(spark):
+    s = _plan(relational.recent_events_top200(spark, SF))
+    assert "TakeOrderedAndProject" in s
+    assert "Sort [" not in s  # no global sort node
