@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_range_window": relational.events_range_window,
         "dq_referential_report": relational.dq_referential_report,
+        "tables_report": relational.tables_report,
         # --- LLM-data-pipeline operators (dedup / text / similarity / multimodal) ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,

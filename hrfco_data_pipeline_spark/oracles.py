@@ -1399,3 +1399,29 @@ RELATIONAL_ORACLES["q17_small_quantity_revenue"] = """
     WHERE p_brand = 'Brand#4'
       AND CAST(l_quantity AS DOUBLE) < 0.2 * avg_qty
     """
+
+
+RELATIONAL_ORACLES["tables_report"] = """
+    SELECT * FROM (
+    SELECT 'customer' AS table_name, (SELECT count(*) FROM customer) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM customer)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'documents' AS table_name, (SELECT count(*) FROM documents) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM documents)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'embeddings' AS table_name, (SELECT count(*) FROM embeddings) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM embeddings)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'events' AS table_name, (SELECT count(*) FROM events) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM events)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'lineitem' AS table_name, (SELECT count(*) FROM lineitem) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM lineitem)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'nation' AS table_name, (SELECT count(*) FROM nation) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM nation)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'orders' AS table_name, (SELECT count(*) FROM orders) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM orders)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'part' AS table_name, (SELECT count(*) FROM part) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM part)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'region' AS table_name, (SELECT count(*) FROM region) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM region)) AS INTEGER) AS n_cols
+    UNION ALL SELECT 'supplier' AS table_name, (SELECT count(*) FROM supplier) AS n_rows,
+      CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM supplier)) AS INTEGER) AS n_cols
+    ) ORDER BY table_name
+    """

@@ -996,3 +996,23 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_small"),
         )
     )
+
+
+def tables_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog stats report (the SHOW TABLES + ANALYZE surface): one
+    row per engine table with row and column counts — the snapshot
+    manifest a pipeline publishes alongside its outputs. Counts are
+    metadata-cheap scans (parquet row-group footers); unioned scalars.
+    """
+    from hrfco_data_pipeline_spark.sources.tables import TABLES, load_table
+
+    out = None
+    for t in sorted(TABLES):
+        df = load_table(spark, sf_dir, t)
+        row = df.agg(F.count("*").alias("n_rows")).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            F.lit(len(df.columns)).alias("n_cols"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
