@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk": llm.ivf_cosine_topk,
         "multimodal_features": llm.multimodal_features,
         "embedding_near_dups": llm.embedding_near_dups,
+        "embedding_block_near_dups": llm.embedding_block_near_dups,
     }
 
 

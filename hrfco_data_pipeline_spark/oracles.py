@@ -484,6 +484,19 @@ LLM_ORACLES: dict[str, str] = {
       max(nrm) AS max_norm
     FROM v GROUP BY label
     """,
+    "embedding_block_near_dups": """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
+      round(list_sum(list_transform(range(len(a.v)),
+              i -> a.v[i + 1] * b.v[i + 1])) / (a.nrm * b.nrm), 4) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_sum(list_transform(range(len(a.v)),
+            i -> a.v[i + 1] * b.v[i + 1])) / (a.nrm * b.nrm), 4) >= 0.3
+    """,
     "ann_cosine_topk": """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v,

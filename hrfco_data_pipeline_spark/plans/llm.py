@@ -455,6 +455,48 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(vecs, threshold=0.35)
 
 
+def embedding_block_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs, blocked by cluster label.
+
+    The exact (non-LSH) twin of embedding_near_dups: instead of banded
+    hyperplane signatures, candidate pairs come from a keyed self-join
+    on a coarse partition key (the ``label`` column — in a real corpus,
+    a k-means cluster id or shard key). Within-block all-pairs cosine,
+    filtered at >= 0.3 on the 4-decimal-rounded value.
+
+    Scale shape: the join is a keyed equi-join (one shuffle on label),
+    never all-pairs across the corpus — per-block cost is |block|²,
+    bounded by the clustering granularity, and blocks aggregate
+    map-side nothing (pure join fan-out) so skewed blocks are the knob
+    to watch: re-cluster or sub-shard a block that outgrows its task.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecd = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    with_norm = vecd.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    a = with_norm.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = with_norm.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+    cos = _r4(_dot("va", "vb") / (F.col("na") * F.col("nb")))
+    return (
+        pairs.select("id_a", "id_b", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
 def dedup_docs_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with keep-lowest-id policy — the surviving rows."""
     from hrfco_data_pipeline_spark.operators.dedup import dedup_keep_best
