@@ -135,9 +135,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # rows-only (no oracle): events_approx_stats, minhash_near_dups,
-    # simhash_clusters, lsh_cosine_topk, multimodal_features — sketches /
-    # engine-specific hashing / pandas stages with no portable SQL twin.
+    # rows-only (no oracle), 9 queries: events_approx_stats,
+    # events_hll_user_rollup (sketches), minhash_near_dups,
+    # simhash_clusters, lsh_cosine_topk, ivf_cosine_topk,
+    # embedding_near_dups (engine-specific hashing / float-order
+    # centroids), multimodal_features, hydro_resample_10min (pandas
+    # stages: fake-decode histograms, linear interpolation) — no
+    # portable SQL twin; semantics pinned in tests instead.
     return {
         **HYDRO_ORACLES,
         **RELATIONAL_ORACLES,
