@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": relational.q10_returned_items,
         "q12_late_shipments": relational.q12_late_shipments,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
         "events_moving_stats": relational.events_moving_stats,
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,

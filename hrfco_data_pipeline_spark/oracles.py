@@ -1438,3 +1438,20 @@ RELATIONAL_ORACLES["tables_report"] = """
       CAST((SELECT count(*) FROM (DESCRIBE SELECT * FROM supplier)) AS INTEGER) AS n_cols
     ) ORDER BY table_name
     """
+
+
+RELATIONAL_ORACLES["q18_large_volume_customers"] = """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(l_quantity) AS BIGINT) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      o_totalprice, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """

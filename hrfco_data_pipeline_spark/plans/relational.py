@@ -1016,3 +1016,40 @@ def tables_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("table_name")
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a total-quantity
+    threshold (large-volume buyers feeding the priority desk).
+
+    Scale plan: the HAVING-filtered aggregate runs first, on the fact
+    alone — one orderkey shuffle with map-side partial sums — and its
+    tiny survivor set (threshold selects a vanishing fraction of
+    orders) then drives the joins, broadcast into orders and customer.
+    The fact⋈fact join therefore carries only qualifying orderkeys;
+    the full lineitem never joins anything. Quantities are integral —
+    summed as BIGINT for cross-engine exactness; o_totalprice is
+    projected raw (no arithmetic, no float-parity surface).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
