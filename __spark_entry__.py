@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_inverted_index": llm.docs_inverted_index,
         "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
         "docs_shard_assign": llm.docs_shard_assign,
+        "docs_range_shards": llm.docs_range_shards,
         "docs_chunk_windows": llm.docs_chunk_windows,
         "docs_split_assign": llm.docs_split_assign,
         "docs_curation_funnel": llm.docs_curation_funnel,

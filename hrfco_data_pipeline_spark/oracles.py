@@ -1455,3 +1455,16 @@ RELATIONAL_ORACLES["q18_large_volume_customers"] = """
     ORDER BY o_totalprice DESC, o_orderkey ASC
     LIMIT 100
     """
+
+
+LLM_ORACLES["docs_range_shards"] = """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+        ntile(8) OVER (ORDER BY n_chars ASC, doc_id ASC) AS shard
+      FROM documents
+    )
+    SELECT shard, count(*) AS n_docs,
+      min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM t GROUP BY shard ORDER BY shard
+    """

@@ -1016,3 +1016,33 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return totals.crossJoin(uniq)
+
+
+def docs_range_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth range sharding over document length: ntile(8) on the
+    (n_chars, doc_id) total order, summarized per shard — boundary
+    audit for the range-sharded writer (sinks/writers.
+    write_range_sharded).
+
+    The window ntile is a global sort — correct and oracle-checkable
+    at audit scale, but the *write* path never does this: at 100 TB,
+    ``repartitionByRange`` derives boundaries from a sample and ships
+    rows straight to their shard (one exchange, per-shard local sort).
+    This query is the small-scale twin that pins the equal-depth
+    semantics those sampled boundaries approximate.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", F.ntile(8).over(w).alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("shard")
+    )

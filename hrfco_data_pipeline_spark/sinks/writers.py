@@ -124,3 +124,26 @@ def merge_stations(
         os.rename(table_path, backup)
     os.rename(staging, table_path)
     shutil.rmtree(backup, ignore_errors=True)
+
+
+def write_range_sharded(
+    df: DataFrame, path: str, col: str, n_shards: int
+) -> None:
+    """Range-partitioned, within-shard-sorted output — the 100 TB
+    pattern for key-ordered shard files (index-friendly parquet,
+    merge-joinable downstream reads).
+
+    ``repartitionByRange`` computes shard boundaries from a distributed
+    reservoir sample (no global sort, one range-exchange) and
+    ``sortWithinPartitions`` orders each shard locally — so the global
+    order exists across files without any single node seeing the whole
+    data. The equal-depth twin a small-scale oracle can check is
+    ``plans/llm.docs_range_shards`` (window ntile); this writer is the
+    scale path.
+    """
+    (
+        df.repartitionByRange(n_shards, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

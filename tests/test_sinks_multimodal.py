@@ -118,3 +118,34 @@ def test_sharded_split_write_roundtrip(spark, tmp_path):
     assert one.count() == want > 0
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "split=train" not in plan
+
+
+def test_range_sharded_write_sorted_disjoint(spark, tmp_path):
+    """write_range_sharded: every shard file is internally sorted and
+    shard key ranges are pairwise disjoint — the global order exists
+    across files without a global sort."""
+    import glob
+
+    from hrfco_data_pipeline_spark.sinks.writers import write_range_sharded
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "n_chars"
+    )
+    out = str(tmp_path / "ranged")
+    write_range_sharded(docs, out, "n_chars", 4)
+
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    assert len(files) >= 2
+    ranges, total = [], 0
+    for f in files:
+        rows = [r["n_chars"] for r in spark.read.parquet(f).collect()]
+        total += len(rows)
+        if not rows:
+            continue
+        assert rows == sorted(rows), f"{f} not internally sorted"
+        ranges.append((rows[0], rows[-1]))
+    assert total == docs.count()
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "shard ranges overlap"
