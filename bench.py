@@ -65,14 +65,26 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # queries that cache intermediates (minhash sigs, shingle
-        # exploders) must not leave blocks behind to skew later timings
-        spark.catalog.clearCache()
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            # queries that cache intermediates (minhash sigs, shingle
+            # exploders) must not leave blocks behind to skew timings
+            spark.catalog.clearCache()
+            return dt
+
+        # cold = first run (includes plan compile + codegen for this
+        # query shape); warm = second run (per-data scaling signal —
+        # BASELINE.md's compile-dominance claim, made measurable)
+        cold[name] = round(run(), 3)
+        warm[name] = round(run(), 3)
+        timings[name] = cold[name]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -82,6 +94,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold": cold,
+                "warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

@@ -145,7 +145,15 @@ def lsh_candidate_pairs(
         ).cast("double")
         / F.size("sig_a")
     )
-    return enriched.select("id_a", "id_b", est.alias("est_jaccard"))
+    out = enriched.select("id_a", "id_b", est.alias("est_jaccard"))
+    # materialize the (small) pair set now so the sig cache can be
+    # released before returning — the persist must not outlive the call
+    # (repeated queries in one session would otherwise accumulate cache
+    # blocks; bench.py used to need clearCache() to stay honest). The
+    # localCheckpoint also truncates the 3-way sig lineage.
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def minhash_dedup(

@@ -88,18 +88,18 @@ def docs_ngram_jaccard_pairs(
     )
     # shuffle int64 shingle hashes, not the strings: same pairs (xxhash64
     # collisions are ~2^-64), a fraction of the shuffle bytes
-    ex = sh.select(
+    cached = sh.select(
         "doc_id",
         "n_sh",
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
     ).persist()
     hot = (
-        ex.groupBy("s")
+        cached.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_shingle_df)
         .select("s")
     )
-    ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    ex = cached.join(F.broadcast(hot), "s", "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -112,9 +112,14 @@ def docs_ngram_jaccard_pairs(
         .agg(F.count("*").alias("common"))
     )
     jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
-    return pairs.filter(jac >= 0.2).select(
+    out = pairs.filter(jac >= 0.2).select(
         "doc_a", "doc_b", "common", jac.alias("jaccard")
     )
+    # materialize the (small) pair set so the exploded-shingle cache is
+    # released before returning — no cache blocks outlive the call
+    out = out.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -455,7 +460,9 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup_pairs(vecs, threshold=0.35)
 
 
-def embedding_block_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_block_near_dups(
+    spark: SparkSession, sf_dir: str, max_block: int = 64
+) -> DataFrame:
     """Exact embedding-cosine near-dup pairs, blocked by cluster label.
 
     The exact (non-LSH) twin of embedding_near_dups: instead of banded
@@ -464,11 +471,18 @@ def embedding_block_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     a k-means cluster id or shard key). Within-block all-pairs cosine,
     filtered at >= 0.3 on the 4-decimal-rounded value.
 
-    Scale shape: the join is a keyed equi-join (one shuffle on label),
-    never all-pairs across the corpus — per-block cost is |block|²,
-    bounded by the clustering granularity, and blocks aggregate
-    map-side nothing (pure join fan-out) so skewed blocks are the knob
-    to watch: re-cluster or sub-shard a block that outgrows its task.
+    Hot-block guard: a label with n rows costs n² pairs, and a single
+    skewed label at corpus scale would put a quadratic block in one
+    task. Labels over ``max_block`` rows are therefore sub-sharded:
+    each row gets a deterministic sub-shard s = hash(vec_id) mod k with
+    k = ceil(n/max_block), and the self-join runs per (sub-shard i,
+    sub-shard j) pair-block, i <= j — the left side replicates a row
+    into blocks (s, s..k-1), the right side into (0..s, s), so every
+    unordered pair meets in exactly one block and no task ever handles
+    more than ~max_block² candidate pairs. The output is invariant to
+    the sharding (pairs are canonicalized to id_a < id_b), so the
+    oracle twin is the plain label self-join. Replication cost per row
+    is k+1 — linear in skew, versus quadratic task blow-up without it.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vecd = emb.select(
@@ -477,22 +491,53 @@ def embedding_block_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     with_norm = vecd.withColumn("nrm", F.sqrt(_dot("v", "v")))
-    a = with_norm.select(
+    counts = vecd.groupBy("label").agg(F.count("*").alias("n_lbl"))
+    sharded = (
+        with_norm.join(F.broadcast(counts), "label")
+        .withColumn(
+            "k",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n_lbl") / F.lit(max_block))
+            ).cast("int"),
+        )
+        .withColumn("s", F.pmod(F.xxhash64("vec_id"), F.col("k")).cast("int"))
+    )
+    a = sharded.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label"),
         F.col("v").alias("va"),
         F.col("nrm").alias("na"),
+        F.col("s").alias("bl_a"),
+        F.explode(F.sequence(F.col("s"), F.col("k") - 1)).alias("br_a"),
     )
-    b = with_norm.select(
+    b = sharded.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("lb"),
         F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("s"))).alias("bl_b"),
+        F.col("s").alias("br_b"),
     )
-    pairs = a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("lb"))
+        & (F.col("bl_a") == F.col("bl_b"))
+        & (F.col("br_a") == F.col("br_b"))
+        & (F.col("id_a") != F.col("id_b")),
+    )
+    # diagonal blocks see both orderings of a pair — keep one; off-
+    # diagonal blocks see exactly one ordering — canonicalize the ids
+    dedup = pairs.filter(
+        (F.col("bl_a") != F.col("br_a")) | (F.col("id_a") < F.col("id_b"))
+    )
     cos = _r4(_dot("va", "vb") / (F.col("na") * F.col("nb")))
     return (
-        pairs.select("id_a", "id_b", "label", cos.alias("cos_sim"))
+        dedup.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "label",
+            cos.alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.3)
     )
 

@@ -152,6 +152,7 @@ def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     truncation rule.
     """
     import hashlib
+    import json
     import os
     import shutil
 
@@ -160,22 +161,50 @@ def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     # key the stage by source identity + content version (size/mtime of
     # the events file the wire derives from), so regenerated test data
     # or same-basename trees never reuse a stale stage; publish the dir
-    # with an atomic rename so concurrent runs never see a partial one
+    # with an atomic rename so concurrent runs never see a partial one.
+    # Integrity: a manifest of part-file names+sizes is written BEFORE
+    # the rename and re-verified on reuse, so a partially written stage
+    # left by a killed foreign process (even one with a stray _SUCCESS)
+    # is detected and rebuilt instead of silently under-counting.
     src = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.realpath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     stage = f"/tmp/hrfco_wire_stage_{key}"
-    if not os.path.exists(os.path.join(stage, "_SUCCESS")):
+    manifest = os.path.join(stage, ".hrfco_manifest.json")
+
+    def _stage_valid() -> bool:
+        try:
+            with open(manifest, encoding="utf-8") as fh:
+                want = json.load(fh)
+            return bool(want) and all(
+                os.path.getsize(os.path.join(stage, name)) == size
+                for name, size in want.items()
+            )
+        except (OSError, ValueError):
+            return False
+
+    if not _stage_valid():
         tmp = f"{stage}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
         synthetic_wire(spark, sf_dir).select("value").coalesce(4).write.mode(
             "overwrite"
         ).text(tmp)
+        parts = {
+            name: os.path.getsize(os.path.join(tmp, name))
+            for name in os.listdir(tmp)
+            if not name.startswith(("_", "."))
+        }
+        with open(os.path.join(tmp, ".hrfco_manifest.json"), "w", encoding="utf-8") as fh:
+            json.dump(parts, fh)
+        shutil.rmtree(stage, ignore_errors=True)  # stale/invalid foreign stage
         try:
             os.rename(tmp, stage)
         except OSError:  # lost the publish race — another run staged it
             shutil.rmtree(tmp, ignore_errors=True)
+            if not _stage_valid():
+                raise
     register(spark)
     df = spark.read.format("hrfco_wire").load(stage)
     return (

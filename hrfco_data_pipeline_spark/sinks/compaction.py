@@ -67,6 +67,11 @@ def compact_partitions(
         shutil.rmtree(staging, ignore_errors=True)
         raise RuntimeError(f"compaction row mismatch: {rows} -> {recount}")
 
+    # a backup left by a prior crashed run would make the rename fail
+    # with ENOTEMPTY and wedge every later compaction of this table —
+    # the live table is still intact at `path`, so the stale backup is
+    # safe to discard (same discipline as writers.merge_stations)
+    shutil.rmtree(backup, ignore_errors=True)
     os.rename(path.rstrip("/"), backup)
     try:
         os.rename(staging, path.rstrip("/"))

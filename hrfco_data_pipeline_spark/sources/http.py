@@ -180,11 +180,53 @@ def _dynamic_value_text(v: object) -> str | None:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, _NumTok):
-        return repr(float(v))  # value.asDouble() → Double.toString
+        return java_double_str(float(v))  # value.asDouble() → Double.toString
     if isinstance(v, str):
         stripped = v.strip()
         return stripped if stripped else None
     return ""  # asText() on arrays/objects
+
+
+def java_double_str(d: float) -> str:
+    """Java ``Double.toString`` rendering of a finite/special double.
+
+    Python ``repr`` and Java diverge in format, not digits: Java
+    switches to scientific notation outside [1e-3, 1e7) (Python: 1e-4
+    rounds trip as ``'0.0001'``, 1e16 as ``'1e+16'``), always writes a
+    fractional digit, and uses ``'E'`` with no ``'+'``/zero-padding.
+    Both emit shortest-round-trip digits (Java's legacy pre-Ryū
+    algorithm, JDK < 19, emits one extra digit on a rare set of values
+    — accepted divergence, the reference runs the same digits on JDK 17
+    for every magnitude the tests pin).
+    """
+    import math
+
+    if math.isnan(d):
+        return "NaN"
+    if math.isinf(d):
+        return "Infinity" if d > 0 else "-Infinity"
+    if d == 0.0:
+        return "-0.0" if math.copysign(1.0, d) < 0 else "0.0"
+    sign = "-" if d < 0 else ""
+    a = abs(d)
+    # shortest digits via repr, normalized to digits × 10^exp
+    mant, _, e = repr(a).partition("e")
+    exp = int(e) if e else 0
+    ip, _, fp = mant.partition(".")
+    exp -= len(fp)
+    digits = (ip + fp).lstrip("0")
+    stripped = digits.rstrip("0")
+    exp += len(digits) - len(stripped)
+    digits = stripped
+    pointpos = len(digits) + exp  # value = 0.<digits> × 10^pointpos
+    if 1e-3 <= a < 1e7:
+        if pointpos <= 0:
+            return f"{sign}0.{'0' * -pointpos}{digits}"
+        if pointpos >= len(digits):
+            return f"{sign}{digits}{'0' * (pointpos - len(digits))}.0"
+        return f"{sign}{digits[:pointpos]}.{digits[pointpos:]}"
+    frac = digits[1:] or "0"
+    return f"{sign}{digits[0]}.{frac}E{pointpos - 1}"
 
 
 def ingest_observations(

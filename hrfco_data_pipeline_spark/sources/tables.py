@@ -64,7 +64,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", _nanos_to_ntz(F.col("ts")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) generation, read as long via legacy conf
+            return df.withColumn("ts", _nanos_to_ntz(F.col("ts")))
+        if ts_type != "timestamp_ntz":
+            # defensively pin NTZ if a reader conf yielded LTZ
+            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(path)
 
 

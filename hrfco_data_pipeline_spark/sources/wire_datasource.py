@@ -180,4 +180,10 @@ class HrfcoWireDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # Spark 4 refuses to plan a reader that overrides pushFilters() when
+    # spark.sql.python.filterPushdown.enabled is false (DATA_SOURCE_
+    # PUSHDOWN_DISABLED). It is a runtime SQLConf, so enable it here:
+    # external sessions (e.g. the correctness driver's) don't carry the
+    # builder's session.py defaults.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(HrfcoWireDataSource)

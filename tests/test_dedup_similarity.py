@@ -323,3 +323,32 @@ def test_winnowing_two_stage_handles_giant_doc(spark):
     h = h.repartition(2)
     got = h.select(F.size(window_min_fps_expr(F.col("h"))).alias("n")).collect()
     assert got[0].n == len(_py_winnow(toks))
+
+
+def test_embedding_block_near_dups_subshard_invariant(spark):
+    """The hot-block sub-shard guard must not change the pair set, and
+    must actually split oversized labels into bounded sub-shards."""
+    from hrfco_data_pipeline_spark.plans.llm import embedding_block_near_dups
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r.id_a, r.id_b, r.label, round(r.cos_sim, 4))
+    sharded = {key(r) for r in embedding_block_near_dups(spark, sf, max_block=16).collect()}
+    plain = {key(r) for r in embedding_block_near_dups(spark, sf, max_block=10**9).collect()}
+    assert sharded == plain
+    assert len(plain) > 0
+
+    # every label at sf0.001 exceeds 16 rows, so the guard is exercised:
+    # k = ceil(n/16) >= 4 sub-shards, and the hash split keeps each
+    # sub-shard well under 2*max_block rows — per-task candidate pairs
+    # stay O(max_block^2) instead of O(n^2) in one task
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    assert counts.agg(F.min("n")).collect()[0][0] > 16
+    sub = (
+        emb.join(counts, "label")
+        .withColumn("k", F.greatest(F.lit(1), F.ceil(F.col("n") / 16)).cast("int"))
+        .withColumn("s", F.pmod(F.xxhash64("vec_id"), F.col("k")).cast("int"))
+        .groupBy("label", "s")
+        .agg(F.count("*").alias("rows"))
+    )
+    assert sub.agg(F.max("rows")).collect()[0][0] < 32

@@ -178,3 +178,54 @@ def test_dynamic_station_tail_columnar(spark):
         for p in explode_station_tail(tail).collect()
     }
     assert pairs["addr"] is None and pairs["obsnm"] == "Seoul"
+
+
+def test_java_double_str_magnitude_edges():
+    """Double.toString parity across the notation switch points
+    (StationThresholdLoader.java:74-99 renders dynamic numeric fields
+    via value.asDouble() -> Double.toString)."""
+    from hrfco_data_pipeline_spark.sources.http import java_double_str as j
+
+    # plain-decimal band: 1e-3 <= |v| < 1e7
+    assert j(3.0) == "3.0"
+    assert j(100.0) == "100.0"
+    assert j(123.456) == "123.456"
+    assert j(0.001) == "0.001"
+    assert j(0.0015) == "0.0015"
+    assert j(9999999.0) == "9999999.0"
+    assert j(-42.5) == "-42.5"
+    # scientific band with Java 'E' form (Python repr would give
+    # '12345678.0', '1e+16', '0.0001', '2.5e-06')
+    assert j(12345678.0) == "1.2345678E7"
+    assert j(1e7) == "1.0E7"
+    assert j(1e16) == "1.0E16"
+    assert j(-1e16) == "-1.0E16"
+    assert j(1e-4) == "1.0E-4"
+    assert j(9.99e-4) == "9.99E-4"
+    assert j(2.5e-6) == "2.5E-6"
+    assert j(5e22) == "5.0E22"
+    assert j(1.7976931348623157e308) == "1.7976931348623157E308"
+    # specials
+    assert j(float("nan")) == "NaN"
+    assert j(float("inf")) == "Infinity"
+    assert j(float("-inf")) == "-Infinity"
+    assert j(0.0) == "0.0"
+    assert j(-0.0) == "-0.0"
+    # documented divergence: Double.MIN_VALUE — JDK prints '4.9E-324',
+    # Python's shortest digits give '5.0E-324' (both round-trip)
+    assert j(5e-324) == "5.0E-324"
+
+
+def test_java_double_str_roundtrips():
+    import math
+    import random
+    import struct
+
+    from hrfco_data_pipeline_spark.sources.http import java_double_str as j
+
+    rng = random.Random(7)
+    for _ in range(5000):
+        v = struct.unpack("<d", struct.pack("<Q", rng.getrandbits(64)))[0]
+        if math.isnan(v) or math.isinf(v):
+            continue
+        assert float(j(v).replace("E", "e")) == v

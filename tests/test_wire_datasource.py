@@ -169,3 +169,36 @@ def test_stream_mark_never_double_reads_out_of_order_names(spark, tmp_path):
     with open(os.path.join(src, "a_first.txt"), "w") as f:
         f.write('{"wlobscd":"9","ymdhm":"202401011100","wl":"0.5","fw":"1.0"}\n')
     assert run_once() == ["1"]
+
+
+def test_connector_stage_rejects_partial_foreign_stage(spark):
+    """A partially written stage left by a killed foreign process (even
+    with a stray _SUCCESS) must be detected via the manifest and rebuilt
+    rather than silently under-counting."""
+    import hashlib
+    import os
+    import shutil
+
+    from hrfco_data_pipeline_spark.plans.wire import wire_connector_station_counts
+
+    st = os.stat(os.path.join(SF, "events.parquet"))
+    k = hashlib.md5(
+        f"{os.path.realpath(SF)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    stage = f"/tmp/hrfco_wire_stage_{k}"
+
+    # ground truth from a clean stage
+    shutil.rmtree(stage, ignore_errors=True)
+    want = wire_connector_station_counts(spark, SF).collect()
+
+    # simulate a foreign crash: truncate one part file, drop the
+    # manifest's view of reality, leave a reassuring _SUCCESS behind
+    parts = [f for f in os.listdir(stage) if not f.startswith(("_", "."))]
+    victim = os.path.join(stage, sorted(parts)[0])
+    with open(victim, "w", encoding="utf-8") as fh:
+        fh.write('{"wlobscd":"X1"}\n')
+    open(os.path.join(stage, "_SUCCESS"), "w").close()
+
+    got = wire_connector_station_counts(spark, SF).collect()
+    canon = lambda rows: sorted(((r[0] or "", *r[1:]) for r in rows))
+    assert canon(got) == canon(want)
