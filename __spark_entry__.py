@@ -71,9 +71,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- red/erred last driver row; fixed this round ---
         "wire_connector_station_counts": wire.wire_connector_station_counts,
         "multimodal_blob_stats": llm.multimodal_blob_stats,
+        # --- new in r3: TPC-H query-shape completion ---
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q11_important_parts": relational.q11_important_parts,
+        "q13_customer_order_distribution": relational.q13_customer_order_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_idle_customers": relational.q22_idle_customers,
+        # --- new in r3: curation additions ---
+        "docs_gopher_quality": llm.docs_gopher_quality,
+        "docs_token_entropy": llm.docs_token_entropy,
+        "docs_segment_dedup": llm.docs_segment_dedup,
         # --- green in r1 only; rotate back through the gate ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,
+        # ^^^ first-50 boundary (50 entries above) ^^^
         "docs_quality_score": llm.docs_quality_score,
         "docs_lang_id": llm.docs_lang_id,
         "doc_fingerprints": llm.doc_fingerprints,
@@ -91,7 +108,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_classify_alerts": hydro.alerts,
         "q1_pricing_summary": relational.q1_pricing_summary,
         "wire_parse": wire.wire_parse,
-        # ^^^ first-50 boundary (50 entries above) ^^^
         # --- hydrology pipeline (green r2; SURVEY §2 hot path) ---
         "hydro_internal_levels": hydro.internal_levels,
         "hydro_alert_counts": hydro.alert_counts,

@@ -1468,3 +1468,261 @@ LLM_ORACLES["docs_range_shards"] = """
       CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM t GROUP BY shard ORDER BY shard
     """
+
+
+# --- TPC-H query-shape completion (q7-q22 analogs) -----------------------
+
+_DEC_PRICE = "TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))"
+_DEC_DISC = "TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))"
+
+RELATIONAL_ORACLES["q7_volume_shipping"] = f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      CAST(sum({_DEC_PRICE} * (1 - {_DEC_DISC})) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    """
+
+RELATIONAL_ORACLES["q8_market_share"] = f"""
+    WITH joined AS (
+      SELECT year(o_orderdate) AS o_year,
+        {_DEC_PRICE} * (1 - {_DEC_DISC}) AS vol,
+        sn.n_name AS supp_nation
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    )
+    SELECT CAST(o_year AS INTEGER) AS o_year,
+      CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END) AS DOUBLE)
+        / CAST(sum(vol) AS DOUBLE) AS mkt_share,
+      CAST(sum(vol) AS DOUBLE) AS total_vol
+    FROM joined GROUP BY 1
+    """
+
+RELATIONAL_ORACLES["q9_product_profit"] = f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      CAST(sum({_DEC_PRICE} * (1 - {_DEC_DISC})
+               - TRY_CAST(printf('%.2f', p_retailprice) AS DECIMAL(12,2))
+                 * CAST(0.6 AS DECIMAL(3,2))
+                 * CAST(l_quantity AS DECIMAL(12,0))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """
+
+RELATIONAL_ORACLES["q11_important_parts"] = """
+    WITH traded AS (
+      SELECT l_partkey,
+        sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))) AS value_dec
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey = 5
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM traded
+    WHERE CAST(value_dec AS DOUBLE)
+      > 0.001 * (SELECT CAST(sum(value_dec) AS DOUBLE) FROM traded)
+    """
+
+RELATIONAL_ORACLES["q13_customer_order_distribution"] = """
+    WITH per_cust AS (
+      SELECT o_custkey, count(*) AS n FROM orders
+      WHERE o_orderpriority <> '1-URGENT'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(n, 0) AS c_count, count(*) AS custdist
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    GROUP BY 1
+    """
+
+RELATIONAL_ORACLES["q15_top_supplier"] = f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        sum({_DEC_PRICE} * (1 - {_DEC_DISC})) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+    FROM revenue JOIN supplier ON supplier_no = s_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)
+    """
+
+RELATIONAL_ORACLES["q16_part_supplier_counts"] = """
+    SELECT p_brand, p_type, p_size,
+      count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """
+
+RELATIONAL_ORACLES["q19_disjunctive_revenue"] = f"""
+    SELECT CAST(sum({_DEC_PRICE} * (1 - {_DEC_DISC})) AS DOUBLE) AS revenue,
+      count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 50
+           AND l_quantity BETWEEN 20 AND 30)
+    """
+
+RELATIONAL_ORACLES["q20_part_share_suppliers"] = """
+    WITH per_sp AS (
+      SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS sp_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey AS pp_key,
+        CAST(sum(sp_qty) AS DOUBLE) / count(*) AS avg_sp_qty
+      FROM per_sp GROUP BY 1
+    ),
+    qualifying AS (
+      SELECT DISTINCT l_suppkey
+      FROM per_sp JOIN per_part ON l_partkey = pp_key
+      WHERE CAST(sp_qty AS DOUBLE) > 0.5 * avg_sp_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_7'
+      AND s_suppkey IN (SELECT l_suppkey FROM qualifying)
+    ORDER BY s_suppkey
+    """
+
+RELATIONAL_ORACLES["q21_waiting_suppliers"] = """
+    WITH base AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    l1 AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM base
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    ),
+    sole_late AS (
+      SELECT l_orderkey, l_suppkey FROM l1
+      WHERE EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM base l3
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM sole_late JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """
+
+RELATIONAL_ORACLES["q22_idle_customers"] = """
+    WITH cust AS (
+      SELECT * FROM customer WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)
+    ),
+    avg_bal AS (
+      SELECT CAST(sum(TRY_CAST(printf('%.2f', c_acctbal) AS DECIMAL(12,2)))
+                  AS DOUBLE) / count(*) AS avg_bal
+      FROM cust WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+      CAST(sum(TRY_CAST(printf('%.2f', c_acctbal) AS DECIMAL(12,2))) AS DOUBLE)
+        AS totacctbal
+    FROM cust, avg_bal
+    WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1
+    """
+
+
+# --- round-3 curation additions ------------------------------------------
+
+LLM_ORACLES["docs_gopher_quality"] = _TOK_CTE + """
+    , per_doc AS (
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks,
+        round(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                   AS DOUBLE) / len(toks), 4) AS mean_wlen,
+        round(CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+              / len(toks), 4) AS frac_short
+      FROM tok
+    ),
+    top AS (
+      SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_toks, p.mean_wlen, p.frac_short,
+      round(CAST(top_cnt AS DOUBLE) / p.n_toks, 4) AS top_frac,
+      (p.n_toks >= 30 AND p.mean_wlen BETWEEN 2.5 AND 10.0
+       AND p.frac_short <= 0.3
+       AND CAST(top_cnt AS DOUBLE) / p.n_toks <= 0.2) AS keep
+    FROM per_doc p JOIN top USING (doc_id)
+    """
+
+LLM_ORACLES["docs_token_entropy"] = _TOK_CTE + """
+    , counts AS (
+      SELECT doc_id, n, tok, count(*) AS c FROM (
+        SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok)
+      GROUP BY doc_id, n, tok
+    ),
+    ent AS (
+      SELECT doc_id, n,
+        -sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) AS entropy,
+        count(*) AS n_distinct
+      FROM counts GROUP BY doc_id, n
+    )
+    SELECT doc_id, CAST(n AS INTEGER) AS n_toks,
+      CAST(n_distinct AS BIGINT) AS n_distinct,
+      round(entropy, 4) AS entropy,
+      round(CASE WHEN n_distinct > 1
+                 THEN entropy / log2(CAST(n_distinct AS DOUBLE))
+                 ELSE 0.0 END, 4) AS norm_entropy
+    FROM ent
+    """
+
+LLM_ORACLES["docs_segment_dedup"] = _TOK_CTE + """
+    , segs AS (
+      SELECT doc_id,
+        md5(array_to_string(list_slice(toks, (i - 1) * 10 + 1, i * 10), ' ')) AS h
+      FROM tok,
+        unnest(generate_series(1, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS u(i)
+    ),
+    df_tbl AS (SELECT h, count(*) AS df FROM segs GROUP BY h)
+    SELECT doc_id, count(*) AS n_segments,
+      CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS shared_frac
+    FROM segs JOIN df_tbl USING (h)
+    GROUP BY doc_id
+    """

@@ -1091,3 +1091,143 @@ def docs_range_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 curation additions: Gopher-rule quality, token entropy,
+# C4-style segment dedup
+# --------------------------------------------------------------------------
+
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape rules (beyond the banded
+    quality_score_expr signals): mean word length, short-token
+    fraction, single-most-frequent-word fraction, and the combined
+    keep flag.
+
+    Scale plan: the per-token mode needs real grouping — explode →
+    count per (doc_id, token) → max per doc. Both aggregations key on
+    doc_id (the second reuses the first's partitioning, no extra
+    exchange), and the shuffle carries (doc_id, token, count) partials
+    after map-side combine — never raw token instances.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    mean_wlen = (
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n
+    )
+    frac_short = F.size(F.filter("toks", lambda x: F.length(x) <= 2)).cast(
+        "double"
+    ) / n
+    per_doc = toks.select(
+        "doc_id",
+        n.alias("n_toks"),
+        _r4(mean_wlen).alias("mean_wlen"),
+        _r4(frac_short).alias("frac_short"),
+    )
+    top = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    out = per_doc.join(top, "doc_id")
+    top_frac = F.col("top_cnt").cast("double") / F.col("n_toks")
+    keep = (
+        (F.col("n_toks") >= 30)
+        & F.col("mean_wlen").between(2.5, 10.0)
+        & (F.col("frac_short") <= 0.3)
+        & (top_frac <= 0.2)
+    )
+    return out.select(
+        "doc_id",
+        "n_toks",
+        "mean_wlen",
+        "frac_short",
+        _r4(top_frac).alias("top_frac"),
+        keep.alias("keep"),
+    )
+
+
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document — the cheap perplexity
+    proxy used to flag degenerate/low-information text.
+
+    entropy = -Σ p·log2(p) over the doc's token distribution;
+    norm_entropy divides by log2(#distinct) (1.0 = uniform usage).
+    Rounded to 4 decimals so the float sum is order-stable across
+    engines. One (doc_id, token) count shuffle, partials map-side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    counts = (
+        toks.select("doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "n", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ent = counts.groupBy("doc_id", "n").agg(
+        (-F.sum(p * F.log2(p))).alias("entropy"),
+        F.count("*").alias("n_distinct"),
+    )
+    return ent.select(
+        "doc_id",
+        F.col("n").alias("n_toks"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        _r4("entropy").alias("entropy"),
+        _r4(
+            F.when(
+                F.col("n_distinct") > 1,
+                F.col("entropy") / F.log2(F.col("n_distinct").cast("double")),
+            ).otherwise(F.lit(0.0))
+        ).alias("norm_entropy"),
+    )
+
+
+def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style segment-level dedup stats: split each doc into
+    consecutive 10-token segments, hash them (md5 — portable to the
+    oracle), and count per doc how many segments also occur elsewhere
+    in the corpus (df > 1, counting multiplicity across all docs).
+
+    The real C4 rule drops duplicated *lines*; the synthetic corpus has
+    no newlines, so fixed-stride segments are the unit. Scale shape:
+    explode → md5 df groupBy (one segment-key shuffle, map-side
+    partials) → broadcast-free join back on the hash, then a doc_id
+    re-aggregate. No all-pairs anywhere; the df table is the same
+    bounded-key shape MinHash banding uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    segs = F.transform(
+        F.sequence(F.lit(1), F.ceil(n / F.lit(10)).cast("int")),
+        lambda i: F.md5(
+            F.encode(
+                F.concat_ws(" ", F.slice("toks", (i - F.lit(1)) * 10 + 1, F.lit(10))),
+                "utf-8",
+            )
+        ),
+    )
+    ex = toks.select("doc_id", F.explode(segs).alias("h"))
+    df_tbl = ex.groupBy("h").agg(F.count("*").alias("df"))
+    per_doc = (
+        ex.join(df_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("df") > 1).cast("int")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        _r4(F.col("n_shared").cast("double") / F.col("n_segments")).alias(
+            "shared_frac"
+        ),
+    )

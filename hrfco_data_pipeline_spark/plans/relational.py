@@ -1053,3 +1053,413 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H query-shape completion (q7-q22, adapted to the driver's star
+# schema: no partsupp table, no phone/comment/commitdate columns — each
+# query keeps the canonical plan SHAPE and swaps the missing column for
+# the nearest available analog, noted per docstring)
+# --------------------------------------------------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue flow between two nations, both
+    directions, by ship year.
+
+    Scale plan: the only big shuffle is lineitem⋈orders on orderkey;
+    supplier/customer/nation are broadcast. The two-nation disjunction
+    is a post-join codegen filter — pushing it into the dims would need
+    a union of two pipelines for no shuffle savings.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(vol).cast("double").alias("revenue"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold
+    into ASIA customers, by order year — conditional-sum ÷ sum over the
+    same joined set.
+
+    Scale plan: part is filtered then broadcast (selective dim), the
+    fact⋈orders orderkey shuffle dominates, every other join is
+    broadcast. The share division happens once per year group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    nation_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = (
+        _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    )
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    zero = F.lit(0).cast("decimal(15,4)")
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("vol"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("vol")).otherwise(
+                        zero
+                    )
+                ).cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("mkt_share"),
+            F.sum("vol").cast("double").alias("total_vol"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year over parts
+    whose name contains a token. No partsupp in this schema, so unit
+    cost is the p_retailprice×0.6×quantity analog (same expression both
+    engines; the plan shape — selective part dim broadcast into the
+    fact, orderkey shuffle for the date, nation broadcast — is Q9's).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    qty = F.col("l_quantity").cast("long")
+    profit = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    ) - _dec("p_retailprice") * F.lit(0.6).cast("decimal(3,2)") * qty.cast(
+        "decimal(12,0)"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of
+    the group total (partsupp-absent analog: value = lineitem traded
+    value for suppliers of one nation).
+
+    Scale plan: one partkey shuffle for the per-part aggregate; the
+    group total is a second aggregation over the SAME shuffled data
+    (Spark reuses the exchange), attached as a broadcast 1-row scalar
+    — never a per-row correlated subquery.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 5)
+    value = _dec("l_extendedprice")
+    traded = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("value_dec"))
+    )
+    total = traded.agg(
+        F.sum("value_dec").cast("double").alias("total_value")
+    )
+    return (
+        traded.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_dec").cast("double") > F.lit(0.001) * F.col("total_value")
+        )
+        .select(
+            "l_partkey",
+            F.col("value_dec").cast("double").alias("part_value"),
+        )
+    )
+
+
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    including zero-order customers (LEFT join), with the comment-filter
+    analog dropping 1-URGENT orders.
+
+    Scale plan: orders aggregates by custkey first (one shuffle), then
+    LEFT joins customer (broadcast of the aggregate would be wrong at
+    scale — customers are the big side, so the join shuffles custkey);
+    the final distribution groupBy is over a tiny count domain.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy(F.col("o_custkey")).agg(
+        F.count("*").alias("c_count")
+    )
+    return (
+        cust.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    the revenue view is aggregated once, its max attached as a
+    broadcast scalar, ties all returned (the spec's equality, not a
+    LIMIT 1).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(vol).alias("rev_dec")
+    )
+    top = revenue.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    for a size IN-list, excluding one brand/type and a bad-supplier
+    set (complaints analog: negative account balance), via broadcast
+    anti join before the distinct-count shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(bad.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of three
+    (brand, size-band, quantity-band) predicates — the classic
+    OR-of-ANDs the optimizer must evaluate post-join without
+    cross-products (container column absent; size bands stand in).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("double")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & F.col("p_size").between(1, 50)
+            & qty.between(20, 30)
+        )
+    )
+    vol = _dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(vol).cast("double").alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who moved a significant
+    share of some tracked part — the EXISTS chain decorrelated into
+    aggregate→semi-join (partsupp availability analog: a (supplier,
+    part) shipped-quantity total exceeding half the part's average
+    per-supplier load).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    tracked = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    per_sp = tracked.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sp_qty")
+    )
+    per_part = per_sp.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (F.sum("sp_qty").cast("double") / F.count("*")).alias("avg_sp_qty")
+    )
+    qualifying = (
+        per_sp.join(per_part, F.col("l_partkey") == F.col("pp_key"))
+        .filter(F.col("sp_qty").cast("double") > F.lit(0.5) * F.col("avg_sp_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the sole late shipper on a
+    multi-supplier finished order (commit/receipt dates absent: "late"
+    = shipped >90 days after the order date).
+
+    Scale plan: the EXISTS becomes a semi-join against distinct
+    (orderkey, suppkey) pairs, the NOT EXISTS an anti-join against the
+    late subset of the same pairs — both shuffle on orderkey, the same
+    key as the base join, so AQE coalesces them into one exchange
+    lineage; supplier/orders dims broadcast where small.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    base = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    l1 = (
+        base.filter(late)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    other = pairs.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    late_other = (
+        base.filter(late)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .select(F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key"))
+    )
+    with_other = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("o2_key"))
+        & (F.col("l_suppkey") != F.col("s2_key")),
+        "left_semi",
+    )
+    sole_late = with_other.join(
+        late_other,
+        (F.col("l_orderkey") == F.col("o3_key"))
+        & (F.col("l_suppkey") != F.col("s3_key")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers gone idle (no orders
+    since 1999 — every synthetic customer has SOME order, so the
+    literal no-orders-ever set is empty and would make this a 0-row
+    non-check), by nation band (phone country code absent: nationkey
+    stands in). The correlated AVG becomes a broadcast scalar; the
+    NOT EXISTS an anti-join on custkey.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6)
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    # exact decimal sum ÷ count, NOT a double avg (whose value depends
+    # on summation order and would flip boundary rows between engines)
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(
+            orders.select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

@@ -73,3 +73,27 @@ def test_top200_is_take_ordered_not_global_sort(spark):
     s = _plan(relational.recent_events_top200(spark, SF))
     assert "TakeOrderedAndProject" in s
     assert "Sort [" not in s  # no global sort node
+
+
+def test_q7_dims_broadcast_one_fact_shuffle(spark):
+    s = _plan(relational.q7_volume_shipping(spark, SF))
+    # supplier/customer/nation all broadcast; the only shuffle joins are
+    # lineitem⋈orders (orderkey) — count the broadcast joins to pin it
+    assert s.count("BroadcastHashJoin") >= 4
+
+
+def test_q13_left_join_preserves_zero_order_customers(spark):
+    out = {r.c_count: r.custdist for r in
+           relational.q13_customer_order_distribution(spark, SF).collect()}
+    # every customer appears exactly once across the distribution
+    assert sum(out.values()) == 1500
+
+
+def test_q15_ties_by_equality_not_limit(spark):
+    s = _plan(relational.q15_top_supplier(spark, SF))
+    assert "GlobalLimit" not in s  # ties must all survive
+
+
+def test_q21_semi_anti_join_shapes(spark):
+    s = _plan(relational.q21_waiting_suppliers(spark, SF))
+    assert "LeftSemi" in s and "LeftAnti" in s

@@ -141,3 +141,63 @@ def test_normalize_property_fuzz(spark):
         | (normalize_text("n") != F.col("n"))
     )
     assert bad.count() == 0
+
+
+def test_gopher_quality_flags(spark):
+    from hrfco_data_pipeline_spark.plans.llm import docs_gopher_quality
+
+    rows = {r.doc_id: r for r in docs_gopher_quality(spark, "/root/testdata/sf0.001").collect()}
+    assert len(rows) == 500
+    for r in rows.values():
+        assert r.n_toks > 0
+        assert 0.0 <= r.frac_short <= 1.0
+        assert 0.0 < r.top_frac <= 1.0
+        # keep flag is exactly the documented conjunction
+        expect = (
+            r.n_toks >= 30
+            and 2.5 <= r.mean_wlen <= 10.0
+            and r.frac_short <= 0.3
+            and r.top_cnt / r.n_toks <= 0.2
+            if hasattr(r, "top_cnt")
+            else None
+        )
+        if expect is not None:
+            assert r.keep == expect
+
+
+def test_token_entropy_bounds(spark):
+    from hrfco_data_pipeline_spark.plans.llm import docs_token_entropy
+
+    rows = docs_token_entropy(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    import math
+    for r in rows:
+        assert 0.0 <= r.entropy <= math.log2(r.n_distinct) + 1e-6 or r.n_distinct == 1
+        assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9
+
+
+def test_segment_dedup_flags_copied_segments(spark):
+    """Two docs sharing an exact 10-token run must both count a shared
+    segment; a doc of unique tokens must count zero."""
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.plans.llm import docs_segment_dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.doc_id: r for r in docs_segment_dedup(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    # corpus ground truth in python
+    from collections import Counter
+
+    segs = {}
+    for d in docs:
+        toks = d.text.strip().split()
+        segs[d.doc_id] = [
+            " ".join(toks[i : i + 10]) for i in range(0, len(toks), 10)
+        ]
+    df = Counter(s for ss in segs.values() for s in ss)
+    for d in docs:
+        want_shared = sum(1 for s in segs[d.doc_id] if df[s] > 1)
+        r = out[d.doc_id]
+        assert r.n_segments == len(segs[d.doc_id])
+        assert r.n_shared == want_shared
