@@ -1197,9 +1197,10 @@ def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The real C4 rule drops duplicated *lines*; the synthetic corpus has
     no newlines, so fixed-stride segments are the unit. Scale shape:
     explode → md5 df groupBy (one segment-key shuffle, map-side
-    partials) → broadcast-free join back on the hash, then a doc_id
-    re-aggregate. No all-pairs anywhere; the df table is the same
-    bounded-key shape MinHash banding uses.
+    partials) → join back on the hash (Catalyst broadcasts the df
+    table while it fits, falls back to a shuffle hash join at scale),
+    then a doc_id re-aggregate. No all-pairs anywhere; the df table is
+    the same bounded-key shape MinHash banding uses.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("toks"))
