@@ -162,13 +162,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # rows-only (no oracle), 9 queries: events_approx_stats,
+    # rows-only (no oracle), 8 queries: events_approx_stats,
     # events_hll_user_rollup (sketches), minhash_near_dups,
     # simhash_clusters, lsh_cosine_topk, ivf_cosine_topk,
     # embedding_near_dups (engine-specific hashing / float-order
-    # centroids), multimodal_features, hydro_resample_10min (pandas
-    # stages: fake-decode histograms, linear interpolation) — no
-    # portable SQL twin; semantics pinned in tests instead.
+    # centroids), multimodal_features (pandas fake-decode histograms) —
+    # no portable SQL twin; semantics pinned in tests instead.
+    # hydro_resample_10min IS oracle-backed despite its pandas grouped
+    # map: bucket means are exact decimals and np.interp's slope
+    # arithmetic is mirrored term-for-term in SQL (plans/hydro.py).
     return {
         **HYDRO_ORACLES,
         **RELATIONAL_ORACLES,

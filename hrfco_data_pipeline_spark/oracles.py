@@ -1726,3 +1726,61 @@ LLM_ORACLES["docs_segment_dedup"] = _TOK_CTE + """
     FROM segs JOIN df_tbl USING (h)
     GROUP BY doc_id
     """
+
+
+# The resample twin mirrors the pandas grouped-map term-for-term:
+# exact DECIMAL bucket means, then np.interp's slope arithmetic
+# (slope = dy/dsteps; value = slope*steps + y0) over the 10-min grid.
+HYDRO_ORACLES["hydro_resample_10min"] = HYDRO_CTE + """
+    , base AS (
+      SELECT wlobscd, try_strptime(obs_time_str, '%Y-%m-%d %H:%M') AS ts,
+        TRY_CAST(printf('%.2f', water_level) AS DECIMAL(12,2)) AS wl_dec
+      FROM classified
+      WHERE water_level IS NOT NULL
+    ),
+    bm AS (
+      SELECT wlobscd, time_bucket(INTERVAL 10 MINUTE, ts) AS bts,
+        CAST(sum(wl_dec) AS DOUBLE) / count(*) AS wl
+      FROM base WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    spans AS (SELECT wlobscd, min(bts) AS t0, max(bts) AS t1 FROM bm GROUP BY 1),
+    grid AS (
+      SELECT wlobscd, unnest(generate_series(t0, t1, INTERVAL 10 MINUTE)) AS gts
+      FROM spans
+    ),
+    j AS (
+      SELECT g.wlobscd, g.gts, bm.wl
+      FROM grid g LEFT JOIN bm ON bm.wlobscd = g.wlobscd AND bm.bts = g.gts
+    ),
+    w AS (
+      SELECT *,
+        last_value(wl IGNORE NULLS) OVER (PARTITION BY wlobscd ORDER BY gts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_wl,
+        last_value(CASE WHEN wl IS NOT NULL THEN gts END IGNORE NULLS) OVER (
+          PARTITION BY wlobscd ORDER BY gts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        first_value(wl IGNORE NULLS) OVER (PARTITION BY wlobscd ORDER BY gts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_wl,
+        first_value(CASE WHEN wl IS NOT NULL THEN gts END IGNORE NULLS) OVER (
+          PARTITION BY wlobscd ORDER BY gts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+      FROM j
+    ),
+    filled AS (
+      SELECT wlobscd, gts, wl,
+        CASE WHEN wl IS NOT NULL THEN wl
+             WHEN prev_wl IS NOT NULL AND next_wl IS NOT NULL THEN
+               (next_wl - prev_wl)
+                 / CAST(date_diff('minute', prev_ts, next_ts) // 10 AS DOUBLE)
+                 * CAST(date_diff('minute', prev_ts, gts) // 10 AS DOUBLE)
+               + prev_wl
+        END AS v
+      FROM w
+    )
+    SELECT wlobscd, count(*) AS n_grid,
+      CAST(sum(CASE WHEN wl IS NULL AND v IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_interp,
+      max(v) AS max_wl
+    FROM filled WHERE v IS NOT NULL
+    GROUP BY wlobscd
+    """

@@ -229,10 +229,22 @@ def sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered surface for operators/resample.resample_stations over
-    the classified observation stream (rows-only check: pandas linear
-    interpolation has no portable SQL twin; semantics pinned exactly in
-    tests/test_resample.py). Summarized per station so the row count
-    stays stable: grid size, real vs interpolated point counts."""
+    the classified observation stream, summarized per station (grid
+    size, real vs interpolated point counts, max level).
+
+    Oracle-checkable — unusual for a pandas grouped-map. The only
+    nondeterminism in the pandas path is multi-reading bucket means
+    (double summation order), so in-bucket averaging is hoisted into
+    Spark as an exact DECIMAL sum ÷ count (wl is 2-decimal by
+    construction) BEFORE the grouped map; the map then sees ≤1 value
+    per bucket (its own resample-mean is identity) and its linear
+    interpolation is np.interp arithmetic — slope = Δy/Δsteps, value =
+    slope·steps + y₀ over exactly-representable step counts — which the
+    DuckDB twin reproduces term-for-term (HYDRO_ORACLES). Bucket
+    boundaries are epoch-aligned 10-min floors: identical to DuckDB's
+    time_bucket over naive wall time for any whole-10-minute session
+    offset (UTC and Asia/Seoul both qualify).
+    """
     from hrfco_data_pipeline_spark.operators.resample import resample_stations
 
     c = classified(spark, sf_dir)
@@ -241,7 +253,15 @@ def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("obs_ts", ts)
         .filter(F.col("obs_ts").isNotNull() & F.col("water_level").isNotNull())
     )
-    r = resample_stations(t, freq_minutes=10)
+    wl_dec = F.format_string("%.2f", F.col("water_level")).cast("decimal(12,2)")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp("obs_ts") / F.lit(600)).cast("long") * 600
+    )
+    bm = (
+        t.groupBy("wlobscd", bucket.alias("obs_ts"))
+        .agg((F.sum(wl_dec).cast("double") / F.count("*")).alias("water_level"))
+    )
+    r = resample_stations(bm, freq_minutes=10)
     return (
         r.groupBy("wlobscd")
         .agg(

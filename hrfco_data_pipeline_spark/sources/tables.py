@@ -45,10 +45,11 @@ def _nanos_to_ntz(col: F.Column) -> F.Column:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table.
 
-    `events.ts` is physically TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; we read it as a long (legacy conf) and rebuild a
-    TIMESTAMP_NTZ column, which matches how DuckDB sees the same file
-    (naive nanosecond timestamp, truncated to micros).
+    `events.ts` has shipped as TIMESTAMP(NANOS) in some testdata
+    generations (Spark's vectorized reader rejects it — read as long
+    via the legacy conf and rebuild TIMESTAMP_NTZ) and as naive
+    timestamp[us] in others (arrives as TIMESTAMP_NTZ directly). Both
+    paths yield the same NTZ column DuckDB sees.
 
     NOTE on small-file parallelism: the driver testdata is one
     single-row-group parquet file per table, so the scan runs as ONE
@@ -59,6 +60,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (the extra round-robin shuffle ahead of the hash shuffle took
     events_asof_last_error from ~0.9s to ~14s in the same bench). At
     cluster scale inputs span many row groups and the question is moot.
+    A narrower variant — conditional round-robin spread only ahead of
+    the compute-heavy doc pipelines (minhash signatures, shingle
+    explodes) — was also tried and REVERTED (r3): end-to-end it made
+    docs_ngram_jaccard_pairs ~2× slower (min 1.9s → 4.2s at sf0.1) and
+    never beat the plain plan on the others; the post-exchange cache
+    and AQE-coalesced downstream shuffles already absorb the narrow
+    scan better than a forced exchange does.
     """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
