@@ -162,15 +162,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    # rows-only (no oracle), 8 queries: events_approx_stats,
+    # rows-only (no oracle), 7 queries: events_approx_stats,
     # events_hll_user_rollup (sketches), minhash_near_dups,
     # simhash_clusters, lsh_cosine_topk, ivf_cosine_topk,
     # embedding_near_dups (engine-specific hashing / float-order
-    # centroids), multimodal_features (pandas fake-decode histograms) —
-    # no portable SQL twin; semantics pinned in tests instead.
-    # hydro_resample_10min IS oracle-backed despite its pandas grouped
-    # map: bucket means are exact decimals and np.interp's slope
-    # arithmetic is mirrored term-for-term in SQL (plans/hydro.py).
+    # centroids) — no portable SQL twin; semantics pinned in tests.
+    # The two pandas-stage queries ARE oracle-backed despite Python in
+    # the path: hydro_resample_10min (exact decimal bucket means +
+    # term-for-term np.interp twin, plans/hydro.py) and
+    # multimodal_features (byte-histogram arithmetic over ASCII
+    # payloads mirrored in DuckDB list ops).
     return {
         **HYDRO_ORACLES,
         **RELATIONAL_ORACLES,

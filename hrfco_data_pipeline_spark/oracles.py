@@ -1784,3 +1784,25 @@ HYDRO_ORACLES["hydro_resample_10min"] = HYDRO_CTE + """
     FROM filled WHERE v IS NOT NULL
     GROUP BY wlobscd
     """
+
+
+# The multimodal fake-decode twin: the byte-histogram stand-in is pure
+# arithmetic over the UTF-8 payload. The synthetic corpus is ASCII
+# (verified: max byte 121), so per-character ord() == per-byte value
+# and DuckDB list ops reproduce the mapInPandas feature exactly.
+LLM_ORACLES["multimodal_features"] = """
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n_bytes,
+        list_transform(range(1, length(text) + 1),
+                       i -> ord(substr(text, i, 1))) AS bytes
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+      round(CAST(len(list_filter(bytes, b -> b % 16 = 0)) AS DOUBLE)
+            / (CASE WHEN n_bytes = 0 THEN 1.0 ELSE CAST(n_bytes AS DOUBLE) END),
+            6) AS bin0,
+      round(CAST(len(list_filter(bytes, b -> b % 16 = 1)) AS DOUBLE)
+            / (CASE WHEN n_bytes = 0 THEN 1.0 ELSE CAST(n_bytes AS DOUBLE) END),
+            6) AS bin1
+    FROM chars
+    """
