@@ -158,11 +158,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": relational.q10_returned_items,
         "q12_late_shipments": relational.q12_late_shipments,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        # --- new in r3, rows-only (engine-specific MinHash hashing) ---
+        "near_dedup_keep": llm.near_dedup_keep,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # rows-only (no oracle), 7 queries: events_approx_stats,
+    # rows-only (no oracle), 8 queries: near_dedup_keep,
+    # events_approx_stats,
     # events_hll_user_rollup (sketches), minhash_near_dups,
     # simhash_clusters, lsh_cosine_topk, ivf_cosine_topk,
     # embedding_near_dups (engine-specific hashing / float-order

@@ -44,6 +44,9 @@ HEADLINE = [
     "doc_winnow_fingerprints",
     "hydro_sensor_gaps",
     "hydro_resample_10min",
+    # round-3 additions: heaviest of the TPC-H completion + curation sets
+    "q21_waiting_suppliers",
+    "docs_segment_dedup",
 ]
 
 

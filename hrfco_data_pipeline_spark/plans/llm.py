@@ -1232,3 +1232,42 @@ def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared_frac"
         ),
     )
+
+
+def near_dedup_keep(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+) -> DataFrame:
+    """End-to-end near-dedup — the one-call corpus workflow: MinHash
+    signatures → banded LSH candidate pairs → estimated-Jaccard
+    threshold → connected components → keep the min doc_id per cluster.
+
+    Output: one row per document that belongs to a near-dup cluster,
+    with its cluster label and survivor flag; singleton docs (no
+    near-dup) are implicitly all kept and omitted, so row count =
+    clustered docs only. Rows-only check (MinHash hashing is
+    engine-specific); the invariants — exact duplicates always cluster
+    together, exactly one survivor per cluster, survivor = min id —
+    are pinned in tests/test_dedup_similarity.py.
+
+    Scale shape: every stage is a bounded-key shuffle (signature bands,
+    component labels); components run O(log diameter) iterations with
+    lineage checkpointing. No all-pairs, no driver collects.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        minhash_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup(docs, threshold=threshold)
+    comp = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("keep_doc_id", F.min("id").over(w))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("keep_doc_id")).alias("kept"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -352,3 +352,36 @@ def test_embedding_block_near_dups_subshard_invariant(spark):
         .agg(F.count("*").alias("rows"))
     )
     assert sub.agg(F.max("rows")).collect()[0][0] < 32
+
+
+def test_near_dedup_keep_invariants(spark):
+    """The end-to-end near-dedup workflow: exact duplicate texts must
+    land in one cluster with exactly one survivor (the min doc_id);
+    every cluster has >= 2 members and exactly one kept row."""
+    from hrfco_data_pipeline_spark.plans.llm import near_dedup_keep
+
+    sf = "/root/testdata/sf0.001"
+    rows = near_dedup_keep(spark, sf).collect()
+    assert rows, "synthetic corpus contains exact dups — clusters expected"
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for members in by_cluster.values():
+        assert len(members) >= 2
+        kept = [m for m in members if m.kept]
+        assert len(kept) == 1
+        assert kept[0].doc_id == min(m.doc_id for m in members)
+
+    # ground truth: every exact-duplicate text group must be clustered
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d in docs:
+        groups[d.text.strip().lower()].append(d.doc_id)
+    clustered = {r.doc_id: r.cluster_id for r in rows}
+    for ids in groups.values():
+        if len(ids) >= 2:
+            labels = {clustered.get(i) for i in ids}
+            assert None not in labels, f"exact dups not clustered: {ids}"
+            assert len(labels) == 1, f"exact dups split across clusters: {ids}"
