@@ -83,14 +83,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_share_suppliers": relational.q20_part_share_suppliers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q22_idle_customers": relational.q22_idle_customers,
-        # --- new in r3: curation additions ---
+        # --- new in r3: curation + growth-analytics additions ---
         "docs_gopher_quality": llm.docs_gopher_quality,
         "docs_token_entropy": llm.docs_token_entropy,
         "docs_segment_dedup": llm.docs_segment_dedup,
-        # --- green in r1 only; rotate back through the gate ---
+        "events_retention_cohorts": relational.events_retention_cohorts,
+        "events_conversion_funnel": relational.events_conversion_funnel,
+        # ^^^ first-50 boundary (50 entries above) ^^^
+        # --- green in r1 only; rotate back through the gate in r4 ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,
-        # ^^^ first-50 boundary (50 entries above) ^^^
         "docs_quality_score": llm.docs_quality_score,
         "docs_lang_id": llm.docs_lang_id,
         "doc_fingerprints": llm.doc_fingerprints,

@@ -1806,3 +1806,42 @@ LLM_ORACLES["multimodal_features"] = """
             6) AS bin1
     FROM chars
     """
+
+
+RELATIONAL_ORACLES["events_retention_cohorts"] = """
+    WITH first AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+      CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(act_week AS DATE)) // 7
+           AS INTEGER) AS week_offset,
+      count(DISTINCT user_id) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """
+
+RELATIONAL_ORACLES["events_conversion_funnel"] = """
+    WITH s AS (
+      SELECT user_id, min(ts) AS t_signup FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    v AS (
+      SELECT e.user_id, min(e.ts) AS t_view
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+      (SELECT count(*) FROM v) AS n_view_after,
+      (SELECT count(*) FROM p) AS n_purchase_after
+    """

@@ -1463,3 +1463,66 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the week of their
+    first event, counted as active in each subsequent week offset —
+    the standard growth-analytics triangle.
+
+    Scale plan: one user-key shuffle for first-event week, broadcast of
+    nothing (both sides are the same fact keyed by user — the join is
+    user⋈user, and the cohort agg reuses the partitioning), then a tiny
+    (cohort_week, offset) groupBy of partial counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    act = ev.select("user_id", wk.alias("act_week")).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            # week starts are midnight-aligned NTZ values, so a DATE
+            # diff is exact and session-TZ-proof (unix_timestamp would
+            # round-trip through the session zone)
+            (F.datediff(F.col("act_week").cast("date"), F.col("cohort_week").cast("date")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: signup → first view after signup →
+    first purchase after that view, strictly time-ordered per user.
+
+    Decorrelated the Spark way: three user-keyed aggregates chained by
+    joins (each later stage filters on the previous stage's timestamp)
+    — never a per-row subquery. All three shuffles share the user_id
+    key, so the exchanges line up; output is one summary row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t_signup")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_view_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
+    )
