@@ -68,7 +68,6 @@ def main() -> None:
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
-    cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -82,12 +81,12 @@ def main() -> None:
             spark.catalog.clearCache()
             return dt
 
-        # cold = first run (includes plan compile + codegen for this
-        # query shape); warm = second run (per-data scaling signal —
-        # BASELINE.md's compile-dominance claim, made measurable)
-        cold[name] = round(run(), 3)
+        # queries[name] = cold first run (includes plan compile +
+        # codegen for this query shape); warm = second run (per-data
+        # scaling signal — BASELINE.md's compile-dominance claim, made
+        # measurable)
+        timings[name] = round(run(), 3)
         warm[name] = round(run(), 3)
-        timings[name] = cold[name]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -97,7 +96,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "cold": cold,
                 "warm": warm,
                 "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,

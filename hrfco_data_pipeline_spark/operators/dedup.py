@@ -88,7 +88,7 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, bands: int = 16, k: int = 64
+    sig_df: DataFrame, bands: int = 16, k: int = 64, materialize: bool = True
 ) -> DataFrame:
     """Band the signatures; docs sharing any band bucket are candidates.
 
@@ -147,13 +147,27 @@ def lsh_candidate_pairs(
     )
     out = enriched.select("id_a", "id_b", est.alias("est_jaccard"))
     # materialize the (small) pair set now so the sig cache can be
-    # released before returning — the persist must not outlive the call
-    # (repeated queries in one session would otherwise accumulate cache
-    # blocks; bench.py used to need clearCache() to stay honest). The
-    # localCheckpoint also truncates the 3-way sig lineage.
-    out = out.localCheckpoint(eager=True)
-    sigs.unpersist()
+    # released before returning (repeated calls in one session would
+    # otherwise accumulate cache blocks; bench.py used to need
+    # clearCache() to stay honest). Reliable checkpoint() when a
+    # checkpoint dir is configured — same cluster-survivability rule as
+    # connected_components; localCheckpoint is the local-mode fallback
+    # and its blocks live until the returned frame is GC'd (a bounded
+    # pair set, vs the full exploded sig cache). ``materialize=False``
+    # keeps the plan lazy (plan audits, schema-only callers) at the
+    # cost of recomputing sigs per consumer.
+    if materialize:
+        out = _materialized(out)
+        sigs.unpersist()
+    else:
+        sigs.unpersist(blocking=False)
     return out
+
+
+def _materialized(df: DataFrame) -> DataFrame:
+    if df.sparkSession.sparkContext.getCheckpointDir():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def minhash_dedup(

@@ -1534,13 +1534,13 @@ RELATIONAL_ORACLES["q11_important_parts"] = """
       SELECT l_partkey,
         sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))) AS value_dec
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-      WHERE s_nationkey = 5
+      WHERE s_nationkey % 5 = 1
       GROUP BY l_partkey
     )
     SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
     FROM traded
     WHERE CAST(value_dec AS DOUBLE)
-      > 0.001 * (SELECT CAST(sum(value_dec) AS DOUBLE) FROM traded)
+      > 2.0 * (SELECT CAST(sum(value_dec) AS DOUBLE) / count(*) FROM traded)
     """
 
 RELATIONAL_ORACLES["q13_customer_order_distribution"] = """

@@ -241,9 +241,10 @@ def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation is np.interp arithmetic — slope = Δy/Δsteps, value =
     slope·steps + y₀ over exactly-representable step counts — which the
     DuckDB twin reproduces term-for-term (HYDRO_ORACLES). Bucket
-    boundaries are epoch-aligned 10-min floors: identical to DuckDB's
-    time_bucket over naive wall time for any whole-10-minute session
-    offset (UTC and Asia/Seoul both qualify).
+    boundaries are floored on the NAIVE wall time (cast to
+    TIMESTAMP_NTZ first), exact under ANY session timezone — an
+    epoch-based floor would shift boundaries in sessions whose UTC
+    offset is not a multiple of 10 minutes (e.g. +5:45).
     """
     from hrfco_data_pipeline_spark.operators.resample import resample_stations
 
@@ -254,8 +255,9 @@ def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("obs_ts").isNotNull() & F.col("water_level").isNotNull())
     )
     wl_dec = F.format_string("%.2f", F.col("water_level")).cast("decimal(12,2)")
-    bucket = F.timestamp_seconds(
-        (F.unix_timestamp("obs_ts") / F.lit(600)).cast("long") * 600
+    ntz = F.col("obs_ts").cast("timestamp_ntz")
+    bucket = F.date_trunc("minute", ntz) - F.make_interval(
+        mins=F.minute(ntz) % 10
     )
     bm = (
         t.groupBy("wlobscd", bucket.alias("obs_ts"))

@@ -49,7 +49,10 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, max_shingle_df: int = 50
+    spark: SparkSession,
+    sf_dir: str,
+    max_shingle_df: int = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs via 5-token shingle overlap + Jaccard.
 
@@ -116,9 +119,17 @@ def docs_ngram_jaccard_pairs(
         "doc_a", "doc_b", "common", jac.alias("jaccard")
     )
     # materialize the (small) pair set so the exploded-shingle cache is
-    # released before returning — no cache blocks outlive the call
-    out = out.localCheckpoint(eager=True)
-    cached.unpersist()
+    # released before returning (reliable checkpoint on a cluster,
+    # localCheckpoint locally — see operators/dedup._materialized);
+    # materialize=False keeps the plan lazy for plan audits at the cost
+    # of recomputing the explode per consumer
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    if materialize:
+        out = _materialized(out)
+        cached.unpersist()
+    else:
+        cached.unpersist(blocking=False)
     return out
 
 

@@ -198,13 +198,29 @@ def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         }
         with open(os.path.join(tmp, ".hrfco_manifest.json"), "w", encoding="utf-8") as fh:
             json.dump(parts, fh)
-        shutil.rmtree(stage, ignore_errors=True)  # stale/invalid foreign stage
-        try:
-            os.rename(tmp, stage)
-        except OSError:  # lost the publish race — another run staged it
+        # publish rename-FIRST: never delete an existing stage that might
+        # have just been validly published by a concurrent run (a reader
+        # could already hold a plan over its part files). Only when the
+        # rename is blocked AND the blocker re-verifies as invalid is the
+        # stale dir atomically moved aside and the publish retried.
+        for attempt in (1, 2):
+            try:
+                os.rename(tmp, stage)
+                break
+            except OSError:
+                if _stage_valid():  # lost the race to a good publish
+                    shutil.rmtree(tmp, ignore_errors=True)
+                    break
+                grave = f"{stage}.stale.{os.getpid()}.{attempt}"
+                try:
+                    os.rename(stage, grave)  # atomic move-aside
+                except OSError:
+                    continue  # another process moved it — retry publish
+                shutil.rmtree(grave, ignore_errors=True)
+        else:
             shutil.rmtree(tmp, ignore_errors=True)
             if not _stage_valid():
-                raise
+                raise RuntimeError(f"could not publish wire stage {stage}")
     register(spark)
     df = spark.read.format("hrfco_wire").load(stage)
     return (

@@ -144,25 +144,46 @@ def test_normalize_property_fuzz(spark):
 
 
 def test_gopher_quality_flags(spark):
+    from collections import Counter
+
     from hrfco_data_pipeline_spark.plans.llm import docs_gopher_quality
 
-    rows = {r.doc_id: r for r in docs_gopher_quality(spark, "/root/testdata/sf0.001").collect()}
+    sf = "/root/testdata/sf0.001"
+    rows = {r.doc_id: r for r in docs_gopher_quality(spark, sf).collect()}
     assert len(rows) == 500
-    for r in rows.values():
-        assert r.n_toks > 0
-        assert 0.0 <= r.frac_short <= 1.0
-        assert 0.0 < r.top_frac <= 1.0
-        # keep flag is exactly the documented conjunction
+    # ground truth recomputed from raw text: the keep flag must be
+    # exactly the documented conjunction over UNROUNDED signals
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+
+    def r4(x: float) -> float:
+        # Spark F.round is HALF_UP on the decimal rendering; python's
+        # round() is half-even and disagrees at ties (0.03125 -> .0312)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+    kept_seen = 0
+    for d in docs:
+        toks = d.text.strip().split()
+        n = len(toks)
+        mean_wlen = r4(sum(map(len, toks)) / n)
+        frac_short = r4(sum(1 for t in toks if len(t) <= 2) / n)
+        top_cnt = max(Counter(toks).values())
         expect = (
-            r.n_toks >= 30
-            and 2.5 <= r.mean_wlen <= 10.0
-            and r.frac_short <= 0.3
-            and r.top_cnt / r.n_toks <= 0.2
-            if hasattr(r, "top_cnt")
-            else None
+            n >= 30
+            and 2.5 <= mean_wlen <= 10.0
+            and frac_short <= 0.3
+            and top_cnt / n <= 0.2
         )
-        if expect is not None:
-            assert r.keep == expect
+        r = rows[d.doc_id]
+        assert r.n_toks == n
+        assert r.mean_wlen == mean_wlen
+        assert r.frac_short == frac_short
+        assert 0.0 < r.top_frac <= 1.0
+        assert r.keep == expect, (d.doc_id, r, expect)
+        kept_seen += bool(r.keep)
+    # flag must discriminate on this corpus, not be constant
+    assert 0 < kept_seen < 500
 
 
 def test_token_entropy_bounds(spark):
