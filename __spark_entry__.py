@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention_cohorts": relational.events_retention_cohorts,
         "events_conversion_funnel": relational.events_conversion_funnel,
         # ^^^ first-50 boundary (50 entries above) ^^^
+        # --- new in r3, rotates into the window in r4 ---
+        "minhash_sig_probe": llm.minhash_sig_probe,
         # --- green in r1 only; rotate back through the gate in r4 ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,

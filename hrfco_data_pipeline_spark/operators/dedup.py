@@ -45,26 +45,20 @@ def shingle_array(text: Column, n: int = 5) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
-def minhash_signatures(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 64,
-    shingle_n: int = 5,
-) -> DataFrame:
-    """id → k-element MinHash signature over the shingle set.
-
-    Stage 1 (JVM, codegen): shingle strings → one xxhash64 long each.
-    Stage 2 (Arrow batch, numpy): h_i(S) = min_s (a_i·h(s) + b_i) over
-    uint64 wraparound arithmetic — the classic linear-permutation
-    family, vectorized as a (k × |S|) broadcastted multiply-add. The
-    JVM cannot express this cheaply: long multiplication overflows
-    throw under ANSI, and nested array lambdas evaluate interpreted
-    (measured ~200 s for k=64 over 5k docs vs ~2 s here).
-    """
+def minhash_params(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) linear-permutation family, shared by the production
+    signatures, the portable kernel probe, and its DuckDB oracle (the
+    oracle embeds these exact constants — one source, no drift)."""
     rng = np.random.RandomState(42)
     a = rng.randint(1, 2**63 - 1, size=k, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
     b = rng.randint(0, 2**63 - 1, size=k, dtype=np.uint64)
+    return a, b
+
+
+def _min_perm_kernel(k: int):
+    """pandas_udf computing h_i(S) = min_s (a_i·base(s) + b_i) over
+    uint64 wraparound (≡ mod 2**64), output as wrapped int64."""
+    a, b = minhash_params(k)
 
     @pandas_udf(ArrayType(LongType()))
     def _sigs(bases: pd.Series) -> pd.Series:
@@ -80,11 +74,53 @@ def minhash_signatures(
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
+    return _sigs
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """id → k-element MinHash signature over the shingle set.
+
+    Stage 1 (JVM, codegen): shingle strings → one xxhash64 long each.
+    Stage 2 (Arrow batch, numpy): the min-permutation kernel — the
+    classic linear family, vectorized as a (k × |S|) broadcastted
+    multiply-add. The JVM cannot express this cheaply: long
+    multiplication overflows throw under ANSI, and nested array
+    lambdas evaluate interpreted (measured ~200 s for k=64 over 5k
+    docs vs ~2 s here).
+    """
     base = F.transform(
         shingle_array(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
     )
     staged = df.select(F.col(id_col).alias("id"), base.alias("base"))
-    return staged.select("id", _sigs("base").alias("sig"))
+    return staged.select("id", _min_perm_kernel(k)("base").alias("sig"))
+
+
+def minhash_signatures_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """The SAME min-permutation kernel over a portable base hash:
+    60-bit md5 prefix (conv of 15 hex chars) instead of xxhash64, so an
+    independent SQL engine can recompute every signature value exactly
+    (HUGEINT mod-2**64 arithmetic in the DuckDB twin). This is the
+    oracle-verifiable probe of the MinHash math — the production
+    variant differs ONLY in the base hash function.
+    """
+    base = F.transform(
+        shingle_array(F.col(text_col), shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+    staged = df.select(F.col(id_col).alias("id"), base.alias("base"))
+    return staged.select("id", _min_perm_kernel(k)("base").alias("sig"))
 
 
 def lsh_candidate_pairs(

@@ -1845,3 +1845,55 @@ RELATIONAL_ORACLES["events_conversion_funnel"] = """
       (SELECT count(*) FROM v) AS n_view_after,
       (SELECT count(*) FROM p) AS n_purchase_after
     """
+
+
+# --- MinHash kernel probe: exact integer twin --------------------------------
+# The (a, b) permutation constants come from the same generator the
+# production kernel uses (operators/dedup.minhash_params) — single
+# source, no drift. All arithmetic is HUGEINT mod 2^64, then wrapped to
+# signed int64 to match numpy's uint64->int64 view.
+def _minhash_probe_sql() -> str:
+    from hrfco_data_pipeline_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(2)
+    two64 = 1 << 64
+    two63 = 1 << 63
+
+    def mexpr(i: int) -> str:
+        return (
+            f"min((CAST({int(a[i])} AS HUGEINT) * h + {int(b[i])}) % {two64})"
+        )
+
+    def signed(col: str) -> str:
+        return (
+            f"CAST(CASE WHEN {col} >= {two63} THEN {col} - {two64} "
+            f"ELSE {col} END AS BIGINT)"
+        )
+
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), hv AS (
+      SELECT doc_id,
+        list_reduce(
+          list_transform(range(1, 16),
+            i -> strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::HUGEINT AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), m AS (
+      SELECT doc_id, {mexpr(0)} AS r0, {mexpr(1)} AS r1
+      FROM hv GROUP BY doc_id
+    )
+    SELECT doc_id, {signed('r0')} AS m0, {signed('r1')} AS m1 FROM m
+    """
+
+
+LLM_ORACLES["minhash_sig_probe"] = _minhash_probe_sql()

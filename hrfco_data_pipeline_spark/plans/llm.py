@@ -1282,3 +1282,25 @@ def near_dedup_keep(
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+def minhash_sig_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable MinHash kernel probe: the first two signature
+    values per document, computed by the production min-permutation
+    kernel over a portable md5-60bit base hash
+    (operators/dedup.minhash_signatures_portable). The DuckDB twin
+    recomputes both values exactly via HUGEINT mod-2^64 arithmetic with
+    the same (a, b) constants — hard evidence for the kernel math that
+    the xxhash64 production variant exercises rows-only.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        minhash_signatures_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(docs, k=2)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.element_at("sig", 1).alias("m0"),
+        F.element_at("sig", 2).alias("m1"),
+    )
