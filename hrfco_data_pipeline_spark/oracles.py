@@ -1897,3 +1897,29 @@ def _minhash_probe_sql() -> str:
 
 
 LLM_ORACLES["minhash_sig_probe"] = _minhash_probe_sql()
+
+
+# SimHash kernel probe twin: per-token 60-bit md5 hashes, bit votes
+# with multiplicity, majority -> bit set. Pure integer arithmetic.
+LLM_ORACLES["simhash_probe"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), hv AS (
+      SELECT doc_id,
+        list_reduce(
+          list_transform(range(1, 16),
+            i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT AS h
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+    ), bits AS (
+      SELECT doc_id, j,
+        sum(2 * ((h // (1::BIGINT << j)) % 2) - 1) AS votes
+      FROM hv, unnest(range(0, 60)) AS u(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+      CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END)
+           AS BIGINT) AS simhash60
+    FROM bits GROUP BY doc_id
+    """

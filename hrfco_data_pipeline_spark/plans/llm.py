@@ -1304,3 +1304,27 @@ def minhash_sig_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("sig", 1).alias("m0"),
         F.element_at("sig", 2).alias("m1"),
     )
+
+
+def simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable SimHash kernel probe: the production 64-bit
+    bit-majority kernel (operators/dedup.simhash_64_from_token_hashes)
+    over portable md5-60bit token hashes. Bits 60-63 of the input are
+    always zero, so their votes are all -1 and the output stays below
+    2^60 — the identical kernel, exactly recomputable in the DuckDB
+    twin via integer shift/modulo bit extraction with multiplicity-
+    preserving token votes.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        simhash_64_from_token_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    staged = docs.select("doc_id", base.alias("h"))
+    return staged.select(
+        "doc_id", simhash_64_from_token_hashes(F.col("h")).alias("simhash60")
+    )
