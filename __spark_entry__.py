@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r3, rotates into the window in r4 ---
         "minhash_sig_probe": llm.minhash_sig_probe,
         "simhash_probe": llm.simhash_probe,
+        "lsh_sig_probe": llm.lsh_sig_probe,
         # --- green in r1 only; rotate back through the gate in r4 ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,

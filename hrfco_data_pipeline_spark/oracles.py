@@ -1923,3 +1923,31 @@ LLM_ORACLES["simhash_probe"] = r"""
            AS BIGINT) AS simhash60
     FROM bits GROUP BY doc_id
     """
+
+
+# Sign-LSH probe twin: same plane constants (single source:
+# operators/similarity.hyperplane_planes), same fold-left dot from 0.0
+# (list_prepend(0.0, ...) makes list_reduce start at 0.0 like Spark's
+# F.aggregate), literal doubles embedded via repr (exact round-trip).
+def _lsh_probe_sql() -> str:
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        hyperplane_planes,
+    )
+
+    planes = hyperplane_planes(dim=64, n_planes=16, seed=42)
+
+    def dot_j(plane: list[float]) -> str:
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return (
+            "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({lits})[i])), (acc, x) -> acc + x)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot_j(p)} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j, p in enumerate(planes)
+    )
+    return f"SELECT vec_id, CAST({sig} AS BIGINT) AS sig FROM embeddings"
+
+
+LLM_ORACLES["lsh_sig_probe"] = _lsh_probe_sql()

@@ -1328,3 +1328,26 @@ def simhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "doc_id", simhash_64_from_token_hashes(F.col("h")).alias("simhash60")
     )
+
+
+def lsh_sig_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable sign-LSH probe: the production 16-plane
+    hyperplane signature (operators/similarity.hyperplane_signature)
+    over every embedding. Deterministic end to end — the plane
+    constants are a seeded pure-python PRNG and the dot product is a
+    fold-left from 0.0 — so the DuckDB twin recomputes each bitmask
+    bit-for-bit with the same fold order and literal plane values
+    (embedded via repr, which round-trips doubles exactly).
+    """
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        hyperplane_planes,
+        hyperplane_signature,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    planes = hyperplane_planes(dim=64, n_planes=16, seed=42)
+    return vecs.select(
+        "vec_id", hyperplane_signature("v", planes).alias("sig")
+    )
