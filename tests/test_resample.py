@@ -47,3 +47,31 @@ def test_no_edge_extrapolation_and_bucket_mean(spark):
     assert by_min[20].water_level == 9.0 and not by_min[20].interpolated
     # grid starts/ends at data: no rows before 00:00 or after 00:20
     assert set(by_min) == {0, 10, 20}
+
+
+def test_timezone_invariance_of_time_queries(spark):
+    """The resample bucket floor and cohort week arithmetic must yield
+    identical results under ANY session timezone — including offsets
+    that are not whole multiples of 10 minutes (the review-flagged
+    failure mode for epoch-based flooring)."""
+    from hrfco_data_pipeline_spark.plans.hydro import resample_10min
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_retention_cohorts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def snap():
+        return (
+            sorted(map(tuple, resample_10min(spark, sf).collect())),
+            sorted(map(tuple, events_retention_cohorts(spark, sf).collect())),
+        )
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        base = snap()
+        for tz in ("Asia/Kathmandu", "Pacific/Marquesas", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            assert snap() == base, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
