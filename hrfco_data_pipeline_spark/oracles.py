@@ -1696,9 +1696,14 @@ LLM_ORACLES["docs_token_entropy"] = _TOK_CTE + """
         SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok)
       GROUP BY doc_id, n, tok
     ),
+    -- fold over SORTED counts, sequentially from 0.0: bit-identical to
+    -- the Spark side's sort_array + F.aggregate (see plans/llm.py)
     ent AS (
       SELECT doc_id, n,
-        -sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)) AS entropy,
+        -list_reduce(
+          list_prepend(0.0, list_transform(list_sort(list(c)),
+            c -> (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))),
+          (acc, x) -> acc + x) AS entropy,
         count(*) AS n_distinct
       FROM counts GROUP BY doc_id, n
     )

@@ -1170,8 +1170,14 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     entropy = -Σ p·log2(p) over the doc's token distribution;
     norm_entropy divides by log2(#distinct) (1.0 = uniform usage).
-    Rounded to 4 decimals so the float sum is order-stable across
-    engines. One (doc_id, token) count shuffle, partials map-side.
+    One (doc_id, token) count shuffle, partials map-side.
+
+    Bit-determinism: a plain double SUM over shuffled count rows is
+    summation-order-dependent — the one construct that can flip a
+    rounded 4th decimal between engines (or between runs). The term
+    sum therefore folds over the SORTED count list (sequential
+    fold-left, ties are equal values), which the DuckDB twin mirrors
+    with the same sort and fold — bit-equal pre-rounding.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("toks"))
@@ -1180,10 +1186,16 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "n", "tok")
         .agg(F.count("*").alias("c"))
     )
-    p = F.col("c").cast("double") / F.col("n")
-    ent = counts.groupBy("doc_id", "n").agg(
-        (-F.sum(p * F.log2(p))).alias("entropy"),
+    per_doc = counts.groupBy("doc_id", "n").agg(
+        F.sort_array(F.collect_list("c")).alias("cs"),
         F.count("*").alias("n_distinct"),
+    )
+    p = lambda c: c.cast("double") / F.col("n")
+    ent = per_doc.withColumn(
+        "entropy",
+        -F.aggregate(
+            "cs", F.lit(0.0), lambda acc, c: acc + p(c) * F.log2(p(c))
+        ),
     )
     return ent.select(
         "doc_id",
