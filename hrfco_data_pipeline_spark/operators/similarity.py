@@ -212,18 +212,54 @@ def lsh_near_dup_pairs(
 
 
 def ivf_centroids(
-    vectors: DataFrame, n_centroids: int = 16, vec_col: str = "v"
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    quant: int = 1_000_000,
 ) -> list[list[float]]:
     """Deterministic IVF centroids: one averaging pass over a hashed
     pre-assignment (a single Lloyd step from a deterministic seed —
-    enough structure for probing, no iterative training loop)."""
+    enough structure for probing, no iterative training loop).
+
+    Every arithmetic step is engine-portable and summation-order
+    independent, so any engine (the DuckDB oracle twin included)
+    recomputes the exact same centroid doubles:
+
+    - cell pre-assignment: md5-60bit(id) % n_centroids — md5 of the
+      decimal string rendering, first 15 hex digits as an integer
+      (the same portable base hash the MinHash/SimHash probes use;
+      xxhash64 is engine-specific).
+    - mean arithmetic: each component is quantized q = floor(v*quant)
+      (both ops IEEE-exact-defined on doubles), summed as exact
+      integers (DECIMAL(38,0) — no float summation order anywhere),
+      and the centroid component is the correctly-rounded double of
+      the rational S / (n*quant) (Python int/int true division).
+      Exact reproduction in double-only engines requires |S| < 2^53 —
+      holds through ~10^9 vectors per cell at |v| <= 1; beyond that
+      the twin must divide as DECIMAL.
+
+    Driver-side collect is bounded: n_centroids rows. ``dim`` should
+    be passed explicitly; the ``None`` fallback costs one extra
+    ``first()`` job to sniff it.
+    """
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    cell = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % n_centroids
+    ).alias("c")
     seeded = vectors.select(
-        (F.xxhash64(F.col("vec_id")) % n_centroids).alias("c"),
-        F.col(vec_col).alias("v"),
-    ).withColumn("c", F.abs("c"))
-    dim = len(vectors.select(vec_col).first()[0])
+        cell,
+        F.transform(vec_col, lambda x: F.floor(x * quant)).alias("q"),
+    )
     sums = seeded.groupBy("c").agg(
-        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        *[
+            F.sum(F.element_at("q", i + 1).cast("decimal(38,0)")).alias(f"s{i}")
+            for i in range(dim)
+        ],
         F.count("*").alias("n"),
     )
     rows = {r["c"]: r for r in sums.collect()}
@@ -233,7 +269,9 @@ def ivf_centroids(
         if r is None:
             cents.append([0.0] * dim)
         else:
-            cents.append([r[f"s{i}"] / r["n"] for i in range(dim)])
+            cents.append(
+                [int(r[f"s{i}"]) / (r["n"] * quant) for i in range(dim)]
+            )
     return cents
 
 

@@ -1829,6 +1829,14 @@ RELATIONAL_ORACLES["events_retention_cohorts"] = """
     GROUP BY 1, 2
     """
 
+RELATIONAL_ORACLES["events_hll_accuracy"] = """
+    SELECT event_type,
+      count(DISTINCT date_trunc('day', ts)) AS n_days,
+      count(DISTINCT user_id) AS exact_users,
+      TRUE AS within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+
 RELATIONAL_ORACLES["events_conversion_funnel"] = """
     WITH s AS (
       SELECT user_id, min(ts) AS t_signup FROM events
@@ -1956,3 +1964,180 @@ def _lsh_probe_sql() -> str:
 
 
 LLM_ORACLES["lsh_sig_probe"] = _lsh_probe_sql()
+
+
+def _fold_dot(a: str, b: str, dim: int = 64) -> str:
+    """Fold-left dot product over DOUBLE[] expressions — the exact twin
+    of operators/similarity.dot (F.aggregate over zip_with from 0.0):
+    same association order, so the result is bit-identical."""
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i] * {b}[i])), (acc, x) -> acc + x)"
+    )
+
+
+def _lsh_sig_over_v(dim: int = 64, n_planes: int = 16, seed: int = 42) -> str:
+    """16-plane sign-LSH signature over a DOUBLE[] column ``v`` — the
+    same plane literals (single source: similarity.hyperplane_planes,
+    repr round-trips doubles exactly) and fold order as
+    hyperplane_signature."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        hyperplane_planes,
+    )
+
+    planes = hyperplane_planes(dim=dim, n_planes=n_planes, seed=seed)
+
+    def dot_j(plane: list[float]) -> str:
+        lits = "[" + ", ".join(repr(x) for x in plane) + "]"
+        return _fold_dot("v", f"({lits})", dim)
+
+    return " + ".join(
+        f"(CASE WHEN {dot_j(p)} > 0 THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j, p in enumerate(planes)
+    )
+
+
+# Sign-LSH top-k twin: same banded candidate generation (4 bands x
+# 4 bits of the 16-plane signature), same raw-cosine ranking — every
+# double involved is bit-identical (literal planes + fold-left dots),
+# so candidates and ranks agree exactly; only the projection rounds.
+def _lsh_topk_sql(bands: int = 4, rows: int = 4) -> str:
+    mask = (1 << rows) - 1
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, sqrt({_fold_dot("v", "v")}) AS nrm,
+        CAST({_lsh_sig_over_v()} AS BIGINT) AS sig
+      FROM e
+    ), banded AS (
+      SELECT vec_id, nrm, band, (sig >> (band * {rows})) & {mask} AS bits
+      FROM s, (SELECT unnest(range(0, {bands})) AS band)
+    ), qb AS (
+      SELECT * FROM banded WHERE vec_id % 50 = 0
+    ), cand AS (
+      SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM banded c JOIN qb ON c.band = qb.band AND c.bits = qb.bits
+        AND c.vec_id <> qb.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+        {_fold_dot("qe.v", "ce.v")} / (qe.nrm * ce.nrm) AS cos_raw
+      FROM cand
+      JOIN s qe ON qe.vec_id = cand.query_id
+      JOIN s ce ON ce.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim,
+      CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+LLM_ORACLES["lsh_cosine_topk"] = _lsh_topk_sql()
+
+
+# Sign-LSH near-dup pair twin: banded self-join (id_a < id_b), exact
+# threshold cut on the raw fold-left cosine (bit-identical both sides;
+# 0.35 parses to the same double in Python, Spark SQL, and DuckDB).
+def _lsh_near_dup_sql(bands: int = 4, rows: int = 4, threshold: str = "0.35") -> str:
+    mask = (1 << rows) - 1
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, sqrt({_fold_dot("v", "v")}) AS nrm,
+        CAST({_lsh_sig_over_v()} AS BIGINT) AS sig
+      FROM e
+    ), banded AS (
+      SELECT vec_id, band, (sig >> (band * {rows})) & {mask} AS bits
+      FROM s, (SELECT unnest(range(0, {bands})) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bits = b.bits
+        AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT cand.id_a, cand.id_b,
+        {_fold_dot("ae.v", "be.v")} / (ae.nrm * be.nrm) AS cos_raw
+      FROM cand
+      JOIN s ae ON ae.vec_id = cand.id_a
+      JOIN s be ON be.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, round(cos_raw, 4) AS cos_sim
+    FROM scored WHERE cos_raw >= {threshold}
+    """
+
+
+LLM_ORACLES["embedding_near_dups"] = _lsh_near_dup_sql()
+
+
+# IVF-flat ANN twin: recomputes the exact centroid doubles from the
+# same portable integer arithmetic the Spark side uses (md5-60bit cell
+# pre-assignment, floor-quantized integer sums, correctly-rounded
+# S/(n*quant) division — see operators/similarity.ivf_centroids), then
+# the same fold-left argmax assignment and raw-cosine ranking. All
+# doubles are bit-identical between engines, so ranking happens on raw
+# values; only the final projection rounds.
+def _ivf_topk_sql(n_centroids: int = 16, dim: int = 64, quant: int = 1_000_000) -> str:
+    h60 = (
+        "list_reduce(list_transform(range(1, 16), "
+        "i -> strpos('0123456789abcdef', substr(md5(vec_id::VARCHAR), i, 1)) - 1), "
+        "(acc, d) -> acc * 16 + d)::BIGINT"
+    )
+    sums = ", ".join(
+        f"sum(floor(v[{i + 1}] * {quant}.0)::BIGINT) AS s{i}" for i in range(dim)
+    )
+    cvec = (
+        "["
+        + ", ".join(f"s{i}::DOUBLE / (n * {quant})::DOUBLE" for i in range(dim))
+        + "]"
+    )
+    zeros = "[" + ", ".join("0.0" for _ in range(dim)) + "]"
+
+    def fold(a: str, b: str) -> str:
+        return _fold_dot(a, b, dim)
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), h AS (
+      SELECT vec_id, v, {h60} % {n_centroids} AS c FROM e
+    ), sums AS (
+      SELECT c, count(*) AS n, {sums} FROM h GROUP BY c
+    ), cents AS (
+      SELECT r.range AS c,
+        CASE WHEN s.n IS NULL THEN {zeros} ELSE {cvec} END AS cv
+      FROM range(0, {n_centroids}) r LEFT JOIN sums s ON s.c = r.range
+    ), cmat AS (
+      SELECT list(cv ORDER BY c) AS m FROM cents
+    ), dotted AS (
+      SELECT vec_id, v, list_transform(cm.m, cv -> {fold("v", "cv")}) AS dots
+      FROM h, cmat cm
+    ), assigned AS (
+      SELECT vec_id, v, sqrt({fold("v", "v")}) AS nrm,
+        list_position(dots, list_max(dots)) - 1 AS cell
+      FROM dotted
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qn, cell
+      FROM assigned WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+        {fold("q.qv", "a.v")} / (q.qn * a.nrm) AS cos_raw
+      FROM assigned a JOIN q ON a.cell = q.cell AND a.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos_raw, 4) AS cos_sim,
+      CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+LLM_ORACLES["ivf_cosine_topk"] = _ivf_topk_sql()

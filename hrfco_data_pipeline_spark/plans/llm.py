@@ -394,7 +394,11 @@ def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH approximate cosine top-5 (operators/similarity.py) —
-    the sub-linear variant of ann_cosine_topk."""
+    the sub-linear variant of ann_cosine_topk. Oracle-backed: the
+    plane constants are seeded literals and every double (signature
+    dots, norms, cosines) is a fold-left the DuckDB twin reproduces
+    bit-for-bit, so candidate banding and the raw-cosine ranking match
+    exactly; only the displayed cosine is rounded."""
     from hrfco_data_pipeline_spark.operators.similarity import (
         as_double_vec,
         hyperplane_lsh_topk,
@@ -403,14 +407,24 @@ def lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
     queries = vecs.filter(F.col("vec_id") % 50 == 0)
-    return hyperplane_lsh_topk(vecs, queries, k=5, dim=64, n_planes=16, bands=4)
+    topk = hyperplane_lsh_topk(vecs, queries, k=5, dim=64, n_planes=16, bands=4)
+    return topk.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        _r4(F.col("cos_sim")).alias("cos_sim"),
+        "rank",
+    )
 
 
 def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-5 (operators/similarity.py): corpus bucketed by
     nearest centroid, nprobe=1 — the inverted-file sibling of
-    lsh_cosine_topk. Rows-only check: centroid averaging is
-    float-summation-order specific, no portable SQL twin."""
+    lsh_cosine_topk. Oracle-backed end to end: centroid training is
+    exact integer arithmetic (floor-quantized DECIMAL sums over a
+    portable md5-based cell pre-assignment, see ivf_centroids), so the
+    DuckDB twin recomputes the identical centroid doubles, the same
+    fold-left argmax cell assignment, and the same raw-cosine ranking;
+    only the displayed cosine is rounded."""
     from hrfco_data_pipeline_spark.operators.similarity import (
         as_double_vec,
         ivf_centroids,
@@ -419,9 +433,15 @@ def ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
-    cents = ivf_centroids(vecs, n_centroids=16)
+    cents = ivf_centroids(vecs, n_centroids=16, dim=64)
     queries = vecs.filter(F.col("vec_id") % 50 == 0)
-    return ivf_topk(vecs, queries, cents, k=5)
+    topk = ivf_topk(vecs, queries, cents, k=5)
+    return topk.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        _r4(F.col("cos_sim")).alias("cos_sim"),
+        "rank",
+    )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -458,7 +478,10 @@ def docs_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via sign-LSH banding
-    (operators/similarity.lsh_near_dup_pairs)."""
+    (operators/similarity.lsh_near_dup_pairs). Oracle-backed: seeded
+    literal planes + fold-left cosines are bit-identical in the DuckDB
+    twin, so the banded candidate set and the >= threshold cut on the
+    raw double agree exactly; only the displayed cosine is rounded."""
     from hrfco_data_pipeline_spark.operators.similarity import (
         as_double_vec,
         lsh_near_dup_pairs,
@@ -468,7 +491,8 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
     # the synthetic embeddings top out near cos~0.45; 0.35 captures the
     # genuine tail while keeping the candidate set sparse
-    return lsh_near_dup_pairs(vecs, threshold=0.35)
+    pairs = lsh_near_dup_pairs(vecs, threshold=0.35)
+    return pairs.select("id_a", "id_b", _r4(F.col("cos_sim")).alias("cos_sim"))
 
 
 def embedding_block_near_dups(

@@ -850,6 +850,44 @@ def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed face of the HLL rollup: the same sketch pipeline as
+    events_hll_user_rollup, but with the estimate itself projected away
+    and replaced by an accuracy flag. Everything emitted — the per-type
+    day count, the exact distinct, and whether the sketch estimate
+    landed within 5% of it — is portable SQL-checkable (the oracle
+    asserts within_5pct=true by construction since pytest pins the
+    sketch error bound; a sketch regression flips the flag and the
+    hash comparison catches it). Companion contract: the rows-only
+    sibling keeps the raw estimate for inspection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    daily = ev.groupBy(F.col("event_type"), day).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (err <= 0.05).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median / p90 per event type (single-pass sort-based exact
     percentile — the oracle-checkable twin of the approx_percentile

@@ -18,50 +18,56 @@ def test_registry_shape():
     assert len(names) == len(set(names))
     # every oracle belongs to a registered query
     assert set(o) <= set(q)
-    # rows-only set is exactly the documented eight
+    # rows-only set is exactly the documented five
     assert set(q) - set(o) == {
         "near_dedup_keep",
         "events_approx_stats",
         "events_hll_user_rollup",
         "minhash_near_dups",
         "simhash_clusters",
-        "lsh_cosine_topk",
-        "ivf_cosine_topk",
-        "embedding_near_dups",
     }
 
 
+def test_first_50_all_oracle_backed():
+    """A window slot spent on a rows-only query can never produce a
+    green driver row (the gate records err: no_oracle) — r3 lost two
+    slots this way. Every first-50 entry must have an oracle twin."""
+    first50 = list(entry.queries())[:50]
+    oracles = set(entry.oracle_sql())
+    missing = [n for n in first50 if n not in oracles]
+    assert not missing, f"rows-only queries inside the first-50 window: {missing}"
+
+
 def test_first_50_holds_unverified_queries():
-    """Queries without a green driver row (new in r3, or red before)
-    must sit inside the gate's first-50 sampling window."""
+    """Queries without a green driver row (or whose last green row is
+    oldest) must sit inside the gate's first-50 sampling window."""
     first50 = set(list(entry.queries())[:50])
     must_check = {
-        # red/erred in r1-r2, fixed in r3
-        "wire_connector_station_counts",
-        "multimodal_blob_stats",
-        # new in r3
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_parts",
-        "q13_customer_order_distribution",
-        "q15_top_supplier",
-        "q16_part_supplier_counts",
-        "q19_disjunctive_revenue",
-        "q20_part_share_suppliers",
-        "q21_waiting_suppliers",
-        "q22_idle_customers",
-        "docs_gopher_quality",
-        "docs_token_entropy",
-        "docs_segment_dedup",
-        # never sampled in r1/r2
-        "q18_large_volume_customers",
-        "events_value_percentiles",
-        "dq_referential_report",
-        "docs_decontaminate",
-        "docs_curation_funnel",
-        "embedding_block_near_dups",
+        # never green before r4: upgraded or new this round
         "ivf_cosine_topk",
+        "events_hll_accuracy",
+        "lsh_cosine_topk",
+        "embedding_near_dups",
+        # new in r3, never driver-sampled (locally green only)
+        "minhash_sig_probe",
+        "simhash_probe",
+        "lsh_sig_probe",
+        # last green in r1 — two testdata generations ago
+        "dedup_exact_docs",
+        "dedup_docs_kept",
+        "docs_quality_score",
+        "docs_lang_id",
+        "doc_fingerprints",
+        "docs_bpe_token_count",
+        "ann_cosine_topk",
+        "embedding_label_stats",
+        "docs_ngram_jaccard_pairs",
+        "docs_token_stats",
+        "multimodal_features",
+        # flagship canaries
+        "hydro_classify_alerts",
+        "q1_pricing_summary",
+        "wire_parse",
     }
     assert must_check <= first50
 
