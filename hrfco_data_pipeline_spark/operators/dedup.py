@@ -213,10 +213,15 @@ def minhash_dedup(
     threshold: float = 0.7,
     k: int = 64,
     bands: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
-    """End-to-end near-dup pairs above the estimated-Jaccard threshold."""
+    """End-to-end near-dup pairs above the estimated-Jaccard threshold.
+
+    ``materialize=False`` keeps the whole plan lazy (schema-only
+    callers, plan audits) — see lsh_candidate_pairs.
+    """
     sigs = minhash_signatures(df, text_col, id_col, k=k)
-    pairs = lsh_candidate_pairs(sigs, bands=bands, k=k)
+    pairs = lsh_candidate_pairs(sigs, bands=bands, k=k, materialize=materialize)
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
 

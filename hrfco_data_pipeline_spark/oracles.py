@@ -1592,7 +1592,8 @@ RELATIONAL_ORACLES["q19_disjunctive_revenue"] = f"""
 
 RELATIONAL_ORACLES["q20_part_share_suppliers"] = """
     WITH per_sp AS (
-      SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS sp_qty
+      SELECT l_partkey, l_suppkey,
+        CAST(sum(floor(l_quantity)::BIGINT) AS BIGINT) AS sp_qty
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_name LIKE 'small%'
         AND l_shipdate >= TIMESTAMP '1996-01-01'

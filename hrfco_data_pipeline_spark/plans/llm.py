@@ -375,13 +375,16 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pandas stages have no portable SQL twin)
 # --------------------------------------------------------------------------
 
-def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_near_dups(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """MinHash-LSH near-dup pairs (operators/dedup.py) — the bounded-
-    shuffle variant of docs_ngram_jaccard_pairs."""
+    shuffle variant of docs_ngram_jaccard_pairs. ``materialize=False``
+    keeps the plan lazy for audits/schema-only callers."""
     from hrfco_data_pipeline_spark.operators.dedup import minhash_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.5)
+    return minhash_dedup(docs, threshold=0.5, materialize=materialize)
 
 
 def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1282,7 +1285,10 @@ def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dedup_keep(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.7
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.7,
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end near-dedup — the one-call corpus workflow: MinHash
     signatures → banded LSH candidate pairs → estimated-Jaccard
@@ -1306,7 +1312,7 @@ def near_dedup_keep(
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_dedup(docs, threshold=threshold)
+    pairs = minhash_dedup(docs, threshold=threshold, materialize=materialize)
     comp = connected_components(pairs, "id_a", "id_b")
     w = Window.partitionBy("component")
     return (
@@ -1316,7 +1322,11 @@ def near_dedup_keep(
             F.col("component").alias("cluster_id"),
             (F.col("id") == F.col("keep_doc_id")).alias("kept"),
         )
-        .orderBy("cluster_id", "doc_id")
+        # write-path workflow: no global sort (a terminal
+        # Exchange+Sort is pure overhead at corpus scale) — keep rows
+        # clustered within partitions for downstream scans; consumers
+        # needing a total order sort their own bounded result.
+        .sortWithinPartitions("cluster_id", "doc_id")
     )
 
 

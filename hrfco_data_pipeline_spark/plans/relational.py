@@ -1396,8 +1396,13 @@ def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     tracked = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    # per-row floor (not a truncating cast): floor(double) is
+    # IEEE-exact and renders identically in every engine, so the
+    # integer sums stay portable even if a testdata regeneration makes
+    # quantities fractional (cast-at-the-aggregate would then hit the
+    # Spark-truncates vs DuckDB-rounds divergence).
     per_sp = tracked.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("bigint")).alias("sp_qty")
+        F.sum(F.floor("l_quantity")).alias("sp_qty")
     )
     per_part = per_sp.groupBy(F.col("l_partkey").alias("pp_key")).agg(
         (F.sum("sp_qty").cast("double") / F.count("*")).alias("avg_sp_qty")

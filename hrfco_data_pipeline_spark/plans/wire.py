@@ -218,9 +218,20 @@ def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame
                     continue  # another process moved it — retry publish
                 shutil.rmtree(grave, ignore_errors=True)
         else:
-            shutil.rmtree(tmp, ignore_errors=True)
-            if not _stage_valid():
-                raise RuntimeError(f"could not publish wire stage {stage}")
+            # Both attempts lost a move-aside race (the blocker's stage
+            # was momentarily absent mid-rename). One more rename very
+            # likely lands; if not, keep the valid tmp on disk for
+            # manual recovery instead of destroying the built stage.
+            try:
+                os.rename(tmp, stage)
+            except OSError:
+                if _stage_valid():
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    raise RuntimeError(
+                        f"could not publish wire stage {stage}; "
+                        f"built stage left at {tmp}"
+                    ) from None
     register(spark)
     df = spark.read.format("hrfco_wire").load(stage)
     return (

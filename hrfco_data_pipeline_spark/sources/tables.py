@@ -77,8 +77,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # TIMESTAMP(NANOS) generation, read as long via legacy conf
             return df.withColumn("ts", _nanos_to_ntz(F.col("ts")))
         if ts_type != "timestamp_ntz":
-            # defensively pin NTZ if a reader conf yielded LTZ
-            return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # An LTZ (or other) ts here means a reader conf is
+            # misconfigured (e.g. inferTimestampNTZ disabled): a silent
+            # cast would resolve through the session timezone and shift
+            # every wall time. Fail loudly instead — the fix is the
+            # reader conf, not a rebase.
+            raise ValueError(
+                f"events.ts read as {ts_type}, expected timestamp_ntz "
+                "or bigint(nanos); check "
+                "spark.sql.parquet.inferTimestampNTZ.enabled"
+            )
         return df
     return spark.read.parquet(path)
 
