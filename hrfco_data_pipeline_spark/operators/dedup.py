@@ -274,6 +274,14 @@ def simhash_pairs(
     hashed = df.select(
         F.col(id_col).alias("id"), simhash_64(F.col(text_col)).alias("sh")
     )
+    return simhash_pairs_from(hashed, max_hamming)
+
+
+def simhash_pairs_from(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole pairing over a precomputed ``(id, sh)`` fingerprint
+    frame — shared by the production xxhash64 path (simhash_pairs) and
+    the portable-hash probe (plans/llm.simhash_pairs_probe), so the
+    oracle exercises the identical chunking/join/Hamming code."""
     chunked = hashed.select(
         "id",
         "sh",

@@ -1866,25 +1866,10 @@ RELATIONAL_ORACLES["events_conversion_funnel"] = """
 # production kernel uses (operators/dedup.minhash_params) — single
 # source, no drift. All arithmetic is HUGEINT mod 2^64, then wrapped to
 # signed int64 to match numpy's uint64->int64 view.
-def _minhash_probe_sql() -> str:
-    from hrfco_data_pipeline_spark.operators.dedup import minhash_params
 
-    a, b = minhash_params(2)
-    two64 = 1 << 64
-    two63 = 1 << 63
-
-    def mexpr(i: int) -> str:
-        return (
-            f"min((CAST({int(a[i])} AS HUGEINT) * h + {int(b[i])}) % {two64})"
-        )
-
-    def signed(col: str) -> str:
-        return (
-            f"CAST(CASE WHEN {col} >= {two63} THEN {col} - {two64} "
-            f"ELSE {col} END AS BIGINT)"
-        )
-
-    return rf"""
+# shared CTE prefix: per-doc distinct 5-token shingles -> 60-bit md5
+# base hash per shingle (the portable twin of shingle_array + md5 conv)
+_MINHASH_HV_CTE = r"""
     WITH tok AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents
@@ -1902,15 +1887,84 @@ def _minhash_probe_sql() -> str:
             i -> strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1),
           (acc, d) -> acc * 16 + d)::HUGEINT AS h
       FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
-    ), m AS (
-      SELECT doc_id, {mexpr(0)} AS r0, {mexpr(1)} AS r1
+    )"""
+
+_TWO64 = 1 << 64
+_TWO63 = 1 << 63
+
+
+def _minhash_mexpr(a: int, b: int) -> str:
+    return f"min((CAST({a} AS HUGEINT) * h + {b}) % {_TWO64})"
+
+
+def _signed64(col: str) -> str:
+    return (
+        f"CAST(CASE WHEN {col} >= {_TWO63} THEN {col} - {_TWO64} "
+        f"ELSE {col} END AS BIGINT)"
+    )
+
+
+def _minhash_probe_sql() -> str:
+    from hrfco_data_pipeline_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(2)
+    return (
+        _MINHASH_HV_CTE
+        + f""", m AS (
+      SELECT doc_id, {_minhash_mexpr(int(a[0]), int(b[0]))} AS r0,
+        {_minhash_mexpr(int(a[1]), int(b[1]))} AS r1
       FROM hv GROUP BY doc_id
     )
-    SELECT doc_id, {signed('r0')} AS m0, {signed('r1')} AS m1 FROM m
+    SELECT doc_id, {_signed64('r0')} AS m0, {_signed64('r1')} AS m1 FROM m
     """
+    )
 
 
 LLM_ORACLES["minhash_sig_probe"] = _minhash_probe_sql()
+
+
+# Full-banding MinHash-LSH twin: k=8 portable signatures -> 4 bands of
+# 2 values -> bucket string (comma-joined signed int64 renderings, the
+# exact key lsh_candidate_pairs builds) -> bucket self-join pair dedup
+# -> est_jaccard = matching positions / 8 (exact multiples of 0.125).
+def _minhash_band_pairs_sql(k: int = 8, bands: int = 4) -> str:
+    from hrfco_data_pipeline_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(k)
+    rows = k // bands
+    mins = ", ".join(
+        f"{_minhash_mexpr(int(a[i]), int(b[i]))} AS r{i}" for i in range(k)
+    )
+    sig_list = "[" + ", ".join(_signed64(f"r{i}") for i in range(k)) + "]"
+    bucket = " || ',' || ".join(
+        f"sig[band.b * {rows} + {j + 1}]::VARCHAR" for j in range(rows)
+    )
+    return (
+        _MINHASH_HV_CTE
+        + f""", m AS (
+      SELECT doc_id, {mins} FROM hv GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig_list} AS sig FROM m
+    ), banded AS (
+      SELECT doc_id, band.b AS band, {bucket} AS bucket
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS b) band
+    ), pairs AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+      list_sum(list_transform(range(1, {k + 1}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {k} AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """
+    )
+
+
+LLM_ORACLES["minhash_band_pairs_probe"] = _minhash_band_pairs_sql()
 
 
 # SimHash kernel probe twin: per-token 60-bit md5 hashes, bit votes
@@ -1936,6 +1990,44 @@ LLM_ORACLES["simhash_probe"] = r"""
       CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END)
            AS BIGINT) AS simhash60
     FROM bits GROUP BY doc_id
+    """
+
+
+# Full SimHash pairing twin: the same 60-bit portable fingerprints as
+# simhash_probe, then the production pigeonhole path — 4 x 16-bit
+# chunk blocking, bucket self-join, pair dedup, Hamming <= 3 filter.
+# Pure integer arithmetic end to end.
+LLM_ORACLES["simhash_pairs_probe"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), hv AS (
+      SELECT doc_id,
+        list_reduce(
+          list_transform(range(1, 16),
+            i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT AS h
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+    ), bits AS (
+      SELECT doc_id, j,
+        sum(2 * ((h // (1::BIGINT << j)) % 2) - 1) AS votes
+      FROM hv, unnest(range(0, 60)) AS u(j)
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END)
+             AS BIGINT) AS sh
+      FROM bits GROUP BY doc_id
+    ), chunked AS (
+      SELECT doc_id, sh, c.chunk, (sh >> (c.chunk * 16)) & 65535 AS val
+      FROM fp, (SELECT unnest(range(0, 4)) AS chunk) c
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+      FROM chunked a JOIN chunked b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
     """
 
 

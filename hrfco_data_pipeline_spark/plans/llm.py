@@ -1397,3 +1397,51 @@ def lsh_sig_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.select(
         "vec_id", hyperplane_signature("v", planes).alias("sig")
     )
+
+
+def minhash_band_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable probe of the FULL MinHash-LSH banding
+    pipeline: portable md5-60bit signatures (k=8) pushed through the
+    production lsh_candidate_pairs path (operators/dedup.py) —
+    band/bucket key build, bucket self-join, pair dedup, and the
+    est-Jaccard estimator (exact multiples of 1/8, no float order
+    sensitivity). The production minhash_near_dups differs ONLY in the
+    base hash (xxhash64) and k; every downstream line is the same
+    code, so a green row here certifies the banding math the rows-only
+    query exercises.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(docs, k=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, k=8)
+    return pairs.select("id_a", "id_b", "est_jaccard")
+
+
+def simhash_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable probe of the FULL SimHash pairing pipeline:
+    the production 16-bit pigeonhole chunking, bucket self-join, pair
+    dedup, and Hamming filter (operators/dedup.simhash_pairs_from)
+    over the portable md5-60bit token hashes of simhash_probe. The
+    production simhash_clusters differs ONLY in the base hash
+    (xxhash64); a green row here certifies the pairing math end to
+    end — pure integer arithmetic, recomputed exactly in DuckDB.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        simhash_64_from_token_hashes,
+        simhash_pairs_from,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    hashed = docs.select(
+        F.col("doc_id").alias("id"),
+        simhash_64_from_token_hashes(base).alias("sh"),
+    )
+    return simhash_pairs_from(hashed, max_hamming=3)
