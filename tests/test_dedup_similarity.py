@@ -133,6 +133,20 @@ def test_ivf_topk(spark):
     assert ok >= len(got) * 0.5
 
 
+def test_ivf_centroids_partitioning_invariant(spark):
+    """The portable centroid arithmetic (floor-quantized integer sums,
+    exact rational division) must be bit-identical regardless of how
+    the input is partitioned — no float summation order anywhere. This
+    is the property the DuckDB oracle twin relies on."""
+    from hrfco_data_pipeline_spark.operators.similarity import ivf_centroids
+
+    vecs = _vectors(spark)
+    c1 = ivf_centroids(vecs, n_centroids=8, dim=64)
+    c2 = ivf_centroids(vecs.repartition(13), n_centroids=8, dim=64)
+    c3 = ivf_centroids(vecs.coalesce(1), n_centroids=8, dim=64)
+    assert c1 == c2 == c3  # exact double equality, not approx
+
+
 def test_connected_components(spark):
     from hrfco_data_pipeline_spark.operators.dedup import connected_components
 
