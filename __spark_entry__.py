@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4: full-pipeline probes for the rows-only kernels ---
         "minhash_band_pairs_probe": llm.minhash_band_pairs_probe,
         "simhash_pairs_probe": llm.simhash_pairs_probe,
+        "near_dedup_probe": llm.near_dedup_probe,
         # --- green in r1 only; evidence predates two testdata regens ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,
@@ -101,9 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_format_bytes": relational.metrics_format_bytes,
         "metrics_durations": relational.metrics_durations,
         "mon_processing_times": relational.mon_processing_times,
-        "events_props_extract": relational.events_props_extract,
         # ^^^ first-50 boundary (50 entries above) ^^^
         # --- general relational surface (last green r2; r5 window) ---
+        "events_props_extract": relational.events_props_extract,
         "events_asof_last_error": relational.events_asof_last_error,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q5_region_revenue": relational.q5_region_revenue,

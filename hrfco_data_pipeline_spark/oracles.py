@@ -1967,6 +1967,69 @@ def _minhash_band_pairs_sql(k: int = 8, bands: int = 4) -> str:
 LLM_ORACLES["minhash_band_pairs_probe"] = _minhash_band_pairs_sql()
 
 
+# Full near-dedup workflow twin: portable banded pairs above the
+# est-Jaccard threshold -> undirected edges -> recursive
+# min-reachable-label components (the exact semantics of the pointer-
+# jumped connected_components operator) -> min-id survivor per cluster.
+def _near_dedup_probe_sql(
+    k: int = 8, bands: int = 4, threshold: str = "0.7"
+) -> str:
+    from hrfco_data_pipeline_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(k)
+    rows = k // bands
+    mins = ", ".join(
+        f"{_minhash_mexpr(int(a[i]), int(b[i]))} AS r{i}" for i in range(k)
+    )
+    sig_list = "[" + ", ".join(_signed64(f"r{i}") for i in range(k)) + "]"
+    bucket = " || ',' || ".join(
+        f"sig[band.b * {rows} + {j + 1}]::VARCHAR" for j in range(rows)
+    )
+    prefix = _MINHASH_HV_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    return (
+        prefix
+        + f""", m AS (
+      SELECT doc_id, {mins} FROM hv GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig_list} AS sig FROM m
+    ), banded AS (
+      SELECT doc_id, band.b AS band, {bucket} AS bucket
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS b) band
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), jp AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+      WHERE list_sum(list_transform(range(1, {k + 1}),
+        i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+        / {k} >= {threshold}
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM jp
+      UNION
+      SELECT id_b, id_a FROM jp
+    ), reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), keep AS (
+      SELECT component, min(id) AS keep_id FROM comp GROUP BY component
+    )
+    SELECT c.id AS doc_id, c.component AS cluster_id,
+      (c.id = k2.keep_id) AS kept
+    FROM comp c JOIN keep k2 ON c.component = k2.component
+    """
+    )
+
+
+LLM_ORACLES["near_dedup_probe"] = _near_dedup_probe_sql()
+
+
 # SimHash kernel probe twin: per-token 60-bit md5 hashes, bit votes
 # with multiplicity, majority -> bit set. Pure integer arithmetic.
 LLM_ORACLES["simhash_probe"] = r"""

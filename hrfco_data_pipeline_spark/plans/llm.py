@@ -1421,6 +1421,41 @@ def minhash_band_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", "est_jaccard")
 
 
+def near_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-verifiable probe of the FULL near_dedup_keep workflow:
+    portable md5-60bit MinHash signatures (k=8) through the production
+    banding path (lsh_candidate_pairs), the est-Jaccard >= 0.7 cut,
+    iterative connected components, and min-id survivor selection —
+    every line downstream of the base hash is the very code
+    near_dedup_keep runs (which differs only in xxhash64 and k=64).
+    The DuckDB twin recomputes the signatures in HUGEINT arithmetic
+    and the components with a recursive min-reachable-label CTE, so
+    the whole workflow earns an exact value-multiset row.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_portable(docs, k=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, k=8).filter(
+        F.col("est_jaccard") >= 0.7
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    w = Window.partitionBy("component")
+    return (
+        comp.withColumn("keep_doc_id", F.min("id").over(w))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            (F.col("id") == F.col("keep_doc_id")).alias("kept"),
+        )
+        .sortWithinPartitions("cluster_id", "doc_id")
+    )
+
+
 def simhash_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-verifiable probe of the FULL SimHash pairing pipeline:
     the production 16-bit pigeonhole chunking, bucket self-join, pair
