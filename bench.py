@@ -47,6 +47,9 @@ HEADLINE = [
     # round-3 additions: heaviest of the TPC-H completion + curation sets
     "q21_waiting_suppliers",
     "docs_segment_dedup",
+    # round-4 additions: the oracle-upgraded ANN + workflow paths
+    "ivf_cosine_topk",
+    "near_dedup_probe",
 ]
 
 
