@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_band_pairs_probe": llm.minhash_band_pairs_probe,
         "simhash_pairs_probe": llm.simhash_pairs_probe,
         "near_dedup_probe": llm.near_dedup_probe,
+        # --- new in r4: banded interval join operator ---
+        "events_peak_window_traffic": relational.events_peak_window_traffic,
         # --- green in r1 only; evidence predates two testdata regens ---
         "dedup_exact_docs": llm.dedup_exact_docs,
         "dedup_docs_kept": llm.dedup_docs_kept,
@@ -101,9 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mon_type_pivot": relational.mon_type_pivot,
         "metrics_format_bytes": relational.metrics_format_bytes,
         "metrics_durations": relational.metrics_durations,
-        "mon_processing_times": relational.mon_processing_times,
         # ^^^ first-50 boundary (50 entries above) ^^^
         # --- general relational surface (last green r2; r5 window) ---
+        "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,
         "events_asof_last_error": relational.events_asof_last_error,
         "q3_shipping_priority": relational.q3_shipping_priority,

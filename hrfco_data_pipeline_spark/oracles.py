@@ -1830,6 +1830,25 @@ RELATIONAL_ORACLES["events_retention_cohorts"] = """
     GROUP BY 1, 2
     """
 
+RELATIONAL_ORACLES["events_peak_window_traffic"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT event_type, h, row_number() OVER (
+        PARTITION BY event_type, date_trunc('day', h)
+        ORDER BY cnt DESC, h ASC) AS rk
+      FROM hourly
+    ), win AS (
+      SELECT event_type, h - INTERVAL 30 MINUTE AS w_start,
+        h + INTERVAL 90 MINUTE AS w_end
+      FROM ranked WHERE rk = 1
+    )
+    SELECT w.event_type, w.w_start, count(*) AS n_in_window
+    FROM win w JOIN events e ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
 RELATIONAL_ORACLES["events_hll_accuracy"] = """
     SELECT event_type,
       count(DISTINCT date_trunc('day', ts)) AS n_days,

@@ -850,6 +850,52 @@ def events_hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_peak_window_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join — each event type's daily peak hour defines
+    a non-aligned 2-hour window [peak-30min, peak+90min), and the
+    query counts ALL events (any type) inside each window.
+
+    Scale shape: the point-in-interval match runs through
+    operators/rangejoin.range_join_banded — intervals explode into the
+    1-hour bands they overlap and the join is an equi-join on the band
+    key (bounded shuffle, no BroadcastNestedLoopJoin), each point
+    matching via exactly one band. Peak selection is a per-(type, day)
+    row_number argmax with a deterministic min-hour tie-break (integer
+    counts — portable).
+    """
+    from hrfco_data_pipeline_spark.operators.rangejoin import (
+        range_join_banded,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(
+        "event_type", F.date_trunc("day", "h")
+    ).orderBy(F.desc("cnt"), F.asc("h"))
+    windows = (
+        hourly.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("event_type").alias("win_type"),
+            (F.col("h") - F.expr("INTERVAL 30 MINUTES")).alias("w_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+        )
+    )
+    joined = range_join_banded(
+        ev.select("ts"), windows, ts_col="ts", unit="hour"
+    )
+    return (
+        joined.groupBy("win_type", "w_start")
+        .agg(F.count("*").alias("n_in_window"))
+        .select(
+            F.col("win_type").alias("event_type"), "w_start", "n_in_window"
+        )
+        .orderBy("event_type", "w_start")
+    )
+
+
 def events_hll_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-backed face of the HLL rollup: the same sketch pipeline as
     events_hll_user_rollup, but with the estimate itself projected away

@@ -82,6 +82,52 @@ def test_lsh_topk_approximates_brute_force(spark):
     assert all(len(v) < vecs.count() - 1 for v in approx_by_q.values())
 
 
+def test_range_join_banded_matches_naive(spark):
+    """The banded equi-join must return exactly the rows of the naive
+    cross-join + BETWEEN filter (each point meets a containing
+    interval via exactly one band — no dupes, no misses), including
+    intervals that span band boundaries and points on the half-open
+    edges."""
+    import datetime as dt
+
+    from hrfco_data_pipeline_spark.operators.rangejoin import (
+        range_join_banded,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    pts = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "pid long, ts timestamp_ntz",
+    )
+    ivs = spark.createDataFrame(
+        [
+            # spans 3 hourly bands
+            (1, t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(minutes=150)),
+            # exactly band-aligned (half-open end)
+            (2, t0 + dt.timedelta(hours=4), t0 + dt.timedelta(hours=5)),
+            # sub-band interval
+            (3, t0 + dt.timedelta(minutes=400), t0 + dt.timedelta(minutes=410)),
+            # overlapping interval
+            (4, t0 + dt.timedelta(minutes=100), t0 + dt.timedelta(minutes=200)),
+        ],
+        "wid long, w_start timestamp_ntz, w_end timestamp_ntz",
+    )
+    got = {
+        (r.pid, r.wid)
+        for r in range_join_banded(pts, ivs, ts_col="ts").collect()
+    }
+    naive = {
+        (r.pid, r.wid)
+        for r in pts.crossJoin(ivs)
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .collect()
+    }
+    assert got == naive and got
+    # the plan is an equi-join on the band key, not a nested loop
+    plan = range_join_banded(pts, ivs, ts_col="ts")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_asof_join_semantics(spark):
     from hrfco_data_pipeline_spark.operators.asof import asof_join
 
