@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_format_bytes": relational.metrics_format_bytes,
         "metrics_durations": relational.metrics_durations,
         # ^^^ first-50 boundary (50 entries above) ^^^
+        # --- new in r4 (post-window; front of the r5 rotation) ---
+        "docs_simjoin_prefix": llm.docs_simjoin_prefix,
         # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

@@ -465,3 +465,89 @@ def connected_components(
             "per extra iteration) or pass strict=False"
         )
     return labels
+
+
+def prefix_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Exact-threshold Jaccard set-similarity self-join via prefix
+    filtering (the All-Pairs / PPJoin candidate scheme, re-expressed as
+    DataFrame ops in the Vernica-et-al. distributed formulation).
+
+    Where the all-shingles self-join (plans/llm.docs_ngram_jaccard_pairs)
+    explodes *every* shingle into the candidate join, prefix filtering
+    explodes only each set's first ``n - ceil(t*n) + 1`` elements under
+    a single global ordering (document frequency ascending, shingle
+    ascending — rarest first). Completeness: if J(x,y) >= t then
+    |x∩y| >= ceil(t*max(|x|,|y|)), so the globally-smallest common
+    element must sit inside both prefixes — any pair the prefix join
+    misses is provably below threshold. Rare-first ordering makes the
+    exploded keys the most selective ones, so bucket fan-out stays
+    near-constant even when boilerplate shingles are corpus-hot; a
+    length filter (least >= t * greatest) prunes cross-size candidates
+    before the exact verify.
+
+    Scale shape: candidate generation shuffles ~(1-t)·|set| xxhash64
+    keys per doc (collisions harmless — verification is exact on the
+    string sets); verification joins the bounded candidate set back to
+    the per-doc shingle arrays on doc_id. No all-pairs stage anywhere;
+    the df ranking reuses one (shingle→df) aggregate that
+    partial-aggregates map-side.
+    """
+    from pyspark.sql import Window
+
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingle_array(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .persist()
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    df_tbl = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    prefix = (
+        ex.join(df_tbl, "s")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n_sh", "b.n_sh")
+                >= F.lit(threshold) * F.greatest("a.n_sh", "b.n_sh")
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    common = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("common", common)
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "common", "jaccard")
+    )

@@ -2316,3 +2316,27 @@ def _ivf_topk_sql(n_centroids: int = 16, dim: int = 64, quant: int = 1_000_000) 
 
 
 LLM_ORACLES["ivf_cosine_topk"] = _ivf_topk_sql()
+
+
+# Prefix-filtered exact-threshold similarity join: the oracle is the
+# NAIVE all-pairs answer, so a hash-match proves the PPJoin-style
+# candidate pruning (operators/dedup.prefix_jaccard_pairs) is lossless.
+LLM_ORACLES["docs_simjoin_prefix"] = _TOK_CTE + r"""
+    , sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [array_to_string(toks, ' ')] END AS s
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS common,
+        len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, common,
+      CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+    """

@@ -1480,3 +1480,20 @@ def simhash_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_64_from_token_hashes(base).alias("sh"),
     )
     return simhash_pairs_from(hashed, max_hamming=3)
+
+
+def docs_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 shingle-set similarity self-join via prefix
+    filtering (operators/dedup.prefix_jaccard_pairs). The DuckDB twin
+    computes the naive all-pairs answer, so a green row certifies the
+    prefix-filter candidate scheme is *lossless* — every pair the
+    optimized plan skips is provably below threshold.
+
+    Reference parity: the reference has no similarity operators
+    (SURVEY §2.9 gap list); this is the beyond-reference exact-
+    threshold companion to the MinHash-LSH approximate path.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_pairs(docs, threshold=0.5)

@@ -445,3 +445,57 @@ def test_near_dedup_keep_invariants(spark):
             labels = {clustered.get(i) for i in ids}
             assert None not in labels, f"exact dups not clustered: {ids}"
             assert len(labels) == 1, f"exact dups split across clusters: {ids}"
+
+
+def test_prefix_jaccard_join_is_lossless(spark):
+    """prefix_jaccard_pairs (PPJoin-style prefix filtering) must equal
+    the naive all-pairs Jaccard join — including exact-boundary pairs,
+    cross-size pairs pruned by the length filter, and sub-5-token docs
+    that collapse to a single whole-text shingle."""
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+        shingle_array,
+    )
+
+    rows = [
+        (1, DOC),
+        (2, NEAR),
+        (3, FAR),
+        (4, DOC),
+        (5, "tiny doc here"),     # < 5 tokens → single shingle
+        (6, "tiny doc here"),     # exact dup of 5 at the single-shingle path
+        (7, DOC + " extra trailing words appended here making it longer"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.common, round(r.jaccard, 10))
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+    sh = docs.select("doc_id", shingle_array(F.col("text")).alias("sh"))
+    a = sh.selectExpr("doc_id as doc_a", "sh as sa")
+    b = sh.selectExpr("doc_id as doc_b", "sh as sb")
+    naive = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sa", "sb")).cast("long").alias("common"),
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / (
+                    F.size("sa")
+                    + F.size("sb")
+                    - F.size(F.array_intersect("sa", "sb"))
+                )
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    want = {
+        (r.doc_a, r.doc_b): (r.common, round(r.jaccard, 10))
+        for r in naive.collect()
+    }
+    assert got == want
+    assert (1, 4) in got and got[(1, 4)][1] == 1.0
+    assert (5, 6) in got  # single-shingle exact-dup path
