@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ^^^ first-50 boundary (50 entries above) ^^^
         # --- new in r4 (post-window; front of the r5 rotation) ---
         "docs_simjoin_prefix": llm.docs_simjoin_prefix,
+        "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
         # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

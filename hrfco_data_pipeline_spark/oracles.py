@@ -2340,3 +2340,55 @@ LLM_ORACLES["docs_simjoin_prefix"] = _TOK_CTE + r"""
     FROM pairs
     WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
     """
+
+
+# Bloom-filter decontamination: the filter is pure md5/integer
+# arithmetic (two 60-bit md5 slice hashes, k=3 double-hashed positions
+# mod 2^16), so DuckDB rebuilds the identical bit set and the compare
+# certifies both the no-false-negative invariant and the exact counts.
+LLM_ORACLES["docs_bloom_decontaminate"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, len(toks) - 1)])
+        ELSE [array_to_string(toks, ' ')] END AS shingles
+      FROM tok
+    ), hashed AS (
+      SELECT doc_id, s,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d) AS h1,
+        list_reduce(list_transform(range(17, 32),
+          i -> strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d) AS h2
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ), positions AS (
+      SELECT DISTINCT (h1 + j * h2) % 65536 AS pos
+      FROM hashed, range(0, 3) t(j) WHERE doc_id % 97 = 0
+    ), eval_exact AS (
+      SELECT DISTINCT s FROM hashed WHERE doc_id % 97 = 0
+    ), train AS (
+      SELECT doc_id, s, h1, h2 FROM hashed WHERE doc_id % 97 <> 0
+    ), bloom_hit AS (
+      SELECT doc_id, s FROM (
+        SELECT tr.doc_id, tr.s, tr.j FROM (
+          SELECT doc_id, s, j, (h1 + j * h2) % 65536 AS pos
+          FROM train, range(0, 3) t(j)
+        ) tr JOIN positions USING (pos)
+      ) GROUP BY doc_id, s HAVING count(DISTINCT j) = 3
+    ), exact_hit AS (
+      SELECT doc_id, count(*) AS exact_hits FROM (
+        SELECT doc_id, s FROM train SEMI JOIN eval_exact USING (s)
+      ) GROUP BY doc_id
+    ), bloom_counts AS (
+      SELECT doc_id, count(*) AS bloom_hits FROM bloom_hit GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.bloom_hits,
+      coalesce(e.exact_hits, 0) AS exact_hits,
+      coalesce(e.exact_hits, 0) = 0 AS is_false_positive
+    FROM bloom_counts b LEFT JOIN exact_hit e USING (doc_id)
+    """

@@ -1497,3 +1497,87 @@ def docs_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_jaccard_pairs(docs, threshold=0.5)
+
+
+def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: the 100 TB version of
+    docs_decontaminate. Instead of broadcasting the eval set's distinct
+    shingle hashes (which grows with the benchmark corpus), the eval
+    shingles are folded into a fixed-size Bloom filter — m = 2^16 bits,
+    k = 3 probes via Kirsch-Mitzenmaucher double hashing
+    pos_j = (h1 + j*h2) mod m over two 60-bit md5 slice hashes — and
+    the training side probes it map-side. The filter is represented as
+    the distinct set of SET bit positions (≤ m rows, ≤ 512 KiB), which
+    broadcasts at any corpus scale.
+
+    Bloom guarantees no false negatives: every exact-overlap shingle is
+    a Bloom hit. The query emits, per flagged training doc, the count
+    of Bloom-hit shingles AND the exact-overlap count, plus the
+    false-positive marker (bloom-flagged, zero exact hits) — and every
+    quantity is pure md5/integer arithmetic, so the DuckDB twin
+    recomputes the whole filter bit-for-bit. At 100 TB the exact face
+    would run only over the Bloom-flagged docs (here it is computed for
+    all flagged docs, which is exactly that shape).
+    """
+    m_bits = 1 << 16
+    k = 3
+    docs = load_table(spark, sf_dir, "documents")
+    from hrfco_data_pipeline_spark.operators.dedup import shingle_array
+
+    sh = docs.select(
+        "doc_id", F.explode(shingle_array(F.col("text"), 3)).alias("s")
+    )
+    h1 = F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("s"), 17, 15), 16, 10).cast("long")
+    hashed = sh.select("doc_id", "s", h1.alias("h1"), h2.alias("h2"))
+    is_eval = F.col("doc_id") % 97 == 0
+
+    positions = (
+        hashed.filter(is_eval)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("h1") + F.lit(j) * F.col("h2")) % m_bits).alias(f"p{j}")
+                        for j in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    eval_exact = hashed.filter(is_eval).select("s").distinct()
+
+    train = hashed.filter(~is_eval)
+    probe = train.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.array(*[(F.col("h1") + F.lit(j) * F.col("h2")) % m_bits for j in range(k)])
+        ).alias("j", "pos"),
+    )
+    bloom_hit_shingles = (
+        probe.join(F.broadcast(positions), "pos")
+        .groupBy("doc_id", "s")
+        .agg(F.count_distinct("j").alias("nj"))
+        .filter(F.col("nj") == k)
+        .select("doc_id", "s")
+    )
+    exact_hit_shingles = train.join(F.broadcast(eval_exact), "s", "left_semi").select(
+        "doc_id", "s"
+    )
+    bloom_counts = bloom_hit_shingles.groupBy("doc_id").agg(
+        F.count("*").alias("bloom_hits")
+    )
+    exact_counts = exact_hit_shingles.groupBy("doc_id").agg(
+        F.count("*").alias("exact_hits")
+    )
+    return (
+        bloom_counts.join(exact_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hits",
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+            (F.coalesce("exact_hits", F.lit(0)) == 0).alias("is_false_positive"),
+        )
+    )

@@ -499,3 +499,32 @@ def test_prefix_jaccard_join_is_lossless(spark):
     assert got == want
     assert (1, 4) in got and got[(1, 4)][1] == 1.0
     assert (5, 6) in got  # single-shingle exact-dup path
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, tmp_path):
+    """Every training doc with a genuine 3-gram overlap against the
+    eval split must be Bloom-flagged with exact_hits >= 1, and
+    bloom_hits >= exact_hits always (Bloom never misses, may over-flag)."""
+    from hrfco_data_pipeline_spark.operators.dedup import shingle_array
+    from hrfco_data_pipeline_spark.plans.llm import docs_bloom_decontaminate
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = docs_bloom_decontaminate(spark, sf_dir)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert all(r.bloom_hits >= r.exact_hits for r in rows.values())
+    assert all((r.exact_hits == 0) == r.is_false_positive for r in rows.values())
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", F.explode(shingle_array(F.col("text"), 3)).alias("s")
+    )
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    exact = (
+        sh.filter(F.col("doc_id") % 97 != 0)
+        .join(ev, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    exact_ids = {r.doc_id for r in exact.collect()}
+    flagged_with_exact = {d for d, r in rows.items() if r.exact_hits > 0}
+    assert exact_ids == flagged_with_exact
