@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r4 (post-window; front of the r5 rotation) ---
         "docs_simjoin_prefix": llm.docs_simjoin_prefix,
         "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
+        "lineitem_zorder_layout": relational.lineitem_zorder_layout,
         # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

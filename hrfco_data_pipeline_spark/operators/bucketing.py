@@ -46,3 +46,27 @@ def bucketed_join(
     if force_sort_merge:
         left = left.hint("merge")
     return left.join(spark.table(right_table), on)
+
+
+def morton_interleave(qx, qy, bits: int = 8):
+    """Morton (Z-order) code of two pre-quantized columns: bit i of
+    ``qx`` lands at position 2i, bit i of ``qy`` at 2i+1. Pure shift/
+    mask arithmetic — stays inside whole-stage codegen and is exactly
+    reproducible in any engine with integer bit ops.
+
+    This is the layout key behind multi-dimensional data skipping
+    (Delta/Iceberg OPTIMIZE ZORDER BY): sorting or range-sharding by
+    the interleaved key clusters rows so every output file covers a
+    small rectangle in (x, y) space, letting min/max file stats prune
+    on BOTH columns instead of just the leading sort key.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z

@@ -2392,3 +2392,27 @@ LLM_ORACLES["docs_bloom_decontaminate"] = r"""
       coalesce(e.exact_hits, 0) = 0 AS is_false_positive
     FROM bloom_counts b LEFT JOIN exact_hit e USING (doc_id)
     """
+
+
+# Z-order layout audit: quantization, Morton interleave, and shard
+# bounds are pure integer arithmetic — DuckDB reproduces them exactly.
+RELATIONAL_ORACLES["lineitem_zorder_layout"] = r"""
+    WITH b AS (
+      SELECT min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+      FROM lineitem
+    ), q AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+        ((l_partkey - min_pk) * 256) // (max_pk - min_pk + 1) AS qx,
+        ((l_suppkey - min_sk) * 256) // (max_sk - min_sk + 1) AS qy
+      FROM lineitem, b
+    ), z AS (
+      SELECT pk, sk,
+        (((qx >> 0) & 1) << 0) + (((qy >> 0) & 1) << 1) + (((qx >> 1) & 1) << 2) + (((qy >> 1) & 1) << 3) + (((qx >> 2) & 1) << 4) + (((qy >> 2) & 1) << 5) + (((qx >> 3) & 1) << 6) + (((qy >> 3) & 1) << 7) + (((qx >> 4) & 1) << 8) + (((qy >> 4) & 1) << 9) + (((qx >> 5) & 1) << 10) + (((qy >> 5) & 1) << 11) + (((qx >> 6) & 1) << 12) + (((qy >> 6) & 1) << 13) + (((qx >> 7) & 1) << 14) + (((qy >> 7) & 1) << 15) AS zcode
+      FROM q
+    )
+    SELECT zcode >> 8 AS shard, count(*) AS n_rows,
+      min(pk) AS pk_lo, max(pk) AS pk_hi,
+      min(sk) AS sk_lo, max(sk) AS sk_hi
+    FROM z GROUP BY 1
+    """

@@ -1621,3 +1621,53 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v.agg(F.count("*").alias("n_view_after")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after")))
     )
+
+
+def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout audit over lineitem on
+    (l_partkey, l_suppkey): quantize both keys to 8-bit cells against
+    their global min/max, interleave the bits
+    (operators/bucketing.morton_interleave), shard on the top 8 Morton
+    bits, and emit each shard's row count plus its (partkey, suppkey)
+    bounding rectangle.
+
+    The per-shard min/max rectangle IS the data-skipping claim: a
+    Z-ordered file layout gives every file tight min/max stats on BOTH
+    join/filter keys, so scans filtered on either column prune most
+    files — single-column sorting only prunes the leading key. The
+    bounds row is computed as a 1-row broadcast (scalar-subquery
+    shape), never a driver collect; everything else is one groupBy on
+    a 256-ary integer key. At 100 TB the same expression feeds the
+    range-exchange sorted writer (cf. docs_range_shards) to actually
+    lay the files out.
+    """
+    from hrfco_data_pipeline_spark.operators.bucketing import morton_interleave
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("pk"),
+        F.col("l_suppkey").cast("long").alias("sk"),
+    )
+    bounds = li.agg(
+        F.min("pk").alias("min_pk"),
+        F.max("pk").alias("max_pk"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+    )
+    q = li.crossJoin(F.broadcast(bounds)).select(
+        "pk",
+        "sk",
+        F.expr("((pk - min_pk) * 256) div (max_pk - min_pk + 1)").alias("qx"),
+        F.expr("((sk - min_sk) * 256) div (max_sk - min_sk + 1)").alias("qy"),
+    )
+    z = morton_interleave(F.col("qx"), F.col("qy"), bits=8)
+    return (
+        q.withColumn("shard", F.shiftright(z, 8))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pk").alias("pk_lo"),
+            F.max("pk").alias("pk_hi"),
+            F.min("sk").alias("sk_lo"),
+            F.max("sk").alias("sk_hi"),
+        )
+    )

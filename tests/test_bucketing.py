@@ -56,3 +56,24 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
 
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_zorder_shards_are_tight_rectangles(spark):
+    """Top-8-bit Morton shards fix the high nibble of both quantized
+    dims, so every shard's bounding rectangle spans <= ~1/16 of each
+    key range (+ one quantization cell of slack) — the two-column
+    data-skipping property single-key sorting cannot give."""
+    from hrfco_data_pipeline_spark.plans.relational import lineitem_zorder_layout
+
+    rows = lineitem_zorder_layout(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "no shards produced"
+    pk_range = max(r.pk_hi for r in rows) - min(r.pk_lo for r in rows) + 1
+    sk_range = max(r.sk_hi for r in rows) - min(r.sk_lo for r in rows) + 1
+    pk_cap = pk_range / 16 + pk_range / 256 + 2
+    sk_cap = sk_range / 16 + sk_range / 256 + 2
+    for r in rows:
+        assert r.pk_hi - r.pk_lo + 1 <= pk_cap, r
+        assert r.sk_hi - r.sk_lo + 1 <= sk_cap, r
+    assert sum(r.n_rows for r in rows) == spark.read.parquet(
+        "/root/testdata/sf0.001/lineitem.parquet"
+    ).count()
