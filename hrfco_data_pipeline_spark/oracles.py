@@ -2416,3 +2416,40 @@ RELATIONAL_ORACLES["lineitem_zorder_layout"] = r"""
       min(sk) AS sk_lo, max(sk) AS sk_hi
     FROM z GROUP BY 1
     """
+
+
+# Count-min sketch: the 3x1024 counter matrix is pure md5/integer
+# arithmetic, so DuckDB rebuilds it cell-for-cell and the compare
+# certifies estimates, exact counts, and the non-negative inflation.
+LLM_ORACLES["docs_cms_heavy_hitters"] = r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+      FROM documents
+    ), hv AS (
+      SELECT t,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d) AS h1,
+        list_reduce(list_transform(range(17, 32),
+          i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d) AS h2
+      FROM (SELECT DISTINCT t FROM tok)
+    ), occ AS (
+      SELECT tok.t, j, (h1 + j * h2) % 1024 AS pos
+      FROM tok JOIN hv USING (t), range(0, 3) r(j)
+    ), counters AS (
+      SELECT j, pos, count(*) AS c FROM occ GROUP BY j, pos
+    ), cnt AS (
+      SELECT t, count(*) AS exact_cnt FROM tok GROUP BY t
+    ), top AS (
+      SELECT t, exact_cnt FROM cnt
+      ORDER BY exact_cnt DESC, t ASC LIMIT 20
+    ), probe AS (
+      SELECT top.t, top.exact_cnt, r.j, (h1 + r.j * h2) % 1024 AS pos
+      FROM top JOIN hv USING (t), range(0, 3) r(j)
+    )
+    SELECT probe.t AS term, probe.exact_cnt, min(c) AS cms_est,
+      min(c) - probe.exact_cnt AS inflation
+    FROM probe JOIN counters USING (j, pos)
+    GROUP BY probe.t, probe.exact_cnt
+    """

@@ -1581,3 +1581,53 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("exact_hits", F.lit(0)) == 0).alias("is_false_positive"),
         )
     )
+
+
+def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch term frequencies, fully oracle-verified: d=3
+    counter rows of w=1024 cells, cell index per row via
+    Kirsch-Mitzenmaucher double hashing (h1 + j*h2 mod w) over two
+    60-bit md5 slice hashes — the same portable-hash discipline as
+    minhash_sig_probe, so DuckDB rebuilds the identical counter matrix.
+
+    The sketch is the scale object: counters partial-aggregate
+    map-side onto a FIXED 3×1024 key space no matter how many distinct
+    terms the corpus has, and two sketches merge by cell-wise add —
+    the streaming/rollup shape exact groupBy counts cannot give at
+    unbounded key cardinality. The query probes the exact top-20 terms
+    (deterministic count-desc/term-asc order) and emits exact count,
+    CMS estimate, and the inflation (estimate - exact, provably >= 0:
+    CMS never underestimates) so the driver certifies the whole
+    counter arithmetic bit-for-bit.
+    """
+    w_cells, d_rows, top_k = 1024, 3, 20
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("t"))
+    h1 = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("t"), 17, 15), 16, 10).cast("long")
+    cells = F.array(
+        *[(h1 + F.lit(j) * h2) % w_cells for j in range(d_rows)]
+    )
+    occ = tok.select("t", F.posexplode(cells).alias("j", "pos"))
+    counters = occ.groupBy("j", "pos").agg(F.count("*").alias("c"))
+
+    top = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("t"))
+        .limit(top_k)
+    )
+    probe = top.select(
+        "t", "exact_cnt", F.posexplode(cells).alias("j", "pos")
+    )
+    return (
+        probe.join(counters, ["j", "pos"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            F.col("t").alias("term"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("inflation"),
+        )
+    )

@@ -528,3 +528,12 @@ def test_bloom_decontaminate_no_false_negatives(spark, tmp_path):
     exact_ids = {r.doc_id for r in exact.collect()}
     flagged_with_exact = {d for d, r in rows.items() if r.exact_hits > 0}
     assert exact_ids == flagged_with_exact
+
+
+def test_cms_never_underestimates(spark):
+    from hrfco_data_pipeline_spark.plans.llm import docs_cms_heavy_hitters
+
+    rows = docs_cms_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    assert all(r.cms_est >= r.exact_cnt for r in rows)
+    assert all(r.inflation == r.cms_est - r.exact_cnt for r in rows)
