@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
         "lineitem_zorder_layout": relational.lineitem_zorder_layout,
         "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
+        "docs_editdist_pairs": llm.docs_editdist_pairs,
         # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

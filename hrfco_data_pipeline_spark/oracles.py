@@ -2453,3 +2453,16 @@ LLM_ORACLES["docs_cms_heavy_hitters"] = r"""
     FROM probe JOIN counters USING (j, pos)
     GROUP BY probe.t, probe.exact_cnt
     """
+
+
+# Edit-distance join: naive all-pairs levenshtein — a match certifies
+# the q-gram count filter + length filter chain is lossless.
+LLM_ORACLES["docs_editdist_pairs"] = r"""
+    WITH p AS (
+      SELECT doc_id, substr(trim(text), 1, 64) AS s FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM p a JOIN p b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 8
+    """

@@ -537,3 +537,49 @@ def test_cms_never_underestimates(spark):
     assert len(rows) == 20
     assert all(r.cms_est >= r.exact_cnt for r in rows)
     assert all(r.inflation == r.cms_est - r.exact_cnt for r in rows)
+
+
+def test_editdist_pairs_lossless_including_short_bucket(spark):
+    """Count-filter + length-filter candidate chain must equal naive
+    all-pairs levenshtein — including strings too short for the q-gram
+    bound to prune (routed through the short-bucket cross pair)."""
+    from hrfco_data_pipeline_spark.plans import llm
+
+    rows = [
+        (1, DOC),
+        (2, DOC.replace("quick", "quack")),   # tiny prefix edit
+        (3, FAR),
+        (4, "abc"),                            # short bucket
+        (5, "abd"),                            # ed 1 from 4
+        (6, "abcdefghijklmnop"),               # len 16 (short bucket)
+        (7, "abcdefghijklmnoq"),               # ed 1 from 6
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    import hrfco_data_pipeline_spark.sources.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables_patch = lambda spark_, sf_dir, name: docs
+        llm.load_table = tables_patch
+        got = {
+            (r.doc_a, r.doc_b): r.dist
+            for r in llm.docs_editdist_pairs(spark, "unused").collect()
+        }
+    finally:
+        llm.load_table = orig
+
+    p = docs.selectExpr("doc_id", "substring(trim(text), 1, 64) as s")
+    naive = (
+        p.alias("x")
+        .join(p.alias("y"), F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.levenshtein("x.s", "y.s").alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+    )
+    want = {(r.doc_a, r.doc_b): r.dist for r in naive.collect()}
+    assert got == want
+    assert (4, 5) in got and got[(4, 5)] == 1   # short-bucket pair found
+    assert (6, 7) in got and got[(6, 7)] == 1
