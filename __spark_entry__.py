@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_zorder_layout": relational.lineitem_zorder_layout,
         "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
         "docs_editdist_pairs": llm.docs_editdist_pairs,
+        "pq_adc_topk": llm.pq_adc_topk,
         # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

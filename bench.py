@@ -50,6 +50,10 @@ HEADLINE = [
     # round-4 additions: the oracle-upgraded ANN + workflow paths
     "ivf_cosine_topk",
     "near_dedup_probe",
+    # round-4 additions: lossless-pruning joins + layout/sketch ops
+    "docs_simjoin_prefix",
+    "docs_bloom_decontaminate",
+    "lineitem_zorder_layout",
 ]
 
 

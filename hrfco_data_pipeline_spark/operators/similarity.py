@@ -320,3 +320,148 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def l2sq(a: Column | str, b: Column | str) -> Column:
+    """Fold-left squared-L2 distance of two equal-length double arrays
+    (same 0.0-seeded association order as ``dot`` — engine-portable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subcentroids(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    vec_col: str = "v",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook: ``m`` sub-spaces of
+    ``dim/m`` components, ``ksub`` sub-centroids each, trained exactly
+    like ivf_centroids (one averaging step over a portable md5 cell
+    pre-assignment — here md5(id || ':' || j) so each sub-space gets an
+    independent partition) with floor-quantized DECIMAL sums, so every
+    centroid double is engine-reproducible.
+
+    One melt-explode pass → one (j, cell) groupBy (m*ksub groups);
+    driver collect bounded at m*ksub rows. Returns cents[j][i] = the
+    dsub-float sub-centroid.
+    """
+    dsub = dim // m
+    q = F.transform(vec_col, lambda x: F.floor(x * quant))
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col(id_col).cast("string"), F.lit(f":{j}")
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % ksub
+                ).alias("cell"),
+                F.slice(q, j * dsub + 1, dsub).alias("qs"),
+            )
+            for j in range(m)
+        ]
+    )
+    melted = vectors.select(F.explode(structs).alias("s")).select(
+        "s.j", "s.cell", "s.qs"
+    )
+    sums = melted.groupBy("j", "cell").agg(
+        *[
+            F.sum(F.element_at("qs", t + 1).cast("decimal(38,0)")).alias(f"s{t}")
+            for t in range(dsub)
+        ],
+        F.count("*").alias("n"),
+    )
+    rows = {(r["j"], r["cell"]): r for r in sums.collect()}
+    cents: list[list[list[float]]] = []
+    for j in range(m):
+        sub = []
+        for i in range(ksub):
+            r = rows.get((j, i))
+            if r is None:
+                sub.append([0.0] * dsub)
+            else:
+                sub.append(
+                    [int(r[f"s{t}"]) / (r["n"] * quant) for t in range(dsub)]
+                )
+        cents.append(sub)
+    return cents
+
+
+def _cmat_lit(cent_j: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in cent_j])
+
+
+def pq_codes(cents: list[list[list[float]]], vec_col: str = "v") -> Column:
+    """PQ encoding: per sub-space, index of the nearest (squared-L2)
+    sub-centroid — first index wins ties, matching list_position-of-min.
+    The resulting m-int array is the 32x-compressed representation the
+    ADC scan reads instead of the raw floats."""
+    m = len(cents)
+    dsub = len(cents[0][0])
+    codes = []
+    for j in range(m):
+        sub = F.slice(vec_col, j * dsub + 1, dsub)
+        dists = F.transform(_cmat_lit(cents[j]), lambda c: l2sq(sub, c))
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: each query precomputes its
+    m × ksub table of sub-distances to every sub-centroid, then scores
+    a corpus row with m table lookups over its code array — never
+    touching the raw corpus floats. This is the compressed-domain scan
+    that makes billion-vector ANN feasible: the corpus shrinks from
+    dim*4 bytes to m bytes per vector, and the scan cost is m adds per
+    candidate. Compose with the IVF cell routing (ivf_topk) for the
+    full IVF-PQ structure; here the scan covers the whole corpus so
+    recall loss comes only from quantization.
+    """
+    m = len(cents)
+    dsub = len(cents[0][0])
+    enc = corpus.select(
+        F.col(id_col).alias("cid"), pq_codes(cents, vec_col).alias("codes")
+    )
+    def _sub_table(j: int) -> Column:
+        sub = F.slice(vec_col, j * dsub + 1, dsub)
+        return F.transform(_cmat_lit(cents[j]), lambda c: l2sq(sub, c))
+
+    qtab = F.array(*[_sub_table(j) for j in range(m)])
+    q = queries.select(F.col(id_col).alias("qid"), qtab.alias("qtab"))
+    joined = enc.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+    approx = F.aggregate(
+        F.zip_with("qtab", "codes", lambda t, c: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
+    return (
+        joined.select("qid", "cid", approx.alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -2466,3 +2466,94 @@ LLM_ORACLES["docs_editdist_pairs"] = r"""
     FROM p a JOIN p b ON a.doc_id < b.doc_id
     WHERE levenshtein(a.s, b.s) <= 8
     """
+
+
+def _pq_adc_sql(m: int = 8, ksub: int = 16, dim: int = 64, quant: int = 1_000_000) -> str:
+    """Twin of plans/llm.pq_adc_topk: recomputes the PQ codebook
+    (integer-exact sums over per-sub-space md5 pre-assignment), the
+    fold-left squared-L2 encoding argmin, and the 0.0-seeded ADC sum —
+    association orders match operators/similarity exactly."""
+    dsub = dim // m
+
+    def h60(j: int) -> str:
+        return (
+            "list_reduce(list_transform(range(1, 16), "
+            "i -> strpos('0123456789abcdef', "
+            f"substr(md5(vec_id::VARCHAR || ':{j}'), i, 1)) - 1), "
+            "(acc, d) -> acc * 16 + d)::BIGINT"
+        )
+
+    cells = ", ".join(f"{h60(j)} % {ksub} AS c{j}" for j in range(m))
+    melt = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, c{j} AS cell, v[{j * dsub + 1}:{(j + 1) * dsub}] AS vs FROM h"
+        for j in range(m)
+    )
+    sums = ", ".join(
+        f"sum(floor(vs[{t + 1}] * {quant}.0)::BIGINT) AS s{t}" for t in range(dsub)
+    )
+    cvec = (
+        "["
+        + ", ".join(f"s{t}::DOUBLE / (n * {quant})::DOUBLE" for t in range(dsub))
+        + "]"
+    )
+    zeros = "[" + ", ".join("0.0" for _ in range(dsub)) + "]"
+
+    def l2fold(vec: str, off: int, cv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}), "
+            f"t -> ({vec}[{off} + t] - ({cv})[t]) * ({vec}[{off} + t] - ({cv})[t]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    codes = ", ".join(
+        f"list_position(d{j}, list_min(d{j})) - 1 AS code{j}" for j in range(m)
+    )
+    dists = ", ".join(
+        f"list_transform(mm[{j + 1}], cv -> {l2fold('v', j * dsub, 'cv')}) AS d{j}"
+        for j in range(m)
+    )
+    adc = "0.0 + " + " + ".join(
+        l2fold("q.qv", j * dsub, f"mm[{j + 1}][enc.code{j} + 1]") for j in range(m)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), h AS (
+      SELECT vec_id, v, {cells} FROM e
+    ), melt AS (
+      {melt}
+    ), sums AS (
+      SELECT j, cell, count(*) AS n, {sums} FROM melt GROUP BY j, cell
+    ), cents AS (
+      SELECT jr.range AS j, ir.range AS cell,
+        CASE WHEN s.n IS NULL THEN {zeros} ELSE {cvec} END AS cv
+      FROM range(0, {m}) jr CROSS JOIN range(0, {ksub}) ir
+      LEFT JOIN sums s ON s.j = jr.range AND s.cell = ir.range
+    ), cmats AS (
+      SELECT j, list(cv ORDER BY cell) AS ml FROM cents GROUP BY j
+    ), cmat AS (
+      SELECT list(ml ORDER BY j) AS mm FROM cmats
+    ), dmatrix AS (
+      SELECT vec_id, v, {dists} FROM h, cmat
+    ), enc AS (
+      SELECT vec_id, {codes} FROM dmatrix
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.qid AS query_id, enc.vec_id AS neighbor_id,
+        {adc} AS ad
+      FROM enc CROSS JOIN q CROSS JOIN cmat
+      WHERE enc.vec_id <> q.qid
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY ad ASC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(ad, 4) AS approx_dist,
+      CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+LLM_ORACLES["pq_adc_topk"] = _pq_adc_sql()

@@ -1709,3 +1709,32 @@ def docs_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= d)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 (operators/similarity.py):
+    8 sub-spaces x 16 sub-centroids over the 64-dim embeddings —
+    corpus scanned as 8-byte codes, queries score via table lookups.
+    Oracle-backed end to end: codebook training is the same
+    integer-exact DECIMAL-sum arithmetic as ivf_centroids (per-sub-
+    space md5 pre-assignment), encoding is a fold-left squared-L2
+    argmin, and the ADC sum is a fixed-order fold — all bit-
+    reproducible in DuckDB; only the displayed distance is rounded.
+    """
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        pq_adc_topk as _pq_topk,
+        pq_subcentroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = pq_subcentroids(vecs, m=8, ksub=16, dim=64)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    topk = _pq_topk(vecs, queries, cents, k=5)
+    return topk.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        _r4(F.col("approx_dist")).alias("approx_dist"),
+        "rank",
+    )

@@ -583,3 +583,23 @@ def test_editdist_pairs_lossless_including_short_bucket(spark):
     assert got == want
     assert (4, 5) in got and got[(4, 5)] == 1   # short-bucket pair found
     assert (6, 7) in got and got[(6, 7)] == 1
+
+
+def test_pq_adc_topk_contract(spark):
+    """PQ ADC scan: 5 ranked rows per query, non-negative distances,
+    monotone rank-distance order within each query."""
+    from collections import defaultdict
+
+    from hrfco_data_pipeline_spark.plans.llm import pq_adc_topk
+
+    rows = pq_adc_topk(spark, "/root/testdata/sf0.001").collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r.approx_dist >= 0.0
+        by_q[r.query_id].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.approx_dist for r in rs]
+        assert dists == sorted(dists)
+        assert q not in {r.neighbor_id for r in rs}
