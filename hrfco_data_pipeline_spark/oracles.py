@@ -2557,3 +2557,34 @@ def _pq_adc_sql(m: int = 8, ksub: int = 16, dim: int = 64, quant: int = 1_000_00
 
 
 LLM_ORACLES["pq_adc_topk"] = _pq_adc_sql()
+
+
+# SCD2 gaps-and-islands: lag/cumsum/lead windows are deterministic
+# under the (ts, event_id) total order — DuckDB replays them exactly.
+RELATIONAL_ORACLES["events_value_band_history"] = r"""
+    WITH b AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN value < 20 THEN 'low'
+             WHEN value < 60 THEN 'mid'
+             ELSE 'high' END AS band
+      FROM events
+    ), c AS (
+      SELECT *, CASE WHEN lag(band) OVER w IS NULL
+                       OR lag(band) OVER w <> band THEN 1 ELSE 0 END AS chg
+      FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, sum(chg) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM c
+    ), runs AS (
+      SELECT user_id, grp, band,
+        min(ts) AS valid_from, max(ts) AS valid_to, count(*) AS n_obs
+      FROM g GROUP BY user_id, grp, band
+    )
+    SELECT user_id, band, valid_from, valid_to,
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        AS superseded_at,
+      n_obs
+    FROM runs
+    """

@@ -1738,3 +1738,58 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("approx_dist")).alias("approx_dist"),
         "rank",
     )
+
+
+def docs_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-segment REMOVAL with document reconstruction
+    (docs_segment_dedup reports the stats; this applies the edit): each
+    10-token segment is kept only in its globally-first occurrence —
+    lowest owning doc_id, then lowest position within that doc — and
+    every other copy is dropped; surviving segments reassemble in
+    position order. Emits per doc the segment counts and an md5 of the
+    rebuilt text, so the oracle certifies the reconstruction
+    byte-for-byte without shipping full texts through the compare.
+
+    Scale shape: segment-hash groupBy (min doc / min pos — map-side
+    partials), join back on the hash, and a per-doc ordered
+    re-aggregate; the sort feeding reassembly is within-doc only
+    (array_sort over bounded per-doc segment lists), never global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    segs = F.transform(
+        F.sequence(F.lit(1), F.ceil(n / F.lit(10)).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice("toks", (i - F.lit(1)) * 10 + 1, F.lit(10))
+        ),
+    )
+    ex = toks.select(
+        "doc_id", F.posexplode(segs).alias("i", "seg")
+    ).withColumn("h", F.md5(F.encode("seg", "utf-8")))
+    owner = ex.groupBy("h").agg(F.min("doc_id").alias("owner"))
+    keep_pos = (
+        ex.join(owner, "h")
+        .filter(F.col("doc_id") == F.col("owner"))
+        .groupBy("h")
+        .agg(F.min("i").alias("keep_i"), F.first("owner").alias("owner"))
+    )
+    marked = ex.join(keep_pos, "h").withColumn(
+        "kept", (F.col("doc_id") == F.col("owner")) & (F.col("i") == F.col("keep_i"))
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("kept"), F.struct("i", "seg")))
+        ).alias("kept_segs"),
+    )
+    rebuilt = F.concat_ws(
+        " ", F.transform("kept_segs", lambda s: s["seg"])
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_kept",
+        F.md5(F.encode(rebuilt, "utf-8")).alias("rebuilt_hash"),
+    )

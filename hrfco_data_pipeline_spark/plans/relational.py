@@ -1671,3 +1671,52 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sk").alias("sk_hi"),
         )
     )
+
+
+def events_value_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity intervals (gaps-and-islands): per user, runs
+    of consecutive events whose value band (low <20 / mid <60 / high)
+    is unchanged collapse to one row with [valid_from, valid_to] and an
+    exclusive ``superseded_at`` (the next run's start; NULL = current
+    version) — the type-2 slowly-changing-dimension build the
+    reference's type-1 station upsert (W2) lacks.
+
+    Plan: one user_id shuffle carries both windows (lag for the change
+    flag, running sum for the island id) and the final groupBy — the
+    island id is a function of the same partition key, so Catalyst
+    reuses the exchange. Deterministic total order via (ts, event_id).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 20, "low")
+        .when(F.col("value") < 60, "mid")
+        .otherwise("high")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("band").over(w).isNull() | (F.lag("band").over(w) != F.col("band")),
+        1,
+    ).otherwise(0)
+    grp = F.sum("chg").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        ev.withColumn("band", band)
+        .withColumn("chg", chg)
+        .withColumn("grp", grp)
+        .groupBy("user_id", "grp", "band")
+        .agg(
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count("*").alias("n_obs"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "band",
+        "valid_from",
+        "valid_to",
+        F.lead("valid_from").over(w2).alias("superseded_at"),
+        "n_obs",
+    )
