@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
         "docs_editdist_pairs": llm.docs_editdist_pairs,
         "pq_adc_topk": llm.pq_adc_topk,
+        "events_value_band_history": relational.events_value_band_history,
+        "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
         # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

@@ -2588,3 +2588,40 @@ RELATIONAL_ORACLES["events_value_band_history"] = r"""
       n_obs
     FROM runs
     """
+
+
+# C4-style duplicate-segment removal with reconstruction: first-owner
+# keep rule and position-ordered reassembly are exact; the md5 of the
+# rebuilt text certifies the reconstruction byte-for-byte.
+LLM_ORACLES["docs_line_dedup_rebuild"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), seg AS (
+      SELECT doc_id, i,
+        array_to_string(toks[(i - 1) * 10 + 1 : i * 10], ' ') AS seg
+      FROM (
+        SELECT doc_id, toks,
+          unnest(range(1, ceil(len(toks) / 10.0)::INT + 1)) AS i
+        FROM tok
+      )
+    ), hashed AS (
+      SELECT doc_id, i, seg, md5(seg) AS h FROM seg
+    ), owner AS (
+      SELECT h, min(doc_id) AS owner FROM hashed GROUP BY h
+    ), keep_pos AS (
+      SELECT hashed.h, min(i) AS keep_i, first(owner.owner) AS owner
+      FROM hashed JOIN owner ON hashed.h = owner.h
+        AND hashed.doc_id = owner.owner
+      GROUP BY hashed.h
+    ), marked AS (
+      SELECT hashed.doc_id, hashed.i, hashed.seg,
+        hashed.doc_id = keep_pos.owner AND hashed.i = keep_pos.keep_i AS kept
+      FROM hashed JOIN keep_pos ON hashed.h = keep_pos.h
+    )
+    SELECT doc_id, count(*) AS n_segments,
+      sum(kept::BIGINT) AS n_kept,
+      md5(coalesce(string_agg(seg, ' ' ORDER BY i) FILTER (kept), ''))
+        AS rebuilt_hash
+    FROM marked GROUP BY doc_id
+    """

@@ -70,3 +70,52 @@ def test_hll_rollup_merge_accuracy(spark):
         assert r.n_days > 1  # merge actually spans partials
         err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert err < 0.05, (r.event_type, r.exact_users, r.approx_users)
+
+
+def test_value_band_history_intervals(spark):
+    """SCD2 islands: per user, intervals are time-ordered and
+    non-overlapping, superseded_at chains to the next valid_from, and
+    adjacent runs never share a band (else they'd be one island)."""
+    from collections import defaultdict
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_value_band_history,
+    )
+
+    rows = events_value_band_history(spark, "/root/testdata/sf0.001").collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        assert r.valid_from <= r.valid_to
+        by_user[r.user_id].append(r)
+    for runs in by_user.values():
+        runs.sort(key=lambda r: r.valid_from)
+        for a, b in zip(runs, runs[1:]):
+            assert a.valid_to <= b.valid_from
+            assert a.superseded_at == b.valid_from
+            assert a.band != b.band
+        assert runs[-1].superseded_at is None
+
+
+def test_line_dedup_rebuild_conservation(spark):
+    """Exactly one copy of every distinct segment survives corpus-wide,
+    and a doc with no shared segments rebuilds to its own text."""
+    import pyspark.sql.functions as F
+
+    from hrfco_data_pipeline_spark.plans.llm import docs_line_dedup_rebuild
+
+    sf = "/root/testdata/sf0.001"
+    out = docs_line_dedup_rebuild(spark, sf)
+    rows = out.collect()
+    assert all(0 <= r.n_kept <= r.n_segments for r in rows)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    n = F.size("toks")
+    segs = F.transform(
+        F.sequence(F.lit(1), F.ceil(n / F.lit(10)).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice("toks", (i - F.lit(1)) * 10 + 1, F.lit(10))),
+    )
+    distinct_segs = (
+        toks.select(F.explode(segs).alias("seg")).distinct().count()
+    )
+    assert sum(r.n_kept for r in rows) == distinct_segs
