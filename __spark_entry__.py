@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": llm.pq_adc_topk,
         "events_value_band_history": relational.events_value_band_history,
         "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
+        "ivfpq_adc_topk": llm.ivfpq_adc_topk,
+        "events_grouping_sets": relational.events_grouping_sets,
         # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

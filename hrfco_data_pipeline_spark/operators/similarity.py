@@ -465,3 +465,52 @@ def pq_adc_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse_cents: list[list[float]],
+    pq_cents: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """The full IVF-PQ structure: the coarse quantizer (ivf_centroids)
+    routes each query to one inverted list (nprobe=1) and PQ ADC
+    scores only that cell's candidates from their m-byte codes — the
+    billion-vector layout where candidate count is |cell| and per-
+    candidate cost is m table lookups. Pure composition of the two
+    certified operators; no new arithmetic."""
+    m = len(pq_cents)
+    dsub = len(pq_cents[0][0])
+    enc = corpus.select(
+        F.col(id_col).alias("cid"),
+        _nearest_centroid(vec_col, coarse_cents).alias("cell"),
+        pq_codes(pq_cents, vec_col).alias("codes"),
+    )
+
+    def _sub_table(j: int) -> Column:
+        sub = F.slice(vec_col, j * dsub + 1, dsub)
+        return F.transform(_cmat_lit(pq_cents[j]), lambda c: l2sq(sub, c))
+
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        _nearest_centroid(vec_col, coarse_cents).alias("qcell"),
+        F.array(*[_sub_table(j) for j in range(m)]).alias("qtab"),
+    )
+    joined = enc.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("qcell")) & (F.col("cid") != F.col("qid")),
+    )
+    approx = F.aggregate(
+        F.zip_with("qtab", "codes", lambda t, c: F.element_at(t, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("approx_dist"), F.asc("cid"))
+    return (
+        joined.select("qid", "cid", approx.alias("approx_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

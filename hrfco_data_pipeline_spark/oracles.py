@@ -2625,3 +2625,148 @@ LLM_ORACLES["docs_line_dedup_rebuild"] = r"""
         AS rebuilt_hash
     FROM marked GROUP BY doc_id
     """
+
+
+def _ivfpq_sql(
+    n_coarse: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    quant: int = 1_000_000,
+) -> str:
+    """Twin of plans/llm.ivfpq_adc_topk: the coarse-quantizer CTEs of
+    _ivf_topk_sql fused with the PQ codebook/encoding/ADC CTEs of
+    _pq_adc_sql — both corpus and query rows carry their coarse cell,
+    candidates must share it, and scoring is the PQ ADC sum."""
+    dsub = dim // m
+    ch60 = (
+        "list_reduce(list_transform(range(1, 16), "
+        "i -> strpos('0123456789abcdef', substr(md5(vec_id::VARCHAR), i, 1)) - 1), "
+        "(acc, d) -> acc * 16 + d)::BIGINT"
+    )
+
+    def h60(j: int) -> str:
+        return (
+            "list_reduce(list_transform(range(1, 16), "
+            "i -> strpos('0123456789abcdef', "
+            f"substr(md5(vec_id::VARCHAR || ':{j}'), i, 1)) - 1), "
+            "(acc, d) -> acc * 16 + d)::BIGINT"
+        )
+
+    csums = ", ".join(
+        f"sum(floor(v[{i + 1}] * {quant}.0)::BIGINT) AS s{i}" for i in range(dim)
+    )
+    ccvec = (
+        "["
+        + ", ".join(f"s{i}::DOUBLE / (n * {quant})::DOUBLE" for i in range(dim))
+        + "]"
+    )
+    czeros = "[" + ", ".join("0.0" for _ in range(dim)) + "]"
+    cells = ", ".join(f"{h60(j)} % {ksub} AS c{j}" for j in range(m))
+    melt = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, c{j} AS cell, v[{j * dsub + 1}:{(j + 1) * dsub}] AS vs FROM ph"
+        for j in range(m)
+    )
+    psums = ", ".join(
+        f"sum(floor(vs[{t + 1}] * {quant}.0)::BIGINT) AS s{t}" for t in range(dsub)
+    )
+    pcvec = (
+        "["
+        + ", ".join(f"s{t}::DOUBLE / (n * {quant})::DOUBLE" for t in range(dsub))
+        + "]"
+    )
+    pzeros = "[" + ", ".join("0.0" for _ in range(dsub)) + "]"
+
+    def l2fold(vec: str, off: int, cv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}), "
+            f"t -> ({vec}[{off} + t] - ({cv})[t]) * ({vec}[{off} + t] - ({cv})[t]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    dists = ", ".join(
+        f"list_transform(mm[{j + 1}], cv -> {l2fold('v', j * dsub, 'cv')}) AS d{j}"
+        for j in range(m)
+    )
+    codes = ", ".join(
+        f"list_position(d{j}, list_min(d{j})) - 1 AS code{j}" for j in range(m)
+    )
+    adc = "0.0 + " + " + ".join(
+        l2fold("q.qv", j * dsub, f"mm[{j + 1}][enc.code{j} + 1]") for j in range(m)
+    )
+    dot = _fold_dot("v", "cv", dim)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), ih AS (
+      SELECT vec_id, v, {ch60} % {n_coarse} AS c FROM e
+    ), isums AS (
+      SELECT c, count(*) AS n, {csums} FROM ih GROUP BY c
+    ), icents AS (
+      SELECT r.range AS c,
+        CASE WHEN s.n IS NULL THEN {czeros} ELSE {ccvec} END AS cv
+      FROM range(0, {n_coarse}) r LEFT JOIN isums s ON s.c = r.range
+    ), icmat AS (
+      SELECT list(cv ORDER BY c) AS im FROM icents
+    ), coarse AS (
+      SELECT vec_id,
+        list_position(dots, list_max(dots)) - 1 AS cell
+      FROM (
+        SELECT vec_id,
+          list_transform(ic.im, cv -> {dot}) AS dots
+        FROM e, icmat ic
+      )
+    ), ph AS (
+      SELECT vec_id, v, {cells} FROM e
+    ), melt AS (
+      {melt}
+    ), psums AS (
+      SELECT j, cell, count(*) AS n, {psums} FROM melt GROUP BY j, cell
+    ), pcents AS (
+      SELECT jr.range AS j, ir.range AS cell,
+        CASE WHEN s.n IS NULL THEN {pzeros} ELSE {pcvec} END AS cv
+      FROM range(0, {m}) jr CROSS JOIN range(0, {ksub}) ir
+      LEFT JOIN psums s ON s.j = jr.range AND s.cell = ir.range
+    ), pcmats AS (
+      SELECT j, list(cv ORDER BY cell) AS ml FROM pcents GROUP BY j
+    ), pcmat AS (
+      SELECT list(ml ORDER BY j) AS mm FROM pcmats
+    ), dmatrix AS (
+      SELECT vec_id, {dists} FROM ph, pcmat
+    ), enc AS (
+      SELECT d.vec_id, co.cell, {codes}
+      FROM dmatrix d JOIN coarse co ON d.vec_id = co.vec_id
+    ), q AS (
+      SELECT e.vec_id AS qid, e.v AS qv, co.cell AS qcell
+      FROM e JOIN coarse co ON e.vec_id = co.vec_id
+      WHERE e.vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.qid AS query_id, enc.vec_id AS neighbor_id,
+        {adc} AS ad
+      FROM enc CROSS JOIN q CROSS JOIN pcmat
+      WHERE enc.cell = q.qcell AND enc.vec_id <> q.qid
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY ad ASC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(ad, 4) AS approx_dist,
+      CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """
+
+
+LLM_ORACLES["ivfpq_adc_topk"] = _ivfpq_sql()
+
+
+RELATIONAL_ORACLES["events_grouping_sets"] = r"""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+      CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+      CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_day,
+      count(*) AS n,
+      CAST(sum(CAST(format('{:.2f}', value) AS DECIMAL(12,2))) AS DOUBLE)
+        AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), ())
+    """

@@ -1583,6 +1583,30 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cms_cells(text_col: str = "text", w_cells: int = 1024, d_rows: int = 3):
+    """(token, j, pos) occurrences for the CMS counter build — shared by
+    the batch query and the streaming twin (same expressions, so the
+    incremental streaming aggregation provably equals the batch
+    counters; pinned in tests/test_streaming_curation.py)."""
+    tok = F.explode(_tokens(text_col)).alias("t")
+    h1 = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("t"), 17, 15), 16, 10).cast("long")
+    cells = F.array(*[(h1 + F.lit(j) * h2) % w_cells for j in range(d_rows)])
+    return tok, cells
+
+
+def cms_counters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CMS counter matrix as a (j, pos, c) DataFrame — works unchanged
+    over a batch DataFrame or a streaming one (groupBy count is an
+    incremental-merge aggregation; the fixed 3x1024 key space keeps
+    streaming state constant-size)."""
+    tok, cells = cms_cells(text_col)
+    occ = docs.select(tok).select(
+        "t", F.posexplode(cells).alias("j", "pos")
+    )
+    return occ.groupBy("j", "pos").agg(F.count("*").alias("c"))
+
+
 def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch term frequencies, fully oracle-verified: d=3
     counter rows of w=1024 cells, cell index per row via
@@ -1600,16 +1624,11 @@ def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS never underestimates) so the driver certifies the whole
     counter arithmetic bit-for-bit.
     """
-    w_cells, d_rows, top_k = 1024, 3, 20
+    top_k = 20
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(_tokens()).alias("t"))
-    h1 = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5("t"), 17, 15), 16, 10).cast("long")
-    cells = F.array(
-        *[(h1 + F.lit(j) * h2) % w_cells for j in range(d_rows)]
-    )
-    occ = tok.select("t", F.posexplode(cells).alias("j", "pos"))
-    counters = occ.groupBy("j", "pos").agg(F.count("*").alias("c"))
+    tok_expr, cells = cms_cells()
+    tok = docs.select(tok_expr)
+    counters = cms_counters(docs)
 
     top = (
         tok.groupBy("t")
@@ -1792,4 +1811,31 @@ def docs_line_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_segments",
         "n_kept",
         F.md5(F.encode(rebuilt, "utf-8")).alias("rebuilt_hash"),
+    )
+
+
+def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5: coarse cell routing (ivf_centroids, nprobe=1)
+    composed with compressed-domain PQ ADC scoring — the structure
+    behind billion-scale vector indexes, as a pure composition of the
+    two oracle-certified operators. The DuckDB twin recomputes both
+    codebooks and the fused scoring bit-for-bit."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        ivf_centroids,
+        ivfpq_topk,
+        pq_subcentroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    coarse = ivf_centroids(vecs, n_centroids=16, dim=64)
+    pq = pq_subcentroids(vecs, m=8, ksub=16, dim=64)
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    topk = ivfpq_topk(vecs, queries, coarse, pq, k=5)
+    return topk.select(
+        F.col("qid").alias("query_id"),
+        F.col("cid").alias("neighbor_id"),
+        _r4(F.col("approx_dist")).alias("approx_dist"),
+        "rank",
     )

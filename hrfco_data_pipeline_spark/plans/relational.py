@@ -1720,3 +1720,25 @@ def events_value_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("superseded_at"),
         "n_obs",
     )
+
+
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((type, day), (type), ()) with grouping
+    flags — the one multi-granularity shape CUBE/ROLLUP (events_cube /
+    orders_rollup) don't cover: an arbitrary, non-hierarchical set
+    list, planned as a single Expand + one aggregate exchange instead
+    of three scans + union. Decimal-exact sums via the _dec discipline;
+    per-set grouping flags emitted explicitly (portable — engines
+    disagree on grouping_id bit packing)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    g = ev.groupingSets(
+        [["event_type", "day"], ["event_type"], []],
+        F.col("event_type"),
+        F.col("day"),
+    )
+    return g.agg(
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("day").cast("int").alias("g_day"),
+        F.count("*").alias("n"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+    )

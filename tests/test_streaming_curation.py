@@ -64,3 +64,41 @@ def test_streaming_curation_matches_batch(spark, tmp_path):
     # redaction/normalization applied identically: spot-check no raw
     # whitespace runs survive
     assert got.filter(F.col("text").rlike(r"\s\s")).count() == 0
+
+
+def test_cms_counters_stream_equals_batch(spark, tmp_path):
+    """The CMS counter matrix is an incremental-merge aggregation over
+    a FIXED 3x1024 key space: built as a streaming aggregation (two
+    file batches, complete mode) it must equal the batch counters over
+    the union — the mergeability claim behind sketch rollups, pinned
+    end to end."""
+    import pyspark.sql.functions as F
+
+    from hrfco_data_pipeline_spark.plans.llm import cms_counters
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_stream")
+    # two separate micro-batch files
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(f"{src}/b0")
+    docs.filter(F.col("doc_id") % 2 == 1).write.parquet(f"{src}/b1")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        cms_counters(stream)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.j, r.pos): r.c for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    want = {(r.j, r.pos): r.c for r in cms_counters(docs).collect()}
+    assert got == want and len(want) > 0
