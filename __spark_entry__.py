@@ -89,22 +89,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_sensor_gaps": hydro.sensor_gaps,
         "hydro_resample_10min": hydro.resample_10min,
         "hydro_station_obs_coverage": hydro.station_obs_coverage,
-        # --- JSON wire path (last green r2) ---
-        "wire_dlq": wire.wire_dlq,
-        "wire_batch_flatten": wire.wire_batch_flatten,
-        # --- monitoring / dashboard analytics (last green r2) ---
-        "mon_status_counts": relational.mon_status_counts,
-        "mon_summary": relational.mon_summary,
-        "mon_activity_delta": relational.mon_activity_delta,
-        "events_hourly": relational.events_hourly,
-        "events_sessionize": relational.events_sessionize,
-        "recent_events_top200": relational.recent_events_top200,
-        "mon_error_bulletins": relational.mon_error_bulletins,
-        "mon_type_pivot": relational.mon_type_pivot,
-        "metrics_format_bytes": relational.metrics_format_bytes,
-        "metrics_durations": relational.metrics_durations,
-        # ^^^ first-50 boundary (50 entries above) ^^^
-        # --- new in r4 (post-window; front of the r5 rotation) ---
+        # --- new in r4: lossless-pruning joins, layout, sketches, ANN ---
+        # (never driver-checked; first-time certification outranks the
+        # re-certification of r2-era greens, which rotate to r5)
         "docs_simjoin_prefix": llm.docs_simjoin_prefix,
         "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
         "lineitem_zorder_layout": relational.lineitem_zorder_layout,
@@ -115,6 +102,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
         "ivfpq_adc_topk": llm.ivfpq_adc_topk,
         "events_grouping_sets": relational.events_grouping_sets,
+        "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
+        "events_value_outliers": relational.events_value_outliers,
+        # ^^^ first-50 boundary (50 entries above) ^^^
+        # --- JSON wire path (last green r2; r5 window) ---
+        "wire_dlq": wire.wire_dlq,
+        "wire_batch_flatten": wire.wire_batch_flatten,
+        # --- monitoring / dashboard analytics (last green r2; r5 window) ---
+        "mon_status_counts": relational.mon_status_counts,
+        "mon_summary": relational.mon_summary,
+        "mon_activity_delta": relational.mon_activity_delta,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
+        "recent_events_top200": relational.recent_events_top200,
+        "mon_error_bulletins": relational.mon_error_bulletins,
+        "mon_type_pivot": relational.mon_type_pivot,
+        "metrics_format_bytes": relational.metrics_format_bytes,
+        "metrics_durations": relational.metrics_durations,
         # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

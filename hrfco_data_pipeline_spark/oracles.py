@@ -2770,3 +2770,25 @@ RELATIONAL_ORACLES["events_grouping_sets"] = r"""
     FROM events
     GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), ())
     """
+
+
+RELATIONAL_ORACLES["events_value_outliers"] = r"""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, first(d.med) AS med, first(m.mad) AS mad,
+      count(*) AS n,
+      sum((d.ad > 3 * m.mad)::BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """
+
+
+# Same naive all-pairs oracle as docs_editdist_pairs: the prefix
+# variant must produce the identical pair set (lossless pruning).
+LLM_ORACLES["docs_editdist_prefix_pairs"] = LLM_ORACLES["docs_editdist_pairs"]

@@ -1839,3 +1839,82 @@ def ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("approx_dist")).alias("approx_dist"),
         "rank",
     )
+
+
+def docs_editdist_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ed-Join-style positional-prefix edit-distance join — the 100 TB
+    upgrade of docs_editdist_pairs. Candidate generation explodes only
+    each string's 2d+1 = 17 rarest gram occurrences instead of every
+    bigram: d edits destroy at most q*d = 2d q-grams, so any pair with
+    ed <= d must share an element among the first 2d+1 under a global
+    (df, gram, occurrence) ordering — the same smallest-common-element
+    argument as docs_simjoin_prefix, over multiset elements
+    (gram, k-th occurrence). Pairs too short for the bound
+    (len <= 2d+1) route through the bounded short-bucket cross pair.
+    Survivors verify with exact levenshtein. The DuckDB oracle is the
+    same naive all-pairs answer docs_editdist_pairs checks against, so
+    a green row proves the sharper pruning is equally lossless.
+    """
+    d = 8
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", F.substring(F.trim(F.col("text")), 1, 64).alias("s")
+    ).withColumn("ln", F.length("s"))
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.col("ln") - 1),
+        lambda i: F.col("s").substr(i, F.lit(2)),
+    )
+    occ = (
+        p.filter(F.col("ln") >= 2)
+        .select("doc_id", "ln", F.posexplode(bigrams).alias("pos", "g"))
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.partitionBy("doc_id", "g").orderBy("pos")
+            ),
+        )
+    )
+    df_tbl = occ.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = occ.join(df_tbl, "g").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "g", "k")
+        ),
+    )
+    prefix = ranked.filter(F.col("rk") <= 2 * d + 1).select(
+        "doc_id", "ln", F.xxhash64("g").alias("gh"), "k"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gh") == F.col("b.gh"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.ln") - F.col("b.ln")) <= d),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    shorts = p.filter(F.col("ln") <= 2 * d + 1)
+    sa, sb = shorts.alias("sa"), shorts.alias("sb")
+    short_cand = sa.join(
+        sb,
+        (F.col("sa.doc_id") < F.col("sb.doc_id"))
+        & (F.abs(F.col("sa.ln") - F.col("sb.ln")) <= d),
+    ).select(
+        F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+    )
+    all_cand = cand.unionByName(short_cand).distinct()
+
+    pa = p.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    pb = p.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    return (
+        all_cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= d)
+        .select("doc_a", "doc_b", "dist")
+    )

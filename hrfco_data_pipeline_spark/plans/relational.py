@@ -1742,3 +1742,36 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(_dec("value")).cast("double").alias("total_value"),
     )
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier report: exact median and MAD (median
+    absolute deviation) per event type, plus the count of values beyond
+    the 3-MAD fence — the skew-immune alternative to mean/stddev
+    z-scores. Exact `median` (not percentile_approx) keeps the result
+    engine-portable: both engines average the two middle values with
+    the same double arithmetic.
+
+    Plan: three bounded aggregates over the enum-sized type key, each
+    joined back broadcast — never a global sort; the per-group sort
+    inside exact median is the cost, bounded per group and replaced by
+    t-digest (events_approx_stats) when groups outgrow memory.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.count("*").alias("n"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )

@@ -603,3 +603,35 @@ def test_pq_adc_topk_contract(spark):
         dists = [r.approx_dist for r in rs]
         assert dists == sorted(dists)
         assert q not in {r.neighbor_id for r in rs}
+
+
+def test_editdist_prefix_variant_matches_full_variant(spark):
+    """Ed-Join positional prefix must produce the identical pair set as
+    the full q-gram count-filter variant (both lossless vs naive)."""
+    from hrfco_data_pipeline_spark.plans import llm
+
+    rows = [
+        (1, DOC),
+        (2, DOC.replace("quick", "quack")),
+        (3, FAR),
+        (4, "abc"),
+        (5, "abd"),
+        (6, DOC.replace("the", "thy", 2)),
+        (7, "abcdefghijklmnop"),
+        (8, "abcdefghijklmnoq"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = llm.load_table
+    try:
+        llm.load_table = lambda spark_, sf_dir, name: docs
+        full = {
+            (r.doc_a, r.doc_b): r.dist
+            for r in llm.docs_editdist_pairs(spark, "unused").collect()
+        }
+        pref = {
+            (r.doc_a, r.doc_b): r.dist
+            for r in llm.docs_editdist_prefix_pairs(spark, "unused").collect()
+        }
+    finally:
+        llm.load_table = orig
+    assert pref == full and (4, 5) in pref
