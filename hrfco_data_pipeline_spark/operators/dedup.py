@@ -500,14 +500,15 @@ def prefix_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            shingle_array(F.col(text_col), shingle_n).alias("sh"),
-        )
-        .withColumn("n_sh", F.size("sh"))
-        .persist()
-    )
+    # deliberately NOT persisted: the shingle arrays are wide (string
+    # payload ≈ the corpus itself), and measured at sf0.1 the cache
+    # write costs ~7x the three codegen'd recomputations it saves
+    # (7.9 s vs 1.15 s cold) — recompute beats materialize for cheap
+    # expressions over heavy rows
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_array(F.col(text_col), shingle_n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
     ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
     df_tbl = ex.groupBy("s").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))

@@ -1510,6 +1510,11 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the distinct set of SET bit positions (≤ m rows, ≤ 512 KiB), which
     broadcasts at any corpus scale.
 
+    The md5-slice double hash is the oracle-portable certification
+    form (the same tax the MinHash probes pay — conv() on every
+    shingle); the production swap is xxhash64(s), xxhash64(s, seed)
+    one line up, identical plan shape.
+
     Bloom guarantees no false negatives: every exact-overlap shingle is
     a Bloom hit. The query emits, per flagged training doc, the count
     of Bloom-hit shingles AND the exact-overlap count, plus the
