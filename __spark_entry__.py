@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
         "events_value_outliers": relational.events_value_outliers,
         # ^^^ first-50 boundary (50 entries above) ^^^
+        # --- new in r4, post-window (front of the r5 rotation) ---
+        "multimodal_frame_sample": llm.multimodal_frame_sample,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

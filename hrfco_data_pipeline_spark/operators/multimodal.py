@@ -104,3 +104,51 @@ def extract_features(
             yield out
 
     return mm.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    mm: DataFrame, frame_bytes: int = 64, every_k: int = 4
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads via mapInPandas:
+    the payload is treated as a sequence of fixed-size frames
+    (``frame_bytes`` each; a real deployment plugs a container parser
+    here) and every ``every_k``-th frame is emitted as its own row —
+    the fan-out shape (one blob row → n frame rows) that feeds
+    per-frame feature extraction. Deterministic chunking keeps the
+    whole path oracle-checkable: frame i covers bytes
+    [i*frame_bytes, (i+1)*frame_bytes).
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, modality, content in zip(
+                pdf["doc_id"], pdf["modality"], pdf["content"]
+            ):
+                n_frames = (len(content) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_k):
+                    rows.append(
+                        (
+                            doc_id,
+                            modality,
+                            i,
+                            content[i * frame_bytes : (i + 1) * frame_bytes],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "modality", "frame_idx", "frame"]
+            )
+
+    return mm.mapInPandas(batches, FRAME_SCHEMA)

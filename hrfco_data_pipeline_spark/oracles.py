@@ -2792,3 +2792,19 @@ RELATIONAL_ORACLES["events_value_outliers"] = r"""
 # Same naive all-pairs oracle as docs_editdist_pairs: the prefix
 # variant must produce the identical pair set (lossless pruning).
 LLM_ORACLES["docs_editdist_prefix_pairs"] = LLM_ORACLES["docs_editdist_pairs"]
+
+
+# Frame sampling: deterministic chunking — frame i = payload bytes
+# [i*64, i*64+64) — reproduced with substring arithmetic (ASCII text
+# payloads, so character == byte offsets).
+LLM_ORACLES["multimodal_frame_sample"] = r"""
+    WITH f AS (
+      SELECT doc_id, text,
+        unnest(range(0, ((length(text) + 63) // 64 + 3) // 4)) * 4 AS i
+      FROM documents
+    )
+    SELECT doc_id, i AS frame_idx,
+      length(substr(text, i * 64 + 1, 64))::BIGINT AS n_bytes,
+      md5(substr(text, i * 64 + 1, 64)) AS frame_hash
+    FROM f
+    """

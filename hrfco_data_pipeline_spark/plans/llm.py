@@ -1923,3 +1923,25 @@ def docs_editdist_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= d)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over multimodal blobs (every 4th 64-byte frame
+    via Arrow-batched mapInPandas — operators/multimodal.sample_frames)
+    summarized as (doc_id, frame_idx, n_bytes, md5). The deterministic
+    chunk rule makes the Python fan-out stage oracle-checkable: the
+    DuckDB twin reproduces each frame with substring arithmetic over
+    the ASCII payload."""
+    from hrfco_data_pipeline_spark.operators.multimodal import (
+        sample_frames,
+        to_multimodal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(to_multimodal(docs), frame_bytes=64, every_k=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_hash"),
+    )

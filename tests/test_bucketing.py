@@ -77,3 +77,60 @@ def test_zorder_shards_are_tight_rectangles(spark):
     assert sum(r.n_rows for r in rows) == spark.read.parquet(
         "/root/testdata/sf0.001/lineitem.parquet"
     ).count()
+
+
+def test_zorder_write_yields_prunable_files(spark, tmp_path):
+    """Files written Z-ordered must each cover a narrow range of BOTH
+    keys (per-file min/max spans well under the full key range), the
+    property that makes parquet row-group stats prune two-dimensional
+    predicates. A single-key-sorted layout concentrates only the
+    leading key."""
+    import pyspark.sql.functions as F
+
+    from hrfco_data_pipeline_spark.operators.bucketing import (
+        morton_interleave,
+        write_zorder,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        F.col("l_partkey").cast("long").alias("pk"),
+        F.col("l_suppkey").cast("long").alias("sk"),
+    )
+    b = li.agg(
+        F.min("pk").alias("min_pk"), F.max("pk").alias("max_pk"),
+        F.min("sk").alias("min_sk"), F.max("sk").alias("max_sk"),
+    )
+    q = li.crossJoin(F.broadcast(b)).select(
+        "pk", "sk",
+        F.expr("((pk - min_pk) * 256) div (max_pk - min_pk + 1)").alias("qx"),
+        F.expr("((sk - min_sk) * 256) div (max_sk - min_sk + 1)").alias("qy"),
+    )
+    out = str(tmp_path / "zorded")
+    write_zorder(
+        q.select("pk", "sk", "qx", "qy"),
+        out,
+        morton_interleave(F.col("qx"), F.col("qy"), bits=8),
+        n_files=16,
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.min("pk").alias("pk_lo"), F.max("pk").alias("pk_hi"),
+            F.min("sk").alias("sk_lo"), F.max("sk").alias("sk_hi"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    assert 2 <= len(per_file) <= 16
+    pk_range = max(r.pk_hi for r in per_file) - min(r.pk_lo for r in per_file) + 1
+    sk_range = max(r.sk_hi for r in per_file) - min(r.sk_lo for r in per_file) + 1
+    # average per-file coverage must be far below the full range on
+    # BOTH dims (a 16-way single-key range layout leaves the second
+    # dim at ~full range in every file)
+    avg_pk = sum(r.pk_hi - r.pk_lo + 1 for r in per_file) / len(per_file)
+    avg_sk = sum(r.sk_hi - r.sk_lo + 1 for r in per_file) / len(per_file)
+    assert avg_pk <= pk_range * 0.6, (avg_pk, pk_range)
+    assert avg_sk <= sk_range * 0.6, (avg_sk, sk_range)
+    assert sum(r.n for r in per_file) == li.count()
