@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ^^^ first-50 boundary (50 entries above) ^^^
         # --- new in r4, post-window (front of the r5 rotation) ---
         "multimodal_frame_sample": llm.multimodal_frame_sample,
+        "semantic_dedup_keep": llm.semantic_dedup_keep,
+        "kmeans_refine_probe": llm.kmeans_refine_probe,
+        "docs_dsir_weights": llm.docs_dsir_weights,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

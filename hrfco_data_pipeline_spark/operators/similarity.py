@@ -514,3 +514,143 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """E-step: cell = argmax centroid dot (first max wins), plus the
+    vector norm and the cosine to the assigned centroid.
+
+    All arithmetic is fold-left over literal centroid arrays, so any
+    engine recomputes bit-identical doubles (same guarantee the IVF /
+    PQ family relies on). Zero shuffles — a pure projection.
+    """
+    cent_arr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    cnorms = F.transform(cent_arr, lambda c: F.sqrt(dot(c, c)))
+    out = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(cent_arr, lambda c: dot(vec_col, c)).alias("dots"),
+        F.sqrt(dot(vec_col, vec_col)).alias("nrm"),
+    )
+    out = out.withColumn(
+        "cell", (F.array_position("dots", F.array_max("dots")) - 1).cast("int")
+    )
+    return out.withColumn(
+        "cos_cent",
+        F.element_at("dots", F.col("cell") + 1)
+        / (F.col("nrm") * F.element_at(cnorms, F.col("cell") + 1)),
+    ).drop("dots")
+
+
+def kmeans_iterate(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    quant: int = 1_000_000,
+) -> list[list[float]]:
+    """Lloyd refinement: ``iters`` rounds of (nearest-centroid E-step,
+    exact-integer M-step). Each M-step uses the same floor-quantized
+    DECIMAL(38,0) sums as ``ivf_centroids`` so the refined centroids
+    stay engine-reproducible doubles — an empty cell keeps its previous
+    centroid (standard Lloyd convention, deterministic).
+
+    Driver collect per round is bounded at n_centroids rows; the data
+    pass is one zero-shuffle projection plus one n_centroids-key
+    groupBy per round. At 100 TB this is the canonical Spark k-means
+    loop shape (broadcast centroids out, reduce sums back).
+    """
+    dim = len(cents[0])
+    n_centroids = len(cents)
+    for _ in range(iters):
+        assigned = assign_cells(vectors, cents, id_col, vec_col)
+        seeded = assigned.select(
+            "cell",
+            F.transform(vec_col, lambda x: F.floor(x * quant)).alias("q"),
+        )
+        sums = seeded.groupBy("cell").agg(
+            *[
+                F.sum(F.element_at("q", i + 1).cast("decimal(38,0)")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+            F.count("*").alias("n"),
+        )
+        rows = {r["cell"]: r for r in sums.collect()}
+        nxt = []
+        for c in range(n_centroids):
+            r = rows.get(c)
+            if r is None:
+                nxt.append(list(cents[c]))
+            else:
+                nxt.append(
+                    [int(r[f"s{i}"]) / (r["n"] * quant) for i in range(dim)]
+                )
+        cents = nxt
+    return cents
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus, then prune near-duplicate
+    pairs *within* each cluster, keeping the member closer to its
+    centroid (the paper's low-similarity-to-centroid variant inverted
+    to a deterministic keep rule; ties keep the smaller id).
+
+    Scale shape: candidate generation joins on the cell id only, so
+    pair cost is Σ|cell|² not |corpus|² — at scale ``n_centroids``
+    grows with the corpus (the paper uses ~100k clusters for LAION-
+    scale data) to hold cells at ~10³ rows; the cell id is the only
+    shuffle key. A vector is pruned iff some same-cell neighbor with
+    cosine ≥ threshold dominates it (strictly higher cos-to-centroid,
+    or equal and smaller id) — one semi-join against the bounded
+    pruned set, no iteration.
+
+    Returns (vec_id, cell, cos_cent, kept).
+    """
+    base = assign_cells(vectors, cents, id_col, vec_col)
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+        "cell",
+        F.col("cos_cent").alias("ca"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+        F.col("cos_cent").alias("cb"),
+    )
+    cos_ab = dot("va", "vb") / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos_ab >= threshold)
+    )
+    dominated = F.when(
+        (F.col("ca") > F.col("cb"))
+        | ((F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))),
+        F.col("id_b"),
+    ).otherwise(F.col("id_a"))
+    pruned = pairs.select(dominated.alias(id_col)).distinct()
+    return base.join(
+        pruned.withColumn("_pruned", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cell",
+        "cos_cent",
+        F.col("_pruned").isNull().alias("kept"),
+    )

@@ -2808,3 +2808,137 @@ LLM_ORACLES["multimodal_frame_sample"] = r"""
       md5(substr(text, i * 64 + 1, 64)) AS frame_hash
     FROM f
     """
+
+
+def _ivf_cells_cte(n_centroids: int = 16, dim: int = 64, quant: int = 1_000_000) -> str:
+    """Shared CTE chain (e → h → sums → cents → cmat → dotted →
+    assigned) reproducing ivf_centroids + assign_cells bit-exactly:
+    portable md5 cell pre-assignment, floor-quantized integer centroid
+    means, fold-left dots, argmax cell, cosine to assigned centroid.
+    Ends with ``scored(vec_id, v, nrm, cell, cos_cent)``."""
+    h60 = (
+        "list_reduce(list_transform(range(1, 16), "
+        "i -> strpos('0123456789abcdef', substr(md5(vec_id::VARCHAR), i, 1)) - 1), "
+        "(acc, d) -> acc * 16 + d)::BIGINT"
+    )
+    sums = ", ".join(
+        f"sum(floor(v[{i + 1}] * {quant}.0)::BIGINT) AS s{i}" for i in range(dim)
+    )
+    cvec = (
+        "["
+        + ", ".join(f"s{i}::DOUBLE / (n * {quant})::DOUBLE" for i in range(dim))
+        + "]"
+    )
+    zeros = "[" + ", ".join("0.0" for _ in range(dim)) + "]"
+    fold = lambda a, b: _fold_dot(a, b, dim)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), h AS (
+      SELECT vec_id, v, {h60} % {n_centroids} AS c FROM e
+    ), sums AS (
+      SELECT c, count(*) AS n, {sums} FROM h GROUP BY c
+    ), cents AS (
+      SELECT r.range AS c,
+        CASE WHEN s.n IS NULL THEN {zeros} ELSE {cvec} END AS cv
+      FROM range(0, {n_centroids}) r LEFT JOIN sums s ON s.c = r.range
+    ), cmat AS (
+      SELECT list(cv ORDER BY c) AS m,
+        list(sqrt({fold("cv", "cv")}) ORDER BY c) AS cn
+      FROM cents
+    ), dotted AS (
+      SELECT vec_id, v, cm.cn,
+        list_transform(cm.m, cv -> {fold("v", "cv")}) AS dots
+      FROM h, cmat cm
+    ), assigned AS (
+      SELECT vec_id, v, cn, dots, sqrt({fold("v", "v")}) AS nrm,
+        list_position(dots, list_max(dots)) - 1 AS cell
+      FROM dotted
+    ), scored AS (
+      SELECT vec_id, v, nrm, cell,
+        dots[cell + 1] / (nrm * cn[cell + 1]) AS cos_cent
+      FROM assigned
+    )"""
+
+
+def _semantic_dedup_sql(threshold: float = 0.35, dim: int = 64) -> str:
+    fold = lambda a, b: _fold_dot(a, b, dim)
+    return (
+        _ivf_cells_cte()
+        + f"""
+    , pairs AS (
+      SELECT x.vec_id AS ida, y.vec_id AS idb,
+        x.cos_cent AS ca, y.cos_cent AS cb,
+        {fold("x.v", "y.v")} / (x.nrm * y.nrm) AS cos_ab
+      FROM scored x JOIN scored y
+        ON x.cell = y.cell AND x.vec_id < y.vec_id
+    ), pruned AS (
+      SELECT DISTINCT
+        CASE WHEN ca > cb OR (ca = cb AND ida < idb) THEN idb ELSE ida END AS vid
+      FROM pairs WHERE cos_ab >= {threshold}
+    )
+    SELECT s.vec_id, CAST(s.cell AS INTEGER) AS cell,
+      round(s.cos_cent, 4) AS cos_cent,
+      p.vid IS NULL AS kept
+    FROM scored s LEFT JOIN pruned p ON p.vid = s.vec_id
+    """
+    )
+
+
+LLM_ORACLES["semantic_dedup_keep"] = _semantic_dedup_sql()
+
+
+def _kmeans_refine_sql(quant: int = 1_000_000) -> str:
+    ssum = ", ".join(
+        f"sum(floor(v[{i + 1}] * {quant}.0)::BIGINT) AS s{i}" for i in range(4)
+    )
+    comps = ", ".join(
+        f"round(CAST(s{i} AS DOUBLE) / CAST(n * {quant} AS DOUBLE), 6) AS c{i}"
+        for i in range(4)
+    )
+    return (
+        _ivf_cells_cte()
+        + f"""
+    , msums AS (
+      SELECT cell, count(*) AS n, {ssum} FROM scored GROUP BY cell
+    )
+    SELECT CAST(cell AS INTEGER) AS cell, n, {comps} FROM msums
+    """
+    )
+
+
+LLM_ORACLES["kmeans_refine_probe"] = _kmeans_refine_sql()
+
+
+# DSIR importance weights: 256-bucket hashed unigram models; per-doc
+# fold over the bucket-sorted term list (docs_token_entropy precedent)
+# so the ln-ratio sum is bit-identical to Spark's sorted F.aggregate.
+LLM_ORACLES["docs_dsir_weights"] = _TOK_CTE + r"""
+    , tb AS (
+      SELECT doc_id, lang,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef', substr(md5(lower(tok)), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT % 256 AS b
+      FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM tok)
+    ), gc AS (
+      SELECT b, count(*) AS raw_c,
+        sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+      FROM tb GROUP BY b
+    ), dc AS (
+      SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b
+    ), terms AS (
+      SELECT dc.doc_id,
+        list(struct_pack(b := dc.b, c := dc.c,
+                         tgt_c := gc.tgt_c, raw_c := gc.raw_c)
+             ORDER BY dc.b) AS ts,
+        sum(dc.c) AS n_toks
+      FROM dc JOIN gc USING (b) GROUP BY dc.doc_id
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      round(list_reduce(list_prepend(0.0, list_transform(ts,
+        t -> CAST(t.c AS DOUBLE)
+             * ln(CAST(t.tgt_c + 1 AS DOUBLE) / CAST(t.raw_c + 1 AS DOUBLE)))),
+        (acc, x) -> acc + x), 4) AS log_weight
+    FROM terms
+    """

@@ -1945,3 +1945,110 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame").cast("long").alias("n_bytes"),
         F.md5("frame").alias("frame_hash"),
     )
+
+
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators/similarity.semantic_dedup): IVF cells as the clusters,
+    within-cell cosine >= 0.35 pairs pruned keeping the member closest
+    to its centroid. Oracle-backed end to end — the centroid doubles,
+    argmax cell assignment, cosines, and the dominance keep rule are
+    all fold-left/exact-integer arithmetic the DuckDB twin replays
+    bit-identically; only the displayed cosine is rounded."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = ivf_centroids(vecs, n_centroids=16, dim=64)
+    out = semantic_dedup(vecs, cents, threshold=0.35)
+    return out.select(
+        "vec_id", "cell", _r4(F.col("cos_cent")).alias("cos_cent"), "kept"
+    )
+
+
+def kmeans_refine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement round over the IVF seed centroids, emitted
+    as per-cell M-step statistics (count + first four refined centroid
+    components). Demonstrates the iterative-clustering loop shape
+    (broadcast centroids out, exact-integer sums back) with a DuckDB
+    twin that unrolls the same E-step/M-step: the floor-quantized
+    DECIMAL sums make every refined component an engine-exact double
+    (|sum| < 2^53 holds through ~10^9 rows/cell at |v| <= 1)."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        assign_cells,
+        ivf_centroids,
+    )
+
+    quant = 1_000_000
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = ivf_centroids(vecs, n_centroids=16, dim=64)
+    assigned = assign_cells(vecs, cents)
+    seeded = assigned.select(
+        "cell", F.transform("v", lambda x: F.floor(x * quant)).alias("q")
+    )
+    sums = seeded.groupBy("cell").agg(
+        *[
+            F.sum(F.element_at("q", i + 1).cast("decimal(38,0)")).alias(f"s{i}")
+            for i in range(4)
+        ],
+        F.count("*").alias("n"),
+    )
+    denom = (F.col("n") * quant).cast("double")
+    return sums.select(
+        "cell",
+        "n",
+        *[
+            F.round(F.col(f"s{i}").cast("double") / denom, 6).alias(f"c{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): hashed unigram bucket counts estimate a target
+    (lang='en') and raw token distribution; each document scores
+    log w(d) = Σ_b c_b(d) · ln((tgt_b + 1) / (raw_b + 1)) — the
+    log-likelihood ratio under the two hashed-ngram models, the
+    resampling weight for target-seeking data selection.
+
+    Scale shape: one 256-key bucket aggregate (map-side partials →
+    broadcast back) and one (doc_id, bucket) aggregate; no all-pairs,
+    no Python. Bit-determinism: the per-doc sum folds over the
+    bucket-sorted term list, mirrored exactly by the DuckDB twin
+    (same precedent as docs_token_entropy's sorted-count fold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.explode(_tokens()).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower("tok")), 1, 15), 16, 10).cast("long")
+        % 256
+    ).alias("b")
+    tb = toks.select("doc_id", "lang", bucket)
+    global_counts = tb.groupBy("b").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_c"),
+    )
+    doc_counts = tb.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    joined = doc_counts.join(F.broadcast(global_counts), "b")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("b", "c", "tgt_c", "raw_c"))
+        ).alias("terms"),
+        F.sum("c").alias("n_toks"),
+    )
+    term = lambda t: t["c"].cast("double") * F.log(
+        (t["tgt_c"] + 1).cast("double") / ((t["raw_c"] + 1).cast("double"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        _r4(
+            F.aggregate("terms", F.lit(0.0), lambda acc, t: acc + term(t))
+        ).alias("log_weight"),
+    )

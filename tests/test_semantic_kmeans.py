@@ -1,0 +1,129 @@
+"""Semantic dedup (SemDeDup-style), Lloyd refinement, and DSIR weights."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from hrfco_data_pipeline_spark.operators.similarity import (
+    assign_cells,
+    ivf_centroids,
+    kmeans_iterate,
+    semantic_dedup,
+)
+
+
+def _vecs(spark):
+    # Two tight groups on orthogonal axes plus one singleton: any sane
+    # clustering routes each group to one cell, and within-group cosine
+    # is ~1 while cross-group cosine is ~0.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.01]),
+        (2, [1.0, 0.0, 0.0, 0.02]),  # near-dup of 1
+        (3, [0.99, 0.01, 0.0, 0.0]),  # near-dup of 1/2
+        (4, [0.0, 1.0, 0.0, 0.01]),
+        (5, [0.0, 1.0, 0.0, 0.02]),  # near-dup of 4
+        (6, [0.0, 0.0, 1.0, 0.0]),  # singleton direction
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, v array<double>"
+    )
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    vecs = _vecs(spark)
+    cents = ivf_centroids(vecs, n_centroids=4, dim=4)
+    out = {r.vec_id: r for r in semantic_dedup(vecs, cents, 0.9).collect()}
+    assert len(out) == 6  # one row per input vector
+    # every pruned vector has a same-cell kept-or-pruned neighbor with
+    # cos >= threshold and >= cos_cent (the dominance rule)
+    for vid, r in out.items():
+        if not r.kept:
+            dominators = [
+                o
+                for o in out.values()
+                if o.cell == r.cell
+                and o.vec_id != vid
+                and (
+                    o.cos_cent > r.cos_cent
+                    or (o.cos_cent == r.cos_cent and o.vec_id < vid)
+                )
+            ]
+            assert dominators, f"pruned {vid} has no dominator in its cell"
+    # the singleton direction can never be pruned: nothing is near it
+    assert out[6].kept
+    # at least one of each tight group gets pruned, at least one kept
+    g1 = [out[i].kept for i in (1, 2, 3)]
+    g2 = [out[i].kept for i in (4, 5)]
+    assert any(g1) and not all(g1)
+    assert any(g2) and not all(g2)
+
+
+def test_semantic_dedup_threshold_one_keeps_nonidentical(spark):
+    vecs = _vecs(spark)
+    cents = ivf_centroids(vecs, n_centroids=4, dim=4)
+    out = semantic_dedup(vecs, cents, threshold=1.1)
+    assert out.filter(~F.col("kept")).count() == 0
+
+
+def test_kmeans_iterate_tightens_assignment(spark):
+    vecs = _vecs(spark)
+    cents0 = ivf_centroids(vecs, n_centroids=4, dim=4)
+    cents1 = kmeans_iterate(vecs, cents0, iters=1)
+    assert len(cents1) == 4 and all(len(c) == 4 for c in cents1)
+    # refined centroids are the exact mean of their assigned members
+    # (floor-quantized): re-assigning under cents1 must reproduce the
+    # same per-cell membership as a fixed point for this tiny corpus
+    a1 = {
+        r.vec_id: r.cell for r in assign_cells(vecs, cents1).collect()
+    }
+    cents2 = kmeans_iterate(vecs, cents1, iters=1)
+    a2 = {
+        r.vec_id: r.cell for r in assign_cells(vecs, cents2).collect()
+    }
+    assert a1 == a2  # converged: memberships stable under one more step
+    # an empty cell keeps its previous centroid verbatim
+    occupied = set(a1.values())
+    for c in range(4):
+        if c not in occupied:
+            assert cents2[c] == cents1[c]
+
+
+def test_kmeans_iterate_centroid_is_quantized_mean(spark):
+    vecs = _vecs(spark)
+    cents0 = ivf_centroids(vecs, n_centroids=1, dim=4)
+    # with one centroid the refined centroid is the global floor-1e6 mean
+    cents1 = kmeans_iterate(vecs, cents0, iters=3)
+    rows = [r.v for r in vecs.collect()]
+    for i in range(4):
+        s = sum(math.floor(v[i] * 1_000_000) for v in rows)
+        assert cents1[0][i] == s / (len(rows) * 1_000_000)
+
+
+def test_dsir_weights_favor_target_like_docs(spark, tmp_path):
+    from hrfco_data_pipeline_spark.plans.llm import docs_dsir_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "s", 16),
+            (2, "alpha beta gamma", "en", "s", 16),
+            (3, "delta epsilon zeta", "de", "s", 18),
+            (4, "alpha beta gamma", "de", "s", 16),  # target-looking text
+            (5, "delta epsilon zeta", "de", "s", 18),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out_dir = str(tmp_path / "docs")
+    docs.write.parquet(out_dir + "/documents.parquet")
+    w = {
+        r.doc_id: r.log_weight
+        for r in docs_dsir_weights(spark, out_dir).collect()
+    }
+    # 'alpha beta gamma' tokens are mostly-target (2 of 3 docs en);
+    # 'delta epsilon zeta' tokens never appear in-target -> lower weight
+    assert w[4] > w[5]
+    assert w[1] == w[2] == w[4]  # same text, same weight
+    # n_toks flows through
+    rows = docs_dsir_weights(spark, out_dir).collect()
+    assert all(r.n_toks == 3 for r in rows)
