@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_keep": llm.semantic_dedup_keep,
         "kmeans_refine_probe": llm.kmeans_refine_probe,
         "docs_dsir_weights": llm.docs_dsir_weights,
+        "docs_leakage_safe_split": llm.docs_leakage_safe_split,
+        "docs_bpe_pair_counts": llm.docs_bpe_pair_counts,
+        "docs_quality_cutoff": llm.docs_quality_cutoff,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

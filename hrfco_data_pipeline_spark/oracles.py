@@ -2942,3 +2942,105 @@ LLM_ORACLES["docs_dsir_weights"] = _TOK_CTE + r"""
         (acc, x) -> acc + x), 4) AS log_weight
     FROM terms
     """
+
+
+# Leakage-safe split: dup_components' recursive-CTE closure, rooted at
+# the min cluster member, routed through the same Knuth hash split as
+# docs_split_assign; singletons root at their own doc_id.
+LLM_ORACLES["docs_leakage_safe_split"] = r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jp AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ), reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), rooted AS (
+      SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    )
+    SELECT doc_id, root AS cluster_root,
+      CASE WHEN ((root % 2147483648) * 2654435761) % 2147483648 % 100 < 80
+           THEN 'train'
+           WHEN ((root % 2147483648) * 2654435761) % 2147483648 % 100 < 90
+           THEN 'val' ELSE 'test' END AS split
+    FROM rooted
+    """
+
+
+# BPE merge-pair counting: vocabulary-collapsed adjacent char pairs,
+# weighted by word frequency; top-50 under a total order.
+LLM_ORACLES["docs_bpe_pair_counts"] = _TOK_CTE + r"""
+    , words AS (
+      SELECT lower(tok) AS w FROM (SELECT unnest(toks) AS tok FROM tok)
+    ), wc AS (
+      SELECT w, count(*) AS wn FROM words GROUP BY w
+    ), pairs AS (
+      SELECT wn, unnest(
+        CASE WHEN length(w) >= 2 THEN
+          list_transform(range(1, length(w)), i -> substr(w, i, 2))
+        ELSE [] END) AS pair
+      FROM wc
+    )
+    SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC LIMIT 50
+    """
+
+
+# Per-source discrete-median quality cutoff: same composite score as
+# docs_quality_score; the lower median is the sample at row ceil(n/2)
+# under (score, doc_id) order — no interpolation arithmetic.
+LLM_ORACLES["docs_quality_cutoff"] = _TOK_CTE + r"""
+    , scored AS (
+      SELECT doc_id, source,
+        (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000
+              THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+                THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN CAST(len(list_filter(toks,
+                    x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
+                  / len(toks) BETWEEN 0.01 AND 0.5
+                THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS q
+      FROM tok
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY source ORDER BY q ASC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    ), med AS (
+      SELECT source, q AS med FROM ranked WHERE rn = ceil(n / 2.0)
+    )
+    SELECT s.source, count(*) AS n_docs,
+      CAST(sum(CASE WHEN s.q >= m.med THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      round(min(m.med), 4) AS median_q
+    FROM scored s JOIN med m USING (source)
+    GROUP BY s.source
+    """

@@ -2052,3 +2052,100 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("terms", F.lit(0.0), lambda acc, t: acc + term(t))
         ).alias("log_weight"),
     )
+
+
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member of a
+    near-dup cluster (connected components over the shingle-Jaccard
+    pair graph) is routed by its CLUSTER ROOT's hash, not its own, so
+    near-duplicates can never straddle the train/test boundary — the
+    contamination mode a per-doc hash split silently allows.
+
+    Composition of two certified operators (dup_components +
+    operators/sampling.hash_bucket); singletons (docs in no pair) root
+    at their own id. Scale shape: the components labeling is the
+    O(log d)-round min-label loop; the split itself is one broadcast-
+    sized join (component table is a projection of the pair graph,
+    far smaller than the corpus)."""
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
+
+    comp = dup_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    joined = docs.join(comp, docs["doc_id"] == comp["id"], "left")
+    root = F.coalesce(F.col("component"), F.col("doc_id"))
+    pct = hash_bucket(root, 100)
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    )
+    return joined.select(
+        "doc_id", root.alias("cluster_root"), split.alias("split")
+    )
+
+
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration (tokenizer induction over the corpus):
+    count adjacent character pairs across all word occurrences and
+    surface the top-50 merge candidates — the inner loop of training a
+    BPE vocabulary at corpus scale.
+
+    Plan: one word-frequency groupBy collapses the corpus to its
+    vocabulary (the classic BPE trick — pair counts weight by word
+    frequency, so the explode runs over DISTINCT words, not tokens),
+    then a per-word character-pair fan-out and one pair-key aggregate.
+    Top-50 is TakeOrderedAndProject on (count desc, pair asc) — a
+    total order, so the cut is deterministic in any engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens()).alias("w0")).select(
+        F.lower("w0").alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = wc.select("wn", F.explode(pair_arr).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(50)
+    )
+
+
+def docs_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality gate: keep documents at or above
+    their source's median quality score — the relative-threshold
+    variant of docs_quality_score's fixed cut, used when sources have
+    incomparable score distributions.
+
+    The median is the DISCRETE lower median (the score at row
+    ceil(n/2) under (score, doc_id) order) — an actual sample value,
+    so the >= comparison is engine-exact with no interpolation
+    arithmetic. Exact medians need a per-source sort: fine while
+    source cardinality ~20 and rows/source fit a partition; at 100 TB
+    swap in percentile_approx (events_approx_stats pattern) or
+    pre-aggregate per (source, rounded-score) first."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score_expr(_tokens()).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("q"), F.asc("doc_id"))
+    cw = Window.partitionBy("source")
+    ranked = scored.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(cw)
+    )
+    med = ranked.filter(
+        F.col("rn") == F.ceil(F.col("n") / F.lit(2.0))
+    ).select("source", F.col("q").alias("med"))
+    return (
+        scored.join(med, "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("q") >= F.col("med")).cast("long")).alias("n_kept"),
+            _r4(F.first("med")).alias("median_q"),
+        )
+    )

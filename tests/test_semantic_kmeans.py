@@ -127,3 +127,61 @@ def test_dsir_weights_favor_target_like_docs(spark, tmp_path):
     # n_toks flows through
     rows = docs_dsir_weights(spark, out_dir).collect()
     assert all(r.n_toks == 3 for r in rows)
+
+
+def _write_docs(spark, tmp_path, rows):
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out_dir = str(tmp_path / "docs")
+    docs.write.parquet(out_dir + "/documents.parquet")
+    return out_dir
+
+
+NEAR_A = "one two three four five six seven eight nine ten eleven twelve"
+NEAR_B = "one two three four five six seven eight nine ten eleven thirteen"
+OTHER = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, tmp_path):
+    from hrfco_data_pipeline_spark.plans.llm import docs_leakage_safe_split
+
+    out_dir = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, NEAR_A, "en", "s", 60),
+            (2, NEAR_B, "en", "s", 60),  # near-dup of 1 -> same cluster
+            (3, OTHER, "en", "s", 60),  # singleton
+        ],
+    )
+    rows = {r.doc_id: r for r in docs_leakage_safe_split(spark, out_dir).collect()}
+    assert len(rows) == 3
+    assert rows[1].cluster_root == rows[2].cluster_root == 1
+    assert rows[1].split == rows[2].split  # the leakage-safety invariant
+    assert rows[3].cluster_root == 3
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark, tmp_path):
+    from hrfco_data_pipeline_spark.plans.llm import docs_bpe_pair_counts
+
+    out_dir = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "ab ab abc x", "en", "s", 11), (2, "ab", "en", "s", 2)],
+    )
+    got = {r.pair: r.n for r in docs_bpe_pair_counts(spark, out_dir).collect()}
+    # 'ab' appears in words: ab (x3), abc (x1) -> 4; 'bc' only in abc -> 1
+    assert got["ab"] == 4
+    assert got["bc"] == 1
+    assert "x" not in got  # single-char words contribute no pairs
+
+
+def test_quality_cutoff_keeps_at_least_half_per_source(spark):
+    from hrfco_data_pipeline_spark.plans.llm import docs_quality_cutoff
+
+    out = docs_quality_cutoff(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert r.n_kept >= r.n_docs / 2.0  # >= lower median by definition
+        assert 0.0 <= r.median_q <= 1.0
