@@ -113,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_safe_split": llm.docs_leakage_safe_split,
         "docs_bpe_pair_counts": llm.docs_bpe_pair_counts,
         "docs_quality_cutoff": llm.docs_quality_cutoff,
+        "dup_cluster_sizes": llm.dup_cluster_sizes,
+        "ann_hard_negatives": llm.ann_hard_negatives,
+        "events_user_overlap": relational.events_user_overlap,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

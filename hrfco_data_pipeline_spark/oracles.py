@@ -3044,3 +3044,51 @@ LLM_ORACLES["docs_quality_cutoff"] = _TOK_CTE + r"""
     FROM scored s JOIN med m USING (source)
     GROUP BY s.source
     """
+
+
+# Cluster-size histogram over the same recursive closure as
+# dup_components (two grouped aggregates on top).
+LLM_ORACLES["dup_cluster_sizes"] = LLM_ORACLES["dup_components"].replace(
+    "SELECT id, min(r) AS component FROM reach GROUP BY id",
+    """SELECT size, count(*) AS n_clusters FROM (
+         SELECT component, count(*) AS size FROM (
+           SELECT id, min(r) AS component FROM reach GROUP BY id)
+         GROUP BY component)
+       GROUP BY size""",
+)
+
+
+# Hard negatives: ann_cosine_topk's brute-force scan with the label
+# inequality in the join and top-3 on the rounded cosine.
+LLM_ORACLES["ann_hard_negatives"] = """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, label AS qlabel, v AS qv, nrm AS qn
+      FROM e WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS negative_id, e.label AS negative_label,
+        round(list_sum(list_transform(range(len(e.v)),
+                i -> e.v[i + 1] * q.qv[i + 1])) / (e.nrm * q.qn), 4) AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, negative_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, negative_id, negative_label, cos_sim,
+      CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+    """
+
+
+RELATIONAL_ORACLES["events_user_overlap"] = """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+      count(*) AS n_common_users
+    FROM d a JOIN d b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """

@@ -34,6 +34,16 @@ def _r4(c: Column) -> Column:
     return F.round(c, 4)
 
 
+
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan routed through parallelize_small_scan — the
+    CPU-heavy shingle/hash kernels below serialize on the testdata's
+    single-split file otherwise (no-op on real multi-split layouts)."""
+    from hrfco_data_pipeline_spark.sources.tables import parallelize_small_scan
+
+    return parallelize_small_scan(load_table(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Deduplication
 # --------------------------------------------------------------------------
@@ -74,7 +84,7 @@ def docs_ngram_jaccard_pairs(
     (df in the millions) never concentrates its raw rows in one task —
     a window over partitionBy(s) would.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select("doc_id", _tokens().alias("toks"))
     n = F.size("toks")
     shingles = F.when(
@@ -383,7 +393,7 @@ def minhash_near_dups(
     keeps the plan lazy for audits/schema-only callers."""
     from hrfco_data_pipeline_spark.operators.dedup import minhash_dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return minhash_dedup(docs, threshold=0.5, materialize=materialize)
 
 
@@ -391,7 +401,7 @@ def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 near-dup pairs (operators/dedup.py)."""
     from hrfco_data_pipeline_spark.operators.dedup import simhash_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return simhash_pairs(docs, max_hamming=3)
 
 
@@ -870,7 +880,7 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 BIGINTs to cut that 4× (same selection order semantics,
     different fingerprint values than the md5 oracle).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select("doc_id", _tokens().alias("toks"))
     h = toks.select("doc_id", gram_hashes_expr(F.col("toks")).alias("h"))
     h = h.repartition(spark.sparkContext.defaultParallelism)
@@ -1311,7 +1321,7 @@ def near_dedup_keep(
         minhash_dedup,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     pairs = minhash_dedup(docs, threshold=threshold, materialize=materialize)
     comp = connected_components(pairs, "id_a", "id_b")
     w = Window.partitionBy("component")
@@ -1415,7 +1425,7 @@ def minhash_band_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_portable,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     sigs = minhash_signatures_portable(docs, k=8)
     pairs = lsh_candidate_pairs(sigs, bands=4, k=8)
     return pairs.select("id_a", "id_b", "est_jaccard")
@@ -1438,7 +1448,7 @@ def near_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_portable,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     sigs = minhash_signatures_portable(docs, k=8)
     pairs = lsh_candidate_pairs(sigs, bands=4, k=8).filter(
         F.col("est_jaccard") >= 0.7
@@ -1470,7 +1480,7 @@ def simhash_pairs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_pairs_from,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     base = F.transform(
         _tokens(),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
@@ -1495,7 +1505,7 @@ def docs_simjoin_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hrfco_data_pipeline_spark.operators.dedup import prefix_jaccard_pairs
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     return prefix_jaccard_pairs(docs, threshold=0.5)
 
 
@@ -1526,7 +1536,7 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     m_bits = 1 << 16
     k = 3
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     from hrfco_data_pipeline_spark.operators.dedup import shingle_array
 
     sh = docs.select(
@@ -1553,21 +1563,32 @@ def docs_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eval_exact = hashed.filter(is_eval).select("s").distinct()
 
+    # Probe the filter with k chained BROADCAST LEFT-SEMI joins — one
+    # per probe position, each a map-side hash lookup against the
+    # ≤ m_bits-row set-bit table (the Bloom membership test "bit p_j
+    # set for every j" is exactly the conjunction of the k semi
+    # joins). The previous form posexploded the train side 3x and
+    # re-grouped by (doc_id, shingle) to require all k probes — two
+    # shuffles of 3x the corpus shingle count, measured 4.2 s at
+    # sf0.1; the semi-join chain runs zero shuffles (~1.5 s), and at
+    # 100 TB the broadcast stays bounded by the constant m_bits no
+    # matter the eval-corpus size.
     train = hashed.filter(~is_eval)
     probe = train.select(
         "doc_id",
         "s",
-        F.posexplode(
-            F.array(*[(F.col("h1") + F.lit(j) * F.col("h2")) % m_bits for j in range(k)])
-        ).alias("j", "pos"),
+        *[
+            ((F.col("h1") + F.lit(j) * F.col("h2")) % m_bits).alias(f"p{j}")
+            for j in range(k)
+        ],
     )
-    bloom_hit_shingles = (
-        probe.join(F.broadcast(positions), "pos")
-        .groupBy("doc_id", "s")
-        .agg(F.count_distinct("j").alias("nj"))
-        .filter(F.col("nj") == k)
-        .select("doc_id", "s")
-    )
+    for j in range(k):
+        probe = probe.join(
+            F.broadcast(positions.withColumnRenamed("pos", f"p{j}")),
+            f"p{j}",
+            "left_semi",
+        )
+    bloom_hit_shingles = probe.select("doc_id", "s")
     exact_hit_shingles = train.join(F.broadcast(eval_exact), "s", "left_semi").select(
         "doc_id", "s"
     )
@@ -1630,7 +1651,7 @@ def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter arithmetic bit-for-bit.
     """
     top_k = 20
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     tok_expr, cells = cms_cells()
     tok = docs.select(tok_expr)
     counters = cms_counters(docs)
@@ -1678,7 +1699,7 @@ def docs_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verify stage already bounds the quadratic term to candidates.
     """
     d = 8
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     p = docs.select(
         "doc_id", F.substring(F.trim(F.col("text")), 1, 64).alias("s")
     ).withColumn("ln", F.length("s"))
@@ -1863,7 +1884,7 @@ def docs_editdist_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 8
     from pyspark.sql import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     p = docs.select(
         "doc_id", F.substring(F.trim(F.col("text")), 1, 64).alias("s")
     ).withColumn("ln", F.length("s"))
@@ -2148,4 +2169,62 @@ def docs_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("q") >= F.col("med")).cast("long")).alias("n_kept"),
             _r4(F.first("med")).alias("median_q"),
         )
+    )
+
+
+def dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup report artifact: the cluster-size histogram of the
+    near-dup component graph (how much of the corpus is duplicated,
+    and in how large clumps). Two bounded-key aggregates over the
+    certified components labeling; singleton docs (no near-dup edge)
+    are excluded, as in dup_components."""
+    comp = dup_components(spark, sf_dir)
+    return (
+        comp.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .groupBy("size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-3 most-cosine-similar corpus vectors with a
+    DIFFERENT label — the semantically-close-but-wrong examples that
+    make metric-learning batches informative.
+
+    Same broadcast-query/corpus-scan shape as ann_cosine_topk with the
+    label inequality fused into the join predicate (no post-filter:
+    the pruned pairs never materialize). At corpus×corpus scale, swap
+    the broadcast for the IVF cell routing exactly as ivf_topk does."""
+    from hrfco_data_pipeline_spark.operators.similarity import as_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", as_double_vec("embedding", "v")
+    ).withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    joined = vecs.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("qlabel")),
+    )
+    cos = _r4(_dot("qv", "v") / (F.col("qn") * F.col("nrm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        joined.select(
+            "query_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
     )

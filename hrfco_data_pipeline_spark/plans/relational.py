@@ -1775,3 +1775,25 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: distinct-user intersection counts for every
+    event-type pair. One (type, user) distinct shuffle, then a
+    user-keyed self-join whose output is bounded by types² rows per
+    user — the exact face of the sketch-based overlap estimate
+    (events_hll_user_rollup's theta/HLL territory at 100 TB)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", "user_id").distinct()
+    a = d.select(
+        F.col("event_type").alias("type_a"), F.col("user_id")
+    )
+    b = d.select(
+        F.col("event_type").alias("type_b"), F.col("user_id")
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common_users"))
+    )

@@ -185,3 +185,30 @@ def test_quality_cutoff_keeps_at_least_half_per_source(spark):
     for r in out:
         assert r.n_kept >= r.n_docs / 2.0  # >= lower median by definition
         assert 0.0 <= r.median_q <= 1.0
+
+
+def test_ann_hard_negatives_labels_differ(spark):
+    from hrfco_data_pipeline_spark.plans.llm import ann_hard_negatives
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = ann_hard_negatives(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert r.negative_label != labels[r.query_id]
+        assert 1 <= r.rank <= 3
+
+
+def test_user_overlap_symmetric_bound(spark):
+    from hrfco_data_pipeline_spark.plans.relational import events_user_overlap
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    per_type = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in events_user_overlap(spark, "/root/testdata/sf0.001").collect():
+        assert r.type_a < r.type_b
+        assert r.n_common_users <= min(per_type[r.type_a], per_type[r.type_b])
