@@ -54,6 +54,10 @@ HEADLINE = [
     "docs_simjoin_prefix",
     "docs_bloom_decontaminate",
     "lineitem_zorder_layout",
+    # round-4 additions: clustering / selection / leakage-safe curation
+    "semantic_dedup_keep",
+    "docs_dsir_weights",
+    "docs_leakage_safe_split",
 ]
 
 
