@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_sizes": llm.dup_cluster_sizes,
         "ann_hard_negatives": llm.ann_hard_negatives,
         "events_user_overlap": relational.events_user_overlap,
+        "docs_model_quality_score": llm.docs_model_quality_score,
+        "docs_lang_balance_sampler": llm.docs_lang_balance_sampler,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -3092,3 +3092,78 @@ RELATIONAL_ORACLES["events_user_overlap"] = """
       ON a.user_id = b.user_id AND a.event_type < b.event_type
     GROUP BY 1, 2
     """
+
+
+# Logistic quality model: hashed-bucket features, md5-derived weights,
+# fold over bucket-sorted terms; keep decided on z >= 0 (exp-free).
+LLM_ORACLES["docs_model_quality_score"] = _TOK_CTE + r"""
+    , tb AS (
+      SELECT doc_id,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef', substr(md5(lower(tok)), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT % 256 AS b
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+    ), dc AS (
+      SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b
+    ), wt AS (
+      SELECT doc_id, b, c,
+        (list_reduce(list_transform(range(1, 16),
+           i -> strpos('0123456789abcdef', substr(md5(b::VARCHAR), i, 1)) - 1),
+           (acc, d) -> acc * 16 + d)::BIGINT % 2001 - 1000)::DOUBLE / 1000.0 AS w
+      FROM dc
+    ), per_doc AS (
+      SELECT doc_id,
+        list(struct_pack(b := b, c := c, w := w) ORDER BY b) AS ts,
+        sum(c) AS n_toks
+      FROM wt GROUP BY doc_id
+    ), z AS (
+      SELECT doc_id, n_toks,
+        list_reduce(list_prepend(0.0, list_transform(ts,
+          t -> CAST(t.c AS DOUBLE) * t.w)), (acc, x) -> acc + x)
+        / CAST(n_toks AS DOUBLE) AS zz
+      FROM per_doc
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+      round(1.0 / (1.0 + exp(-zz)), 4) AS quality_prob,
+      zz >= 0 AS keep
+    FROM z
+    """
+
+
+# Temperature-0.5 language mixing: sqrt is correctly rounded (IEEE),
+# double sums fold over the lang-sorted list, total is an exact sum.
+LLM_ORACLES["docs_lang_balance_sampler"] = r"""
+    WITH lc AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ), packed AS (
+      SELECT list(struct_pack(lang := lang, n := n) ORDER BY lang) AS ls,
+        sum(n) AS total
+      FROM lc
+    ), folded AS (
+      SELECT ls, total,
+        list_reduce(list_prepend(0.0, list_transform(ls,
+          t -> sqrt(CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE)))),
+          (acc, x) -> acc + x) AS qsum
+      FROM packed
+    ), withmax AS (
+      SELECT ls, total, qsum,
+        list_reduce(list_prepend(0.0, list_transform(ls,
+          t -> (sqrt(CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE)) / qsum)
+               / (CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE)))),
+          (acc, x) -> greatest(acc, x)) AS max_ratio
+      FROM folded
+    ), ex AS (
+      SELECT total, qsum, max_ratio, unnest(ls) AS t FROM withmax
+    )
+    SELECT t.lang AS lang, t.n AS n,
+      round(CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE), 4) AS p_corpus,
+      round(sqrt(CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE)) / qsum, 4)
+        AS q_target,
+      round((sqrt(CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE)) / qsum
+             / (CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE))) / max_ratio, 4)
+        AS sample_rate,
+      CAST(floor((sqrt(CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE)) / qsum
+             / (CAST(t.n AS DOUBLE) / CAST(total AS DOUBLE))) / max_ratio
+             * t.n) AS BIGINT) AS n_sampled
+    FROM ex
+    """

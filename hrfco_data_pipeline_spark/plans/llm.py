@@ -2228,3 +2228,106 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+def docs_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier shape
+    used by CCNet/DataComp/FineWeb): a logistic model over hashed
+    unigram features scores every document map-side; keep = score
+    above 0.5.
+
+    The weight vector is deterministic — w_b = (md5-60bit(b) mod 2001
+    - 1000) / 1000 ∈ [-1, 1] for bucket b — standing in for trained
+    weights with the exact serving-time plan: feature hashing, a
+    sparse dot product folded over the doc's bucket-sorted counts
+    (docs_token_entropy's order-pinned fold), and the sigmoid. At
+    100 TB this is one (doc, bucket) aggregate + a zero-shuffle
+    projection; swapping in real weights is a broadcast join against
+    a 2^b-row weight table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower("tok")), 1, 15), 16, 10).cast("long")
+        % 256
+    ).alias("b")
+    dc = toks.select("doc_id", bucket).groupBy("doc_id", "b").agg(
+        F.count("*").alias("c")
+    )
+    w_b = (
+        F.conv(
+            F.substring(F.md5(F.col("b").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        % 2001
+        - 1000
+    ).cast("double") / 1000.0
+    terms = dc.withColumn("w", w_b)
+    per_doc = terms.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("b", "c", "w"))).alias("ts"),
+        F.sum("c").alias("n_toks"),
+    )
+    z = F.aggregate(
+        "ts",
+        F.lit(0.0),
+        lambda acc, t: acc + t["c"].cast("double") * t["w"],
+    ) / F.col("n_toks")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # keep is decided on z >= 0 (bit-exact fold arithmetic), not on the
+    # sigmoid output — sigmoid(0) = 0.5 exactly at the same boundary,
+    # but exp() is the one libm call engines may round differently
+    return per_doc.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        _r4(score).alias("quality_prob"),
+        (z >= 0).alias("keep"),
+    )
+
+
+def docs_lang_balance_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling (the mBERT/XLM-R
+    alpha-mixing formula): q_l ∝ p_l^alpha with alpha = 0.5 boosts
+    low-resource languages; the sampling rate per language is
+    q_l / p_l normalized so the largest language keeps rate 1.0 —
+    i.e. downsample the head, never upsample past the corpus.
+
+    One language-count aggregate (bounded keys), all arithmetic folds
+    over the lang-sorted ~|languages| row list — broadcast scale by
+    definition, same posture as domain_mix_rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    lc = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    # alpha = 0.5, i.e. q_l ∝ sqrt(p_l): sqrt is the ONE power IEEE
+    # defines as correctly rounded, so every derived double is
+    # engine-exact (pow(x, 0.3) is libm-dependent). The double sums
+    # over the ~|languages| table fold over the lang-sorted list
+    # (total is an exact LONG sum), pinning summation order.
+    packed = lc.agg(
+        F.sort_array(F.collect_list(F.struct("lang", "n"))).alias("ls"),
+        F.sum("n").alias("total"),
+    )
+    p_of = lambda t: t["n"].cast("double") / F.col("total").cast("double")
+    qsum = F.aggregate(
+        "ls", F.lit(0.0), lambda acc, t: acc + F.sqrt(p_of(t))
+    )
+    ratio_of = lambda t: (F.sqrt(p_of(t)) / F.col("qsum")) / p_of(t)
+    ex = (
+        packed.withColumn("qsum", qsum)
+        .withColumn(
+            "max_ratio",
+            F.aggregate(
+                "ls",
+                F.lit(0.0),
+                lambda acc, t: F.greatest(acc, ratio_of(t)),
+            ),
+        )
+        .select("total", "qsum", "max_ratio", F.explode("ls").alias("t"))
+    )
+    p = F.col("t.n").cast("double") / F.col("total").cast("double")
+    q = F.sqrt(p) / F.col("qsum")
+    rate = (q / p) / F.col("max_ratio")
+    return ex.select(
+        F.col("t.lang").alias("lang"),
+        F.col("t.n").alias("n"),
+        _r4(p).alias("p_corpus"),
+        _r4(q).alias("q_target"),
+        _r4(rate).alias("sample_rate"),
+        F.floor(rate * F.col("t.n")).cast("long").alias("n_sampled"),
+    )

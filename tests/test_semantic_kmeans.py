@@ -212,3 +212,34 @@ def test_user_overlap_symmetric_bound(spark):
     for r in events_user_overlap(spark, "/root/testdata/sf0.001").collect():
         assert r.type_a < r.type_b
         assert r.n_common_users <= min(per_type[r.type_a], per_type[r.type_b])
+
+
+def test_model_quality_score_properties(spark):
+    from hrfco_data_pipeline_spark.plans.llm import docs_model_quality_score
+
+    out = docs_model_quality_score(spark, "/root/testdata/sf0.001").collect()
+    assert out
+    for r in out:
+        assert 0.0 <= r.quality_prob <= 1.0
+        # keep tracks the z >= 0 boundary, i.e. prob >= 0.5 (to rounding)
+        if r.quality_prob > 0.5001:
+            assert r.keep
+        if r.quality_prob < 0.4999:
+            assert not r.keep
+
+
+def test_lang_balance_sampler_boosts_tail(spark):
+    from hrfco_data_pipeline_spark.plans.llm import docs_lang_balance_sampler
+
+    rows = {r.lang: r for r in docs_lang_balance_sampler(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert rows
+    rates = [(r.n, r.sample_rate) for r in rows.values()]
+    # the most common language has the LOWEST keep rate (downsampled),
+    # the rarest keeps rate 1.0; rates are monotone in 1/n
+    by_n = sorted(rates)
+    assert by_n[0][1] == 1.0  # rarest language keeps everything
+    for (n1, r1), (n2, r2) in zip(by_n, by_n[1:]):
+        assert r1 >= r2  # bigger language -> smaller (or equal) rate
+    for r in rows.values():
+        assert r.n_sampled <= r.n
