@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_overlap": relational.events_user_overlap,
         "docs_model_quality_score": llm.docs_model_quality_score,
         "docs_lang_balance_sampler": llm.docs_lang_balance_sampler,
+        "docs_curriculum_order": llm.docs_curriculum_order,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

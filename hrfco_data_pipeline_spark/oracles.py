@@ -3167,3 +3167,21 @@ LLM_ORACLES["docs_lang_balance_sampler"] = r"""
              * t.n) AS BIGINT) AS n_sampled
     FROM ex
     """
+
+
+# Curriculum interleave: same Knuth-hash rank within source, position
+# = rank * n_sources + numeric source index.
+LLM_ORACLES["docs_curriculum_order"] = """
+    WITH ranked AS (
+      SELECT doc_id, source,
+        row_number() OVER (
+          PARTITION BY source
+          ORDER BY ((doc_id % 2147483648) * 2654435761) % 2147483648
+                     % 1048576 ASC, doc_id ASC) - 1 AS rank_in_source
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rank_in_source AS INTEGER) AS rank_in_source,
+      rank_in_source * 20 + CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT)
+        AS position
+    FROM ranked
+    """

@@ -2331,3 +2331,40 @@ def docs_lang_balance_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(rate).alias("sample_rate"),
         F.floor(rate * F.col("t.n")).cast("long").alias("n_sampled"),
     )
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave (the corpus 'shuffle'
+    step before sharded write-out): docs are ordered by a stable
+    per-source hash permutation, then sources are round-robin
+    interleaved — position p goes to the doc ranked p within its
+    source, globally ordered by (rank, source). No rand() anywhere, so
+    the order is identical across runs/retries/AQE, and near-equal
+    source mixing holds at every prefix of the stream — the property
+    curriculum schedules care about.
+
+    One window shuffle on source (rank within source by Knuth hash);
+    the emitted global position is arithmetic over (rank, source
+    index) — no global sort; at scale the position feeds the
+    range-sharded writer (docs_range_shards) as its ordering key."""
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = Window.partitionBy("source").orderBy(
+        F.asc(hash_bucket("doc_id", 1 << 20)), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(srcs) - 1).alias("rank_in_source"),
+    )
+    # source index from the source name's digits (src0..src19) keeps
+    # the interleave arithmetic engine-portable without a second window
+    src_idx = F.regexp_replace("source", "[^0-9]", "").cast("long")
+    n_sources = F.lit(20)
+    return ranked.select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        (F.col("rank_in_source") * n_sources + src_idx).alias("position"),
+    )
