@@ -629,7 +629,16 @@ def semantic_dedup(
 
     Returns (vec_id, cell, cos_cent, kept).
     """
-    base = assign_cells(vectors, cents, id_col, vec_col)
+    from pyspark.storagelevel import StorageLevel
+
+    # the assignment is read three times (both pair sides + the final
+    # labeling join) and its centroid fold-dot expression tree is the
+    # expensive part to re-plan/execute — materialize it once, the
+    # same "write cluster assignments first" shape production SemDeDup
+    # uses (spills to disk at corpus scale)
+    base = assign_cells(vectors, cents, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"),
