@@ -95,3 +95,72 @@ def _count_data_files(path: str) -> int:
             if not f.startswith(("_", "."))
         )
     return n
+
+
+def prune_partitions(
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> dict[str, int]:
+    """Retention pruning for a hive-partitioned sink: atomically drop
+    every ``partition_col=<value>`` directory whose value sorts BELOW
+    ``keep_from`` (ISO dates compare lexicographically, so a date
+    string is the natural cutoff).
+
+    Plain-parquet equivalent of ``DELETE WHERE obs_date < cutoff`` +
+    ``VACUUM`` on a table format — but O(partitions) directory renames,
+    never a data rewrite. Each doomed partition is moved aside to a
+    ``.trash-<value>`` sibling first and the trash dirs are removed
+    only after every rename succeeded, so a crash mid-prune leaves
+    every partition either fully present or fully moved-aside
+    (recoverable by renaming back); readers never observe a
+    half-deleted partition directory.
+
+    Returns {"dropped": n, "kept": m}.
+    """
+    prefix = f"{partition_col}="
+    root = path.rstrip("/")
+    doomed, kept = [], 0
+    for name in sorted(os.listdir(root)):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < keep_from:
+            doomed.append(name)
+        else:
+            kept += 1
+    trash = []
+    for name in doomed:
+        t = os.path.join(root, f".trash-{name}")
+        os.rename(os.path.join(root, name), t)
+        trash.append(t)
+    for t in trash:
+        shutil.rmtree(t, ignore_errors=True)
+    return {"dropped": len(doomed), "kept": kept}
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Idempotent backfill: re-write exactly the partitions present in
+    ``df`` and leave every other partition untouched — Spark's DYNAMIC
+    partition-overwrite mode, the correct re-run semantics for "this
+    day's data was wrong, replay it" (a plain ``overwrite`` would drop
+    the whole table; ``append`` would double-count).
+
+    The conf is set per-write via ``partitionOverwriteMode`` so the
+    session default stays static for other writers. At 100 TB a
+    backfill shuffles only the replayed dates' rows; downstream
+    readers see each affected partition replaced atomically (per
+    partition directory, by the committer's rename).
+    """
+    (
+        df.write.format(fmt)
+        .partitionBy(*partition_cols)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .save(path)
+    )

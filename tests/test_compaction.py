@@ -72,3 +72,57 @@ def test_compaction_failed_swap_rolls_back(spark, tmp_path, monkeypatch):
 
     # original (uncompacted) table restored intact
     assert spark.read.parquet(path).count() == n
+
+
+def test_prune_partitions_drops_only_older(spark, tmp_path):
+    from hrfco_data_pipeline_spark.sinks.compaction import prune_partitions
+
+    path = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")],
+        "id long, obs_date string",
+    )
+    df.write.partitionBy("obs_date").parquet(path)
+    res = prune_partitions(path, "obs_date", keep_from="2024-01-02")
+    assert res == {"dropped": 1, "kept": 2}
+    back = spark.read.parquet(path)
+    # partition values type-infer to DATE on read-back
+    assert sorted(
+        str(r.obs_date) for r in back.select("obs_date").collect()
+    ) == ["2024-01-02", "2024-01-03"]
+
+
+def test_backfill_replaces_only_named_partitions(spark, tmp_path):
+    from hrfco_data_pipeline_spark.sinks.compaction import backfill_partitions
+
+    path = str(tmp_path / "fact")
+    spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")],
+        "id long, obs_date string",
+    ).write.partitionBy("obs_date").parquet(path)
+    # replay day 2 with corrected rows (one row instead of two)
+    fix = spark.createDataFrame(
+        [(99, "2024-01-02")], "id long, obs_date string"
+    )
+    backfill_partitions(fix, path, ["obs_date"])
+    back = spark.read.parquet(path)
+    rows = {(r.id, str(r.obs_date)) for r in back.collect()}
+    assert rows == {(1, "2024-01-01"), (99, "2024-01-02")}
+
+
+def test_observed_metrics_on_curation(spark):
+    """df.observe: free pipeline instrumentation — kept/dropped
+    counters ride the job with no extra pass over the data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Observation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    obs = Observation("curation")
+    gated = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_in"),
+        F.sum((F.length("text") >= 100).cast("long")).alias("n_long"),
+    ).filter(F.length("text") >= 100)
+    n_out = gated.count()
+    assert obs.get["n_in"] == docs.count()
+    assert obs.get["n_long"] == n_out
