@@ -3185,3 +3185,18 @@ LLM_ORACLES["docs_curriculum_order"] = """
         AS position
     FROM ranked
     """
+
+
+RELATIONAL_ORACLES["events_running_distinct_users"] = """
+    WITH fd AS (
+      SELECT event_type, user_id, min(CAST(ts AS DATE)) AS day
+      FROM events GROUP BY event_type, user_id
+    ), nu AS (
+      SELECT event_type, day, count(*) AS new_users
+      FROM fd GROUP BY event_type, day
+    )
+    SELECT event_type, day, new_users,
+      sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS cum_users
+    FROM nu
+    """

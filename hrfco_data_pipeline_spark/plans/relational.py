@@ -1797,3 +1797,34 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_common_users"))
     )
+
+
+def events_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event type by day — the pattern
+    that replaces the unsupported COUNT(DISTINCT) OVER: flag each
+    user's FIRST day per type (row_number = 1 on the (type, user)
+    partition), aggregate first-touches per day, then a running sum
+    over the tiny (type, day) table. Distinctness is resolved in ONE
+    user-keyed shuffle instead of re-counting the full history per
+    frame — the incremental form a 100 TB daily rollup job runs."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = (
+        d.groupBy("event_type", "user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return first_day.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

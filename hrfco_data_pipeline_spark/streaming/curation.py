@@ -28,6 +28,7 @@ def curate_documents(
     min_quality: float = 0.7,
     dedup: bool = True,
     watermark: str = "10 minutes",
+    model_gate: bool = False,
 ) -> DataFrame:
     """Normalize, redact, quality-gate, and dedup a documents frame.
 
@@ -37,9 +38,10 @@ def curate_documents(
     """
     clean = docs.withColumn("text", redact_pii(normalize_text("text")))
     scored = clean.withColumn("quality", quality_score_expr(_tokens()))
-    kept = scored.filter(F.col("quality") >= min_quality).withColumn(
-        "text_hash", F.md5(F.lower(F.trim("text")))
-    )
+    kept = scored.filter(F.col("quality") >= min_quality)
+    if model_gate:
+        kept = kept.filter(model_quality_z(_tokens()) >= 0)
+    kept = kept.withColumn("text_hash", F.md5(F.lower(F.trim("text"))))
     cols = ["doc_id", "lang", "source", "text", "quality", "text_hash"]
     if not dedup:
         return kept.select(*cols)
@@ -52,3 +54,30 @@ def curate_documents(
     else:
         deduped = kept.dropDuplicates(["text_hash"])
     return deduped.select(*cols)
+
+
+def model_quality_z(toks) -> F.Column:
+    """Logistic-model score numerator as a STATELESS per-row fold —
+    z = Σ_tokens w(bucket(tok)) / n_tokens, algebraically the same
+    Σ_b c_b·w_b / n as plans/llm.docs_model_quality_score's grouped
+    form (summation order differs, so the doubles may differ in the
+    last ulp — irrelevant for gating, and why the oracle-checked
+    grouped form stays the certification surface). Stateless means the
+    stream and batch plans are identical projections."""
+    bucket = lambda t: (
+        F.conv(F.substring(F.md5(F.lower(t)), 1, 15), 16, 10).cast("long")
+        % 256
+    )
+    weight = lambda b: (
+        (
+            F.conv(
+                F.substring(F.md5(b.cast("string")), 1, 15), 16, 10
+            ).cast("long")
+            % 2001
+            - 1000
+        ).cast("double")
+        / 1000.0
+    )
+    return F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + weight(bucket(t))
+    ) / F.size(toks)

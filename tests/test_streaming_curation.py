@@ -102,3 +102,33 @@ def test_cms_counters_stream_equals_batch(spark, tmp_path):
     }
     want = {(r.j, r.pos): r.c for r in cms_counters(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def test_model_gate_stream_equals_batch(spark, tmp_path):
+    """The logistic gate is a stateless per-row fold, so its stream and
+    batch survivor sets must be identical (and a strict subset of the
+    rule-gated corpus)."""
+    docs = load_table(spark, SF, "documents")
+    rule_only = curate_documents(docs)
+    batch = curate_documents(docs, model_gate=True)
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    rule_ids = {r.doc_id for r in rule_only.select("doc_id").collect()}
+    assert batch_ids <= rule_ids
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [r.asDict() for r in docs.collect()]
+    (src / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    curated = curate_documents(stream, model_gate=True)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_ids = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
+    assert got_ids == batch_ids
