@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_balance_sampler": llm.docs_lang_balance_sampler,
         "docs_curriculum_order": llm.docs_curriculum_order,
         "events_running_distinct_users": relational.events_running_distinct_users,
+        "metrics_nifi_timestamps": relational.metrics_nifi_timestamps,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

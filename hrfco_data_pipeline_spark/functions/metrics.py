@@ -94,3 +94,26 @@ def parse_queued_count(s: Column) -> Column:
     return F.coalesce(
         F.replace(first, F.lit(","), F.lit("")).try_cast("int"), F.lit(0)
     )
+
+
+def parse_nifi_timestamp(s: Column, zone: str = "UTC") -> Column:
+    """parseNiFiTimestamp (NiFiMetricsUtils.java:124-137): NiFi emits
+    either 'MM/dd/yyyy HH:mm:ss.SSS' wall times (interpreted in the
+    server's zone — ``zone`` parameterizes what Java reads from
+    systemDefault) or ISO-8601 instants; anything else is unparseable.
+
+    Documented deviation: the Java fallback returns Instant.now() on
+    parse failure — a side-effecting default that poisons downstream
+    dedup/ordering and is not reproducible. The engine returns NULL
+    (callers coalesce explicitly if they want a clock read), consistent
+    with the wall-clock-archive deviation note in plans/hydro.py.
+    """
+    slash = F.to_utc_timestamp(
+        F.try_to_timestamp(s, F.lit("MM/dd/yyyy HH:mm:ss.SSS")), zone
+    )
+    iso = F.try_to_timestamp(s)
+    return (
+        F.when(s.contains("/"), slash)
+        .when(s.contains("T"), iso)
+        .otherwise(F.lit(None).cast("timestamp"))
+    )

@@ -3200,3 +3200,29 @@ RELATIONAL_ORACLES["events_running_distinct_users"] = """
                            ROWS UNBOUNDED PRECEDING) AS cum_users
     FROM nu
     """
+
+
+RELATIONAL_ORACLES["metrics_nifi_timestamps"] = r"""
+    WITH base AS (
+      SELECT event_id,
+        CASE
+          WHEN event_id % 3 = 0 THEN
+            printf('%02d/%02d/2024 %02d:%02d:%02d.%03d',
+              event_id % 12 + 1, event_id % 28 + 1, event_id % 24,
+              event_id % 60, (event_id * 7) % 60, (event_id * 13) % 1000)
+          WHEN event_id % 3 = 1 THEN
+            printf('2024-%02d-%02dT%02d:%02d:%02dZ',
+              event_id % 12 + 1, event_id % 28 + 1, event_id % 24,
+              event_id % 60, (event_id * 7) % 60)
+          ELSE 'not a timestamp' END AS raw_ts
+      FROM events ORDER BY event_id LIMIT 2000
+    )
+    SELECT event_id, raw_ts,
+      CASE
+        WHEN raw_ts LIKE '%/%' THEN
+          CAST(floor(epoch(try_strptime(raw_ts, '%m/%d/%Y %H:%M:%S.%g'))) AS BIGINT)
+        WHEN raw_ts LIKE '%T%' THEN
+          CAST(epoch(try_cast(raw_ts AS TIMESTAMP)) AS BIGINT)
+        ELSE NULL END AS epoch_s
+    FROM base
+    """

@@ -1828,3 +1828,45 @@ def events_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+def metrics_nifi_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 (last piece): parseNiFiTimestamp over deterministic
+    derivations covering all three branches — the NiFi slash wall-time
+    form, the ISO-8601 instant form, and garbage (engine deviation:
+    NULL instead of the reference's side-effecting Instant.now(),
+    functions/metrics.parse_nifi_timestamp). Emitted as epoch seconds
+    so the compare is pure integer arithmetic."""
+    from hrfco_data_pipeline_spark.functions.metrics import (
+        parse_nifi_timestamp,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    slash = F.format_string(
+        "%02d/%02d/2024 %02d:%02d:%02d.%03d",
+        (eid % 12 + 1).cast("int"),
+        (eid % 28 + 1).cast("int"),
+        (eid % 24).cast("int"),
+        (eid % 60).cast("int"),
+        ((eid * 7) % 60).cast("int"),
+        ((eid * 13) % 1000).cast("int"),
+    )
+    iso = F.format_string(
+        "2024-%02d-%02dT%02d:%02d:%02dZ",
+        (eid % 12 + 1).cast("int"),
+        (eid % 28 + 1).cast("int"),
+        (eid % 24).cast("int"),
+        (eid % 60).cast("int"),
+        ((eid * 7) % 60).cast("int"),
+    )
+    raw = (
+        F.when(eid % 3 == 0, slash)
+        .when(eid % 3 == 1, iso)
+        .otherwise(F.lit("not a timestamp"))
+    )
+    return ev.limit(2000).select(
+        "event_id",
+        raw.alias("raw_ts"),
+        parse_nifi_timestamp(raw).cast("long").alias("epoch_s"),
+    )

@@ -48,3 +48,27 @@ def test_format_duration(spark):
 def test_parse_queued_count(spark):
     got = _eval(spark, parse_queued_count, ["0 (0 bytes)", "1,234 (5 MB)", "x", None], "string")
     assert got == [0, 1234, 0, 0]
+
+
+def test_parse_nifi_timestamp_forms(spark):
+    from hrfco_data_pipeline_spark.functions.metrics import parse_nifi_timestamp
+
+    df = spark.createDataFrame(
+        [
+            (1, "01/15/2024 10:30:45.123"),
+            (2, "2024-01-15T10:30:45Z"),
+            (3, "garbage"),
+            (4, "13/45/2024 99:99:99.999"),  # slash form, unparseable
+        ],
+        "id long, ts string",
+    )
+    out = {
+        r.id: r.parsed
+        for r in df.select(
+            "id", parse_nifi_timestamp(F.col("ts")).alias("parsed")
+        ).collect()
+    }
+    assert out[1] is not None and out[1].year == 2024 and out[1].second == 45
+    assert out[2] is not None and out[2].hour == 10
+    assert out[3] is None  # engine deviation: NULL, not now()
+    assert out[4] is None
