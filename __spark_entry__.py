@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curriculum_order": llm.docs_curriculum_order,
         "events_running_distinct_users": relational.events_running_distinct_users,
         "metrics_nifi_timestamps": relational.metrics_nifi_timestamps,
+        "minhash_calibration": llm.minhash_calibration,
+        "docs_bpe_apply_merge": llm.docs_bpe_apply_merge,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

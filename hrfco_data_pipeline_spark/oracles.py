@@ -3226,3 +3226,95 @@ RELATIONAL_ORACLES["metrics_nifi_timestamps"] = r"""
         ELSE NULL END AS epoch_s
     FROM base
     """
+
+
+def _minhash_calibration_sql(k: int = 8, bands: int = 4) -> str:
+    from hrfco_data_pipeline_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(k)
+    rows = k // bands
+    mins = ", ".join(
+        f"{_minhash_mexpr(int(a[i]), int(b[i]))} AS r{i}" for i in range(k)
+    )
+    sig_list = "[" + ", ".join(_signed64(f"r{i}") for i in range(k)) + "]"
+    bucket = " || ',' || ".join(
+        f"sig[band.b * {rows} + {j + 1}]::VARCHAR" for j in range(rows)
+    )
+    return (
+        _MINHASH_HV_CTE
+        + f""", m AS (
+      SELECT doc_id, {mins} FROM hv GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig_list} AS sig FROM m
+    ), banded AS (
+      SELECT doc_id, band.b AS band, {bucket} AS bucket
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS b) band
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), est AS (
+      SELECT c.id_a, c.id_b,
+        list_sum(list_transform(range(1, {k + 1}),
+          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::DOUBLE
+          / {k} AS est_jaccard
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b
+    ), shn AS (
+      SELECT doc_id, shingles, len(shingles) AS n FROM sh
+    )
+    SELECT e.id_a, e.id_b,
+      round(e.est_jaccard, 4) AS est_jaccard,
+      round(CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+        / (x.n + y.n - len(list_intersect(x.shingles, y.shingles))), 4)
+        AS exact_jaccard,
+      round(abs(e.est_jaccard
+        - CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+          / (x.n + y.n - len(list_intersect(x.shingles, y.shingles)))), 4)
+        AS abs_err
+    FROM est e
+    JOIN shn x ON x.doc_id = e.id_a
+    JOIN shn y ON y.doc_id = e.id_b
+    """
+    )
+
+
+LLM_ORACLES["minhash_calibration"] = _minhash_calibration_sql()
+
+
+# BPE iteration 2: the same vocabulary collapse, top merge applied via
+# literal replace (left-to-right non-overlapping in both engines),
+# symbol pairs re-counted.
+LLM_ORACLES["docs_bpe_apply_merge"] = _TOK_CTE + r"""
+    , words AS (
+      SELECT lower(tok) AS w FROM (SELECT unnest(toks) AS tok FROM tok)
+    ), wc AS (
+      SELECT w, count(*) AS wn FROM words GROUP BY w
+    ), p1 AS (
+      SELECT wn, unnest(
+        CASE WHEN length(w) >= 2 THEN
+          list_transform(range(1, length(w)), i -> substr(w, i, 2))
+        ELSE [] END) AS pair
+      FROM wc
+    ), top1 AS (
+      SELECT pair AS mp FROM p1 GROUP BY pair
+      ORDER BY sum(wn) DESC, pair ASC LIMIT 1
+    ), ap AS (
+      SELECT wn, mp, replace(w, mp, chr(1)) AS w2 FROM wc, top1
+    ), sy AS (
+      SELECT wn,
+        list_transform(
+          list_transform(range(1, length(w2) + 1), i -> substr(w2, i, 1)),
+          s -> CASE WHEN s = chr(1) THEN mp ELSE s END) AS ms
+      FROM ap
+    ), p2 AS (
+      SELECT wn, unnest(
+        CASE WHEN len(ms) >= 2 THEN
+          list_transform(range(1, len(ms)), i -> ms[i] || '+' || ms[i + 1])
+        ELSE [] END) AS pair
+      FROM sy
+    )
+    SELECT pair, CAST(sum(wn) AS BIGINT) AS n
+    FROM p2 GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+    """

@@ -2368,3 +2368,125 @@ def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_in_source",
         (F.col("rank_in_source") * n_sources + src_idx).alias("position"),
     )
+
+
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash near-dup path: every
+    banded candidate pair's signature-based Jaccard estimate next to
+    its EXACT shingle-set Jaccard, with the absolute error — the
+    accuracy artifact that justifies the production estimator's
+    threshold choice (est is unbiased with sd ~ sqrt(j(1-j)/k)).
+
+    Portable end to end: the md5-60bit signatures (k=8, bands=4) are
+    the oracle-certified kernel, est is a rational count/8, and the
+    exact side intersects the string shingle sets — so the DuckDB twin
+    reproduces every row bit-for-bit. Scale shape: candidates come
+    from the banded join (never all-pairs); the exact verify joins
+    shingle arrays back on the bounded candidate set only."""
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_portable,
+        shingle_array,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    sigs = minhash_signatures_portable(docs, k=8)
+    pairs = lsh_candidate_pairs(sigs, bands=4, k=8)
+    sh = docs.select(
+        "doc_id", shingle_array(F.col("text"), 5).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    common = F.size(F.array_intersect("sa", "sb")).cast("long")
+    exact = common.cast("double") / (
+        F.col("na") + F.col("nb") - common
+    )
+    return j.select(
+        "id_a",
+        "id_b",
+        _r4(F.col("est_jaccard")).alias("est_jaccard"),
+        _r4(exact).alias("exact_jaccard"),
+        _r4(F.abs(F.col("est_jaccard") - exact)).alias("abs_err"),
+    )
+
+
+def docs_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second BPE iteration: apply the corpus's top merge (winner of
+    docs_bpe_pair_counts) to every vocabulary word, then re-count
+    adjacent SYMBOL pairs — the step that turns pair counting into an
+    actual merge-table training loop. Symbols after one merge are the
+    merged pair plus single chars; pair labels join with '+'.
+
+    The merge applies via literal (non-regex) replace — left-to-right,
+    non-overlapping in both engines, exactly BPE's greedy application
+    — with chr(1) as the in-flight placeholder (never in the corpus:
+    normalize strips control chars upstream, and raw testdata text is
+    printable). Still vocabulary-collapsed: all per-word work runs on
+    DISTINCT words; the iteration-to-iteration state is ONE broadcast
+    row. Top-20 under the same total order as iteration one."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(_tokens()).alias("w0")).select(
+        F.lower("w0").alias("w")
+    )
+    wc = words.groupBy("w").agg(F.count("*").alias("wn"))
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top1 = (
+        wc.select("wn", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("mp"))
+    )
+    SEP = "\x01"
+    staged = (
+        wc.crossJoin(F.broadcast(top1))
+        .withColumn("w2", F.replace(F.col("w"), F.col("mp"), F.lit(SEP)))
+        .withColumn(
+            "syms",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w2")),
+                lambda i: F.col("w2").substr(i, F.lit(1)),
+            ),
+        )
+        .withColumn(
+            "ms",
+            F.transform(
+                "syms",
+                lambda s: F.when(s == SEP, F.col("mp")).otherwise(s),
+            ),
+        )
+    )
+    pairs2 = F.when(
+        F.size("ms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ms") - 1),
+            lambda i: F.concat(
+                F.element_at("ms", i.cast("int")),
+                F.lit("+"),
+                F.element_at("ms", (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        staged.select("wn", F.explode(pairs2).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

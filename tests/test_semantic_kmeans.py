@@ -296,3 +296,43 @@ def test_curriculum_order_prefix_mixing(spark):
 
     head = Counter(r.source for r in positions[:40])
     assert max(head.values()) <= 3
+
+
+def test_minhash_calibration_bounded_error(spark):
+    from hrfco_data_pipeline_spark.plans.llm import minhash_calibration
+
+    rows = minhash_calibration(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(abs(r.est_jaccard - r.exact_jaccard) - r.abs_err) < 1e-3
+    # with k=8 the estimator sd is <= ~0.18; mean abs error across
+    # candidate pairs should be well under 0.5
+    import statistics
+
+    assert statistics.mean(r.abs_err for r in rows) < 0.4
+
+
+def test_bpe_apply_merge_reduces_top_pair(spark, tmp_path):
+    from hrfco_data_pipeline_spark.plans.llm import (
+        docs_bpe_apply_merge,
+        docs_bpe_pair_counts,
+    )
+
+    out_dir = _write_docs(
+        spark,
+        tmp_path,
+        [(1, "abab abab abc", "en", "s", 13), (2, "abab", "en", "s", 4)],
+    )
+    it1 = {
+        r.pair: r.n for r in docs_bpe_pair_counts(spark, out_dir).collect()
+    }
+    top1 = max(it1.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+    assert top1[0] == "ab"  # 'abab' x3 contributes 2 each + 'abc' 1 = 7
+    it2 = {
+        r.pair: r.n for r in docs_bpe_apply_merge(spark, out_dir).collect()
+    }
+    # after merging 'ab': 'abab' -> [ab, ab] -> pair 'ab+ab' x3;
+    # 'abc' -> [ab, c] -> 'ab+c' x1; plain 'ab' words have no pair
+    assert it2 == {"ab+ab": 3, "ab+c": 1}
