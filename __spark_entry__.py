@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_nifi_timestamps": relational.metrics_nifi_timestamps,
         "minhash_calibration": llm.minhash_calibration,
         "docs_bpe_apply_merge": llm.docs_bpe_apply_merge,
+        "docs_lang_confusion": llm.docs_lang_confusion,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -3318,3 +3318,30 @@ LLM_ORACLES["docs_bpe_apply_merge"] = _TOK_CTE + r"""
     SELECT pair, CAST(sum(wn) AS BIGINT) AS n
     FROM p2 GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
     """
+
+
+LLM_ORACLES["docs_lang_confusion"] = _TOK_CTE + """
+    , cnts AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> x IN ('the','a','an','of','and'))) AS cnt_en,
+        len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS cnt_de,
+        len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS cnt_fr,
+        len(list_filter(toks, x -> x IN ('el','la','los','y','es'))) AS cnt_es
+      FROM tok
+    ), pred AS (
+      SELECT lang,
+        CASE
+          WHEN cnt_en > 0 AND cnt_en >= cnt_de AND cnt_en >= cnt_fr AND cnt_en >= cnt_es THEN 'en'
+          WHEN cnt_de > 0 AND cnt_de >= cnt_en AND cnt_de >= cnt_fr AND cnt_de >= cnt_es THEN 'de'
+          WHEN cnt_fr > 0 AND cnt_fr >= cnt_en AND cnt_fr >= cnt_de AND cnt_fr >= cnt_es THEN 'fr'
+          WHEN cnt_es > 0 AND cnt_es >= cnt_en AND cnt_es >= cnt_de AND cnt_es >= cnt_fr THEN 'es'
+          ELSE 'und' END AS pred_lang
+      FROM cnts
+    ), cells AS (
+      SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT lang, pred_lang, n,
+      sum(n) OVER (PARTITION BY lang) AS n_true,
+      round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 4) AS frac
+    FROM cells
+    """

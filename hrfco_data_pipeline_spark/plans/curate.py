@@ -182,3 +182,36 @@ def curate_corpus(
     for df in (gated, exact, survivors):
         df.unpersist()
     return report
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Version diff between two corpus snapshots: per-doc status in
+    {added, removed, changed, unchanged} from a full-outer join on the
+    id with content-hash compare — the release artifact a corpus
+    rebuild publishes ("what changed since v1"). One join keyed on the
+    id; hashes are computed in the same scan, so the cost is two scans
+    + one shuffle regardless of how much changed."""
+    oh = old.select(
+        F.col(id_col).alias("old_id"),
+        F.md5(F.lower(F.col(text_col))).alias("h_old"),
+    )
+    nh = new.select(
+        F.col(id_col).alias("new_id"),
+        F.md5(F.lower(F.col(text_col))).alias("h_new"),
+    )
+    j = oh.join(nh, oh["old_id"] == nh["new_id"], "full_outer")
+    status = (
+        F.when(F.col("old_id").isNull(), "added")
+        .when(F.col("new_id").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce("old_id", "new_id").alias(id_col),
+        status.alias("status"),
+    )

@@ -2490,3 +2490,22 @@ def docs_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation artifact: the (true lang × predicted
+    lang) confusion matrix with per-cell counts and the row-level
+    recall — the quality report a corpus build publishes for its
+    classifier stage. One scan (the heuristic is a projection) plus
+    one bounded-key groupBy; the window for row totals runs over the
+    ≤ |langs|² matrix."""
+    pred = docs_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(w).alias("n_true"),
+        _r4(F.col("n").cast("double") / F.sum("n").over(w)).alias("frac"),
+    )

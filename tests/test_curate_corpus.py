@@ -70,3 +70,22 @@ def test_curate_corpus_is_deterministic(spark, tmp_path):
         for r in spark.read.parquet(out2).collect()
     }
     assert a == b
+
+
+def test_corpus_diff_statuses(spark):
+    from hrfco_data_pipeline_spark.plans.curate import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "ccc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "bbb"), (3, "CCC changed"), (4, "ddd")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "added",
+    }
