@@ -36,10 +36,12 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     InputPartition,
     IsNotNull,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 WIRE_SCHEMA = "wlobscd string, ymdhm string, wl string, fw string, value string"
@@ -164,6 +166,63 @@ class _WireStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+
+
+class _WireWriteCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class _WireBatchWriter(DataSourceWriter):
+    """Executor-side JSON-lines writer with the standard two-phase
+    commit: each task writes a ``.tmp-`` file and reports it in its
+    commit message; the driver's ``commit()`` renames every staged file
+    to its final name, ``abort()`` deletes the staging files. A task
+    retry overwrites its own tmp file, so speculative/retried tasks
+    never double-publish — the same publish-by-rename discipline as
+    ``plans/wire.py``'s stage handoff."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hrfco_wire writer requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator) -> "_WireWriteCommit":
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".tmp-wire-{pid:05d}.json")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                rec = {k: row[k] for k in _FIELDS if row[k] is not None}
+                f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+                n += 1
+        return _WireWriteCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.endswith(".json") and not name.startswith(".tmp-"):
+                    os.remove(os.path.join(self.path, name))
+        for m in messages:
+            final = os.path.join(
+                self.path, os.path.basename(m.tmp_path)[len(".tmp-"):]
+            )
+            os.replace(m.tmp_path, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except FileNotFoundError:
+                pass
+
+
 class HrfcoWireDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -177,6 +236,9 @@ class HrfcoWireDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> _WireStreamReader:
         return _WireStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> _WireBatchWriter:
+        return _WireBatchWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

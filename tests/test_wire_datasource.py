@@ -202,3 +202,51 @@ def test_connector_stage_rejects_partial_foreign_stage(spark):
     got = wire_connector_station_counts(spark, SF).collect()
     canon = lambda rows: sorted(((r[0] or "", *r[1:]) for r in rows))
     assert canon(got) == canon(want)
+
+
+def test_wire_writer_roundtrip(spark, tmp_path):
+    """The DataSource writer publishes via two-phase commit and the
+    batch reader reads its own output back verbatim."""
+    from hrfco_data_pipeline_spark.sources.wire_datasource import register
+
+    register(spark)
+    df = spark.createDataFrame(
+        [
+            ("1001", "202401151030", "3.25", "12.5", None),
+            ("1002", "202401151040", None, "7.0", None),
+        ],
+        "wlobscd string, ymdhm string, wl string, fw string, value string",
+    )
+    out = str(tmp_path / "wire_out")
+    df.write.format("hrfco_wire").option("path", out).mode("append").save()
+    # no staging leftovers
+    import os
+
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+    back = (
+        spark.read.format("hrfco_wire")
+        .option("path", out)
+        .load()
+        .select("wlobscd", "ymdhm", "wl", "fw")
+    )
+    got = {tuple(r) for r in back.collect()}
+    assert got == {
+        ("1001", "202401151030", "3.25", "12.5"),
+        ("1002", "202401151040", None, "7.0"),
+    }
+
+
+def test_wire_writer_overwrite_replaces(spark, tmp_path):
+    from hrfco_data_pipeline_spark.sources.wire_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "wire_out")
+    schema = "wlobscd string, ymdhm string, wl string, fw string, value string"
+    spark.createDataFrame(
+        [("1001", "202401151030", "1.0", None, None)], schema
+    ).write.format("hrfco_wire").option("path", out).mode("append").save()
+    spark.createDataFrame(
+        [("2002", "202401151040", "2.0", None, None)], schema
+    ).write.format("hrfco_wire").option("path", out).mode("overwrite").save()
+    back = spark.read.format("hrfco_wire").option("path", out).load()
+    assert [r.wlobscd for r in back.collect()] == ["2002"]
