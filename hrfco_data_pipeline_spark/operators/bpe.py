@@ -119,3 +119,68 @@ def bpe_learn(
         vocab = nxt
     vocab.unpersist()
     return merges
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-scale BPE ENCODING under a freshly learned merge table:
+    per-document token counts after applying all merges.
+
+    The trick that makes apply cheap at 100 TB: encoding is a pure
+    function of the WORD, so the merge loop runs on the collapsed
+    vocabulary only (bpe_learn's shape), and the resulting
+    word -> n_subtokens mapping joins back to the exploded corpus —
+    documents themselves are never re-folded per merge. The mapping is
+    vocabulary-sized (broadcast while it fits, shuffle-hash join
+    beyond).
+
+    Returns (id, n_words, n_bpe_tokens).
+    """
+    words = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w0"),
+    ).select("id", F.lower("w0").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("wn"))
+        .select(
+            "w",
+            "wn",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ).alias("syms"),
+        )
+        .persist()
+    )
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        nxt = vocab.select(
+            "w", "wn", _merge_pair_expr("syms", left, right).alias("syms")
+        ).persist()
+        vocab.unpersist()
+        vocab = nxt
+    mapping = vocab.select("w", F.size("syms").alias("n_sub"))
+    out = (
+        words.join(mapping, "w")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+    )
+    return out.select(
+        F.col("id").alias(id_col), "n_words", "n_bpe_tokens"
+    )

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from collections import Counter
 
-from hrfco_data_pipeline_spark.operators.bpe import bpe_learn
+from hrfco_data_pipeline_spark.operators.bpe import bpe_learn, bpe_token_counts
 
 
 def _python_bpe(texts: list[str], n_merges: int):
@@ -67,3 +67,36 @@ def test_bpe_learn_deterministic(spark):
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
     )
     assert bpe_learn(docs, n_merges=4) == bpe_learn(docs, n_merges=4)
+
+
+def test_bpe_token_counts_match_reference(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_token_counts(docs, n_merges=6).collect()
+    }
+    # python reference: learn on the same corpus, encode each doc
+    merges = _python_bpe(TEXTS, 6)
+
+    def encode(word):
+        syms = list(word)
+        for left, right, _ in merges:
+            out, carry = [], None
+            for x in syms:
+                if carry == left and x == right:
+                    out.append(left + right)
+                    carry = None
+                else:
+                    if carry is not None:
+                        out.append(carry)
+                    carry = x
+            if carry is not None:
+                out.append(carry)
+            syms = out
+        return len(syms)
+
+    for i, t in enumerate(TEXTS):
+        ws = t.strip().lower().split()
+        assert got[i] == (len(ws), sum(encode(w) for w in ws))
