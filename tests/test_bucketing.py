@@ -134,3 +134,34 @@ def test_zorder_write_yields_prunable_files(spark, tmp_path):
     assert avg_pk <= pk_range * 0.6, (avg_pk, pk_range)
     assert avg_sk <= sk_range * 0.6, (avg_sk, sk_range)
     assert sum(r.n for r in per_file) == li.count()
+
+
+def test_analyze_table_statistics_feed_cbo(spark, tmp_path):
+    """ANALYZE TABLE statistics reach the optimizer: after computing
+    stats, the table's sizeInBytes/rowCount appear in the optimized
+    plan's cost annotations — the CBO input that drives broadcast and
+    join-reorder decisions on a real warehouse."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS li_stats")
+    shutil.rmtree("spark-warehouse/li_stats", ignore_errors=True)
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.limit(500).write.mode("overwrite").saveAsTable("li_stats")
+    spark.sql("ANALYZE TABLE li_stats COMPUTE STATISTICS")
+    stats = spark.sql("DESCRIBE EXTENDED li_stats").collect()
+    stat_row = [r for r in stats if r.col_name == "Statistics"]
+    assert stat_row, "ANALYZE produced no Statistics row"
+    assert "500 rows" in stat_row[0].data_type
+    # with CBO enabled the optimized plan carries the row count
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        cost_plan = (
+            spark.table("li_stats")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+        assert "rowCount=500" in cost_plan
+    finally:
+        spark.conf.unset("spark.sql.cbo.enabled")

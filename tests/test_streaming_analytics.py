@@ -281,3 +281,43 @@ def test_silence_alarm_timers_fire_without_new_data(spark, tmp_path):
         assert n2 == 2  # station 2's state carried across the restart
     finally:
         spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_windowed_counts_rocksdb_state_store(spark, tmp_path):
+    """The production-scale state backend: the same windowed alert
+    aggregation runs under the RocksDB state store provider (bounded
+    JVM heap at 100 TB state; the default HDFS-backed store keeps all
+    state on-heap) and must produce the identical finalized windows."""
+    src = _stage_wire(spark, tmp_path)
+
+    def run(provider: str, out_name: str):
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state." + provider,
+        )
+        try:
+            stream = observations_file_stream(spark, src).filter(
+                F.col("_corrupt").isNull()
+            ).drop("value", "_corrupt")
+            classified = process_observations(stream, synthetic_stations(spark))
+            q = (
+                windowed_alert_counts(classified, window_minutes=60)
+                .writeStream.format("memory")
+                .queryName(out_name)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / (out_name + "-ck")))
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(300)
+            return {
+                tuple(str(v) for v in r)
+                for r in spark.sql(f"SELECT * FROM {out_name}").collect()
+            }
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    rocks = run("RocksDBStateStoreProvider", "rocks_counts")
+    default = run("HDFSBackedStateStoreProvider", "hdfs_counts")
+    assert rocks == default
+    assert len(rocks) > 0
