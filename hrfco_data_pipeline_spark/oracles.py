@@ -3345,3 +3345,26 @@ LLM_ORACLES["docs_lang_confusion"] = _TOK_CTE + """
       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 4) AS frac
     FROM cells
     """
+
+
+LLM_ORACLES["docs_select_token_budget"] = _TOK_CTE + r"""
+    , scored AS (
+      SELECT doc_id,
+        (CASE WHEN len(toks) >= 20 AND len(toks) <= 1000
+              THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3
+                THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN CAST(len(list_filter(toks,
+                    x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
+                  / len(toks) BETWEEN 0.01 AND 0.5
+                THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS q,
+        CAST(len(toks) AS BIGINT) AS n_toks
+      FROM tok
+    ), ranked AS (
+      SELECT *, sum(n_toks) OVER (ORDER BY q DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_toks
+      FROM scored
+    )
+    SELECT doc_id, round(q, 4) AS q, n_toks, cum_toks
+    FROM ranked WHERE cum_toks - n_toks < 15000
+    """

@@ -2509,3 +2509,32 @@ def docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).alias("n_true"),
         _r4(F.col("n").cast("double") / F.sum("n").over(w)).alias("frac"),
     )
+
+
+def docs_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-constrained selection: rank documents by quality
+    (composite score desc, doc_id asc) and keep the prefix whose
+    cumulative token count fits a fixed budget — "fill 1B tokens with
+    the best data", the final selection step before training. The
+    budget boundary doc (the first to overflow) is kept iff it starts
+    within budget, making the cut deterministic and total.
+
+    One ranking window over (score, id) — at 100 TB the global rank
+    becomes the two-pass range-partition rank of docs_range_shards;
+    the cumulative sum rides the same ordered partitioning."""
+    budget = 15_000
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score_expr(_tokens()).alias("q"),
+        F.size(_tokens()).cast("long").alias("n_toks"),
+    )
+    w = Window.orderBy(F.desc("q"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = scored.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return ranked.filter(
+        F.col("cum_toks") - F.col("n_toks") < budget
+    ).select(
+        "doc_id", _r4(F.col("q")).alias("q"), "n_toks", "cum_toks"
+    )
