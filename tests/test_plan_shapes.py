@@ -97,3 +97,43 @@ def test_q15_ties_by_equality_not_limit(spark):
 def test_q21_semi_anti_join_shapes(spark):
     s = _plan(relational.q21_waiting_suppliers(spark, SF))
     assert "LeftSemi" in s and "LeftAnti" in s
+
+
+def test_bloom_probe_is_broadcast_semi_chain(spark):
+    """The Bloom membership test must stay k map-side broadcast
+    left-semi joins — a shuffle here re-introduces the 3x-explode
+    regrouping this plan exists to avoid."""
+    s = _formatted(llm.docs_bloom_decontaminate(spark, SF))
+    assert s.count("BroadcastHashJoin LeftSemi") >= 3
+    assert "CartesianProduct" not in s
+
+
+def test_semantic_dedup_joins_on_cell_only(spark):
+    """Within-cell pair generation must be an equi-join on the cell id
+    (never a corpus cross join); the final labeling is a left join."""
+    s = _formatted(llm.semantic_dedup_keep(spark, SF))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin Inner" not in s
+
+
+def test_dsir_bucket_table_broadcasts(spark):
+    """The 256-row global bucket-count table joins back by broadcast —
+    constant-size at any corpus scale."""
+    s = _formatted(llm.docs_dsir_weights(spark, SF))
+    assert "BroadcastHashJoin" in s
+
+
+def test_simjoin_prefix_shuffles_int64_keys(spark):
+    """The PPJoin pipeline must carry hashed (long) shingles — a
+    string shingle in any exchange means the at-source hashing
+    regressed."""
+    s = _formatted(llm.docs_simjoin_prefix(spark, SF))
+    assert "xxhash64" in s
+    assert "InMemoryTableScan" in _plan(llm.docs_simjoin_prefix(spark, SF))
+
+
+def test_token_budget_single_ranking_window(spark):
+    s = _formatted(llm.docs_select_token_budget(spark, SF))
+    # one global window (documented small-scale form); no extra sort
+    # beyond the window's own
+    assert "CartesianProduct" not in s
