@@ -321,3 +321,64 @@ def test_windowed_counts_rocksdb_state_store(spark, tmp_path):
     default = run("HDFSBackedStateStoreProvider", "hdfs_counts")
     assert rocks == default
     assert len(rocks) > 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """A row older than the watermark horizon arriving in a LATER
+    micro-batch is dropped from the aggregation, and the drop is
+    visible in stateOperators metrics — the late-data contract the
+    reference has no concept of (SURVEY §2: idiomatic upgrade)."""
+    import json as _json
+    import time as _time
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def rec(code, ymdhm, wl):
+        return _json.dumps(
+            {"wlobscd": code, "ymdhm": ymdhm, "wl": wl, "fw": "1.0"}
+        )
+
+    # batch 0: fresh observations at 12:00; batch 1: 12:30 — after it
+    # commits, the watermark is 12:20 (progress reports the POST-batch
+    # watermark, and the late filter uses the PREVIOUS batch's commit,
+    # so the straggler must arrive in batch 2); batch 2: one row at
+    # 09:00 — hours behind -> dropped
+    (src / "a.json").write_text(
+        "\n".join(rec("9001", "202401011200", "3.0") for _ in range(3))
+    )
+    _time.sleep(1.1)  # distinct mtimes keep the file order deterministic
+    (src / "b.json").write_text(rec("9001", "202401011230", "3.1"))
+    _time.sleep(1.1)
+    (src / "c.json").write_text(rec("9001", "202401010900", "2.0"))
+
+    stream = (
+        spark.readStream.schema(
+            "wlobscd string, ymdhm string, wl string, fw string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    from hrfco_data_pipeline_spark.operators.classify import (
+        process_observations,
+    )
+
+    classified = process_observations(stream, synthetic_stations(spark))
+    counts = windowed_alert_counts(classified, watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    dropped = 0
+    for p in q.recentProgress:
+        for op in p["stateOperators"]:
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+    assert dropped >= 1, "the 09:00 straggler was not dropped"
+    # and no 09:00 window is ever finalized into the output
+    rows = spark.sql("SELECT * FROM late_drop").collect()
+    assert all(not str(r.window_start).endswith("09:00:00") for r in rows)
