@@ -3368,3 +3368,17 @@ LLM_ORACLES["docs_select_token_budget"] = _TOK_CTE + r"""
     SELECT doc_id, round(q, 4) AS q, n_toks, cum_toks
     FROM ranked WHERE cum_toks - n_toks < 15000
     """
+
+
+RELATIONAL_ORACLES["events_seasonal_baseline"] = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.h, a.n, b.n AS n_week_ago,
+      a.n - b.n AS delta,
+      round(CAST(a.n AS DOUBLE) / b.n, 4) AS ratio
+    FROM hourly a LEFT JOIN hourly b
+      ON a.event_type = b.event_type
+     AND a.h = b.h + INTERVAL 7 DAY
+    """

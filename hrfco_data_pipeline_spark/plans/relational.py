@@ -1870,3 +1870,36 @@ def metrics_nifi_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw_ts"),
         parse_nifi_timestamp(raw).cast("long").alias("epoch_s"),
     )
+
+
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly baseline: each (type, hour) bucket's
+    event count against the same hour ONE WEEK earlier — the
+    zero-model forecast every monitoring stack starts with. The
+    week-back lookup is an equi-join on the shifted hour key (never a
+    range scan); deviation is the count delta and ratio. Buckets with
+    no week-old twin report NULLs (the warm-up week)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    prev = hourly.select(
+        F.col("event_type").alias("p_type"),
+        (F.col("h") + F.expr("INTERVAL 7 DAYS")).alias("p_h"),
+        F.col("n").alias("n_week_ago"),
+    )
+    j = hourly.join(
+        prev,
+        (F.col("event_type") == F.col("p_type")) & (F.col("h") == F.col("p_h")),
+        "left",
+    )
+    return j.select(
+        "event_type",
+        "h",
+        "n",
+        "n_week_ago",
+        (F.col("n") - F.col("n_week_ago")).alias("delta"),
+        _r4(
+            F.col("n").cast("double") / F.col("n_week_ago")
+        ).alias("ratio"),
+    )
