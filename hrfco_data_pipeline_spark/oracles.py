@@ -3382,3 +3382,25 @@ RELATIONAL_ORACLES["events_seasonal_baseline"] = """
       ON a.event_type = b.event_type
      AND a.h = b.h + INTERVAL 7 DAY
     """
+
+
+HYDRO_ORACLES["hydro_rating_curve"] = HYDRO_CTE + """
+    , pts AS (
+      SELECT wlobscd,
+        CAST(printf('%.2f', water_level) AS DECIMAL(14,2)) AS x,
+        CAST(printf('%.2f', flow_rate) AS DECIMAL(14,2)) AS y
+      FROM flagged
+      WHERE water_level IS NOT NULL AND flow_rate IS NOT NULL AND range_valid
+    ), m AS (
+      SELECT wlobscd, count(*) AS n,
+        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM pts GROUP BY wlobscd
+    )
+    SELECT wlobscd, n,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+      round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+        AS intercept
+    FROM m
+    WHERE n >= 2 AND (n * sxx - sx * sx) <> 0.0
+    """

@@ -296,3 +296,40 @@ def station_obs_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st_code").isNotNull().alias("in_dim"),
         F.col("wlobscd").isNotNull().alias("has_obs"),
     ).orderBy("code")
+
+
+def rating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station rating curve: OLS fit of flow_rate against
+    water_level — the stage-discharge relation hydrology derives from
+    paired observations. Distributed regression on EXACT sums: both
+    variables are 2-decimal by wire construction, so x, y, x², xy sum
+    as exact DECIMALs (the `_dec` money pattern) and the slope
+    arithmetic runs on their correctly-rounded double images in a
+    fixed operation order — engine-exact, no summation-order
+    nondeterminism anywhere. One station-keyed aggregate; every
+    per-station moment is one row."""
+    c = classified(spark, sf_dir)
+    t = c.filter(
+        F.col("water_level").isNotNull()
+        & F.col("flow_rate").isNotNull()
+        & F.col("range_valid")
+    )
+    dec = lambda col: F.format_string("%.2f", F.col(col)).cast("decimal(14,2)")
+    x, y = dec("water_level"), dec("flow_rate")
+    agg = t.groupBy("wlobscd").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.filter((F.col("n") >= 2) & (den != 0.0)).select(
+        "wlobscd",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )
