@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_select_token_budget": llm.docs_select_token_budget,
         "events_seasonal_baseline": relational.events_seasonal_baseline,
         "hydro_rating_curve": hydro.rating_curve,
+        "customer_ltv_deciles": relational.customer_ltv_deciles,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -3404,3 +3404,21 @@ HYDRO_ORACLES["hydro_rating_curve"] = HYDRO_CTE + """
     FROM m
     WHERE n >= 2 AND (n * sxx - sx * sx) <> 0.0
     """
+
+
+RELATIONAL_ORACLES["customer_ltv_deciles"] = """
+    WITH per_cust AS (
+      SELECT o_custkey,
+        sum(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2))) AS spent_dec
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT *, ntile(10) OVER (ORDER BY spent_dec DESC, o_custkey ASC) AS decile,
+        sum(spent_dec) OVER () AS total_dec
+      FROM per_cust
+    )
+    SELECT decile, count(*) AS n_customers,
+      CAST(sum(spent_dec) AS DOUBLE) AS revenue,
+      round(CAST(sum(spent_dec) AS DOUBLE) / CAST(min(total_dec) AS DOUBLE), 4)
+        AS revenue_share
+    FROM ranked GROUP BY decile
+    """

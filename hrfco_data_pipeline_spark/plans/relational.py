@@ -1903,3 +1903,39 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("n_week_ago")
         ).alias("ratio"),
     )
+
+
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value deciles: rank customers by exact total
+    spend (the `_dec` money pattern), cut into ntile(10) under a total
+    order, and report each decile's size, revenue, and revenue share —
+    the concentration curve behind "top decile drives X% of revenue".
+    The ntile runs over the per-customer aggregate (one row per
+    customer), not raw orders; the share denominator is an exact
+    decimal total cast once to double."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("spent_dec")
+    )
+    w = Window.orderBy(F.desc("spent_dec"), F.asc("o_custkey"))
+    tot = Window.partitionBy()
+    ranked = per_cust.withColumn("decile", F.ntile(10).over(w)).withColumn(
+        "total_dec", F.sum("spent_dec").over(tot)
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spent_dec").cast("double").alias("revenue"),
+            (
+                F.sum("spent_dec").cast("double")
+                / F.first("total_dec").cast("double")
+            ).alias("revenue_share"),
+        )
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round("revenue_share", 4).alias("revenue_share"),
+        )
+    )
