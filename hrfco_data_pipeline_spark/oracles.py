@@ -3422,3 +3422,22 @@ RELATIONAL_ORACLES["customer_ltv_deciles"] = """
         AS revenue_share
     FROM ranked GROUP BY decile
     """
+
+
+RELATIONAL_ORACLES["events_dau_wau_stickiness"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day AS rday FROM ud
+    ), wau AS (
+      SELECT d.rday, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u
+        ON u.day BETWEEN d.rday - INTERVAL 6 DAY AND d.rday
+      GROUP BY d.rday
+    ), dau AS (
+      SELECT day AS rday, count(DISTINCT user_id) AS dau FROM ud GROUP BY day
+    )
+    SELECT dau.rday AS day, dau.dau, wau.wau,
+      round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.rday = wau.rday
+    """

@@ -1939,3 +1939,43 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("revenue_share", 4).alias("revenue_share"),
         )
     )
+
+
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU stickiness per day: daily actives over trailing-7-day
+    actives. The sliding distinct is expressed as a banded interval
+    join (operators/rangejoin shape): each (user, active-day) row
+    fans out to the ≤7 report days whose trailing window contains it
+    — an equi-join on the report-day key, never a nested-loop range
+    join — then one distinct count per report day. Fan-out is the
+    fixed window length; shuffle keys are dense day values."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    days = ud.select("day").distinct().select(F.col("day").alias("rday"))
+    # fan each active day to the report days it supports:
+    # rday in [day, day+6]
+    fanned = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("rday"),
+        "day",
+    ).join(days, "rday", "left_semi")
+    wau = fanned.groupBy("rday").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy(F.col("day").alias("rday")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    return dau.join(wau, "rday").select(
+        F.col("rday").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau").cast("double") / F.col("wau"), 4).alias(
+            "stickiness"
+        ),
+    )
