@@ -3441,3 +3441,24 @@ RELATIONAL_ORACLES["events_dau_wau_stickiness"] = """
       round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
     FROM dau JOIN wau ON dau.rday = wau.rday
     """
+
+
+LLM_ORACLES["docs_ngram_novelty"] = _TOK_CTE + r"""
+    , sh AS (
+      SELECT doc_id,
+        unnest(CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [array_to_string(toks, ' ')] END) AS s
+      FROM tok
+    ), owner AS (
+      SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id, count(*) AS n_shingles,
+      CAST(sum(CASE WHEN o.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      round(CAST(sum(CASE WHEN o.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 4) AS novelty
+    FROM sh JOIN owner o USING (s)
+    GROUP BY sh.doc_id
+    """

@@ -2538,3 +2538,41 @@ def docs_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", _r4(F.col("q")).alias("q"), "n_toks", "cum_toks"
     )
+
+
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a document's distinct
+    5-gram shingles whose FIRST corpus occurrence (min doc_id) is this
+    document — near 1.0 for original text, near 0.0 for recombined
+    boilerplate. The dedup-aware sampling signal that catches remixes
+    exact and near dedup both miss.
+
+    One shingle-key groupBy finds each shingle's owner; the join back
+    rides the same hashed key. Short docs (< 5 tokens) score over
+    their single whole-text shingle."""
+    from hrfco_data_pipeline_spark.operators.dedup import shingle_array
+
+    docs = _docs_parallel(spark, sf_dir)
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingle_array(F.col("text"), 5)).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    owner = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(owner, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
+    )
