@@ -37,12 +37,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # key) — rows-only queries can never earn a green row, so they live
     # behind the boundary (pinned by tests/test_entry_contract.py).
     #
-    # r5 ROTATION PLAN: swap this window out for (a) the 16 r2-era
-    # relational greens currently right behind the boundary
-    # (q3..q17/orders/customers block), then (b) the oldest r3-era
-    # greens (q18/events-window/DQ set, then the r3 LLM-curation set) —
-    # that re-certifies every oracle-backed query on post-regen testdata
-    # within two rounds.
+    # r5 ROTATION PLAN: swap this window out for (a) the ~25 new
+    # mid-r4 oracle-backed queries sitting right behind the boundary
+    # (semantic_dedup_keep .. docs_ngram_novelty — never driver-
+    # checked, locally green), then (b) the r2-era relational greens
+    # (wire/mon/q3..q17/orders block), then (c) the oldest r3-era
+    # greens — never-checked first, then oldest-evidence first, which
+    # re-certifies every oracle-backed query on post-regen testdata
+    # within two further rounds.
     return {
         # --- r4 fixes/additions: never green before ---
         "ivf_cosine_topk": llm.ivf_cosine_topk,  # no_oracle r3 -> oracle-backed
