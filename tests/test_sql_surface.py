@@ -119,3 +119,42 @@ def test_line_dedup_rebuild_conservation(spark):
         toks.select(F.explode(segs).alias("seg")).distinct().count()
     )
     assert sum(r.n_kept for r in rows) == distinct_segs
+
+
+def test_dau_wau_stickiness_bounds(spark):
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_dau_wau_stickiness,
+    )
+
+    rows = events_dau_wau_stickiness(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.dau <= r.wau
+        assert 0.0 < r.stickiness <= 1.0
+
+
+def test_ltv_deciles_partition_revenue(spark):
+    from hrfco_data_pipeline_spark.plans.relational import customer_ltv_deciles
+
+    rows = customer_ltv_deciles(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(r.decile for r in rows) == list(range(1, 11))
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 0.001
+    # revenue concentrates at the top: decile 1 >= decile 10
+    by = {r.decile: r.revenue for r in rows}
+    assert by[1] >= by[10]
+
+
+def test_seasonal_baseline_delta_consistency(spark):
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_seasonal_baseline,
+    )
+
+    rows = events_seasonal_baseline(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    matched = [r for r in rows if r.n_week_ago is not None]
+    assert matched, "no hour had a week-old twin"
+    for r in matched:
+        assert r.delta == r.n - r.n_week_ago
+    for r in rows:
+        if r.n_week_ago is None:
+            assert r.delta is None and r.ratio is None
