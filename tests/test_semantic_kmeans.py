@@ -336,3 +336,30 @@ def test_bpe_apply_merge_reduces_top_pair(spark, tmp_path):
     # after merging 'ab': 'abab' -> [ab, ab] -> pair 'ab+ab' x3;
     # 'abc' -> [ab, c] -> 'ab+c' x1; plain 'ab' words have no pair
     assert it2 == {"ab+ab": 3, "ab+c": 1}
+
+
+def test_token_budget_selection_properties(spark):
+    from hrfco_data_pipeline_spark.plans.llm import docs_select_token_budget
+
+    rows = docs_select_token_budget(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # every selected doc STARTED within budget; quality is the ranking
+    # key so the minimum selected quality >= the maximum excluded one
+    for r in rows:
+        assert r.cum_toks - r.n_toks < 15_000
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_total = docs.count()
+    if len(rows) < n_total:  # the budget actually cut
+        from hrfco_data_pipeline_spark.plans.llm import (
+            _tokens,
+            quality_score_expr,
+        )
+        import pyspark.sql.functions as F
+
+        scored = docs.select(
+            "doc_id", quality_score_expr(_tokens()).alias("q")
+        ).collect()
+        selected = {r.doc_id for r in rows}
+        q_sel = min(round(s.q, 4) for s in scored if s.doc_id in selected)
+        q_exc = max(round(s.q, 4) for s in scored if s.doc_id not in selected)
+        assert q_sel >= q_exc - 1e-9
