@@ -81,3 +81,48 @@ def model_quality_z(toks) -> F.Column:
     return F.aggregate(
         toks, F.lit(0.0), lambda acc, t: acc + weight(bucket(t))
     ) / F.size(toks)
+
+
+def dsir_log_ratios(docs: DataFrame, n_buckets: int = 256) -> list[float]:
+    """Offline half of online DSIR scoring: the per-bucket
+    ln((tgt+1)/(raw+1)) table from a BATCH corpus — bounded at
+    ``n_buckets`` rows by construction, so collecting it is the
+    standard train-offline/serve-online handoff (at scale this table
+    is written by the nightly batch job and loaded by the stream)."""
+    toks = docs.select("lang", F.explode(
+        F.split(F.trim(F.col("text")), r"\s+")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower("tok")), 1, 15), 16, 10)
+        .cast("long") % n_buckets
+    ).alias("b")
+    counts = toks.select("lang", bucket).groupBy("b").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_c"),
+    )
+    rows = {r["b"]: r for r in counts.collect()}
+    import math
+
+    return [
+        math.log((rows[b]["tgt_c"] + 1) / (rows[b]["raw_c"] + 1))
+        if b in rows
+        else 0.0
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_weight_expr(toks, log_ratios: list[float]) -> F.Column:
+    """Online half: per-row DSIR log-weight from the precomputed
+    ratio table — a stateless fold (token-order) over an embedded
+    256-double literal, so the stream plan is a pure projection and
+    batch/stream outputs are identical."""
+    arr = F.array(*[F.lit(x) for x in log_ratios])
+    n = len(log_ratios)
+    bucket = lambda t: (
+        F.conv(F.substring(F.md5(F.lower(t)), 1, 15), 16, 10).cast("long")
+        % n
+    )
+    return F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(arr, bucket(t).cast("int") + 1),
+    )

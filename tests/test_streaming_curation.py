@@ -132,3 +132,49 @@ def test_model_gate_stream_equals_batch(spark, tmp_path):
     q.awaitTermination(120)
     got_ids = {r.doc_id for r in spark.read.parquet(str(out)).collect()}
     assert got_ids == batch_ids
+
+
+def test_dsir_online_scoring_stream_equals_batch(spark, tmp_path):
+    """Train-offline/score-online: the 256-bucket ratio table comes
+    from a batch pass; the stream scores each doc with a stateless
+    fold over the embedded table — identical values to the batch run
+    of the same expression."""
+    from pyspark.sql import functions as FF
+
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        dsir_log_ratios,
+        dsir_weight_expr,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    ratios = dsir_log_ratios(docs)
+    assert len(ratios) == 256 and any(x != 0.0 for x in ratios)
+    toks = FF.split(FF.trim(FF.col("text")), r"\s+")
+    batch = {
+        r.doc_id: r.w
+        for r in docs.select(
+            "doc_id", dsir_weight_expr(toks, ratios).alias("w")
+        ).collect()
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [r.asDict() for r in docs.collect()]
+    (src / "docs.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    scored = stream.select(
+        "doc_id", dsir_weight_expr(toks, ratios).alias("w")
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        scored.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.w for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == batch  # bit-identical: same fold, same literal table
