@@ -3462,3 +3462,20 @@ LLM_ORACLES["docs_ngram_novelty"] = _TOK_CTE + r"""
     FROM sh JOIN owner o USING (s)
     GROUP BY sh.doc_id
     """
+
+
+RELATIONAL_ORACLES["events_markov_transitions"] = """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        event_type AS to_type
+      FROM events
+    ), cells AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+      round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
+    FROM cells
+    """

@@ -1979,3 +1979,30 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    pairs per user (Markov-chain estimate of the next-action
+    distribution), with each row's share of its source state. One
+    user-keyed window (deterministic (ts, event_id) order), one
+    bounded types² aggregate; the share window runs over the tiny
+    matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    row = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(row), 4
+        ).alias("p"),
+    )
