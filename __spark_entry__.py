@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dau_wau_stickiness": relational.events_dau_wau_stickiness,
         "docs_ngram_novelty": llm.docs_ngram_novelty,
         "events_markov_transitions": relational.events_markov_transitions,
+        "hydro_alert_episodes": hydro.alert_episodes,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -3479,3 +3479,22 @@ RELATIONAL_ORACLES["events_markov_transitions"] = """
       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type), 4) AS p
     FROM cells
     """
+
+
+HYDRO_ORACLES["hydro_alert_episodes"] = HYDRO_CTE + """
+    , lvl AS (
+      SELECT wlobscd, flood_warning_level, obs_time_str, obs_id,
+        row_number() OVER (PARTITION BY wlobscd
+                           ORDER BY obs_time_str, obs_id)
+        - row_number() OVER (PARTITION BY wlobscd, flood_warning_level
+                             ORDER BY obs_time_str, obs_id) AS island
+      FROM classified WHERE flood_warning_level IS NOT NULL
+    ), episodes AS (
+      SELECT wlobscd, flood_warning_level, island, count(*) AS len
+      FROM lvl GROUP BY 1, 2, 3
+    )
+    SELECT flood_warning_level, count(*) AS n_episodes,
+      round(CAST(sum(len) AS DOUBLE) / count(*), 4) AS avg_len,
+      CAST(max(len) AS BIGINT) AS max_len
+    FROM episodes GROUP BY flood_warning_level
+    """

@@ -10,7 +10,7 @@ classification. No shuffle anywhere until an aggregation asks for one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hrfco_data_pipeline_spark.functions.coercion import java_double
@@ -332,4 +332,38 @@ def rating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(slope, 4).alias("slope"),
         F.round(intercept, 4).alias("intercept"),
+    )
+
+
+def alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-episode durations: consecutive same-level observation runs
+    per station (gaps-and-islands via the row_number difference key),
+    reported per warning level as episode count and length stats — the
+    "how long do WARNING spells last" operational readout. Ordering is
+    the deterministic (station, obs time, obs_id) chain; lengths are
+    integer observation counts so every stat is exact arithmetic."""
+    c = classified(spark, sf_dir).filter(
+        F.col("flood_warning_level").isNotNull()
+    )
+    w = Window.partitionBy("wlobscd").orderBy("obs_time_str", "obs_id")
+    wl = Window.partitionBy("wlobscd", "flood_warning_level").orderBy(
+        "obs_time_str", "obs_id"
+    )
+    grouped = c.select(
+        "wlobscd",
+        "flood_warning_level",
+        (F.row_number().over(w) - F.row_number().over(wl)).alias("island"),
+    )
+    episodes = grouped.groupBy(
+        "wlobscd", "flood_warning_level", "island"
+    ).agg(F.count("*").alias("len"))
+    return (
+        episodes.groupBy("flood_warning_level")
+        .agg(
+            F.count("*").alias("n_episodes"),
+            F.round(
+                F.sum("len").cast("double") / F.count("*"), 4
+            ).alias("avg_len"),
+            F.max("len").alias("max_len"),
+        )
     )
