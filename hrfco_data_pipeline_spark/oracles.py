@@ -3498,3 +3498,24 @@ HYDRO_ORACLES["hydro_alert_episodes"] = HYDRO_CTE + """
       CAST(max(len) AS BIGINT) AS max_len
     FROM episodes GROUP BY flood_warning_level
     """
+
+
+HYDRO_ORACLES["hydro_daily_extremes"] = HYDRO_CTE + """
+    , pts AS (
+      SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
+        water_level, obs_time_str,
+        row_number() OVER (
+          PARTITION BY wlobscd, substr(obs_time_str, 1, 10)
+          ORDER BY water_level DESC, obs_time_str ASC, obs_id ASC) AS rk
+      FROM classified WHERE water_level IS NOT NULL
+    ), stats AS (
+      SELECT wlobscd, day, count(*) AS n_obs,
+        min(water_level) AS min_wl, max(water_level) AS max_wl
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT s.wlobscd, s.day, s.n_obs, s.min_wl, s.max_wl,
+      round(s.max_wl - s.min_wl, 4) AS range_wl,
+      p.obs_time_str AS peak_time
+    FROM stats s JOIN pts p
+      ON p.wlobscd = s.wlobscd AND p.day = s.day AND p.rk = 1
+    """

@@ -367,3 +367,44 @@ def alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("len").alias("max_len"),
         )
     )
+
+
+def daily_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per station-day water-level extremes with the TIME of the daily
+    maximum — the argmax pattern done deterministically: rank 1 under
+    (level desc, time asc, obs_id asc) instead of max_by (whose tie
+    choice is unspecified on both engines). One (station, day) window
+    + one aggregate sharing the same keys."""
+    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    day = F.substring("obs_time_str", 1, 10)
+    w = Window.partitionBy("wlobscd", day.alias("d")).orderBy(
+        F.desc("water_level"), F.asc("obs_time_str"), F.asc("obs_id")
+    )
+    ranked = c.select(
+        "wlobscd",
+        day.alias("day"),
+        "water_level",
+        "obs_time_str",
+        F.row_number().over(
+            Window.partitionBy("wlobscd", day).orderBy(
+                F.desc("water_level"), F.asc("obs_time_str"), F.asc("obs_id")
+            )
+        ).alias("rk"),
+    )
+    stats = ranked.groupBy("wlobscd", "day").agg(
+        F.count("*").alias("n_obs"),
+        F.min("water_level").alias("min_wl"),
+        F.max("water_level").alias("max_wl"),
+    )
+    peak = ranked.filter(F.col("rk") == 1).select(
+        "wlobscd", "day", F.col("obs_time_str").alias("peak_time")
+    )
+    return stats.join(peak, ["wlobscd", "day"]).select(
+        "wlobscd",
+        "day",
+        "n_obs",
+        "min_wl",
+        "max_wl",
+        F.round(F.col("max_wl") - F.col("min_wl"), 4).alias("range_wl"),
+        "peak_time",
+    )
