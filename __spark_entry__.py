@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": relational.events_markov_transitions,
         "hydro_alert_episodes": hydro.alert_episodes,
         "hydro_daily_extremes": hydro.daily_extremes,
+        "events_inter_arrival_stats": relational.events_inter_arrival_stats,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

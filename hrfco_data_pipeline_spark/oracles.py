@@ -3519,3 +3519,20 @@ HYDRO_ORACLES["hydro_daily_extremes"] = HYDRO_CTE + """
     FROM stats s JOIN pts p
       ON p.wlobscd = s.wlobscd AND p.day = s.day AND p.rk = 1
     """
+
+
+RELATIONAL_ORACLES["events_inter_arrival_stats"] = """
+    WITH gaps AS (
+      SELECT event_type,
+        epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_gaps,
+      CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+      CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+      round(CAST(sum(gap_us) AS DOUBLE)
+            / CAST(count(*) * 1000000 AS DOUBLE), 4) AS avg_gap_s
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """

@@ -2006,3 +2006,33 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(row), 4
         ).alias("p"),
     )
+
+
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type: seconds between a
+    user's consecutive events (lag window on the deterministic
+    (ts, event_id) order), aggregated as exact integer sums — the
+    cadence profile behind session-timeout and rate-limit tuning. The
+    gap sum is LONG arithmetic, so avg = sum/count divides two exact
+    integers (no double summation anywhere)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (
+            F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+            - F.unix_micros(
+                F.to_utc_timestamp(F.lag("ts").over(w), "UTC")
+            )
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.round(
+            F.sum("gap_us").cast("double")
+            / (F.count("*") * F.lit(1_000_000)).cast("double"),
+            4,
+        ).alias("avg_gap_s"),
+    )
