@@ -205,15 +205,23 @@ class _WireBatchWriter(DataSourceWriter):
         return _WireWriteCommit(tmp, n)
 
     def commit(self, messages) -> None:
+        # publish first, clean up after: the directory always holds a
+        # SUPERSET of valid data — a crash between the renames and the
+        # stale-file sweep leaves extra rows (at-least-once), never a
+        # hole; os.replace atomically supersedes same-named files
+        published = set()
+        for m in messages:
+            name = os.path.basename(m.tmp_path)[len(".tmp-"):]
+            os.replace(m.tmp_path, os.path.join(self.path, name))
+            published.add(name)
         if self.overwrite:
             for name in os.listdir(self.path):
-                if name.endswith(".json") and not name.startswith(".tmp-"):
+                if (
+                    name.endswith(".json")
+                    and not name.startswith(".tmp-")
+                    and name not in published
+                ):
                     os.remove(os.path.join(self.path, name))
-        for m in messages:
-            final = os.path.join(
-                self.path, os.path.basename(m.tmp_path)[len(".tmp-"):]
-            )
-            os.replace(m.tmp_path, final)
 
     def abort(self, messages) -> None:
         for m in messages:
