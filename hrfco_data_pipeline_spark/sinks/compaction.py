@@ -132,6 +132,9 @@ def prune_partitions(
     trash = []
     for name in doomed:
         t = os.path.join(root, f".trash-{name}")
+        # a leftover trash dir from a crashed prior prune would block
+        # the rename — it was already condemned, clear it first
+        shutil.rmtree(t, ignore_errors=True)
         os.rename(os.path.join(root, name), t)
         trash.append(t)
     for t in trash:
