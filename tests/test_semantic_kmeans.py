@@ -363,3 +363,27 @@ def test_token_budget_selection_properties(spark):
         q_sel = min(round(s.q, 4) for s in scored if s.doc_id in selected)
         q_exc = max(round(s.q, 4) for s in scored if s.doc_id not in selected)
         assert q_sel >= q_exc - 1e-9
+
+
+def test_dup_cluster_sizes_minimum_two(spark):
+    from hrfco_data_pipeline_spark.plans.llm import dup_cluster_sizes
+
+    rows = dup_cluster_sizes(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.size >= 2  # components only exist where an edge exists
+        assert r.n_clusters >= 1
+
+
+def test_lang_confusion_rows_normalize(spark):
+    from collections import defaultdict
+
+    from hrfco_data_pipeline_spark.plans.llm import docs_lang_confusion
+
+    rows = docs_lang_confusion(spark, "/root/testdata/sf0.001").collect()
+    per_lang = defaultdict(float)
+    for r in rows:
+        per_lang[r.lang] += r.frac
+        assert r.n <= r.n_true
+    for lang, s in per_lang.items():
+        assert abs(s - 1.0) < 0.001, (lang, s)
