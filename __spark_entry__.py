@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_alert_episodes": hydro.alert_episodes,
         "hydro_daily_extremes": hydro.daily_extremes,
         "events_inter_arrival_stats": relational.events_inter_arrival_stats,
+        "events_conversion_latency": relational.events_conversion_latency,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

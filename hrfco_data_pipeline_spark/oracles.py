@@ -3536,3 +3536,31 @@ RELATIONAL_ORACLES["events_inter_arrival_stats"] = """
     FROM gaps WHERE gap_us IS NOT NULL
     GROUP BY event_type
     """
+
+
+RELATIONAL_ORACLES["events_conversion_latency"] = """
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT user_id, epoch_us(ts) AS purchase_us
+      FROM events WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT s.user_id, min(p.purchase_us - s.signup_us) AS gap_us
+      FROM s JOIN p ON s.user_id = p.user_id
+      WHERE p.purchase_us >= s.signup_us
+      GROUP BY s.user_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY gap_us ASC, user_id ASC) AS rn,
+        count(*) OVER () AS n
+      FROM gaps
+    )
+    SELECT n AS n_converted,
+      CAST(min(CASE WHEN rn = ceil(n / 2.0) THEN gap_us END) AS BIGINT)
+        AS median_gap_us,
+      CAST(min(CASE WHEN rn = ceil(n * 0.9) THEN gap_us END) AS BIGINT)
+        AS p90_gap_us
+    FROM ranked
+    WHERE rn = ceil(n / 2.0) OR rn = ceil(n * 0.9)
+    GROUP BY n
+    """

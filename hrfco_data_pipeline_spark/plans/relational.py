@@ -2036,3 +2036,52 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_gap_s"),
     )
+
+
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-purchase latency distribution: per user, the exact
+    microsecond gap from first signup to the first purchase AFTER it,
+    summarized with discrete (lower) median and p90 — sample values
+    under a total order, so no interpolation arithmetic anywhere
+    (docs_quality_cutoff's portable-percentile pattern applied to
+    funnel timing)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(us).alias("signup_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("purchase_us")
+    )
+    gaps = (
+        s.join(p, "user_id")
+        .filter(F.col("purchase_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.col("purchase_us") - F.col("signup_us")).alias("gap_us")
+        )
+    )
+    w = Window.orderBy(F.asc("gap_us"), F.asc("user_id"))
+    cw = Window.partitionBy()
+    ranked = gaps.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(cw)
+    )
+    med = F.ceil(F.col("n") / F.lit(2.0))
+    p90 = F.ceil(F.col("n") * F.lit(0.9))
+    return (
+        ranked.filter((F.col("rn") == med) | (F.col("rn") == p90))
+        .groupBy("n")
+        .agg(
+            F.min(F.when(F.col("rn") == med, F.col("gap_us"))).alias(
+                "median_gap_us"
+            ),
+            F.min(F.when(F.col("rn") == p90, F.col("gap_us"))).alias(
+                "p90_gap_us"
+            ),
+        )
+        .select(
+            F.col("n").alias("n_converted"),
+            "median_gap_us",
+            "p90_gap_us",
+        )
+    )
