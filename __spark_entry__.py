@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_daily_extremes": hydro.daily_extremes,
         "events_inter_arrival_stats": relational.events_inter_arrival_stats,
         "events_conversion_latency": relational.events_conversion_latency,
+        "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

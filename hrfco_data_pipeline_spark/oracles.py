@@ -3564,3 +3564,12 @@ RELATIONAL_ORACLES["events_conversion_latency"] = """
     WHERE rn = ceil(n / 2.0) OR rn = ceil(n * 0.9)
     GROUP BY n
     """
+
+
+LLM_ORACLES["docs_dup_rate_by_source"] = """
+    SELECT source, count(*) AS n_docs,
+      count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+      round(CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+            / count(*), 4) AS dup_rate
+    FROM documents GROUP BY source
+    """

@@ -2576,3 +2576,30 @@ def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report: document count, distinct-content
+    count, and the duplicate fraction — the first diagnostic a corpus
+    audit prints per provider. One (source, hash) aggregate, exact
+    integer ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.lower(F.trim("text")))
+    return (
+        docs.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("h").alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
