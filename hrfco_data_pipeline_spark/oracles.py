@@ -3573,3 +3573,16 @@ LLM_ORACLES["docs_dup_rate_by_source"] = """
             / count(*), 4) AS dup_rate
     FROM documents GROUP BY source
     """
+
+
+RELATIONAL_ORACLES["supplier_on_time_rate"] = """
+    SELECT l_suppkey, count(*) AS n_items,
+      CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time,
+      round(CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 90 DAY
+                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+        AS on_time_rate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_suppkey
+    ORDER BY on_time_rate ASC, l_suppkey ASC LIMIT 25
+    """

@@ -2085,3 +2085,36 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_gap_us",
         )
     )
+
+
+def supplier_on_time_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier punctuality: fraction of line items shipped within 90
+    days of their order date (this testdata carries no commitdate),
+    worst 25 by rate then key — one orderkey join sharing the fact
+    exchange, conditional aggregation on the supplier key, exact
+    integer ratio, TakeOrdered cut under a total order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderdate")
+    )
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    agg = j.groupBy("l_suppkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            (
+                F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 90)
+            ).cast("long")
+        ).alias("n_on_time"),
+    )
+    return (
+        agg.select(
+            "l_suppkey",
+            "n_items",
+            "n_on_time",
+            F.round(
+                F.col("n_on_time").cast("double") / F.col("n_items"), 4
+            ).alias("on_time_rate"),
+        )
+        .orderBy(F.asc("on_time_rate"), F.asc("l_suppkey"))
+        .limit(25)
+    )
