@@ -3586,3 +3586,19 @@ RELATIONAL_ORACLES["supplier_on_time_rate"] = """
     GROUP BY l_suppkey
     ORDER BY on_time_rate ASC, l_suppkey ASC LIMIT 25
     """
+
+
+LLM_ORACLES["embedding_norm_outliers"] = f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), nrm AS (
+      SELECT vec_id, sqrt({_fold_dot("v", "v", 64)}) AS nrm FROM e
+    ), med AS (SELECT median(nrm) AS med FROM nrm),
+    dev AS (
+      SELECT vec_id, nrm, med, abs(nrm - med) AS ad FROM nrm, med
+    ), mad AS (SELECT median(ad) AS mad FROM dev)
+    SELECT vec_id, round(nrm, 4) AS nrm, round(med, 4) AS median_nrm,
+      round(mad.mad, 4) AS mad
+    FROM dev, mad WHERE ad > 3 * mad.mad
+    """

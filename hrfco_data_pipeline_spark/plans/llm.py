@@ -2603,3 +2603,33 @@ def docs_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table quality control: rows whose L2 norm sits beyond
+    the 3-MAD fence of the corpus norm distribution — the standard
+    screen for broken encoders / zero vectors before any ANN or dedup
+    runs. Norms are fold-exact doubles (similarity.dot), the median /
+    MAD are engine-portable exact medians (events_value_outliers
+    pattern), and the fence compare runs on raw doubles."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        dot,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v")).select(
+        "vec_id", F.sqrt(dot("v", "v")).alias("nrm")
+    )
+    med = vecs.agg(F.median("nrm").alias("med"))
+    dev = vecs.crossJoin(F.broadcast(med)).withColumn(
+        "ad", F.abs(F.col("nrm") - F.col("med"))
+    )
+    mad = dev.agg(F.median("ad").alias("mad"))
+    flagged = dev.crossJoin(F.broadcast(mad))
+    return flagged.filter(F.col("ad") > 3 * F.col("mad")).select(
+        "vec_id",
+        F.round(F.col("nrm"), 4).alias("nrm"),
+        F.round(F.col("med"), 4).alias("median_nrm"),
+        F.round(F.col("mad"), 4).alias("mad"),
+    )
