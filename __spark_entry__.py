@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
         "supplier_on_time_rate": relational.supplier_on_time_rate,
         "embedding_norm_outliers": llm.embedding_norm_outliers,
+        "events_value_gini": relational.events_value_gini,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

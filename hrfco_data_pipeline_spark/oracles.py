@@ -3602,3 +3602,22 @@ LLM_ORACLES["embedding_norm_outliers"] = f"""
       round(mad.mad, 4) AS mad
     FROM dev, mad WHERE ad > 3 * mad.mad
     """
+
+
+RELATIONAL_ORACLES["events_value_gini"] = """
+    WITH ranked AS (
+      SELECT event_type,
+        TRY_CAST(printf('%.2f', value) AS DECIMAL(14,2)) AS x,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY value ASC, event_id ASC) AS i
+      FROM events
+    ), agg AS (
+      SELECT event_type, count(*) AS n,
+        CAST(sum(x) AS DOUBLE) AS sx,
+        CAST(sum(x * i) AS DOUBLE) AS sxi
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n,
+      round((2.0 * sxi) / (n * sx) - (n + 1.0) / n, 4) AS gini
+    FROM agg
+    """

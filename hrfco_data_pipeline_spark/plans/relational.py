@@ -2118,3 +2118,31 @@ def supplier_on_time_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("on_time_rate"), F.asc("l_suppkey"))
         .limit(25)
     )
+
+
+def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Gini coefficient of event values — the inequality
+    readout behind "a few whales drive the volume". Values are
+    2-decimal by synthesis, so every moment is EXACT integer
+    arithmetic: rank-weighted sums use DECIMAL cents times integer
+    ranks, and the final G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n divides
+    exact operands in double. One per-type rank window + one
+    aggregate on the same key."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.format_string("%.2f", F.col("value")).cast("decimal(14,2)")
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    ranked = ev.select(
+        "event_type", cents.alias("x"), F.row_number().over(w).alias("i")
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("i")).cast("double").alias("sxi"),
+    )
+    n = F.col("n").cast("double")
+    gini = (2.0 * F.col("sxi")) / (n * F.col("sx")) - (n + 1.0) / n
+    return agg.select(
+        "event_type", "n", F.round(gini, 4).alias("gini")
+    )
