@@ -3621,3 +3621,23 @@ RELATIONAL_ORACLES["events_value_gini"] = """
       round((2.0 * sxi) / (n * sx) - (n + 1.0) / n, 4) AS gini
     FROM agg
     """
+
+
+LLM_ORACLES["docs_vocab_growth"] = _TOK_CTE + """
+    , deciles AS (
+      SELECT doc_id, ntile(10) OVER (ORDER BY doc_id ASC) AS decile
+      FROM documents
+    ), first AS (
+      SELECT lower(tok) AS w, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+      GROUP BY lower(tok)
+    ), npd AS (
+      SELECT d.decile, count(*) AS new_tokens
+      FROM first f JOIN deciles d ON f.first_doc = d.doc_id
+      GROUP BY d.decile
+    )
+    SELECT decile, new_tokens,
+      sum(new_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        AS vocab_size
+    FROM npd
+    """

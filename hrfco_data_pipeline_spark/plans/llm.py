@@ -2633,3 +2633,38 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("med"), 4).alias("median_nrm"),
         F.round(F.col("mad"), 4).alias("mad"),
     )
+
+
+def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law diagnostic): cumulative
+    distinct token count after each corpus decile under the canonical
+    doc_id order. Each token charges only its FIRST-occurrence doc
+    (min doc_id — one token-keyed aggregate), docs map to deciles via
+    ntile, and the cumulative sum runs over the 10-row curve — no
+    re-scanning per checkpoint, the incremental-distinct shape of
+    events_running_distinct_users applied to corpus statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    wd = Window.orderBy(F.asc("doc_id"))
+    deciles = docs.select(
+        "doc_id", F.ntile(10).over(wd).alias("decile")
+    )
+    first = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy(F.lower("tok").alias("w"))
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    new_per_decile = (
+        first.join(
+            deciles, first["first_doc"] == deciles["doc_id"]
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return new_per_decile.select(
+        "decile",
+        "new_tokens",
+        F.sum("new_tokens").over(wc).alias("vocab_size"),
+    )
