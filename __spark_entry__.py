@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_outliers": llm.embedding_norm_outliers,
         "events_value_gini": relational.events_value_gini,
         "docs_vocab_growth": llm.docs_vocab_growth,
+        "wire_corrupt_rate": wire.wire_corrupt_rate,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -3641,3 +3641,15 @@ LLM_ORACLES["docs_vocab_growth"] = _TOK_CTE + """
         AS vocab_size
     FROM npd
     """
+
+
+WIRE_ORACLES["wire_corrupt_rate"] = _WIRE_CTE + """
+    SELECT count(*) AS n_total,
+      CAST(sum(CASE WHEN obs_id % 53 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_corrupt,
+      CAST(sum(CASE WHEN obs_id % 53 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+        AS n_parsed,
+      round(CAST(sum(CASE WHEN obs_id % 53 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 6) AS corrupt_rate
+    FROM wire
+    """

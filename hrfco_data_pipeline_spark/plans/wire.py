@@ -243,3 +243,21 @@ def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("wlobscd")
     )
+
+
+def wire_corrupt_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest health KPI: total / corrupt / parsed record counts and
+    the corrupt fraction in one conditional aggregate over a single
+    scan — the per-batch number the DLQ dashboard plots. Exact integer
+    ratio."""
+    p = parsed_wire(spark, sf_dir)
+    return p.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("_corrupt").isNotNull().cast("long")).alias("n_corrupt"),
+        F.sum(F.col("_corrupt").isNull().cast("long")).alias("n_parsed"),
+        F.round(
+            F.sum(F.col("_corrupt").isNotNull().cast("long")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("corrupt_rate"),
+    )
