@@ -3653,3 +3653,18 @@ WIRE_ORACLES["wire_corrupt_rate"] = _WIRE_CTE + """
             / count(*), 6) AS corrupt_rate
     FROM wire
     """
+
+
+LLM_ORACLES["docs_shard_skew_report"] = _TOK_CTE + """
+    , per AS (
+      SELECT ((doc_id % 2147483648) * 2654435761) % 2147483648 % 16 AS shard,
+        count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS tokens
+      FROM tok GROUP BY 1
+    )
+    SELECT shard, n_docs, tokens,
+      round((CAST(tokens AS DOUBLE)
+             - CAST(sum(tokens) OVER () AS DOUBLE) / count(*) OVER ())
+            / (CAST(sum(tokens) OVER () AS DOUBLE) / count(*) OVER ()), 4)
+        AS rel_dev
+    FROM per
+    """

@@ -2668,3 +2668,33 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(wc).alias("vocab_size"),
     )
+
+
+def docs_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard balance audit: per-shard doc and token totals plus the
+    relative deviation from the mean token load — the number that
+    tells you whether the hash sharding actually balanced the write
+    (and the readers' task sizes). Exact integer loads; the mean is
+    one exact total divided once in double."""
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_shard = docs.select(
+        hash_bucket("doc_id", 16).alias("shard"),
+        F.size(_tokens()).cast("long").alias("n_toks"),
+    ).groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("tokens"),
+    )
+    w = Window.partitionBy()
+    mean_tokens = F.sum("tokens").over(w).cast("double") / F.count(
+        "*"
+    ).over(w)
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "tokens",
+        F.round(
+            (F.col("tokens").cast("double") - mean_tokens) / mean_tokens, 4
+        ).alias("rel_dev"),
+    )
