@@ -3668,3 +3668,36 @@ LLM_ORACLES["docs_shard_skew_report"] = _TOK_CTE + """
         AS rel_dev
     FROM per
     """
+
+
+HYDRO_ORACLES["hydro_threshold_margin"] = HYDRO_CTE + """
+    , latest AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY wlobscd
+          ORDER BY obs_time_str DESC, obs_id DESC) AS rk
+      FROM classified WHERE water_level IS NOT NULL
+    ), m AS (
+      SELECT wlobscd, obs_time_str, water_level,
+        least(
+          CASE WHEN attwl IS NOT NULL AND attwl > water_level THEN attwl END,
+          CASE WHEN wrnwl IS NOT NULL AND wrnwl > water_level THEN wrnwl END,
+          CASE WHEN almwl IS NOT NULL AND almwl > water_level THEN almwl END,
+          CASE WHEN srswl IS NOT NULL AND srswl > water_level THEN srswl END
+        ) AS next_thr,
+        attwl, wrnwl, almwl, srswl
+      FROM latest WHERE rk = 1
+    )
+    SELECT wlobscd, obs_time_str AS latest_obs_time, water_level,
+      round(next_thr - water_level, 4) AS margin,
+      CASE
+        WHEN attwl IS NOT NULL AND attwl > water_level AND attwl = next_thr
+          THEN 'ATTENTION'
+        WHEN wrnwl IS NOT NULL AND wrnwl > water_level AND wrnwl = next_thr
+          THEN 'CAUTION'
+        WHEN almwl IS NOT NULL AND almwl > water_level AND almwl = next_thr
+          THEN 'WARNING'
+        WHEN srswl IS NOT NULL AND srswl > water_level AND srswl = next_thr
+          THEN 'CRITICAL'
+        END AS next_level
+    FROM m
+    """

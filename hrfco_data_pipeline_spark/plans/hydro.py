@@ -408,3 +408,46 @@ def daily_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_wl") - F.col("min_wl"), 4).alias("range_wl"),
         "peak_time",
     )
+
+
+def threshold_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dashboard early-warning number: for each station's LATEST valid
+    observation, the water-level margin to the next (strictly higher)
+    alert tier — "how much headroom before the next escalation".
+    Latest = rank 1 under (time desc, obs_id desc); the next tier is
+    the least threshold strictly above the level (null-safe across
+    partially configured stations); stations already at/above every
+    tier report NULL margin. Pure projections over one station
+    window."""
+    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    w = Window.partitionBy("wlobscd").orderBy(
+        F.desc("obs_time_str"), F.desc("obs_id")
+    )
+    latest = c.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") == 1
+    )
+    tiers = [("attwl", "ATTENTION"), ("wrnwl", "CAUTION"),
+             ("almwl", "WARNING"), ("srswl", "CRITICAL")]
+    above = [
+        F.when(
+            F.col(col).isNotNull() & (F.col(col) > F.col("water_level")),
+            F.col(col),
+        )
+        for col, _ in tiers
+    ]
+    next_thr = F.least(*above)
+    next_level = F.lit(None).cast("string")
+    for col, name in reversed(tiers):
+        next_level = F.when(
+            F.col(col).isNotNull()
+            & (F.col(col) > F.col("water_level"))
+            & (F.col(col) == next_thr),
+            name,
+        ).otherwise(next_level)
+    return latest.select(
+        "wlobscd",
+        F.col("obs_time_str").alias("latest_obs_time"),
+        "water_level",
+        F.round(next_thr - F.col("water_level"), 4).alias("margin"),
+        next_level.alias("next_level"),
+    )
