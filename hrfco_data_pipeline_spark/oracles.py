@@ -3701,3 +3701,70 @@ HYDRO_ORACLES["hydro_threshold_margin"] = HYDRO_CTE + """
         END AS next_level
     FROM m
     """
+
+
+HYDRO_ORACLES["hydro_rise_forecast"] = HYDRO_CTE + """
+    , pts AS (
+      SELECT wlobscd, water_level, obs_time_str, obs_id,
+        epoch_us(try_strptime(obs_time_str, '%Y-%m-%d %H:%M')) AS t_us,
+        attwl, wrnwl, almwl, srswl,
+        row_number() OVER (PARTITION BY wlobscd
+                           ORDER BY obs_time_str DESC, obs_id DESC) AS rk
+      FROM classified WHERE water_level IS NOT NULL
+    ), pair AS (
+      SELECT wlobscd,
+        max(CASE WHEN rk = 1 THEN water_level END) AS wl1,
+        max(CASE WHEN rk = 1 THEN t_us END) AS t1,
+        max(CASE WHEN rk = 2 THEN water_level END) AS wl0,
+        max(CASE WHEN rk = 2 THEN t_us END) AS t0
+      FROM pts WHERE rk <= 2 GROUP BY wlobscd
+    ), m AS (
+      SELECT wlobscd,
+        round(least(
+          CASE WHEN attwl IS NOT NULL AND attwl > water_level THEN attwl END,
+          CASE WHEN wrnwl IS NOT NULL AND wrnwl > water_level THEN wrnwl END,
+          CASE WHEN almwl IS NOT NULL AND almwl > water_level THEN almwl END,
+          CASE WHEN srswl IS NOT NULL AND srswl > water_level THEN srswl END
+        ) - water_level, 4) AS margin,
+        CASE
+          WHEN attwl IS NOT NULL AND attwl > water_level
+           AND attwl = least(
+            CASE WHEN attwl IS NOT NULL AND attwl > water_level THEN attwl END,
+            CASE WHEN wrnwl IS NOT NULL AND wrnwl > water_level THEN wrnwl END,
+            CASE WHEN almwl IS NOT NULL AND almwl > water_level THEN almwl END,
+            CASE WHEN srswl IS NOT NULL AND srswl > water_level THEN srswl END)
+            THEN 'ATTENTION'
+          WHEN wrnwl IS NOT NULL AND wrnwl > water_level
+           AND wrnwl = least(
+            CASE WHEN attwl IS NOT NULL AND attwl > water_level THEN attwl END,
+            CASE WHEN wrnwl IS NOT NULL AND wrnwl > water_level THEN wrnwl END,
+            CASE WHEN almwl IS NOT NULL AND almwl > water_level THEN almwl END,
+            CASE WHEN srswl IS NOT NULL AND srswl > water_level THEN srswl END)
+            THEN 'CAUTION'
+          WHEN almwl IS NOT NULL AND almwl > water_level
+           AND almwl = least(
+            CASE WHEN attwl IS NOT NULL AND attwl > water_level THEN attwl END,
+            CASE WHEN wrnwl IS NOT NULL AND wrnwl > water_level THEN wrnwl END,
+            CASE WHEN almwl IS NOT NULL AND almwl > water_level THEN almwl END,
+            CASE WHEN srswl IS NOT NULL AND srswl > water_level THEN srswl END)
+            THEN 'WARNING'
+          WHEN srswl IS NOT NULL AND srswl > water_level
+           AND srswl = least(
+            CASE WHEN attwl IS NOT NULL AND attwl > water_level THEN attwl END,
+            CASE WHEN wrnwl IS NOT NULL AND wrnwl > water_level THEN wrnwl END,
+            CASE WHEN almwl IS NOT NULL AND almwl > water_level THEN almwl END,
+            CASE WHEN srswl IS NOT NULL AND srswl > water_level THEN srswl END)
+            THEN 'CRITICAL'
+          END AS next_level
+      FROM pts WHERE rk = 1
+    )
+    SELECT p.wlobscd, p.wl1 AS water_level,
+      round((p.wl1 - p.wl0) * 10.0
+            / ((p.t1 - p.t0)::DOUBLE / 60000000.0), 4) AS rise_per_10min,
+      m.margin, m.next_level,
+      round(CASE WHEN p.wl1 - p.wl0 > 0 AND m.margin IS NOT NULL
+            THEN m.margin * ((p.t1 - p.t0)::DOUBLE / 60000000.0)
+                 / (p.wl1 - p.wl0) END, 2) AS est_minutes_to_next
+    FROM pair p JOIN m ON p.wlobscd = m.wlobscd
+    WHERE p.wl0 IS NOT NULL AND p.t1 > p.t0
+    """

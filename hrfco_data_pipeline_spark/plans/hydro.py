@@ -451,3 +451,57 @@ def threshold_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(next_thr - F.col("water_level"), 4).alias("margin"),
         next_level.alias("next_level"),
     )
+
+
+def rise_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flood-forecasting 101: the latest rate of rise per station (level
+    delta over the last two observations, scaled to a 10-minute rate)
+    joined with the threshold headroom (threshold_margin) to estimate
+    MINUTES until the next alert tier at the current trend — null
+    unless the level is actually rising and a higher tier exists.
+
+    All arithmetic is fixed-order over exact inputs: 2-decimal levels,
+    integer microsecond timestamps; rate and ETA divide exact operands
+    once each. One station window + a 120-row broadcast join."""
+    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    ts_us = F.unix_micros(
+        F.to_utc_timestamp(
+            F.try_to_timestamp(
+                F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm")
+            ),
+            "UTC",
+        )
+    )
+    w = Window.partitionBy("wlobscd").orderBy(
+        F.desc("obs_time_str"), F.desc("obs_id")
+    )
+    two = (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("wlobscd", "rk", "water_level", ts_us.alias("t_us"))
+    )
+    pair = two.groupBy("wlobscd").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("water_level"))).alias("wl1"),
+        F.max(F.when(F.col("rk") == 1, F.col("t_us"))).alias("t1"),
+        F.max(F.when(F.col("rk") == 2, F.col("water_level"))).alias("wl0"),
+        F.max(F.when(F.col("rk") == 2, F.col("t_us"))).alias("t0"),
+    ).filter(F.col("wl0").isNotNull() & (F.col("t1") > F.col("t0")))
+    mins = (F.col("t1") - F.col("t0")).cast("double") / 60_000_000.0
+    dwl = F.col("wl1") - F.col("wl0")
+    rate10 = dwl * 10.0 / mins
+    margins = threshold_margin(spark, sf_dir).select(
+        "wlobscd", "margin", "next_level"
+    )
+    j = pair.join(F.broadcast(margins), "wlobscd")
+    eta = F.when(
+        (dwl > 0) & F.col("margin").isNotNull(),
+        F.col("margin") * mins / dwl,
+    )
+    return j.select(
+        "wlobscd",
+        F.col("wl1").alias("water_level"),
+        F.round(rate10, 4).alias("rise_per_10min"),
+        "margin",
+        "next_level",
+        F.round(eta, 2).alias("est_minutes_to_next"),
+    )
