@@ -3768,3 +3768,15 @@ HYDRO_ORACLES["hydro_rise_forecast"] = HYDRO_CTE + """
     FROM pair p JOIN m ON p.wlobscd = m.wlobscd
     WHERE p.wl0 IS NOT NULL AND p.t1 > p.t0
     """
+
+
+RELATIONAL_ORACLES["events_weekday_hour_heatmap"] = """
+    WITH cells AS (
+      SELECT dayofweek(ts) AS dow, CAST(hour(ts) AS INTEGER) AS hod,
+        count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(dow AS INTEGER) AS dow, hod, n,
+      round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
+    FROM cells
+    """

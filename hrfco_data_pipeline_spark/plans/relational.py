@@ -2146,3 +2146,25 @@ def events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", "n", F.round(gini, 4).alias("gini")
     )
+
+
+def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap cells: counts per (day-of-week, hour-of-day)
+    with each cell's share — the seasonality fingerprint dashboards
+    render. Calendar parity note: Spark's dayofweek is 1-based
+    (Sunday=1), DuckDB's dow is 0-based (Sunday=0); the engine emits
+    the 0-based convention. One bounded 168-cell aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.hour("ts").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hod",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w), 6
+        ).alias("share"),
+    )
