@@ -309,3 +309,113 @@ def silence_alarms(parsed_stream: DataFrame, silence_ms: int = 1000) -> DataFram
             timeMode="ProcessingTime",
         )
     )
+
+
+FORECAST_STATE_SCHEMA = StructType(
+    [
+        StructField("t0_us", LongType()),
+        StructField("wl0", DoubleType()),
+        StructField("t1_us", LongType()),
+        StructField("wl1", DoubleType()),
+        StructField("attwl", DoubleType()),
+        StructField("wrnwl", DoubleType()),
+        StructField("almwl", DoubleType()),
+        StructField("srswl", DoubleType()),
+    ]
+)
+
+FORECAST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("wlobscd", StringType()),
+        StructField("water_level", DoubleType()),
+        StructField("rise_per_10min", DoubleType()),
+        StructField("margin", DoubleType()),
+        StructField("est_minutes_to_next", DoubleType()),
+    ]
+)
+
+
+def _forecast_row(t0, wl0, t1, wl1, thresholds):
+    """Shared forecast arithmetic: 10-minute rise rate from the last
+    two points plus margin/ETA to the least strictly-higher tier —
+    the same fixed-order double ops as plans/hydro.rise_forecast."""
+    if t0 is None or t1 is None or t1 <= t0:
+        return None
+    mins = (t1 - t0) / 60_000_000.0
+    dwl = wl1 - wl0
+    rate10 = dwl * 10.0 / mins
+    above = [t for t in thresholds if t is not None and t > wl1]
+    margin = round(min(above) - wl1, 4) if above else None
+    eta = (
+        round(margin * mins / dwl, 2)
+        if dwl > 0 and margin is not None
+        else None
+    )
+    return (round(rate10, 4), margin, eta)
+
+
+def _forecast_fn(key, pdfs, state):
+    """Per-station state: the last two valid observations plus the
+    station's thresholds (carried in-state so late micro-batches keep
+    forecasting even when a batch holds no dim join rows). Emits one
+    refreshed forecast per station per micro-batch."""
+    (code,) = key
+    if state.exists:
+        t0, wl0, t1, wl1, att, wrn, alm, srs = state.get
+    else:
+        t0 = wl0 = t1 = wl1 = att = wrn = alm = srs = None
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["t_us", "ymdhm"], kind="stable")
+        for row in pdf.itertuples(index=False):
+            if pd.notna(row.attwl):
+                att = float(row.attwl)
+            if pd.notna(row.wrnwl):
+                wrn = float(row.wrnwl)
+            if pd.notna(row.almwl):
+                alm = float(row.almwl)
+            if pd.notna(row.srswl):
+                srs = float(row.srswl)
+            if pd.notna(row.water_level) and pd.notna(row.t_us):
+                t0, wl0 = t1, wl1
+                t1, wl1 = int(row.t_us), float(row.water_level)
+    state.update((t0, wl0, t1, wl1, att, wrn, alm, srs))
+    fc = _forecast_row(t0, wl0, t1, wl1, (att, wrn, alm, srs))
+    if fc is None:
+        yield pd.DataFrame(
+            [], columns=[f.name for f in FORECAST_OUTPUT_SCHEMA.fields]
+        )
+    else:
+        rate10, margin, eta = fc
+        yield pd.DataFrame(
+            [(code, wl1, rate10, margin, eta)],
+            columns=[f.name for f in FORECAST_OUTPUT_SCHEMA.fields],
+        )
+
+
+def rise_forecast_stream(classified_stream: DataFrame) -> DataFrame:
+    """plans/hydro.rise_forecast as a LIVE stateful operator: per
+    station, keep the last two valid observations (and thresholds)
+    across micro-batches and emit the refreshed rise-rate / headroom /
+    minutes-to-next-tier estimate every trigger — the continuous form
+    of the batch early-warning query. State is a fixed 8-field row per
+    station (bounded by dim cardinality, no timeout needed)."""
+    ts = F.try_to_timestamp(
+        F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm")
+    )
+    src = classified_stream.filter(F.col("water_level").isNotNull()).select(
+        "wlobscd",
+        "ymdhm",
+        F.unix_micros(F.to_utc_timestamp(ts, "UTC")).alias("t_us"),
+        "water_level",
+        "attwl",
+        "wrnwl",
+        "almwl",
+        "srswl",
+    )
+    return src.groupBy("wlobscd").applyInPandasWithState(
+        _forecast_fn,
+        outputStructType=FORECAST_OUTPUT_SCHEMA,
+        stateStructType=FORECAST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

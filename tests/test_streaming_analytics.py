@@ -382,3 +382,47 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # and no 09:00 window is ever finalized into the output
     rows = spark.sql("SELECT * FROM late_drop").collect()
     assert all(not str(r.window_start).endswith("09:00:00") for r in rows)
+
+
+def test_rise_forecast_stream_matches_batch(spark, tmp_path):
+    """The live forecast's final per-station emission (state spanning
+    micro-batches) must agree with the batch rise_forecast over the
+    same observations wherever both produce a row."""
+    from hrfco_data_pipeline_spark.plans.hydro import rise_forecast
+    from hrfco_data_pipeline_spark.streaming.analytics import (
+        rise_forecast_stream,
+    )
+
+    src = _stage_wire(spark, tmp_path)
+    stream = observations_file_stream(spark, src).filter(
+        F.col("_corrupt").isNull()
+    ).drop("value", "_corrupt")
+    classified = process_observations(stream, synthetic_stations(spark))
+    q = (
+        rise_forecast_stream(classified)
+        .writeStream.format("memory")
+        .queryName("forecast_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "fc-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    # last emission per station (multiple micro-batches may re-emit)
+    live_rows = spark.sql("SELECT * FROM forecast_live").collect()
+    live = {}
+    for r in live_rows:
+        live[r.wlobscd] = r  # availableNow emits in batch order
+    batch = {
+        r.wlobscd: r
+        for r in rise_forecast(spark, SF).collect()
+    }
+    assert batch
+    common = set(live) & set(batch)
+    assert len(common) >= max(1, len(batch) // 2)
+    for code in common:
+        lb, bb = live[code], batch[code]
+        assert lb.water_level == bb.water_level
+        assert lb.rise_per_10min == bb.rise_per_10min
+        assert lb.margin == bb.margin
+        assert lb.est_minutes_to_next == bb.est_minutes_to_next
