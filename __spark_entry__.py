@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_threshold_margin": hydro.threshold_margin,
         "hydro_rise_forecast": hydro.rise_forecast,
         "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
+        "orders_cohort_repeat_rate": relational.orders_cohort_repeat_rate,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -3780,3 +3780,18 @@ RELATIONAL_ORACLES["events_weekday_hour_heatmap"] = """
       round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share
     FROM cells
     """
+
+
+RELATIONAL_ORACLES["orders_cohort_repeat_rate"] = """
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(min(year(o_orderdate)) AS INTEGER) AS cohort_year,
+        count(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_year, count(*) AS n_customers,
+      CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_repeat,
+      round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS repeat_rate
+    FROM per_cust GROUP BY cohort_year
+    """

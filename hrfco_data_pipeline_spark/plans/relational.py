@@ -2168,3 +2168,25 @@ def events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w), 6
         ).alias("share"),
     )
+
+
+def orders_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by acquisition cohort: customers grouped by
+    their FIRST order's year; each cohort reports size and the
+    fraction that ordered again — the retention readout on the orders
+    fact. Two bounded aggregates (customer, then cohort); exact
+    integer ratio."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year"),
+        F.count("*").alias("n_orders"),
+    )
+    return per_cust.groupBy("cohort_year").agg(
+        F.count("*").alias("n_customers"),
+        F.sum((F.col("n_orders") >= 2).cast("long")).alias("n_repeat"),
+        F.round(
+            F.sum((F.col("n_orders") >= 2).cast("long")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("repeat_rate"),
+    )
