@@ -3196,8 +3196,9 @@ RELATIONAL_ORACLES["events_running_distinct_users"] = """
       FROM fd GROUP BY event_type, day
     )
     SELECT event_type, day, new_users,
-      sum(new_users) OVER (PARTITION BY event_type ORDER BY day
-                           ROWS UNBOUNDED PRECEDING) AS cum_users
+      CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS cum_users
     FROM nu
     """
 
@@ -3341,7 +3342,7 @@ LLM_ORACLES["docs_lang_confusion"] = _TOK_CTE + """
       SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY lang, pred_lang
     )
     SELECT lang, pred_lang, n,
-      sum(n) OVER (PARTITION BY lang) AS n_true,
+      CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_true,
       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 4) AS frac
     FROM cells
     """
@@ -3365,7 +3366,8 @@ LLM_ORACLES["docs_select_token_budget"] = _TOK_CTE + r"""
                                   ROWS UNBOUNDED PRECEDING) AS cum_toks
       FROM scored
     )
-    SELECT doc_id, round(q, 4) AS q, n_toks, cum_toks
+    SELECT doc_id, round(q, 4) AS q, n_toks,
+      CAST(cum_toks AS BIGINT) AS cum_toks
     FROM ranked WHERE cum_toks - n_toks < 15000
     """
 
@@ -3416,7 +3418,7 @@ RELATIONAL_ORACLES["customer_ltv_deciles"] = """
         sum(spent_dec) OVER () AS total_dec
       FROM per_cust
     )
-    SELECT decile, count(*) AS n_customers,
+    SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_customers,
       CAST(sum(spent_dec) AS DOUBLE) AS revenue,
       round(CAST(sum(spent_dec) AS DOUBLE) / CAST(min(total_dec) AS DOUBLE), 4)
         AS revenue_share
@@ -3636,9 +3638,9 @@ LLM_ORACLES["docs_vocab_growth"] = _TOK_CTE + """
       FROM first f JOIN deciles d ON f.first_doc = d.doc_id
       GROUP BY d.decile
     )
-    SELECT decile, new_tokens,
-      sum(new_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
-        AS vocab_size
+    SELECT CAST(decile AS INTEGER) AS decile, new_tokens,
+      CAST(sum(new_tokens) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS vocab_size
     FROM npd
     """
 
