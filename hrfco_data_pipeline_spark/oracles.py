@@ -1309,7 +1309,7 @@ LLM_ORACLES["docs_chunk_windows"] = _TOK_CTE + """
       FROM tok WHERE len(toks) >= 1
     )
     SELECT doc_id,
-      (start - 1) // 64 AS chunk_idx,
+      CAST((start - 1) // 64 AS BIGINT) AS chunk_idx,
       start,
       CAST(len(list_slice(toks, start, start + 127)) AS INTEGER) AS n_chunk_toks,
       md5(array_to_string(list_slice(toks, start, start + 127), ' ')) AS chunk_hash
@@ -1463,7 +1463,7 @@ LLM_ORACLES["docs_range_shards"] = """
         ntile(8) OVER (ORDER BY n_chars ASC, doc_id ASC) AS shard
       FROM documents
     )
-    SELECT shard, count(*) AS n_docs,
+    SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_docs,
       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
       CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM t GROUP BY shard ORDER BY shard
@@ -2620,7 +2620,7 @@ LLM_ORACLES["docs_line_dedup_rebuild"] = r"""
       FROM hashed JOIN keep_pos ON hashed.h = keep_pos.h
     )
     SELECT doc_id, count(*) AS n_segments,
-      sum(kept::BIGINT) AS n_kept,
+      CAST(sum(kept::BIGINT) AS BIGINT) AS n_kept,
       md5(coalesce(string_agg(seg, ' ' ORDER BY i) FILTER (kept), ''))
         AS rebuilt_hash
     FROM marked GROUP BY doc_id
@@ -2783,7 +2783,7 @@ RELATIONAL_ORACLES["events_value_outliers"] = r"""
     )
     SELECT d.event_type, first(d.med) AS med, first(m.mad) AS mad,
       count(*) AS n,
-      sum((d.ad > 3 * m.mad)::BIGINT) AS n_outliers
+      CAST(sum((d.ad > 3 * m.mad)::BIGINT) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY d.event_type
     """
