@@ -3797,3 +3797,53 @@ RELATIONAL_ORACLES["orders_cohort_repeat_rate"] = """
             / count(*), 4) AS repeat_rate
     FROM per_cust GROUP BY cohort_year
     """
+
+
+def _minhash_recall_sql(k: int = 8, bands: int = 4) -> str:
+    from hrfco_data_pipeline_spark.operators.dedup import minhash_params
+
+    a, b = minhash_params(k)
+    rows = k // bands
+    mins = ", ".join(
+        f"{_minhash_mexpr(int(a[i]), int(b[i]))} AS r{i}" for i in range(k)
+    )
+    sig_list = "[" + ", ".join(_signed64(f"r{i}") for i in range(k)) + "]"
+    bucket = " || ',' || ".join(
+        f"sig[band.b * {rows} + {j + 1}]::VARCHAR" for j in range(rows)
+    )
+    return (
+        _MINHASH_HV_CTE
+        + f""", m AS (
+      SELECT doc_id, {mins} FROM hv GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {sig_list} AS sig FROM m
+    ), banded AS (
+      SELECT doc_id, band.b AS band, {bucket} AS bucket
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS b) band
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ), shn AS (
+      SELECT doc_id, shingles, len(shingles) AS n FROM sh
+    ), truth AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM shn x JOIN shn y ON x.doc_id < y.doc_id
+      WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+            / (x.n + y.n - len(list_intersect(x.shingles, y.shingles)))
+            >= 0.5
+    ), found AS (
+      SELECT t.id_a FROM truth t
+      SEMI JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+      (SELECT count(*) FROM cand) AS n_candidates,
+      (SELECT count(*) FROM found) AS n_found,
+      round(CASE WHEN (SELECT count(*) FROM truth) > 0
+            THEN (SELECT count(*) FROM found)::DOUBLE
+                 / (SELECT count(*) FROM truth) END, 4) AS recall
+    """
+    )
+
+
+LLM_ORACLES["minhash_recall_report"] = _minhash_recall_sql()

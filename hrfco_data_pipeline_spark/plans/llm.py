@@ -2698,3 +2698,41 @@ def docs_shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tokens").cast("double") - mean_tokens) / mean_tokens, 4
         ).alias("rel_dev"),
     )
+
+
+def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall certificate: how many of the EXACT Jaccard >= 0.5
+    pairs the (k=8, bands=4) portable-MinHash candidate generation
+    actually surfaces — the single number that justifies a bands/rows
+    configuration. Truth comes from the lossless PPJoin prefix join;
+    candidates from the certified banding path; both sides and the
+    intersection are exact, so the DuckDB twin reproduces the report
+    bit-for-bit."""
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_portable,
+        prefix_jaccard_pairs,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    truth = prefix_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    sigs = minhash_signatures_portable(docs, k=8)
+    cand = lsh_candidate_pairs(sigs, bands=4, k=8).select("id_a", "id_b")
+    found = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    stats = truth.agg(F.count("*").alias("n_true")).crossJoin(
+        cand.agg(F.count("*").alias("n_candidates"))
+    ).crossJoin(found.agg(F.count("*").alias("n_found")))
+    return stats.select(
+        "n_true",
+        "n_candidates",
+        "n_found",
+        F.round(
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_found").cast("double") / F.col("n_true"),
+            ),
+            4,
+        ).alias("recall"),
+    )
