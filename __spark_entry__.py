@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
         "orders_cohort_repeat_rate": relational.orders_cohort_repeat_rate,
         "minhash_recall_report": llm.minhash_recall_report,
+        "events_type_drift": relational.events_type_drift,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -3847,3 +3847,31 @@ def _minhash_recall_sql(k: int = 8, bands: int = 4) -> str:
 
 
 LLM_ORACLES["minhash_recall_report"] = _minhash_recall_sql()
+
+
+RELATIONAL_ORACLES["events_type_drift"] = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type FROM events
+    ), dc AS (
+      SELECT day, event_type, count(*) AS n FROM d GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, count(*) AS n_all FROM d GROUP BY 1
+    ), grand AS (SELECT count(*) AS g FROM d),
+    per_day AS (
+      SELECT dc.day,
+        list(struct_pack(event_type := dc.event_type, n := dc.n,
+                         n_all := tot.n_all)
+             ORDER BY dc.event_type) AS ts,
+        sum(dc.n) AS n_day
+      FROM dc JOIN tot USING (event_type) GROUP BY dc.day
+    )
+    SELECT day, CAST(n_day AS BIGINT) AS n_day,
+      round(list_reduce(list_prepend(0.0, list_transform(ts,
+        t -> (CAST(t.n AS DOUBLE) / CAST(n_day AS DOUBLE)
+              - CAST(t.n_all AS DOUBLE) / CAST(g AS DOUBLE))
+           * (CAST(t.n AS DOUBLE) / CAST(n_day AS DOUBLE)
+              - CAST(t.n_all AS DOUBLE) / CAST(g AS DOUBLE))
+           / (CAST(t.n_all AS DOUBLE) / CAST(g AS DOUBLE)))),
+        (acc, x) -> acc + x), 6) AS chi2_drift
+    FROM per_day, grand
+    """

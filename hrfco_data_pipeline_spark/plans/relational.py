@@ -2190,3 +2190,44 @@ def orders_cohort_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("repeat_rate"),
     )
+
+
+def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: each day's event-type mix scored
+    against the overall corpus mix with the chi-square statistic
+    Σ (p_day − p_all)² / p_all — the day-over-day input-drift alarm an
+    ML pipeline watches. Counts are exact; the per-day score folds
+    over the TYPE-SORTED term list (docs_token_entropy's order-pinned
+    pattern) so the double sum is engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "event_type")
+    day_counts = d.groupBy("day", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = d.groupBy("event_type").agg(F.count("*").alias("n_all"))
+    grand = d.count()  # bounded action: one scalar for the plan
+    j = day_counts.join(F.broadcast(totals), "event_type")
+    per_day = j.groupBy("day").agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "n", "n_all"))
+        ).alias("ts"),
+        F.sum("n").alias("n_day"),
+    )
+    term = lambda t: (
+        (
+            t["n"].cast("double") / F.col("n_day").cast("double")
+            - t["n_all"].cast("double") / F.lit(float(grand))
+        )
+        * (
+            t["n"].cast("double") / F.col("n_day").cast("double")
+            - t["n_all"].cast("double") / F.lit(float(grand))
+        )
+        / (t["n_all"].cast("double") / F.lit(float(grand)))
+    )
+    return per_day.select(
+        "day",
+        F.col("n_day").cast("long").alias("n_day"),
+        F.round(
+            F.aggregate("ts", F.lit(0.0), lambda acc, t: acc + term(t)), 6
+        ).alias("chi2_drift"),
+    )
