@@ -2100,16 +2100,15 @@ LLM_ORACLES["simhash_pairs_probe"] = r"""
         CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END)
              AS BIGINT) AS sh
       FROM bits GROUP BY doc_id
-    ), chunked AS (
-      SELECT doc_id, sh, c.chunk, (sh >> (c.chunk * 16)) & 65535 AS val
-      FROM fp, (SELECT unnest(range(0, 4)) AS chunk) c
-    ), pairs AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-        CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-      FROM chunked a JOIN chunked b
-        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    -- NAIVE all-pairs truth (no blocking): a hash-match against the
+    -- Spark side's 16-bit pigeonhole path certifies the blocking is
+    -- LOSSLESS for Hamming <= 3 (any 3-bit difference leaves at least
+    -- one of the 4 chunks untouched), not merely self-consistent.
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """
 
 
