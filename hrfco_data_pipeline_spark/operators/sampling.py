@@ -136,3 +136,55 @@ def pack_sequences(
     return df.withColumn(
         "pack_id", F.floor((cum - F.col(token_col)) / F.lit(budget))
     )
+
+
+FFD_SCHEMA = "doc_id long, n_tokens long, pack_id long"
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    budget: int = 2048,
+    stratum: str | None = None,
+) -> DataFrame:
+    """First-fit-decreasing packing: within each stratum, sort items by
+    (tokens desc, id asc) and place each into the first open pack with
+    room — the classic bin-packing heuristic (≤ 11/9·OPT + 1 bins),
+    tighter than the streaming running-sum pack at the cost of holding
+    the stratum's open-pack table in memory.
+
+    Spark shape: ``applyInPandas`` per stratum — the packing itself is
+    inherently sequential, so the parallel unit is the stratum (shard /
+    source file), exactly how a 100 TB pack job runs. Deterministic:
+    the sort key is total and placement is first-fit."""
+    import pandas as pd
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True], kind="stable"
+        )
+        loads: list[int] = []
+        out = []
+        for row in pdf.itertuples(index=False):
+            toks = int(getattr(row, token_col))
+            placed = None
+            for i, load in enumerate(loads):
+                if load + toks <= budget:
+                    placed = i
+                    break
+            if placed is None:
+                placed = len(loads)
+                loads.append(0)
+            loads[placed] += toks
+            out.append((int(getattr(row, id_col)), toks, placed))
+        return pd.DataFrame(out, columns=["doc_id", "n_tokens", "pack_id"])
+
+    cols = [id_col, token_col] + ([stratum] if stratum else [])
+    base = df.select(*cols)
+    if stratum is None:
+        base = base.withColumn("_stratum", F.lit(1))
+        key = "_stratum"
+    else:
+        key = stratum
+    return base.groupBy(key).applyInPandas(_ffd, FFD_SCHEMA)

@@ -222,3 +222,34 @@ def test_segment_dedup_flags_copied_segments(spark):
         r = out[d.doc_id]
         assert r.n_segments == len(segs[d.doc_id])
         assert r.n_shared == want_shared
+
+
+def test_ffd_packing_tighter_than_running_sum(spark):
+    from hrfco_data_pipeline_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_ffd,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [(i, t) for i, t in enumerate(
+        [1500, 900, 800, 700, 600, 500, 400, 300, 200, 100] * 3
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    ffd = pack_sequences_ffd(df, budget=2048).collect()
+    # every pack respects the budget STRICTLY (unlike the streaming
+    # pack's one-doc overflow)
+    loads = {}
+    for r in ffd:
+        loads[r.pack_id] = loads.get(r.pack_id, 0) + r.n_tokens
+    assert all(v <= 2048 for v in loads.values())
+    # all docs packed exactly once
+    assert sorted(r.doc_id for r in ffd) == sorted(i for i, _ in rows)
+    # FFD uses no more packs than the running-sum form
+    rs = pack_sequences(df, "n_tokens", "doc_id", budget=2048)
+    n_rs = rs.select(F.countDistinct("pack_id")).first()[0]
+    assert len(loads) <= n_rs
+    # determinism
+    again = pack_sequences_ffd(df, budget=2048).collect()
+    assert {(r.doc_id, r.pack_id) for r in again} == {
+        (r.doc_id, r.pack_id) for r in ffd
+    }
