@@ -147,3 +147,28 @@ def write_range_sharded(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def snapshot_sink(out_dir: str):
+    """foreachBatch sink that maintains an always-consistent SNAPSHOT
+    of a complete/update-mode streaming aggregate: each batch writes
+    the full current result to a staging dir and atomically renames it
+    over the previous snapshot (readers always see one complete
+    version — the parquet analog of a materialized view refresh).
+    Idempotent across batch replays: re-writing batch N just re-renames
+    the same content."""
+    import os
+    import shutil
+
+    def _write(batch_df, batch_id: int) -> None:
+        staging = out_dir.rstrip("/") + f".staging-{batch_id}"
+        backup = out_dir.rstrip("/") + ".old"
+        shutil.rmtree(staging, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(backup, ignore_errors=True)
+        if os.path.exists(out_dir):
+            os.rename(out_dir, backup)
+        os.rename(staging, out_dir)
+        shutil.rmtree(backup, ignore_errors=True)
+
+    return _write

@@ -91,3 +91,35 @@ def test_stream_restart_exactly_once_fact_rows(spark, tmp_path):
     )
     want = process_observations(batch_raw, synthetic_stations(spark)).count()
     assert n2 == want
+
+
+def test_snapshot_sink_complete_mode(spark, tmp_path):
+    """A complete-mode aggregate materialized through snapshot_sink is
+    a consistent, atomically-replaced parquet view of the latest state
+    and equals the batch aggregate over the same input."""
+    import json as _json
+
+    from hrfco_data_pipeline_spark.sinks.writers import snapshot_sink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [{"k": "a"}, {"k": "b"}, {"k": "a"}, {"k": "c"}, {"k": "a"}]
+    (src / "1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("k string").json(str(src))
+    agg = stream.groupBy("k").count()
+    out = str(tmp_path / "snap")
+    q = (
+        agg.writeStream.foreachBatch(snapshot_sink(out))
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {r.k: r["count"] for r in spark.read.parquet(out).collect()}
+    assert got == {"a": 3, "b": 1, "c": 1}
+    import os
+
+    assert not [
+        d for d in os.listdir(tmp_path) if ".staging" in d or d.endswith(".old")
+    ]
