@@ -72,3 +72,22 @@ def test_python_udtf_lateral_join(spark):
     per_row = [(c, lo, hi) for (_, c, lo, hi) in got if _ == 0]
     assert per_row == [(0, 0, 2), (1, 2, 4), (2, 4, 5)]
     assert len(got) == 6  # both outer rows expanded
+
+
+def test_arrow_optimized_scalar_udf(spark):
+    """The Spark 3.5+ Arrow-optimized scalar UDF flavor (useArrow=True):
+    row-at-a-time author experience, Arrow-batched transfer — the
+    middle ground between legacy pickled UDFs and pandas_udf."""
+    from pyspark.sql.functions import udf, col
+
+    @udf("long", useArrow=True)
+    def squared(x: int) -> int:
+        return x * x
+
+    out = {
+        r.i: r.sq
+        for r in spark.range(5)
+        .select(col("id").alias("i"), squared("id").alias("sq"))
+        .collect()
+    }
+    assert out == {i: i * i for i in range(5)}
