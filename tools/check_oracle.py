@@ -7,7 +7,7 @@ row count, column names, and the order-insensitive multiset of row
 values (exact equality; floats compared by repr after -0.0/NaN
 normalization). Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--window] [sf_dir] [query ...]\n\n``--window`` restricts to the first-50 driver sampling window.
 """
 
 from __future__ import annotations
@@ -46,8 +46,11 @@ def main() -> int:
     from hrfco_data_pipeline_spark.session import get_spark
     from hrfco_data_pipeline_spark.sources.tables import TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    window_only = "--window" in args
+    args = [a for a in args if a != "--window"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark(app_name="check-oracle")
     spark.sparkContext.setLogLevel("ERROR")
@@ -59,6 +62,8 @@ def main() -> int:
         )
 
     queries = entry_mod.queries()
+    if window_only:  # the driver's first-50 sampling window
+        queries = dict(list(queries.items())[:50])
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in queries.items():
