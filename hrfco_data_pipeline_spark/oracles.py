@@ -3874,3 +3874,19 @@ RELATIONAL_ORACLES["events_type_drift"] = """
         (acc, x) -> acc + x), 6) AS chi2_drift
     FROM per_day, grand
     """
+
+
+RELATIONAL_ORACLES["events_new_vs_returning"] = """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ), fd AS (
+      SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id
+    )
+    SELECT d.day, count(*) AS n_events,
+      CAST(sum(CASE WHEN d.day = fd.first_day THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new_user_events,
+      CAST(sum(CASE WHEN d.day <> fd.first_day THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_returning_events
+    FROM d JOIN fd USING (user_id)
+    GROUP BY d.day
+    """

@@ -2231,3 +2231,24 @@ def events_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("ts", F.lit(0.0), lambda acc, t: acc + term(t)), 6
         ).alias("chi2_drift"),
     )
+
+
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: events attributed to users seen
+    for the first time that day vs returning users — the acquisition/
+    retention overlay on the traffic curve. First-touch resolves in
+    one user-keyed aggregate (events_running_distinct_users' shape);
+    the day split is a broadcast join back."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day"))
+    first_day = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = d.join(F.broadcast(first_day), "user_id")
+    return j.groupBy("day").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("day") == F.col("first_day")).cast("long")).alias(
+            "n_new_user_events"
+        ),
+        F.sum((F.col("day") != F.col("first_day")).cast("long")).alias(
+            "n_returning_events"
+        ),
+    )
