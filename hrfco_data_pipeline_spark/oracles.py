@@ -3890,3 +3890,12 @@ RELATIONAL_ORACLES["events_new_vs_returning"] = """
     FROM d JOIN fd USING (user_id)
     GROUP BY d.day
     """
+
+
+RELATIONAL_ORACLES["events_value_log2_histogram"] = """
+    SELECT CAST(length(format('{:b}', CAST(round(value * 100) AS BIGINT)))
+                AS INTEGER) AS bits,
+      count(*) AS n
+    FROM events WHERE value IS NOT NULL AND value >= 0
+    GROUP BY 1
+    """

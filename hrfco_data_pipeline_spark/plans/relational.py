@@ -2252,3 +2252,20 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_returning_events"
         ),
     )
+
+
+def events_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-of-magnitude value histogram via pure INTEGER log2
+    bucketing: bucket = bit-width of the value in cents (the length of
+    its base-2 rendering) — no floating log anywhere, so the bucket
+    boundaries are bit-exact in any engine and the histogram is safe
+    to merge across shards/days. One bounded aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucket = F.length(F.conv(cents.cast("string"), 10, 2)).alias("bits")
+    return (
+        ev.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select(bucket)
+        .groupBy("bits")
+        .agg(F.count("*").alias("n"))
+    )
