@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_drift": relational.events_type_drift,
         "events_new_vs_returning": relational.events_new_vs_returning,
         "events_value_log2_histogram": relational.events_value_log2_histogram,
+        "hydro_station_uptime": hydro.station_uptime,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

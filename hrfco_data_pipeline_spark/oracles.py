@@ -3899,3 +3899,24 @@ RELATIONAL_ORACLES["events_value_log2_histogram"] = """
     FROM events WHERE value IS NOT NULL AND value >= 0
     GROUP BY 1
     """
+
+
+HYDRO_ORACLES["hydro_station_uptime"] = HYDRO_CTE + """
+    , slots AS (
+      SELECT wlobscd,
+        CAST(floor(epoch_us(try_strptime(obs_time_str, '%Y-%m-%d %H:%M'))
+                   / 600000000) AS BIGINT) AS slot
+      FROM classified
+      WHERE water_level IS NOT NULL
+        AND try_strptime(obs_time_str, '%Y-%m-%d %H:%M') IS NOT NULL
+    ), bounds AS (
+      SELECT min(slot) AS lo, max(slot) AS hi FROM slots
+    ), per AS (
+      SELECT wlobscd, count(DISTINCT slot) AS n_slots FROM slots GROUP BY 1
+    )
+    SELECT wlobscd, n_slots,
+      (hi - lo + 1) AS expected_slots,
+      round(CAST(n_slots AS DOUBLE) / CAST(hi - lo + 1 AS DOUBLE), 4)
+        AS uptime
+    FROM per, bounds
+    """

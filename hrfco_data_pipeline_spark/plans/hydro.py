@@ -505,3 +505,35 @@ def rise_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_level",
         F.round(eta, 2).alias("est_minutes_to_next"),
     )
+
+
+def station_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station uptime: distinct 10-minute slots with at least one
+    valid observation over the corpus-wide [min, max] slot span —
+    expected-slot count is pure integer arithmetic from the global
+    bounds (two scalar aggregates, broadcast), so the ratio is exact.
+    The per-station companion to hydro_sensor_gaps' gap listing."""
+    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    ts = F.try_to_timestamp(F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm"))
+    slot = F.floor(
+        F.unix_micros(F.to_utc_timestamp(ts, "UTC")) / 600_000_000
+    )
+    slots = c.select("wlobscd", slot.alias("slot")).filter(
+        F.col("slot").isNotNull()
+    )
+    bounds = slots.agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    per = slots.groupBy("wlobscd").agg(
+        F.count_distinct("slot").alias("n_slots")
+    )
+    return per.crossJoin(F.broadcast(bounds)).select(
+        "wlobscd",
+        "n_slots",
+        (F.col("hi") - F.col("lo") + 1).alias("expected_slots"),
+        F.round(
+            F.col("n_slots").cast("double")
+            / (F.col("hi") - F.col("lo") + 1).cast("double"),
+            4,
+        ).alias("uptime"),
+    )
