@@ -153,6 +153,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_new_vs_returning": relational.events_new_vs_returning,
         "events_value_log2_histogram": relational.events_value_log2_histogram,
         "hydro_station_uptime": hydro.station_uptime,
+        # --- new in r4 (late): session windows, histogram quantiles,
+        #     market-basket, graph analytics (all oracle-backed) ---
+        "events_session_window_agg": relational.events_session_window_agg,
+        "events_histogram_quantiles": relational.events_histogram_quantiles,
+        "parts_copurchase_lift": relational.parts_copurchase_lift,
+        "copurchase_triangles": relational.copurchase_triangles,
+        "nation_trade_pagerank": relational.nation_trade_pagerank,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

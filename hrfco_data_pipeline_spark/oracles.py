@@ -3920,3 +3920,167 @@ HYDRO_ORACLES["hydro_station_uptime"] = HYDRO_CTE + """
         AS uptime
     FROM per, bounds
     """
+
+
+RELATIONAL_ORACLES["events_session_window_agg"] = """
+    WITH o AS (
+      SELECT user_id, ts, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, event_type,
+        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+      max(ts) + INTERVAL 30 MINUTE AS session_end,
+      count(*) AS n_events,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_purchases
+    FROM s GROUP BY user_id, sid
+    """
+
+
+RELATIONAL_ORACLES["events_histogram_quantiles"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        LEAST(CAST(floor(value) AS INTEGER), 511) AS bucket,
+        count(*) AS n
+      FROM events WHERE value IS NOT NULL AND value >= 0
+      GROUP BY 1, 2, 3
+    ), merged AS (
+      SELECT event_type, bucket, CAST(sum(n) AS BIGINT) AS n
+      FROM daily GROUP BY 1, 2
+    ), h AS (
+      SELECT event_type, bucket, n,
+        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM merged
+    ), hq AS (
+      SELECT h.*, qs.q, qs.q * h.total AS t
+      FROM h CROSS JOIN (VALUES (0.5), (0.9), (0.99)) AS qs(q)
+    ), crossing AS (
+      SELECT event_type, q, min(bucket) AS bucket
+      FROM hq WHERE cum >= t GROUP BY 1, 2
+    ), est AS (
+      SELECT c.event_type, c.q, h.total,
+        c.bucket + (c.q * h.total - (h.cum - h.n)) / h.n AS est
+      FROM crossing c
+      JOIN h ON h.event_type = c.event_type AND h.bucket = c.bucket
+    )
+    SELECT event_type, max(total) AS n,
+      round(max(CASE WHEN q = 0.5 THEN est END), 4) AS p50_est,
+      round(max(CASE WHEN q = 0.9 THEN est END), 4) AS p90_est,
+      round(max(CASE WHEN q = 0.99 THEN est END), 4) AS p99_est
+    FROM est GROUP BY 1
+    """
+
+
+RELATIONAL_ORACLES["parts_copurchase_lift"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    no_ AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pc AS (SELECT l_partkey, count(*) AS np FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        count(*) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, n_ab, na.np AS n_a, nb.np AS n_b,
+      round((n_ab * n_orders) / CAST(na.np * nb.np AS DOUBLE), 4) AS lift
+    FROM pairs
+    JOIN pc na ON na.l_partkey = part_a
+    JOIN pc nb ON nb.l_partkey = part_b
+    CROSS JOIN no_
+    """
+
+
+RELATIONAL_ORACLES["copurchase_triangles"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), tri AS (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pn AS (
+      SELECT part, count(*) AS n_triangles FROM (
+        SELECT x AS part FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) GROUP BY 1
+    ), deg AS (
+      SELECT part, count(*) AS degree FROM (
+        SELECT u AS part FROM edges
+        UNION ALL SELECT v FROM edges
+      ) GROUP BY 1
+    )
+    SELECT part, n_triangles, degree,
+      round((2 * n_triangles) / CAST(degree * (degree - 1) AS DOUBLE), 4)
+        AS clustering
+    FROM pn JOIN deg USING (part)
+    """
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled exact-integer PageRank twin (see
+    plans/relational.nation_trade_pagerank for the arithmetic contract:
+    int64-bounded floor decomposition of r·p/1e9, ppb transition
+    probabilities, ranks in 1e-12 units)."""
+    parts = ["""
+    WITH e0 AS (
+      SELECT sn.n_name AS u, cn.n_name AS v,
+        CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+             * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+             * 10000 AS BIGINT) AS w
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name GROUP BY 1, 2
+    ), ow AS (
+      SELECT u, CAST(sum(w) AS BIGINT) AS out_w FROM e0 GROUP BY 1
+    ), e AS (
+      SELECT e0.u, e0.v,
+        CAST(round(CAST(w AS DOUBLE) * 1e9 / CAST(out_w AS DOUBLE))
+             AS BIGINT) AS p
+      FROM e0 JOIN ow ON e0.u = ow.u
+    ), n AS (SELECT n_name AS node FROM nation),
+    r0 AS (SELECT node, CAST(40000000000 AS BIGINT) AS r FROM n)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    d{i} AS (
+      SELECT CAST(COALESCE(sum(r), 0) // 25 AS BIGINT) AS ds
+      FROM r{i - 1} WHERE node NOT IN (SELECT u FROM e)
+    ),
+    r{i} AS (
+      SELECT n.node,
+        CAST(6000000000 + (85 * (COALESCE(a.s, 0) + d{i}.ds)) // 100
+             AS BIGINT) AS r
+      FROM n CROSS JOIN d{i} LEFT JOIN (
+        SELECT e.v AS node,
+          CAST(sum((r // 1000000000) * p
+                   + ((r % 1000000000) * p) // 1000000000) AS BIGINT) AS s
+        FROM e JOIN r{i - 1} ON e.u = r{i - 1}.node GROUP BY 1
+      ) a ON n.node = a.node)""")
+    parts.append(f"""
+    SELECT node AS nation, r AS rank_e12,
+      round(CAST(r AS DOUBLE) / 1e12 * 25, 4) AS rank_rel
+    FROM r{iters}
+    """)
+    return "".join(parts)
+
+
+RELATIONAL_ORACLES["nation_trade_pagerank"] = _pagerank_sql()

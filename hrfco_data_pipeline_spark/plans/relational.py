@@ -2269,3 +2269,308 @@ def events_value_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bits")
         .agg(F.count("*").alias("n"))
     )
+
+
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE dynamic session window
+    (``F.session_window``) — the engine-level operator behind both the
+    batch plan here and the streaming sessionization path (watermark +
+    state-store merge on a real stream; see streaming notes). Unlike
+    the lag/gaps-and-islands formulation (events_sessionize), this is
+    a single groupBy whose key is the merged session interval itself:
+    one shuffle on (user_id), session merge inside the agg — exactly
+    what survives as a stateful operator under Structured Streaming.
+
+    Session end follows Spark's contract: end = last event + gap (a
+    gap of exactly 30:00 starts a NEW session — intervals are
+    half-open)."""
+    ev = load_table(spark, sf_dir, "events")
+    sw = ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "n_purchases"
+        ),
+    )
+    return sw.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+        "n_purchases",
+    )
+
+
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile rollup — the stored-rollup pattern
+    for percentiles (the quantile twin of the HLL distinct rollup):
+    per (type, day) fixed 512-bin unit-width histograms are the stored
+    partials; bins merge upward by integer addition (never rescan raw
+    events), and p50/p90/p99 are read off the merged histogram with
+    within-bin linear interpolation. Every estimate derives from
+    integer bin counts through a fixed sequence of IEEE double ops, so
+    the result is bit-deterministic at any parallelism — unlike
+    percentile_approx, whose sketch is merge-order-dependent.
+    Shuffles: two bounded-key aggs (type×day×bin, then type×bin); the
+    quantile pick is a window over the ≤512-row merged table."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor("value").cast("int"), F.lit(511))
+    daily = (
+        ev.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.sum("n").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    h = merged.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(wall).alias("total"),
+    )
+    qs = F.explode(
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    ).alias("q")
+    hq = h.select("*", qs).withColumn("t", F.col("q") * F.col("total"))
+    crossing = (
+        hq.filter(F.col("cum") >= F.col("t"))
+        .groupBy("event_type", "q")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    est = crossing.join(h, ["event_type", "bucket"]).select(
+        "event_type",
+        "q",
+        "total",
+        (
+            F.col("bucket")
+            + (F.col("q") * F.col("total") - (F.col("cum") - F.col("n")))
+            / F.col("n")
+        ).alias("est"),
+    )
+    return est.groupBy("event_type").agg(
+        F.max("total").alias("n"),
+        _r4(F.max(F.when(F.col("q") == 0.5, F.col("est")))).alias("p50_est"),
+        _r4(F.max(F.when(F.col("q") == 0.9, F.col("est")))).alias("p90_est"),
+        _r4(F.max(F.when(F.col("q") == 0.99, F.col("est")))).alias("p99_est"),
+    )
+
+
+def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs co-occurring in
+    the same order, with support and lift. The pair fan-out is bounded
+    by basket size (pairs-per-order = |basket|², baskets are ~4-7
+    items), so the self-join on orderkey never goes quadratic in the
+    corpus; per-part and pair supports are map-side-combined aggs, and
+    the two support dims broadcast back onto the (filtered, tiny) pair
+    table. Lift = N·supp(ab)/(supp(a)·supp(b)) on exact counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.select(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    pc = op.groupBy("l_partkey").agg(F.count("*").alias("np"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    na = pc.select(F.col("l_partkey").alias("part_a"), F.col("np").alias("n_a"))
+    nb = pc.select(F.col("l_partkey").alias("part_b"), F.col("np").alias("n_b"))
+    out = (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    lift = (F.col("n_ab") * F.col("n_orders")) / (F.col("n_a") * F.col("n_b"))
+    return out.select(
+        "part_a", "part_b", "n_ab", "n_a", "n_b", _r4(lift).alias("lift")
+    )
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient on the part
+    co-purchase graph (edges = part pairs co-ordered ≥2 times). The
+    classic distributed triangle enumeration: edges oriented low→high
+    id, wedge join on the middle vertex, closure check by a third
+    equi-join — each triangle found exactly once (a<b<c). Per-task
+    fan-out is bounded by per-vertex out-degree; at 100 TB orient by
+    (degree, id) instead of raw id so no vertex's out-list exceeds
+    O(sqrt(|E|)) — same plan, different orientation key. The edge
+    table (support-filtered, ≪ corpus) is materialized once and reused
+    by all three join legs and the degree agg."""
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = _materialized(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.explode(F.array("u", "v")).alias("part"))
+        .groupBy("part")
+        .agg(F.count("*").alias("degree"))
+    )
+    cc = (2 * F.col("n_triangles")) / (
+        F.col("degree") * (F.col("degree") - 1)
+    )
+    return per_node.join(deg, "part").select(
+        "part", "n_triangles", "degree", _r4(cc).alias("clustering")
+    )
+
+
+def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation→nation trade graph (supplier
+    nation links to customer nation, edge weight = exact revenue
+    cents), five synchronous iterations, d=0.85 — the iterative
+    link-analysis family beyond connected components. ALL rank
+    arithmetic is integer-exact (ranks in 1e-12 units; transition
+    probabilities pre-rounded to parts-per-billion; per-edge
+    contribution uses the exact identity
+    floor(r·p/1e9) = (r div 1e9)·p + ((r mod 1e9)·p) div 1e9, every
+    term int64-bounded), so the fixpoint is partition-order invariant
+    at any parallelism and bit-reproducible in any engine. Per
+    iteration: one broadcast-sized join (ranks table = |nations|) +
+    one groupBy on the destination key — the canonical Spark iteration
+    shape; at web scale the same loop shuffles on vertex id with the
+    rank table no longer broadcast, and lineage is cut by checkpoint
+    every ~5 rounds (as connected_components does). Dangling nodes
+    (no out-edges) redistribute their mass uniformly via an exact
+    integer share, so total mass is conserved up to floor losses."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    cn = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    w_edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cn), cust["c_nationkey"] == F.col("cn_key"))
+        .join(F.broadcast(sn), supp["s_nationkey"] == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            F.col("supp_nation").alias("u"), F.col("cust_nation").alias("v")
+        )
+        # ×10000 shifts ALL fractional digits of the scale-4 decimal sum
+        # out before the integral cast (a scale-2 shift would leave a
+        # fraction, and decimal→bigint casts round differently across
+        # engines: Spark truncates, DuckDB rounds)
+        .agg((F.sum(rev) * 10000).cast("bigint").alias("w"))
+    )
+    out_w = w_edges.groupBy("u").agg(F.sum("w").alias("out_w"))
+    # transition probability in exact parts-per-billion; double division
+    # on int64-exact operands is one IEEE op — identical in any engine
+    p_edges = (
+        w_edges.join(out_w, "u")
+        .select(
+            "u",
+            "v",
+            F.round(
+                F.col("w").cast("double")
+                * 1.0e9
+                / F.col("out_w").cast("double")
+            )
+            .cast("bigint")
+            .alias("p"),
+        )
+    )
+    nodes = nat.select(F.col("n_name").alias("node"))
+    ranks = nodes.select("node", F.lit(40_000_000_000).alias("r"))
+    contrib = (
+        (F.expr("r div 1000000000") * F.col("p"))
+        + F.expr("((r % 1000000000) * p) div 1000000000")
+    )
+    # dangling nodes (no out-edges — e.g. nations with no suppliers at
+    # small SF) redistribute their mass uniformly, the textbook
+    # formulation; without this the walk leaks mass every iteration
+    dangling = nodes.join(
+        p_edges.select(F.col("u").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    )
+    for _ in range(5):
+        d_share = (
+            ranks.join(F.broadcast(dangling), "node", "left_semi")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+            .select(F.expr("d div 25").alias("ds"))
+        )
+        agg = (
+            p_edges.join(F.broadcast(ranks), p_edges["u"] == ranks["node"])
+            .select(p_edges["v"].alias("node"), contrib.alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(agg, "node", "left")
+            .crossJoin(F.broadcast(d_share))
+            .select(
+                "node",
+                (
+                    F.lit(6_000_000_000)
+                    + F.expr("85 * (coalesce(s, 0L) + ds) div 100")
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("nation"),
+        F.col("r").alias("rank_e12"),
+        _r4(F.col("r").cast("double") / 1.0e12 * 25).alias("rank_rel"),
+    )

@@ -1,0 +1,84 @@
+"""Invariant tests for the late-r4 graph / quantile / basket operators.
+
+The exact-value gate is the DuckDB oracle (tools/check_oracle.py);
+these pin the structural invariants that survive refactors: session
+partitioning of events, histogram-quantile ordering and bounds, lift
+symmetry counts, triangle/degree consistency, and PageRank mass
+conservation under the integer floor arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.plans import relational as R
+from hrfco_data_pipeline_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_session_windows_partition_events(spark):
+    sw = R.events_session_window_agg(spark, SF)
+    ev = load_table(spark, SF, "events")
+    # sessions partition the event stream: per-session counts sum to
+    # the total and no user's sessions overlap
+    assert (
+        sw.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    )
+    rows = sw.orderBy("user_id", "session_start").collect()
+    prev = {}
+    for r in rows:
+        assert r.session_end > r.session_start
+        if r.user_id in prev:
+            # half-open windows: next session starts at/after prior end
+            assert r.session_start >= prev[r.user_id]
+        prev[r.user_id] = r.session_end
+    total_purch = ev.filter(F.col("event_type") == "purchase").count()
+    assert sw.agg(F.sum("n_purchases")).collect()[0][0] == total_purch
+
+
+def test_histogram_quantiles_ordered_and_bounded(spark):
+    rows = R.events_histogram_quantiles(spark, SF).collect()
+    assert len(rows) > 0
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        assert r.p50_est <= r.p90_est <= r.p99_est
+        # unit-width bins: estimate within 1.0 of the exact quantile
+        assert abs(r.p50_est - exact[r.event_type]) <= 1.0
+
+
+def test_copurchase_lift_counts_consistent(spark):
+    rows = R.parts_copurchase_lift(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 3 <= r.n_ab <= min(r.n_a, r.n_b)
+        assert r.lift > 0
+
+
+def test_triangles_match_naive_and_degree_bounds(spark):
+    rows = R.copurchase_triangles(spark, SF).collect()
+    assert len(rows) > 0
+    # per-node triangle total is divisible by 3 (each triangle charges
+    # exactly its three corners)
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+    for r in rows:
+        assert 0 <= r.clustering <= 1
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_pagerank_mass_and_floor(spark):
+    rows = R.nation_trade_pagerank(spark, SF).collect()
+    assert len(rows) == 25
+    total = sum(r.rank_e12 for r in rows)
+    # teleport floor: every node holds at least (1-d)/N
+    assert all(r.rank_e12 >= 6_000_000_000 for r in rows)
+    # mass conservation: floor-rounding loses, ppb rounding-up gains —
+    # both bounded by edge-count-scale noise on the 1e12 unit total
+    assert abs(total - 1.0e12) < 1.0e6
