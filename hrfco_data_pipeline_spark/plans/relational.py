@@ -2405,7 +2405,9 @@ def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def copurchase_triangles(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """Triangle counting + local clustering coefficient on the part
     co-purchase graph (edges = part pairs co-ordered ≥2 times). The
     classic distributed triangle enumeration: edges oriented low→high
@@ -2421,7 +2423,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
-    edges = _materialized(
+    edges = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -2435,6 +2437,8 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_ab") >= 2)
         .select("u", "v")
     )
+    if materialize:
+        edges = _materialized(edges)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
@@ -2467,7 +2471,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def nation_trade_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    iters: int = 5,
+    materialize: bool = True,
+) -> DataFrame:
     """Weighted PageRank over the nation→nation trade graph (supplier
     nation links to customer nation, edge weight = exact revenue
     cents), five synchronous iterations, d=0.85 — the iterative
@@ -2484,7 +2493,15 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank table no longer broadcast, and lineage is cut by checkpoint
     every ~5 rounds (as connected_components does). Dangling nodes
     (no out-edges) redistribute their mass uniformly via an exact
-    integer share, so total mass is conserved up to floor losses."""
+    integer share, so total mass is conserved up to floor losses.
+
+    ``materialize`` checkpoints the edge table once and the rank
+    table each iteration — without the cut, every iteration re-embeds
+    the full upstream tree of BOTH its inputs and the lazy plan grows
+    exponentially in ``iters`` (measured: 5 lazy iterations analyze
+    to a ~2 MB / 2000-exchange plan; materialized, each iteration is
+    one join + one agg). Plan audits pass materialize=False with
+    iters=1 to see the per-iteration shape."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -2532,6 +2549,10 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p"),
         )
     )
+    if materialize:
+        from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+        p_edges = _materialized(p_edges)
     nodes = nat.select(F.col("n_name").alias("node"))
     ranks = nodes.select("node", F.lit(40_000_000_000).alias("r"))
     contrib = (
@@ -2546,7 +2567,7 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         "left_anti",
     )
-    for _ in range(5):
+    for _ in range(iters):
         d_share = (
             ranks.join(F.broadcast(dangling), "node", "left_semi")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
@@ -2569,6 +2590,11 @@ def nation_trade_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
+        if materialize:
+            # cut lineage every iteration: the rank table is
+            # |nodes|-sized, so the checkpoint is trivially cheap and
+            # the next iteration's plan starts from a leaf
+            ranks = _materialized(ranks)
     return ranks.select(
         F.col("node").alias("nation"),
         F.col("r").alias("rank_e12"),
