@@ -160,6 +160,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_lift": relational.parts_copurchase_lift,
         "copurchase_triangles": relational.copurchase_triangles,
         "nation_trade_pagerank": relational.nation_trade_pagerank,
+        "orders_benford_digits": relational.orders_benford_digits,
+        "events_ab_test": relational.events_ab_test,
+        "brand_supplier_hhi": relational.brand_supplier_hhi,
+        "events_cusum_changepoint": relational.events_cusum_changepoint,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -4084,3 +4084,119 @@ def _pagerank_sql(iters: int = 5) -> str:
 
 
 RELATIONAL_ORACLES["nation_trade_pagerank"] = _pagerank_sql()
+
+
+RELATIONAL_ORACLES["orders_benford_digits"] = """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0
+    ), counts AS (
+      SELECT digit, count(*) AS n FROM c GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+      round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
+      round(CAST(bf.b AS DOUBLE), 4) AS benford_share,
+      round((CAST(n AS DOUBLE) - CAST(bf.b AS DOUBLE)
+             * CAST(total AS DOUBLE))
+            * (CAST(n AS DOUBLE) - CAST(bf.b AS DOUBLE)
+               * CAST(total AS DOUBLE))
+            / (CAST(bf.b AS DOUBLE) * CAST(total AS DOUBLE)), 4)
+        AS chi2_term
+    FROM counts CROSS JOIN tot
+    -- the VALUES literals type as DECIMAL in DuckDB; cast to DOUBLE so
+    -- the arithmetic (and the rounded output column) match Spark's lit
+    JOIN (VALUES (1, 0.3010299957), (2, 0.1760912591), (3, 0.1249387366),
+                 (4, 0.0969100130), (5, 0.0791812460), (6, 0.0669467896),
+                 (7, 0.0579919470), (8, 0.0511525224), (9, 0.0457574906))
+         bf(d, b) ON bf.d = counts.digit
+    """
+
+
+RELATIONAL_ORACLES["events_ab_test"] = """
+    WITH pu AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS converted
+      FROM events GROUP BY 1, 2
+    ), pv AS (
+      SELECT ((user_id % 2147483648) * 2654435761) % 2147483648 % 2
+          AS variant,
+        count(*) AS n_units,
+        CAST(sum(converted) AS BIGINT) AS n_converted
+      FROM pu GROUP BY 1
+    ), ab AS (
+      SELECT a.n_units AS n_a, a.n_converted AS c_a,
+             b.n_units AS n_b, b.n_converted AS c_b
+      FROM (SELECT * FROM pv WHERE variant = 0) a
+      CROSS JOIN (SELECT * FROM pv WHERE variant = 1) b
+    ), stats AS (
+      SELECT *,
+        CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+      FROM ab
+    )
+    SELECT n_a, c_a, n_b, c_b,
+      round(pa, 4) AS p_a, round(pb, 4) AS p_b,
+      round((pa - pb) / sqrt(pp * (1.0 - pp)
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4)
+        AS z
+    FROM stats
+    """
+
+
+RELATIONAL_ORACLES["brand_supplier_hhi"] = """
+    WITH bs AS (
+      SELECT p_brand, l_suppkey,
+        CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+             * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+             * 10000 AS BIGINT) AS r
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), pb AS (
+      SELECT p_brand,
+        list(struct_pack(l_suppkey := l_suppkey, r := r)
+             ORDER BY l_suppkey, r) AS rs,
+        CAST(sum(r) AS BIGINT) AS tot,
+        count(*) AS n_suppliers
+      FROM bs GROUP BY 1
+    )
+    SELECT p_brand AS brand, n_suppliers,
+      round(list_reduce(list_prepend(0.0, list_transform(rs,
+        t -> (CAST(t.r AS DOUBLE) / CAST(tot AS DOUBLE))
+           * (CAST(t.r AS DOUBLE) / CAST(tot AS DOUBLE)))),
+        (acc, x) -> acc + x), 6) AS hhi
+    FROM pb
+    """
+
+
+RELATIONAL_ORACLES["events_cusum_changepoint"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, day,
+        CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_total,
+        count(*) OVER (PARTITION BY event_type) AS n_days,
+        CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day)
+             AS BIGINT) AS run,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx
+      FROM daily
+    ), cu AS (
+      SELECT *,
+        CAST(run AS DOUBLE) - CAST(idx AS DOUBLE)
+          * (CAST(n_total AS DOUBLE) / CAST(n_days AS DOUBLE)) AS cusum
+      FROM scored
+    ), pick AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs(cusum) DESC, day ASC) AS rn
+      FROM cu
+    )
+    SELECT event_type, day AS change_day,
+      round(cusum, 4) AS cusum_at_peak, n_days,
+      round(CAST(n_total AS DOUBLE) / CAST(n_days AS DOUBLE), 4)
+        AS mean_daily
+    FROM pick WHERE rn = 1
+    """

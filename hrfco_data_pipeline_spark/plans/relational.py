@@ -2600,3 +2600,203 @@ def nation_trade_pagerank(
         F.col("r").alias("rank_e12"),
         _r4(F.col("r").cast("double") / 1.0e12 * 25).alias("rank_rel"),
     )
+
+
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law data-quality screen on order totals: observed
+    leading-digit distribution vs the Benford expectation, with the
+    per-digit chi-square contribution — the classic fabricated-data /
+    unit-mixup detector on financial columns. One 9-key aggregate;
+    the expected shares are 10-decimal literals (identical doubles in
+    any engine) rather than runtime log10 calls, so every derived
+    number is bit-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        o.filter(cents > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.select(F.sum("n").alias("total"))
+    benford = F.element_at(
+        F.array(
+            *[
+                F.lit(x)
+                for x in (
+                    0.3010299957,
+                    0.1760912591,
+                    0.1249387366,
+                    0.0969100130,
+                    0.0791812460,
+                    0.0669467896,
+                    0.0579919470,
+                    0.0511525224,
+                    0.0457574906,
+                )
+            ]
+        ),
+        F.col("digit"),
+    )
+    j = counts.crossJoin(F.broadcast(total)).withColumn(
+        "benford_share", benford
+    )
+    expected = F.col("benford_share") * F.col("total").cast("double")
+    chi2 = (F.col("n").cast("double") - expected) * (
+        F.col("n").cast("double") - expected
+    ) / expected
+    return j.select(
+        "digit",
+        "n",
+        _r4(F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "share"
+        ),
+        _r4(F.col("benford_share")).alias("benford_share"),
+        _r4(chi2).alias("chi2_term"),
+    )
+
+
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on a deterministic hash split: users
+    assigned to variants by the Knuth bucket hash (stable across
+    runs/retries/AQE — the experiment-assignment primitive). The
+    analysis unit is the active user-DAY (a user-level unit saturates:
+    over a long window every user purchases at least once and the
+    pooled variance degenerates to zero), converted = at least one
+    purchase that day. z = (pA−pB)/√(p̂(1−p̂)(1/nA+1/nB)) on exact
+    integer counts; the only floating ops are divisions and one
+    correctly-rounded sqrt, so the statistic is bit-portable. One
+    (user, day)-keyed aggregate resolves conversion, then a 2-row
+    reduce."""
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    per_unit = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "converted"
+        )
+    )
+    per_variant = (
+        per_unit.withColumn("variant", hash_bucket("user_id", 2))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_units"),
+            F.sum("converted").alias("n_converted"),
+        )
+    )
+    a = per_variant.filter(F.col("variant") == 0).select(
+        F.col("n_units").alias("n_a"), F.col("n_converted").alias("c_a")
+    )
+    b = per_variant.filter(F.col("variant") == 1).select(
+        F.col("n_units").alias("n_b"), F.col("n_converted").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    p_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        _r4(p_a).alias("p_a"),
+        _r4(p_b).alias("p_b"),
+        _r4((p_a - p_b) / se).alias("z"),
+    )
+
+
+def brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report: Herfindahl–Hirschman index of
+    supplier revenue shares within each part brand. Revenue sums are
+    exact decimals; the share-squared sum folds over the
+    SUPPLIER-SORTED list (the order-pinned double-fold pattern of
+    events_type_drift), so the floating reduction is engine-identical.
+    Two bounded-key aggs (brand×supplier, then brand); the per-brand
+    supplier list is dim-bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    bs = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg((F.sum(rev) * 10000).cast("bigint").alias("r"))
+    )
+    per_brand = bs.groupBy("p_brand").agg(
+        F.sort_array(F.collect_list(F.struct("l_suppkey", "r"))).alias(
+            "rs"
+        ),
+        F.sum("r").alias("tot"),
+        F.count("*").alias("n_suppliers"),
+    )
+    share_sq = lambda t: (
+        t["r"].cast("double") / F.col("tot").cast("double")
+    ) * (t["r"].cast("double") / F.col("tot").cast("double"))
+    return per_brand.select(
+        F.col("p_brand").alias("brand"),
+        "n_suppliers",
+        F.round(
+            F.aggregate("rs", F.lit(0.0), lambda acc, t: acc + share_sq(t)),
+            6,
+        ).alias("hhi"),
+    )
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan per event type: the day where the
+    cumulative deviation of daily counts from the series mean peaks —
+    the standard level-shift detector on traffic series. CUSUM_d =
+    running_count − d·μ needs only an integer running sum and one
+    multiply per day, so the curve is bit-deterministic; the argmax
+    tie-breaks on earliest day. One (type, day) agg + one type-keyed
+    window — daily-rollup-sized data throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    wall = Window.partitionBy("event_type")
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.sum("n").over(wall).alias("n_total"),
+        F.count("*").over(wall).alias("n_days"),
+        F.sum("n").over(w).alias("run"),
+        F.row_number().over(w).alias("idx"),
+    ).withColumn(
+        "cusum",
+        F.col("run").cast("double")
+        - F.col("idx").cast("double")
+        * (F.col("n_total").cast("double") / F.col("n_days").cast("double")),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            _r4(F.col("cusum")).alias("cusum_at_peak"),
+            "n_days",
+            _r4(
+                F.col("n_total").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("mean_daily"),
+        )
+    )

@@ -82,3 +82,39 @@ def test_pagerank_mass_and_floor(spark):
     # mass conservation: floor-rounding loses, ppb rounding-up gains —
     # both bounded by edge-count-scale noise on the 1e12 unit total
     assert abs(total - 1.0e12) < 1.0e6
+
+
+def test_benford_digits_complete_and_consistent(spark):
+    rows = R.orders_benford_digits(spark, SF).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 2e-3  # r4 rounding
+    assert all(r.chi2_term >= 0 for r in rows)
+    # uniform synthetic prices are NOT Benford: digit-1 share far from
+    # the 30.1% law value, which is exactly what the screen should flag
+    d1 = next(r for r in rows if r.digit == 1)
+    assert d1.benford_share == 0.301
+
+
+def test_ab_test_counts_and_symmetry(spark):
+    r = R.events_ab_test(spark, SF).collect()[0]
+    assert r.c_a <= r.n_a and r.c_b <= r.n_b
+    assert 0 < r.p_a < 1 and 0 < r.p_b < 1
+    # hash split on a null-treatment metric: no real effect, |z| small
+    assert abs(r.z) < 5
+
+
+def test_hhi_bounds(spark):
+    rows = R.brand_supplier_hhi(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # HHI ranges from 1/n (even split) to 1 (monopoly)
+        assert 1.0 / r.n_suppliers - 1e-6 <= r.hhi <= 1.0 + 1e-9
+
+
+def test_cusum_peak_dominates(spark):
+    rows = R.events_cusum_changepoint(spark, SF).collect()
+    ev = load_table(spark, SF, "events")
+    types = {r[0] for r in ev.select("event_type").distinct().collect()}
+    assert {r.event_type for r in rows} == types
+    for r in rows:
+        assert r.n_days > 0 and r.mean_daily > 0
