@@ -37,14 +37,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # key) — rows-only queries can never earn a green row, so they live
     # behind the boundary (pinned by tests/test_entry_contract.py).
     #
-    # r5 ROTATION PLAN: swap this window out for (a) the ~25 new
-    # mid-r4 oracle-backed queries sitting right behind the boundary
-    # (semantic_dedup_keep .. docs_ngram_novelty — never driver-
-    # checked, locally green), then (b) the r2-era relational greens
-    # (wire/mon/q3..q17/orders block), then (c) the oldest r3-era
-    # greens — never-checked first, then oldest-evidence first, which
-    # re-certifies every oracle-backed query on post-regen testdata
-    # within two further rounds.
+    # r5 ROTATION PLAN: swap this window out for (a) the ~35 new
+    # mid/late-r4 oracle-backed queries sitting right behind the
+    # boundary (semantic_dedup_keep .. events_cusum_changepoint,
+    # including the late session-window/quantile/basket/graph/stats
+    # batch — never driver-checked, locally green), then (b) the
+    # r2-era relational greens (wire/mon/q3..q17/orders block), then
+    # (c) the oldest r3-era greens — never-checked first, then
+    # oldest-evidence first, which re-certifies every oracle-backed
+    # query on post-regen testdata within two further rounds.
     return {
         # --- r4 fixes/additions: never green before ---
         "ivf_cosine_topk": llm.ivf_cosine_topk,  # no_oracle r3 -> oracle-backed
@@ -164,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": relational.events_ab_test,
         "brand_supplier_hhi": relational.brand_supplier_hhi,
         "events_cusum_changepoint": relational.events_cusum_changepoint,
+        "events_session_paths": relational.events_session_paths,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

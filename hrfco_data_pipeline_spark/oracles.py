@@ -4200,3 +4200,32 @@ RELATIONAL_ORACLES["events_cusum_changepoint"] = """
         AS mean_daily
     FROM pick WHERE rn = 1
     """
+
+
+RELATIONAL_ORACLES["events_session_paths"] = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts, event_type,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), seqs AS (
+      SELECT user_id, session_id,
+        list(event_type ORDER BY ts, event_id) AS seq
+      FROM sess GROUP BY 1, 2
+    ), tris AS (
+      SELECT unnest(CASE WHEN len(seq) >= 3
+        THEN list_transform(range(1, len(seq) - 1),
+             i -> array_to_string(list_slice(seq, i, i + 2), '>'))
+        ELSE []::VARCHAR[] END) AS path
+      FROM seqs
+    )
+    SELECT path, count(*) AS n FROM tris
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """

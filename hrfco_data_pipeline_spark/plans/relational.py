@@ -2800,3 +2800,59 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_daily"),
         )
     )
+
+
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining over sessions: the top-20 three-step event-type
+    journeys (path trigrams) across all 30-minute-gap sessions — the
+    user-journey report behind funnel design (the n-gram face of
+    events_markov_transitions' first-order matrix). Reuses
+    events_sessionize's gap detection; each session's ordered type
+    sequence folds out to overlapping trigrams via codegen'd
+    higher-order functions (no UDFs), and the global count rides one
+    path-keyed aggregate with map-side partials. Per-session arrays
+    are session-length-bounded; ties at the top-k cut break on path
+    text for a deterministic report."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", prev),
+        F.date_trunc("second", F.col("ts")),
+    )
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda t: t["event_type"],
+        ).alias("seq")
+    )
+    n = F.size("seq")
+    tris = seqs.select(
+        F.explode(
+            F.when(
+                n >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), n - 2),
+                    lambda i: F.concat_ws(">", F.slice("seq", i, F.lit(3))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        tris.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

@@ -118,3 +118,12 @@ def test_cusum_peak_dominates(spark):
     assert {r.event_type for r in rows} == types
     for r in rows:
         assert r.n_days > 0 and r.mean_daily > 0
+
+
+def test_session_paths_ranked_and_wellformed(spark):
+    rows = R.events_session_paths(spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    for r in rows:
+        assert len(r.path.split(">")) == 3
