@@ -166,6 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_supplier_hhi": relational.brand_supplier_hhi,
         "events_cusum_changepoint": relational.events_cusum_changepoint,
         "events_session_paths": relational.events_session_paths,
+        "session_survival_curve": relational.session_survival_curve,
+        "orders_open_backlog_curve": relational.orders_open_backlog_curve,
+        "orders_ship_latency_percentiles": (
+            relational.orders_ship_latency_percentiles
+        ),
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -4229,3 +4229,91 @@ RELATIONAL_ORACLES["events_session_paths"] = """
     SELECT path, count(*) AS n FROM tris
     GROUP BY 1 ORDER BY n DESC, path LIMIT 20
     """
+
+
+RELATIONAL_ORACLES["session_survival_curve"] = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), per_sess AS (
+      SELECT user_id, session_id,
+        date_trunc('second', min(ts)) AS t0,
+        date_trunc('second', max(ts)) AS t1
+      FROM sess GROUP BY 1, 2
+    ), g AS (SELECT max(t1) AS gmax FROM per_sess),
+    pu AS (
+      SELECT CAST(date_diff('second', t0, t1) // 60 AS INTEGER) AS t,
+        CASE WHEN date_diff('second', t1, gmax) <= 1800
+             THEN 1 ELSE 0 END AS censored
+      FROM per_sess, g
+    ), life AS (
+      SELECT t, count(*) AS n_ending,
+        CAST(sum(1 - censored) AS BIGINT) AS d
+      FROM pu GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_ending) AS BIGINT) AS total FROM life),
+    life2 AS (
+      SELECT t, n_ending, d,
+        CAST(total - coalesce(sum(n_ending) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_at_risk,
+        row_number() OVER (ORDER BY t) AS rn
+      FROM life, tot
+    ), fa AS (
+      SELECT list(1.0 - CAST(d AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                  ORDER BY t) AS factors
+      FROM life2
+    )
+    SELECT t AS t_minutes, n_at_risk, d AS d_ended,
+      round(list_reduce(list_prepend(1.0,
+            list_slice(factors, 1, rn)), (a, b) -> a * b), 6) AS survival
+    FROM life2, fa
+    """
+
+
+RELATIONAL_ORACLES["orders_open_backlog_curve"] = """
+    WITH close_d AS (
+      SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
+      FROM lineitem GROUP BY 1
+    ), spans AS (
+      SELECT CAST(o_orderdate AS DATE) AS open_day, close_day
+      FROM orders JOIN close_d ON o_orderkey = l_orderkey
+    ), deltas AS (
+      SELECT open_day AS day, 1 AS delta FROM spans
+      UNION ALL
+      SELECT close_day + 1, -1 FROM spans
+    ), daily AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS d
+      FROM deltas GROUP BY 1
+    )
+    SELECT day,
+      CAST(sum(d) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+           AS BIGINT) AS n_open
+    FROM daily
+    """
+
+
+RELATIONAL_ORACLES["orders_ship_latency_percentiles"] = """
+    WITH fs AS (
+      SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS first_ship
+      FROM lineitem GROUP BY 1
+    ), lat AS (
+      SELECT o_orderpriority,
+        CAST(date_diff('day', CAST(o_orderdate AS DATE), first_ship)
+             AS INTEGER) AS days
+      FROM orders JOIN fs ON o_orderkey = l_orderkey
+    )
+    SELECT o_orderpriority, count(*) AS n,
+      median(days) AS med_days,
+      quantile_cont(days, 0.9) AS p90_days,
+      max(days) AS max_days
+    FROM lat GROUP BY 1 ORDER BY 1
+    """

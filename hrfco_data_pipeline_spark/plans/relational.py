@@ -2856,3 +2856,156 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+def session_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve over session durations (whole
+    minutes from first to last event of each 30-minute-gap session),
+    right-censoring sessions whose last event falls within one gap of
+    the stream end (they may still be open) — the survival-analysis
+    family: S(t) = P(session lasts ≥ t minutes). The at-risk/ended
+    counts are exact integers; S(t) = Π(1 − d_i/n_i) folds over the
+    DURATION-SORTED prefix of the life table, so every floating
+    product is order-pinned and engine-identical. The life table is
+    ≤ |distinct durations| rows — report-sized; only the session
+    assignment (one user-keyed window) touches data-sized rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", prev),
+        F.date_trunc("second", F.col("ts")),
+    )
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.date_trunc("second", F.min("ts")).alias("t0"),
+        F.date_trunc("second", F.max("ts")).alias("t1"),
+    )
+    gmax = per_sess.select(F.max("t1").alias("gmax"))
+    pu = per_sess.crossJoin(F.broadcast(gmax)).select(
+        F.expr("timestampdiff(SECOND, t0, t1) div 60")
+        .cast("int")
+        .alias("t"),
+        (F.timestamp_diff("SECOND", F.col("t1"), F.col("gmax")) <= 1800)
+        .cast("long")
+        .alias("censored"),
+    )
+    life = pu.groupBy("t").agg(
+        F.count("*").alias("n_ending"),
+        F.sum(F.lit(1) - F.col("censored")).alias("d"),
+    )
+    one = life.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "n_ending", "d"))
+        ).alias("arr"),
+        F.sum("n_ending").alias("total"),
+    )
+    # n_at_risk(t) = total - Σ n_ending over durations < t (every
+    # session lasting >= t); S(t) folds (1 - d/n) over the sorted
+    # prefix — the life table is report-sized, so the O(rows²)
+    # prefix folds are constant-time
+    ex = one.select(
+        "total", "arr", F.posexplode("arr").alias("pos", "row")
+    )
+    n_at_risk = F.col("total") - F.aggregate(
+        F.slice("arr", F.lit(1), F.col("pos")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["n_ending"],
+    )
+    surv = F.aggregate(
+        F.slice("arr", F.lit(1), F.col("pos") + 1),
+        F.struct(
+            F.lit(1.0).alias("s"), F.lit(0).cast("long").alias("seen")
+        ),
+        lambda acc, x: F.struct(
+            (
+                acc["s"]
+                * (
+                    F.lit(1.0)
+                    - x["d"].cast("double")
+                    / (
+                        F.col("total") - acc["seen"]
+                    ).cast("double")
+                )
+            ).alias("s"),
+            (acc["seen"] + x["n_ending"]).alias("seen"),
+        ),
+    )["s"]
+    return ex.select(
+        F.col("row")["t"].alias("t_minutes"),
+        n_at_risk.alias("n_at_risk"),
+        F.col("row")["d"].alias("d_ended"),
+        F.round(surv, 6).alias("survival"),
+    )
+
+
+def orders_open_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time via the sweep-line pattern: each
+    order contributes +1 at its order date and −1 the day after its
+    last line ships; the daily running sum of deltas IS the number of
+    open orders — interval stabbing without a day×order cross join.
+    The delta table collapses to ≤ |distinct days| rows before the
+    single unpartitioned running-sum window (report-sized by
+    construction, like domain_mix_rates; at extreme spans partition
+    by month and prefix-merge)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    close = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("close_day")
+    )
+    spans = orders.join(
+        close, orders["o_orderkey"] == close["l_orderkey"]
+    ).select(F.to_date("o_orderdate").alias("open_day"), "close_day")
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(
+            F.date_add("close_day", 1).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("d").over(w).alias("n_open")
+    )
+
+
+def orders_ship_latency_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-first-shipment latency percentiles per order priority:
+    exact median/p90 over integer day gaps (the fulfilment SLA
+    report). One fact⋈fact join on orderkey, then a 5-key exact
+    percentile — the sort is per-priority over pre-aggregated
+    latencies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("first_ship")
+    )
+    lat = orders.join(
+        first_ship, orders["o_orderkey"] == first_ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff("first_ship", F.to_date("o_orderdate")).alias("days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.median("days").alias("med_days"),
+            F.percentile("days", F.lit(0.9)).alias("p90_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -127,3 +127,42 @@ def test_session_paths_ranked_and_wellformed(spark):
     assert ns == sorted(ns, reverse=True)
     for r in rows:
         assert len(r.path.split(">")) == 3
+
+
+def test_survival_curve_monotone(spark):
+    rows = sorted(
+        R.session_survival_curve(spark, SF).collect(),
+        key=lambda r: r.t_minutes,
+    )
+    assert len(rows) > 1
+    # S is non-increasing in t; hits exactly 0 only if the final
+    # at-risk group all ends uncensored
+    survs = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))
+    assert survs[0] <= 1.0 and all(s >= 0 for s in survs)
+    # at-risk counts strictly decrease along the life table
+    risks = [r.n_at_risk for r in rows]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+    for r in rows:
+        assert 0 <= r.d_ended <= r.n_at_risk
+
+
+def test_backlog_curve_integrates_to_zero(spark):
+    rows = sorted(
+        R.orders_open_backlog_curve(spark, SF).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows, "no backlog rows"
+    # sweep-line invariant: backlog never negative, ends at zero
+    assert all(r.n_open >= 0 for r in rows)
+    assert rows[-1].n_open == 0
+    assert max(r.n_open for r in rows) > 0
+
+
+def test_ship_latency_percentiles_ordered(spark):
+    rows = R.orders_ship_latency_percentiles(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # synthetic ship dates are independent of order dates, so
+        # negative latencies exist; only the ordering is invariant
+        assert r.med_days <= r.p90_days <= r.max_days
