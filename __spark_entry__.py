@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_ship_latency_percentiles": (
             relational.orders_ship_latency_percentiles
         ),
+        "lineitem_pareto_abc": relational.lineitem_pareto_abc,
+        "customer_rfm_segments": relational.customer_rfm_segments,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

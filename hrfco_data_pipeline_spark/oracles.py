@@ -4317,3 +4317,54 @@ RELATIONAL_ORACLES["orders_ship_latency_percentiles"] = """
       max(days) AS max_days
     FROM lat GROUP BY 1 ORDER BY 1
     """
+
+
+RELATIONAL_ORACLES["lineitem_pareto_abc"] = """
+    WITH pp AS (
+      SELECT l_partkey,
+        CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+             * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+             * 10000 AS BIGINT) AS r
+      FROM lineitem GROUP BY 1
+    ), rk AS (
+      SELECT l_partkey, r,
+        CAST(sum(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        CAST(sum(r) OVER () AS BIGINT) AS total
+      FROM pp
+    )
+    SELECT CASE WHEN CAST(cum AS DOUBLE) <= 0.80 * CAST(total AS DOUBLE)
+                THEN 'A'
+                WHEN CAST(cum AS DOUBLE) <= 0.95 * CAST(total AS DOUBLE)
+                THEN 'B' ELSE 'C' END AS abc,
+      count(*) AS n_parts,
+      round(CAST(sum(r) AS DOUBLE) / CAST(max(total) AS DOUBLE), 4)
+        AS revenue_share
+    FROM rk GROUP BY 1
+    """
+
+
+RELATIONAL_ORACLES["customer_rfm_segments"] = """
+    WITH g AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax FROM orders),
+    pc AS (
+      SELECT o_custkey,
+        CAST(min(date_diff('day', CAST(o_orderdate AS DATE), gmax))
+             AS INTEGER) AS recency_days,
+        count(*) AS n_orders,
+        CAST(sum(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2)))
+             * 100 AS BIGINT) AS spend_cents
+      FROM orders, g GROUP BY o_custkey
+    ), sc AS (
+      SELECT
+        CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey)
+             AS INTEGER) AS r_quartile,
+        CAST(ntile(4) OVER (ORDER BY n_orders DESC, o_custkey)
+             AS INTEGER) AS f_quartile,
+        CAST(ntile(4) OVER (ORDER BY spend_cents DESC, o_custkey)
+             AS INTEGER) AS m_quartile
+      FROM pc
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+      count(*) AS n_customers
+    FROM sc GROUP BY 1, 2, 3
+    """

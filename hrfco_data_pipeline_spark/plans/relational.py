@@ -3009,3 +3009,98 @@ def orders_ship_latency_percentiles(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory classification: parts ranked by exact
+    revenue; class A = parts inside the first 80% of cumulative
+    revenue, B to 95%, C the tail — the 80/20 concentration report.
+    Revenue is integer-exact (decimal cents), the cumulative window
+    runs over the part-cardinality table (dim-sized by definition),
+    and class boundaries compare an exact integer cumsum against
+    threshold×total — one deterministic comparison per part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(rev) * 10000).cast("bigint").alias("r")
+    )
+    w = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = per_part.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(w).alias("cum"),
+        F.sum("r").over(wall).alias("total"),
+    )
+    cls = (
+        F.when(
+            F.col("cum").cast("double")
+            <= F.lit(0.80) * F.col("total").cast("double"),
+            "A",
+        )
+        .when(
+            F.col("cum").cast("double")
+            <= F.lit(0.95) * F.col("total").cast("double"),
+            "B",
+        )
+        .otherwise("C")
+    )
+    return (
+        ranked.withColumn("abc", cls)
+        .groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            _r4(
+                F.sum("r").cast("double")
+                / F.max("total").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+
+
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers scored into quartiles on Recency
+    (days since last order), Frequency (order count), and Monetary
+    (exact lifetime spend), then counted per (r,f,m) cell — the
+    standard CRM segmentation grid. ntile(4) is deterministic under a
+    total order (metric, custkey tie-break); all three metrics are
+    integer-exact, so the quartile cuts are engine-identical. One
+    customer-keyed aggregate + three dim-sized window passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    gmax = orders.select(
+        F.max(F.to_date("o_orderdate")).alias("gmax")
+    )
+    per_cust = (
+        orders.crossJoin(F.broadcast(gmax))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.datediff("gmax", F.to_date("o_orderdate"))
+            ).alias("recency_days"),
+            F.count("*").alias("n_orders"),
+            (F.sum(_dec("o_totalprice")) * 100)
+            .cast("bigint")
+            .alias("spend_cents"),
+        )
+    )
+    r_q = F.ntile(4).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    )
+    f_q = F.ntile(4).over(
+        Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    )
+    m_q = F.ntile(4).over(
+        Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
+    )
+    scored = per_cust.select(
+        r_q.alias("r_quartile"),
+        f_q.alias("f_quartile"),
+        m_q.alias("m_quartile"),
+    )
+    return scored.groupBy(
+        "r_quartile", "f_quartile", "m_quartile"
+    ).agg(F.count("*").alias("n_customers"))

@@ -166,3 +166,24 @@ def test_ship_latency_percentiles_ordered(spark):
         # synthetic ship dates are independent of order dates, so
         # negative latencies exist; only the ordering is invariant
         assert r.med_days <= r.p90_days <= r.max_days
+
+
+def test_pareto_abc_partitions_revenue(spark):
+    rows = {r.abc: r for r in R.lineitem_pareto_abc(spark, SF).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    # shares partition the total and A dominates by construction
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-3
+    assert rows["A"].revenue_share >= rows["B"].revenue_share
+    part = load_table(spark, SF, "part").count()
+    assert sum(r.n_parts for r in rows.values()) <= part
+
+
+def test_rfm_segments_cover_all_customers(spark):
+    rows = R.customer_rfm_segments(spark, SF).collect()
+    orders = load_table(spark, SF, "orders")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_quartile <= 4
+        assert 1 <= r.f_quartile <= 4
+        assert 1 <= r.m_quartile <= 4
