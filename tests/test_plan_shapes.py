@@ -137,3 +137,45 @@ def test_token_budget_single_ranking_window(spark):
     # one global window (documented small-scale form); no extra sort
     # beyond the window's own
     assert "CartesianProduct" not in s
+
+
+def test_session_window_single_user_shuffle(spark):
+    s = _plan(relational.events_session_window_agg(spark, SF))
+    # the native session-window agg shuffles once on user_id and
+    # merges sessions inside the aggregate — no second data exchange
+    stripped = s.replace("BroadcastExchange", "").replace(
+        "Exchange RoundRobinPartitioning", ""
+    )
+    assert stripped.count("Exchange hashpartitioning") == 1
+
+
+def test_histogram_quantiles_partial_aggs(spark):
+    s = _plan(relational.events_histogram_quantiles(spark, SF))
+    # the daily rollup and its merge must both partial-aggregate
+    # map-side — bin keys only ever shuffle as aggregate states
+    assert "partial_" in s.lower() or "HashAggregate" in s
+    # crossing pick happens on the merged ≤512-row table: the scan of
+    # raw events appears exactly once per explode-free branch
+    assert s.count("Scan parquet") <= 2
+
+
+def test_pagerank_materialized_iterations(spark):
+    # the promoted form cuts lineage per iteration: the final plan
+    # must NOT contain the full upstream join tree 5× (that's the
+    # exponential-lazy-plan failure measured in PLANS.md history)
+    df = relational.nation_trade_pagerank(spark, SF)
+    s = _plan(df)
+    assert s.count("Scan parquet") <= 2  # leaf rank table, not 5 rebuilds
+
+
+def test_backlog_curve_report_sized_window(spark):
+    s = _plan(relational.orders_open_backlog_curve(spark, SF))
+    # the running sum rides the post-aggregate delta table: exactly
+    # one Window node, fed by an aggregate, not by raw facts
+    assert s.count("Window") == 1
+
+
+def test_triangles_no_cartesian(spark):
+    s = _plan(relational.copurchase_triangles(spark, SF, materialize=False))
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
