@@ -419,3 +419,43 @@ def rise_forecast_stream(classified_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def histogram_rollup_stream(
+    events_stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Streaming face of the mergeable histogram quantile rollup
+    (plans/relational.events_histogram_quantiles): maintain the
+    per (event_type, day, bucket) integer bin counts as a watermarked
+    event-time aggregation. Closed windows emit finalized partials
+    (append mode) — exactly the stored-rollup rows the batch face
+    merges and interpolates, so the stream keeps the rollup current
+    and batch answers quantiles without rescanning raw events. State
+    is bounded by types × open-days × 512 bins, evicted at the
+    watermark.
+
+    Watermarks require an LTZ event time, so the NTZ wall clock is
+    cast through the session timezone; day boundaries therefore
+    follow the session timezone — consumers comparing against the
+    batch face must extract days through the same cast (see
+    tests/test_histogram_stream.py)."""
+    bucket = F.least(F.floor("value").cast("int"), F.lit(511))
+    return (
+        events_stream.filter(
+            F.col("value").isNotNull() & (F.col("value") >= 0)
+        )
+        .withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_ltz", watermark)
+        .groupBy(
+            "event_type",
+            F.window("ts_ltz", "1 day").alias("w"),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.to_date(F.col("w.start")).alias("day"),
+            "bucket",
+            "n",
+        )
+    )
