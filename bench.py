@@ -58,6 +58,9 @@ HEADLINE = [
     "semantic_dedup_keep",
     "docs_dsir_weights",
     "docs_leakage_safe_split",
+    # late-round additions: iterative graph + native session windows
+    "nation_trade_pagerank",
+    "events_session_window_agg",
 ]
 
 

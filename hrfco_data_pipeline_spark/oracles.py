@@ -4368,3 +4368,36 @@ RELATIONAL_ORACLES["customer_rfm_segments"] = """
       count(*) AS n_customers
     FROM sc GROUP BY 1, 2, 3
     """
+
+
+LLM_ORACLES["docs_contamination_report"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, len(toks) - 1)])
+        ELSE [] END AS sh
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), ev AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_shingles,
+        CAST(sum(CASE WHEN s IN (SELECT s FROM ev) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_overlap
+      FROM ex WHERE doc_id % 97 <> 0 GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+      round(CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE), 4)
+        AS overlap_frac,
+      CASE WHEN CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                >= 0.5 THEN 'high'
+           WHEN CAST(n_overlap AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                >= 0.1 THEN 'medium'
+           ELSE 'low' END AS severity
+    FROM per_doc WHERE n_overlap > 0
+    """

@@ -2736,3 +2736,60 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+def docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination severity report (the GPT-3/PaLM-appendix metric
+    behind docs_decontaminate's binary flag): for each contaminated
+    training doc, the FRACTION of its distinct 3-token shingles found
+    in the eval set, banded into clean-up severities. Same scale shape
+    as the flag pass — the corpus is tokenized once, the tiny eval
+    shingle set broadcasts into a map-side probe (left join + flag
+    instead of semi, so the miss rows still count toward the
+    denominator), and one doc-keyed aggregate closes it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    shingles = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice("toks", i, F.lit(3)))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = toks.select("doc_id", F.explode(shingles).alias("s"))
+    eval_sh = (
+        ex.filter(F.col("doc_id") % 97 == 0)
+        .select("s")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = ex.filter(F.col("doc_id") % 97 != 0)
+    per_doc = (
+        train.join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .filter(F.col("n_overlap") > 0)
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_shingles").cast(
+        "double"
+    )
+    severity = (
+        F.when(frac >= 0.5, "high")
+        .when(frac >= 0.1, "medium")
+        .otherwise("low")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(frac, 4).alias("overlap_frac"),
+        severity.alias("severity"),
+    )

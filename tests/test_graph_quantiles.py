@@ -187,3 +187,17 @@ def test_rfm_segments_cover_all_customers(spark):
         assert 1 <= r.r_quartile <= 4
         assert 1 <= r.f_quartile <= 4
         assert 1 <= r.m_quartile <= 4
+
+
+def test_contamination_report_consistent_with_flag(spark):
+    from hrfco_data_pipeline_spark.plans import llm
+
+    report = llm.docs_contamination_report(spark, SF)
+    flagged = llm.docs_decontaminate(spark, SF)
+    r_ids = {r.doc_id for r in report.collect()}
+    f_ids = {r.doc_id for r in flagged.collect()}
+    # the severity report covers exactly the docs the binary flag finds
+    assert r_ids == f_ids
+    for r in report.collect():
+        assert 0 < r.n_overlap <= r.n_shingles
+        assert 0 < r.overlap_frac <= 1
