@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pareto_abc": relational.lineitem_pareto_abc,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "docs_contamination_report": llm.docs_contamination_report,
+        "sessions_ordered_funnel": relational.sessions_ordered_funnel,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

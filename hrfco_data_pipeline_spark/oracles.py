@@ -4401,3 +4401,35 @@ LLM_ORACLES["docs_contamination_report"] = r"""
            ELSE 'low' END AS severity
     FROM per_doc WHERE n_overlap > 0
     """
+
+
+RELATIONAL_ORACLES["sessions_ordered_funnel"] = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, ts, event_type,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ), seqs AS (
+      SELECT user_id, session_id,
+        list(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+             WHEN 'purchase' THEN 3 ELSE 0 END
+             ORDER BY ts, event_id) AS mapped
+      FROM sess GROUP BY 1, 2
+    ), staged AS (
+      SELECT CAST(list_reduce(list_prepend(0, mapped),
+        (acc, x) -> CASE WHEN acc = 0 AND x = 1 THEN 1
+                         WHEN acc = 1 AND x = 2 THEN 2
+                         WHEN acc = 2 AND x = 3 THEN 3
+                         ELSE acc END) AS INTEGER) AS funnel_stage
+      FROM seqs
+    )
+    SELECT funnel_stage, count(*) AS n_sessions
+    FROM staged GROUP BY 1
+    """

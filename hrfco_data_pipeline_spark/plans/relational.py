@@ -3104,3 +3104,58 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(
         "r_quartile", "f_quartile", "m_quartile"
     ).agg(F.count("*").alias("n_customers"))
+
+
+def sessions_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order in-session funnel (the complex-event-processing
+    shape): how far each 30-minute session progresses through
+    signup → view → purchase AS AN ORDERED SUBSEQUENCE (a purchase
+    before the signup does not count), counted per depth reached.
+    The state machine is a codegen'd integer fold over each session's
+    ordered type sequence — no UDF, no self-joins over event pairs;
+    one user-keyed window + one 4-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", prev),
+        F.date_trunc("second", F.col("ts")),
+    )
+    flagged = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    seqs = sess.groupBy("user_id", "session_id").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda t: t["event_type"],
+        ).alias("seq")
+    )
+    mapped = F.transform(
+        "seq",
+        lambda x: F.when(x == "signup", 1)
+        .when(x == "view", 2)
+        .when(x == "purchase", 3)
+        .otherwise(0),
+    )
+    stage = F.aggregate(
+        mapped,
+        F.lit(0),
+        lambda acc, x: F.when((acc == 0) & (x == 1), 1)
+        .when((acc == 1) & (x == 2), 2)
+        .when((acc == 2) & (x == 3), 3)
+        .otherwise(acc),
+    )
+    return (
+        seqs.select(stage.alias("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(F.count("*").alias("n_sessions"))
+    )

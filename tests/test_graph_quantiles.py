@@ -201,3 +201,14 @@ def test_contamination_report_consistent_with_flag(spark):
     for r in report.collect():
         assert 0 < r.n_overlap <= r.n_shingles
         assert 0 < r.overlap_frac <= 1
+
+
+def test_ordered_funnel_counts_sessions(spark):
+    rows = {
+        r.funnel_stage: r.n_sessions
+        for r in R.sessions_ordered_funnel(spark, SF).collect()
+    }
+    assert set(rows) <= {0, 1, 2, 3}
+    # every session lands in exactly one stage
+    sw = R.events_session_window_agg(spark, SF)
+    assert sum(rows.values()) == sw.count()
