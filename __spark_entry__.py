@@ -175,6 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": relational.customer_rfm_segments,
         "docs_contamination_report": llm.docs_contamination_report,
         "sessions_ordered_funnel": relational.sessions_ordered_funnel,
+        "events_type_correlations": relational.events_type_correlations,
+        "events_median_bisect": relational.events_median_bisect,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -4433,3 +4433,44 @@ RELATIONAL_ORACLES["sessions_ordered_funnel"] = """
     SELECT funnel_stage, count(*) AS n_sessions
     FROM staged GROUP BY 1
     """
+
+
+RELATIONAL_ORACLES["events_type_correlations"] = """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS type_x, b.event_type AS type_y,
+        count(*) AS n_days,
+        CAST(sum(a.n) AS BIGINT) AS sx,
+        CAST(sum(b.n) AS BIGINT) AS sy,
+        CAST(sum(a.n * b.n) AS BIGINT) AS sxy,
+        CAST(sum(a.n * a.n) AS BIGINT) AS sxx,
+        CAST(sum(b.n * b.n) AS BIGINT) AS syy
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_x, type_y, n_days,
+      round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        AS pearson_r
+    FROM pairs
+    """
+
+
+# the bisection result is the mean of the two middle ELEMENTS; DuckDB's
+# interpolated quantile_cont computes x1+(x2-x1)*0.5 — equal to
+# (x1+x2)/2 within 1 ulp, and identical after the 4-decimal rounding
+# because 2-decimal inputs put midpoints at 3 decimals, never on a
+# round-to-4 boundary.
+RELATIONAL_ORACLES["events_median_bisect"] = """
+    SELECT event_type, count(*) AS n,
+      round(median(value), 4) AS med
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """

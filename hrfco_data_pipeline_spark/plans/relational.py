@@ -3159,3 +3159,130 @@ def sessions_ordered_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_stage")
         .agg(F.count("*").alias("n_sessions"))
     )
+
+
+def events_type_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix between event-type daily-count
+    series — do error spikes co-move with traffic? All five moment
+    sums (Σx, Σy, Σxy, Σx², Σy²) are exact integers over the daily
+    rollup; r derives through a fixed sequence of double ops and one
+    correctly-rounded sqrt, so the matrix is bit-portable. Shape: one
+    (day, type) agg, a day-keyed self-join bounded by |types|² pairs
+    per day, and a pair-keyed integer-sum aggregate — daily-rollup
+    data sizes throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_x"),
+            F.col("b.event_type").alias("type_y"),
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("a.n").alias("sx"),
+            F.sum("b.n").alias("sy"),
+            F.sum(F.col("a.n") * F.col("b.n")).alias("sxy"),
+            F.sum(F.col("a.n") * F.col("a.n")).alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).alias("syy"),
+        )
+    )
+    nd = F.col("n_days").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return pairs.select(
+        "type_x",
+        "type_y",
+        "n_days",
+        _r4(num / den).alias("pearson_r"),
+    )
+
+
+def events_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type median WITHOUT any sort: binary search over the
+    integer cents domain, one conditional-counting pass per step —
+    the 100 TB exact-quantile pattern. Each pass is a map-side
+    partial count (`cents <= mid`), so ⌈log₂|domain|⌉ ≈ 16 cheap
+    scans replace a global sort / single-partition percentile; the
+    driver holds only |types|×2 search intervals. For even n the
+    median is the mean of the two middle elements, both found by the
+    same bisection on ranks ⌈n/2⌉ and ⌈(n+1)/2⌉. Values are exactly
+    2-decimal (cents round-trip bit-perfectly), so the result equals
+    the sort-based median to the 4-decimal output rounding."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    bounds = {
+        r["event_type"]: (r["n"], r["lo"], r["hi"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        )
+        .collect()  # bounded: one row per event type
+    }
+    # state per (type, which-middle): lo/hi interval and target rank
+    state = {}
+    for t, (n, lo, hi) in bounds.items():
+        state[(t, 1)] = [lo, hi, (n + 1) // 2]
+        state[(t, 2)] = [lo, hi, (n + 2) // 2]
+    while any(lo < hi for lo, hi, _ in state.values()):
+        mids = [
+            (t, w, (s[0] + s[1]) // 2)
+            for (t, w), s in state.items()
+            if s[0] < s[1]
+        ]
+        mdf = spark.createDataFrame(mids, "event_type string, w int, mid long")
+        cnt = {
+            (r["event_type"], r["w"]): r["c"]
+            for r in ev.join(F.broadcast(mdf), "event_type")
+            .groupBy("event_type", "w", "mid")
+            .agg(
+                F.sum((F.col("cents") <= F.col("mid")).cast("long")).alias(
+                    "c"
+                )
+            )
+            .collect()  # bounded: |types|×2 rows per pass
+        }
+        for t, w, mid in mids:
+            s = state[(t, w)]
+            if cnt[(t, w)] >= s[2]:
+                s[1] = mid
+            else:
+                s[0] = mid + 1
+    rows = [
+        (
+            t,
+            bounds[t][0],
+            (state[(t, 1)][0] + state[(t, 2)][0]) / 2.0 / 100.0,
+        )
+        for t in bounds
+    ]
+    out = spark.createDataFrame(rows, "event_type string, n long, med double")
+    return out.select("event_type", "n", _r4(F.col("med")).alias("med"))

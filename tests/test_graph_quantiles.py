@@ -212,3 +212,26 @@ def test_ordered_funnel_counts_sessions(spark):
     # every session lands in exactly one stage
     sw = R.events_session_window_agg(spark, SF)
     assert sum(rows.values()) == sw.count()
+
+
+def test_correlations_bounded_and_symmetric_pairs(spark):
+    rows = R.events_type_correlations(spark, SF).collect()
+    assert len(rows) == 10  # C(5,2) unordered type pairs
+    for r in rows:
+        assert r.type_x < r.type_y
+        assert -1.0 - 1e-9 <= r.pearson_r <= 1.0 + 1e-9
+
+
+def test_median_bisect_equals_sort_median(spark):
+    got = {
+        r.event_type: r.med
+        for r in R.events_median_bisect(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    want = {
+        r.event_type: round(r.m, 4)
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    assert got == want
