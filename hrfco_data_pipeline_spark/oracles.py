@@ -4474,3 +4474,62 @@ RELATIONAL_ORACLES["events_median_bisect"] = """
     FROM events WHERE value IS NOT NULL
     GROUP BY 1
     """
+
+
+LLM_ORACLES["corpus_quality_scorecard"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), vol AS (
+      SELECT count(*) AS n_docs,
+        count(DISTINCT text) AS n_distinct_texts,
+        count(DISTINCT lang) AS n_langs
+      FROM documents
+    ), tk AS (
+      SELECT CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM tok
+    ), stats AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        CAST(len(list_filter(toks,
+             x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
+          / len(toks) AS stopword_ratio
+      FROM tok
+    ), q10s AS (
+      SELECT CAST(round(
+        (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+              THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN ttr >= 0.3 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5
+                THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) * 10)
+        AS BIGINT) AS q10
+      FROM stats
+    ), qual AS (
+      SELECT CAST(sum(q10) AS BIGINT) AS q10_sum,
+        CAST(sum(CASE WHEN q10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_keep
+      FROM q10s
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_distinct([array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, len(toks) - 1)])
+        ELSE [] END AS sh
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh
+    ), ev AS (
+      SELECT DISTINCT s FROM ex WHERE doc_id % 97 = 0
+    ), contam AS (
+      SELECT count(DISTINCT doc_id) AS n_contaminated
+      FROM ex WHERE doc_id % 97 <> 0 AND s IN (SELECT s FROM ev)
+    )
+    SELECT n_docs, n_tokens, n_langs,
+      round(CAST(n_docs - n_distinct_texts AS DOUBLE)
+            / CAST(n_docs AS DOUBLE), 4) AS exact_dup_share,
+      n_contaminated,
+      round(CAST(q10_sum AS DOUBLE) / 10.0
+            / CAST(n_docs AS DOUBLE), 4) AS mean_quality,
+      round(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        AS keep_rate
+    FROM vol, tk, qual, contam
+    """

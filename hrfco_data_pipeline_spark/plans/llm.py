@@ -2793,3 +2793,68 @@ def docs_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 4).alias("overlap_frac"),
         severity.alias("severity"),
     )
+
+
+def corpus_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus health scorecard a data-curation run
+    publishes: volume (docs, tokens), duplication (exact-text dup
+    share), contamination (eval 3-gram overlap count), quality (mean
+    heuristic score + keep-rate at the 0.7 gate), and language
+    spread. Every number reduces to exact integer counts (the mean
+    quality rides deci-unit integers, so no float-sum order
+    dependence); each sub-metric is a bounded aggregate and the
+    five 1-row legs cross-join broadcast-style."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    vol = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    tok = toks.agg(F.sum(F.size("toks")).alias("n_tokens"))
+    q = quality_score_expr(F.col("toks"))
+    qual = toks.select(
+        F.round(q * 10).cast("long").alias("q10")
+    ).agg(
+        F.sum("q10").alias("q10_sum"),
+        F.sum((F.col("q10") >= 7).cast("long")).alias("n_keep"),
+    )
+    n = F.size("toks")
+    shingles = F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice("toks", i, F.lit(3)))
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = toks.select("doc_id", F.explode(shingles).alias("s"))
+    eval_sh = (
+        ex.filter(F.col("doc_id") % 97 == 0).select("s").distinct()
+    )
+    contam = (
+        ex.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .agg(F.countDistinct("doc_id").alias("n_contaminated"))
+    )
+    card = (
+        vol.crossJoin(tok).crossJoin(qual).crossJoin(contam)
+    )
+    nd = F.col("n_docs").cast("double")
+    return card.select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        _r4(
+            (F.col("n_docs") - F.col("n_distinct_texts")).cast("double")
+            / nd
+        ).alias("exact_dup_share"),
+        "n_contaminated",
+        _r4(F.col("q10_sum").cast("double") / F.lit(10.0) / nd).alias(
+            "mean_quality"
+        ),
+        _r4(F.col("n_keep").cast("double") / nd).alias("keep_rate"),
+    )

@@ -235,3 +235,15 @@ def test_median_bisect_equals_sort_median(spark):
         .collect()
     }
     assert got == want
+
+
+def test_scorecard_consistent_with_components(spark):
+    from hrfco_data_pipeline_spark.plans import llm
+
+    card = llm.corpus_quality_scorecard(spark, SF).collect()[0]
+    docs = load_table(spark, SF, "documents")
+    assert card.n_docs == docs.count()
+    assert card.n_contaminated == llm.docs_decontaminate(spark, SF).count()
+    assert 0 <= card.exact_dup_share < 1
+    assert 0 <= card.keep_rate <= 1
+    assert 0 <= card.mean_quality <= 1
