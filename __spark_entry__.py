@@ -178,6 +178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_correlations": relational.events_type_correlations,
         "events_median_bisect": relational.events_median_bisect,
         "corpus_quality_scorecard": llm.corpus_quality_scorecard,
+        "copurchase_label_propagation": (
+            relational.copurchase_label_propagation
+        ),
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -4533,3 +4533,40 @@ LLM_ORACLES["corpus_quality_scorecard"] = r"""
         AS keep_rate
     FROM vol, tk, qual, contam
     """
+
+
+def _label_prop_sql(rounds: int = 3) -> str:
+    """Unrolled deterministic label-propagation twin (most-frequent
+    neighbour label, smallest-label tie-break; see
+    plans/relational.copurchase_label_propagation)."""
+    parts = ["""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), adj AS (
+      SELECT u, v FROM half UNION ALL SELECT v, u FROM half
+    ), l0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM adj
+    )"""]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    l{i} AS (
+      SELECT node, label FROM (
+        SELECT adj.u AS node, l{i - 1}.label, count(*) AS cnt,
+          row_number() OVER (PARTITION BY adj.u
+            ORDER BY count(*) DESC, l{i - 1}.label ASC) AS rn
+        FROM adj JOIN l{i - 1} ON adj.v = l{i - 1}.node
+        GROUP BY adj.u, l{i - 1}.label
+      ) WHERE rn = 1
+    )""")
+    parts.append(f"""
+    SELECT label, count(*) AS community_size
+    FROM l{rounds} GROUP BY 1 HAVING count(*) > 1
+    """)
+    return "".join(parts)
+
+
+RELATIONAL_ORACLES["copurchase_label_propagation"] = _label_prop_sql()

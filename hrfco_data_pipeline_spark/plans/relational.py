@@ -3286,3 +3286,66 @@ def events_median_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = spark.createDataFrame(rows, "event_type string, n long, med double")
     return out.select("event_type", "n", _r4(F.col("med")).alias("med"))
+
+
+def copurchase_label_propagation(
+    spark: SparkSession, sf_dir: str, rounds: int = 3
+) -> DataFrame:
+    """Community detection by synchronous label propagation on the
+    part co-purchase graph (edges = pairs co-ordered ≥2 times): each
+    round every node adopts its neighbours' MOST FREQUENT label,
+    ties broken by smallest label — fully deterministic, unlike the
+    classic randomized-order LPA, so the fixed 3-round result is
+    engine-reproducible. Per round: one edge⋈labels join, one
+    (node, label) count, one deterministic argmax window — the same
+    bounded iteration shape as connected components, with lineage
+    cut per round. Output: per-community sizes (communities = label
+    fixpoints after 3 rounds)."""
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+    # undirected adjacency: both directions
+    adj = _materialized(
+        half.unionAll(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    labels = adj.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    pick = Window.partitionBy("node").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nbr = (
+            adj.join(labels, adj["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = _materialized(
+            nbr.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("community_size"))
+        .filter(F.col("community_size") > 1)
+    )

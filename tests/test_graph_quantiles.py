@@ -247,3 +247,10 @@ def test_scorecard_consistent_with_components(spark):
     assert 0 <= card.exact_dup_share < 1
     assert 0 <= card.keep_rate <= 1
     assert 0 <= card.mean_quality <= 1
+
+
+def test_label_propagation_communities(spark):
+    rows = R.copurchase_label_propagation(spark, SF).collect()
+    assert rows, "no communities found"
+    for r in rows:
+        assert r.community_size > 1
