@@ -18,6 +18,85 @@ from pyspark.sql import functions as F
 
 from hrfco_data_pipeline_spark.sources.synthetic import synthetic_observations
 
+
+def publish_stage(stage: str, build) -> None:
+    """Atomic content-addressed directory publish, safe under
+    concurrent publishers (threads OR processes): build into a
+    caller-private tmp dir, write a name→size manifest, then publish
+    rename-FIRST — an existing stage that re-verifies valid is never
+    deleted (a reader could already hold a plan over its part files);
+    only a blocker that fails manifest verification is atomically
+    moved aside and the publish retried. ``build(tmp_dir)`` must
+    create the payload files inside ``tmp_dir``. On the (bounded)
+    pathological interleaving where every retry loses a move-aside
+    race, the valid tmp dir is kept on disk for manual recovery and
+    a RuntimeError names it."""
+    import json
+    import os
+    import shutil
+    import threading
+
+    manifest = os.path.join(stage, ".hrfco_manifest.json")
+
+    def _stage_valid() -> bool:
+        try:
+            with open(manifest, encoding="utf-8") as fh:
+                want = json.load(fh)
+            return bool(want) and all(
+                os.path.getsize(os.path.join(stage, name)) == size
+                for name, size in want.items()
+            )
+        except (OSError, ValueError):
+            return False
+
+    if _stage_valid():
+        return
+    # tmp identity includes the THREAD id: a pid-only suffix collides
+    # when a multi-threaded driver races itself
+    tmp = f"{stage}.tmp.{os.getpid()}.{threading.get_ident()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    parts = {
+        name: os.path.getsize(os.path.join(tmp, name))
+        for name in os.listdir(tmp)
+        if not name.startswith(("_", "."))
+    }
+    with open(
+        os.path.join(tmp, ".hrfco_manifest.json"), "w", encoding="utf-8"
+    ) as fh:
+        json.dump(parts, fh)
+    for attempt in (1, 2):
+        try:
+            os.rename(tmp, stage)
+            break
+        except OSError:
+            if _stage_valid():  # lost the race to a good publish
+                shutil.rmtree(tmp, ignore_errors=True)
+                break
+            grave = (
+                f"{stage}.stale.{os.getpid()}"
+                f".{threading.get_ident()}.{attempt}"
+            )
+            try:
+                os.rename(stage, grave)  # atomic move-aside
+            except OSError:
+                continue  # another publisher moved it — retry
+            shutil.rmtree(grave, ignore_errors=True)
+    else:
+        # both attempts lost a move-aside race (the blocker's stage was
+        # momentarily absent mid-rename) — one more rename very likely
+        # lands; if not, keep the valid tmp for manual recovery
+        try:
+            os.rename(tmp, stage)
+        except OSError:
+            if _stage_valid():
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                raise RuntimeError(
+                    f"could not publish wire stage {stage}; "
+                    f"built stage left at {tmp}"
+                ) from None
+
 WIRE_SCHEMA = (
     "wlobscd string, ymdhm string, wl string, fw string, _corrupt string"
 )
@@ -152,9 +231,7 @@ def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     truncation rule.
     """
     import hashlib
-    import json
     import os
-    import shutil
 
     from hrfco_data_pipeline_spark.sources.wire_datasource import register
 
@@ -172,66 +249,15 @@ def wire_connector_station_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         f"{os.path.realpath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:12]
     stage = f"/tmp/hrfco_wire_stage_{key}"
-    manifest = os.path.join(stage, ".hrfco_manifest.json")
 
-    def _stage_valid() -> bool:
-        try:
-            with open(manifest, encoding="utf-8") as fh:
-                want = json.load(fh)
-            return bool(want) and all(
-                os.path.getsize(os.path.join(stage, name)) == size
-                for name, size in want.items()
-            )
-        except (OSError, ValueError):
-            return False
-
-    if not _stage_valid():
-        tmp = f"{stage}.tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+    def _build(tmp: str) -> None:
         synthetic_wire(spark, sf_dir).select("value").coalesce(4).write.mode(
             "overwrite"
         ).text(tmp)
-        parts = {
-            name: os.path.getsize(os.path.join(tmp, name))
-            for name in os.listdir(tmp)
-            if not name.startswith(("_", "."))
-        }
-        with open(os.path.join(tmp, ".hrfco_manifest.json"), "w", encoding="utf-8") as fh:
-            json.dump(parts, fh)
-        # publish rename-FIRST: never delete an existing stage that might
-        # have just been validly published by a concurrent run (a reader
-        # could already hold a plan over its part files). Only when the
-        # rename is blocked AND the blocker re-verifies as invalid is the
-        # stale dir atomically moved aside and the publish retried.
-        for attempt in (1, 2):
-            try:
-                os.rename(tmp, stage)
-                break
-            except OSError:
-                if _stage_valid():  # lost the race to a good publish
-                    shutil.rmtree(tmp, ignore_errors=True)
-                    break
-                grave = f"{stage}.stale.{os.getpid()}.{attempt}"
-                try:
-                    os.rename(stage, grave)  # atomic move-aside
-                except OSError:
-                    continue  # another process moved it — retry publish
-                shutil.rmtree(grave, ignore_errors=True)
-        else:
-            # Both attempts lost a move-aside race (the blocker's stage
-            # was momentarily absent mid-rename). One more rename very
-            # likely lands; if not, keep the valid tmp on disk for
-            # manual recovery instead of destroying the built stage.
-            try:
-                os.rename(tmp, stage)
-            except OSError:
-                if _stage_valid():
-                    shutil.rmtree(tmp, ignore_errors=True)
-                else:
-                    raise RuntimeError(
-                        f"could not publish wire stage {stage}; "
-                        f"built stage left at {tmp}"
-                    ) from None
+
+    # rename-first / verify-blocker / move-aside-retry protocol,
+    # shared with the concurrency stress test (publish_stage)
+    publish_stage(stage, _build)
     register(spark)
     df = spark.read.format("hrfco_wire").load(stage)
     return (
