@@ -181,6 +181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_label_propagation": (
             relational.copurchase_label_propagation
         ),
+        "events_autocorrelation": relational.events_autocorrelation,
+        "docs_containment_pairs": llm.docs_containment_pairs,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -4570,3 +4570,61 @@ def _label_prop_sql(rounds: int = 3) -> str:
 
 
 RELATIONAL_ORACLES["copurchase_label_propagation"] = _label_prop_sql()
+
+
+RELATIONAL_ORACLES["events_autocorrelation"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT a.event_type, k.k, a.n AS x, b.n AS y
+      FROM daily a
+      CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7)) k(k)
+      JOIN daily b ON b.event_type = a.event_type
+        AND b.day = a.day + CAST(k.k AS INTEGER)
+    ), m AS (
+      SELECT event_type, k, count(*) AS n_pairs,
+        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        CAST(sum(x * y) AS BIGINT) AS sxy,
+        CAST(sum(x * x) AS BIGINT) AS sxx,
+        CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged GROUP BY 1, 2
+    )
+    SELECT event_type, k, n_pairs,
+      round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
+        AS acf_r
+    FROM m
+    """
+
+
+LLM_ORACLES["docs_containment_pairs"] = _TOK_CTE + """
+    , sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, common,
+      CAST(na AS INTEGER) AS na, CAST(nb AS INTEGER) AS nb,
+      round(CAST(common AS DOUBLE) / least(na, nb), 4) AS containment
+    FROM pairs
+    WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.8
+    """

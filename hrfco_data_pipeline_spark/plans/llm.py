@@ -2858,3 +2858,64 @@ def corpus_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         _r4(F.col("n_keep").cast("double") / nd).alias("keep_rate"),
     )
+
+
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT
+    (|A∩B| / min(|A|,|B|) ≥ 0.8): catches quotation/subset
+    duplicates that symmetric Jaccard misses — a short doc fully
+    embedded in a long one scores low Jaccard but full containment.
+    Same candidate machinery as docs_ngram_jaccard_pairs (int64
+    shingle-hash equi-join with the hot-shingle df cap), different
+    acceptance metric."""
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    shingles = F.when(
+        n >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 4),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, F.lit(5))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select("doc_id", shingles.alias("sh")).withColumn(
+        "n_sh", F.size("sh")
+    )
+    ex = sh.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    hot = (
+        ex.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 50)
+        .select("s")
+    )
+    ex = ex.join(F.broadcast(hot), "s", "left_anti")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    containment = F.col("common") / F.least("na", "nb")
+    return pairs.filter(containment >= 0.8).select(
+        "doc_a",
+        "doc_b",
+        "common",
+        "na",
+        "nb",
+        _r4(containment).alias("containment"),
+    )

@@ -3349,3 +3349,62 @@ def copurchase_label_propagation(
         .agg(F.count("*").alias("community_size"))
         .filter(F.col("community_size") > 1)
     )
+
+
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged autocorrelation function (lags 1–7 days) of each event
+    type's daily-count series — does today's traffic predict
+    tomorrow's / next week's? Matched-pair Pearson at each lag on
+    exact integer moments (events_type_correlations' portable-r
+    recipe); the lag fan-out is a 7-way explode on the daily rollup,
+    so everything downstream is (rollup × 7)-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    a = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+    ).withColumn("day2", F.date_add("day", F.col("k")))
+    b = daily.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("event_type_b"))
+            & (F.col("day2") == F.col("day_b")),
+        )
+        .groupBy("event_type", "k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("n").alias("sx"),
+            F.sum("n_b").alias("sy"),
+            F.sum(F.col("n") * F.col("n_b")).alias("sxy"),
+            F.sum(F.col("n") * F.col("n")).alias("sxx"),
+            F.sum(F.col("n_b") * F.col("n_b")).alias("syy"),
+        )
+    )
+    nd = F.col("n_pairs").cast("double")
+    num = nd * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            nd * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            nd * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return pairs.select(
+        "event_type", "k", "n_pairs", _r4(num / den).alias("acf_r")
+    )

@@ -254,3 +254,21 @@ def test_label_propagation_communities(spark):
     assert rows, "no communities found"
     for r in rows:
         assert r.community_size > 1
+
+
+def test_autocorrelation_bounded(spark):
+    rows = R.events_autocorrelation(spark, SF).collect()
+    assert len(rows) == 35  # 5 types x 7 lags
+    for r in rows:
+        assert 1 <= r.k <= 7
+        assert -1.0 - 1e-9 <= r.acf_r <= 1.0 + 1e-9
+
+
+def test_containment_extends_jaccard(spark):
+    from hrfco_data_pipeline_spark.plans import llm
+
+    cont = llm.docs_containment_pairs(spark, SF).collect()
+    assert cont, "no containment pairs"
+    for r in cont:
+        assert r.containment >= 0.8
+        assert r.common <= min(r.na, r.nb)
