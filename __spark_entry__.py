@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "events_autocorrelation": relational.events_autocorrelation,
         "docs_containment_pairs": llm.docs_containment_pairs,
+        "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
+        "events_holt_forecast": relational.events_holt_forecast,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

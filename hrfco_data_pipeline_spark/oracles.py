@@ -4628,3 +4628,53 @@ LLM_ORACLES["docs_containment_pairs"] = _TOK_CTE + """
     FROM pairs
     WHERE CAST(common AS DOUBLE) / least(na, nb) >= 0.8
     """
+
+
+RELATIONAL_ORACLES["lineitem_monthly_yoy"] = """
+    WITH monthly AS (
+      SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+        CAST(month(l_shipdate) AS INTEGER) AS mo,
+        CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+             * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+             * 10000 AS BIGINT) AS r
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT cur.yr, cur.mo,
+      CAST(cur.r AS DOUBLE) / 10000 AS revenue,
+      round((CAST(cur.r AS DOUBLE) - CAST(prev.r AS DOUBLE))
+            / CAST(prev.r AS DOUBLE) * 100, 4) AS yoy_growth_pct
+    FROM monthly cur JOIN monthly prev
+      ON cur.mo = prev.mo AND cur.yr = prev.yr + 1
+    """
+
+
+# the recursive CTE replays Holt's recurrence in the same expression
+# shape as the Spark fold (0.5*x + 0.5*(l+t); 0.3*(newl-l) + 0.7*t),
+# so every intermediate double is bit-identical
+RELATIONAL_ORACLES["events_holt_forecast"] = """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, n,
+        row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), holt AS (
+      SELECT event_type, rn, CAST(n AS DOUBLE) AS l, 0.0::DOUBLE AS t
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn,
+        0.5 * CAST(d.n AS DOUBLE) + 0.5 * (h.l + h.t) AS l,
+        0.3 * ((0.5 * CAST(d.n AS DOUBLE) + 0.5 * (h.l + h.t)) - h.l)
+          + 0.7 * h.t AS t
+      FROM holt h JOIN idx d
+        ON d.event_type = h.event_type AND d.rn = h.rn + 1
+    ), last AS (
+      SELECT event_type, max(rn) AS n_days FROM holt GROUP BY 1
+    )
+    SELECT h.event_type, CAST(last.n_days AS INTEGER) AS n_days,
+      round(h.l, 4) AS level, round(h.t, 4) AS trend,
+      round(h.l + h.t, 4) AS forecast_next
+    FROM holt h JOIN last
+      ON h.event_type = last.event_type AND h.rn = last.n_days
+    """

@@ -3408,3 +3408,91 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "event_type", "k", "n_pairs", _r4(num / den).alias("acf_r")
     )
+
+
+def lineitem_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year monthly revenue growth: each calendar month's
+    exact-decimal revenue joined against the same month one year
+    earlier — the calendar self-join every finance dashboard runs.
+    The monthly rollup is report-sized, so the self-join is a
+    broadcast; growth divides two exact integer revenues in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount")
+    )
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("yr"),
+        F.month("l_shipdate").alias("mo"),
+    ).agg((F.sum(rev) * 10000).cast("bigint").alias("r"))
+    cur, prev = monthly.alias("cur"), monthly.alias("prev")
+    j = cur.join(
+        F.broadcast(prev),
+        (F.col("cur.mo") == F.col("prev.mo"))
+        & (F.col("cur.yr") == F.col("prev.yr") + 1),
+    )
+    growth = (
+        F.col("cur.r").cast("double") - F.col("prev.r").cast("double")
+    ) / F.col("prev.r").cast("double")
+    return j.select(
+        F.col("cur.yr").alias("yr"),
+        F.col("cur.mo").alias("mo"),
+        (F.col("cur.r") / F.lit(10000)).cast("double").alias("revenue"),
+        _r4(growth * 100).alias("yoy_growth_pct"),
+    )
+
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (α=0.5, β=0.3) over each
+    event type's daily-count series, forecasting the next day — the
+    level+trend smoother between the seasonal-naive baseline and the
+    rise-rate forecaster. The recurrence folds LEFT-TO-RIGHT over the
+    day-sorted series with a fixed expression shape, so the doubles
+    are engine-identical — the DuckDB twin replays the identical
+    recurrence with a recursive CTE (rn-indexed), the portable-oracle
+    technique for inherently sequential state. Series are
+    window-bounded (≤ days) per type; only the daily rollup touches
+    data-sized rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("arr")
+    )
+
+    def _step(acc, x):
+        xn = x["n"].cast("double")
+        newl = F.lit(0.5) * xn + F.lit(0.5) * (acc["l"] + acc["t"])
+        newt = F.lit(0.3) * (newl - acc["l"]) + F.lit(0.7) * acc["t"]
+        return F.when(
+            acc["i"] == 0,
+            F.struct(
+                xn.alias("l"),
+                F.lit(0.0).alias("t"),
+                F.lit(1).alias("i"),
+            ),
+        ).otherwise(
+            F.struct(
+                newl.alias("l"),
+                newt.alias("t"),
+                (acc["i"] + 1).alias("i"),
+            )
+        )
+
+    acc0 = F.struct(
+        F.lit(0.0).alias("l"), F.lit(0.0).alias("t"), F.lit(0).alias("i")
+    )
+    fit = per_type.select(
+        "event_type",
+        F.size("arr").alias("n_days"),
+        F.aggregate("arr", acc0, _step).alias("h"),
+    )
+    return fit.select(
+        "event_type",
+        "n_days",
+        _r4(F.col("h")["l"]).alias("level"),
+        _r4(F.col("h")["t"]).alias("trend"),
+        _r4(F.col("h")["l"] + F.col("h")["t"]).alias("forecast_next"),
+    )

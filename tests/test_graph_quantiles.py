@@ -272,3 +272,34 @@ def test_containment_extends_jaccard(spark):
     for r in cont:
         assert r.containment >= 0.8
         assert r.common <= min(r.na, r.nb)
+
+
+def test_yoy_growth_consistent(spark):
+    rows = R.lineitem_monthly_yoy(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.mo <= 12
+        assert r.revenue > 0
+        assert r.yoy_growth_pct > -100.0
+
+
+def test_holt_forecast_reasonable(spark):
+    rows = R.events_holt_forecast(spark, SF).collect()
+    assert len(rows) == 5
+    ev = load_table(spark, SF, "events")
+    mx = {
+        r.event_type: r.m
+        for r in ev.groupBy(
+            "event_type", F.to_date("ts").alias("d")
+        )
+        .count()
+        .groupBy("event_type")
+        .agg(F.max("count").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        # a smoothed level cannot exceed the series max; the one-step
+        # forecast stays within trend-reach of it (outputs are rounded
+        # independently, so compare with a rounding-slack tolerance)
+        assert 0 < r.level <= mx[r.event_type]
+        assert abs(r.forecast_next - (r.level + r.trend)) <= 2e-4
