@@ -185,6 +185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment_pairs": llm.docs_containment_pairs,
         "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
         "events_holt_forecast": relational.events_holt_forecast,
+        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
+        "events_value_moments": relational.events_value_moments,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

@@ -4678,3 +4678,66 @@ RELATIONAL_ORACLES["events_holt_forecast"] = """
     FROM holt h JOIN last
       ON h.event_type = last.event_type AND h.rn = last.n_days
     """
+
+
+RELATIONAL_ORACLES["events_user_lorenz_curve"] = """
+    WITH pu AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY 1
+    ), dec AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY n ASC, user_id)
+                  AS INTEGER) AS decile, n
+      FROM pu
+    ), pd AS (
+      SELECT decile, count(*) AS n_users,
+        CAST(sum(n) AS BIGINT) AS n_events
+      FROM dec GROUP BY 1
+    )
+    SELECT decile, n_users, n_events,
+      round(CAST(n_events AS DOUBLE)
+            / CAST(sum(n_events) OVER () AS DOUBLE), 4) AS share,
+      round(CAST(sum(n_events) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+            / CAST(sum(n_events) OVER () AS DOUBLE), 4) AS cum_share
+    FROM pd
+    """
+
+
+RELATIONAL_ORACLES["events_value_moments"] = """
+    WITH c AS (
+      SELECT event_type,
+        CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ), m AS (
+      SELECT event_type, count(*) AS n,
+        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
+        CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS s2,
+        CAST(sum(CAST(x * x * x AS HUGEINT)) AS DOUBLE) AS s3,
+        CAST(sum(CAST((x * x) * (x * x) AS HUGEINT)) AS DOUBLE) AS s4
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n,
+      round(s1 / CAST(n AS DOUBLE) / 100, 4) AS mean_value,
+      round((s3 / CAST(n AS DOUBLE)
+             - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+             + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+               * (s1 / CAST(n AS DOUBLE)))
+            / sqrt((s2 / CAST(n AS DOUBLE)
+                    - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                   * (s2 / CAST(n AS DOUBLE)
+                      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                   * (s2 / CAST(n AS DOUBLE)
+                      - (s1 / CAST(n AS DOUBLE))
+                        * (s1 / CAST(n AS DOUBLE)))), 4) AS skewness,
+      round((s4 / CAST(n AS DOUBLE)
+             - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+             + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+               * (s2 / CAST(n AS DOUBLE))
+             - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+               * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+            / ((s2 / CAST(n AS DOUBLE)
+                - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               * (s2 / CAST(n AS DOUBLE)
+                  - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))
+            - 3.0, 4) AS excess_kurtosis
+    FROM m
+    """

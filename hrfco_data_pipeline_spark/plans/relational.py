@@ -3496,3 +3496,90 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(F.col("h")["t"]).alias("trend"),
         _r4(F.col("h")["l"] + F.col("h")["t"]).alias("forecast_next"),
     )
+
+
+def events_user_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve: users ranked into activity deciles,
+    each decile's share of total events and the cumulative share —
+    the curve form of the Gini scalar (events_value_gini). ntile is
+    deterministic under the (count, user_id) total order; shares
+    divide exact integer counts. One user-keyed agg + one dim-sized
+    window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    decile = F.ntile(10).over(
+        Window.orderBy(F.col("n").asc(), F.col("user_id"))
+    )
+    per_decile = (
+        per_user.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("n").alias("n_events"),
+        )
+    )
+    wall = Window.partitionBy()
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    total = F.sum("n_events").over(wall)
+    cum = F.sum("n_events").over(w)
+    return per_decile.select(
+        "decile",
+        "n_users",
+        "n_events",
+        _r4(F.col("n_events").cast("double") / total.cast("double")).alias(
+            "share"
+        ),
+        _r4(cum.cast("double") / total.cast("double")).alias("cum_share"),
+    )
+
+
+def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness and excess kurtosis per event type from EXACT integer
+    power sums (Σx..Σx⁴ over cents, summed as DECIMAL(38,0) so no
+    overflow and no float-order dependence) — the higher-moment
+    shape profile of the value distribution, bit-portable because
+    the only floating math is a fixed expression over six exact
+    operands. One map-side-combined aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 100).cast("long")
+    d = lambda c: c.cast("decimal(38,0)")
+    m = (
+        ev.filter(F.col("value").isNotNull())
+        .select("event_type", x.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(d(F.col("x"))).alias("s1"),
+            F.sum(d(F.col("x") * F.col("x"))).alias("s2"),
+            F.sum(d(F.col("x") * F.col("x") * F.col("x"))).alias("s3"),
+            F.sum(
+                d(
+                    (F.col("x") * F.col("x"))
+                    * (F.col("x") * F.col("x"))
+                )
+            ).alias("s4"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    mean = s1 / nd
+    m2 = s2 / nd - mean * mean
+    m3 = s3 / nd - F.lit(3.0) * mean * (s2 / nd) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        s4 / nd
+        - F.lit(4.0) * mean * (s3 / nd)
+        + F.lit(6.0) * mean * mean * (s2 / nd)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return m.select(
+        "event_type",
+        "n",
+        _r4(mean / 100).alias("mean_value"),
+        _r4(m3 / F.sqrt(m2 * m2 * m2)).alias("skewness"),
+        _r4(m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
+    )

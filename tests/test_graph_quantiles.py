@@ -303,3 +303,37 @@ def test_holt_forecast_reasonable(spark):
         # independently, so compare with a rounding-slack tolerance)
         assert 0 < r.level <= mx[r.event_type]
         assert abs(r.forecast_next - (r.level + r.trend)) <= 2e-4
+
+
+def test_lorenz_curve_monotone(spark):
+    rows = sorted(
+        R.events_user_lorenz_curve(spark, SF).collect(),
+        key=lambda r: r.decile,
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.cum_share for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # deciles ascend by activity: later deciles hold more events PER
+    # USER (raw shares can invert when ntile sizes are uneven)
+    assert (
+        rows[-1].n_events / rows[-1].n_users
+        >= rows[0].n_events / rows[0].n_users
+    )
+
+
+def test_value_moments_match_spark_builtins(spark):
+    rows = {r.event_type: r for r in R.events_value_moments(spark, SF).collect()}
+    ev = load_table(spark, SF, "events")
+    ref = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.skewness("value").alias("sk"),
+            F.kurtosis("value").alias("ku"),
+        )
+        .collect()
+    }
+    for t, r in rows.items():
+        assert abs(r.skewness - ref[t].sk) < 1e-3
+        assert abs(r.excess_kurtosis - ref[t].ku) < 1e-3
