@@ -4710,9 +4710,13 @@ RELATIONAL_ORACLES["events_value_moments"] = """
     ), m AS (
       SELECT event_type, count(*) AS n,
         CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
-        CAST(sum(CAST(x * x AS HUGEINT)) AS DOUBLE) AS s2,
-        CAST(sum(CAST(x * x * x AS HUGEINT)) AS DOUBLE) AS s3,
-        CAST(sum(CAST((x * x) * (x * x) AS HUGEINT)) AS DOUBLE) AS s4
+        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
+          AS s2,
+        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+                 * CAST(x AS HUGEINT)) AS DOUBLE) AS s3,
+        CAST(sum((CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+                 * (CAST(x AS HUGEINT) * CAST(x AS HUGEINT)))
+             AS DOUBLE) AS s4
       FROM c GROUP BY 1
     )
     SELECT event_type, n,

@@ -3544,22 +3544,19 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands. One map-side-combined aggregate."""
     ev = load_table(spark, sf_dir, "events")
     x = F.round(F.col("value") * 100).cast("long")
-    d = lambda c: c.cast("decimal(38,0)")
+    # powers multiply in DECIMAL, not int64: x⁴ overflows long once
+    # values pass ~$551 (hit at sf0.1)
+    xd = F.col("x").cast("decimal(19,0)")
     m = (
         ev.filter(F.col("value").isNotNull())
         .select("event_type", x.alias("x"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(d(F.col("x"))).alias("s1"),
-            F.sum(d(F.col("x") * F.col("x"))).alias("s2"),
-            F.sum(d(F.col("x") * F.col("x") * F.col("x"))).alias("s3"),
-            F.sum(
-                d(
-                    (F.col("x") * F.col("x"))
-                    * (F.col("x") * F.col("x"))
-                )
-            ).alias("s4"),
+            F.sum(xd).alias("s1"),
+            F.sum(xd * xd).alias("s2"),
+            F.sum(xd * xd * xd).alias("s3"),
+            F.sum((xd * xd) * (xd * xd)).alias("s4"),
         )
     )
     nd = F.col("n").cast("double")
