@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_holt_forecast": relational.events_holt_forecast,
         "events_user_lorenz_curve": relational.events_user_lorenz_curve,
         "events_value_moments": relational.events_value_moments,
+        "wire_impute_report": wire.wire_impute_report,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

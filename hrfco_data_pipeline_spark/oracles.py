@@ -4745,3 +4745,18 @@ RELATIONAL_ORACLES["events_value_moments"] = """
             - 3.0, 4) AS excess_kurtosis
     FROM m
     """
+
+
+WIRE_ORACLES["wire_impute_report"] = _WIRE_CTE + """
+    , rec AS (
+      SELECT json_extract_string(value, '$.wlobscd') AS wlobscd,
+        json_extract_string(value, '$.wl') AS wl
+      FROM wire WHERE json_valid(value)
+    )
+    SELECT wlobscd, count(*) AS n_obs,
+      CAST(sum(CASE WHEN TRY_CAST(NULLIF(TRIM(wl), '') AS DOUBLE)
+                    IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+      round(median(TRY_CAST(NULLIF(TRIM(wl), '') AS DOUBLE)), 4)
+        AS impute_median
+    FROM rec WHERE wlobscd IS NOT NULL GROUP BY 1
+    """

@@ -287,3 +287,28 @@ def wire_corrupt_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corrupt_rate"),
     )
+
+
+def wire_impute_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value imputation report for the wire stream: per
+    station, observation count, missing water-level count, and the
+    per-station MEDIAN that a gap-fill step would impute (the
+    group-median imputer every feature pipeline runs before
+    modelling). Reuses the PERMISSIVE parse + Java-parity coercion;
+    one station-keyed aggregate with an exact sort-based median over
+    per-station groups."""
+    from hrfco_data_pipeline_spark.functions.coercion import java_double
+
+    p = parsed_wire(spark, sf_dir).filter(
+        F.col("_corrupt").isNull() & F.col("wlobscd").isNotNull()
+    )
+    wl = java_double(F.col("wl"))
+    return (
+        p.select("wlobscd", wl.alias("wl_d"))
+        .groupBy("wlobscd")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(F.col("wl_d").isNull().cast("long")).alias("n_missing"),
+            F.round(F.median("wl_d"), 4).alias("impute_median"),
+        )
+    )
