@@ -4749,8 +4749,14 @@ RELATIONAL_ORACLES["events_value_moments"] = """
 
 WIRE_ORACLES["wire_impute_report"] = _WIRE_CTE + """
     , rec AS (
-      SELECT json_extract_string(value, '$.wlobscd') AS wlobscd,
-        json_extract_string(value, '$.wl') AS wl
+      -- extract through an inline validity guard: the optimizer can
+      -- evaluate the projection before the WHERE, and a bare
+      -- json_extract throws on the truncated corrupt rows
+      SELECT
+        json_extract_string(CASE WHEN json_valid(value) THEN value END,
+                            '$.wlobscd') AS wlobscd,
+        json_extract_string(CASE WHEN json_valid(value) THEN value END,
+                            '$.wl') AS wl
       FROM wire WHERE json_valid(value)
     )
     SELECT wlobscd, count(*) AS n_obs,
