@@ -188,6 +188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_lorenz_curve": relational.events_user_lorenz_curve,
         "events_value_moments": relational.events_value_moments,
         "wire_impute_report": wire.wire_impute_report,
+        "part_substitutes": relational.part_substitutes,
+        "dq_uniqueness_report": relational.dq_uniqueness_report,
         # --- JSON wire path (last green r2; r5 window) ---
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,

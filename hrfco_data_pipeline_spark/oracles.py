@@ -4766,3 +4766,46 @@ WIRE_ORACLES["wire_impute_report"] = _WIRE_CTE + """
         AS impute_median
     FROM rec WHERE wlobscd IS NOT NULL GROUP BY 1
     """
+
+
+RELATIONAL_ORACLES["part_substitutes"] = """
+    WITH p AS (
+      SELECT p_partkey, p_type, p_size,
+        CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+      a.p_type, a.p_size,
+      round(CAST(greatest(a.cents, b.cents) - least(a.cents, b.cents)
+                 AS DOUBLE)
+            / CAST(least(a.cents, b.cents) AS DOUBLE) * 100, 4)
+        AS price_diff_pct
+    FROM p a JOIN p b
+      ON a.p_type = b.p_type AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE CAST(greatest(a.cents, b.cents) - least(a.cents, b.cents)
+               AS DOUBLE)
+          <= CAST(least(a.cents, b.cents) AS DOUBLE) * 0.05
+    """
+
+
+RELATIONAL_ORACLES["dq_uniqueness_report"] = """
+    SELECT 'region' AS table_name, 'r_regionkey' AS key_column,
+      count(*) AS n_rows, count(DISTINCT r_regionkey) AS n_distinct_keys,
+      count(*) - count(DISTINCT r_regionkey) AS n_extra_rows FROM region
+    UNION ALL
+    SELECT 'nation', 'n_nationkey', count(*), count(DISTINCT n_nationkey),
+      count(*) - count(DISTINCT n_nationkey) FROM nation
+    UNION ALL
+    SELECT 'customer', 'c_custkey', count(*), count(DISTINCT c_custkey),
+      count(*) - count(DISTINCT c_custkey) FROM customer
+    UNION ALL
+    SELECT 'supplier', 's_suppkey', count(*), count(DISTINCT s_suppkey),
+      count(*) - count(DISTINCT s_suppkey) FROM supplier
+    UNION ALL
+    SELECT 'part', 'p_partkey', count(*), count(DISTINCT p_partkey),
+      count(*) - count(DISTINCT p_partkey) FROM part
+    UNION ALL
+    SELECT 'orders', 'o_orderkey', count(*), count(DISTINCT o_orderkey),
+      count(*) - count(DISTINCT o_orderkey) FROM orders
+    """

@@ -3580,3 +3580,65 @@ def events_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(m3 / F.sqrt(m2 * m2 * m2)).alias("skewness"),
         _r4(m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
     )
+
+
+def part_substitutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substitution candidates: part pairs sharing (type, size) whose
+    retail prices sit within 5% of the cheaper one — the structured-
+    attribute similarity join behind "alternatives" features. The
+    self-join keys on the (type, size) block, so pair fan-out is
+    bounded by block size (attribute-blocking, the structured cousin
+    of the LSH band trick); the price test uses exact cents."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_type",
+        "p_size",
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    )
+    lo = F.least(F.col("a.cents"), F.col("b.cents"))
+    hi = F.greatest(F.col("a.cents"), F.col("b.cents"))
+    diff_pct = (hi - lo).cast("double") / lo.cast("double") * 100
+    return pairs.filter((hi - lo).cast("double") <= lo.cast("double") * 0.05).select(
+        F.col("a.p_partkey").alias("part_a"),
+        F.col("b.p_partkey").alias("part_b"),
+        F.col("a.p_type").alias("p_type"),
+        F.col("a.p_size").alias("p_size"),
+        _r4(diff_pct).alias("price_diff_pct"),
+    )
+
+
+def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-uniqueness audit across the star schema's declared primary
+    keys — the completeness face of dq_referential_report: per table,
+    row count, distinct key count, and how many key values repeat.
+    Six independent bounded aggregates unioned into one report row
+    set; each is a map-side-combined count-distinct."""
+    specs = [
+        ("region", "r_regionkey"),
+        ("nation", "n_nationkey"),
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("orders", "o_orderkey"),
+    ]
+    out = None
+    for table, key in specs:
+        t = load_table(spark, sf_dir, table)
+        agg = t.agg(
+            F.lit(table).alias("table_name"),
+            F.lit(key).alias("key_column"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct_keys"),
+            (F.count("*") - F.countDistinct(key)).alias("n_extra_rows"),
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out

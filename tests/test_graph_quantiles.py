@@ -337,3 +337,21 @@ def test_value_moments_match_spark_builtins(spark):
     for t, r in rows.items():
         assert abs(r.skewness - ref[t].sk) < 1e-3
         assert abs(r.excess_kurtosis - ref[t].ku) < 1e-3
+
+
+def test_part_substitutes_blocked_and_bounded(spark):
+    rows = R.part_substitutes(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 0 <= r.price_diff_pct <= 5.0 + 1e-9
+
+
+def test_dq_uniqueness_covers_keys(spark):
+    rows = {r.table_name: r for r in R.dq_uniqueness_report(spark, SF).collect()}
+    assert set(rows) == {
+        "region", "nation", "customer", "supplier", "part", "orders"
+    }
+    for r in rows.values():
+        assert r.n_distinct_keys <= r.n_rows
+        assert r.n_extra_rows == r.n_rows - r.n_distinct_keys
