@@ -37,78 +37,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # key) — rows-only queries can never earn a green row, so they live
     # behind the boundary (pinned by tests/test_entry_contract.py).
     #
-    # r5 ROTATION PLAN: swap this window out for (a) the ~35 new
-    # mid/late-r4 oracle-backed queries sitting right behind the
-    # boundary (semantic_dedup_keep .. events_cusum_changepoint,
-    # including the late session-window/quantile/basket/graph/stats
-    # batch — never driver-checked, locally green), then (b) the
-    # r2-era relational greens (wire/mon/q3..q17/orders block), then
-    # (c) the oldest r3-era greens — never-checked first, then
-    # oldest-evidence first, which re-certifies every oracle-backed
-    # query on post-regen testdata within two further rounds.
+    # r5 WINDOW (this round): the 50 oldest never-driver-checked
+    # oracle-backed queries (multimodal_frame_sample ..
+    # nation_trade_pagerank). 25 never-checked remain behind the
+    # boundary (orders_benford_digits .. dq_uniqueness_report).
+    #
+    # r6 ROTATION PLAN (execute at the start of r6): promote (a) the
+    # 25 remaining never-checked entries immediately behind the
+    # boundary, topped up with (b) the first 25 r2-era greens
+    # (wire_dlq .. mon_processing_times block) whose evidence predates
+    # two testdata regens. r7 then takes the remaining r2 greens and
+    # the oldest r3-era greens. Blocks below are already ordered
+    # never-checked -> r2 -> r3 -> r4 -> rows-only, so each rotation
+    # is a single window-sized cut from the top of the list.
     return {
-        # --- r4 fixes/additions: never green before ---
-        "ivf_cosine_topk": llm.ivf_cosine_topk,  # no_oracle r3 -> oracle-backed
-        "events_hll_accuracy": relational.events_hll_accuracy,  # new in r4
-        "lsh_cosine_topk": llm.lsh_cosine_topk,  # rows-only -> oracle-backed
-        "embedding_near_dups": llm.embedding_near_dups,  # rows-only -> oracle-backed
-        # --- new in r3, never driver-checked (locally green) ---
-        "minhash_sig_probe": llm.minhash_sig_probe,
-        "simhash_probe": llm.simhash_probe,
-        "lsh_sig_probe": llm.lsh_sig_probe,
-        # --- new in r4: full-pipeline probes for the rows-only kernels ---
-        "minhash_band_pairs_probe": llm.minhash_band_pairs_probe,
-        "simhash_pairs_probe": llm.simhash_pairs_probe,
-        "near_dedup_probe": llm.near_dedup_probe,
-        # --- new in r4: banded interval join operator ---
-        "events_peak_window_traffic": relational.events_peak_window_traffic,
-        # --- green in r1 only; evidence predates two testdata regens ---
-        "dedup_exact_docs": llm.dedup_exact_docs,
-        "dedup_docs_kept": llm.dedup_docs_kept,
-        "docs_quality_score": llm.docs_quality_score,
-        "docs_lang_id": llm.docs_lang_id,
-        "doc_fingerprints": llm.doc_fingerprints,
-        "docs_bpe_token_count": llm.docs_bpe_token_count,
-        "ann_cosine_topk": llm.ann_cosine_topk,
-        "embedding_label_stats": llm.embedding_label_stats,
-        "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,
-        "docs_token_stats": llm.docs_token_stats,
-        "multimodal_features": llm.multimodal_features,
-        # --- flagship regression canaries (last green r2) ---
-        "hydro_classify_alerts": hydro.alerts,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "wire_parse": wire.wire_parse,
-        # --- hydrology pipeline (last green r2; SURVEY §2 hot path) ---
-        "hydro_internal_levels": hydro.internal_levels,
-        "hydro_alert_counts": hydro.alert_counts,
-        "hydro_station_list": hydro.station_list,
-        "hydro_archive_partitions": hydro.archive_partitions,
-        "hydro_threshold_audit": hydro.threshold_audit,
-        "hydro_station_detail": hydro.station_detail,
-        "hydro_station_tail": hydro.station_tail,
-        "hydro_alerts_filtered": hydro.alerts_filtered,
-        "hydro_recent_alerts_500": hydro.recent_alerts_500,
-        "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
-        "hydro_sensor_gaps": hydro.sensor_gaps,
-        "hydro_resample_10min": hydro.resample_10min,
-        "hydro_station_obs_coverage": hydro.station_obs_coverage,
-        # --- new in r4: lossless-pruning joins, layout, sketches, ANN ---
-        # (never driver-checked; first-time certification outranks the
-        # re-certification of r2-era greens, which rotate to r5)
-        "docs_simjoin_prefix": llm.docs_simjoin_prefix,
-        "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
-        "lineitem_zorder_layout": relational.lineitem_zorder_layout,
-        "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
-        "docs_editdist_pairs": llm.docs_editdist_pairs,
-        "pq_adc_topk": llm.pq_adc_topk,
-        "events_value_band_history": relational.events_value_band_history,
-        "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
-        "ivfpq_adc_topk": llm.ivfpq_adc_topk,
-        "events_grouping_sets": relational.events_grouping_sets,
-        "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
-        "events_value_outliers": relational.events_value_outliers,
-        # ^^^ first-50 boundary (50 entries above) ^^^
-        # --- new in r4, post-window (front of the r5 rotation) ---
+        # ================= r5 WINDOW (first 50) =================
+        # Never driver-checked, all oracle-backed (locally green via
+        # tools/check_oracle.py; judge spot-checked 10/10 in r4).
+        # Order preserved from the r4 registry tail.
         "multimodal_frame_sample": llm.multimodal_frame_sample,
         "semantic_dedup_keep": llm.semantic_dedup_keep,
         "kmeans_refine_probe": llm.kmeans_refine_probe,
@@ -154,13 +100,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_new_vs_returning": relational.events_new_vs_returning,
         "events_value_log2_histogram": relational.events_value_log2_histogram,
         "hydro_station_uptime": hydro.station_uptime,
-        # --- new in r4 (late): session windows, histogram quantiles,
-        #     market-basket, graph analytics (all oracle-backed) ---
         "events_session_window_agg": relational.events_session_window_agg,
         "events_histogram_quantiles": relational.events_histogram_quantiles,
         "parts_copurchase_lift": relational.parts_copurchase_lift,
         "copurchase_triangles": relational.copurchase_triangles,
         "nation_trade_pagerank": relational.nation_trade_pagerank,
+        # ^^^ first-50 boundary (50 entries above) ^^^
+        # ============ r6 WINDOW PLAN (next 25 + oldest greens) ============
+        # (a) remaining never-driver-checked oracle-backed queries:
         "orders_benford_digits": relational.orders_benford_digits,
         "events_ab_test": relational.events_ab_test,
         "brand_supplier_hhi": relational.brand_supplier_hhi,
@@ -168,9 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": relational.events_session_paths,
         "session_survival_curve": relational.session_survival_curve,
         "orders_open_backlog_curve": relational.orders_open_backlog_curve,
-        "orders_ship_latency_percentiles": (
-            relational.orders_ship_latency_percentiles
-        ),
+        "orders_ship_latency_percentiles": relational.orders_ship_latency_percentiles,
         "lineitem_pareto_abc": relational.lineitem_pareto_abc,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "docs_contamination_report": llm.docs_contamination_report,
@@ -178,9 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_correlations": relational.events_type_correlations,
         "events_median_bisect": relational.events_median_bisect,
         "corpus_quality_scorecard": llm.corpus_quality_scorecard,
-        "copurchase_label_propagation": (
-            relational.copurchase_label_propagation
-        ),
+        "copurchase_label_propagation": relational.copurchase_label_propagation,
         "events_autocorrelation": relational.events_autocorrelation,
         "docs_containment_pairs": llm.docs_containment_pairs,
         "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
@@ -190,10 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_impute_report": wire.wire_impute_report,
         "part_substitutes": relational.part_substitutes,
         "dq_uniqueness_report": relational.dq_uniqueness_report,
-        # --- JSON wire path (last green r2; r5 window) ---
+        # (b) r2-era greens — evidence predates two testdata regens;
+        #     these top up the r6 window to 50 (25 + first 25 below),
+        #     then r7 takes the rest + the r3-era greens.
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,
-        # --- monitoring / dashboard analytics (last green r2; r5 window) ---
         "mon_status_counts": relational.mon_status_counts,
         "mon_summary": relational.mon_summary,
         "mon_activity_delta": relational.mon_activity_delta,
@@ -204,7 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mon_type_pivot": relational.mon_type_pivot,
         "metrics_format_bytes": relational.metrics_format_bytes,
         "metrics_durations": relational.metrics_durations,
-        # --- general relational surface (last green r2; r5 window) ---
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,
         "events_asof_last_error": relational.events_asof_last_error,
@@ -225,7 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": relational.q10_returned_items,
         "q12_late_shipments": relational.q12_late_shipments,
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        # --- certified green in r3 (freshest evidence; r5/r6 windows) ---
+        # --- last green r3 ---
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "events_moving_stats": relational.events_moving_stats,
         "events_view_only_users": relational.events_view_only_users,
@@ -274,6 +217,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_segment_dedup": llm.docs_segment_dedup,
         "events_retention_cohorts": relational.events_retention_cohorts,
         "events_conversion_funnel": relational.events_conversion_funnel,
+        # --- last green r4 (freshest evidence; rotate last) ---
+        "ivf_cosine_topk": llm.ivf_cosine_topk,
+        "events_hll_accuracy": relational.events_hll_accuracy,
+        "lsh_cosine_topk": llm.lsh_cosine_topk,
+        "embedding_near_dups": llm.embedding_near_dups,
+        "minhash_sig_probe": llm.minhash_sig_probe,
+        "simhash_probe": llm.simhash_probe,
+        "lsh_sig_probe": llm.lsh_sig_probe,
+        "minhash_band_pairs_probe": llm.minhash_band_pairs_probe,
+        "simhash_pairs_probe": llm.simhash_pairs_probe,
+        "near_dedup_probe": llm.near_dedup_probe,
+        "events_peak_window_traffic": relational.events_peak_window_traffic,
+        "dedup_exact_docs": llm.dedup_exact_docs,
+        "dedup_docs_kept": llm.dedup_docs_kept,
+        "docs_quality_score": llm.docs_quality_score,
+        "docs_lang_id": llm.docs_lang_id,
+        "doc_fingerprints": llm.doc_fingerprints,
+        "docs_bpe_token_count": llm.docs_bpe_token_count,
+        "ann_cosine_topk": llm.ann_cosine_topk,
+        "embedding_label_stats": llm.embedding_label_stats,
+        "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,
+        "docs_token_stats": llm.docs_token_stats,
+        "multimodal_features": llm.multimodal_features,
+        "hydro_classify_alerts": hydro.alerts,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "wire_parse": wire.wire_parse,
+        "hydro_internal_levels": hydro.internal_levels,
+        "hydro_alert_counts": hydro.alert_counts,
+        "hydro_station_list": hydro.station_list,
+        "hydro_archive_partitions": hydro.archive_partitions,
+        "hydro_threshold_audit": hydro.threshold_audit,
+        "hydro_station_detail": hydro.station_detail,
+        "hydro_station_tail": hydro.station_tail,
+        "hydro_alerts_filtered": hydro.alerts_filtered,
+        "hydro_recent_alerts_500": hydro.recent_alerts_500,
+        "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
+        "hydro_sensor_gaps": hydro.sensor_gaps,
+        "hydro_resample_10min": hydro.resample_10min,
+        "hydro_station_obs_coverage": hydro.station_obs_coverage,
+        "docs_simjoin_prefix": llm.docs_simjoin_prefix,
+        "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
+        "lineitem_zorder_layout": relational.lineitem_zorder_layout,
+        "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
+        "docs_editdist_pairs": llm.docs_editdist_pairs,
+        "pq_adc_topk": llm.pq_adc_topk,
+        "events_value_band_history": relational.events_value_band_history,
+        "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
+        "ivfpq_adc_topk": llm.ivfpq_adc_topk,
+        "events_grouping_sets": relational.events_grouping_sets,
+        "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
+        "events_value_outliers": relational.events_value_outliers,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

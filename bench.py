@@ -74,6 +74,15 @@ def main() -> None:
     # Warm up the JVM / codegen / parquet footer caches so timings
     # reflect steady-state execution, not session bring-up.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    # Box-speed calibration (BASELINE.md §Box-speed): the sandbox VM
+    # swings 2-3× between sessions, so every bench run records a warm
+    # 32-way JVM probe. Absolute seconds across rounds must be read
+    # per calibration unit; ~0.5 s = the fast-box reference.
+    t0 = time.perf_counter()
+    spark.range(2_000_000_000).selectExpr("sum(id)").collect()
+    calibration_s = round(time.perf_counter() - t0, 3)
+
     from hrfco_data_pipeline_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "events").limit(1000).write.format("noop").mode(
@@ -103,17 +112,47 @@ def main() -> None:
         warm[name] = round(run(), 3)
 
     total = round(sum(timings.values()), 3)
+    warm_total = round(sum(warm.values()), 3)
+
+    # The r4 driver failed to parse the bench line (BENCH_r04.json
+    # parsed: null): cold+warm per-query maps for 32 queries overflowed
+    # its stdout-tail capture. The final line is now compact — totals
+    # plus a 2-decimal cold map — and the full detail (cold + warm per
+    # query, calibration, env) goes to BENCH_DETAIL.json beside it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "warm_total": warm_total,
+                "unit": "sec",
+                "queries": timings,
+                "warm": warm,
+                "calibration_s": calibration_s,
+                "sf": sf,
+                "sf_dir": sf_dir,
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
+            },
+            f,
+            indent=1,
+        )
+
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "warm_total": warm_total,
+                "calibration_s": calibration_s,
+                "n_queries": len(timings),
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -39,37 +39,47 @@ def test_first_50_all_oracle_backed():
 
 
 def test_first_50_holds_unverified_queries():
-    """Queries without a green driver row (or whose last green row is
-    oldest) must sit inside the gate's first-50 sampling window."""
-    first50 = set(list(entry.queries())[:50])
+    """The r5 window is exactly the 50 oldest never-driver-checked
+    oracle-backed queries (driver rows r1-r4 cover every other
+    oracle-backed entry). Pin the boundary entries so a careless
+    insert can't silently rotate one out."""
+    names = list(entry.queries())
+    first50 = set(names[:50])
     must_check = {
-        # never green before r4: upgraded or new this round
-        "ivf_cosine_topk",
-        "events_hll_accuracy",
-        "lsh_cosine_topk",
-        "embedding_near_dups",
-        # new in r3, never driver-sampled (locally green only)
-        "minhash_sig_probe",
-        "simhash_probe",
-        "lsh_sig_probe",
-        # last green in r1 — two testdata generations ago
-        "dedup_exact_docs",
-        "dedup_docs_kept",
-        "docs_quality_score",
-        "docs_lang_id",
-        "doc_fingerprints",
-        "docs_bpe_token_count",
-        "ann_cosine_topk",
-        "embedding_label_stats",
-        "docs_ngram_jaccard_pairs",
-        "docs_token_stats",
-        "multimodal_features",
-        # flagship canaries
-        "hydro_classify_alerts",
-        "q1_pricing_summary",
-        "wire_parse",
+        # front of the window: the r4 post-boundary block
+        "multimodal_frame_sample",
+        "semantic_dedup_keep",
+        "kmeans_refine_probe",
+        "docs_dsir_weights",
+        "docs_leakage_safe_split",
+        "metrics_nifi_timestamps",
+        # global-window queries rebuilt on ranked_cumsum this round
+        "docs_select_token_budget",
+        "docs_vocab_growth",
+        "customer_ltv_deciles",
+        "events_conversion_latency",
+        # tail of the window: the late-r4 stats/graph batch
+        "events_session_window_agg",
+        "events_histogram_quantiles",
+        "parts_copurchase_lift",
+        "copurchase_triangles",
+        "nation_trade_pagerank",
     }
     assert must_check <= first50
+    # r6 plan: the remaining never-checked entries sit right behind
+    # the boundary so next round's rotation is a straight cut.
+    behind = names[50:75]
+    assert behind[0] == "orders_benford_digits"
+    assert behind[-1] == "dq_uniqueness_report"
+    r6_must = {
+        "events_ab_test",
+        "lineitem_pareto_abc",
+        "customer_rfm_segments",
+        "events_user_lorenz_curve",
+        "events_median_bisect",
+        "corpus_quality_scorecard",
+    }
+    assert r6_must <= set(behind)
 
 
 def test_all_callables_and_oracles_nonempty():
