@@ -1,0 +1,107 @@
+"""ranked_cumsum / int_ntile vs the global-window ground truth.
+
+The operator must reproduce ``row_number()``, cumulative ``sum()``, and
+``ntile(k)`` under the same total order EXACTLY — the whole point is
+that it is a drop-in for the single-partition window, so the oracle
+twins of the queries that adopt it stay untouched.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.operators.ranking import int_ntile, ranked_cumsum
+
+
+def _base(spark, n=5000):
+    # skewed, duplicate-heavy keys: exercises ties inside and around
+    # bucket boundaries, plus a value column for the cumsum
+    return spark.range(n).select(
+        F.col("id"),
+        F.pmod(F.xxhash64("id"), F.lit(97)).alias("k"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000)) + 1).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("sample_mod", [8, 1 << 20])  # multi-bucket and degenerate
+def test_rank_and_cumsum_match_global_window(spark, sample_mod):
+    df = _base(spark)
+    got = ranked_cumsum(
+        df,
+        F.col("k").cast("double"),
+        [F.asc("k"), F.asc("id")],
+        sample_key=F.col("id"),
+        sums={"cum_v": F.col("v")},
+        rank_name="rn",
+        sample_mod=sample_mod,
+    )
+    w = Window.orderBy(F.asc("k"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_v"),
+    )
+    j = got.select("id", "rn", "cum_v").alias("g").join(
+        want.alias("w"), "id"
+    )
+    bad = j.filter(
+        (F.col("g.rn") != F.col("w.rn")) | (F.col("g.cum_v") != F.col("w.cum_v"))
+    )
+    assert bad.count() == 0
+    assert got.count() == df.count()
+
+
+def test_descending_order_via_negated_bucket_key(spark):
+    df = _base(spark, 3000)
+    got = ranked_cumsum(
+        df,
+        -F.col("v").cast("double"),
+        [F.desc("v"), F.asc("id")],
+        sample_key=F.col("id"),
+        rank_name="rn",
+        sample_mod=4,
+    )
+    w = Window.orderBy(F.desc("v"), F.asc("id"))
+    want = df.select("id", F.row_number().over(w).alias("rn"))
+    bad = (
+        got.select("id", "rn")
+        .alias("g")
+        .join(want.alias("w"), "id")
+        .filter(F.col("g.rn") != F.col("w.rn"))
+    )
+    assert bad.count() == 0
+
+
+@pytest.mark.parametrize("k,n", [(10, 5000), (4, 4001), (7, 6), (3, 3)])
+def test_int_ntile_matches_sql_ntile(spark, k, n):
+    df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+    got = df.select(
+        "rn", int_ntile(F.col("rn"), F.lit(n).cast("long"), k).alias("t")
+    )
+    want = df.select(
+        "rn", F.ntile(k).over(Window.orderBy("rn")).alias("t")
+    )
+    bad = got.alias("g").join(want.alias("w"), "rn").filter(
+        F.col("g.t") != F.col("w.t")
+    )
+    assert bad.count() == 0
+
+
+def test_plan_has_no_single_partition_sort_over_input(spark):
+    """The windowed branch must sort per-bucket (hashpartitioning on
+    the bucket id), never via Exchange SinglePartition over the input;
+    the only single-partition work allowed is the <= n_buckets offset
+    table."""
+    df = _base(spark, 2000)
+    got = ranked_cumsum(
+        df,
+        F.col("k").cast("double"),
+        [F.asc("k"), F.asc("id")],
+        sample_key=F.col("id"),
+        sums={"cum_v": F.col("v")},
+        sample_mod=4,
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(_pid" in plan
