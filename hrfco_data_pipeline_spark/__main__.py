@@ -19,7 +19,13 @@ import sys
 
 
 def _registry():
-    sys.path.insert(0, ".")
+    # __spark_entry__ lives at the repo root (one level above this
+    # package), so the CLI works from any cwd
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
     import __spark_entry__ as entry_mod
 
     return entry_mod.queries(), entry_mod.oracle_sql()
@@ -59,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
         hint = f" (did you mean: {', '.join(close[:5])}?)" if close else ""
         print(f"unknown query {args.query!r}{hint}", file=sys.stderr)
         return 2
+
+    # documented eager exceptions: these run their driver-side loop at
+    # plan-build time, so `explain` would execute the full query first
+    EAGER = {"events_median_bisect"}
+    if args.cmd == "explain" and args.query in EAGER:
+        print(
+            f"note: {args.query} executes a driver-side iterative loop "
+            "at call time; building the plan below runs the query "
+            "(see docs/QUERIES.md)",
+            file=sys.stderr,
+        )
 
     spark = _spark(f"cli-{args.cmd}-{args.query}")
     df = queries[args.query](spark, args.sf_dir)

@@ -2519,9 +2519,12 @@ def docs_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget boundary doc (the first to overflow) is kept iff it starts
     within budget, making the cut deterministic and total.
 
-    One ranking window over (score, id) — at 100 TB the global rank
-    becomes the two-pass range-partition rank of docs_range_shards;
-    the cumulative sum rides the same ordered partitioning."""
+    The global cumulative sum runs through operators/ranking.
+    ranked_cumsum — range-bucketed two-pass prefix sums, no
+    single-partition sort of the corpus — so the plan survives the
+    100 TB documents table."""
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
     budget = 15_000
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
@@ -2529,10 +2532,14 @@ def docs_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_expr(_tokens()).alias("q"),
         F.size(_tokens()).cast("long").alias("n_toks"),
     )
-    w = Window.orderBy(F.desc("q"), F.asc("doc_id")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = scored.withColumn("cum_toks", F.sum("n_toks").over(w))
+    ranked = ranked_cumsum(
+        scored,
+        -F.col("q"),
+        [F.desc("q"), F.asc("doc_id")],
+        sample_key=F.col("doc_id"),
+        sums={"cum_toks": F.col("n_toks")},
+        rank_name="_rn",
+    ).drop("_rn")
     return ranked.filter(
         F.col("cum_toks") - F.col("n_toks") < budget
     ).select(
@@ -2640,13 +2647,31 @@ def docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct token count after each corpus decile under the canonical
     doc_id order. Each token charges only its FIRST-occurrence doc
     (min doc_id — one token-keyed aggregate), docs map to deciles via
-    ntile, and the cumulative sum runs over the 10-row curve — no
-    re-scanning per checkpoint, the incremental-distinct shape of
+    the range-bucketed two-pass rank (operators/ranking.ranked_cumsum
+    + int_ntile — no single-partition sort of the corpus), and the
+    cumulative sum runs over the 10-row curve — no re-scanning per
+    checkpoint, the incremental-distinct shape of
     events_running_distinct_users applied to corpus statistics."""
+    from hrfco_data_pipeline_spark.operators.ranking import (
+        int_ntile,
+        ranked_cumsum,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    wd = Window.orderBy(F.asc("doc_id"))
-    deciles = docs.select(
-        "doc_id", F.ntile(10).over(wd).alias("decile")
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    deciles = (
+        ranked_cumsum(
+            docs.select("doc_id"),
+            F.col("doc_id").cast("double"),
+            [F.asc("doc_id")],
+            sample_key=F.col("doc_id"),
+            rank_name="_rn",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            int_ntile(F.col("_rn"), F.col("_n"), 10).alias("decile"),
+        )
     )
     first = (
         docs.select("doc_id", F.explode(_tokens()).alias("tok"))

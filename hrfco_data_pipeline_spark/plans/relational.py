@@ -1911,16 +1911,33 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, and report each decile's size, revenue, and revenue share —
     the concentration curve behind "top decile drives X% of revenue".
     The ntile runs over the per-customer aggregate (one row per
-    customer), not raw orders; the share denominator is an exact
-    decimal total cast once to double."""
+    customer), not raw orders — and via the range-bucketed two-pass
+    rank (operators/ranking), not a single-partition sort, so the
+    customer dim can grow with the data; the share denominator is an
+    exact decimal total cast once to double."""
+    from hrfco_data_pipeline_spark.operators.ranking import (
+        int_ntile,
+        ranked_cumsum,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("spent_dec")
     )
-    w = Window.orderBy(F.desc("spent_dec"), F.asc("o_custkey"))
-    tot = Window.partitionBy()
-    ranked = per_cust.withColumn("decile", F.ntile(10).over(w)).withColumn(
-        "total_dec", F.sum("spent_dec").over(tot)
+    totals = per_cust.agg(
+        F.count("*").alias("_n"), F.sum("spent_dec").alias("total_dec")
+    )
+    ranked = (
+        ranked_cumsum(
+            per_cust,
+            -F.col("spent_dec").cast("double"),
+            [F.desc("spent_dec"), F.asc("o_custkey")],
+            sample_key=F.col("o_custkey"),
+            rank_name="_rn",
+            sample_mod=8,
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn("decile", int_ntile(F.col("_rn"), F.col("_n"), 10))
     )
     return (
         ranked.groupBy("decile")
@@ -2061,11 +2078,17 @@ def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("purchase_us") - F.col("signup_us")).alias("gap_us")
         )
     )
-    w = Window.orderBy(F.asc("gap_us"), F.asc("user_id"))
-    cw = Window.partitionBy()
-    ranked = gaps.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(cw)
-    )
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    n_conv = gaps.agg(F.count("*").alias("n"))
+    ranked = ranked_cumsum(
+        gaps,
+        F.col("gap_us").cast("double"),
+        [F.asc("gap_us"), F.asc("user_id")],
+        sample_key=F.col("user_id"),
+        rank_name="rn",
+        sample_mod=8,
+    ).crossJoin(F.broadcast(n_conv))
     med = F.ceil(F.col("n") / F.lit(2.0))
     p90 = F.ceil(F.col("n") * F.lit(0.9))
     return (
@@ -2685,26 +2708,40 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").alias("n_converted"),
         )
     )
-    a = per_variant.filter(F.col("variant") == 0).select(
-        F.col("n_units").alias("n_a"), F.col("n_converted").alias("c_a")
+    # one unconditional 1-row reduce (not a crossJoin of filtered
+    # arms): an empty variant reports zero counts instead of an empty
+    # result, so degenerate inputs stay visible
+    arm = lambda v, c: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("variant") == v, F.col(c))), F.lit(0)
+    ).cast("long")
+    j = per_variant.agg(
+        arm(0, "n_units").alias("n_a"),
+        arm(0, "n_converted").alias("c_a"),
+        arm(1, "n_units").alias("n_b"),
+        arm(1, "n_converted").alias("c_b"),
     )
-    b = per_variant.filter(F.col("variant") == 1).select(
-        F.col("n_units").alias("n_b"), F.col("n_converted").alias("c_b")
+    ratio = lambda c, n: F.when(  # noqa: E731
+        F.col(n) > 0, F.col(c).cast("double") / F.col(n).cast("double")
     )
-    j = a.crossJoin(b)
-    p_a = F.col("c_a").cast("double") / F.col("n_a").cast("double")
-    p_b = F.col("c_b").cast("double") / F.col("n_b").cast("double")
-    p_pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
-        F.col("n_a") + F.col("n_b")
-    ).cast("double")
+    p_a = ratio("c_a", "n_a")
+    p_b = ratio("c_b", "n_b")
+    p_pool = F.when(
+        (F.col("n_a") + F.col("n_b")) > 0,
+        (F.col("c_a") + F.col("c_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double"),
+    )
     se = F.sqrt(
         p_pool
         * (F.lit(1.0) - p_pool)
         * (
-            F.lit(1.0) / F.col("n_a").cast("double")
-            + F.lit(1.0) / F.col("n_b").cast("double")
+            F.try_divide(F.lit(1.0), F.col("n_a").cast("double"))
+            + F.try_divide(F.lit(1.0), F.col("n_b").cast("double"))
         )
     )
+    # z is NULL (not NaN/Inf) when an arm is empty or conversion is
+    # 0%/100% pooled — degenerate experiments surface as a clear
+    # signal, never a silent NaN
+    z = F.when(se > 0, (p_a - p_b) / se)
     return j.select(
         "n_a",
         "c_a",
@@ -2712,7 +2749,7 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_b",
         _r4(p_a).alias("p_a"),
         _r4(p_b).alias("p_b"),
-        _r4((p_a - p_b) / se).alias("z"),
+        _r4(z).alias("z"),
     )
 
 
@@ -3026,15 +3063,21 @@ def lineitem_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy("l_partkey").agg(
         (F.sum(rev) * 10000).cast("bigint").alias("r")
     )
-    w = Window.orderBy(F.col("r").desc(), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    ranked = per_part.select(
-        "l_partkey",
-        "r",
-        F.sum("r").over(w).alias("cum"),
-        F.sum("r").over(wall).alias("total"),
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    total = per_part.agg(F.sum("r").alias("total"))
+    ranked = (
+        ranked_cumsum(
+            per_part,
+            -F.col("r").cast("double"),
+            [F.desc("r"), F.asc("l_partkey")],
+            sample_key=F.col("l_partkey"),
+            sums={"cum": F.col("r")},
+            rank_name="_rn",
+            sample_mod=8,
+        )
+        .crossJoin(F.broadcast(total))
+        .select("l_partkey", "r", "cum", "total")
     )
     cls = (
         F.when(
@@ -3087,19 +3130,50 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("spend_cents"),
         )
     )
-    r_q = F.ntile(4).over(
-        Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    from hrfco_data_pipeline_spark.operators.ranking import (
+        int_ntile,
+        ranked_cumsum,
     )
-    f_q = F.ntile(4).over(
-        Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+
+    n_cust = per_cust.agg(F.count("*").alias("_n"))
+
+    def _quartile(metric_asc, order_exprs, name):
+        # one range-bucketed two-pass rank per dimension — three hash
+        # exchanges on the customer dim instead of three
+        # single-partition sorts
+        return (
+            ranked_cumsum(
+                per_cust,
+                metric_asc,
+                order_exprs,
+                sample_key=F.col("o_custkey"),
+                rank_name="_rn",
+                sample_mod=8,
+            )
+            .crossJoin(F.broadcast(n_cust))
+            .select(
+                "o_custkey",
+                int_ntile(F.col("_rn"), F.col("_n"), 4).alias(name),
+            )
+        )
+
+    r_s = _quartile(
+        F.col("recency_days").cast("double"),
+        [F.col("recency_days").asc(), F.col("o_custkey")],
+        "r_quartile",
     )
-    m_q = F.ntile(4).over(
-        Window.orderBy(F.col("spend_cents").desc(), F.col("o_custkey"))
+    f_s = _quartile(
+        -F.col("n_orders").cast("double"),
+        [F.col("n_orders").desc(), F.col("o_custkey")],
+        "f_quartile",
     )
-    scored = per_cust.select(
-        r_q.alias("r_quartile"),
-        f_q.alias("f_quartile"),
-        m_q.alias("m_quartile"),
+    m_s = _quartile(
+        -F.col("spend_cents").cast("double"),
+        [F.col("spend_cents").desc(), F.col("o_custkey")],
+        "m_quartile",
+    )
+    scored = r_s.join(f_s, "o_custkey").join(m_s, "o_custkey").select(
+        "r_quartile", "f_quartile", "m_quartile"
     )
     return scored.groupBy(
         "r_quartile", "f_quartile", "m_quartile"
@@ -3505,14 +3579,28 @@ def events_user_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under the (count, user_id) total order; shares
     divide exact integer counts. One user-keyed agg + one dim-sized
     window pass."""
+    from hrfco_data_pipeline_spark.operators.ranking import (
+        int_ntile,
+        ranked_cumsum,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    decile = F.ntile(10).over(
-        Window.orderBy(F.col("n").asc(), F.col("user_id"))
+    n_users = per_user.agg(F.count("*").alias("_n"))
+    binned = (
+        ranked_cumsum(
+            per_user,
+            F.col("n").cast("double"),
+            [F.col("n").asc(), F.col("user_id")],
+            sample_key=F.col("user_id"),
+            rank_name="_rn",
+            sample_mod=8,
+        )
+        .crossJoin(F.broadcast(n_users))
+        .withColumn("decile", int_ntile(F.col("_rn"), F.col("_n"), 10))
     )
     per_decile = (
-        per_user.withColumn("decile", decile)
-        .groupBy("decile")
+        binned.groupBy("decile")
         .agg(
             F.count("*").alias("n_users"),
             F.sum("n").alias("n_events"),

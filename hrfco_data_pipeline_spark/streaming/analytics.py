@@ -434,10 +434,14 @@ def histogram_rollup_stream(
     is bounded by types × open-days × 512 bins, evicted at the
     watermark.
 
-    Watermarks require an LTZ event time, so the NTZ wall clock is
-    cast through the session timezone; day boundaries therefore
-    follow the session timezone — consumers comparing against the
-    batch face must extract days through the same cast (see
+    Watermarks require an LTZ event time, so eviction runs on the
+    session-tz cast of the NTZ wall clock — but the DAY label is
+    derived from the NTZ wall clock itself, matching the batch face's
+    ``to_date(ts)`` in ANY session timezone. In a non-UTC session a
+    wall-clock day can straddle two eviction windows, so a
+    (type, day, bucket) cell may emit up to two partial rows; partials
+    are mergeable by construction (integer adds), and the batch face
+    sums them, so consumers are unaffected (see
     tests/test_histogram_stream.py)."""
     bucket = F.least(F.floor("value").cast("int"), F.lit(511))
     return (
@@ -449,13 +453,9 @@ def histogram_rollup_stream(
         .groupBy(
             "event_type",
             F.window("ts_ltz", "1 day").alias("w"),
+            F.to_date("ts").alias("day"),
             bucket.alias("bucket"),
         )
         .agg(F.count("*").alias("n"))
-        .select(
-            "event_type",
-            F.to_date(F.col("w.start")).alias("day"),
-            "bucket",
-            "n",
-        )
+        .select("event_type", "day", "bucket", "n")
     )

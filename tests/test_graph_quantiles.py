@@ -355,3 +355,25 @@ def test_dq_uniqueness_covers_keys(spark):
     for r in rows.values():
         assert r.n_distinct_keys <= r.n_rows
         assert r.n_extra_rows == r.n_rows - r.n_distinct_keys
+
+
+def test_ab_test_degenerate_single_arm(spark, tmp_path):
+    """One lone user (a single variant): the report must still emit
+    its one row — zero-filled for the empty arm, z NULL instead of a
+    NaN/Infinity or a silently empty result."""
+    import datetime
+
+    rows = [
+        (1, 42, "purchase", datetime.datetime(2024, 1, 1, 10, 0), 1.0),
+        (2, 42, "view", datetime.datetime(2024, 1, 2, 10, 0), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz, value double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = R.events_ab_test(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_a + r.n_b) == 2 and (r.c_a + r.c_b) == 1
+    assert r.n_a == 0 or r.n_b == 0  # one arm empty
+    assert r.z is None

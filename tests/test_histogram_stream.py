@@ -30,19 +30,22 @@ def test_histogram_rollup_stream_matches_batch(spark, tmp_path):
         .start()
     )
     assert q.awaitTermination(300)
-    got = {
-        (r.event_type, r.day, r.bucket): r.n
-        for r in spark.sql("SELECT * FROM hist_partials").collect()
-    }
+    # a wall-clock day may straddle two eviction windows in non-UTC
+    # sessions: merge partials per (type, day, bucket) exactly as the
+    # batch face does (integer adds)
+    got: dict = {}
+    for r in spark.sql("SELECT * FROM hist_partials").collect():
+        k = (r.event_type, r.day, r.bucket)
+        got[k] = got.get(k, 0) + r.n
     assert got, "no finalized partial windows"
     bucket = F.least(F.floor("value").cast("int"), F.lit(511))
-    # day through the SAME session-tz cast the stream uses, so the
-    # compare is invariant under any session timezone
+    # day from the NTZ wall clock — identical to the stream's label
+    # in ANY session timezone
     want_df = (
         batch_ev.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
         .groupBy(
             "event_type",
-            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            F.to_date("ts").alias("day"),
             bucket.alias("bucket"),
         )
         .agg(F.count("*").alias("n"))
@@ -51,8 +54,12 @@ def test_histogram_rollup_stream_matches_batch(spark, tmp_path):
         (r.event_type, r.day, r.bucket): r.n for r in want_df.collect()
     }
     # availableNow + watermark finalize all but the last open day(s):
-    # every emitted partial must equal its batch twin exactly
+    # every fully-finalized day must equal its batch twin exactly (the
+    # max emitted day may have a still-open second eviction window in
+    # non-UTC sessions, so it is excluded from the exact compare)
+    last_day = max(k[1] for k in got)
     for k, n in got.items():
-        assert want.get(k) == n, k
+        if k[1] != last_day:
+            assert want.get(k) == n, k
     # and the stream must have finalized the overwhelming majority
     assert len(got) >= 0.8 * len(want)
