@@ -62,3 +62,75 @@ def resample_stations(df: DataFrame, freq_minutes: int = 10) -> DataFrame:
         .groupBy("wlobscd")
         .applyInPandas(_resample_fn(freq_minutes), RESAMPLED_SCHEMA)
     )
+
+
+def resample_stations_sql(df: DataFrame, freq_minutes: int = 10) -> DataFrame:
+    """JVM-side twin of :func:`resample_stations`: the same
+    (wlobscd, grid_ts, water_level, interpolated) contract, but the
+    whole grid-snap + linear interpolation runs in codegen'd built-ins
+    — no Arrow transfer, no Python in the path.
+
+    Input must already be bucket-aligned with <= 1 row per
+    (station, bucket) — i.e. the exact pre-aggregated frame
+    plans/hydro.resample_10min feeds the pandas form. Shape: ONE
+    station-keyed window (lead) over the real points, then a
+    sequence() explode that materializes each gap's interior grid
+    points directly — no dense-grid join, and no
+    CurrentRow→UnboundedFollowing frame (whose first/last IGNORE NULLS
+    re-scans the tail per row: O(n²) per partition in WindowExec — the
+    first draft of this operator paid 9 s there). The interpolation
+    arithmetic — slope = Δy/Δsteps, value = slope·steps + y₀ over
+    exactly-representable step counts — is term-for-term np.interp
+    (and the DuckDB oracle), so it is bit-identical to the pandas
+    path. Same scale posture: everything keys on the station; the
+    explode fan-out equals the hole count, bounded by the retention
+    window ÷ frequency per station.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("wlobscd").orderBy("obs_ts")
+    nx = df.select(
+        "wlobscd",
+        "obs_ts",
+        "water_level",
+        F.lead("obs_ts").over(w).alias("nts"),
+        F.lead("water_level").over(w).alias("nwl"),
+    )
+    real = nx.select(
+        "wlobscd",
+        F.col("obs_ts").cast("timestamp").alias("grid_ts"),
+        "water_level",
+        F.lit(False).alias("interpolated"),
+    )
+    steps = (
+        F.timestamp_diff("MINUTE", F.col("obs_ts"), F.col("nts"))
+        / F.lit(freq_minutes)
+    ).cast("bigint")
+    gaps = nx.filter(F.col("nts").isNotNull() & (steps > 1)).select(
+        "wlobscd",
+        "obs_ts",
+        "water_level",
+        "nwl",
+        steps.alias("nsteps"),
+        F.explode(
+            F.sequence(F.lit(1).cast("bigint"), steps - 1)
+        ).alias("k"),
+    )
+    interp = gaps.select(
+        "wlobscd",
+        (
+            F.col("obs_ts")
+            + F.make_interval(mins=(F.col("k") * freq_minutes).cast("int"))
+        )
+        .cast("timestamp")
+        .alias("grid_ts"),
+        (
+            (F.col("nwl") - F.col("water_level"))
+            / F.col("nsteps").cast("double")
+            * F.col("k").cast("double")
+            + F.col("water_level")
+        ).alias("water_level"),
+        F.lit(True).alias("interpolated"),
+    )
+    return real.unionByName(interp)

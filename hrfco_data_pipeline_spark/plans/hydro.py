@@ -228,25 +228,29 @@ def sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered surface for operators/resample.resample_stations over
-    the classified observation stream, summarized per station (grid
-    size, real vs interpolated point counts, max level).
+    """Registered surface for operators/resample.resample_stations_sql
+    over the classified observation stream, summarized per station
+    (grid size, real vs interpolated point counts, max level).
 
-    Oracle-checkable — unusual for a pandas grouped-map. The only
-    nondeterminism in the pandas path is multi-reading bucket means
-    (double summation order), so in-bucket averaging is hoisted into
-    Spark as an exact DECIMAL sum ÷ count (wl is 2-decimal by
-    construction) BEFORE the grouped map; the map then sees ≤1 value
-    per bucket (its own resample-mean is identity) and its linear
-    interpolation is np.interp arithmetic — slope = Δy/Δsteps, value =
-    slope·steps + y₀ over exactly-representable step counts — which the
-    DuckDB twin reproduces term-for-term (HYDRO_ORACLES). Bucket
-    boundaries are floored on the NAIVE wall time (cast to
-    TIMESTAMP_NTZ first), exact under ANY session timezone — an
-    epoch-based floor would shift boundaries in sessions whose UTC
-    offset is not a multiple of 10 minutes (e.g. +5:45).
+    In-bucket averaging runs as an exact DECIMAL sum ÷ count (wl is
+    2-decimal by construction) so the bucket means carry no double
+    summation-order nondeterminism; the grid snap + linear
+    interpolation then runs fully JVM-side (r5: promoted from the
+    pandas grouped map after bit-parity held — the Arrow transfer was
+    the slowest steady-state headline cost; the pandas twin stays as
+    operators/resample.resample_stations, parity-pinned in
+    tests/test_resample.py). The interpolation is np.interp
+    arithmetic — slope = Δy/Δsteps, value = slope·steps + y₀ over
+    exactly-representable step counts — which the DuckDB twin
+    reproduces term-for-term (HYDRO_ORACLES). Bucket boundaries are
+    floored on the NAIVE wall time (cast to TIMESTAMP_NTZ first),
+    exact under ANY session timezone — an epoch-based floor would
+    shift boundaries in sessions whose UTC offset is not a multiple
+    of 10 minutes (e.g. +5:45).
     """
-    from hrfco_data_pipeline_spark.operators.resample import resample_stations
+    from hrfco_data_pipeline_spark.operators.resample import (
+        resample_stations_sql,
+    )
 
     c = classified(spark, sf_dir)
     ts = F.try_to_timestamp(F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm"))
@@ -263,7 +267,7 @@ def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.groupBy("wlobscd", bucket.alias("obs_ts"))
         .agg((F.sum(wl_dec).cast("double") / F.count("*")).alias("water_level"))
     )
-    r = resample_stations(bm, freq_minutes=10)
+    r = resample_stations_sql(bm, freq_minutes=10)
     return (
         r.groupBy("wlobscd")
         .agg(

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pyspark.sql.functions as F  # noqa: F401
 
@@ -75,3 +75,43 @@ def test_timezone_invariance_of_time_queries(spark):
             assert snap() == base, tz
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_sql_twin_bit_parity_with_pandas_form(spark):
+    """resample_stations_sql (JVM codegen) must reproduce the pandas
+    grouped map BIT-EXACTLY on bucket-aligned input — the promotion
+    contract that let plans/hydro.resample_10min drop the Arrow
+    transfer. Irregular gaps, multi-station, interior holes."""
+    from hrfco_data_pipeline_spark.operators.resample import (
+        resample_stations_sql,
+    )
+
+    rows = []
+    for code, base_vals in (
+        ("S1", [3.17, None, None, 9.42, 5.55, None, 2.01]),
+        ("S2", [1.23]),
+        ("S3", [0.07, None, 11.99]),
+    ):
+        for i, v in enumerate(base_vals):
+            if v is not None:
+                rows.append(
+                    (
+                        code,
+                        datetime(2024, 3, 1, 0, 0)
+                        + timedelta(minutes=10 * i),
+                        v,
+                    )
+                )
+    df = spark.createDataFrame(
+        rows, "wlobscd string, obs_ts timestamp, water_level double"
+    )
+    key = lambda r: (r.wlobscd, r.grid_ts)  # noqa: E731
+    got = {
+        key(r): (r.water_level, r.interpolated)
+        for r in resample_stations_sql(df, freq_minutes=10).collect()
+    }
+    want = {
+        key(r): (r.water_level, r.interpolated)
+        for r in resample_stations(df, freq_minutes=10).collect()
+    }
+    assert got == want  # exact float equality: same IEEE term order
