@@ -133,6 +133,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_impute_report": wire.wire_impute_report,
         "part_substitutes": relational.part_substitutes,
         "dq_uniqueness_report": relational.dq_uniqueness_report,
+        # --- new in r5 (never checked; inside the r6 window region) ---
+        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
+        "events_feature_matrix": relational.events_feature_matrix,
+        "events_k_anonymity": relational.events_k_anonymity,
+        "docs_weighted_sample": llm.docs_weighted_sample,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

@@ -4809,3 +4809,135 @@ RELATIONAL_ORACLES["dq_uniqueness_report"] = """
     SELECT 'orders', 'o_orderkey', count(*), count(DISTINCT o_orderkey),
       count(*) - count(DISTINCT o_orderkey) FROM orders
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 oracles
+# ---------------------------------------------------------------------------
+
+# Bigram-LM cross-entropy: same add-α model trained in SQL, same
+# order-pinned fold over the sorted per-doc bigram terms (the
+# docs_token_entropy determinism pattern), same log2 arithmetic.
+LLM_ORACLES["docs_bigram_perplexity"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+        list_transform(regexp_split_to_array(trim(text), '\s+'),
+                       t -> lower(t)) AS toks
+      FROM documents
+    ),
+    bgu AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM tok WHERE len(toks) >= 2
+    ),
+    db AS (SELECT doc_id, bg, count(*) AS k FROM bgu GROUP BY 1, 2),
+    corpus_bg AS (SELECT bg, sum(k) AS c_bg FROM db GROUP BY 1),
+    cw1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_w1
+      FROM corpus_bg GROUP BY 1
+    ),
+    probs AS (
+      SELECT bg, c_bg, c_w1
+      FROM corpus_bg JOIN cw1 ON split_part(corpus_bg.bg, ' ', 1) = cw1.w1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(toks) AS w FROM tok)
+    ),
+    per_doc AS (
+      SELECT db.doc_id, vocab.v,
+        list(struct_pack(k := db.k, c_bg := probs.c_bg, c_w1 := probs.c_w1)
+             ORDER BY db.bg) AS ts,
+        sum(db.k) AS m
+      FROM db JOIN probs USING (bg) CROSS JOIN vocab
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(m AS BIGINT) AS n_bigrams,
+      round(
+        -list_reduce(
+          list_prepend(0.0, list_transform(ts,
+            t -> CAST(t.k AS DOUBLE)
+                 * log2((CAST(t.c_bg AS DOUBLE) + 0.5)
+                        / (CAST(t.c_w1 AS DOUBLE)
+                           + 0.5 * CAST(v AS DOUBLE))))),
+          (acc, x) -> acc + x) / CAST(m AS DOUBLE),
+        4) AS xent_bits
+    FROM per_doc
+    """
+
+
+# Point-in-time feature join: identical window frames (range for the
+# trailing count, (us, event_id)-ordered rows frames for the as-of
+# value and running min).
+RELATIONAL_ORACLES["events_feature_matrix"] = """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    ),
+    feat AS (
+      SELECT event_id, user_id, event_type, us, value AS label,
+        sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+          PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+        ) AS views_7d,
+        last_value(CASE WHEN event_type = 'error' THEN value END
+                   IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS last_error_value,
+        min(CASE WHEN event_type = 'signup' THEN us END) OVER (
+          PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS signup_us
+      FROM base
+    )
+    SELECT event_id, user_id, CAST(views_7d AS BIGINT) AS views_7d,
+      last_error_value,
+      CAST((us - signup_us) // 86400000000 AS BIGINT)
+        AS days_since_signup,
+      label
+    FROM feat WHERE event_type = 'purchase'
+    """
+
+
+# k-anonymity screen: same QI cells, same rollup.
+RELATIONAL_ORACLES["events_k_anonymity"] = """
+    WITH cells AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(floor(coalesce(value, -1.0) / 10) AS BIGINT) AS value_band,
+        count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+      count(*) AS n_groups,
+      CAST(sum(n) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_singletons,
+      CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        AS rows_at_risk,
+      round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+            / CAST(sum(n) AS DOUBLE), 4) AS at_risk_share
+    FROM cells GROUP BY 1
+    """
+
+
+# Deterministic weighted sample: the integer Knuth-hash keep test and
+# the exact-integer expected rate, mirrored literally.
+LLM_ORACLES["docs_weighted_sample"] = """
+    WITH wm AS (SELECT max(n_chars) AS w_max FROM documents),
+    flagged AS (
+      SELECT source, n_chars, w_max,
+        ((doc_id % 2147483648) * 2654435761) % 2147483648 * w_max
+          < n_chars * 2147483648 AS keep
+      FROM documents CROSS JOIN wm
+    )
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+        AS kept_chars,
+      round(CAST(sum(n_chars) AS DOUBLE) / CAST(first(w_max) AS DOUBLE), 4)
+        AS expected_kept
+    FROM flagged GROUP BY source
+    """

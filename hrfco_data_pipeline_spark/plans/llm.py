@@ -2944,3 +2944,126 @@ def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nb",
         _r4(containment).alias("containment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: LM-based quality, within-doc span dedup, selection
+# --------------------------------------------------------------------------
+
+def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM cross-entropy per document — the CCNet/Gopher-style
+    perplexity filter: train an add-α bigram model ON the corpus
+    itself, score every document by mean negative log2-likelihood
+    (bits per bigram; low = fluent/repetitive of the corpus register,
+    high = junk or out-of-register). The standard model-based quality
+    signal next to the heuristic screens (docs_quality_score,
+    docs_gopher_quality).
+
+    P(w2|w1) = (c(w1w2)+α) / (c(w1·)+α·V), α=0.5, V = corpus unigram
+    vocabulary. Scale shape: bigram/prefix counts are two vocab-sized
+    aggregates (map-side partials) joined on the prefix key; docs join
+    their distinct-bigram counts to the prob table on the bigram key —
+    every shuffle is vocab-bounded, never token-instance-bounded. The
+    per-doc term sum folds over the SORTED bigram list
+    (docs_token_entropy's order-pinned double fold), so the score is
+    bit-deterministic at any parallelism and engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.transform(_tokens(), lambda t: F.lower(t))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    db = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("k"))
+    )
+    corpus_bg = db.groupBy("bg").agg(F.sum("k").alias("c_bg"))
+    prefix = corpus_bg.withColumn(
+        "w1", F.split(F.col("bg"), " ", 2)[0]
+    )
+    c_w1 = prefix.groupBy("w1").agg(F.sum("c_bg").alias("c_w1"))
+    probs = prefix.join(c_w1, "w1").select("bg", "c_bg", "c_w1")
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    terms = db.join(probs, "bg").crossJoin(F.broadcast(vocab))
+    per_doc = terms.groupBy("doc_id", "v").agg(
+        F.sort_array(
+            F.collect_list(F.struct("bg", "k", "c_bg", "c_w1"))
+        ).alias("ts"),
+        F.sum("k").alias("m"),
+    )
+    alpha = F.lit(0.5)
+    logp = lambda t: F.log2(  # noqa: E731
+        (t["c_bg"].cast("double") + alpha)
+        / (t["c_w1"].cast("double") + alpha * F.col("v").cast("double"))
+    )
+    folded = per_doc.withColumn(
+        "nll",
+        -F.aggregate(
+            "ts", F.lit(0.0), lambda acc, t: acc + t["k"].cast("double") * logp(t)
+        ),
+    )
+    return folded.select(
+        "doc_id",
+        F.col("m").alias("n_bigrams"),
+        _r4(F.col("nll") / F.col("m").cast("double")).alias("xent_bits"),
+    )
+
+
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-proportional weighted subsampling, deterministic across
+    retries/AQE/engines: keep each document with probability
+    n_chars / max(n_chars) using the portable Knuth hash as the
+    uniform draw — the weighted analogue of docs_sample_hash_topk
+    (importance sampling toward long documents, the cheap token-budget
+    draw). The keep test is pure integer arithmetic
+    (hash·w_max < w·2³¹, products < 2⁶³), so there is no rand(), no
+    float threshold, and the DuckDB twin reproduces the exact sample.
+    One corpus max (1-row broadcast) + a codegen'd filter; summarized
+    per source with exact expected-vs-actual rates."""
+    from hrfco_data_pipeline_spark.operators.sampling import KNUTH
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.lit(2_147_483_648)
+    h = (F.col("doc_id").cast("long") % m * F.lit(KNUTH)) % m
+    wmax = docs.agg(F.max("n_chars").alias("w_max"))
+    flagged = docs.crossJoin(F.broadcast(wmax)).select(
+        "source",
+        "n_chars",
+        "w_max",
+        (h * F.col("w_max") < F.col("n_chars") * m).alias("keep"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+            # exact integer sum divided ONCE: a per-row double sum
+            # would be summation-order-dependent
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.first("w_max").cast("double"),
+                4,
+            ).alias("expected_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "total_chars",
+            F.col("kept_chars").cast("long").alias("kept_chars"),
+            "expected_kept",
+        )
+    )

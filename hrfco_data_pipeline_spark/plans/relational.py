@@ -3730,3 +3730,111 @@ def dq_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: feature assembly, SCD2 history, privacy screens
+# --------------------------------------------------------------------------
+
+def events_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-example assembly (the
+    feature-store join): every purchase event becomes a labeled row
+    whose features are computed ONLY from events at-or-before the
+    label timestamp — trailing-7-day view count, most recent error
+    value, and days since first signup — the construction that
+    prevents training-serving skew / label leakage in an ML pipeline.
+
+    All three features resolve in ONE user-keyed window pass (a range
+    frame for the trailing count, one running frame for the as-of
+    value and the running min), then a filter keeps the purchase
+    spine: one shuffle total, state bounded per user, no self-joins.
+    Deterministic: the rows frames order by (us, event_id) — a total
+    order — and the range frame is position-independent by
+    definition."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value", us.alias("us")
+    )
+    seven_days_us = 7 * 86_400 * 1_000_000
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-seven_days_us, 0)
+    )
+    wrow = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    feat = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.col("value").alias("label"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).over(wr).alias("views_7d"),
+        F.last(
+            F.when(F.col("event_type") == "error", F.col("value")),
+            ignorenulls=True,
+        ).over(wrow).alias("last_error_value"),
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("us"))
+        ).over(wrow).alias("signup_us"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("views_7d").cast("long").alias("views_7d"),
+        "last_error_value",
+        F.floor(
+            (F.col("us") - F.col("signup_us"))
+            / F.lit(86_400_000_000)
+        ).cast("long").alias("days_since_signup"),
+        "label",
+    )
+
+
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity screen over the release quasi-identifiers
+    (event_type, event date, $10 value band): the privacy audit a
+    pipeline runs before events leave the platform as training data —
+    rows whose QI combination matches fewer than k=5 records are
+    re-identifiable. Reports, per event type: group count, singleton
+    groups, rows at risk (group size < 5), and the at-risk share.
+    Two bounded-key aggregates (QI cells, then per-type rollup) with
+    map-side partials; no windows, no joins."""
+    ev = load_table(spark, sf_dir, "events")
+    band = F.floor(F.coalesce(F.col("value"), F.lit(-1.0)) / 10).cast("long")
+    cells = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        band.alias("value_band"),
+    ).agg(F.count("*").alias("n"))
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n").alias("n_rows"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias(
+                "n_singletons"
+            ),
+            F.sum(F.when(F.col("n") < 5, F.col("n")).otherwise(0)).alias(
+                "rows_at_risk"
+            ),
+        )
+        .select(
+            "event_type",
+            "n_groups",
+            "n_rows",
+            F.col("n_singletons").cast("long").alias("n_singletons"),
+            F.col("rows_at_risk").cast("long").alias("rows_at_risk"),
+            F.round(
+                F.col("rows_at_risk").cast("double")
+                / F.col("n_rows").cast("double"),
+                4,
+            ).alias("at_risk_share"),
+        )
+    )
