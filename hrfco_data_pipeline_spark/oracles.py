@@ -4941,3 +4941,30 @@ LLM_ORACLES["docs_weighted_sample"] = """
         AS expected_kept
     FROM flagged GROUP BY source
     """
+
+
+# BFS levels as a recursive CTE: per-node min level == first-discovery
+# depth, identical to the Spark frontier loop's level assignment.
+RELATIONAL_ORACLES["copurchase_bfs_levels"] = """
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    half AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half),
+    walk AS (
+      SELECT (SELECT min(u) FROM adj) AS node, 0 AS level
+      UNION
+      SELECT adj.v AS node, walk.level + 1 AS level
+      FROM walk JOIN adj ON walk.node = adj.u
+      WHERE walk.level < 6
+    ),
+    lv AS (SELECT node, min(level) AS level FROM walk GROUP BY node)
+    SELECT CAST(level AS INTEGER) AS level, count(*) AS n_nodes,
+      min(node) AS min_node, max(node) AS max_node
+    FROM lv GROUP BY level
+    """

@@ -3838,3 +3838,71 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("at_risk_share"),
         )
     )
+
+
+def copurchase_bfs_levels(
+    spark: SparkSession, sf_dir: str, max_depth: int = 6
+) -> DataFrame:
+    """Breadth-first reachability levels on the part co-purchase graph
+    (edges = pairs co-ordered >= 2 times, the copurchase_triangles /
+    label-propagation edge set) from the smallest part key: per level,
+    the newly-reached node count and key span — the hop-distance
+    profile ("how connected is the catalog around this anchor") that
+    complements components (reachability), PageRank (centrality), and
+    triangles (density).
+
+    The frontier loop is the canonical bounded-iteration Spark shape:
+    per depth, one frontier⋈adjacency join + distinct + one anti-join
+    against the visited set, lineage cut per round
+    (operators/dedup._materialized — a lazy loop re-embeds the
+    upstream tree exponentially). Depth is capped, never data-sized;
+    an empty frontier makes remaining rounds no-ops without a
+    driver-side convergence check. The DuckDB twin is a recursive CTE
+    (min-level per node == first-discovery depth), making this the
+    registry's oracle-backed graph-traversal representative."""
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+    adj = _materialized(
+        half.unionAll(
+            half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    )
+    visited = _materialized(
+        adj.agg(F.min("u").alias("node")).select(
+            "node", F.lit(0).alias("level")
+        )
+    )
+    for depth in range(1, max_depth + 1):
+        frontier = visited.filter(F.col("level") == depth - 1).select(
+            F.col("node").alias("u")
+        )
+        nxt = (
+            frontier.join(adj, "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(depth).alias("level"))
+        )
+        visited = _materialized(visited.unionAll(nxt))
+    return visited.groupBy("level").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
