@@ -61,6 +61,10 @@ HEADLINE = [
     # late-round additions: iterative graph + native session windows
     "nation_trade_pagerank",
     "events_session_window_agg",
+    # round-5 additions: corpus-trained LM scoring + the r4-weak
+    # global-window query rebuilt on the two-pass range rank
+    "docs_bigram_perplexity",
+    "docs_select_token_budget",
 ]
 
 
