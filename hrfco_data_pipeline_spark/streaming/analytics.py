@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -458,4 +459,115 @@ def histogram_rollup_stream(
         )
         .agg(F.count("*").alias("n"))
         .select("event_type", "day", "bucket", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Online feature-store assembly (streaming face of
+# plans/relational.events_feature_matrix)
+# ---------------------------------------------------------------------------
+
+FEATURE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("views_7d", LongType()),
+        StructField("last_error_value", DoubleType()),
+        StructField("days_since_signup", LongType()),
+        StructField("label", DoubleType()),
+    ]
+)
+
+FEATURE_STATE_SCHEMA = StructType(
+    [
+        StructField("view_ts", ArrayType(LongType())),
+        StructField("last_error", DoubleType()),
+        StructField("signup_us", LongType()),
+    ]
+)
+
+_SEVEN_DAYS_US = 7 * 86_400 * 1_000_000
+
+
+def _feature_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user online features: a pruned buffer of trailing-7-day view
+    timestamps, the most recent error value, and the first signup
+    timestamp. Purchases emit a feature row at arrival time.
+
+    Event-time order within the batch is (us, event_id) — identical to
+    the batch face's window frames. Equal-timestamp groups mirror the
+    batch RANGE frame exactly: every view in the same microsecond
+    counts toward a purchase's views_7d regardless of event_id, while
+    error/signup updates stay (us, event_id)-sequential (the batch
+    rows frame). State is bounded: the view buffer holds one
+    timestamp per view inside the 7-day horizon, pruned on every
+    group."""
+    if state.exists:
+        view_ts, last_error, signup_us = state.get
+        view_ts = list(view_ts)
+        last_error = None if pd.isna(last_error) else last_error
+        signup_us = None if pd.isna(signup_us) else signup_us
+    else:
+        view_ts, last_error, signup_us = [], None, None
+    (user_id,) = key
+    out = []
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    batch = batch.sort_values(["us", "event_id"], kind="stable")
+    for us, grp in batch.groupby("us", sort=True):
+        us = int(us)
+        view_ts = [t for t in view_ts if t >= us - _SEVEN_DAYS_US]
+        n_group_views = int((grp["event_type"] == "view").sum())
+        for row in grp.itertuples(index=False):
+            if row.event_type == "purchase":
+                days = (
+                    (us - signup_us) // 86_400_000_000
+                    if signup_us is not None
+                    else None
+                )
+                out.append(
+                    (
+                        int(row.event_id),
+                        int(user_id),
+                        len(view_ts) + n_group_views,
+                        last_error,
+                        days,
+                        None if pd.isna(row.value) else float(row.value),
+                    )
+                )
+            elif row.event_type == "error" and pd.notna(row.value):
+                last_error = float(row.value)
+            elif row.event_type == "signup":
+                signup_us = us if signup_us is None else min(signup_us, us)
+        view_ts.extend([us] * n_group_views)
+    state.update((view_ts, last_error, signup_us))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in FEATURE_OUTPUT_SCHEMA.fields]
+    )
+
+
+def feature_matrix_stream(events_stream: DataFrame) -> DataFrame:
+    """Streaming twin of the point-in-time feature join: the same
+    labeled rows the batch face computes, produced online as purchases
+    arrive — the online/offline consistency property a feature store
+    exists to provide (training rows from the batch face, serving rows
+    from this one, same values).
+
+    Groups by user; state bounded by the 7-day view horizon. Within a
+    micro-batch, event-time order is exact; across batches, late
+    events are handled best-effort like station_delta_stream (a plain
+    window cannot give cross-batch frames on an unbounded stream).
+    Batch-equivalence on an availableNow replay is pinned in
+    tests/test_streaming_analytics.py."""
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    src = events_stream.select(
+        "event_id", "user_id", "event_type", "value", us.alias("us")
+    )
+    return src.groupBy("user_id").applyInPandasWithState(
+        _feature_fn,
+        outputStructType=FEATURE_OUTPUT_SCHEMA,
+        stateStructType=FEATURE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -426,3 +426,57 @@ def test_rise_forecast_stream_matches_batch(spark, tmp_path):
         assert lb.rise_per_10min == bb.rise_per_10min
         assert lb.margin == bb.margin
         assert lb.est_minutes_to_next == bb.est_minutes_to_next
+
+
+def test_feature_matrix_stream_equals_batch(spark, tmp_path):
+    """Online/offline consistency: the streaming feature assembly over
+    an availableNow replay of the events table must produce EXACTLY
+    the batch events_feature_matrix rows — the property a feature
+    store exists to provide."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_feature_matrix,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.analytics import (
+        feature_matrix_stream,
+    )
+
+    batch_ev = load_table(spark, SF, "events")
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    batch_ev.write.mode("overwrite").parquet(str(src / "part"))
+    stream = spark.readStream.schema(batch_ev.schema).parquet(
+        str(src / "part")
+    )
+    q = (
+        feature_matrix_stream(stream)
+        .writeStream.format("memory")
+        .queryName("feat_live")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "feat-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    live = {
+        r.event_id: (
+            r.user_id,
+            r.views_7d,
+            r.last_error_value,
+            r.days_since_signup,
+            r.label,
+        )
+        for r in spark.sql("SELECT * FROM feat_live").collect()
+    }
+    want = {
+        r.event_id: (
+            r.user_id,
+            r.views_7d,
+            r.last_error_value,
+            r.days_since_signup,
+            r.label,
+        )
+        for r in events_feature_matrix(spark, SF).collect()
+    }
+    assert want
+    assert live == want
