@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_k_anonymity": relational.events_k_anonymity,
         "docs_weighted_sample": llm.docs_weighted_sample,
         "copurchase_bfs_levels": relational.copurchase_bfs_levels,
+        "embedding_random_projection": llm.embedding_random_projection,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

@@ -3067,3 +3067,48 @@ def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_kept",
         )
     )
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimensionality reduction by sparse random projection (the
+    Achlioptas construction): project every embedding to 8 components
+    with entries s(i,j) ∈ {+1, 0, -1} (probabilities 1/6, 2/3, 1/6)
+    scaled by √3 — the JL-lemma-backed cheap alternative to PCA for
+    shrinking ANN/dedup index footprints 4×.
+
+    The projection matrix is never materialized: each entry derives
+    from the integer Knuth hash of its flat index ((i·8+j)·KNUTH mod
+    2³¹ mod 6), so Spark and the DuckDB twin regenerate the identical
+    matrix from arithmetic alone — no float literals, no RNG, no
+    broadcast. Each component is an index-ordered fold over the
+    vector (deterministic summation), one scan, zero shuffles: scales
+    exactly as the read."""
+    import math as _math
+
+    from hrfco_data_pipeline_spark.operators.similarity import as_double_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec("embedding", "v"))
+    d = F.size("v")
+    kn, m = 2654435761, 2_147_483_648
+
+    def sign(i: Column, j: int) -> Column:
+        h = F.pmod((i * 8 + F.lit(j)) * F.lit(kn), F.lit(m)) % 6
+        return (
+            F.when(h == 0, F.lit(1.0))
+            .when(h == 1, F.lit(-1.0))
+            .otherwise(F.lit(0.0))
+        )
+
+    def comp(j: int) -> Column:
+        fold = F.aggregate(
+            F.sequence(F.lit(0), d - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at("v", (i + 1).cast("int")) * sign(i, j),
+        )
+        return _r4(F.lit(_math.sqrt(3.0)) * fold)
+
+    return v.select(
+        "vec_id", *[comp(j).alias(f"p{j}") for j in range(8)]
+    )
