@@ -73,9 +73,12 @@ def resample_stations_sql(df: DataFrame, freq_minutes: int = 10) -> DataFrame:
     Input must already be bucket-aligned with <= 1 row per
     (station, bucket) — i.e. the exact pre-aggregated frame
     plans/hydro.resample_10min feeds the pandas form. Shape: ONE
-    station-keyed window (lead) over the real points, then a
-    sequence() explode that materializes each gap's interior grid
-    points directly — no dense-grid join, and no
+    station-keyed window (lead) over the real points, then ONE
+    generate: each row explodes into itself plus its gap's interior
+    grid points (own point ++ sequence() of interpolants) — a single
+    scan of the input, no dense-grid join, no union re-scan (a
+    union-of-branches draft recomputed the upstream per branch:
+    warm 5.0 s vs 2.6 s at sf0.1), and no
     CurrentRow→UnboundedFollowing frame (whose first/last IGNORE NULLS
     re-scans the tail per row: O(n²) per partition in WindowExec — the
     first draft of this operator paid 9 s there). The interpolation
@@ -97,40 +100,39 @@ def resample_stations_sql(df: DataFrame, freq_minutes: int = 10) -> DataFrame:
         F.lead("obs_ts").over(w).alias("nts"),
         F.lead("water_level").over(w).alias("nwl"),
     )
-    real = nx.select(
-        "wlobscd",
-        F.col("obs_ts").cast("timestamp").alias("grid_ts"),
-        "water_level",
-        F.lit(False).alias("interpolated"),
-    )
     steps = (
         F.timestamp_diff("MINUTE", F.col("obs_ts"), F.col("nts"))
         / F.lit(freq_minutes)
     ).cast("bigint")
-    gaps = nx.filter(F.col("nts").isNotNull() & (steps > 1)).select(
-        "wlobscd",
-        "obs_ts",
-        "water_level",
-        "nwl",
-        steps.alias("nsteps"),
-        F.explode(
-            F.sequence(F.lit(1).cast("bigint"), steps - 1)
-        ).alias("k"),
-    )
-    interp = gaps.select(
-        "wlobscd",
-        (
-            F.col("obs_ts")
-            + F.make_interval(mins=(F.col("k") * freq_minutes).cast("int"))
+    own = F.array(
+        F.struct(
+            F.col("obs_ts").alias("t"),
+            F.col("water_level").alias("wl"),
+            F.lit(False).alias("interp"),
         )
-        .cast("timestamp")
-        .alias("grid_ts"),
-        (
-            (F.col("nwl") - F.col("water_level"))
-            / F.col("nsteps").cast("double")
-            * F.col("k").cast("double")
-            + F.col("water_level")
-        ).alias("water_level"),
-        F.lit(True).alias("interpolated"),
     )
-    return real.unionByName(interp)
+    gap_pts = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), steps - 1),
+        lambda k: F.struct(
+            (
+                F.col("obs_ts")
+                + F.make_interval(mins=(k * freq_minutes).cast("int"))
+            ).alias("t"),
+            (
+                (F.col("nwl") - F.col("water_level"))
+                / steps.cast("double")
+                * k.cast("double")
+                + F.col("water_level")
+            ).alias("wl"),
+            F.lit(True).alias("interp"),
+        ),
+    )
+    pts = F.when(
+        F.col("nts").isNotNull() & (steps > 1), F.concat(own, gap_pts)
+    ).otherwise(own)
+    return nx.select("wlobscd", F.explode(pts).alias("p")).select(
+        "wlobscd",
+        F.col("p.t").cast("timestamp").alias("grid_ts"),
+        F.col("p.wl").alias("water_level"),
+        F.col("p.interp").alias("interpolated"),
+    )
