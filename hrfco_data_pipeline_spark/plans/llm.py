@@ -3112,3 +3112,111 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         "vec_id", *[comp(j).alias(f"p{j}") for j in range(8)]
     )
+
+
+def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model TRAINING, not just scoring: fit a multinomial
+    Naive Bayes language classifier on the corpus (priors + add-1
+    token likelihoods per language) and evaluate it on the training
+    set, reported as the (true lang × predicted lang) confusion matrix
+    — the supervised companion to the heuristic docs_lang_id and its
+    docs_lang_confusion report.
+
+    score(d, l) = log2 P(l) + Σ_tok k·log2((c(tok,l)+1)/(N_l+V));
+    unseen (tok, l) cells get the smoothed default via a dense
+    vocab×lang grid (|V|·|langs| rows — vocab-bounded, never
+    token-instance-bounded). Every input to the floating math is an
+    exact integer count, per-(doc, lang) sums fold over the SORTED
+    token list, and the argmax is a deterministic (score desc, lang)
+    rank — so the trained model's predictions are bit-reproducible at
+    any parallelism and engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(_tokens(), lambda t: F.lower(t))
+        ).alias("tok"),
+    )
+    # training counts: c(tok, lang), N_lang, priors, vocabulary
+    ct = toks.groupBy("tok", "lang").agg(F.count("*").alias("c"))
+    nl = ct.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    pri = docs.groupBy(F.col("lang").alias("p_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = docs.agg(F.count("*").alias("n_total"))
+    vocab = ct.select("tok").distinct()
+    v = vocab.agg(F.count("*").alias("v"))
+    # dense (tok, lang) grid so unseen cells carry the smoothed
+    # default; vocab/nl/ct share lineage, so qualify the self-join
+    grid = (
+        vocab.alias("vb")
+        .crossJoin(nl.alias("nlt"))
+        .join(
+            ct.alias("ctt"),
+            (F.col("vb.tok") == F.col("ctt.tok"))
+            & (F.col("nlt.lang") == F.col("ctt.lang")),
+            "left",
+        )
+        .select(
+            F.col("vb.tok").alias("tok"),
+            F.col("nlt.lang").alias("m_lang"),
+            F.coalesce(F.col("ctt.c"), F.lit(0)).alias("c"),
+            F.col("nlt.n_l").alias("n_l"),
+        )
+    )
+    # per-doc distinct token counts joined to all |langs| model rows
+    dt = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("k"))
+    terms = dt.join(grid, "tok").crossJoin(F.broadcast(v))
+    logp = F.log2(
+        (F.col("c").cast("double") + 1.0)
+        / (F.col("n_l").cast("double") + F.col("v").cast("double"))
+    )
+    scored = (
+        terms.groupBy("doc_id", "lang", "m_lang")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("tok", "k", "c", "n_l", "v"))
+            ).alias("ts")
+        )
+        .withColumn(
+            "loglik",
+            F.aggregate(
+                "ts",
+                F.lit(0.0),
+                lambda acc, t: acc
+                + t["k"].cast("double")
+                * F.log2(
+                    (t["c"].cast("double") + 1.0)
+                    / (t["n_l"].cast("double") + t["v"].cast("double"))
+                ),
+            ),
+        )
+    )
+    del logp
+    with_prior = (
+        scored.join(pri, scored["m_lang"] == pri["p_lang"])
+        .drop("p_lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "score",
+            F.col("loglik")
+            + F.log2(
+                F.col("n_docs").cast("double")
+                / F.col("n_total").cast("double")
+            ),
+        )
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("m_lang")
+    )
+    pred = with_prior.withColumn("rn", F.row_number().over(wd)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        pred.groupBy(
+            F.col("lang").alias("true_lang"),
+            F.col("m_lang").alias("pred_lang"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
