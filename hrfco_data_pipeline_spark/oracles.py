@@ -5082,3 +5082,40 @@ LLM_ORACLES["docs_nb_lang_classifier"] = r"""
     SELECT lang AS true_lang, m_lang AS pred_lang, count(*) AS n
     FROM pred WHERE rn = 1 GROUP BY 1, 2
     """
+
+
+# First-/last-touch attribution: same running first/last IGNORE NULLS
+# under the (us, event_id) total order, same exact-cents credit sums.
+RELATIONAL_ORACLES["events_touch_attribution"] = """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    ),
+    flagged AS (
+      SELECT event_type,
+        CAST(round(coalesce(value, 0.0) * 100) AS BIGINT) AS cents,
+        first_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS first_touch,
+        last_value(CASE WHEN event_type <> 'purchase'
+                        THEN event_type END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS last_touch
+      FROM base
+    ),
+    purchases AS (
+      SELECT * FROM flagged
+      WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+    )
+    SELECT first_touch AS touch_type, 'first_touch' AS model,
+      count(*) AS n_purchases,
+      CAST(sum(cents) AS DOUBLE) / 100 AS revenue
+    FROM purchases GROUP BY 1
+    UNION ALL
+    SELECT last_touch, 'last_touch', count(*),
+      CAST(sum(cents) AS DOUBLE) / 100
+    FROM purchases GROUP BY 1
+    """

@@ -3906,3 +3906,59 @@ def copurchase_bfs_levels(
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution: each purchase's value credited
+    to the user's FIRST touch and LAST touch (the non-purchase event
+    type most recently seen at-or-before the purchase) — the
+    first-/last-touch comparison every growth team runs. Touches and
+    purchases resolve in one user-keyed window pass (running first /
+    running last under the (us, event_id) total order); credit sums
+    are exact integer cents, divided once per report row.
+
+    Output: per (touch_type, model) the attributed purchase count and
+    revenue — a 2×|types| report."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value", us.alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast(
+        "long"
+    )
+    flagged = base.select(
+        "event_type",
+        cents.alias("cents"),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).filter(
+        (F.col("event_type") == "purchase")
+        & F.col("first_touch").isNotNull()
+    )
+    first = flagged.groupBy(
+        F.col("first_touch").alias("touch_type")
+    ).agg(
+        F.lit("first_touch").alias("model"),
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").alias("cents"),
+    )
+    last = flagged.groupBy(F.col("last_touch").alias("touch_type")).agg(
+        F.lit("last_touch").alias("model"),
+        F.count("*").alias("n_purchases"),
+        F.sum("cents").alias("cents"),
+    )
+    return first.unionByName(last).select(
+        "touch_type",
+        "model",
+        "n_purchases",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+    )
