@@ -65,6 +65,9 @@ HEADLINE = [
     # global-window query rebuilt on the two-pass range rank
     "docs_bigram_perplexity",
     "docs_select_token_budget",
+    # round-5 additions: trained NB classifier + feature-store join
+    "docs_nb_lang_classifier",
+    "events_feature_matrix",
 ]
 
 
