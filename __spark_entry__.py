@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": llm.embedding_random_projection,
         "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
         "events_touch_attribution": relational.events_touch_attribution,
+        "docs_zipf_fit": llm.docs_zipf_fit,
+        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

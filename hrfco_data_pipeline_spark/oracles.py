@@ -5119,3 +5119,97 @@ RELATIONAL_ORACLES["events_touch_attribution"] = """
       CAST(sum(cents) AS DOUBLE) / 100
     FROM purchases GROUP BY 1
     """
+
+
+# Zipf fit: DuckDB ranks with a plain window (it is the oracle), the
+# same top-1000 head, the same four rank-ordered folds.
+LLM_ORACLES["docs_zipf_fit"] = r"""
+    WITH counts AS (
+      SELECT lower(tok) AS w, count(*) AS c
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+            FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+      FROM counts QUALIFY rnk <= 1000
+    ),
+    head AS (
+      SELECT count(*) AS n,
+        list(struct_pack(rnk := rnk,
+                         x := log2(CAST(rnk AS DOUBLE)),
+                         y := log2(CAST(c AS DOUBLE)))
+             ORDER BY rnk) AS ps
+      FROM ranked
+    ),
+    sums AS (
+      SELECT n,
+        list_reduce(list_prepend(0.0, list_transform(ps, p -> p.x)),
+                    (a, b) -> a + b) AS sx,
+        list_reduce(list_prepend(0.0, list_transform(ps, p -> p.y)),
+                    (a, b) -> a + b) AS sy,
+        list_reduce(list_prepend(0.0, list_transform(ps, p -> p.x * p.y)),
+                    (a, b) -> a + b) AS sxy,
+        list_reduce(list_prepend(0.0, list_transform(ps, p -> p.x * p.x)),
+                    (a, b) -> a + b) AS sxx
+      FROM head
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+      round((CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS zipf_slope,
+      round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+            / CAST(n AS DOUBLE), 4) AS log2_c_at_rank1
+    FROM sums
+    """
+
+
+# One-way ANOVA: same exact DECIMAL power sums, same flag-sorted fold.
+RELATIONAL_ORACLES["lineitem_returnflag_anova"] = """
+    WITH g AS (
+      SELECT l_returnflag, count(*) AS n_g,
+        sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(19,0))) AS s1,
+        sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 AS DECIMAL(19,0))
+            * CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   AS DECIMAL(19,0))) AS s2
+      FROM lineitem GROUP BY 1
+    ),
+    packed AS (
+      SELECT count(*) AS k, sum(n_g) AS n,
+        list(struct_pack(f := l_returnflag, n_g := n_g,
+                         s1 := CAST(s1 AS DECIMAL(38,0)),
+                         s2 := CAST(s2 AS DECIMAL(38,0)))
+             ORDER BY l_returnflag) AS gs
+      FROM g
+    ),
+    folded AS (
+      SELECT k, n,
+        list_reduce(list_prepend(0.0,
+          list_transform(gs, t -> CAST(t.s1 AS DOUBLE))),
+          (a, b) -> a + b) / CAST(n AS DOUBLE) AS gm,
+        gs
+      FROM packed
+    ),
+    stats AS (
+      SELECT k, n,
+        list_reduce(list_prepend(0.0, list_transform(gs,
+          t -> CAST(t.n_g AS DOUBLE)
+               * (CAST(t.s1 AS DOUBLE) / CAST(t.n_g AS DOUBLE) - gm)
+               * (CAST(t.s1 AS DOUBLE) / CAST(t.n_g AS DOUBLE) - gm))),
+          (a, b) -> a + b) AS ssb,
+        list_reduce(list_prepend(0.0, list_transform(gs,
+          t -> CAST(t.s2 AS DOUBLE)
+               - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE)
+                 / CAST(t.n_g AS DOUBLE))),
+          (a, b) -> a + b) AS ssw
+      FROM folded
+    )
+    SELECT CAST(k AS BIGINT) AS k_groups, CAST(n AS BIGINT) AS n,
+      CAST(k - 1 AS BIGINT) AS df_between,
+      CAST(n - k AS BIGINT) AS df_within,
+      round((ssb / CAST(k - 1 AS DOUBLE))
+            / (ssw / CAST(n - k AS DOUBLE)), 4) AS f_stat
+    FROM stats
+    """

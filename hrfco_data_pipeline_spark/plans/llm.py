@@ -3220,3 +3220,64 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: log-log OLS fit of token frequency
+    against frequency rank over the corpus head (top 1000 terms) —
+    slope ≈ -1 for natural language, far off for boilerplate or
+    synthetic junk; the corpus-statistics companion to vocab growth
+    (Heaps) and token entropy.
+
+    The global frequency rank routes through operators/ranking.
+    ranked_cumsum (range-bucketed two-pass — the vocab table grows
+    with the corpus, so no single-partition sort), the head filter
+    bounds everything after it at 1000 rows, and the four OLS sums
+    fold over the RANK-SORTED list so every double add is
+    order-pinned and engine-portable."""
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .groupBy(F.lower("tok").alias("w"))
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = ranked_cumsum(
+        counts,
+        -F.col("c").cast("double"),
+        [F.desc("c"), F.asc("w")],
+        sample_key=F.col("w"),
+        rank_name="rank",
+    ).filter(F.col("rank") <= 1000)
+    pts = ranked.select(
+        "rank",
+        F.log2(F.col("rank").cast("double")).alias("x"),
+        F.log2(F.col("c").cast("double")).alias("y"),
+    )
+    head = pts.agg(
+        F.count("*").alias("n"),
+        F.sort_array(F.collect_list(F.struct("rank", "x", "y"))).alias(
+            "ps"
+        ),
+    )
+    fold = lambda expr: F.aggregate(  # noqa: E731
+        "ps", F.lit(0.0), lambda acc, p: acc + expr(p)
+    )
+    sums = head.select(
+        "n",
+        fold(lambda p: p["x"]).alias("sx"),
+        fold(lambda p: p["y"]).alias("sy"),
+        fold(lambda p: p["x"] * p["y"]).alias("sxy"),
+        fold(lambda p: p["x"] * p["x"]).alias("sxx"),
+    )
+    nn = F.col("n").cast("double")
+    slope = (nn * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / nn
+    return sums.select(
+        "n",
+        _r4(slope).alias("zipf_slope"),
+        _r4(intercept).alias("log2_c_at_rank1"),
+    )

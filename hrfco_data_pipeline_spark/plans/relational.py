@@ -3962,3 +3962,77 @@ def events_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         (F.col("cents").cast("double") / 100).alias("revenue"),
     )
+
+
+def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA screen: does line-item extended price differ
+    across return flags? Reports the F statistic with its degrees of
+    freedom — the k-group generalization of the two-sample z-test
+    (events_ab_test) in the stats screen family.
+
+    Per-group count and Σx, Σx² accumulate as EXACT integers (cents in
+    DECIMAL(38,0) — cents² sums overflow int64, the
+    events_value_moments lesson); the between/within decomposition
+    then folds over the flag-sorted group list, so the only floating
+    math is a fixed expression over exact operands — bit-portable at
+    any parallelism. One map-side-combined aggregate + a 3-row fold."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice") * 100).cast("long")
+    xd = F.col("x").cast("decimal(19,0)")
+    g = (
+        li.select("l_returnflag", x.alias("x"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.sum(xd).cast("decimal(38,0)").alias("s1"),
+            F.sum(xd * xd).cast("decimal(38,0)").alias("s2"),
+        )
+    )
+    packed = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sort_array(
+            F.collect_list(F.struct("l_returnflag", "n_g", "s1", "s2"))
+        ).alias("gs"),
+    )
+    fold = lambda expr: F.aggregate(  # noqa: E731
+        "gs", F.lit(0.0), lambda acc, t: acc + expr(t)
+    )
+    nn = F.col("n").cast("double")
+    grand_s1 = fold(lambda t: t["s1"].cast("double"))
+    grand_mean = grand_s1 / nn
+    ssb = fold(
+        lambda t: t["n_g"].cast("double")
+        * (
+            t["s1"].cast("double") / t["n_g"].cast("double")
+            - F.col("gm")
+        )
+        * (
+            t["s1"].cast("double") / t["n_g"].cast("double")
+            - F.col("gm")
+        )
+    )
+    ssw = fold(
+        lambda t: t["s2"].cast("double")
+        - t["s1"].cast("double")
+        * t["s1"].cast("double")
+        / t["n_g"].cast("double")
+    )
+    stats = packed.withColumn("gm", grand_mean).select(
+        "k",
+        "n",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+    )
+    df1 = (F.col("k") - 1).cast("long")
+    df2 = (F.col("n") - F.col("k")).cast("long")
+    f_stat = (F.col("ssb") / df1.cast("double")) / (
+        F.col("ssw") / df2.cast("double")
+    )
+    return stats.select(
+        F.col("k").cast("long").alias("k_groups"),
+        "n",
+        df1.alias("df_between"),
+        df2.alias("df_within"),
+        F.round(f_stat, 4).alias("f_stat"),
+    )
