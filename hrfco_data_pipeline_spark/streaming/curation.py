@@ -126,3 +126,95 @@ def dsir_weight_expr(toks, log_ratios: list[float]) -> F.Column:
         F.lit(0.0),
         lambda acc, t: acc + F.element_at(arr, bucket(t).cast("int") + 1),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LM-statistics maintenance (streaming face of the
+# docs_bigram_perplexity training counts)
+# ---------------------------------------------------------------------------
+
+def bigram_counts(docs: DataFrame) -> DataFrame:
+    """The bigram-LM training counts of plans/llm.docs_bigram_perplexity
+    as a reusable frame: (bg, c) over lowercased whitespace tokens."""
+    toks = F.transform(_tokens(), lambda t: F.lower(t))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def merge_lm_counts(spark, table_path: str, new_counts: DataFrame, batch_id: int) -> None:
+    """Merge a micro-batch's bigram counts into the stored count table
+    with the staged-swap durability of sinks/writers.merge_stations,
+    plus EXACTLY-ONCE replay protection: the applied batch id is
+    written INSIDE the staging dir (``_batch_id``) before the rename,
+    so it commits atomically with the data — a replayed micro-batch
+    (foreachBatch is at-least-once) sees its own id already recorded
+    and no-ops instead of double-counting."""
+    import os
+    import shutil
+
+    marker = os.path.join(table_path, "_batch_id")
+    try:
+        with open(marker) as fh:
+            if batch_id <= int(fh.read().strip()):
+                return
+    except OSError:
+        pass
+
+    staging = f"{table_path}__staging__"
+    backup = f"{table_path}__old__"
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        current = spark.read.parquet(table_path)
+        exists = True
+    except Exception:
+        current, exists = None, False
+    merged = (
+        current.unionByName(new_counts)
+        .groupBy("bg")
+        .agg(F.sum("c").alias("c"))
+        if exists
+        else new_counts
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_batch_id"), "w") as fh:
+        fh.write(str(batch_id))
+    shutil.rmtree(backup, ignore_errors=True)
+    if exists:
+        os.rename(table_path, backup)
+    os.rename(staging, table_path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def lm_stats_stream(docs_stream: DataFrame, table_path: str):
+    """Keep the bigram-LM training counts current as documents stream
+    in: per micro-batch, aggregate the batch's bigrams (map-side
+    partials over the batch only — state lives in the stored table,
+    not the state store) and merge into ``table_path``. The batch
+    perplexity face reads the same table, so model statistics never
+    require a corpus rescan — the stored-rollup pattern
+    (events_histogram_quantiles) applied to LM training.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_lm_counts(
+            batch_df.sparkSession,
+            table_path,
+            bigram_counts(batch_df),
+            batch_id,
+        )
+
+    return docs_stream.writeStream.foreachBatch(_merge)

@@ -178,3 +178,43 @@ def test_dsir_online_scoring_stream_equals_batch(spark, tmp_path):
         r.doc_id: r.w for r in spark.read.parquet(str(out)).collect()
     }
     assert got == batch  # bit-identical: same fold, same literal table
+
+
+def test_lm_stats_stream_merges_to_batch_counts(spark, tmp_path):
+    """Incremental LM-count maintenance: after streaming the corpus in
+    multiple micro-batches, the stored bigram table must equal the
+    single-pass batch counts exactly; a replayed batch id must no-op
+    (exactly-once merge)."""
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        bigram_counts,
+        lm_stats_stream,
+        merge_lm_counts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_src")
+    # two part files -> two micro-batches under maxFilesPerTrigger=1
+    docs.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "lm_counts")
+    q = (
+        lm_stats_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "lm-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {r.bg: r.c for r in spark.read.parquet(table).collect()}
+    want = {r.bg: r.c for r in bigram_counts(docs).collect()}
+    assert want and got == want
+    # replayed batch id: merge must no-op, counts unchanged
+    applied = int(open(f"{table}/_batch_id").read())
+    junk = bigram_counts(docs.limit(5))
+    merge_lm_counts(spark, table, junk, applied)
+    again = {r.bg: r.c for r in spark.read.parquet(table).collect()}
+    assert again == want
