@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_touch_attribution": relational.events_touch_attribution,
         "docs_zipf_fit": llm.docs_zipf_fit,
         "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
+        "wire_field_presence": wire.wire_field_presence,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

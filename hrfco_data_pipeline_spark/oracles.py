@@ -5213,3 +5213,35 @@ RELATIONAL_ORACLES["lineitem_returnflag_anova"] = """
             / (ssw / CAST(n - k AS DOUBLE)), 4) AS f_stat
     FROM stats
     """
+
+
+# Field-presence contract monitor: same conditional counts, same
+# 4-row unpivot.
+WIRE_ORACLES["wire_field_presence"] = _WIRE_CTE + """
+    , ok AS (
+      SELECT json_extract_string(value, '$.wlobscd') AS wlobscd,
+        json_extract_string(value, '$.ymdhm') AS ymdhm,
+        json_extract_string(value, '$.wl') AS wl,
+        json_extract_string(value, '$.fw') AS fw
+      FROM wire WHERE json_valid(value)
+    ),
+    agg AS (
+      SELECT count(*) AS n,
+        CAST(sum(CASE WHEN wlobscd IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_wlobscd,
+        CAST(sum(CASE WHEN ymdhm IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_ymdhm,
+        CAST(sum(CASE WHEN wl IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_wl,
+        CAST(sum(CASE WHEN fw IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_fw
+      FROM ok
+    )
+    SELECT u.field, u.n_present, agg.n AS n_records,
+      round(CAST(u.n_present AS DOUBLE) / CAST(agg.n AS DOUBLE), 4)
+        AS presence_rate
+    FROM agg, LATERAL (
+      VALUES ('wlobscd', p_wlobscd), ('ymdhm', p_ymdhm),
+             ('wl', p_wl), ('fw', p_fw)
+    ) AS u(field, n_present)
+    """

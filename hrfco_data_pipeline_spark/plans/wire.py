@@ -312,3 +312,34 @@ def wire_impute_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.median("wl_d"), 4).alias("impute_median"),
         )
     )
+
+
+def wire_field_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract monitoring: per wire field, the non-null presence
+    rate among well-formed records — the producer-side schema-drift
+    alarm (a field's rate dropping means the upstream contract
+    changed) that complements wire_corrupt_rate (envelope health) and
+    wire_impute_report (downstream repair). One conditional aggregate
+    over the parsed stream; the unpivot is a 4-literal stack, so the
+    report is 4 rows at any scale."""
+    ok = parsed_wire(spark, sf_dir).filter(F.col("_corrupt").isNull())
+    agg = ok.agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col(f).isNotNull().cast("long")).alias(f"p_{f}")
+            for f in ("wlobscd", "ymdhm", "wl", "fw")
+        ],
+    )
+    stacked = agg.selectExpr(
+        "n",
+        "stack(4, 'wlobscd', p_wlobscd, 'ymdhm', p_ymdhm, "
+        "'wl', p_wl, 'fw', p_fw) AS (field, n_present)",
+    )
+    return stacked.select(
+        "field",
+        "n_present",
+        F.col("n").alias("n_records"),
+        F.round(
+            F.col("n_present").cast("double") / F.col("n").cast("double"), 4
+        ).alias("presence_rate"),
+    )
