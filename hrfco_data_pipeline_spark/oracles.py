@@ -5245,3 +5245,82 @@ WIRE_ORACLES["wire_field_presence"] = _WIRE_CTE + """
              ('wl', p_wl), ('fw', p_fw)
     ) AS u(field, n_present)
     """
+
+
+def _pq_distortion_sql(m: int = 8, ksub: int = 16, dim: int = 64, quant: int = 1_000_000) -> str:
+    """Twin of plans/llm.pq_distortion_report: same codebook CTEs as
+    _pq_adc_sql, then per sub-space the exact integer-nano sum of each
+    vector's min sub-distance."""
+    dsub = dim // m
+
+    def h60(j: int) -> str:
+        return (
+            "list_reduce(list_transform(range(1, 16), "
+            "i -> strpos('0123456789abcdef', "
+            f"substr(md5(vec_id::VARCHAR || ':{j}'), i, 1)) - 1), "
+            "(acc, d) -> acc * 16 + d)::BIGINT"
+        )
+
+    cells = ", ".join(f"{h60(j)} % {ksub} AS c{j}" for j in range(m))
+    melt = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, c{j} AS cell, v[{j * dsub + 1}:{(j + 1) * dsub}] AS vs FROM h"
+        for j in range(m)
+    )
+    sums = ", ".join(
+        f"sum(floor(vs[{t + 1}] * {quant}.0)::BIGINT) AS s{t}" for t in range(dsub)
+    )
+    cvec = (
+        "["
+        + ", ".join(f"s{t}::DOUBLE / (n * {quant})::DOUBLE" for t in range(dsub))
+        + "]"
+    )
+    zeros = "[" + ", ".join("0.0" for _ in range(dsub)) + "]"
+
+    def l2fold(vec: str, off: int, cv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}), "
+            f"t -> ({vec}[{off} + t] - ({cv})[t]) * ({vec}[{off} + t] - ({cv})[t]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    dists = ", ".join(
+        f"list_transform(mm[{j + 1}], cv -> {l2fold('v', j * dsub, 'cv')}) AS d{j}"
+        for j in range(m)
+    )
+    unpiv = "\n      UNION ALL ".join(
+        f"SELECT {j} AS subspace, floor(list_min(d{j}) * 1000000000)::BIGINT AS q FROM dmatrix"
+        for j in range(m)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), h AS (
+      SELECT vec_id, v, {cells} FROM e
+    ), melt AS (
+      {melt}
+    ), sums AS (
+      SELECT j, cell, count(*) AS n, {sums} FROM melt GROUP BY j, cell
+    ), cents AS (
+      SELECT jr.range AS j, ir.range AS cell,
+        CASE WHEN s.n IS NULL THEN {zeros} ELSE {cvec} END AS cv
+      FROM range(0, {m}) jr CROSS JOIN range(0, {ksub}) ir
+      LEFT JOIN sums s ON s.j = jr.range AND s.cell = ir.range
+    ), cmats AS (
+      SELECT j, list(cv ORDER BY cell) AS ml FROM cents GROUP BY j
+    ), cmat AS (
+      SELECT list(ml ORDER BY j) AS mm FROM cmats
+    ), dmatrix AS (
+      SELECT vec_id, v, {dists} FROM h, cmat
+    ), unpiv AS (
+      {unpiv}
+    )
+    SELECT CAST(subspace AS INTEGER) AS subspace,
+      count(*) AS n_vectors,
+      round(CAST(CAST(sum(q) AS DECIMAL(38,0)) AS DOUBLE)
+            / CAST(count(*) * 1000000000 AS DOUBLE), 6) AS mean_distortion
+    FROM unpiv GROUP BY subspace
+    """
+
+
+LLM_ORACLES["pq_distortion_report"] = _pq_distortion_sql()

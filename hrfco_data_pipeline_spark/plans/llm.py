@@ -3281,3 +3281,56 @@ def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(slope).alias("zipf_slope"),
         _r4(intercept).alias("log2_c_at_rank1"),
     )
+
+
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality audit for the PQ index: per sub-space, the
+    mean squared reconstruction error (distance from each vector's
+    sub-segment to its assigned sub-centroid) — the distortion number
+    that decides whether m/ksub are adequate before shipping a
+    compressed ANN index (the QA companion to pq_adc_topk, like
+    minhash_calibration is to the LSH path).
+
+    Codebook training is the shared integer-exact pq_subcentroids;
+    each per-vector min-distance double is bit-reproducible, so it is
+    floor-quantized to integer nanos and SUMMED EXACTLY (DECIMAL) —
+    no float-summation-order dependence at any parallelism — with one
+    division per report row. One scan + an 8-row aggregate."""
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        _cmat_lit,
+        as_double_vec,
+        l2sq,
+        pq_subcentroids,
+    )
+
+    m, ksub, dim = 8, 16, 64
+    dsub = dim // m
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = pq_subcentroids(vecs, m=m, ksub=ksub, dim=dim)
+    qcols = []
+    for j in range(m):
+        sub = F.slice("v", j * dsub + 1, dsub)
+        mind = F.array_min(
+            F.transform(_cmat_lit(cents[j]), lambda c: l2sq(sub, c))
+        )
+        qcols.append(
+            F.floor(mind * 1_000_000_000).cast("long").alias(f"q{j}")
+        )
+    quantized = vecs.select(*qcols)
+    stacked = quantized.selectExpr(
+        "stack({}, {}) AS (subspace, q)".format(
+            m, ", ".join(f"{j}, q{j}" for j in range(m))
+        )
+    )
+    return (
+        stacked.groupBy("subspace")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(38,0)")).cast("double")
+                / (F.count("*") * F.lit(1_000_000_000)).cast("double"),
+                6,
+            ).alias("mean_distortion"),
+        )
+    )
