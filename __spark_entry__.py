@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
         "wire_field_presence": wire.wire_field_presence,
         "pq_distortion_report": llm.pq_distortion_report,
+        "events_nearest_error": relational.events_nearest_error,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

@@ -5324,3 +5324,46 @@ def _pq_distortion_sql(m: int = 8, ksub: int = 16, dim: int = 64, quant: int = 1
 
 
 LLM_ORACLES["pq_distortion_report"] = _pq_distortion_sql()
+
+
+# Bidirectional as-of: the same two running frames (forward = running
+# last under the reversed order), same tie rule, exact microseconds.
+RELATIONAL_ORACLES["events_nearest_error"] = """
+    WITH base AS (
+      SELECT event_id, user_id, event_type, value, epoch_us(ts) AS us
+      FROM events
+    ),
+    enriched AS (
+      SELECT event_id, user_id, event_type, us,
+        last_value(CASE WHEN event_type = 'error' THEN us END
+                   IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY us ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_us,
+        last_value(CASE WHEN event_type = 'error' THEN value END
+                   IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY us ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_val,
+        last_value(CASE WHEN event_type = 'error' THEN us END
+                   IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_us,
+        last_value(CASE WHEN event_type = 'error' THEN value END
+                   IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY us DESC, event_id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f_val
+      FROM base
+    )
+    SELECT event_id, user_id,
+      CASE WHEN b_us IS NOT NULL
+                AND (f_us IS NULL OR us - b_us <= f_us - us)
+           THEN 'before' ELSE 'after' END AS direction,
+      CASE WHEN b_us IS NOT NULL
+                AND (f_us IS NULL OR us - b_us <= f_us - us)
+           THEN us - b_us ELSE f_us - us END AS gap_us,
+      CASE WHEN b_us IS NOT NULL
+                AND (f_us IS NULL OR us - b_us <= f_us - us)
+           THEN b_val ELSE f_val END AS err_value
+    FROM enriched
+    WHERE event_type = 'purchase'
+      AND (b_us IS NOT NULL OR f_us IS NOT NULL)
+    """

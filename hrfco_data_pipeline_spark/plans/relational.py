@@ -4036,3 +4036,66 @@ def lineitem_returnflag_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         df2.alias("df_within"),
         F.round(f_stat, 4).alias("f_stat"),
     )
+
+
+def events_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of (nearest-neighbor-in-time) join: each
+    purchase enriched with the temporally NEAREST error event for the
+    same user, whichever side it falls on — the diagnosis join
+    ("which failure is this purchase closest to") that the plain
+    backward as-of (events_asof_last_error) cannot answer.
+
+    Both directions resolve in running window frames over ONE user
+    partitioning: backward = last error at-or-before under (us,
+    event_id) ASC; forward = the same running `last` under the
+    REVERSED order — never a CurrentRow→UnboundedFollowing frame,
+    whose first/last IGNORE NULLS re-scans the partition tail per row
+    (O(n²) in WindowExec, the hydro-resample lesson). Ties (equal
+    gap) take the earlier error; all comparisons are exact integer
+    microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    base = ev.select(
+        "event_id", "user_id", "event_type", "value", us.alias("us")
+    )
+    err_us = F.when(F.col("event_type") == "error", F.col("us"))
+    err_val = F.when(F.col("event_type") == "error", F.col("value"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("us"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.last(err_us, ignorenulls=True).over(wb).alias("b_us"),
+        F.last(err_val, ignorenulls=True).over(wb).alias("b_val"),
+        F.last(err_us, ignorenulls=True).over(wf).alias("f_us"),
+        F.last(err_val, ignorenulls=True).over(wf).alias("f_val"),
+    ).filter(F.col("event_type") == "purchase")
+    b_gap = F.col("us") - F.col("b_us")
+    f_gap = F.col("f_us") - F.col("us")
+    take_backward = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull() | (b_gap <= f_gap)
+    )
+    picked = enriched.filter(
+        F.col("b_us").isNotNull() | F.col("f_us").isNotNull()
+    ).select(
+        "event_id",
+        "user_id",
+        F.when(take_backward, F.lit("before"))
+        .otherwise(F.lit("after"))
+        .alias("direction"),
+        F.when(take_backward, b_gap).otherwise(f_gap).alias("gap_us"),
+        F.when(take_backward, F.col("b_val"))
+        .otherwise(F.col("f_val"))
+        .alias("err_value"),
+    )
+    return picked
