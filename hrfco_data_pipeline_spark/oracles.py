@@ -5367,3 +5367,24 @@ RELATIONAL_ORACLES["events_nearest_error"] = """
     WHERE event_type = 'purchase'
       AND (b_us IS NOT NULL OR f_us IS NOT NULL)
     """
+
+
+# Snapshot diff: same derived previous snapshot, same hash compare.
+LLM_ORACLES["docs_snapshot_diff"] = r"""
+    WITH cur AS (SELECT doc_id, md5(text) AS h_new FROM documents),
+    prev AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 89 = 0
+                 THEN text || ' [rev1]'
+                 ELSE text END) AS h_old
+      FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL SELECT CAST(-1 AS BIGINT), md5('retired')
+    ),
+    j AS (SELECT * FROM cur FULL OUTER JOIN prev USING (doc_id))
+    SELECT CASE WHEN h_old IS NULL THEN 'added'
+                WHEN h_new IS NULL THEN 'removed'
+                WHEN h_new <> h_old THEN 'changed'
+                ELSE 'unchanged' END AS status,
+      count(*) AS n_docs
+    FROM j GROUP BY 1
+    """

@@ -3334,3 +3334,53 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_distortion"),
         )
     )
+
+
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: classify every document key as added,
+    removed, changed, or unchanged between two corpus snapshots — the
+    audit an incremental curation pipeline publishes per release
+    ("what moved since the last training set"). The 'previous'
+    snapshot derives deterministically from the current table (drop
+    doc_id % 97 == 0 as not-yet-ingested; a stale-revision suffix for
+    doc_id % 89 == 0 as upstream edits), so the diff is
+    oracle-checkable without a second stored table; a real deployment
+    points the two sides at two snapshot paths.
+
+    Shape: one full-outer join on the key comparing 16-byte content
+    hashes — never the texts themselves — with map-side-combined
+    classification counts; scales as two scans + one key shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select("doc_id", F.md5("text").alias("h_new"))
+    prev = (
+        docs.filter(F.col("doc_id") % 97 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 89 == 0,
+                    F.concat(F.col("text"), F.lit(" [rev1]")),
+                ).otherwise(F.col("text"))
+            ).alias("h_old"),
+        )
+        # one retired key that the current snapshot no longer carries,
+        # so the 'removed' class is exercised too
+        .unionByName(
+            spark.range(1).select(
+                F.lit(-1).cast("long").alias("doc_id"),
+                F.md5(F.lit("retired")).alias("h_old"),
+            )
+        )
+    )
+    j = cur.join(prev, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_new") != F.col("h_old"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_docs"))
+    )
