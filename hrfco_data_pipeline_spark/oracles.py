@@ -5388,3 +5388,27 @@ LLM_ORACLES["docs_snapshot_diff"] = r"""
       count(*) AS n_docs
     FROM j GROUP BY 1
     """
+
+
+# Stage-exceedance curve: same 9-stage ladder, same conditional counts.
+HYDRO_ORACLES["hydro_stage_exceedance"] = HYDRO_CTE + """
+    , obs_ok AS (
+      SELECT wlobscd, water_level FROM classified
+      WHERE water_level IS NOT NULL
+    ),
+    fanned AS (
+      SELECT wlobscd, water_level, u.stage_m
+      FROM obs_ok, LATERAL (
+        VALUES (0.5), (1.0), (1.5), (2.0), (2.5),
+               (3.0), (3.5), (4.0), (4.5)
+      ) AS u(stage_m)
+    )
+    SELECT wlobscd, CAST(stage_m AS DOUBLE) AS stage_m,
+      count(*) AS n_obs,
+      CAST(sum(CASE WHEN water_level >= stage_m THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_exceed,
+      round(CAST(sum(CASE WHEN water_level >= stage_m THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        AS exceedance_frac
+    FROM fanned GROUP BY wlobscd, stage_m
+    """

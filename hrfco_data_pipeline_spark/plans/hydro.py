@@ -541,3 +541,44 @@ def station_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("uptime"),
     )
+
+
+def stage_exceedance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-exceedance (flow-duration-style) curve per station: for a
+    fixed ladder of water levels, the fraction of observations at or
+    above each stage — the duration-curve product hydrology publishes
+    for design flows and the direct probabilistic reading of the
+    reference's threshold ladder (what fraction of the record sits
+    above ATTENTION-class stages).
+
+    The ladder is a 9-literal explode (0.5 m steps), so the report is
+    |stations|×9 rows; exceedance counts are conditional integer
+    aggregates over ONE station-keyed pass with map-side partials —
+    no per-stage rescans, no windows."""
+    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    stages = F.array(*[F.lit(i * 0.5) for i in range(1, 10)])
+    fanned = c.select(
+        "wlobscd",
+        "water_level",
+        F.explode(stages).alias("stage_m"),
+    )
+    return (
+        fanned.groupBy("wlobscd", "stage_m")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum(
+                (F.col("water_level") >= F.col("stage_m")).cast("long")
+            ).alias("n_exceed"),
+        )
+        .select(
+            "wlobscd",
+            "stage_m",
+            "n_obs",
+            "n_exceed",
+            F.round(
+                F.col("n_exceed").cast("double")
+                / F.col("n_obs").cast("double"),
+                4,
+            ).alias("exceedance_frac"),
+        )
+    )
