@@ -5412,3 +5412,26 @@ HYDRO_ORACLES["hydro_stage_exceedance"] = HYDRO_CTE + """
         AS exceedance_frac
     FROM fanned GROUP BY wlobscd, stage_m
     """
+
+
+# Return periods: same station-day maxima, same deterministic rank,
+# same Weibull plotting position.
+HYDRO_ORACLES["hydro_return_periods"] = HYDRO_CTE + """
+    , daily AS (
+      SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
+        max(water_level) AS day_max
+      FROM classified WHERE water_level IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    counts AS (SELECT wlobscd, count(*) AS n_days FROM daily GROUP BY 1),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY wlobscd ORDER BY day_max DESC, day ASC) AS rnk
+      FROM daily QUALIFY rnk <= 10
+    )
+    SELECT r.wlobscd, CAST(r.rnk AS INTEGER) AS rnk, r.day, r.day_max,
+      c.n_days,
+      round(CAST(c.n_days + 1 AS DOUBLE) / CAST(r.rnk AS DOUBLE), 4)
+        AS return_period_days
+    FROM ranked r JOIN counts c ON r.wlobscd = c.wlobscd
+    """

@@ -582,3 +582,42 @@ def stage_exceedance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exceedance_frac"),
         )
     )
+
+
+def return_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flood-frequency analysis: empirical return periods of the
+    largest daily-maximum stages per station via Weibull plotting
+    positions (T = (n+1)/rank over the ranked daily maxima) — the
+    "this level recurs every T days" estimate that sits behind every
+    flood-warning threshold review.
+
+    One (station, day) aggregate, then a station-keyed rank window
+    (deterministic under (max desc, day asc)) cut to the top 10 by
+    WindowGroupLimit — per-station state is the record length, report
+    is |stations|×10. Return periods divide exact integers once."""
+    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    day = F.substring("obs_time_str", 1, 10)
+    daily = c.groupBy("wlobscd", day.alias("day")).agg(
+        F.max("water_level").alias("day_max")
+    )
+    counts = daily.groupBy("wlobscd").agg(F.count("*").alias("n_days"))
+    w = Window.partitionBy("wlobscd").orderBy(
+        F.desc("day_max"), F.asc("day")
+    )
+    ranked = (
+        daily.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .join(counts, "wlobscd")
+    )
+    return ranked.select(
+        "wlobscd",
+        "rnk",
+        "day",
+        "day_max",
+        "n_days",
+        F.round(
+            (F.col("n_days") + 1).cast("double")
+            / F.col("rnk").cast("double"),
+            4,
+        ).alias("return_period_days"),
+    )
