@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_snapshot_diff": llm.docs_snapshot_diff,
         "hydro_stage_exceedance": hydro.stage_exceedance_curve,
         "hydro_return_periods": hydro.return_periods,
+        "docs_train_linear_gate": llm.docs_train_linear_gate,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

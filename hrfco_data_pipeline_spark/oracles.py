@@ -5435,3 +5435,77 @@ HYDRO_ORACLES["hydro_return_periods"] = HYDRO_CTE + """
         AS return_period_days
     FROM ranked r JOIN counts c ON r.wlobscd = c.wlobscd
     """
+
+
+def _linear_gate_sql(iters: int = 3) -> str:
+    """Twin of plans/llm.docs_train_linear_gate: the same features,
+    rational link, and integer-nano gradient quantization, with the
+    three descent iterations unrolled as CTE stages (weights are 1-row
+    tables carried between stages)."""
+
+    def dot(wtab: str) -> str:
+        return " + ".join(f"{wtab}.w{j} * f.x{j}" for j in range(5))
+
+    stages = ["w0 AS (SELECT " + ", ".join(
+        f"0.0::DOUBLE AS w{j}" for j in range(5)) + ")"]
+    for t in range(1, iters + 1):
+        z = dot(f"w{t-1}")
+        s = f"(0.5 + 0.5 * ({z}) / (1.0 + abs({z})))"
+        sums = ", ".join(
+            f"sum(floor(f.x{j} * ({s} - f.y) * 1000000000)::BIGINT"
+            f"::DECIMAL(38,0)) AS g{j}"
+            for j in range(5)
+        )
+        stages.append(
+            f"g{t} AS (SELECT count(*) AS n, {sums} FROM f, w{t-1})"
+        )
+        upd = ", ".join(
+            f"w{t-1}.w{j} - (CAST(g{t}.g{j} AS DOUBLE) / 1000000000.0)"
+            f" / CAST(g{t}.n AS DOUBLE) AS w{j}"
+            for j in range(5)
+        )
+        stages.append(f"w{t} AS (SELECT {upd} FROM w{t-1}, g{t})")
+    zf = dot(f"w{iters}")
+    body = ",\n    ".join(stages)
+    return rf"""
+    WITH tok AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    f AS (
+      SELECT 1.0::DOUBLE AS x0,
+        CAST(least(len(toks), 1000) AS DOUBLE) / 1000.0 AS x1,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS x2,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','data')))
+             AS DOUBLE) / len(toks) AS x3,
+        least(CAST(list_reduce(list_prepend(0,
+                list_transform(toks, t -> length(t))), (a, b) -> a + b)
+              AS DOUBLE) / CAST(len(toks) AS DOUBLE), 20.0) / 20.0 AS x4,
+        CASE WHEN (
+          CASE WHEN len(toks) >= 20 AND len(toks) <= 1000
+               THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+          + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                      >= 0.3 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+          + CASE WHEN CAST(len(list_filter(toks,
+                        x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
+                      / len(toks) BETWEEN 0.01 AND 0.5
+                 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+        ) >= 0.7 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS y
+      FROM tok
+    ),
+    {body},
+    acc AS (
+      SELECT count(*) AS n_docs,
+        CAST(sum(CASE WHEN (({zf}) >= 0) = (f.y = 1.0)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM f, w{iters}
+    )
+    SELECT acc.n_docs, acc.n_correct,
+      round(CAST(acc.n_correct AS DOUBLE) / CAST(acc.n_docs AS DOUBLE), 4)
+        AS train_accuracy,
+      {", ".join(f"round(w{iters}.w{j}, 6) AS w{j}" for j in range(5))}
+    FROM acc, w{iters}
+    """
+
+
+LLM_ORACLES["docs_train_linear_gate"] = _linear_gate_sql()

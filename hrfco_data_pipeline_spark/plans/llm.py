@@ -3384,3 +3384,91 @@ def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def docs_train_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRAINING by gradient descent: fit a linear quality
+    gate (5 weights over bias/length/diversity/stopword/word-length
+    features) to the heuristic keep label with 3 full-batch descent
+    steps, and report the learned weights + training accuracy — the
+    classifier-training loop (the fastText-style quality model's
+    ancestor) run as a Spark job.
+
+    Bit-portability is engineered end to end: the link is the RATIONAL
+    squash 0.5 + 0.5·z/(1+|z|) — only +,-,*,/,abs, all exactly rounded
+    — because exp() differs between engines in the last ulp (measured:
+    ~4% of sigmoid values), so true logistic cannot hash-match. Each
+    per-doc gradient contribution is floor-quantized to integer nanos
+    and summed EXACTLY (DECIMAL), so the gradient — and therefore every
+    weight and the final accuracy — is identical at any parallelism
+    and in the DuckDB twin (which unrolls the same three iterations as
+    CTEs). Per iteration: one scan + a 5-sum aggregate; the driver
+    holds only the 5 weights (the k-means bounded-collect pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n
+    )
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_wlen = sum_len.cast("double") / n.cast("double")
+    quality = (
+        F.when((n >= 20) & (n <= 1000), 0.4).otherwise(0.0)
+        + F.when(ttr >= 0.3, 0.3).otherwise(0.0)
+        + F.when((stop >= 0.01) & (stop <= 0.5), 0.3).otherwise(0.0)
+    )
+    feats = docs.select(
+        F.lit(1.0).alias("x0"),
+        (F.least(n, F.lit(1000)).cast("double") / 1000.0).alias("x1"),
+        ttr.alias("x2"),
+        stop.alias("x3"),
+        (F.least(mean_wlen, F.lit(20.0)) / 20.0).alias("x4"),
+        F.when(quality >= 0.7, 1.0).otherwise(0.0).alias("y"),
+    )
+
+    def dot(w: list[float]):
+        z = F.lit(w[0]) * F.col("x0")
+        for j in range(1, 5):
+            z = z + F.lit(w[j]) * F.col(f"x{j}")
+        return z
+
+    w = [0.0] * 5
+    n_docs = None
+    for _ in range(3):
+        z = dot(w)
+        s = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+        row = feats.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(
+                    F.floor(
+                        F.col(f"x{j}") * (s - F.col("y")) * 1_000_000_000
+                    ).cast("decimal(38,0)")
+                ).alias(f"g{j}")
+                for j in range(5)
+            ],
+        ).collect()[0]
+        n_docs = row["n"]
+        w = [
+            w[j] - (int(row[f"g{j}"]) / 1e9) / n_docs for j in range(5)
+        ]
+    z = dot(w)
+    correct = (
+        (z >= 0).cast("int") == (F.col("y") == 1.0).cast("int")
+    ).cast("long")
+    acc = feats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(correct).alias("n_correct"),
+    )
+    return acc.select(
+        "n_docs",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_docs").cast("double"),
+            4,
+        ).alias("train_accuracy"),
+        *[F.round(F.lit(w[j]), 6).alias(f"w{j}") for j in range(5)],
+    )
