@@ -3403,7 +3403,9 @@ def docs_train_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight and the final accuracy — is identical at any parallelism
     and in the DuckDB twin (which unrolls the same three iterations as
     CTEs). Per iteration: one scan + a 5-sum aggregate; the driver
-    holds only the 5 weights (the k-means bounded-collect pattern)."""
+    holds only the 5 weights (the k-means bounded-collect pattern).
+    Eager exception like events_median_bisect: the descent loop runs
+    at call time (the CLI explain path warns)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     n = F.size(toks)
