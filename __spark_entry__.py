@@ -45,8 +45,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r6 ROTATION PLAN (execute at the start of r6): promote (a) the
     # 25 remaining never-checked entries immediately behind the
     # boundary plus (b) the seventeen new-in-r5 queries right after
-    # them (docs_bigram_perplexity .. docs_train_linear_gate),
-    # topped
+    # them (docs_bigram_perplexity .. docs_train_linear_gate), topped
     # up with (c) the first 8 r2-era greens (wire_dlq .. block)
     # whose evidence predates two testdata regens. r7 then takes the
     # remaining r2 greens and the oldest r3-era greens. Blocks below
