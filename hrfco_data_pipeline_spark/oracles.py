@@ -5509,3 +5509,66 @@ def _linear_gate_sql(iters: int = 3) -> str:
 
 
 LLM_ORACLES["docs_train_linear_gate"] = _linear_gate_sql()
+
+
+# Held-out NB evaluation: train CTEs filtered to the 75% Knuth
+# split, scoring CTEs over the held-out 25%, same OOV drop rule.
+LLM_ORACLES["docs_nb_holdout_eval"] = r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t))) AS tok
+      FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 <> 0
+    ),
+    tok_eval AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t))) AS tok
+      FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 = 0
+    ),
+    ct AS (SELECT tok, lang, count(*) AS c FROM tok GROUP BY 1, 2),
+    nl AS (SELECT lang, sum(c) AS n_l FROM ct GROUP BY 1),
+    pri AS (SELECT lang, count(*) AS n_docs FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 <> 0 GROUP BY 1),
+    tot AS (SELECT count(*) AS n_total FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 <> 0),
+    vocab AS (SELECT DISTINCT tok FROM ct),
+    vc AS (SELECT count(*) AS v FROM vocab),
+    grid AS (
+      SELECT vocab.tok, nl.lang AS m_lang,
+        coalesce(ct.c, 0) AS c, nl.n_l
+      FROM vocab CROSS JOIN nl
+      LEFT JOIN ct ON ct.tok = vocab.tok AND ct.lang = nl.lang
+    ),
+    dt AS (
+      SELECT doc_id, lang, tok, count(*) AS k FROM tok_eval GROUP BY 1, 2, 3
+    ),
+    terms AS (
+      SELECT dt.doc_id, dt.lang, grid.m_lang, dt.tok, dt.k,
+        grid.c, grid.n_l, vc.v
+      FROM dt JOIN grid USING (tok) CROSS JOIN vc
+    ),
+    scored AS (
+      SELECT doc_id, lang, m_lang,
+        list_reduce(list_prepend(0.0, list_transform(
+          list(struct_pack(tok := tok, k := k, c := c,
+                           n_l := n_l, v := v)
+               ORDER BY tok, k, c, n_l, v),
+          t -> CAST(t.k AS DOUBLE)
+               * log2((CAST(t.c AS DOUBLE) + 1.0)
+                      / (CAST(t.n_l AS DOUBLE) + CAST(t.v AS DOUBLE))))),
+          (acc, x) -> acc + x) AS loglik
+      FROM terms GROUP BY 1, 2, 3
+    ),
+    wp AS (
+      SELECT scored.doc_id, scored.lang, scored.m_lang,
+        scored.loglik + log2(CAST(pri.n_docs AS DOUBLE)
+                             / CAST(tot.n_total AS DOUBLE)) AS score
+      FROM scored JOIN pri ON scored.m_lang = pri.lang CROSS JOIN tot
+    ),
+    pred AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn
+      FROM wp
+    )
+    SELECT lang AS true_lang, m_lang AS pred_lang, count(*) AS n
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """

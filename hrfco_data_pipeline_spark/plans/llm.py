@@ -3114,37 +3114,27 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed model TRAINING, not just scoring: fit a multinomial
-    Naive Bayes language classifier on the corpus (priors + add-1
-    token likelihoods per language) and evaluate it on the training
-    set, reported as the (true lang × predicted lang) confusion matrix
-    — the supervised companion to the heuristic docs_lang_id and its
-    docs_lang_confusion report.
-
-    score(d, l) = log2 P(l) + Σ_tok k·log2((c(tok,l)+1)/(N_l+V));
-    unseen (tok, l) cells get the smoothed default via a dense
-    vocab×lang grid (|V|·|langs| rows — vocab-bounded, never
-    token-instance-bounded). Every input to the floating math is an
-    exact integer count, per-(doc, lang) sums fold over the SORTED
-    token list, and the argmax is a deterministic (score desc, lang)
-    rank — so the trained model's predictions are bit-reproducible at
-    any parallelism and engine-portable."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+def _nb_confusion(train: DataFrame, evald: DataFrame) -> DataFrame:
+    """Shared multinomial-NB core: train priors/likelihoods on
+    ``train``, score and argmax every ``evald`` doc, return the
+    (true lang x predicted lang) confusion matrix. Eval tokens absent
+    from the training vocabulary are dropped (the deterministic OOV
+    rule both faces and their oracles mirror)."""
+    toks_of = lambda d: d.select(  # noqa: E731
         "doc_id",
         "lang",
         F.explode(
             F.transform(_tokens(), lambda t: F.lower(t))
         ).alias("tok"),
     )
+    toks = toks_of(train)
     # training counts: c(tok, lang), N_lang, priors, vocabulary
     ct = toks.groupBy("tok", "lang").agg(F.count("*").alias("c"))
     nl = ct.groupBy("lang").agg(F.sum("c").alias("n_l"))
-    pri = docs.groupBy(F.col("lang").alias("p_lang")).agg(
+    pri = train.groupBy(F.col("lang").alias("p_lang")).agg(
         F.count("*").alias("n_docs")
     )
-    tot = docs.agg(F.count("*").alias("n_total"))
+    tot = train.agg(F.count("*").alias("n_total"))
     vocab = ct.select("tok").distinct()
     v = vocab.agg(F.count("*").alias("v"))
     # dense (tok, lang) grid so unseen cells carry the smoothed
@@ -3166,7 +3156,9 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # per-doc distinct token counts joined to all |langs| model rows
-    dt = toks.groupBy("doc_id", "lang", "tok").agg(F.count("*").alias("k"))
+    dt = toks_of(evald).groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").alias("k")
+    )
     terms = dt.join(grid, "tok").crossJoin(F.broadcast(v))
     logp = F.log2(
         (F.col("c").cast("double") + 1.0)
@@ -3222,6 +3214,40 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model TRAINING, not just scoring: fit a multinomial
+    Naive Bayes language classifier on the corpus (priors + add-1
+    token likelihoods per language) and evaluate it on the training
+    set, reported as the (true lang x predicted lang) confusion matrix
+    — the supervised companion to the heuristic docs_lang_id and its
+    docs_lang_confusion report.
+
+    score(d, l) = log2 P(l) + sum_tok k*log2((c(tok,l)+1)/(N_l+V));
+    unseen (tok, l) cells get the smoothed default via a dense
+    vocab×lang grid (|V|*|langs| rows — vocab-bounded, never
+    token-instance-bounded). Every input to the floating math is an
+    exact integer count, per-(doc, lang) sums fold over the SORTED
+    token list, and the argmax is a deterministic (score desc, lang)
+    rank — so the trained model's predictions are bit-reproducible at
+    any parallelism and engine-portable (core shared with
+    docs_nb_holdout_eval via _nb_confusion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _nb_confusion(docs, docs)
+
+
+def docs_nb_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out NB evaluation — the methodology half the training-set
+    confusion (docs_nb_lang_classifier) cannot give: train on the 75%
+    Knuth-hash split, score ONLY the held-out 25%, report the
+    generalization confusion matrix. The split is the deterministic
+    portable bucket hash (no rand(), identical under retries/AQE and
+    in the oracle); held-out tokens outside the training vocabulary
+    are dropped by the documented OOV rule."""
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 4)
+    return _nb_confusion(docs.filter(b != 0), docs.filter(b == 0))
 def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law diagnostic: log-log OLS fit of token frequency
     against frequency rank over the corpus head (top 1000 terms) —
