@@ -5572,3 +5572,189 @@ LLM_ORACLES["docs_nb_holdout_eval"] = r"""
     SELECT lang AS true_lang, m_lang AS pred_lang, count(*) AS n
     FROM pred WHERE rn = 1 GROUP BY 1, 2
     """
+
+
+# Learning curve: three suffixed NB chains (nested train subsets,
+# shared holdout quarter) reduced to accuracy rows.
+LLM_ORACLES["docs_learning_curve"] = r"""
+    WITH tok_f1 AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t))) AS tok_f1
+      FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 1
+    ),
+    tok_eval_f1 AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t))) AS tok_f1
+      FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 = 0
+    ),
+    ct_f1 AS (SELECT tok_f1, lang, count(*) AS c FROM tok_f1 GROUP BY 1, 2),
+    nl_f1 AS (SELECT lang, sum(c) AS n_l FROM ct_f1 GROUP BY 1),
+    pri_f1 AS (SELECT lang, count(*) AS n_docs FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 1 GROUP BY 1),
+    tot_f1 AS (SELECT count(*) AS n_total FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 1),
+    vocab_f1 AS (SELECT DISTINCT tok_f1 FROM ct_f1),
+    vc_f1 AS (SELECT count(*) AS v FROM vocab_f1),
+    grid_f1 AS (
+      SELECT vocab_f1.tok_f1, nl_f1.lang AS m_lang,
+        coalesce(ct_f1.c, 0) AS c, nl_f1.n_l
+      FROM vocab_f1 CROSS JOIN nl_f1
+      LEFT JOIN ct_f1 ON ct_f1.tok_f1 = vocab_f1.tok_f1 AND ct_f1.lang = nl_f1.lang
+    ),
+    dt_f1 AS (
+      SELECT doc_id, lang, tok_f1, count(*) AS k FROM tok_eval_f1 GROUP BY 1, 2, 3
+    ),
+    terms_f1 AS (
+      SELECT dt_f1.doc_id, dt_f1.lang, grid_f1.m_lang, dt_f1.tok_f1, dt_f1.k,
+        grid_f1.c, grid_f1.n_l, vc_f1.v
+      FROM dt_f1 JOIN grid_f1 USING (tok_f1) CROSS JOIN vc_f1
+    ),
+    scored_f1 AS (
+      SELECT doc_id, lang, m_lang,
+        list_reduce(list_prepend(0.0, list_transform(
+          list(struct_pack(tok_f1 := tok_f1, k := k, c := c,
+                           n_l := n_l, v := v)
+               ORDER BY tok_f1, k, c, n_l, v),
+          t -> CAST(t.k AS DOUBLE)
+               * log2((CAST(t.c AS DOUBLE) + 1.0)
+                      / (CAST(t.n_l AS DOUBLE) + CAST(t.v AS DOUBLE))))),
+          (acc, x) -> acc + x) AS loglik
+      FROM terms_f1 GROUP BY 1, 2, 3
+    ),
+    wp_f1 AS (
+      SELECT scored_f1.doc_id, scored_f1.lang, scored_f1.m_lang,
+        scored_f1.loglik + log2(CAST(pri_f1.n_docs AS DOUBLE)
+                             / CAST(tot_f1.n_total AS DOUBLE)) AS score
+      FROM scored_f1 JOIN pri_f1 ON scored_f1.m_lang = pri_f1.lang CROSS JOIN tot_f1
+    ),
+    pred_f1 AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn
+      FROM wp_f1
+    ),
+    curve_f1 AS (SELECT 1 AS n_quarters,
+  CAST(count(*) AS BIGINT) AS n_eval,
+  CAST(sum(CASE WHEN lang = m_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM pred_f1 WHERE rn = 1),
+    tok_f2 AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t))) AS tok_f2
+      FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 2
+    ),
+    tok_eval_f2 AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t))) AS tok_f2
+      FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 = 0
+    ),
+    ct_f2 AS (SELECT tok_f2, lang, count(*) AS c FROM tok_f2 GROUP BY 1, 2),
+    nl_f2 AS (SELECT lang, sum(c) AS n_l FROM ct_f2 GROUP BY 1),
+    pri_f2 AS (SELECT lang, count(*) AS n_docs FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 2 GROUP BY 1),
+    tot_f2 AS (SELECT count(*) AS n_total FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 2),
+    vocab_f2 AS (SELECT DISTINCT tok_f2 FROM ct_f2),
+    vc_f2 AS (SELECT count(*) AS v FROM vocab_f2),
+    grid_f2 AS (
+      SELECT vocab_f2.tok_f2, nl_f2.lang AS m_lang,
+        coalesce(ct_f2.c, 0) AS c, nl_f2.n_l
+      FROM vocab_f2 CROSS JOIN nl_f2
+      LEFT JOIN ct_f2 ON ct_f2.tok_f2 = vocab_f2.tok_f2 AND ct_f2.lang = nl_f2.lang
+    ),
+    dt_f2 AS (
+      SELECT doc_id, lang, tok_f2, count(*) AS k FROM tok_eval_f2 GROUP BY 1, 2, 3
+    ),
+    terms_f2 AS (
+      SELECT dt_f2.doc_id, dt_f2.lang, grid_f2.m_lang, dt_f2.tok_f2, dt_f2.k,
+        grid_f2.c, grid_f2.n_l, vc_f2.v
+      FROM dt_f2 JOIN grid_f2 USING (tok_f2) CROSS JOIN vc_f2
+    ),
+    scored_f2 AS (
+      SELECT doc_id, lang, m_lang,
+        list_reduce(list_prepend(0.0, list_transform(
+          list(struct_pack(tok_f2 := tok_f2, k := k, c := c,
+                           n_l := n_l, v := v)
+               ORDER BY tok_f2, k, c, n_l, v),
+          t -> CAST(t.k AS DOUBLE)
+               * log2((CAST(t.c AS DOUBLE) + 1.0)
+                      / (CAST(t.n_l AS DOUBLE) + CAST(t.v AS DOUBLE))))),
+          (acc, x) -> acc + x) AS loglik
+      FROM terms_f2 GROUP BY 1, 2, 3
+    ),
+    wp_f2 AS (
+      SELECT scored_f2.doc_id, scored_f2.lang, scored_f2.m_lang,
+        scored_f2.loglik + log2(CAST(pri_f2.n_docs AS DOUBLE)
+                             / CAST(tot_f2.n_total AS DOUBLE)) AS score
+      FROM scored_f2 JOIN pri_f2 ON scored_f2.m_lang = pri_f2.lang CROSS JOIN tot_f2
+    ),
+    pred_f2 AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn
+      FROM wp_f2
+    ),
+    curve_f2 AS (SELECT 2 AS n_quarters,
+  CAST(count(*) AS BIGINT) AS n_eval,
+  CAST(sum(CASE WHEN lang = m_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM pred_f2 WHERE rn = 1),
+    tok_f3 AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t))) AS tok_f3
+      FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 3
+    ),
+    tok_eval_f3 AS (
+      SELECT doc_id, lang,
+        unnest(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              t -> lower(t))) AS tok_f3
+      FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 = 0
+    ),
+    ct_f3 AS (SELECT tok_f3, lang, count(*) AS c FROM tok_f3 GROUP BY 1, 2),
+    nl_f3 AS (SELECT lang, sum(c) AS n_l FROM ct_f3 GROUP BY 1),
+    pri_f3 AS (SELECT lang, count(*) AS n_docs FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 3 GROUP BY 1),
+    tot_f3 AS (SELECT count(*) AS n_total FROM documents WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 % 4 BETWEEN 1 AND 3),
+    vocab_f3 AS (SELECT DISTINCT tok_f3 FROM ct_f3),
+    vc_f3 AS (SELECT count(*) AS v FROM vocab_f3),
+    grid_f3 AS (
+      SELECT vocab_f3.tok_f3, nl_f3.lang AS m_lang,
+        coalesce(ct_f3.c, 0) AS c, nl_f3.n_l
+      FROM vocab_f3 CROSS JOIN nl_f3
+      LEFT JOIN ct_f3 ON ct_f3.tok_f3 = vocab_f3.tok_f3 AND ct_f3.lang = nl_f3.lang
+    ),
+    dt_f3 AS (
+      SELECT doc_id, lang, tok_f3, count(*) AS k FROM tok_eval_f3 GROUP BY 1, 2, 3
+    ),
+    terms_f3 AS (
+      SELECT dt_f3.doc_id, dt_f3.lang, grid_f3.m_lang, dt_f3.tok_f3, dt_f3.k,
+        grid_f3.c, grid_f3.n_l, vc_f3.v
+      FROM dt_f3 JOIN grid_f3 USING (tok_f3) CROSS JOIN vc_f3
+    ),
+    scored_f3 AS (
+      SELECT doc_id, lang, m_lang,
+        list_reduce(list_prepend(0.0, list_transform(
+          list(struct_pack(tok_f3 := tok_f3, k := k, c := c,
+                           n_l := n_l, v := v)
+               ORDER BY tok_f3, k, c, n_l, v),
+          t -> CAST(t.k AS DOUBLE)
+               * log2((CAST(t.c AS DOUBLE) + 1.0)
+                      / (CAST(t.n_l AS DOUBLE) + CAST(t.v AS DOUBLE))))),
+          (acc, x) -> acc + x) AS loglik
+      FROM terms_f3 GROUP BY 1, 2, 3
+    ),
+    wp_f3 AS (
+      SELECT scored_f3.doc_id, scored_f3.lang, scored_f3.m_lang,
+        scored_f3.loglik + log2(CAST(pri_f3.n_docs AS DOUBLE)
+                             / CAST(tot_f3.n_total AS DOUBLE)) AS score
+      FROM scored_f3 JOIN pri_f3 ON scored_f3.m_lang = pri_f3.lang CROSS JOIN tot_f3
+    ),
+    pred_f3 AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn
+      FROM wp_f3
+    ),
+    curve_f3 AS (SELECT 3 AS n_quarters,
+  CAST(count(*) AS BIGINT) AS n_eval,
+  CAST(sum(CASE WHEN lang = m_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM pred_f3 WHERE rn = 1)
+    SELECT n_quarters, n_eval, n_correct,
+      round(CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) AS holdout_accuracy
+    FROM (SELECT * FROM curve_f1 UNION ALL SELECT * FROM curve_f2 UNION ALL SELECT * FROM curve_f3)
+    """

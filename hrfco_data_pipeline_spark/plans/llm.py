@@ -3500,3 +3500,50 @@ def docs_train_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("train_accuracy"),
         *[F.round(F.lit(w[j]), 6).alias(f"w{j}") for j in range(5)],
     )
+
+
+def docs_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-scaling learning curve — the question an LLM-data engine
+    exists to answer ("how does model quality scale with data"): train
+    the NB language model on growing Knuth-hash fractions of the
+    corpus (1/4, 2/4, 3/4) and score each against the SAME held-out
+    quarter, reporting held-out accuracy per training fraction. Nested
+    training subsets make the curve monotone-comparable; the fixed
+    eval fold keeps the comparison honest.
+
+    Three runs of the shared _nb_confusion core (vocab-bounded
+    shuffles each; the eval fold never leaks into any training set);
+    accuracy reduces each confusion matrix to one row. Bit-exact for
+    the same reasons as the parent queries."""
+    from hrfco_data_pipeline_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 4)
+    evald = docs.filter(b == 0)
+    curves = []
+    for k in (1, 2, 3):
+        conf = _nb_confusion(docs.filter((b >= 1) & (b <= k)), evald)
+        curves.append(
+            conf.agg(
+                F.lit(k).alias("n_quarters"),
+                F.sum("n").alias("n_eval"),
+                F.sum(
+                    F.when(
+                        F.col("true_lang") == F.col("pred_lang"), F.col("n")
+                    ).otherwise(0)
+                ).alias("n_correct"),
+            ).select(
+                "n_quarters",
+                "n_eval",
+                F.col("n_correct").cast("long").alias("n_correct"),
+                F.round(
+                    F.col("n_correct").cast("double")
+                    / F.col("n_eval").cast("double"),
+                    4,
+                ).alias("holdout_accuracy"),
+            )
+        )
+    out = curves[0]
+    for c in curves[1:]:
+        out = out.unionByName(c)
+    return out
