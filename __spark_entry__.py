@@ -44,9 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # r6 ROTATION PLAN (execute at the start of r6): promote (a) the
     # 25 remaining never-checked entries immediately behind the
-    # boundary plus (b) the nineteen new-in-r5 queries right after
-    # them (docs_bigram_perplexity .. docs_learning_curve), topped
-    # up with (c) the first 6 r2-era greens (wire_dlq .. block)
+    # boundary plus (b) the twenty-one new-in-r5 queries right after
+    # them (docs_bigram_perplexity .. hydro_baseflow_separation),
+    # topped
+    # up with (c) the first 4 r2-era greens (wire_dlq .. block)
     # whose evidence predates two testdata regens. r7 then takes the
     # remaining r2 greens and the oldest r3-era greens. Blocks below
     # are already ordered never-checked -> r2 -> r3 -> r4 ->
@@ -155,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_train_linear_gate": llm.docs_train_linear_gate,
         "docs_nb_holdout_eval": llm.docs_nb_holdout_eval,
         "docs_learning_curve": llm.docs_learning_curve,
+        "events_entropy_rate": relational.events_entropy_rate,
+        "hydro_baseflow_separation": hydro.baseflow_separation,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

@@ -5758,3 +5758,80 @@ LLM_ORACLES["docs_learning_curve"] = r"""
       round(CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE), 4) AS holdout_accuracy
     FROM (SELECT * FROM curve_f1 UNION ALL SELECT * FROM curve_f2 UNION ALL SELECT * FROM curve_f3)
     """
+
+
+# Markov entropy rate: same lag pairs, same per-state sorted fold.
+RELATIONAL_ORACLES["events_entropy_rate"] = """
+    WITH pairs AS (
+      SELECT lag(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+        event_type AS to_type
+      FROM events
+    ),
+    cells AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    per_state AS (
+      SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+        list(struct_pack(t := to_type, n := n) ORDER BY to_type, n) AS cs
+      FROM cells GROUP BY 1
+    ),
+    total AS (SELECT CAST(sum(n_out) AS BIGINT) AS n_total FROM per_state),
+    ent AS (
+      SELECT from_type, n_out,
+        -list_reduce(list_prepend(0.0, list_transform(cs,
+          t -> (CAST(t.n AS DOUBLE) / CAST(n_out AS DOUBLE))
+               * log2(CAST(t.n AS DOUBLE) / CAST(n_out AS DOUBLE)))),
+          (a, b) -> a + b) AS entropy_bits
+      FROM per_state
+    )
+    SELECT from_type, n_out, round(entropy_bits, 4) AS entropy_bits,
+      round(CAST(n_out AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS pi,
+      round((CAST(n_out AS DOUBLE) / CAST(n_total AS DOUBLE))
+            * entropy_bits, 4) AS rate_contribution_bits
+    FROM ent, total
+    """
+
+
+# Baseflow separation: the same clamped Lyne-Hollick recursion as a
+# per-station recursive CTE carrying (q, f, sums) — sequential like
+# the Spark fold, so every double matches.
+HYDRO_ORACLES["hydro_baseflow_separation"] = HYDRO_CTE.replace(
+    "WITH obs AS", "WITH RECURSIVE obs AS", 1
+) + """
+    , flow AS (
+      SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
+        TRY_CAST(printf('%.2f', flow_rate) AS DECIMAL(12,2)) AS fr
+      FROM classified WHERE flow_rate IS NOT NULL
+    ),
+    daily AS (
+      SELECT wlobscd, day, CAST(sum(fr) AS DOUBLE) / count(*) AS q
+      FROM flow GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT wlobscd, q,
+        row_number() OVER (PARTITION BY wlobscd ORDER BY day) AS rn
+      FROM daily
+    ),
+    walk AS (
+      SELECT wlobscd, rn, q, 0.0::DOUBLE AS f, q AS sq, q AS sb
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT d.wlobscd, d.rn, d.q,
+        greatest(0.925 * w.f + 0.9625 * (d.q - w.q), 0.0) AS f,
+        w.sq + d.q AS sq,
+        w.sb + least(greatest(
+          d.q - greatest(0.925 * w.f + 0.9625 * (d.q - w.q), 0.0),
+          0.0), d.q) AS sb
+      FROM walk w JOIN idx d
+        ON d.wlobscd = w.wlobscd AND d.rn = w.rn + 1
+    ),
+    last AS (SELECT wlobscd, max(rn) AS n_days FROM walk GROUP BY 1)
+    SELECT w.wlobscd, CAST(last.n_days AS INTEGER) AS n_days,
+      round(w.sq, 4) AS total_flow,
+      round(w.sb, 4) AS total_baseflow,
+      round(w.sb / w.sq, 4) AS bfi
+    FROM walk w JOIN last
+      ON w.wlobscd = last.wlobscd AND w.rn = last.n_days
+    """

@@ -621,3 +621,76 @@ def return_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("return_period_days"),
     )
+
+
+def baseflow_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseflow separation (Lyne–Hollick single-pass digital filter,
+    α=0.925, clamped variant): split each station's daily-mean flow
+    into quickflow and baseflow and report the baseflow index
+    BFI = Σbaseflow/Σflow — the hydrograph decomposition behind
+    sustainable-yield and drought analysis, computed from the same
+    observations the reference only displays.
+
+    Daily means are exact DECIMAL sums ÷ counts (no float-order
+    nondeterminism), the recursive filter folds over each station's
+    day-ORDERED series with a struct accumulator (the Holt pattern —
+    sequential, so bit-identical to the DuckDB recursive-CTE twin),
+    and the series is day-bounded per station (≤ record length in
+    days), so per-group state never scales with raw volume."""
+    c = classified(spark, sf_dir).filter(F.col("flow_rate").isNotNull())
+    day = F.substring("obs_time_str", 1, 10)
+    fr_dec = F.format_string("%.2f", F.col("flow_rate")).cast(
+        "decimal(12,2)"
+    )
+    daily = c.groupBy("wlobscd", day.alias("day")).agg(
+        (F.sum(fr_dec).cast("double") / F.count("*")).alias("q")
+    )
+    series = daily.groupBy("wlobscd").agg(
+        F.sort_array(F.collect_list(F.struct("day", "q"))).alias("arr")
+    )
+    alpha = F.lit(0.925)
+    beta = F.lit(0.9625)  # (1 + alpha) / 2
+
+    def _step(acc, x):
+        first = acc["i"] == 0
+        f_raw = alpha * acc["f"] + beta * (x["q"] - acc["q"])
+        f = F.greatest(f_raw, F.lit(0.0))
+        qb_cont = F.least(F.greatest(x["q"] - f, F.lit(0.0)), x["q"])
+        return F.when(
+            first,
+            F.struct(
+                x["q"].alias("q"),
+                F.lit(0.0).alias("f"),
+                x["q"].alias("sq"),
+                x["q"].alias("sb"),
+                (acc["i"] + 1).alias("i"),
+            ),
+        ).otherwise(
+            F.struct(
+                x["q"].alias("q"),
+                f.alias("f"),
+                (acc["sq"] + x["q"]).alias("sq"),
+                (acc["sb"] + qb_cont).alias("sb"),
+                (acc["i"] + 1).alias("i"),
+            )
+        )
+
+    acc0 = F.struct(
+        F.lit(0.0).alias("q"),
+        F.lit(0.0).alias("f"),
+        F.lit(0.0).alias("sq"),
+        F.lit(0.0).alias("sb"),
+        F.lit(0).alias("i"),
+    )
+    folded = series.select(
+        "wlobscd",
+        F.size("arr").alias("n_days"),
+        F.aggregate("arr", acc0, _step).alias("h"),
+    )
+    return folded.select(
+        "wlobscd",
+        "n_days",
+        F.round(F.col("h")["sq"], 4).alias("total_flow"),
+        F.round(F.col("h")["sb"], 4).alias("total_baseflow"),
+        F.round(F.col("h")["sb"] / F.col("h")["sq"], 4).alias("bfi"),
+    )

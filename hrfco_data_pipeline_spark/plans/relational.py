@@ -4099,3 +4099,46 @@ def events_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("err_value"),
     )
     return picked
+
+
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral predictability: per-state conditional entropy of the
+    event-type Markov chain (events_markov_transitions' matrix) and
+    the chain's overall entropy rate H = Σ πᵢ·Hᵢ under the empirical
+    source distribution — low bits mean strongly scripted journeys,
+    high bits mean exploratory ones. The information-theoretic summary
+    next to the raw transition matrix.
+
+    One user-keyed lag window + one types² aggregate; every entropy
+    fold runs over the SORTED ≤|types| cell list of one source state
+    (bounded, order-pinned), and πᵢ divides exact integer counts —
+    bit-portable throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    per_state = cells.groupBy("from_type").agg(
+        F.sum("n").alias("n_out"),
+        F.sort_array(F.collect_list(F.struct("to_type", "n"))).alias("cs"),
+    )
+    total = per_state.agg(F.sum("n_out").alias("n_total"))
+    p = lambda t: t["n"].cast("double") / F.col("n_out").cast("double")  # noqa: E731
+    ent = per_state.withColumn(
+        "entropy_bits",
+        -F.aggregate(
+            "cs", F.lit(0.0), lambda acc, t: acc + p(t) * F.log2(p(t))
+        ),
+    ).crossJoin(F.broadcast(total))
+    pi = F.col("n_out").cast("double") / F.col("n_total").cast("double")
+    return ent.select(
+        "from_type",
+        "n_out",
+        _r4(F.col("entropy_bits")).alias("entropy_bits"),
+        _r4(pi).alias("pi"),
+        _r4(pi * F.col("entropy_bits")).alias("rate_contribution_bits"),
+    )
