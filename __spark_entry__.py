@@ -46,8 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 25 remaining never-checked entries immediately behind the
     # boundary plus (b) the twenty-one new-in-r5 queries right after
     # them (docs_bigram_perplexity .. hydro_baseflow_separation),
-    # topped
-    # up with (c) the first 4 r2-era greens (wire_dlq .. block)
+    # topped up with (c) the first 4 r2-era greens (wire_dlq ..)
     # whose evidence predates two testdata regens. r7 then takes the
     # remaining r2 greens and the oldest r3-era greens. Blocks below
     # are already ordered never-checked -> r2 -> r3 -> r4 ->
