@@ -5835,3 +5835,45 @@ HYDRO_ORACLES["hydro_baseflow_separation"] = HYDRO_CTE.replace(
     FROM walk w JOIN last
       ON w.wlobscd = last.wlobscd AND w.rn = last.n_days
     """
+
+
+# Chi-square independence: same contingency cells, same sorted fold.
+RELATIONAL_ORACLES["events_weekday_type_chisq"] = """
+    WITH cells AS (
+      SELECT dayofweek(ts) AS dow, event_type AS etype, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    rws AS (SELECT dow, sum(n) AS row_n FROM cells GROUP BY 1),
+    cls AS (SELECT etype, sum(n) AS col_n FROM cells GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        count(DISTINCT dow) AS n_rows,
+        count(DISTINCT etype) AS n_cols
+      FROM cells
+    ),
+    packed AS (
+      SELECT tot.n_total, tot.n_rows, tot.n_cols,
+        list(struct_pack(dow := cells.dow, etype := cells.etype,
+                         n := cells.n, row_n := rws.row_n,
+                         col_n := cls.col_n)
+             ORDER BY cells.dow, cells.etype) AS cs
+      FROM cells
+      JOIN rws ON cells.dow = rws.dow
+      JOIN cls ON cells.etype = cls.etype
+      CROSS JOIN tot
+      GROUP BY 1, 2, 3
+    )
+    SELECT n_total,
+      CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS df,
+      round(list_reduce(list_prepend(0.0, list_transform(cs,
+        t -> (CAST(t.n AS DOUBLE)
+              - CAST(t.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+                / CAST(n_total AS DOUBLE))
+             * (CAST(t.n AS DOUBLE)
+                - CAST(t.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+                  / CAST(n_total AS DOUBLE))
+             / (CAST(t.row_n AS DOUBLE) * CAST(t.col_n AS DOUBLE)
+                / CAST(n_total AS DOUBLE)))),
+        (a, b) -> a + b), 4) AS chi_square
+    FROM packed
+    """

@@ -4142,3 +4142,59 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(pi).alias("pi"),
         _r4(pi * F.col("entropy_bits")).alias("rate_contribution_bits"),
     )
+
+
+def events_weekday_type_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test: is event type independent of
+    weekday? The contingency-table screen that catches weekly
+    behavioral structure (release-day error bursts, weekend browsing)
+    — completing the classical test trio next to the A/B z-test and
+    the one-way ANOVA.
+
+    One bounded 7×|types| aggregate; expected counts are exact
+    integer products divided once in double (row_total·col_total/n),
+    and the chi-square statistic folds over the SORTED cell list so
+    the double sum is order-pinned — bit-portable with df =
+    (rows-1)(cols-1)."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.col("event_type").alias("etype"),
+    ).agg(F.count("*").alias("n"))
+    rows = cells.groupBy("dow").agg(F.sum("n").alias("row_n"))
+    cols = cells.groupBy("etype").agg(F.sum("n").alias("col_n"))
+    tot = cells.agg(
+        F.sum("n").alias("n_total"),
+        F.count_distinct("dow").alias("n_rows"),
+        F.count_distinct("etype").alias("n_cols"),
+    )
+    joined = (
+        cells.join(rows, "dow")
+        .join(cols, "etype")
+        .crossJoin(F.broadcast(tot))
+    )
+    packed = joined.groupBy("n_total", "n_rows", "n_cols").agg(
+        F.sort_array(
+            F.collect_list(F.struct("dow", "etype", "n", "row_n", "col_n"))
+        ).alias("cs")
+    )
+    exp = lambda t: (  # noqa: E731
+        t["row_n"].cast("double")
+        * t["col_n"].cast("double")
+        / F.col("n_total").cast("double")
+    )
+    chi = F.aggregate(
+        "cs",
+        F.lit(0.0),
+        lambda acc, t: acc
+        + (t["n"].cast("double") - exp(t))
+        * (t["n"].cast("double") - exp(t))
+        / exp(t),
+    )
+    return packed.select(
+        F.col("n_total"),
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("long")
+        .alias("df"),
+        F.round(chi, 4).alias("chi_square"),
+    )
