@@ -5877,3 +5877,24 @@ RELATIONAL_ORACLES["events_weekday_type_chisq"] = """
         (a, b) -> a + b), 4) AS chi_square
     FROM packed
     """
+
+
+# Balance standing: DuckDB's native percent_rank/cume_dist over the
+# same (cents, custkey) total order are EXACTLY the derived forms.
+RELATIONAL_ORACLES["customer_balance_standing"] = """
+    WITH base AS (
+      SELECT c_custkey,
+        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+    ),
+    win AS (
+      SELECT c_custkey, bal_cents,
+        percent_rank() OVER (ORDER BY bal_cents, c_custkey) AS pr,
+        cume_dist() OVER (ORDER BY bal_cents) AS cd
+      FROM base
+    )
+    SELECT c_custkey, CAST(bal_cents AS DOUBLE) / 100 AS acctbal,
+      round(pr, 6) AS pct_rank, round(cd, 6) AS cume_dist
+    FROM win
+    ORDER BY acctbal DESC, c_custkey ASC LIMIT 25
+    """

@@ -4198,3 +4198,53 @@ def events_weekday_type_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("df"),
         F.round(chi, 4).alias("chi_square"),
     )
+
+
+def customer_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance standing per customer: percent_rank and
+    cume_dist across the whole customer base (top-25 by balance for a
+    bounded report) — the remaining ANSI window-function semantics the
+    surface didn't yet exercise, derived scale-safely: percent_rank =
+    (rank-1)/(n-1) and cume_dist = rank_of_last_tie/n from the
+    range-bucketed two-pass rank (operators/ranking) instead of a
+    single-partition window. Balances are exact cents; ties share
+    cume_dist via a max-rank-per-balance self-aggregation on the same
+    key."""
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.select("c_custkey", cents.alias("bal_cents"))
+    n_tot = base.agg(F.count("*").alias("_n"))
+    ranked = ranked_cumsum(
+        base,
+        F.col("bal_cents").cast("double"),
+        [F.asc("bal_cents"), F.asc("c_custkey")],
+        sample_key=F.col("c_custkey"),
+        rank_name="rnk",
+        sample_mod=8,
+    )
+    # cume_dist counts ALL rows <= the value (ties included): the max
+    # rank within each balance group, joined back on the group key
+    tie_max = ranked.groupBy("bal_cents").agg(
+        F.max("rnk").alias("max_rnk")
+    )
+    out = (
+        ranked.join(tie_max, "bal_cents")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_custkey",
+            (F.col("bal_cents").cast("double") / 100).alias("acctbal"),
+            F.round(
+                (F.col("rnk") - 1).cast("double")
+                / (F.col("_n") - 1).cast("double"),
+                6,
+            ).alias("pct_rank"),
+            F.round(
+                F.col("max_rnk").cast("double")
+                / F.col("_n").cast("double"),
+                6,
+            ).alias("cume_dist"),
+        )
+    )
+    return out.orderBy(F.desc("acctbal"), F.asc("c_custkey")).limit(25)
