@@ -5898,3 +5898,56 @@ RELATIONAL_ORACLES["customer_balance_standing"] = """
     FROM win
     ORDER BY acctbal DESC, c_custkey ASC LIMIT 25
     """
+
+
+# Rating-curve residual screen: same exact-DECIMAL moments, same
+# closed-form SSE, same broadcast-fit residual comparisons.
+HYDRO_ORACLES["hydro_rating_residuals"] = HYDRO_CTE + """
+    , t AS (
+      SELECT wlobscd,
+        CAST(TRY_CAST(printf('%.2f', water_level) AS DECIMAL(14,2))
+             AS DOUBLE) AS xd,
+        CAST(TRY_CAST(printf('%.2f', flow_rate) AS DECIMAL(14,2))
+             AS DOUBLE) AS yd,
+        TRY_CAST(printf('%.2f', water_level) AS DECIMAL(14,2)) AS x,
+        TRY_CAST(printf('%.2f', flow_rate) AS DECIMAL(14,2)) AS y
+      FROM classified
+      WHERE water_level IS NOT NULL AND flow_rate IS NOT NULL
+        AND range_valid
+    ),
+    agg AS (
+      SELECT wlobscd AS f_code, count(*) AS n,
+        CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        CAST(sum(x * x) AS DOUBLE) AS sxx,
+        CAST(sum(x * y) AS DOUBLE) AS sxy,
+        CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM t GROUP BY 1
+    ),
+    fit AS (
+      SELECT f_code, n,
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+        (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+          / CAST(n AS DOUBLE) AS intercept,
+        sqrt(greatest(
+          (syy - sy * sy / CAST(n AS DOUBLE))
+          - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx))
+            * ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx))
+            * (sxx - sx * sx / CAST(n AS DOUBLE)),
+          0.0) / (CAST(n AS DOUBLE) - 2)) AS sigma
+      FROM agg
+      WHERE n > 2 AND (CAST(n AS DOUBLE) * sxx - sx * sx) <> 0.0
+    )
+    SELECT t.wlobscd, first(fit.n) AS n_obs,
+      round(first(fit.sigma), 4) AS sigma,
+      CAST(sum(CASE WHEN abs(t.yd - (fit.slope * t.xd + fit.intercept))
+                         > 3 * fit.sigma THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers,
+      round(max(abs(t.yd - (fit.slope * t.xd + fit.intercept))), 4)
+        AS max_abs_residual
+    FROM t JOIN fit ON t.wlobscd = fit.f_code
+    GROUP BY t.wlobscd
+    """

@@ -694,3 +694,70 @@ def baseflow_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("h")["sb"], 4).alias("total_baseflow"),
         F.round(F.col("h")["sb"] / F.col("h")["sq"], 4).alias("bfi"),
     )
+
+
+def rating_curve_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rating-curve residual screen: flag observations whose flow
+    deviates more than 3σ from the station's fitted stage-discharge
+    line — the sensor-mismatch / shifting-control detector run after
+    every rating_curve refit. σ comes from the same exact-DECIMAL
+    moments as the fit (SSE = Syy_c − slope²·Sxx_c, one aggregate —
+    no residual re-aggregation pass), the per-station fit broadcasts
+    onto the observation scan, and every comparison runs on
+    bit-identical doubles, so outlier counts are engine-exact."""
+    c = classified(spark, sf_dir)
+    t = c.filter(
+        F.col("water_level").isNotNull()
+        & F.col("flow_rate").isNotNull()
+        & F.col("range_valid")
+    )
+    dec = lambda col: F.format_string("%.2f", F.col(col)).cast("decimal(14,2)")  # noqa: E731
+    x, y = dec("water_level"), dec("flow_rate")
+    agg = t.groupBy(F.col("wlobscd").alias("f_code")).agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    sxx_c = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    syy_c = F.col("syy") - F.col("sy") * F.col("sy") / n
+    sse = syy_c - slope * slope * sxx_c
+    fit = agg.filter((F.col("n") > 2) & (den != 0.0)).select(
+        "f_code",
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        F.sqrt(
+            F.greatest(sse, F.lit(0.0)) / (n - 2)
+        ).alias("sigma"),
+    )
+    obs = t.select(
+        "wlobscd",
+        x.cast("double").alias("xd"),
+        y.cast("double").alias("yd"),
+    )
+    j = obs.join(
+        F.broadcast(fit), obs["wlobscd"] == fit["f_code"]
+    ).withColumn(
+        "resid",
+        F.col("yd") - (F.col("slope") * F.col("xd") + F.col("intercept")),
+    )
+    return (
+        j.groupBy("wlobscd")
+        .agg(
+            F.first("n").alias("n_obs"),
+            F.round(F.first("sigma"), 4).alias("sigma"),
+            F.sum(
+                (F.abs(F.col("resid")) > 3 * F.col("sigma")).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.max(F.abs(F.col("resid"))), 4).alias(
+                "max_abs_residual"
+            ),
+        )
+    )
