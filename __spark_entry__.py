@@ -44,9 +44,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #
     # r6 ROTATION PLAN (execute at the start of r6): promote (a) the
     # 25 remaining never-checked entries immediately behind the
-    # boundary plus (b) the twenty-four new-in-r5 queries right after
-    # them (docs_bigram_perplexity .. hydro_rating_residuals),
-    # topped up with (c) the first r2-era green (wire_dlq)
+    # boundary plus (b) the twenty-five new-in-r5 queries right after
+    # them (docs_bigram_perplexity .. orders_cohort_ltv_curve) —
+    # exactly filling the r6 window; r2 greens start at r7.
     # whose evidence predates two testdata regens. r7 then takes the
     # remaining r2 greens and the oldest r3-era greens. Blocks below
     # are already ordered never-checked -> r2 -> r3 -> r4 ->
@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekday_type_chisq": relational.events_weekday_type_chisq,
         "customer_balance_standing": relational.customer_balance_standing,
         "hydro_rating_residuals": hydro.rating_curve_residuals,
+        "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

@@ -5951,3 +5951,35 @@ HYDRO_ORACLES["hydro_rating_residuals"] = HYDRO_CTE + """
     FROM t JOIN fit ON t.wlobscd = fit.f_code
     GROUP BY t.wlobscd
     """
+
+
+# Cohort LTV triangle: same integer month keys, exact DECIMAL
+# revenue, calendar-bounded cumulative window.
+RELATIONAL_ORACLES["orders_cohort_ltv_curve"] = """
+    WITH base AS (
+      SELECT o_custkey,
+        year(o_orderdate) * 12 + month(o_orderdate) - 1 AS om,
+        TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(18,2)) AS price
+      FROM orders
+    ),
+    first AS (SELECT o_custkey, min(om) AS cohort_m FROM base GROUP BY 1),
+    j AS (
+      SELECT first.cohort_m, base.om - first.cohort_m AS offset_m,
+        base.price
+      FROM base JOIN first USING (o_custkey)
+    ),
+    cells AS (
+      SELECT cohort_m, offset_m, count(*) AS n_orders,
+        sum(price) AS rev
+      FROM j GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_m // 12 AS VARCHAR) || '-' ||
+        lpad(CAST(cohort_m % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+      CAST(offset_m AS BIGINT) AS months_since_first,
+      n_orders,
+      CAST(sum(rev) OVER (
+        PARTITION BY cohort_m ORDER BY offset_m
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS cum_revenue
+    FROM cells
+    """

@@ -4248,3 +4248,51 @@ def customer_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy(F.desc("acctbal"), F.asc("c_custkey")).limit(25)
+
+
+def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV development triangle: customers grouped by
+    first-order month, each cohort's cumulative revenue tracked by
+    months-since-acquisition — the actuarial curve behind payback
+    period and LTV forecasts (the revenue complement to the count
+    retention matrix orders_cohort_repeat_rate /
+    events_retention_cohorts report).
+
+    First-order month is a customer-keyed min; the (cohort, offset)
+    fact aggregate carries exact DECIMAL revenue; the cumulative sum
+    runs over the months² triangle (calendar-bounded, never
+    data-sized). Offsets are exact integer month arithmetic on
+    (year, month) pairs — no date subtraction ambiguity between
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    om = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+        "om"
+    )
+    base = orders.select(
+        "o_custkey", om, _dec("o_totalprice").alias("price_dec")
+    )
+    first = base.groupBy("o_custkey").agg(F.min("om").alias("cohort_m"))
+    j = base.join(first, "o_custkey").select(
+        "cohort_m",
+        (F.col("om") - F.col("cohort_m")).alias("offset_m"),
+        "price_dec",
+    )
+    cells = j.groupBy("cohort_m", "offset_m").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price_dec").alias("rev_dec"),
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("offset_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return cells.select(
+        F.concat(
+            (F.col("cohort_m") / 12).cast("int").cast("string"),
+            F.lit("-"),
+            F.lpad((F.col("cohort_m") % 12 + 1).cast("string"), 2, "0"),
+        ).alias("cohort_month"),
+        F.col("offset_m").cast("long").alias("months_since_first"),
+        "n_orders",
+        F.sum("rev_dec").over(w).cast("double").alias("cum_revenue"),
+    )
