@@ -46,9 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 25 remaining never-checked entries immediately behind the
     # boundary plus (b) the twenty-five new-in-r5 queries right after
     # them (docs_bigram_perplexity .. orders_cohort_ltv_curve) —
-    # exactly filling the r6 window; r2 greens start at r7.
-    # whose evidence predates two testdata regens. r7 then takes the
-    # remaining r2 greens and the oldest r3-era greens. Blocks below
+    # exactly filling the r6 window. r7 then takes the r2-era greens
+    # (whose evidence predates two testdata regens) and the oldest
+    # r3-era greens. Blocks below
     # are already ordered never-checked -> r2 -> r3 -> r4 ->
     # rows-only, so each rotation is a single window-sized cut from
     # the top of the list.
