@@ -66,8 +66,9 @@ def test_first_50_holds_unverified_queries():
         "nation_trade_pagerank",
     }
     assert must_check <= first50
-    # r6 plan: the remaining never-checked entries sit right behind
-    # the boundary so next round's rotation is a straight cut.
+    # r6 plan: positions 50-99 are exactly next round's window — the
+    # 25 remaining never-checked entries then the 25 new-in-r5
+    # queries — so the r6 rotation is a single 50-entry cut.
     behind = names[50:75]
     assert behind[0] == "orders_benford_digits"
     assert behind[-1] == "dq_uniqueness_report"
@@ -80,6 +81,11 @@ def test_first_50_holds_unverified_queries():
         "corpus_quality_scorecard",
     }
     assert r6_must <= set(behind)
+    new_r5 = names[75:100]
+    assert new_r5[0] == "docs_bigram_perplexity"
+    assert new_r5[-1] == "orders_cohort_ltv_curve"
+    oracles = set(entry.oracle_sql())
+    assert set(new_r5) <= oracles  # every r6-window slot can go green
 
 
 def test_all_callables_and_oracles_nonempty():
