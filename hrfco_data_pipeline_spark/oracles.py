@@ -5983,3 +5983,33 @@ RELATIONAL_ORACLES["orders_cohort_ltv_curve"] = """
       ) AS DOUBLE) AS cum_revenue
     FROM cells
     """
+
+
+# CSV wire ingestion: the same derived CSV lines, the same
+# column-count corruption rule, the same scoreboard.
+WIRE_ORACLES["wire_csv_parse"] = f"""
+    WITH obs AS ({OBS_SQL}),
+    wire AS (
+      SELECT obs_id,
+        CASE WHEN obs_id % 53 = 0 THEN substr(line, 1, 7) ELSE line END
+          AS value
+      FROM (
+        SELECT obs_id,
+          coalesce(wlobscd, '') || ',' || coalesce(ymdhm, '') || ',' ||
+          coalesce(wl, '') || ',' || coalesce(fw, '') AS line
+        FROM obs
+      ) b
+    ),
+    parsed AS (
+      SELECT obs_id, value,
+        len(string_split(value, ',')) >= 4 AS ok,
+        nullif(string_split(value, ',')[1], '') AS wlobscd
+      FROM wire
+    )
+    SELECT CASE WHEN NOT ok THEN '__corrupt__'
+                ELSE coalesce(wlobscd, '__null_station__') END AS wlobscd,
+      CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+      CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+      count(*) AS n_rows
+    FROM parsed GROUP BY 1
+    """

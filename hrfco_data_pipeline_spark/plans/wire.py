@@ -343,3 +343,58 @@ def wire_field_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_present").cast("double") / F.col("n").cast("double"), 4
         ).alias("presence_rate"),
     )
+
+
+def wire_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire-format ingestion — the delimiter-format face of the
+    JSON wire path (legacy producers ship CSV lines over the same
+    topics): derive the CSV encoding of each observation, parse it
+    back with the native ``from_csv`` (its first use in the surface),
+    and route short rows (the same every-53rd truncation as the JSON
+    wire) to the DLQ rule. Returns the per-station parse scoreboard —
+    rows parsed, rows corrupt, distinct stations seen — so the two
+    wire formats are directly comparable.
+
+    Corruption for CSV is column-count-based (a truncated line is
+    still 'valid' CSV, unlike JSON): rows with < 4 fields fail the
+    contract. One scan + one bounded-key aggregate; all counts exact."""
+    obs = synthetic_wire_csv(spark, sf_dir)
+    n_fields = F.size(F.split(F.col("value"), ",", -1))
+    parsed = obs.select(
+        "obs_id",
+        "value",
+        (n_fields >= 4).alias("ok"),
+        F.from_csv(
+            F.col("value"),
+            "wlobscd string, ymdhm string, wl string, fw string",
+        ).alias("r"),
+    )
+    key = F.when(~F.col("ok"), F.lit("__corrupt__")).otherwise(
+        F.coalesce(F.col("r.wlobscd"), F.lit("__null_station__"))
+    )
+    return (
+        parsed.groupBy(key.alias("wlobscd"))
+        .agg(
+            F.sum(F.col("ok").cast("long")).alias("n_parsed"),
+            F.sum((~F.col("ok")).cast("long")).alias("n_corrupt"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def synthetic_wire_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-encoded observation records (nulls as empty fields); every
+    53rd truncated to 7 chars — the delimiter twin of synthetic_wire."""
+    from hrfco_data_pipeline_spark.sources.synthetic import (
+        synthetic_observations,
+    )
+
+    obs = synthetic_observations(spark, sf_dir)
+    s = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
+    line = F.concat_ws(",", s("wlobscd"), s("ymdhm"), s("wl"), s("fw"))
+    return obs.select(
+        "obs_id",
+        F.when(F.col("obs_id") % 53 == 0, F.substring(line, 1, 7))
+        .otherwise(line)
+        .alias("value"),
+    )
