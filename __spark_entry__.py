@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
         # --- new in late r5, beyond the planned r6 window (r7 front) ---
         "wire_csv_parse": wire.wire_csv_parse,
+        "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
         # (b) r2-era greens — evidence predates two testdata regens;
         #     these top up the r6 window to 50 (25 + first 25 below),
         #     then r7 takes the rest + the r3-era greens.

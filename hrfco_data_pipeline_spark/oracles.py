@@ -6013,3 +6013,41 @@ WIRE_ORACLES["wire_csv_parse"] = f"""
       count(*) AS n_rows
     FROM parsed GROUP BY 1
     """
+
+
+# Time-weighted daily mean: same exact minute/level inputs, same
+# sequential trapezoid fold carried through a struct accumulator.
+HYDRO_ORACLES["hydro_twa_daily_mean"] = HYDRO_CTE + """
+    , obs_ok AS (
+      SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
+        TRY_CAST(substr(obs_time_str, 12, 2) AS INTEGER) * 60
+          + TRY_CAST(substr(obs_time_str, 15, 2) AS INTEGER) AS t,
+        CAST(TRY_CAST(printf('%.2f', water_level) AS DECIMAL(12,2))
+             AS DOUBLE) AS v,
+        TRY_CAST(printf('%.2f', water_level) AS DECIMAL(12,2)) AS vd
+      FROM classified WHERE water_level IS NOT NULL
+    ),
+    pts AS (
+      SELECT wlobscd, day, count(*) AS n_obs,
+        CAST(sum(vd) AS DOUBLE) / count(*) AS plain_wl,
+        list(struct_pack(t := t, v := v) ORDER BY t, v) AS arr
+      FROM obs_ok WHERE t IS NOT NULL GROUP BY 1, 2
+    ),
+    folded AS (
+      -- index-based scalar fold: a struct ACCUMULATOR in list_reduce
+      -- computes wrong results when vectorized over many rows
+      SELECT wlobscd, day, n_obs, plain_wl, arr,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(range(2, greatest(len(arr), 1) + 1),
+            i -> CAST(arr[i].t - arr[i - 1].t AS DOUBLE)
+                 * ((arr[i].v + arr[i - 1].v) * 0.5::DOUBLE))),
+          (a, b) -> a + b) AS a
+      FROM pts
+    )
+    SELECT wlobscd, day, n_obs,
+      CASE WHEN arr[len(arr)].t - arr[1].t > 0
+           THEN a / CAST(arr[len(arr)].t - arr[1].t AS DOUBLE)
+           ELSE arr[1].v END AS twa_wl,
+      plain_wl
+    FROM folded
+    """

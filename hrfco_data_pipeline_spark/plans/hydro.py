@@ -761,3 +761,81 @@ def rating_curve_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted daily mean stage (trapezoidal integration over
+    the irregular sample times) next to the plain count-weighted mean
+    — the agency-standard daily value: when a sensor reports
+    irregularly, a count-weighted mean over-weights busy periods; the
+    trapezoid weights each reading by the time it represents.
+
+    Per (station, day): minutes-of-day are exact integers from the
+    wall-clock string, levels exact 2-decimal doubles, and the
+    trapezoid area folds over the time-ORDERED in-day series by INDEX
+    with a scalar accumulator — deliberately not a running struct
+    accumulator, which is the one fold shape the DuckDB twin executes
+    incorrectly when vectorized over many rows (found r5; single-row
+    plans are fine, full scans are not). Single-reading days fall
+    back to the reading itself. Day-bounded arrays per group, one
+    keyed aggregate."""
+    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    day = F.substring("obs_time_str", 1, 10)
+    minute = (
+        F.substring("obs_time_str", 12, 2).try_cast("int") * 60
+        + F.substring("obs_time_str", 15, 2).try_cast("int")
+    )
+    wl = F.format_string("%.2f", F.col("water_level")).cast(
+        "decimal(12,2)"
+    ).cast("double")
+    pts = c.filter(minute.isNotNull()).groupBy(
+        "wlobscd", day.alias("day")
+    ).agg(
+        F.count("*").alias("n_obs"),
+        (
+            F.sum(
+                F.format_string("%.2f", F.col("water_level")).cast(
+                    "decimal(12,2)"
+                )
+            ).cast("double")
+            / F.count("*")
+        ).alias("plain_wl"),
+        F.sort_array(
+            F.collect_list(F.struct(minute.alias("t"), wl.alias("v")))
+        ).alias("arr"),
+    )
+    n_arr = F.size("arr")
+    seg = lambda i: (  # noqa: E731
+        (
+            F.element_at("arr", i)["t"] - F.element_at("arr", i - 1)["t"]
+        ).cast("double")
+        * (
+            (F.element_at("arr", i)["v"] + F.element_at("arr", i - 1)["v"])
+            * F.lit(0.5)
+        )
+    )
+    area = F.aggregate(
+        F.sequence(F.lit(2), F.greatest(n_arr, F.lit(2))),
+        F.lit(0.0),
+        lambda acc, i: F.when(
+            i <= n_arr, acc + seg(i.cast("int"))
+        ).otherwise(acc),
+    )
+    folded = pts.withColumn("a", area)
+    span = (
+        F.element_at("arr", n_arr)["t"] - F.element_at("arr", 1)["t"]
+    ).cast("double")
+    twa = F.when(span > 0, F.col("a") / span).otherwise(
+        F.element_at("arr", 1)["v"]
+    )
+    # raw doubles, deliberately unrounded: both operand chains are
+    # bit-identical across engines, while round(x, 4) splits on exact
+    # decimal ties (HALF_UP on the shortest repr vs binary rounding -
+    # 7 of 3600 station-days tied at sf0.1)
+    return folded.select(
+        "wlobscd",
+        "day",
+        "n_obs",
+        twa.alias("twa_wl"),
+        F.col("plain_wl"),
+    )
