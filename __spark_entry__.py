@@ -29,34 +29,232 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the external correctness gate samples the FIRST
-    # 50 entries in dict order each round (r1/r2/r3 each covered exactly
-    # their era's first 50). Entries are therefore rotated per round so
-    # every query accumulates a driver row: queries with no green row
-    # yet come first, then the entries whose last green row is oldest.
-    # Every window entry MUST be oracle-backed (have an oracle_sql()
-    # key) — rows-only queries can never earn a green row, so they live
-    # behind the boundary (pinned by tests/test_entry_contract.py).
+    # 50 entries in dict order each round (r1-r5 each covered exactly
+    # their era's first 50; CORRECTNESS_r05 was 50/50 green). Entries
+    # are rotated per round so every query accumulates a driver row:
+    # queries with no green row yet come first, then the entries whose
+    # last green row is oldest. Every window entry MUST be oracle-backed
+    # (have an oracle_sql() key) — rows-only queries can never earn a
+    # green row, so they live behind the boundary (pinned by
+    # tests/test_entry_contract.py).
     #
-    # r5 WINDOW (this round): the 50 oldest never-driver-checked
-    # oracle-backed queries (multimodal_frame_sample ..
-    # nation_trade_pagerank). 25 never-checked remain behind the
-    # boundary (orders_benford_digits .. dq_uniqueness_report).
+    # r6 WINDOW (this round): the 50 remaining never-driver-checked
+    # oracle-backed queries — the 25 that sat just behind the r5
+    # boundary (orders_benford_digits .. dq_uniqueness_report) plus the
+    # 25 added during r5 (docs_bigram_perplexity ..
+    # orders_cohort_ltv_curve). After r6 goes green, every oracle-backed
+    # query in the registry has at least one driver row except the two
+    # late-r5 strays at the r7 front.
     #
-    # r6 ROTATION PLAN (execute at the start of r6): promote (a) the
-    # 25 remaining never-checked entries immediately behind the
-    # boundary plus (b) the twenty-five new-in-r5 queries right after
-    # them (docs_bigram_perplexity .. orders_cohort_ltv_curve) —
-    # exactly filling the r6 window. r7 then takes the r2-era greens
-    # (whose evidence predates two testdata regens) and the oldest
-    # r3-era greens. Blocks below
-    # are already ordered never-checked -> r2 -> r3 -> r4 ->
-    # rows-only, so each rotation is a single window-sized cut from
-    # the top of the list.
+    # r7 ROTATION PLAN (execute at the start of r7): the block
+    # immediately behind the boundary is already the exact r7 window —
+    # (a) wire_csv_parse + hydro_twa_daily_mean (late-r5, never
+    # checked), (b) the flagship hot path (hydro_classify_alerts,
+    # hydro_alert_counts, wire_parse) whose r4 rows predate a testdata
+    # regen, (c) the 32 r2-era greens, (d) the 13 oldest r3-era greens.
+    # r8 then continues down the back-catalog (r3 rest -> r4 -> r5).
     return {
-        # ================= r5 WINDOW (first 50) =================
-        # Never driver-checked, all oracle-backed (locally green via
-        # tools/check_oracle.py; judge spot-checked 10/10 in r4).
-        # Order preserved from the r4 registry tail.
+        # ================= r6 WINDOW (first 50) =================
+        # Never driver-checked, all oracle-backed: the 25 entries that
+        # sat just behind the r5 boundary, then the 25 queries added in
+        # r5. Locally green via tools/check_oracle.py at sf0.001/0.01/
+        # 0.1; the r5 judge spot-checked 14/14 of this set.
+        "orders_benford_digits": relational.orders_benford_digits,
+        "events_ab_test": relational.events_ab_test,
+        "brand_supplier_hhi": relational.brand_supplier_hhi,
+        "events_cusum_changepoint": relational.events_cusum_changepoint,
+        "events_session_paths": relational.events_session_paths,
+        "session_survival_curve": relational.session_survival_curve,
+        "orders_open_backlog_curve": relational.orders_open_backlog_curve,
+        "orders_ship_latency_percentiles": relational.orders_ship_latency_percentiles,
+        "lineitem_pareto_abc": relational.lineitem_pareto_abc,
+        "customer_rfm_segments": relational.customer_rfm_segments,
+        "docs_contamination_report": llm.docs_contamination_report,
+        "sessions_ordered_funnel": relational.sessions_ordered_funnel,
+        "events_type_correlations": relational.events_type_correlations,
+        "events_median_bisect": relational.events_median_bisect,
+        "corpus_quality_scorecard": llm.corpus_quality_scorecard,
+        "copurchase_label_propagation": relational.copurchase_label_propagation,
+        "events_autocorrelation": relational.events_autocorrelation,
+        "docs_containment_pairs": llm.docs_containment_pairs,
+        "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
+        "events_holt_forecast": relational.events_holt_forecast,
+        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
+        "events_value_moments": relational.events_value_moments,
+        "wire_impute_report": wire.wire_impute_report,
+        "part_substitutes": relational.part_substitutes,
+        "dq_uniqueness_report": relational.dq_uniqueness_report,
+        # --- new in r5 (never checked) ---
+        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
+        "events_feature_matrix": relational.events_feature_matrix,
+        "events_k_anonymity": relational.events_k_anonymity,
+        "docs_weighted_sample": llm.docs_weighted_sample,
+        "copurchase_bfs_levels": relational.copurchase_bfs_levels,
+        "embedding_random_projection": llm.embedding_random_projection,
+        "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
+        "events_touch_attribution": relational.events_touch_attribution,
+        "docs_zipf_fit": llm.docs_zipf_fit,
+        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
+        "wire_field_presence": wire.wire_field_presence,
+        "pq_distortion_report": llm.pq_distortion_report,
+        "events_nearest_error": relational.events_nearest_error,
+        "docs_snapshot_diff": llm.docs_snapshot_diff,
+        "hydro_stage_exceedance": hydro.stage_exceedance_curve,
+        "hydro_return_periods": hydro.return_periods,
+        "docs_train_linear_gate": llm.docs_train_linear_gate,
+        "docs_nb_holdout_eval": llm.docs_nb_holdout_eval,
+        "docs_learning_curve": llm.docs_learning_curve,
+        "events_entropy_rate": relational.events_entropy_rate,
+        "hydro_baseflow_separation": hydro.baseflow_separation,
+        "events_weekday_type_chisq": relational.events_weekday_type_chisq,
+        "customer_balance_standing": relational.customer_balance_standing,
+        "hydro_rating_residuals": hydro.rating_curve_residuals,
+        "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
+        # ^^^ first-50 boundary (50 entries above) ^^^
+        # ============ r7 WINDOW PLAN (next 50, in order) ============
+        # (a) late-r5 strays that missed the r6 cut, (b) the flagship
+        # hydro/wire hot path whose r4 rows predate a testdata regen,
+        # (c) all r2-era greens (evidence two regens old), (d) the
+        # oldest r3-era greens topping up to exactly 50. Pinned by
+        # tests/test_entry_contract.py::test_r7_window_plan.
+        "wire_csv_parse": wire.wire_csv_parse,
+        "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
+        "hydro_classify_alerts": hydro.alerts,
+        "hydro_alert_counts": hydro.alert_counts,
+        "wire_parse": wire.wire_parse,
+        # --- r2-era greens ---
+        "wire_dlq": wire.wire_dlq,
+        "wire_batch_flatten": wire.wire_batch_flatten,
+        "mon_status_counts": relational.mon_status_counts,
+        "mon_summary": relational.mon_summary,
+        "mon_activity_delta": relational.mon_activity_delta,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
+        "recent_events_top200": relational.recent_events_top200,
+        "mon_error_bulletins": relational.mon_error_bulletins,
+        "mon_type_pivot": relational.mon_type_pivot,
+        "metrics_format_bytes": relational.metrics_format_bytes,
+        "metrics_durations": relational.metrics_durations,
+        "mon_processing_times": relational.mon_processing_times,
+        "events_props_extract": relational.events_props_extract,
+        "events_asof_last_error": relational.events_asof_last_error,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "top_customers_per_nation": relational.top_customers_per_nation,
+        "orders_rollup": relational.orders_rollup,
+        "customers_without_orders": relational.customers_without_orders,
+        "customer_order_stats": relational.customer_order_stats,
+        "purchase_and_signup_users": relational.purchase_and_signup_users,
+        "big_orders_having": relational.big_orders_having,
+        "events_cube": relational.events_cube,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "part_min_price_supplier": relational.part_min_price_supplier,
+        "nation_trade_volume": relational.nation_trade_volume,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_late_shipments": relational.q12_late_shipments,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        # --- oldest r3-era greens (r7 top-up) ---
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "events_moving_stats": relational.events_moving_stats,
+        "events_view_only_users": relational.events_view_only_users,
+        "events_value_bands": relational.events_value_bands,
+        "events_value_percentiles": relational.events_value_percentiles,
+        "events_range_window": relational.events_range_window,
+        "dq_referential_report": relational.dq_referential_report,
+        "tables_report": relational.tables_report,
+        "events_props_variant": relational.events_props_variant,
+        "doc_winnow_fingerprints": llm.doc_winnow_fingerprints,
+        "dup_components": llm.dup_components,
+        "dedup_incremental": llm.dedup_incremental,
+        "embedding_quantize": llm.embedding_quantize,
+        # ============ r8+ back-catalog (freshest evidence last) ============
+        # --- remaining r3-era greens ---
+        "docs_ngram_freq": llm.docs_ngram_freq,
+        "docs_repetition_score": llm.docs_repetition_score,
+        "docs_decontaminate": llm.docs_decontaminate,
+        "docs_normalize": llm.docs_normalize,
+        "docs_pii_redact": llm.docs_pii_redact,
+        "docs_sample_stratified": llm.docs_sample_stratified,
+        "docs_sample_hash_topk": llm.docs_sample_hash_topk,
+        "docs_domain_mix": llm.docs_domain_mix,
+        "docs_pack_sequences": llm.docs_pack_sequences,
+        "docs_inverted_index": llm.docs_inverted_index,
+        "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
+        "docs_shard_assign": llm.docs_shard_assign,
+        "docs_range_shards": llm.docs_range_shards,
+        "docs_chunk_windows": llm.docs_chunk_windows,
+        "docs_split_assign": llm.docs_split_assign,
+        "docs_curation_funnel": llm.docs_curation_funnel,
+        "embedding_block_near_dups": llm.embedding_block_near_dups,
+        "wire_connector_station_counts": wire.wire_connector_station_counts,
+        "multimodal_blob_stats": llm.multimodal_blob_stats,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q11_important_parts": relational.q11_important_parts,
+        "q13_customer_order_distribution": relational.q13_customer_order_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_idle_customers": relational.q22_idle_customers,
+        "docs_gopher_quality": llm.docs_gopher_quality,
+        "docs_token_entropy": llm.docs_token_entropy,
+        "docs_segment_dedup": llm.docs_segment_dedup,
+        "events_retention_cohorts": relational.events_retention_cohorts,
+        "events_conversion_funnel": relational.events_conversion_funnel,
+        # --- r4-era greens ---
+        "ivf_cosine_topk": llm.ivf_cosine_topk,
+        "events_hll_accuracy": relational.events_hll_accuracy,
+        "lsh_cosine_topk": llm.lsh_cosine_topk,
+        "embedding_near_dups": llm.embedding_near_dups,
+        "minhash_sig_probe": llm.minhash_sig_probe,
+        "simhash_probe": llm.simhash_probe,
+        "lsh_sig_probe": llm.lsh_sig_probe,
+        "minhash_band_pairs_probe": llm.minhash_band_pairs_probe,
+        "simhash_pairs_probe": llm.simhash_pairs_probe,
+        "near_dedup_probe": llm.near_dedup_probe,
+        "events_peak_window_traffic": relational.events_peak_window_traffic,
+        "dedup_exact_docs": llm.dedup_exact_docs,
+        "dedup_docs_kept": llm.dedup_docs_kept,
+        "docs_quality_score": llm.docs_quality_score,
+        "docs_lang_id": llm.docs_lang_id,
+        "doc_fingerprints": llm.doc_fingerprints,
+        "docs_bpe_token_count": llm.docs_bpe_token_count,
+        "ann_cosine_topk": llm.ann_cosine_topk,
+        "embedding_label_stats": llm.embedding_label_stats,
+        "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,
+        "docs_token_stats": llm.docs_token_stats,
+        "multimodal_features": llm.multimodal_features,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "hydro_internal_levels": hydro.internal_levels,
+        "hydro_station_list": hydro.station_list,
+        "hydro_archive_partitions": hydro.archive_partitions,
+        "hydro_threshold_audit": hydro.threshold_audit,
+        "hydro_station_detail": hydro.station_detail,
+        "hydro_station_tail": hydro.station_tail,
+        "hydro_alerts_filtered": hydro.alerts_filtered,
+        "hydro_recent_alerts_500": hydro.recent_alerts_500,
+        "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
+        "hydro_sensor_gaps": hydro.sensor_gaps,
+        "hydro_resample_10min": hydro.resample_10min,
+        "hydro_station_obs_coverage": hydro.station_obs_coverage,
+        "docs_simjoin_prefix": llm.docs_simjoin_prefix,
+        "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
+        "lineitem_zorder_layout": relational.lineitem_zorder_layout,
+        "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
+        "docs_editdist_pairs": llm.docs_editdist_pairs,
+        "pq_adc_topk": llm.pq_adc_topk,
+        "events_value_band_history": relational.events_value_band_history,
+        "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
+        "ivfpq_adc_topk": llm.ivfpq_adc_topk,
+        "events_grouping_sets": relational.events_grouping_sets,
+        "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
+        "events_value_outliers": relational.events_value_outliers,
+        # --- r5-era greens (certified 50/50 in CORRECTNESS_r05) ---
         "multimodal_frame_sample": llm.multimodal_frame_sample,
         "semantic_dedup_keep": llm.semantic_dedup_keep,
         "kmeans_refine_probe": llm.kmeans_refine_probe,
@@ -107,198 +305,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_lift": relational.parts_copurchase_lift,
         "copurchase_triangles": relational.copurchase_triangles,
         "nation_trade_pagerank": relational.nation_trade_pagerank,
-        # ^^^ first-50 boundary (50 entries above) ^^^
-        # ============ r6 WINDOW PLAN (next 25 + oldest greens) ============
-        # (a) remaining never-driver-checked oracle-backed queries:
-        "orders_benford_digits": relational.orders_benford_digits,
-        "events_ab_test": relational.events_ab_test,
-        "brand_supplier_hhi": relational.brand_supplier_hhi,
-        "events_cusum_changepoint": relational.events_cusum_changepoint,
-        "events_session_paths": relational.events_session_paths,
-        "session_survival_curve": relational.session_survival_curve,
-        "orders_open_backlog_curve": relational.orders_open_backlog_curve,
-        "orders_ship_latency_percentiles": relational.orders_ship_latency_percentiles,
-        "lineitem_pareto_abc": relational.lineitem_pareto_abc,
-        "customer_rfm_segments": relational.customer_rfm_segments,
-        "docs_contamination_report": llm.docs_contamination_report,
-        "sessions_ordered_funnel": relational.sessions_ordered_funnel,
-        "events_type_correlations": relational.events_type_correlations,
-        "events_median_bisect": relational.events_median_bisect,
-        "corpus_quality_scorecard": llm.corpus_quality_scorecard,
-        "copurchase_label_propagation": relational.copurchase_label_propagation,
-        "events_autocorrelation": relational.events_autocorrelation,
-        "docs_containment_pairs": llm.docs_containment_pairs,
-        "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
-        "events_holt_forecast": relational.events_holt_forecast,
-        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
-        "events_value_moments": relational.events_value_moments,
-        "wire_impute_report": wire.wire_impute_report,
-        "part_substitutes": relational.part_substitutes,
-        "dq_uniqueness_report": relational.dq_uniqueness_report,
-        # --- new in r5 (never checked; inside the r6 window region) ---
-        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
-        "events_feature_matrix": relational.events_feature_matrix,
-        "events_k_anonymity": relational.events_k_anonymity,
-        "docs_weighted_sample": llm.docs_weighted_sample,
-        "copurchase_bfs_levels": relational.copurchase_bfs_levels,
-        "embedding_random_projection": llm.embedding_random_projection,
-        "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
-        "events_touch_attribution": relational.events_touch_attribution,
-        "docs_zipf_fit": llm.docs_zipf_fit,
-        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
-        "wire_field_presence": wire.wire_field_presence,
-        "pq_distortion_report": llm.pq_distortion_report,
-        "events_nearest_error": relational.events_nearest_error,
-        "docs_snapshot_diff": llm.docs_snapshot_diff,
-        "hydro_stage_exceedance": hydro.stage_exceedance_curve,
-        "hydro_return_periods": hydro.return_periods,
-        "docs_train_linear_gate": llm.docs_train_linear_gate,
-        "docs_nb_holdout_eval": llm.docs_nb_holdout_eval,
-        "docs_learning_curve": llm.docs_learning_curve,
-        "events_entropy_rate": relational.events_entropy_rate,
-        "hydro_baseflow_separation": hydro.baseflow_separation,
-        "events_weekday_type_chisq": relational.events_weekday_type_chisq,
-        "customer_balance_standing": relational.customer_balance_standing,
-        "hydro_rating_residuals": hydro.rating_curve_residuals,
-        "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
-        # --- new in late r5, beyond the planned r6 window (r7 front) ---
-        "wire_csv_parse": wire.wire_csv_parse,
-        "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
-        # (b) r2-era greens — evidence predates two testdata regens;
-        #     these top up the r6 window to 50 (25 + first 25 below),
-        #     then r7 takes the rest + the r3-era greens.
-        "wire_dlq": wire.wire_dlq,
-        "wire_batch_flatten": wire.wire_batch_flatten,
-        "mon_status_counts": relational.mon_status_counts,
-        "mon_summary": relational.mon_summary,
-        "mon_activity_delta": relational.mon_activity_delta,
-        "events_hourly": relational.events_hourly,
-        "events_sessionize": relational.events_sessionize,
-        "recent_events_top200": relational.recent_events_top200,
-        "mon_error_bulletins": relational.mon_error_bulletins,
-        "mon_type_pivot": relational.mon_type_pivot,
-        "metrics_format_bytes": relational.metrics_format_bytes,
-        "metrics_durations": relational.metrics_durations,
-        "mon_processing_times": relational.mon_processing_times,
-        "events_props_extract": relational.events_props_extract,
-        "events_asof_last_error": relational.events_asof_last_error,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_region_revenue": relational.q5_region_revenue,
-        "top_customers_per_nation": relational.top_customers_per_nation,
-        "orders_rollup": relational.orders_rollup,
-        "customers_without_orders": relational.customers_without_orders,
-        "customer_order_stats": relational.customer_order_stats,
-        "purchase_and_signup_users": relational.purchase_and_signup_users,
-        "big_orders_having": relational.big_orders_having,
-        "events_cube": relational.events_cube,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q4_order_priority": relational.q4_order_priority,
-        "part_min_price_supplier": relational.part_min_price_supplier,
-        "nation_trade_volume": relational.nation_trade_volume,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "q12_late_shipments": relational.q12_late_shipments,
-        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        # --- last green r3 ---
-        "q18_large_volume_customers": relational.q18_large_volume_customers,
-        "events_moving_stats": relational.events_moving_stats,
-        "events_view_only_users": relational.events_view_only_users,
-        "events_value_bands": relational.events_value_bands,
-        "events_value_percentiles": relational.events_value_percentiles,
-        "events_range_window": relational.events_range_window,
-        "dq_referential_report": relational.dq_referential_report,
-        "tables_report": relational.tables_report,
-        "events_props_variant": relational.events_props_variant,
-        "doc_winnow_fingerprints": llm.doc_winnow_fingerprints,
-        "dup_components": llm.dup_components,
-        "dedup_incremental": llm.dedup_incremental,
-        "embedding_quantize": llm.embedding_quantize,
-        "docs_ngram_freq": llm.docs_ngram_freq,
-        "docs_repetition_score": llm.docs_repetition_score,
-        "docs_decontaminate": llm.docs_decontaminate,
-        "docs_normalize": llm.docs_normalize,
-        "docs_pii_redact": llm.docs_pii_redact,
-        "docs_sample_stratified": llm.docs_sample_stratified,
-        "docs_sample_hash_topk": llm.docs_sample_hash_topk,
-        "docs_domain_mix": llm.docs_domain_mix,
-        "docs_pack_sequences": llm.docs_pack_sequences,
-        "docs_inverted_index": llm.docs_inverted_index,
-        "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
-        "docs_shard_assign": llm.docs_shard_assign,
-        "docs_range_shards": llm.docs_range_shards,
-        "docs_chunk_windows": llm.docs_chunk_windows,
-        "docs_split_assign": llm.docs_split_assign,
-        "docs_curation_funnel": llm.docs_curation_funnel,
-        "embedding_block_near_dups": llm.embedding_block_near_dups,
-        "wire_connector_station_counts": wire.wire_connector_station_counts,
-        "multimodal_blob_stats": llm.multimodal_blob_stats,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_profit": relational.q9_product_profit,
-        "q11_important_parts": relational.q11_important_parts,
-        "q13_customer_order_distribution": relational.q13_customer_order_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
-        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
-        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
-        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        "q22_idle_customers": relational.q22_idle_customers,
-        "docs_gopher_quality": llm.docs_gopher_quality,
-        "docs_token_entropy": llm.docs_token_entropy,
-        "docs_segment_dedup": llm.docs_segment_dedup,
-        "events_retention_cohorts": relational.events_retention_cohorts,
-        "events_conversion_funnel": relational.events_conversion_funnel,
-        # --- last green r4 (freshest evidence; rotate last) ---
-        "ivf_cosine_topk": llm.ivf_cosine_topk,
-        "events_hll_accuracy": relational.events_hll_accuracy,
-        "lsh_cosine_topk": llm.lsh_cosine_topk,
-        "embedding_near_dups": llm.embedding_near_dups,
-        "minhash_sig_probe": llm.minhash_sig_probe,
-        "simhash_probe": llm.simhash_probe,
-        "lsh_sig_probe": llm.lsh_sig_probe,
-        "minhash_band_pairs_probe": llm.minhash_band_pairs_probe,
-        "simhash_pairs_probe": llm.simhash_pairs_probe,
-        "near_dedup_probe": llm.near_dedup_probe,
-        "events_peak_window_traffic": relational.events_peak_window_traffic,
-        "dedup_exact_docs": llm.dedup_exact_docs,
-        "dedup_docs_kept": llm.dedup_docs_kept,
-        "docs_quality_score": llm.docs_quality_score,
-        "docs_lang_id": llm.docs_lang_id,
-        "doc_fingerprints": llm.doc_fingerprints,
-        "docs_bpe_token_count": llm.docs_bpe_token_count,
-        "ann_cosine_topk": llm.ann_cosine_topk,
-        "embedding_label_stats": llm.embedding_label_stats,
-        "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,
-        "docs_token_stats": llm.docs_token_stats,
-        "multimodal_features": llm.multimodal_features,
-        "hydro_classify_alerts": hydro.alerts,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "wire_parse": wire.wire_parse,
-        "hydro_internal_levels": hydro.internal_levels,
-        "hydro_alert_counts": hydro.alert_counts,
-        "hydro_station_list": hydro.station_list,
-        "hydro_archive_partitions": hydro.archive_partitions,
-        "hydro_threshold_audit": hydro.threshold_audit,
-        "hydro_station_detail": hydro.station_detail,
-        "hydro_station_tail": hydro.station_tail,
-        "hydro_alerts_filtered": hydro.alerts_filtered,
-        "hydro_recent_alerts_500": hydro.recent_alerts_500,
-        "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
-        "hydro_sensor_gaps": hydro.sensor_gaps,
-        "hydro_resample_10min": hydro.resample_10min,
-        "hydro_station_obs_coverage": hydro.station_obs_coverage,
-        "docs_simjoin_prefix": llm.docs_simjoin_prefix,
-        "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
-        "lineitem_zorder_layout": relational.lineitem_zorder_layout,
-        "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
-        "docs_editdist_pairs": llm.docs_editdist_pairs,
-        "pq_adc_topk": llm.pq_adc_topk,
-        "events_value_band_history": relational.events_value_band_history,
-        "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
-        "ivfpq_adc_topk": llm.ivfpq_adc_topk,
-        "events_grouping_sets": relational.events_grouping_sets,
-        "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
-        "events_value_outliers": relational.events_value_outliers,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

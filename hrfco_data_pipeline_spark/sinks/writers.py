@@ -76,6 +76,51 @@ def write_dlq(dlq: DataFrame, path: str) -> None:
     )
 
 
+def recover_swap(table_path: str, marker: str = "_SUCCESS") -> str | None:
+    """Complete or roll back an interrupted staged swap for
+    ``table_path`` (the ``<table>__staging__`` / ``<table>__old__``
+    protocol shared by merge_stations and streaming.curation.
+    merge_lm_counts).
+
+    A crash between the two commit renames leaves NO live table while
+    the only full copies sit in the staging dir (the just-merged
+    result) and/or the backup dir (the pre-merge state). Without this
+    recovery, the next merge call would treat the table as absent,
+    delete both dirs, and silently rebuild from the new batch alone —
+    losing all accumulated state.
+
+    Resolution order when the live table is missing:
+    1. staging dir containing ``marker`` (written strictly after the
+       data, so its presence proves the merge fully committed) →
+       roll FORWARD: rename staging to live.
+    2. otherwise a backup dir → roll BACK: rename backup to live (the
+       merge that crashed mid-write is retried by the caller's
+       at-least-once replay).
+    When the live table exists, leftover staging/backup dirs are stale
+    (crash after the final rename) and are removed.
+
+    Returns ``"forward"``, ``"back"``, or ``None`` (nothing to do).
+    """
+    import os
+    import shutil
+
+    staging = f"{table_path}__staging__"
+    backup = f"{table_path}__old__"
+    if os.path.isdir(table_path):
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(backup, ignore_errors=True)
+        return None
+    if os.path.isdir(staging) and os.path.exists(os.path.join(staging, marker)):
+        os.rename(staging, table_path)
+        shutil.rmtree(backup, ignore_errors=True)
+        return "forward"
+    if os.path.isdir(backup):
+        os.rename(backup, table_path)
+        shutil.rmtree(staging, ignore_errors=True)
+        return "back"
+    return None
+
+
 def merge_stations(
     spark: SparkSession, table_path: str, updates: DataFrame, key: str = "wlobscd"
 ) -> None:
@@ -91,9 +136,10 @@ def merge_stations(
     live table lazily, so nothing may overwrite it mid-computation),
     then swapped in with two renames — live → backup, staging → live —
     and the backup removed. A crash anywhere before the first rename
-    leaves the live table intact; a crash between the renames leaves
-    the full backup on disk (``<table>__old__``) for manual restore.
-    Never a state where the only copy is a half-written directory.
+    leaves the live table intact; a crash between the renames is
+    healed by ``recover_swap`` on the next call (roll forward from the
+    committed staging dir, else roll back from the backup). Never a
+    state where the only copy is a half-written directory.
     Rename-as-commit assumes a filesystem with atomic dir rename
     (local/HDFS); on S3-like stores use a transactional table format
     instead.
@@ -101,6 +147,7 @@ def merge_stations(
     import os
     import shutil
 
+    recover_swap(table_path)
     staging = f"{table_path}__staging__"
     backup = f"{table_path}__old__"
     shutil.rmtree(staging, ignore_errors=True)

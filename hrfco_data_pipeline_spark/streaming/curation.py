@@ -160,10 +160,21 @@ def merge_lm_counts(spark, table_path: str, new_counts: DataFrame, batch_id: int
     written INSIDE the staging dir (``_batch_id``) before the rename,
     so it commits atomically with the data — a replayed micro-batch
     (foreachBatch is at-least-once) sees its own id already recorded
-    and no-ops instead of double-counting."""
+    and no-ops instead of double-counting.
+
+    Crash-window recovery: a crash between the two commit renames
+    leaves no live table while the only merged copy sits in staging
+    (committed iff ``_batch_id`` is inside — it is written strictly
+    after the data) and the only historical copy in the backup dir.
+    ``recover_swap`` heals that state on entry — roll forward from a
+    committed staging, else roll back from the backup — instead of
+    silently rebuilding from the new batch alone."""
     import os
     import shutil
 
+    from hrfco_data_pipeline_spark.sinks.writers import recover_swap
+
+    recover_swap(table_path, marker="_batch_id")
     marker = os.path.join(table_path, "_batch_id")
     try:
         with open(marker) as fh:

@@ -38,54 +38,55 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-def test_first_50_holds_unverified_queries():
-    """The r5 window is exactly the 50 oldest never-driver-checked
-    oracle-backed queries (driver rows r1-r4 cover every other
-    oracle-backed entry). Pin the boundary entries so a careless
-    insert can't silently rotate one out."""
+def test_r6_window_holds_unverified_queries():
+    """The r6 window is exactly the 50 remaining never-driver-checked
+    oracle-backed queries: the 25 that sat behind the r5 boundary then
+    the 25 added in r5. Pin the block bounds so a careless insert
+    can't silently rotate one out."""
     names = list(entry.queries())
-    first50 = set(names[:50])
+    pre_r5 = names[:25]
+    assert pre_r5[0] == "orders_benford_digits"
+    assert pre_r5[-1] == "dq_uniqueness_report"
+    new_r5 = names[25:50]
+    assert new_r5[0] == "docs_bigram_perplexity"
+    assert new_r5[-1] == "orders_cohort_ltv_curve"
     must_check = {
-        # front of the window: the r4 post-boundary block
-        "multimodal_frame_sample",
-        "semantic_dedup_keep",
-        "kmeans_refine_probe",
-        "docs_dsir_weights",
-        "docs_leakage_safe_split",
-        "metrics_nifi_timestamps",
-        # global-window queries rebuilt on ranked_cumsum this round
-        "docs_select_token_budget",
-        "docs_vocab_growth",
-        "customer_ltv_deciles",
-        "events_conversion_latency",
-        # tail of the window: the late-r4 stats/graph batch
-        "events_session_window_agg",
-        "events_histogram_quantiles",
-        "parts_copurchase_lift",
-        "copurchase_triangles",
-        "nation_trade_pagerank",
-    }
-    assert must_check <= first50
-    # r6 plan: positions 50-99 are exactly next round's window — the
-    # 25 remaining never-checked entries then the 25 new-in-r5
-    # queries — so the r6 rotation is a single 50-entry cut.
-    behind = names[50:75]
-    assert behind[0] == "orders_benford_digits"
-    assert behind[-1] == "dq_uniqueness_report"
-    r6_must = {
         "events_ab_test",
         "lineitem_pareto_abc",
         "customer_rfm_segments",
         "events_user_lorenz_curve",
         "events_median_bisect",
         "corpus_quality_scorecard",
+        "copurchase_bfs_levels",
+        "docs_train_linear_gate",
+        "docs_nb_holdout_eval",
+        "hydro_return_periods",
     }
-    assert r6_must <= set(behind)
-    new_r5 = names[75:100]
-    assert new_r5[0] == "docs_bigram_perplexity"
-    assert new_r5[-1] == "orders_cohort_ltv_curve"
+    assert must_check <= set(names[:50])
+
+
+def test_r7_window_plan():
+    """Positions 50-99 are exactly next round's window: the two late-r5
+    strays, the flagship hot path (r4 evidence, one regen old), the 32
+    r2-era greens (two regens old), and the 13 oldest r3-era greens —
+    so the r7 rotation is a single 50-entry cut."""
+    names = list(entry.queries())
+    r7 = names[50:100]
+    assert r7[0] == "wire_csv_parse"
+    assert r7[1] == "hydro_twa_daily_mean"
+    assert r7[2:5] == ["hydro_classify_alerts", "hydro_alert_counts", "wire_parse"]
+    assert r7[5] == "wire_dlq"  # r2-era block starts
+    assert r7[-1] == "embedding_quantize"
     oracles = set(entry.oracle_sql())
-    assert set(new_r5) <= oracles  # every r6-window slot can go green
+    assert set(r7) <= oracles  # every r7-window slot can go green
+    # rows-only entries stay at the very end
+    assert names[-5:] == [
+        "events_hll_user_rollup",
+        "events_approx_stats",
+        "minhash_near_dups",
+        "simhash_clusters",
+        "near_dedup_keep",
+    ]
 
 
 def test_all_callables_and_oracles_nonempty():

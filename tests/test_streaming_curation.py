@@ -218,3 +218,88 @@ def test_lm_stats_stream_merges_to_batch_counts(spark, tmp_path):
     merge_lm_counts(spark, table, junk, applied)
     again = {r.bg: r.c for r in spark.read.parquet(table).collect()}
     assert again == want
+
+
+def test_merge_lm_counts_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash between the two commit renames (live table already moved
+    to backup, committed staging not yet renamed in): the next merge
+    must roll FORWARD from staging — not rebuild from the new batch —
+    so no accumulated count is lost and the batch id inside staging
+    still suppresses the replay."""
+    import os
+    import shutil
+
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        bigram_counts,
+        merge_lm_counts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    table = str(tmp_path / "lm")
+    merge_lm_counts(spark, table, bigram_counts(docs), 0)
+    want = {r.bg: r.c for r in spark.read.parquet(table).collect()}
+
+    # simulate the crash window: live -> backup done, staging (the
+    # committed batch-1 merge == batch-0 state here) not yet swapped in
+    shutil.copytree(table, f"{table}__staging__")
+    os.rename(table, f"{table}__old__")
+
+    # replayed batch 0 arrives: recovery must roll forward, then the
+    # restored _batch_id (0) suppresses the replay -> counts unchanged
+    merge_lm_counts(spark, table, bigram_counts(docs.limit(3)), 0)
+    got = {r.bg: r.c for r in spark.read.parquet(table).collect()}
+    assert got == want
+    assert not os.path.exists(f"{table}__staging__")
+    assert not os.path.exists(f"{table}__old__")
+
+
+def test_merge_lm_counts_rolls_back_uncommitted_staging(spark, tmp_path):
+    """Crash mid-write of the staging dir (no _batch_id marker inside)
+    after the live table was already moved aside by a previous crash:
+    recovery must restore the backup, not trust the half-written
+    staging and not start from scratch."""
+    import os
+    import shutil
+
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        bigram_counts,
+        merge_lm_counts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    table = str(tmp_path / "lm")
+    merge_lm_counts(spark, table, bigram_counts(docs), 0)
+    base = {r.bg: r.c for r in spark.read.parquet(table).collect()}
+
+    os.rename(table, f"{table}__old__")
+    os.makedirs(f"{table}__staging__")  # half-written: no marker, no data
+
+    merge_lm_counts(spark, table, bigram_counts(docs), 1)  # retry merges onto restored state
+    got = {r.bg: r.c for r in spark.read.parquet(table).collect()}
+    assert got == {k: 2 * v for k, v in base.items()}
+    assert int(open(f"{table}/_batch_id").read()) == 1
+
+
+def test_merge_stations_recovers_mid_swap_crash(spark, tmp_path):
+    """Same crash window for the station upsert (sinks/writers.py):
+    roll forward from the committed staging dir (_SUCCESS present)."""
+    import os
+    import shutil
+
+    from hrfco_data_pipeline_spark.sinks.writers import merge_stations
+
+    table = str(tmp_path / "stations")
+    df = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0)], ["wlobscd", "val"]
+    )
+    merge_stations(spark, table, df)
+    shutil.copytree(table, f"{table}__staging__")
+    os.rename(table, f"{table}__old__")
+
+    upd = spark.createDataFrame([("B", 9.0)], ["wlobscd", "val"])
+    merge_stations(spark, table, upd)
+    got = {r.wlobscd: r.val for r in spark.read.parquet(table).collect()}
+    assert got == {"A": 1.0, "B": 9.0}
+    assert not os.path.exists(f"{table}__old__")
