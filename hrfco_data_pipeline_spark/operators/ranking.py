@@ -34,9 +34,13 @@ oracle-checkable against a plain SQL window.
 Cost model: two scans of the input (the windowed branch and the
 per-bucket stats branch share the bucket exchange via reuse) plus one
 bounded sample aggregate — the honest two-pass trade every distributed
-rank pays (TeraSort's partitioner does exactly this). At 100 TB, size
-``sample_mod`` so the collected sample stays ~10⁴ rows and raise
-``n_buckets`` toward the cluster's task count.
+rank pays (TeraSort's partitioner does exactly this). The collected
+sample is capped at ``sample_cap`` rows BY CONSTRUCTION: a one-row
+count of the first-level hash sample drives a second-level hash cut
+(keep 1-in-⌈count/cap⌉), so the collect stays bounded at any input
+size without caller tuning — ``sample_mod`` only sets how cheap the
+counting scan is. At 100 TB, raise ``n_buckets`` toward the cluster's
+task count.
 
 Reference parity note: the reference engine has no global-rank
 operator; this backs the beyond-reference analytics queries
@@ -59,24 +63,59 @@ def ranked_cumsum(
     rank_name: str = "rank",
     n_buckets: int = 32,
     sample_mod: int = 64,
+    sample_cap: int = 10_000,
 ) -> DataFrame:
     """Add a global ``rank_name`` (row_number) and one cumulative-sum
     column per ``sums`` entry to ``df``, under the total order given by
     ``order_exprs`` — without a single-partition sort.
 
-    ``bucket_key`` must be a numeric expression monotonically
-    NON-DECREASING in the total order (negate for descending orders);
-    ``order_exprs`` must be a total order (include a unique
-    tie-breaker). ``sample_key`` should be a roughly-unique column so
-    the hash sample is uniform.
+    Requirements (violations corrupt ranks silently, so the first is
+    enforced with a runtime error):
+
+    - ``bucket_key`` must be NON-NULL: NULL compares as unknown inside
+      the boundary filter, so a NULL key would land in bucket 0 even
+      under a descending order where Spark sorts NULLs last — the plan
+      raises on the first NULL instead.
+    - ``bucket_key`` must be a numeric expression monotonically
+      NON-DECREASING in the total order (negate for descending orders).
+    - ``order_exprs`` must be a total order (include a unique
+      tie-breaker).
+    - ``sample_key`` should be a roughly-unique column so the hash
+      sample is uniform.
     """
     sums = sums or {}
-    d = df.withColumn("_bk", bucket_key.cast("double"))
+    d = df.withColumn(
+        "_bk",
+        F.when(
+            bucket_key.isNull(),
+            F.raise_error(
+                F.lit("ranked_cumsum: bucket_key must be non-null")
+            ).cast("double"),
+        ).otherwise(bucket_key.cast("double")),
+    )
 
     # Deterministic bounded sample -> sorted multiset -> boundaries.
-    # collect_list is unordered, sort_array pins it; the sample size is
-    # |df| / sample_mod (callers size sample_mod for ~10^3-10^4 rows).
-    sample = d.filter(F.pmod(F.xxhash64(sample_key), F.lit(sample_mod)) == 0)
+    # collect_list is unordered, sort_array pins it. The sample is
+    # capped at ~sample_cap rows BY CONSTRUCTION, not caller tuning:
+    # a first-level hash keeps 1-in-sample_mod rows, a one-row count
+    # of that stratum derives a second-level keep rate of
+    # 1-in-ceil(count/sample_cap) under an independent hash (extra
+    # seed column), and only the doubly-thinned rows are collected.
+    # Both levels are pure functions of sample_key, so re-executions
+    # of either plan branch see identical boundaries; boundary
+    # *placement* only affects task balance, never results.
+    lvl1 = d.filter(F.pmod(F.xxhash64(sample_key), F.lit(sample_mod)) == 0)
+    lvl1_cnt = lvl1.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.count("*") / F.lit(sample_cap)).cast("long"),
+        ).alias("_mod2")
+    )
+    sample = (
+        lvl1.crossJoin(F.broadcast(lvl1_cnt))
+        .filter(F.pmod(F.xxhash64(sample_key, F.lit(1)), F.col("_mod2")) == 0)
+        .drop("_mod2")
+    )
     arr = F.sort_array(F.collect_list("_bk"))
     sz = F.size("_arr")
     idx = lambda i: (F.floor((sz * i) / F.lit(n_buckets)) + 1).cast("int")  # noqa: E731

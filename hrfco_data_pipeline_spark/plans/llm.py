@@ -3248,6 +3248,8 @@ def docs_nb_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     b = hash_bucket("doc_id", 4)
     return _nb_confusion(docs.filter(b != 0), docs.filter(b == 0))
+
+
 def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law diagnostic: log-log OLS fit of token frequency
     against frequency rank over the corpus head (top 1000 terms) —

@@ -105,3 +105,52 @@ def test_plan_has_no_single_partition_sort_over_input(spark):
     )
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(_pid" in plan
+
+
+def test_sample_cap_engages_and_ranks_stay_exact(spark):
+    """With sample_cap far below the first-level sample size the
+    second-level hash cut must engage (boundary sample ~cap rows) and
+    — because the construction is boundary-invariant — the global
+    ranks must still match the single-window ground truth exactly."""
+    df = _base(spark, 4000)
+    got = ranked_cumsum(
+        df,
+        F.col("k").cast("double"),
+        [F.asc("k"), F.asc("id")],
+        sample_key=F.col("id"),
+        sums={"cum_v": F.col("v")},
+        rank_name="rn",
+        sample_mod=1,  # first-level sample = whole input
+        sample_cap=50,  # forces a ~1-in-80 second-level cut
+    )
+    w = Window.orderBy(F.asc("k"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_v"),
+    )
+    j = got.select("id", "rn", "cum_v").alias("g").join(want.alias("w"), "id")
+    bad = j.filter(
+        (F.col("g.rn") != F.col("w.rn")) | (F.col("g.cum_v") != F.col("w.cum_v"))
+    )
+    assert bad.count() == 0
+    # the operator actually bucketed (cap did not collapse to 1 bucket)
+    assert got.count() == 4000
+
+
+def test_null_bucket_key_raises(spark):
+    """A NULL bucket_key would silently land in bucket 0 and corrupt
+    any descending-order ranking (Spark sorts NULLs last under desc)
+    — the contract is enforced with a plan-level raise."""
+    df = spark.range(100).select(
+        F.when(F.col("id") == 57, None).otherwise(F.col("id")).alias("k"),
+        F.col("id"),
+    )
+    got = ranked_cumsum(
+        df,
+        F.col("k").cast("double"),
+        [F.asc("k"), F.asc("id")],
+        sample_key=F.col("id"),
+    )
+    with pytest.raises(Exception, match="bucket_key must be non-null"):
+        got.count()
