@@ -253,19 +253,44 @@ def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     c = classified(spark, sf_dir)
-    ts = F.try_to_timestamp(F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm"))
-    t = (
-        c.withColumn("obs_ts", ts)
-        .filter(F.col("obs_ts").isNotNull() & F.col("water_level").isNotNull())
-    )
+    # Per-row expression budget matters here: obs_time_str and
+    # water_level are themselves derived expressions (reformat slice /
+    # Java-parity coercion over the wire strings), and
+    # PushDownPredicates re-inlines their whole derivation trees into
+    # any filter it pushes toward the scan — the old shape re-ran the
+    # timestamp parse and the double coercion per SCAN row inside the
+    # single-split scan stage, on top of the projection's own
+    # evaluation (measured: ~2 s of the ~4 s warm time at sf0.1).
+    # Two changes fix it:
+    # 1. both filters go through functions/barriers.no_pushdown, so
+    #    each derived column is evaluated exactly once, above the
+    #    input repartition (the filters keep no scan I/O anyway);
+    # 2. the group key is the NUMERIC 10-minute index
+    #    floor(minutes-since-epoch0 / 10) of the single parsed NTZ
+    #    value (LTZ→NTZ cast recovers the literal wall time under any
+    #    session timezone); unparseable rows ride along as the NULL
+    #    key group and are dropped after the aggregation, and the
+    #    bucket timestamp is rebuilt post-agg from the key by pure
+    #    interval arithmetic — one parse per observation, one
+    #    interval-add per (station, bucket), no second parse anywhere.
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
+    t = c.filter(no_pushdown(F.col("water_level")).isNotNull())
+    epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    ntz = F.try_to_timestamp(
+        F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm")
+    ).cast("timestamp_ntz")
+    key = F.floor(F.timestamp_diff("MINUTE", epoch0, ntz) / F.lit(10))
     wl_dec = F.format_string("%.2f", F.col("water_level")).cast("decimal(12,2)")
-    ntz = F.col("obs_ts").cast("timestamp_ntz")
-    bucket = F.date_trunc("minute", ntz) - F.make_interval(
-        mins=F.minute(ntz) % 10
+    g = t.groupBy("wlobscd", key.alias("_k")).agg(
+        (F.sum(wl_dec).cast("double") / F.count("*")).alias("water_level")
     )
-    bm = (
-        t.groupBy("wlobscd", bucket.alias("obs_ts"))
-        .agg((F.sum(wl_dec).cast("double") / F.count("*")).alias("water_level"))
+    bm = g.filter(no_pushdown(F.col("_k")).isNotNull()).select(
+        "wlobscd",
+        (epoch0 + F.make_interval(mins=(F.col("_k") * 10).cast("int"))).alias(
+            "obs_ts"
+        ),
+        "water_level",
     )
     r = resample_stations_sql(bm, freq_minutes=10)
     return (

@@ -217,3 +217,18 @@ def test_ranked_cumsum_queries_have_no_global_sort(spark):
         assert "hashpartitioning(_pid" in s
         bad = _single_partition_exchanges_bounded(s)
         assert not bad, f"unbounded single-partition exchange above: {bad}"
+
+
+def test_resample_10min_parse_not_duplicated_into_scan_stage(spark):
+    """r6: PushDownPredicates used to push the null filters below the
+    input repartition, re-inlining the timestamp parse and the double
+    coercion into the single-split scan stage (~2 s of the ~4 s warm
+    time at sf0.1). The no_pushdown barrier pins both filters above
+    the projection: the optimized plan must evaluate the parse exactly
+    once, and nothing below the Repartition may reference it."""
+    df = hydro.resample_10min(spark, SF)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("gettimestamp") == 1, opt.count("gettimestamp")
+    below_repart = opt.split("Repartition", 1)[1]
+    assert "gettimestamp" not in below_repart
+    assert "rlike" not in below_repart.lower()
