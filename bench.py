@@ -68,6 +68,11 @@ HEADLINE = [
     # round-5 additions: trained NB classifier + feature-store join
     "docs_nb_lang_classifier",
     "events_feature_matrix",
+    # round-6 additions: the heaviest iterative/training queries get
+    # tracked round-over-round like PageRank (r5 verdict item 6)
+    "docs_train_linear_gate",
+    "copurchase_bfs_levels",
+    "docs_learning_curve",
 ]
 
 

@@ -211,7 +211,13 @@ def sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # epoch seconds come from unix_timestamp(); gap differences are
     # session-TZ-invariant (constant offset cancels; rig runs UTC)
     ts = F.try_to_timestamp(F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm"))
-    t = c.withColumn("obs_ts", ts).filter(F.col("obs_ts").isNotNull())
+    # no_pushdown: a predicate on a PARSE-derived column can never
+    # reach the parquet scan as a pushed filter — pushing it down only
+    # re-inlines the parse into the scan-stage filter (see
+    # functions/barriers + SCALE.md r6 notes)
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
+    t = c.withColumn("obs_ts", ts).filter(no_pushdown(F.col("obs_ts")).isNotNull())
     w = Window.partitionBy("wlobscd").orderBy(F.asc("obs_ts"), F.asc("obs_id"))
     epoch_s = F.unix_timestamp("obs_ts")
     gap = (epoch_s - F.lag(epoch_s).over(w)).alias("gap_s")
@@ -547,8 +553,12 @@ def station_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot = F.floor(
         F.unix_micros(F.to_utc_timestamp(ts, "UTC")) / 600_000_000
     )
+    # no_pushdown: the slot is parse-derived — pushing its null filter
+    # to the scan duplicates the parse (SCALE.md r6 notes)
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
     slots = c.select("wlobscd", slot.alias("slot")).filter(
-        F.col("slot").isNotNull()
+        no_pushdown(F.col("slot")).isNotNull()
     )
     bounds = slots.agg(
         F.min("slot").alias("lo"), F.max("slot").alias("hi")
