@@ -342,15 +342,27 @@ def rating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic runs on their correctly-rounded double images in a
     fixed operation order — engine-exact, no summation-order
     nondeterminism anywhere. One station-keyed aggregate; every
-    per-station moment is one row."""
+    per-station moment is one row.
+
+    The keep-filter is a conjunction over three DERIVED columns
+    (coercion trees), so it goes through no_pushdown — pushing it to
+    the scan re-inlines those trees per scan row for zero I/O benefit
+    (SCALE.md §Optimizer traps); the decimal conversions project ONCE
+    before the aggregate so each formatter runs once per row, not once
+    per moment."""
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
     c = classified(spark, sf_dir)
-    t = c.filter(
+    keep = (
         F.col("water_level").isNotNull()
         & F.col("flow_rate").isNotNull()
         & F.col("range_valid")
     )
     dec = lambda col: F.format_string("%.2f", F.col(col)).cast("decimal(14,2)")
-    x, y = dec("water_level"), dec("flow_rate")
+    t = c.filter(no_pushdown(keep)).select(
+        "wlobscd", dec("water_level").alias("x"), dec("flow_rate").alias("y")
+    )
+    x, y = F.col("x"), F.col("y")
     agg = t.groupBy("wlobscd").agg(
         F.count("*").alias("n"),
         F.sum(x).cast("double").alias("sx"),
@@ -409,8 +421,13 @@ def daily_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     maximum — the argmax pattern done deterministically: rank 1 under
     (level desc, time asc, obs_id asc) instead of max_by (whose tie
     choice is unspecified on both engines). One (station, day) window
-    + one aggregate sharing the same keys."""
-    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    + one aggregate sharing the same keys. The null filter is shielded
+    from pushdown (derived column; SCALE.md §Optimizer traps)."""
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
+    c = classified(spark, sf_dir).filter(
+        no_pushdown(F.col("water_level").isNotNull())
+    )
     day = F.substring("obs_time_str", 1, 10)
     w = Window.partitionBy("wlobscd", day.alias("d")).orderBy(
         F.desc("water_level"), F.asc("obs_time_str"), F.asc("obs_id")
@@ -497,8 +514,14 @@ def rise_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     All arithmetic is fixed-order over exact inputs: 2-decimal levels,
     integer microsecond timestamps; rate and ETA divide exact operands
-    once each. One station window + a 120-row broadcast join."""
-    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    once each. One station window + a 120-row broadcast join. The null
+    filter is shielded from pushdown (derived column; SCALE.md
+    §Optimizer traps)."""
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
+    c = classified(spark, sf_dir).filter(
+        no_pushdown(F.col("water_level").isNotNull())
+    )
     ts_us = F.unix_micros(
         F.to_utc_timestamp(
             F.try_to_timestamp(
@@ -548,7 +571,11 @@ def station_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected-slot count is pure integer arithmetic from the global
     bounds (two scalar aggregates, broadcast), so the ratio is exact.
     The per-station companion to hydro_sensor_gaps' gap listing."""
-    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
+    c = classified(spark, sf_dir).filter(
+        no_pushdown(F.col("water_level").isNotNull())
+    )
     ts = F.try_to_timestamp(F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm"))
     slot = F.floor(
         F.unix_micros(F.to_utc_timestamp(ts, "UTC")) / 600_000_000
@@ -740,14 +767,20 @@ def rating_curve_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     no residual re-aggregation pass), the per-station fit broadcasts
     onto the observation scan, and every comparison runs on
     bit-identical doubles, so outlier counts are engine-exact."""
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
     c = classified(spark, sf_dir)
-    t = c.filter(
+    keep = (
         F.col("water_level").isNotNull()
         & F.col("flow_rate").isNotNull()
         & F.col("range_valid")
     )
     dec = lambda col: F.format_string("%.2f", F.col(col)).cast("decimal(14,2)")  # noqa: E731
-    x, y = dec("water_level"), dec("flow_rate")
+    # shielded filter + project-once decimals: see rating_curve
+    t = c.filter(no_pushdown(keep)).select(
+        "wlobscd", dec("water_level").alias("x"), dec("flow_rate").alias("y")
+    )
+    x, y = F.col("x"), F.col("y")
     agg = t.groupBy(F.col("wlobscd").alias("f_code")).agg(
         F.count("*").alias("n"),
         F.sum(x).cast("double").alias("sx"),
@@ -814,7 +847,9 @@ def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans are fine, full scans are not). Single-reading days fall
     back to the reading itself. Day-bounded arrays per group, one
     keyed aggregate."""
-    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
+
+    c = classified(spark, sf_dir)
     day = F.substring("obs_time_str", 1, 10)
     minute = (
         F.substring("obs_time_str", 12, 2).try_cast("int") * 60
@@ -823,7 +858,11 @@ def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     wl = F.format_string("%.2f", F.col("water_level")).cast(
         "decimal(12,2)"
     ).cast("double")
-    pts = c.filter(minute.isNotNull()).groupBy(
+    # both keep-conditions are over DERIVED columns — shielded, else
+    # pushdown re-inlines the reformat tree into the scan filter
+    # (SCALE.md §Optimizer traps)
+    keep = F.col("water_level").isNotNull() & minute.isNotNull()
+    pts = c.filter(no_pushdown(keep)).groupBy(
         "wlobscd", day.alias("day")
     ).agg(
         F.count("*").alias("n_obs"),

@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 
 # token -> what it costs per evaluation
 EXPENSIVE = [
-    "gettimestamp",   # timestamp parse (DateTimeFormatter)
+    "ts_parse",       # timestamp parse (DateTimeFormatter)
     "date_format",    # timestamp render
     "rlike",          # regex match
     "regexp_",        # regex extract/replace
@@ -39,6 +39,14 @@ EXPENSIVE = [
 
 
 def counts(plan: str) -> dict[str, int]:
+    # The optimized plan renders parses as gettimestamp(..., try_to_timestamp,
+    # ...) while the analyzed plan shows try_to_timestamp(...)/to_timestamp(...)
+    # — normalize both spellings to ONE ts_parse token, counting each parse
+    # call once (gettimestamp's rendering embeds the function name as an
+    # argument, which would otherwise double-count).
+    plan = plan.replace(", try_to_timestamp,", ",")  # embedded fn-name arg
+    plan = re.sub(r"(?:gettimestamp|(?:try_)?to_timestamp(?:_ntz|_ltz)?)\(",
+                  "ts_parse(", plan)
     return {t: len(re.findall(t, plan, re.I)) for t in EXPENSIVE}
 
 
