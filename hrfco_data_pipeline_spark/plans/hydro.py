@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
 from hrfco_data_pipeline_spark.functions.coercion import java_double
 from hrfco_data_pipeline_spark.operators.classify import (
     THRESHOLD_COLS,
@@ -215,8 +216,6 @@ def sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reach the parquet scan as a pushed filter — pushing it down only
     # re-inlines the parse into the scan-stage filter (see
     # functions/barriers + SCALE.md r6 notes)
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     t = c.withColumn("obs_ts", ts).filter(no_pushdown(F.col("obs_ts")).isNotNull())
     w = Window.partitionBy("wlobscd").orderBy(F.asc("obs_ts"), F.asc("obs_id"))
     epoch_s = F.unix_timestamp("obs_ts")
@@ -279,8 +278,6 @@ def resample_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    bucket timestamp is rebuilt post-agg from the key by pure
     #    interval arithmetic — one parse per observation, one
     #    interval-add per (station, bucket), no second parse anywhere.
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     t = c.filter(no_pushdown(F.col("water_level")).isNotNull())
     epoch0 = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
     ntz = F.try_to_timestamp(
@@ -350,8 +347,6 @@ def rating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALE.md §Optimizer traps); the decimal conversions project ONCE
     before the aggregate so each formatter runs once per row, not once
     per moment."""
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     c = classified(spark, sf_dir)
     keep = (
         F.col("water_level").isNotNull()
@@ -390,7 +385,8 @@ def alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic (station, obs time, obs_id) chain; lengths are
     integer observation counts so every stat is exact arithmetic."""
     c = classified(spark, sf_dir).filter(
-        F.col("flood_warning_level").isNotNull()
+        # shielded derived-column filter (SCALE.md §Optimizer traps)
+        no_pushdown(F.col("flood_warning_level").isNotNull())
     )
     w = Window.partitionBy("wlobscd").orderBy("obs_time_str", "obs_id")
     wl = Window.partitionBy("wlobscd", "flood_warning_level").orderBy(
@@ -423,8 +419,6 @@ def daily_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice is unspecified on both engines). One (station, day) window
     + one aggregate sharing the same keys. The null filter is shielded
     from pushdown (derived column; SCALE.md §Optimizer traps)."""
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     c = classified(spark, sf_dir).filter(
         no_pushdown(F.col("water_level").isNotNull())
     )
@@ -471,7 +465,10 @@ def threshold_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     partially configured stations); stations already at/above every
     tier report NULL margin. Pure projections over one station
     window."""
-    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    c = classified(spark, sf_dir).filter(
+        # shielded derived-column filter (SCALE.md §Optimizer traps)
+        no_pushdown(F.col("water_level").isNotNull())
+    )
     w = Window.partitionBy("wlobscd").orderBy(
         F.desc("obs_time_str"), F.desc("obs_id")
     )
@@ -517,8 +514,6 @@ def rise_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     once each. One station window + a 120-row broadcast join. The null
     filter is shielded from pushdown (derived column; SCALE.md
     §Optimizer traps)."""
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     c = classified(spark, sf_dir).filter(
         no_pushdown(F.col("water_level").isNotNull())
     )
@@ -571,8 +566,6 @@ def station_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected-slot count is pure integer arithmetic from the global
     bounds (two scalar aggregates, broadcast), so the ratio is exact.
     The per-station companion to hydro_sensor_gaps' gap listing."""
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     c = classified(spark, sf_dir).filter(
         no_pushdown(F.col("water_level").isNotNull())
     )
@@ -582,8 +575,6 @@ def station_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # no_pushdown: the slot is parse-derived — pushing its null filter
     # to the scan duplicates the parse (SCALE.md r6 notes)
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     slots = c.select("wlobscd", slot.alias("slot")).filter(
         no_pushdown(F.col("slot")).isNotNull()
     )
@@ -617,7 +608,10 @@ def stage_exceedance_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     |stations|×9 rows; exceedance counts are conditional integer
     aggregates over ONE station-keyed pass with map-side partials —
     no per-stage rescans, no windows."""
-    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    c = classified(spark, sf_dir).filter(
+        # shielded derived-column filter (SCALE.md §Optimizer traps)
+        no_pushdown(F.col("water_level").isNotNull())
+    )
     stages = F.array(*[F.lit(i * 0.5) for i in range(1, 10)])
     fanned = c.select(
         "wlobscd",
@@ -657,7 +651,10 @@ def return_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deterministic under (max desc, day asc)) cut to the top 10 by
     WindowGroupLimit — per-station state is the record length, report
     is |stations|×10. Return periods divide exact integers once."""
-    c = classified(spark, sf_dir).filter(F.col("water_level").isNotNull())
+    c = classified(spark, sf_dir).filter(
+        # shielded derived-column filter (SCALE.md §Optimizer traps)
+        no_pushdown(F.col("water_level").isNotNull())
+    )
     day = F.substring("obs_time_str", 1, 10)
     daily = c.groupBy("wlobscd", day.alias("day")).agg(
         F.max("water_level").alias("day_max")
@@ -699,7 +696,10 @@ def baseflow_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential, so bit-identical to the DuckDB recursive-CTE twin),
     and the series is day-bounded per station (≤ record length in
     days), so per-group state never scales with raw volume."""
-    c = classified(spark, sf_dir).filter(F.col("flow_rate").isNotNull())
+    c = classified(spark, sf_dir).filter(
+        # shielded derived-column filter (SCALE.md §Optimizer traps)
+        no_pushdown(F.col("flow_rate").isNotNull())
+    )
     day = F.substring("obs_time_str", 1, 10)
     fr_dec = F.format_string("%.2f", F.col("flow_rate")).cast(
         "decimal(12,2)"
@@ -767,8 +767,6 @@ def rating_curve_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     no residual re-aggregation pass), the per-station fit broadcasts
     onto the observation scan, and every comparison runs on
     bit-identical doubles, so outlier counts are engine-exact."""
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     c = classified(spark, sf_dir)
     keep = (
         F.col("water_level").isNotNull()
@@ -847,8 +845,6 @@ def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans are fine, full scans are not). Single-reading days fall
     back to the reading itself. Day-bounded arrays per group, one
     keyed aggregate."""
-    from hrfco_data_pipeline_spark.functions.barriers import no_pushdown
-
     c = classified(spark, sf_dir)
     day = F.substring("obs_time_str", 1, 10)
     minute = (
