@@ -38,87 +38,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r6 WINDOW (this round): the 50 remaining never-driver-checked
-    # oracle-backed queries — the 25 that sat just behind the r5
-    # boundary (orders_benford_digits .. dq_uniqueness_report) plus the
-    # 25 added during r5 (docs_bigram_perplexity ..
-    # orders_cohort_ltv_curve). After r6 goes green, every oracle-backed
-    # query in the registry has at least one driver row except the two
-    # late-r5 strays at the r7 front.
+    # r7 WINDOW (this round): CORRECTNESS_r06 went 49/50 — the one red
+    # row, embedding_random_projection (±0.0 split: Spark round() has
+    # no signed zero, DuckDB does; fixed by shipping raw bit-identical
+    # doubles), leads the window to re-earn its green. Then the
+    # previously planned r7 cut: (a) wire_csv_parse +
+    # hydro_twa_daily_mean (late-r5, never checked), (b) the flagship
+    # hot path (hydro_classify_alerts, hydro_alert_counts, wire_parse)
+    # whose r4 rows predate a testdata regen, (c) the 32 r2-era greens
+    # (evidence two regens old), (d) the 12 oldest r3-era greens
+    # topping up to exactly 50 (embedding_quantize dropped to the r8
+    # front to make room for the red-row retry).
     #
-    # r7 ROTATION PLAN (execute at the start of r7): the block
-    # immediately behind the boundary is already the exact r7 window —
-    # (a) wire_csv_parse + hydro_twa_daily_mean (late-r5, never
-    # checked), (b) the flagship hot path (hydro_classify_alerts,
-    # hydro_alert_counts, wire_parse) whose r4 rows predate a testdata
-    # regen, (c) the 32 r2-era greens, (d) the 13 oldest r3-era greens.
-    # r8 then continues down the back-catalog (r3 rest -> r4 -> r5).
+    # r8 ROTATION PLAN (execute at the start of r8): the block behind
+    # the boundary is already the exact r8 window — embedding_quantize
+    # plus the next 49 back-catalog entries in order (remaining r3-era
+    # greens, then the oldest r4-era greens). r9+ continues r4 rest ->
+    # r5 -> r6.
     return {
-        # ================= r6 WINDOW (first 50) =================
-        # Never driver-checked, all oracle-backed: the 25 entries that
-        # sat just behind the r5 boundary, then the 25 queries added in
-        # r5. Locally green via tools/check_oracle.py at sf0.001/0.01/
-        # 0.1; the r5 judge spot-checked 14/14 of this set.
-        "orders_benford_digits": relational.orders_benford_digits,
-        "events_ab_test": relational.events_ab_test,
-        "brand_supplier_hhi": relational.brand_supplier_hhi,
-        "events_cusum_changepoint": relational.events_cusum_changepoint,
-        "events_session_paths": relational.events_session_paths,
-        "session_survival_curve": relational.session_survival_curve,
-        "orders_open_backlog_curve": relational.orders_open_backlog_curve,
-        "orders_ship_latency_percentiles": relational.orders_ship_latency_percentiles,
-        "lineitem_pareto_abc": relational.lineitem_pareto_abc,
-        "customer_rfm_segments": relational.customer_rfm_segments,
-        "docs_contamination_report": llm.docs_contamination_report,
-        "sessions_ordered_funnel": relational.sessions_ordered_funnel,
-        "events_type_correlations": relational.events_type_correlations,
-        "events_median_bisect": relational.events_median_bisect,
-        "corpus_quality_scorecard": llm.corpus_quality_scorecard,
-        "copurchase_label_propagation": relational.copurchase_label_propagation,
-        "events_autocorrelation": relational.events_autocorrelation,
-        "docs_containment_pairs": llm.docs_containment_pairs,
-        "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
-        "events_holt_forecast": relational.events_holt_forecast,
-        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
-        "events_value_moments": relational.events_value_moments,
-        "wire_impute_report": wire.wire_impute_report,
-        "part_substitutes": relational.part_substitutes,
-        "dq_uniqueness_report": relational.dq_uniqueness_report,
-        # --- new in r5 (never checked) ---
-        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
-        "events_feature_matrix": relational.events_feature_matrix,
-        "events_k_anonymity": relational.events_k_anonymity,
-        "docs_weighted_sample": llm.docs_weighted_sample,
-        "copurchase_bfs_levels": relational.copurchase_bfs_levels,
+        # ================= r7 WINDOW (first 50) =================
+        # red-row retry (r6's only non-green; plan + oracle fixed)
         "embedding_random_projection": llm.embedding_random_projection,
-        "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
-        "events_touch_attribution": relational.events_touch_attribution,
-        "docs_zipf_fit": llm.docs_zipf_fit,
-        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
-        "wire_field_presence": wire.wire_field_presence,
-        "pq_distortion_report": llm.pq_distortion_report,
-        "events_nearest_error": relational.events_nearest_error,
-        "docs_snapshot_diff": llm.docs_snapshot_diff,
-        "hydro_stage_exceedance": hydro.stage_exceedance_curve,
-        "hydro_return_periods": hydro.return_periods,
-        "docs_train_linear_gate": llm.docs_train_linear_gate,
-        "docs_nb_holdout_eval": llm.docs_nb_holdout_eval,
-        "docs_learning_curve": llm.docs_learning_curve,
-        "events_entropy_rate": relational.events_entropy_rate,
-        "hydro_baseflow_separation": hydro.baseflow_separation,
-        "events_weekday_type_chisq": relational.events_weekday_type_chisq,
-        "customer_balance_standing": relational.customer_balance_standing,
-        "hydro_rating_residuals": hydro.rating_curve_residuals,
-        "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
-        # ^^^ first-50 boundary (50 entries above) ^^^
-        # ============ r7 WINDOW PLAN (next 50, in order) ============
-        # (a) late-r5 strays that missed the r6 cut, (b) the flagship
-        # hydro/wire hot path whose r4 rows predate a testdata regen,
-        # (c) all r2-era greens (evidence two regens old), (d) the
-        # oldest r3-era greens topping up to exactly 50. Pinned by
-        # tests/test_entry_contract.py::test_r7_window_plan.
+        # late-r5 strays (never driver-checked)
         "wire_csv_parse": wire.wire_csv_parse,
         "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
+        # flagship hot path (r4 rows predate a testdata regen)
         "hydro_classify_alerts": hydro.alerts,
         "hydro_alert_counts": hydro.alert_counts,
         "wire_parse": wire.wire_parse,
@@ -168,6 +112,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": llm.doc_winnow_fingerprints,
         "dup_components": llm.dup_components,
         "dedup_incremental": llm.dedup_incremental,
+        # ^^^ first-50 boundary (50 entries above) ^^^
+        # ============ r8 WINDOW PLAN (next 50, in order) ============
+        # embedding_quantize (dropped from the r7 cut for the red-row
+        # retry) + remaining r3-era greens, then the oldest r4-era
+        # greens. Pinned by tests/test_entry_contract.py.
         "embedding_quantize": llm.embedding_quantize,
         # ============ r8+ back-catalog (freshest evidence last) ============
         # --- remaining r3-era greens ---
@@ -305,6 +254,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_lift": relational.parts_copurchase_lift,
         "copurchase_triangles": relational.copurchase_triangles,
         "nation_trade_pagerank": relational.nation_trade_pagerank,
+        # --- r6-era greens (certified 49/50 in CORRECTNESS_r06; the
+        # one red row, embedding_random_projection, leads the r7
+        # window above) ---
+        "orders_benford_digits": relational.orders_benford_digits,
+        "events_ab_test": relational.events_ab_test,
+        "brand_supplier_hhi": relational.brand_supplier_hhi,
+        "events_cusum_changepoint": relational.events_cusum_changepoint,
+        "events_session_paths": relational.events_session_paths,
+        "session_survival_curve": relational.session_survival_curve,
+        "orders_open_backlog_curve": relational.orders_open_backlog_curve,
+        "orders_ship_latency_percentiles": relational.orders_ship_latency_percentiles,
+        "lineitem_pareto_abc": relational.lineitem_pareto_abc,
+        "customer_rfm_segments": relational.customer_rfm_segments,
+        "docs_contamination_report": llm.docs_contamination_report,
+        "sessions_ordered_funnel": relational.sessions_ordered_funnel,
+        "events_type_correlations": relational.events_type_correlations,
+        "events_median_bisect": relational.events_median_bisect,
+        "corpus_quality_scorecard": llm.corpus_quality_scorecard,
+        "copurchase_label_propagation": relational.copurchase_label_propagation,
+        "events_autocorrelation": relational.events_autocorrelation,
+        "docs_containment_pairs": llm.docs_containment_pairs,
+        "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
+        "events_holt_forecast": relational.events_holt_forecast,
+        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
+        "events_value_moments": relational.events_value_moments,
+        "wire_impute_report": wire.wire_impute_report,
+        "part_substitutes": relational.part_substitutes,
+        "dq_uniqueness_report": relational.dq_uniqueness_report,
+        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
+        "events_feature_matrix": relational.events_feature_matrix,
+        "events_k_anonymity": relational.events_k_anonymity,
+        "docs_weighted_sample": llm.docs_weighted_sample,
+        "copurchase_bfs_levels": relational.copurchase_bfs_levels,
+        "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
+        "events_touch_attribution": relational.events_touch_attribution,
+        "docs_zipf_fit": llm.docs_zipf_fit,
+        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
+        "wire_field_presence": wire.wire_field_presence,
+        "pq_distortion_report": llm.pq_distortion_report,
+        "events_nearest_error": relational.events_nearest_error,
+        "docs_snapshot_diff": llm.docs_snapshot_diff,
+        "hydro_stage_exceedance": hydro.stage_exceedance_curve,
+        "hydro_return_periods": hydro.return_periods,
+        "docs_train_linear_gate": llm.docs_train_linear_gate,
+        "docs_nb_holdout_eval": llm.docs_nb_holdout_eval,
+        "docs_learning_curve": llm.docs_learning_curve,
+        "events_entropy_rate": relational.events_entropy_rate,
+        "hydro_baseflow_separation": hydro.baseflow_separation,
+        "events_weekday_type_chisq": relational.events_weekday_type_chisq,
+        "customer_balance_standing": relational.customer_balance_standing,
+        "hydro_rating_residuals": hydro.rating_curve_residuals,
+        "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

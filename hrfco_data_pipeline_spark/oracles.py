@@ -4974,54 +4974,54 @@ RELATIONAL_ORACLES["copurchase_bfs_levels"] = """
 # regenerated from arithmetic, same index-ordered folds.
 LLM_ORACLES["embedding_random_projection"] = """
     SELECT vec_id,
-      round(sqrt(3) * list_reduce(list_prepend(0.0,
+      sqrt(3) * list_reduce(list_prepend(0.0,
         list_transform(range(0, len(embedding)),
           i -> CAST(embedding[i + 1] AS DOUBLE) *
                (CASE ((i * 8 + 0) * 2654435761) % 2147483648 % 6
                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        (acc, x) -> acc + x), 4) AS p0,
-      round(sqrt(3) * list_reduce(list_prepend(0.0,
+        (acc, x) -> acc + x) AS p0,
+      sqrt(3) * list_reduce(list_prepend(0.0,
         list_transform(range(0, len(embedding)),
           i -> CAST(embedding[i + 1] AS DOUBLE) *
                (CASE ((i * 8 + 1) * 2654435761) % 2147483648 % 6
                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        (acc, x) -> acc + x), 4) AS p1,
-      round(sqrt(3) * list_reduce(list_prepend(0.0,
+        (acc, x) -> acc + x) AS p1,
+      sqrt(3) * list_reduce(list_prepend(0.0,
         list_transform(range(0, len(embedding)),
           i -> CAST(embedding[i + 1] AS DOUBLE) *
                (CASE ((i * 8 + 2) * 2654435761) % 2147483648 % 6
                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        (acc, x) -> acc + x), 4) AS p2,
-      round(sqrt(3) * list_reduce(list_prepend(0.0,
+        (acc, x) -> acc + x) AS p2,
+      sqrt(3) * list_reduce(list_prepend(0.0,
         list_transform(range(0, len(embedding)),
           i -> CAST(embedding[i + 1] AS DOUBLE) *
                (CASE ((i * 8 + 3) * 2654435761) % 2147483648 % 6
                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        (acc, x) -> acc + x), 4) AS p3,
-      round(sqrt(3) * list_reduce(list_prepend(0.0,
+        (acc, x) -> acc + x) AS p3,
+      sqrt(3) * list_reduce(list_prepend(0.0,
         list_transform(range(0, len(embedding)),
           i -> CAST(embedding[i + 1] AS DOUBLE) *
                (CASE ((i * 8 + 4) * 2654435761) % 2147483648 % 6
                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        (acc, x) -> acc + x), 4) AS p4,
-      round(sqrt(3) * list_reduce(list_prepend(0.0,
+        (acc, x) -> acc + x) AS p4,
+      sqrt(3) * list_reduce(list_prepend(0.0,
         list_transform(range(0, len(embedding)),
           i -> CAST(embedding[i + 1] AS DOUBLE) *
                (CASE ((i * 8 + 5) * 2654435761) % 2147483648 % 6
                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        (acc, x) -> acc + x), 4) AS p5,
-      round(sqrt(3) * list_reduce(list_prepend(0.0,
+        (acc, x) -> acc + x) AS p5,
+      sqrt(3) * list_reduce(list_prepend(0.0,
         list_transform(range(0, len(embedding)),
           i -> CAST(embedding[i + 1] AS DOUBLE) *
                (CASE ((i * 8 + 6) * 2654435761) % 2147483648 % 6
                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        (acc, x) -> acc + x), 4) AS p6,
-      round(sqrt(3) * list_reduce(list_prepend(0.0,
+        (acc, x) -> acc + x) AS p6,
+      sqrt(3) * list_reduce(list_prepend(0.0,
         list_transform(range(0, len(embedding)),
           i -> CAST(embedding[i + 1] AS DOUBLE) *
                (CASE ((i * 8 + 7) * 2654435761) % 2147483648 % 6
                 WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
-        (acc, x) -> acc + x), 4) AS p7
+        (acc, x) -> acc + x) AS p7
     FROM embeddings
     """
 

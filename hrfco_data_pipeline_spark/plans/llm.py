@@ -3082,7 +3082,13 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix from arithmetic alone — no float literals, no RNG, no
     broadcast. Each component is an index-ordered fold over the
     vector (deterministic summation), one scan, zero shuffles: scales
-    exactly as the read."""
+    exactly as the read.
+
+    Components ship as RAW doubles: the fold chains are op-for-op
+    identical across engines so the bits agree, whereas round(x, 4)
+    does not — Spark's BigDecimal HALF_UP has no signed zero while
+    DuckDB's binary round keeps -0.0 (CORRECTNESS_r06 caught exactly
+    that on one near-zero component)."""
     import math as _math
 
     from hrfco_data_pipeline_spark.operators.similarity import as_double_vec
@@ -3107,7 +3113,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, i: acc
             + F.element_at("v", (i + 1).cast("int")) * sign(i, j),
         )
-        return _r4(F.lit(_math.sqrt(3.0)) * fold)
+        return F.lit(_math.sqrt(3.0)) * fold
 
     return v.select(
         "vec_id", *[comp(j).alias(f"p{j}") for j in range(8)]

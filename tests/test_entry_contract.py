@@ -38,47 +38,49 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-def test_r6_window_holds_unverified_queries():
-    """The r6 window is exactly the 50 remaining never-driver-checked
-    oracle-backed queries: the 25 that sat behind the r5 boundary then
-    the 25 added in r5. Pin the block bounds so a careless insert
-    can't silently rotate one out."""
+def test_r7_window_composition():
+    """The r7 window: the fixed red row from CORRECTNESS_r06 first
+    (embedding_random_projection — ±0.0 round() split, must re-earn
+    its green), then the two late-r5 strays, the flagship hot path
+    (r4 evidence, one regen old), the 32 r2-era greens (two regens
+    old), and the 12 oldest r3-era greens. Pin the block bounds so a
+    careless insert can't silently rotate one out."""
     names = list(entry.queries())
-    pre_r5 = names[:25]
-    assert pre_r5[0] == "orders_benford_digits"
-    assert pre_r5[-1] == "dq_uniqueness_report"
-    new_r5 = names[25:50]
-    assert new_r5[0] == "docs_bigram_perplexity"
-    assert new_r5[-1] == "orders_cohort_ltv_curve"
+    w = names[:50]
+    assert w[0] == "embedding_random_projection"
+    assert w[1] == "wire_csv_parse"
+    assert w[2] == "hydro_twa_daily_mean"
+    assert w[3:6] == ["hydro_classify_alerts", "hydro_alert_counts", "wire_parse"]
+    assert w[6] == "wire_dlq"  # r2-era block starts
+    assert w[-1] == "dedup_incremental"
     must_check = {
-        "events_ab_test",
-        "lineitem_pareto_abc",
-        "customer_rfm_segments",
-        "events_user_lorenz_curve",
-        "events_median_bisect",
-        "corpus_quality_scorecard",
-        "copurchase_bfs_levels",
-        "docs_train_linear_gate",
-        "docs_nb_holdout_eval",
-        "hydro_return_periods",
+        "mon_summary",
+        "events_sessionize",
+        "events_asof_last_error",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "events_value_percentiles",
+        "doc_winnow_fingerprints",
+        "dup_components",
     }
-    assert must_check <= set(names[:50])
+    assert must_check <= set(w)
 
 
-def test_r7_window_plan():
-    """Positions 50-99 are exactly next round's window: the two late-r5
-    strays, the flagship hot path (r4 evidence, one regen old), the 32
-    r2-era greens (two regens old), and the 13 oldest r3-era greens —
-    so the r7 rotation is a single 50-entry cut."""
+def test_r8_window_plan():
+    """Positions 50-99 are exactly next round's window:
+    embedding_quantize (dropped from the r7 cut for the red-row
+    retry), the remaining r3-era greens, then the oldest r4-era
+    greens — so the r8 rotation is a single 50-entry cut."""
     names = list(entry.queries())
-    r7 = names[50:100]
-    assert r7[0] == "wire_csv_parse"
-    assert r7[1] == "hydro_twa_daily_mean"
-    assert r7[2:5] == ["hydro_classify_alerts", "hydro_alert_counts", "wire_parse"]
-    assert r7[5] == "wire_dlq"  # r2-era block starts
-    assert r7[-1] == "embedding_quantize"
+    r8 = names[50:100]
+    assert r8[0] == "embedding_quantize"
+    assert r8[1] == "docs_ngram_freq"  # r3-era remainder starts
     oracles = set(entry.oracle_sql())
-    assert set(r7) <= oracles  # every r7-window slot can go green
+    assert set(r8) <= oracles  # every r8-window slot can go green
+    # the r6-certified block sits at the back (freshest evidence last,
+    # just ahead of the rows-only tail), minus the red-row retry
+    assert "orders_benford_digits" in names[100:]
+    assert "orders_cohort_ltv_curve" in names[100:]
     # rows-only entries stay at the very end
     assert names[-5:] == [
         "events_hll_user_rollup",

@@ -23,8 +23,9 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == 0.0:
-            return "0.0"
+        # keep -0.0 distinct from 0.0: the driver's value hash
+        # distinguishes them (CORRECTNESS_r06 flagged a ±0.0 split
+        # this normalization used to mask)
         return repr(v)
     if isinstance(v, bool):
         return repr(v)
