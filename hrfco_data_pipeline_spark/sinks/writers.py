@@ -143,11 +143,18 @@ def merge_stations(
     Rename-as-commit assumes a filesystem with atomic dir rename
     (local/HDFS); on S3-like stores use a transactional table format
     instead.
+
+    Commit evidence is an explicit ``_committed`` file written by this
+    function strictly after the staging write returns — NOT the Hadoop
+    committer's ``_SUCCESS``, whose presence depends on a deployment
+    config (``mapreduce.fileoutputcommitter.marksuccessfuljobs``); on
+    a cluster that disables it the roll-forward path would silently
+    never engage (same contract as merge_lm_counts' ``_batch_id``).
     """
     import os
     import shutil
 
-    recover_swap(table_path)
+    recover_swap(table_path, marker="_committed")
     staging = f"{table_path}__staging__"
     backup = f"{table_path}__old__"
     shutil.rmtree(staging, ignore_errors=True)
@@ -166,6 +173,8 @@ def merge_stations(
         merged = updates
 
     merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_committed"), "w") as fh:
+        fh.write("1")
     shutil.rmtree(backup, ignore_errors=True)
     if exists:
         os.rename(table_path, backup)

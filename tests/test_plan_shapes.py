@@ -229,6 +229,75 @@ def test_resample_10min_parse_not_duplicated_into_scan_stage(spark):
     df = hydro.resample_10min(spark, SF)
     opt = df._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("gettimestamp") == 1, opt.count("gettimestamp")
+    assert "Repartition" in opt, (
+        "resample_10min lost its input Repartition — the parse-locality "
+        "assertions below key on it:\n" + opt
+    )
     below_repart = opt.split("Repartition", 1)[1]
     assert "gettimestamp" not in below_repart
     assert "rlike" not in below_repart.lower()
+
+
+# Every registry query whose plan routes a derived-column filter
+# through functions/barriers.no_pushdown (all in plans/hydro.py),
+# with its triaged optimizer-duplication ceiling: the residual
+# optimized-minus-analyzed count of expensive expressions that
+# remains WITH the shields working (SCALE.md "r6 follow-up" —
+# mechanism-3 noise: group keys / multi-branch consumers inlining
+# the synthetic-source ymdhm derivation, a non-issue on stored
+# production columns). Before shielding, the pushdown mechanism
+# measured +32 (twa) to +106 (rating_residuals) — so a broken
+# barrier blows far past these ceilings.
+SHIELDED_DUP_CEILING = [
+    ("hydro_sensor_gaps", hydro.sensor_gaps, 5),
+    ("hydro_resample_10min", hydro.resample_10min, 4),
+    ("hydro_rating_curve", hydro.rating_curve, 2),
+    ("hydro_alert_episodes", hydro.alert_episodes, 6),
+    ("hydro_daily_extremes", hydro.daily_extremes, 8),
+    ("hydro_threshold_margin", hydro.threshold_margin, 5),
+    ("hydro_rise_forecast", hydro.rise_forecast, 8),
+    ("hydro_station_uptime", hydro.station_uptime, 10),
+    ("hydro_stage_exceedance", hydro.stage_exceedance_curve, 2),
+    ("hydro_return_periods", hydro.return_periods, 8),
+    ("hydro_baseflow_separation", hydro.baseflow_separation, 4),
+    ("hydro_rating_residuals", hydro.rating_curve_residuals, 4),
+    ("hydro_twa_daily_mean", hydro.time_weighted_daily_mean, 4),
+]
+
+
+def test_shielded_queries_hold_their_duplication_ceiling(spark):
+    """The no_pushdown barrier (functions/barriers.py) relies on
+    shuffle() staying flagged nondeterministic — an optimizer
+    implementation detail a Spark upgrade could silently change,
+    reintroducing per-row duplication of the parse/format derivations
+    in every shielded hydro query (only resample_10min had a plan
+    guard before this). Ratchet, not zero: assert each query's
+    optimized-vs-analyzed expensive-expression delta (counting rules
+    of tools/audit_expr_duplication.py) stays at or below its triaged
+    baseline. A pushdown regression lands an order of magnitude above
+    the ceiling, not one or two over — if a delta creeps past by a
+    hair, re-triage per SCALE.md before touching the ceiling."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_expr_duplication",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "audit_expr_duplication.py"
+        ),
+    )
+    audit = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(audit)
+
+    offenders = {}
+    for name, fn, ceiling in SHIELDED_DUP_CEILING:
+        qe = fn(spark, SF)._jdf.queryExecution()
+        a = audit.counts(qe.analyzed().toString())
+        o = audit.counts(qe.optimizedPlan().toString())
+        delta = sum(o[t] - a[t] for t in audit.EXPENSIVE if o[t] > a[t])
+        if delta > ceiling:
+            offenders[name] = (delta, ceiling)
+    assert not offenders, (
+        "optimizer duplication grew past the triaged ceiling "
+        f"(no_pushdown barrier broke?) {{name: (delta, ceiling)}}: {offenders}"
+    )

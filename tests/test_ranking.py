@@ -136,6 +136,22 @@ def test_sample_cap_engages_and_ranks_stay_exact(spark):
     assert bad.count() == 0
     # the operator actually bucketed (cap did not collapse to 1 bucket)
     assert got.count() == 4000
+    # ...and the second-level cut actually ENGAGED: rank exactness is
+    # boundary-invariant by design, so the assertions above would pass
+    # even with the cut broken and all 4000 rows collected. Recompute
+    # the operator's own two-level thinning (same hash, same seed,
+    # same ceil) and pin that the boundary sample this input produces
+    # is ~cap rows, far below the first-level sample.
+    mod2 = df.agg(
+        F.greatest(
+            F.lit(1).cast("long"), F.ceil(F.count("*") / F.lit(50)).cast("long")
+        ).alias("m")
+    ).collect()[0].m
+    assert mod2 == 80  # ceil(4000 / sample_cap=50): the cut is active
+    n_sampled = df.filter(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(mod2)) == 0
+    ).count()
+    assert 0 < n_sampled < 200, n_sampled  # ~50 expected, never ~4000
 
 
 def test_null_bucket_key_raises(spark):

@@ -283,19 +283,44 @@ def test_merge_lm_counts_rolls_back_uncommitted_staging(spark, tmp_path):
 
 
 def test_merge_stations_recovers_mid_swap_crash(spark, tmp_path):
-    """Same crash window for the station upsert (sinks/writers.py):
-    roll forward from the committed staging dir (_SUCCESS present)."""
+    """Same crash window for the station upsert (sinks/writers.py).
+    Commit evidence is merge_stations' own ``_committed`` marker, not
+    the Hadoop committer's deployment-dependent ``_SUCCESS``: a staged
+    dir WITH the marker rolls forward even if _SUCCESS is absent; one
+    WITHOUT it rolls back even if _SUCCESS is present."""
     import os
     import shutil
 
-    from hrfco_data_pipeline_spark.sinks.writers import merge_stations
+    from hrfco_data_pipeline_spark.sinks.writers import (
+        merge_stations,
+        recover_swap,
+    )
 
     table = str(tmp_path / "stations")
     df = spark.createDataFrame(
         [("A", 1.0), ("B", 2.0)], ["wlobscd", "val"]
     )
     merge_stations(spark, table, df)
+
+    # crash BETWEEN the renames, staging fully committed: the staging
+    # dir carries _committed (strip _SUCCESS to prove it's not what
+    # the recovery keys on) -> roll FORWARD to the staged result
     shutil.copytree(table, f"{table}__staging__")
+    os.rename(table, f"{table}__old__")
+    forward_marker = f"{table}__staging__/_committed"
+    assert os.path.exists(forward_marker)  # written by merge_stations
+    success = f"{table}__staging__/_SUCCESS"
+    if os.path.exists(success):
+        os.remove(success)
+    assert recover_swap(table, marker="_committed") == "forward"
+    assert not os.path.exists(f"{table}__old__")
+
+    # crash DURING the staging write: _SUCCESS may exist (committer
+    # finished) but _committed does not -> roll BACK to the backup,
+    # then the retried merge lands the update
+    shutil.copytree(table, f"{table}__staging__")
+    os.remove(forward_marker)
+    open(success, "w").close()
     os.rename(table, f"{table}__old__")
 
     upd = spark.createDataFrame([("B", 9.0)], ["wlobscd", "val"])
@@ -303,3 +328,4 @@ def test_merge_stations_recovers_mid_swap_crash(spark, tmp_path):
     got = {r.wlobscd: r.val for r in spark.read.parquet(table).collect()}
     assert got == {"A": 1.0, "B": 9.0}
     assert not os.path.exists(f"{table}__old__")
+    assert os.path.exists(f"{table}/_committed")
