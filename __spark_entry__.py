@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= r7 WINDOW (first 50) =================
         # red-row retry (r6's only non-green; plan + oracle fixed)
         "embedding_random_projection": llm.embedding_random_projection,
+        # --- new in r7 (never checked; oracle-backed) ---
+        "docs_substring_dedup": llm.docs_substring_dedup,
+        "orders_salted_revenue": relational.orders_salted_revenue,
         # late-r5 strays (never driver-checked)
         "wire_csv_parse": wire.wire_csv_parse,
         "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,

@@ -1,10 +1,22 @@
-"""Skew mitigation: salted two-phase aggregation and salted joins.
+"""Skew-resistant join: explicit key salting.
 
-AQE's skew-join handling covers sort-merge joins at runtime; these
-helpers cover the cases it doesn't — skewed groupBy keys (one reducer
-drowning) and broadcast-averse skewed equi-joins — with the classic
-salting rewrite. Used explicitly when a key's share of rows is known to
-be pathological (e.g. a null-bucket or a celebrity key).
+At 100 TB a handful of hot keys (one viral order, one mega-customer,
+one empty-string default) can put >10 GB behind a single shuffle key —
+one straggler task owns the join. AQE's skew-join split handles the
+SORT-merge case after the fact; explicit salting is the planable,
+engine-portable fix that also works for hash joins, works under
+``spark.sql.adaptive.enabled=false``, and keeps the partition count
+honest in the shuffle-write stage (AQE only splits on the read side).
+
+Mechanics: the big (skewed) side scatters each key across ``salt``
+sub-keys by hashing a high-cardinality column; the small side is
+replicated ``salt`` times (one copy per sub-key) so every scattered
+row still finds its match. The join result is row-for-row identical
+to the unsalted join — salting only changes WHERE rows meet, never
+WHICH rows meet. Replication multiplies the small side by ``salt``,
+so this is for moderate dims (too big or too risky to broadcast, small
+enough that salt× copies beat one straggler); for tiny dims just
+``F.broadcast``.
 """
 
 from __future__ import annotations
@@ -13,48 +25,50 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt(cols: list[str], buckets: int, seed: int = 7) -> Column:
-    """Deterministic row salt in [0, buckets).
-
-    ``F.rand`` is only deterministic per partition-id, so AQE re-plans,
-    task retries, or a different input split re-deal the salts;
-    ``pmod(xxhash64(cols…, seed), buckets)`` depends on row *content*
-    only — fully reproducible. Hashing non-key attribute columns (or
-    a unique id) still spreads a hot key's rows across buckets.
-    """
-    return F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(buckets)).cast("int")
-
-
-def salted_count(
-    df: DataFrame, keys: list[str], salt_buckets: int = 16
-) -> DataFrame:
-    """groupBy count resilient to skewed keys.
-
-    Phase 1 groups on (keys, salt) — the hot key's rows spread over
-    ``salt_buckets`` reducers; phase 2 sums the partials per key. Same
-    result as a plain count, bounded per-task input. The salt hashes
-    ALL columns, so rows of a hot key scatter by their attributes.
-    """
-    salted = df.withColumn("__salt", _salt(df.columns, salt_buckets))
-    partial = salted.groupBy(*keys, "__salt").agg(F.count("*").alias("__n"))
-    return partial.groupBy(*keys).agg(F.sum("__n").alias("n"))
-
-
 def salted_join(
     big: DataFrame,
     small: DataFrame,
-    on: str,
+    big_key: str,
+    small_key: str,
+    scatter_on: Column,
+    salt: int = 8,
     how: str = "inner",
-    salt_buckets: int = 8,
 ) -> DataFrame:
-    """Equi-join where `big` has skewed keys and `small` is too large to
-    broadcast: salt the big side, explode the small side across all
-    salt values, join on (key, salt). Row multiplicity is preserved —
-    each big row joins exactly one replica of its small-side match.
+    """Equi-join ``big`` with ``small`` on ``big_key == small_key``,
+    scattering the big side over ``salt`` sub-keys.
+
+    ``scatter_on`` must be a high-cardinality DETERMINISTIC column of
+    ``big`` (a row id, not ``rand()``): re-executed tasks must land
+    every row in the same sub-key or an exchange retry double-counts.
+    Output columns = join output minus the internal salt columns.
     """
-    big_s = big.withColumn("__salt", _salt(big.columns, salt_buckets))
-    small_s = small.withColumn(
-        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    allowed = {
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "left_anti",
+        "leftanti",
+    }
+    if how.lower() not in allowed:
+        # right/full joins would emit every UNMATCHED small-side row
+        # once per replica (salt× duplicates) — no way to dedup them
+        # without a second shuffle, so refuse instead of corrupting
+        raise ValueError(
+            f"salted_join supports big-side-preserving joins only, got {how!r}"
+        )
+    b = big.withColumn("_salt", F.pmod(F.xxhash64(scatter_on), F.lit(salt)))
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1)).cast("array<bigint>")),
     )
-    out = big_s.join(small_s, [on, "__salt"], how)
-    return out.drop("__salt")
+    joined = b.join(
+        s.hint("shuffle_hash"),
+        (b[big_key] == s[small_key]) & (b["_salt"] == s["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")

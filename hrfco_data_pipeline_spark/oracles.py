@@ -1717,6 +1717,51 @@ LLM_ORACLES["docs_token_entropy"] = _TOK_CTE + """
     FROM ent
     """
 
+RELATIONAL_ORACLES["orders_salted_revenue"] = """
+    SELECT o_orderpriority, count(*) AS n_items,
+      CAST(sum(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+               * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2))))
+           AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """
+
+
+LLM_ORACLES["docs_substring_dedup"] = _TOK_CTE + r"""
+    , grams AS (
+      SELECT doc_id, source, i AS pos,
+        md5(array_to_string(toks[i + 1 : i + 8], ' ')) AS h
+      FROM tok, unnest(range(0, len(toks) - 7)) AS u(i)
+    ),
+    dup AS (
+      SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT doc_id, source,
+        CASE WHEN lag(pos) OVER w IS NULL THEN 8
+             ELSE least(8, pos - lag(pos) OVER w) END AS cover
+      FROM grams JOIN dup USING (h)
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    per_src_dup AS (
+      SELECT source, count(DISTINCT doc_id) AS dup_docs,
+        CAST(sum(cover) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY source
+    ),
+    totals AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+      FROM tok GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.total_tokens,
+      CAST(COALESCE(d.dup_docs, 0) AS BIGINT) AS dup_docs,
+      CAST(COALESCE(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE)
+        / CAST(t.total_tokens AS DOUBLE) AS dup_token_frac
+    FROM totals t LEFT JOIN per_src_dup d USING (source)
+    """
+
+
 LLM_ORACLES["docs_segment_dedup"] = _TOK_CTE + """
     , segs AS (
       SELECT doc_id,

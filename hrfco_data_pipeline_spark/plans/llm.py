@@ -1294,6 +1294,90 @@ def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring exposure report (the Lee et al. 2022
+    "Deduplicating Training Data" EXACTSUBSTR family, at token-8-gram
+    granularity): an 8-gram is duplicated when it occurs in >= 2
+    distinct documents; a token is dup-covered when any duplicated
+    8-gram window contains it. Per source: document/token totals, how
+    many docs carry cross-doc duplicated spans, how many tokens sit
+    inside them, and the dup-token fraction — the number that decides
+    whether a source needs substring-level masking before training.
+
+    Coverage is exact interval union, not a per-gram sum: duplicated
+    starts per doc are sorted and each contributes
+    min(8, start - prev_start) tokens (first contributes 8), which is
+    the union length of fixed-width-8 intervals.
+
+    Scale shape: tokenize -> explode one md5 per gram (the 128-bit
+    hash key IS the dedup unit at 100 TB — no raw-text shuffle), one
+    gram-key exchange for the distinct-doc frequency, join back on
+    the same key (Catalyst reuses the partitioning; broadcast only if
+    the dup set shrinks below threshold), then a doc-key window whose
+    partitions are bounded by per-doc gram counts. No all-pairs
+    anywhere; within-doc repetition alone does NOT mark a gram
+    (cross-doc duplication is the decontamination signal — documented
+    choice).
+    """
+    docs = _docs_parallel(spark, sf_dir)
+    toks = docs.select("doc_id", "source", _tokens().alias("toks"))
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 8),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.encode(F.concat_ws(" ", F.slice("toks", i + 1, 8)), "utf-8")
+            ).alias("h"),
+        ),
+    )
+    ex = (
+        toks.filter(n >= 8)
+        .select("doc_id", "source", F.explode(grams).alias("g"))
+        .select("doc_id", "source", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = ex.join(dup, "h")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = hits.withColumn("prev", F.lag("pos").over(w)).withColumn(
+        "cover",
+        F.when(F.col("prev").isNull(), F.lit(8)).otherwise(
+            F.least(F.lit(8), F.col("pos") - F.col("prev"))
+        ),
+    )
+    per_src_dup = (
+        cov.groupBy("doc_id", "source")
+        .agg(F.sum("cover").alias("doc_dup_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("dup_docs"),
+            F.sum("doc_dup_tokens").alias("dup_tokens"),
+        )
+    )
+    totals = toks.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(n).alias("total_tokens")
+    )
+    return (
+        totals.join(per_src_dup, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.coalesce("dup_docs", F.lit(0)).cast("long").alias("dup_docs"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
 def near_dedup_keep(
     spark: SparkSession,
     sf_dir: str,

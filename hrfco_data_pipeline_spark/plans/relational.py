@@ -4296,3 +4296,42 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("rev_dec").over(w).cast("double").alias("cum_revenue"),
     )
+
+
+def orders_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through operators/skew.salted_join —
+    the explicit-salting fact⋈dim probe. The lineitem side scatters
+    each orderkey across 8 sub-keys (hash of the (orderkey, linenumber)
+    row id, so retries re-land rows deterministically); the orders
+    side is replicated 8× via explode. The join output — and therefore
+    this aggregate — is row-for-row identical to the plain join the
+    oracle runs, which is exactly the salting contract worth a driver
+    row: salt changes where rows meet, never which rows meet.
+
+    Scale posture: a hot orderkey is spread over 8 shuffle partitions
+    in the WRITE stage (AQE skew-split only fixes the read side);
+    revenue sums are exact DECIMAL, divided back to double once.
+    """
+    from hrfco_data_pipeline_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    j = salted_join(
+        li,
+        orders,
+        "l_orderkey",
+        "o_orderkey",
+        scatter_on=F.struct("l_orderkey", "l_linenumber"),
+        salt=8,
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

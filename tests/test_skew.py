@@ -1,41 +1,75 @@
-"""Salted aggregation / join helpers produce identical results to the
-plain versions while bounding per-task key volume."""
+"""operators/skew.salted_join: result parity with the plain join,
+plan actually scatters the key, and the unsound join types refuse."""
 
 from __future__ import annotations
 
-import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import functions as F
 
-from hrfco_data_pipeline_spark.operators.skew import salted_count, salted_join
+from hrfco_data_pipeline_spark.operators.skew import salted_join
 
 
 def _skewed(spark):
-    # one celebrity key with 10k rows, 50 normal keys with ~20 each
-    hot = spark.range(10_000).select(
-        F.lit("HOT").alias("k"), F.col("id").alias("v")
+    # 2000 rows, ~90% behind one hot key — the shape salting exists for
+    big = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") * 3).alias("v"),
     )
-    cold = spark.range(1_000).select(
-        F.concat(F.lit("k"), (F.col("id") % 50).cast("string")).alias("k"),
-        F.col("id").alias("v"),
+    small = spark.range(50).select(
+        F.col("id").alias("sk"), F.concat(F.lit("dim"), F.col("id")).alias("name")
     )
-    return hot.unionByName(cold)
+    return big, small
 
 
-def test_salted_count_matches_plain(spark):
-    df = _skewed(spark)
-    plain = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
-    salted = {r.k: r.n for r in salted_count(df, ["k"], salt_buckets=16).collect()}
-    assert salted == plain
-    assert salted["HOT"] == 10_000
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
 
 
-def test_salted_join_matches_plain(spark):
-    big = _skewed(spark)
-    dim = spark.createDataFrame(
-        [("HOT", "celebrity")] + [(f"k{i}", f"dim{i}") for i in range(50)],
-        "k string, label string",
-    )
-    plain = big.join(dim, "k").groupBy("k", "label").agg(F.count("*").alias("n"))
-    salted = salted_join(big, dim, on="k").groupBy("k", "label").agg(
-        F.count("*").alias("n")
-    )
-    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_matches_plain_join(spark, how):
+    big, small = _skewed(spark)
+    got = salted_join(big, small, "k", "sk", scatter_on=F.col("row_id"), how=how)
+    want = big.join(small, big["k"] == small["sk"], how)
+    cols = ["row_id", "k", "v", "name"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_salted_join_semi_and_anti(spark):
+    big, small = _skewed(spark)
+    # shrink the dim so some keys miss
+    tiny = small.filter(F.col("sk") < 10)
+    semi = salted_join(big, tiny, "k", "sk", scatter_on=F.col("row_id"), how="left_semi")
+    anti = salted_join(big, tiny, "k", "sk", scatter_on=F.col("row_id"), how="left_anti")
+    want_semi = big.join(tiny, big["k"] == tiny["sk"], "left_semi")
+    want_anti = big.join(tiny, big["k"] == tiny["sk"], "left_anti")
+    cols = ["row_id", "k", "v"]
+    assert _rows(semi, cols) == _rows(want_semi, cols)
+    assert _rows(anti, cols) == _rows(want_anti, cols)
+    assert semi.count() + anti.count() == 2000
+
+
+def test_salted_join_plan_scatters_and_replicates(spark):
+    big, small = _skewed(spark)
+    got = salted_join(big, small, "k", "sk", scatter_on=F.col("row_id"), salt=8)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the exchange keys on (join key, salt) — the whole point
+    assert "_salt" in plan.split("hashpartitioning", 1)[1][:200]
+    # the small side is replicated via explode, not broadcast
+    assert "Generate explode" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_salted_join_refuses_small_side_preserving_joins(spark):
+    big, small = _skewed(spark)
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="big-side-preserving"):
+            salted_join(big, small, "k", "sk", scatter_on=F.col("row_id"), how=how)
+
+
+def test_salted_join_is_deterministic_across_reruns(spark):
+    big, small = _skewed(spark)
+    got = salted_join(big, small, "k", "sk", scatter_on=F.col("row_id"))
+    a = _rows(got, ["row_id", "name"])
+    b = _rows(got, ["row_id", "name"])
+    assert a == b
