@@ -41,20 +41,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7 WINDOW (this round): CORRECTNESS_r06 went 49/50 — the one red
     # row, embedding_random_projection (±0.0 split: Spark round() has
     # no signed zero, DuckDB does; fixed by shipping raw bit-identical
-    # doubles), leads the window to re-earn its green. Then the
-    # previously planned r7 cut: (a) wire_csv_parse +
-    # hydro_twa_daily_mean (late-r5, never checked), (b) the flagship
-    # hot path (hydro_classify_alerts, hydro_alert_counts, wire_parse)
-    # whose r4 rows predate a testdata regen, (c) the 32 r2-era greens
-    # (evidence two regens old), (d) the 12 oldest r3-era greens
-    # topping up to exactly 50 (embedding_quantize dropped to the r8
-    # front to make room for the red-row retry).
+    # doubles), leads the window to re-earn its green. Then the 8
+    # never-checked queries added in r7 (never-checked come first per
+    # the ordering contract), then the previously planned r7 cut:
+    # (a) wire_csv_parse + hydro_twa_daily_mean (late-r5, never
+    # checked), (b) the flagship hot path (hydro_classify_alerts,
+    # hydro_alert_counts, wire_parse) whose r4 rows predate a testdata
+    # regen, (c) the 32 r2-era greens (evidence two regens old),
+    # (d) the 4 oldest r3-era greens topping up to exactly 50.
     #
     # r8 ROTATION PLAN (execute at the start of r8): the block behind
-    # the boundary is already the exact r8 window — embedding_quantize
-    # plus the next 49 back-catalog entries in order (remaining r3-era
-    # greens, then the oldest r4-era greens). r9+ continues r4 rest ->
-    # r5 -> r6.
+    # the boundary is already the exact r8 window — the 8 r3-era
+    # greens squeezed out of the r7 cut by the new queries, then
+    # embedding_quantize plus the next back-catalog entries in order
+    # (remaining r3-era greens, then the oldest r4-era greens). r9+
+    # continues r4 rest -> r5 -> r6.
     return {
         # ================= r7 WINDOW (first 50) =================
         # red-row retry (r6's only non-green; plan + oracle fixed)
@@ -62,6 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r7 (never checked; oracle-backed) ---
         "docs_substring_dedup": llm.docs_substring_dedup,
         "orders_salted_revenue": relational.orders_salted_revenue,
+        "copurchase_jaccard_parts": relational.copurchase_jaccard_parts,
+        "orders_seasonal_decomposition": relational.orders_seasonal_decomposition,
+        "ann_ivf_recall_report": llm.ann_ivf_recall_report,
+        "embedding_pca_power_iteration": llm.embedding_pca_power_iteration,
+        "multimodal_audio_windows": llm.multimodal_audio_windows,
+        "wire_schema_drift": wire.wire_schema_drift,
         # late-r5 strays (never driver-checked)
         "wire_csv_parse": wire.wire_csv_parse,
         "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,

@@ -68,7 +68,11 @@ def main(argv: list[str] | None = None) -> int:
 
     # documented eager exceptions: these run their driver-side loop at
     # plan-build time, so `explain` would execute the full query first
-    EAGER = {"events_median_bisect", "docs_train_linear_gate"}
+    EAGER = {
+        "events_median_bisect",
+        "docs_train_linear_gate",
+        "embedding_pca_power_iteration",
+    }
     if args.cmd == "explain" and args.query in EAGER:
         print(
             f"note: {args.query} executes a driver-side iterative loop "

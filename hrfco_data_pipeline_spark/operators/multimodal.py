@@ -152,3 +152,55 @@ def sample_frames(
             )
 
     return mm.mapInPandas(batches, FRAME_SCHEMA)
+
+
+WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("win_idx", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def frame_windows(
+    mm: DataFrame, frame_bytes: int = 64, hop_bytes: int = 32
+) -> DataFrame:
+    """Overlapping windowed framing for audio-like payloads via
+    mapInPandas — the STFT-shaped sibling of ``sample_frames`` (which
+    chunks WITHOUT overlap): window w covers bytes
+    [w*hop, w*hop + frame), only FULL windows are emitted, and each
+    carries its integer byte-sum "energy" (a real deployment plugs a
+    PCM decoder + spectral kernel here; the integer stand-in keeps the
+    fan-out shape and the whole path oracle-checkable).
+
+    Scale shape: one blob row fans out to n_windows rows inside the
+    Arrow batch — no shuffle, no per-row Python; downstream per-window
+    feature extraction inherits the blob partitioning.
+    """
+    if frame_bytes < 1 or hop_bytes < 1:
+        raise ValueError("frame_bytes and hop_bytes must be >= 1")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "modality": [], "win_idx": [], "energy": []}
+            for doc_id, modality, content in zip(
+                pdf["doc_id"], pdf["modality"], pdf["content"]
+            ):
+                n = len(content)
+                w = 0
+                while w * hop_bytes + frame_bytes <= n:
+                    start = w * hop_bytes
+                    rows["doc_id"].append(doc_id)
+                    rows["modality"].append(modality)
+                    rows["win_idx"].append(w)
+                    rows["energy"].append(
+                        int(sum(content[start : start + frame_bytes]))
+                    )
+                    w += 1
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(batches, WINDOW_SCHEMA)

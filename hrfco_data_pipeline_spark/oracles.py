@@ -1727,6 +1727,47 @@ RELATIONAL_ORACLES["orders_salted_revenue"] = """
     """
 
 
+RELATIONAL_ORACLES["copurchase_jaccard_parts"] = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS p, count(*) AS deg FROM sym GROUP BY 1),
+    common AS (
+      SELECT s1.v AS a, s2.v AS b, count(*) AS n_common
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT a, b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+      CAST(n_common AS DOUBLE)
+        / CAST(da.deg + db.deg - n_common AS DOUBLE) AS jaccard
+    FROM common JOIN deg da ON a = da.p JOIN deg db ON b = db.p
+    """
+
+
+RELATIONAL_ORACLES["orders_seasonal_decomposition"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    t AS (
+      SELECT d, n, sum(n) OVER w AS sum7, count(*) OVER w AS n_win
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT CAST(isodow(d) AS INTEGER) AS isodow, dayname(d) AS day_name,
+      count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total_orders,
+      CAST(sum(7 * n - sum7) AS DOUBLE)
+        / CAST(7 * count(*) AS DOUBLE) AS avg_residual
+    FROM t WHERE n_win = 7
+    GROUP BY 1, 2
+    """
+
+
 LLM_ORACLES["docs_substring_dedup"] = _TOK_CTE + r"""
     , grams AS (
       SELECT doc_id, source, i AS pos,
@@ -6095,4 +6136,183 @@ HYDRO_ORACLES["hydro_twa_daily_mean"] = HYDRO_CTE + """
            ELSE arr[1].v END AS twa_wl,
       plain_wl
     FROM folded
+    """
+
+
+# Recall@5 of IVF against brute force: both faces' oracles wrapped as
+# derived tables and joined — composition of two already-exact twins.
+LLM_ORACLES["ann_ivf_recall_report"] = (
+    """
+    WITH ivf AS (
+    """
+    + LLM_ORACLES["ivf_cosine_topk"]
+    + """
+    ), brute AS (
+    """
+    + LLM_ORACLES["ann_cosine_topk"]
+    + """
+    ), hits AS (
+      SELECT ivf.query_id, count(*) AS n_hits
+      FROM ivf JOIN brute
+        ON ivf.query_id = brute.query_id
+       AND ivf.neighbor_id = brute.neighbor_id
+      GROUP BY ivf.query_id
+    )
+    SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits h USING (query_id)
+    """
+)
+
+
+def _pca_power_sql(dim: int = 64, iters: int = 3) -> str:
+    """Unrolled power-iteration twin of
+    plans/llm.embedding_pca_power_iteration: per iteration an
+    index-ordered dot fold, floor-quantized integer contribution sums
+    (inner ::BIGINT before the sum — a double sum would be
+    order-dependent), and an L-infinity renormalization done in
+    doubles on the exact integer operands."""
+    q = "1000000000.0"
+
+    def dot_fold(vv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(0, {dim}), "
+            f"i -> v[i + 1] * {vv}[i + 1])), (acc, x) -> acc + x)"
+        )
+
+    def w_cte(name: str, vsrc: str) -> str:
+        sums = ", ".join(
+            f"CAST(sum(floor(v[{j + 1}] * dot * {q})::BIGINT) AS BIGINT) AS s{j}"
+            for j in range(dim)
+        )
+        return (
+            f"{name} AS (SELECT {sums} FROM "
+            f"(SELECT e.v AS v, {dot_fold('vv')} AS dot FROM e, {vsrc}))"
+        )
+
+    def v_cte(name: str, wsrc: str) -> str:
+        gm = "greatest(" + ", ".join(f"abs(s{j})" for j in range(dim)) + ")"
+        comps = ", ".join(
+            f"CAST(s{j} AS DOUBLE) / CAST(gm AS DOUBLE)" for j in range(dim)
+        )
+        return (
+            f"{name} AS (SELECT [{comps}] AS vv FROM "
+            f"(SELECT *, {gm} AS gm FROM {wsrc}))"
+        )
+
+    ones = ", ".join(["1.0"] * dim)
+    ctes = [
+        "e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"v0 AS (SELECT [{ones}] AS vv)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(w_cte(f"w{t}", f"v{t - 1}"))
+        if t < iters:
+            ctes.append(v_cte(f"v{t}", f"w{t}"))
+    arr = "[" + ", ".join(f"s{j}" for j in range(dim)) + "]"
+    gm = "greatest(" + ", ".join(f"abs(s{j})" for j in range(dim)) + ")"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(i AS INTEGER) AS dim,
+      CAST(arr[i + 1] AS DOUBLE) / CAST(wmax AS DOUBLE) AS loading
+    FROM (SELECT {arr} AS arr, {gm} AS wmax FROM w{iters}),
+      unnest(range(0, {dim})) AS u(i)
+    """
+    )
+
+
+LLM_ORACLES["embedding_pca_power_iteration"] = _pca_power_sql()
+
+
+# Overlapping 64/32 byte windows over the ASCII payload: window w
+# covers [w*32+1, w*32+64] (1-based), full windows only; energy is the
+# integer byte sum (ord per char == byte for this corpus, same
+# convention as multimodal_features).
+LLM_ORACLES["multimodal_audio_windows"] = """
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(range(1, length(text) + 1),
+                       i -> ord(substr(text, i, 1))) AS bytes
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, w AS win_idx,
+        list_reduce(list_prepend(0, list_transform(range(1, 65),
+          j -> bytes[w * 32 + j])), (a, x) -> a + x) AS energy
+      FROM chars,
+        unnest(range(0, CASE WHEN n >= 64 THEN (n - 64) // 32 + 1
+                             ELSE 0 END)) AS u(w)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_windows,
+        CAST(sum(energy) AS BIGINT) AS total_energy,
+        CAST(max(energy) AS BIGINT) AS max_energy
+      FROM wins GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_windows, a.total_energy, a.max_energy,
+      CAST(min(w.win_idx) AS BIGINT) AS peak_idx
+    FROM agg a JOIN wins w
+      ON a.doc_id = w.doc_id AND w.energy = a.max_energy
+    GROUP BY a.doc_id, a.n_windows, a.total_energy, a.max_energy
+    """
+
+
+WIRE_ORACLES["wire_schema_drift"] = _WIRE_CTE + """
+    , ok AS (
+      SELECT obs_id // 1000 AS batch,
+        json_extract_string(value, '$.wlobscd') AS wlobscd,
+        json_extract_string(value, '$.ymdhm') AS ymdhm,
+        json_extract_string(value, '$.wl') AS wl,
+        json_extract_string(value, '$.fw') AS fw
+      FROM wire WHERE json_valid(value)
+    ),
+    per AS (
+      SELECT batch, count(*) AS n,
+        CAST(sum(CASE WHEN wlobscd IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_wlobscd,
+        CAST(sum(CASE WHEN ymdhm IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_ymdhm,
+        CAST(sum(CASE WHEN wl IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_wl,
+        CAST(sum(CASE WHEN fw IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS p_fw
+      FROM ok GROUP BY batch
+    ),
+    stacked AS (
+      SELECT batch, u.field, per.n AS n_records, u.n_present,
+        CAST(u.n_present AS DOUBLE) / CAST(per.n AS DOUBLE)
+          AS presence_rate
+      FROM per, LATERAL (
+        VALUES ('wlobscd', p_wlobscd), ('ymdhm', p_ymdhm),
+               ('wl', p_wl), ('fw', p_fw)
+      ) AS u(field, n_present)
+    ),
+    gagg AS (
+      SELECT count(*) AS gn,
+        CAST(sum(CASE WHEN wlobscd IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS g_wlobscd,
+        CAST(sum(CASE WHEN ymdhm IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS g_ymdhm,
+        CAST(sum(CASE WHEN wl IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS g_wl,
+        CAST(sum(CASE WHEN fw IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS g_fw
+      FROM ok
+    ),
+    gstacked AS (
+      SELECT u.field,
+        CAST(u.g_present AS DOUBLE) / CAST(gagg.gn AS DOUBLE) AS global_rate
+      FROM gagg, LATERAL (
+        VALUES ('wlobscd', g_wlobscd), ('ymdhm', g_ymdhm),
+               ('wl', g_wl), ('fw', g_fw)
+      ) AS u(field, g_present)
+    )
+    SELECT s.batch, s.field, s.n_records, s.n_present, s.presence_rate,
+      g.global_rate,
+      abs(s.presence_rate - g.global_rate) > 0.02 AS drifted
+    FROM stacked s JOIN gstacked g USING (field)
     """

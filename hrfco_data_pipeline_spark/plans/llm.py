@@ -3639,3 +3639,141 @@ def docs_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in curves[1:]:
         out = out.unionByName(c)
     return out
+
+
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF-flat index against the brute-force ground
+    truth — the QA report every ANN deployment keeps next to its
+    index build (the minhash_recall_report sibling for the embedding
+    side). Per query: how many of IVF's nprobe=1 top-5 sit in the true
+    cosine top-5. Composes the two oracle-exact faces (ann_cosine_topk,
+    ivf_cosine_topk), so the recall itself is oracle-backed — both
+    engines join identical neighbor sets.
+
+    Scale shape: inherits the bounded shapes of its inputs (cell-routed
+    candidates, WindowGroupLimit top-k); the report join keys on
+    (query, neighbor) — a query-bounded exchange."""
+    ivf = ivf_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    brute = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ivf.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    qs = brute.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)).cast("double") / F.lit(5.0)).alias(
+            "recall_at_5"
+        ),
+    )
+
+
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding
+    second-moment matrix by DISTRIBUTED power iteration — the
+    spectral sibling of docs_train_linear_gate's gradient descent:
+    the model is trained on the engine, and every arithmetic step is
+    engine-portable so the DuckDB twin reproduces it bit-for-bit.
+
+    Per iteration: dot_i = <x_i, v> as an index-ordered fold
+    (deterministic summation), contribution x_i * dot_i floor-quantized
+    to integer nanos and summed as BIGINT (order-invariant exact — the
+    same trick as the GD gradients), then v <- w / max_j |w_j| with the
+    single division done in doubles on identical integer operands.
+    Three iterations; the first two collect one 64-long row each
+    (bounded k*dim-style collect), the last stays a DataFrame and
+    normalizes engine-side. Output: one row per dimension with its
+    loading — suited for spectral screening of embedding spaces
+    (dominant-direction energy, whitening prep) before ANN indexing.
+
+    Scale shape: each iteration is one full scan + one 64-column
+    partial-aggregated sum (map-side combine, 1-row result); no
+    shuffle wider than the aggregate, driver state is 64 doubles.
+    """
+    from hrfco_data_pipeline_spark.operators.similarity import as_double_vec
+
+    dim = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+
+    def dot_with(v_lits: list[float]) -> Column:
+        # left fold FROM 0.0, matching the oracle's list_reduce seed
+        # (0.0 + (-0.0) = 0.0 — starting from the first product would
+        # diverge on a negative-zero leading term)
+        expr: Column = F.lit(0.0)
+        for j in range(dim):
+            expr = expr + F.element_at("v", j + 1) * F.lit(v_lits[j])
+        return expr
+
+    def w_aggs(dot: Column) -> list[Column]:
+        return [
+            F.sum(
+                F.floor(F.element_at("v", j + 1) * dot * F.lit(1000000000.0))
+            ).alias(f"s{j}")
+            for j in range(dim)
+        ]
+
+    v = [1.0] * dim
+    for _ in range(2):
+        row = vecs.agg(*w_aggs(dot_with(v))).collect()[0]
+        w = [int(row[f"s{j}"]) for j in range(dim)]
+        wmax = max(abs(x) for x in w)
+        # float()/float() mirrors the oracle's ::DOUBLE / ::DOUBLE
+        v = [float(x) / float(wmax) for x in w]
+
+    wrow = vecs.agg(*w_aggs(dot_with(v)))
+    arr = F.array(*[F.col(f"s{j}") for j in range(dim)])
+    tmp = wrow.select(
+        arr.alias("arr"),
+        F.array_max(F.transform(arr, lambda x: F.abs(x))).alias("wmax"),
+    )
+    return tmp.select(
+        F.posexplode("arr").alias("dim", "w"), F.col("wmax")
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("w").cast("double") / F.col("wmax").cast("double")).alias(
+            "loading"
+        ),
+    )
+
+
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style overlapping-window analysis over binary payloads
+    (operators/multimodal.frame_windows: frame 64, hop 32 — 50%
+    overlap): per document, the window count, total and peak window
+    energy, and the peak window index (lowest index on ties — the
+    deterministic argmax a real loudest-segment sampler would use).
+    Docs shorter than one frame carry no full window and are omitted.
+    The Python stage is Arrow-batched mapInPandas fan-out only; all
+    aggregation is JVM-side."""
+    from hrfco_data_pipeline_spark.operators.multimodal import (
+        frame_windows,
+        to_multimodal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = frame_windows(
+        to_multimodal(docs, modality="audio-blob"), frame_bytes=64, hop_bytes=32
+    )
+    agg = wins.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum("energy").alias("total_energy"),
+        F.max("energy").alias("max_energy"),
+    )
+    peak = (
+        wins.join(
+            agg.select("doc_id", F.col("max_energy").alias("me")), "doc_id"
+        )
+        .filter(F.col("energy") == F.col("me"))
+        .groupBy("doc_id")
+        .agg(F.min("win_idx").alias("peak_idx"))
+    )
+    return agg.join(peak, "doc_id").select(
+        "doc_id",
+        "n_windows",
+        F.col("total_energy").cast("long").alias("total_energy"),
+        F.col("max_energy").cast("long").alias("max_energy"),
+        F.col("peak_idx").cast("long").alias("peak_idx"),
+    )

@@ -4335,3 +4335,122 @@ def orders_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+def copurchase_jaccard_parts(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
+    """Node-similarity join on the part co-purchase graph (same
+    support-2 edges as copurchase_triangles): for every part pair
+    sharing >= 2 common co-purchase neighbors, the neighbor-set
+    Jaccard |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the "customers who bought
+    X also bought Y" primitive, computed without materializing any
+    neighbor set on one machine.
+
+    Scale shape: symmetrize edges, wedge-join on the middle vertex
+    (fan-out bounded by per-vertex degree — at 100 TB cap or
+    orient by (degree, id) exactly as the triangle note), count
+    wedges per (a, b) = intersection size, then two degree joins and
+    one exact integer division for the Jaccard. The support-2 common
+    filter keeps output sparse; intersection/degree stay integers so
+    the only double is the final division (bit-portable).
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+    if materialize:
+        edges = _materialized(edges)
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("p")).agg(F.count("*").alias("deg"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    common = (
+        s1.join(
+            s2,
+            (F.col("s1.u") == F.col("s2.u")) & (F.col("s1.v") < F.col("s2.v")),
+        )
+        .groupBy(F.col("s1.v").alias("a"), F.col("s2.v").alias("b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    return (
+        common.join(da, F.col("a") == F.col("da.p"))
+        .join(db, F.col("b") == F.col("db.p"))
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.col("da.deg").alias("deg_a"),
+            F.col("db.deg").alias("deg_b"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da.deg") + F.col("db.deg") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality of order volume after trend removal — the
+    classic additive decomposition at daily grain: trend = centered
+    7-day moving average of daily order counts, residual = day minus
+    trend, seasonality = mean residual per ISO weekday. Exposes the
+    weekly cycle a raw weekday average would confound with growth.
+
+    Exactness: residuals stay INTEGER by working at 7x scale
+    (residual*7 = 7*n_day - sum of the 7-day window, both integer
+    sums), so the per-weekday mean is one exact integer sum divided
+    once — no order-dependent double accumulation. The window runs
+    over the daily AGGREGATE (bounded by the date domain, ~2.5k rows
+    at any corpus size), not the orders table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    trended = daily.select(
+        "d",
+        "n",
+        F.sum("n").over(w).alias("sum7"),
+        F.count("*").over(w).alias("n_win"),
+    ).filter(F.col("n_win") == 7)
+    return (
+        trended.groupBy(
+            (F.weekday("d") + 1).alias("isodow"),
+            F.date_format("d", "EEEE").alias("day_name"),
+        )
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("n").alias("total_orders"),
+            F.sum(F.lit(7) * F.col("n") - F.col("sum7")).alias("resid7_sum"),
+        )
+        .select(
+            "isodow",
+            "day_name",
+            "n_days",
+            F.col("total_orders").cast("long").alias("total_orders"),
+            (
+                F.col("resid7_sum").cast("double")
+                / (F.lit(7) * F.col("n_days")).cast("double")
+            ).alias("avg_residual"),
+        )
+    )

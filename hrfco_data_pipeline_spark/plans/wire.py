@@ -398,3 +398,69 @@ def synthetic_wire_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(line)
         .alias("value"),
     )
+
+
+def wire_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift detection across ingest batches: bucket the wire
+    into 1000-record batches (obs_id DIV 1000 — the producer's batch
+    counter stand-in), compute each field's per-batch presence rate,
+    and flag batches where a field drifts more than 2 points from the
+    stream-wide rate — the alarm that catches an upstream contract
+    change (field dropped, renamed, newly nullable) while it is still
+    one batch deep. Extends wire_field_presence (stream-wide rates)
+    with the time axis.
+
+    Scale shape: one conditional aggregate per batch key (map-side
+    partials), a 4-literal stack, and a broadcast-sized global-rates
+    join; rows = 4 x n_batches."""
+    ok = parsed_wire(spark, sf_dir).filter(F.col("_corrupt").isNull())
+    fields = ("wlobscd", "ymdhm", "wl", "fw")
+    per = ok.groupBy(F.expr("obs_id DIV 1000").alias("batch")).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.col(f).isNotNull().cast("long")).alias(f"p_{f}")
+            for f in fields
+        ],
+    )
+    stacked = per.selectExpr(
+        "batch",
+        "n",
+        "stack(4, 'wlobscd', p_wlobscd, 'ymdhm', p_ymdhm, "
+        "'wl', p_wl, 'fw', p_fw) AS (field, n_present)",
+    ).select(
+        "batch",
+        "field",
+        F.col("n").alias("n_records"),
+        "n_present",
+        (F.col("n_present").cast("double") / F.col("n").cast("double")).alias(
+            "presence_rate"
+        ),
+    )
+    gagg = ok.agg(
+        F.count("*").alias("gn"),
+        *[
+            F.sum(F.col(f).isNotNull().cast("long")).alias(f"g_{f}")
+            for f in fields
+        ],
+    )
+    gstacked = gagg.selectExpr(
+        "gn",
+        "stack(4, 'wlobscd', g_wlobscd, 'ymdhm', g_ymdhm, "
+        "'wl', g_wl, 'fw', g_fw) AS (field, g_present)",
+    ).select(
+        "field",
+        (F.col("g_present").cast("double") / F.col("gn").cast("double")).alias(
+            "global_rate"
+        ),
+    )
+    return stacked.join(F.broadcast(gstacked), "field").select(
+        "batch",
+        "field",
+        "n_records",
+        "n_present",
+        "presence_rate",
+        "global_rate",
+        (F.abs(F.col("presence_rate") - F.col("global_rate")) > 0.02).alias(
+            "drifted"
+        ),
+    )

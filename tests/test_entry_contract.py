@@ -38,43 +38,59 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
+NEW_IN_R7 = [
+    "docs_substring_dedup",
+    "orders_salted_revenue",
+    "copurchase_jaccard_parts",
+    "orders_seasonal_decomposition",
+    "ann_ivf_recall_report",
+    "embedding_pca_power_iteration",
+    "multimodal_audio_windows",
+    "wire_schema_drift",
+]
+
+
 def test_r7_window_composition():
     """The r7 window: the fixed red row from CORRECTNESS_r06 first
     (embedding_random_projection — ±0.0 round() split, must re-earn
-    its green), then the two late-r5 strays, the flagship hot path
-    (r4 evidence, one regen old), the 32 r2-era greens (two regens
-    old), and the 12 oldest r3-era greens. Pin the block bounds so a
-    careless insert can't silently rotate one out."""
+    its green), the 8 never-checked queries added in r7, then the two
+    late-r5 strays, the flagship hot path (r4 evidence, one regen
+    old), the 32 r2-era greens (two regens old), and the 4 oldest
+    r3-era greens. Pin the block bounds so a careless insert can't
+    silently rotate one out."""
     names = list(entry.queries())
     w = names[:50]
     assert w[0] == "embedding_random_projection"
-    assert w[1] == "wire_csv_parse"
-    assert w[2] == "hydro_twa_daily_mean"
-    assert w[3:6] == ["hydro_classify_alerts", "hydro_alert_counts", "wire_parse"]
-    assert w[6] == "wire_dlq"  # r2-era block starts
-    assert w[-1] == "dedup_incremental"
+    assert w[1:9] == NEW_IN_R7
+    assert w[9] == "wire_csv_parse"
+    assert w[10] == "hydro_twa_daily_mean"
+    assert w[11:14] == ["hydro_classify_alerts", "hydro_alert_counts", "wire_parse"]
+    assert w[14] == "wire_dlq"  # r2-era block starts
+    assert w[-1] == "events_value_bands"
     must_check = {
         "mon_summary",
         "events_sessionize",
         "events_asof_last_error",
         "q3_shipping_priority",
         "q5_region_revenue",
-        "events_value_percentiles",
-        "doc_winnow_fingerprints",
-        "dup_components",
+        "q17_small_quantity_revenue",
+        "events_moving_stats",
     }
     assert must_check <= set(w)
 
 
 def test_r8_window_plan():
-    """Positions 50-99 are exactly next round's window:
+    """Positions 50-99 are exactly next round's window: the 8 r3-era
+    greens the new-in-r7 queries squeezed out of the r7 cut,
     embedding_quantize (dropped from the r7 cut for the red-row
     retry), the remaining r3-era greens, then the oldest r4-era
     greens — so the r8 rotation is a single 50-entry cut."""
     names = list(entry.queries())
     r8 = names[50:100]
-    assert r8[0] == "embedding_quantize"
-    assert r8[1] == "docs_ngram_freq"  # r3-era remainder starts
+    assert r8[0] == "events_value_percentiles"  # squeezed-out block starts
+    assert r8[7] == "dedup_incremental"
+    assert r8[8] == "embedding_quantize"
+    assert r8[9] == "docs_ngram_freq"  # r3-era remainder starts
     oracles = set(entry.oracle_sql())
     assert set(r8) <= oracles  # every r8-window slot can go green
     # the r6-certified block sits at the back (freshest evidence last,
