@@ -13,7 +13,7 @@ single-pass scan shape as the classify pipeline, no Python involved.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hrfco_data_pipeline_spark.sources.synthetic import synthetic_observations
@@ -410,9 +410,10 @@ def wire_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     one batch deep. Extends wire_field_presence (stream-wide rates)
     with the time axis.
 
-    Scale shape: one conditional aggregate per batch key (map-side
-    partials), a 4-literal stack, and a broadcast-sized global-rates
-    join; rows = 4 x n_batches."""
+    Scale shape: ONE scan — the global rates re-aggregate the
+    per-batch partials (batches partition the stream exactly), so the
+    wire parse runs once; then a 4-literal stack and a
+    broadcast-sized global-rates join; rows = 4 x n_batches."""
     ok = parsed_wire(spark, sf_dir).filter(F.col("_corrupt").isNull())
     fields = ("wlobscd", "ymdhm", "wl", "fw")
     per = ok.groupBy(F.expr("obs_id DIV 1000").alias("batch")).agg(
@@ -436,31 +437,18 @@ def wire_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "presence_rate"
         ),
     )
-    gagg = ok.agg(
-        F.count("*").alias("gn"),
-        *[
-            F.sum(F.col(f).isNotNull().cast("long")).alias(f"g_{f}")
-            for f in fields
-        ],
-    )
-    gstacked = gagg.selectExpr(
-        "gn",
-        "stack(4, 'wlobscd', g_wlobscd, 'ymdhm', g_ymdhm, "
-        "'wl', g_wl, 'fw', g_fw) AS (field, g_present)",
-    ).select(
-        "field",
-        (F.col("g_present").cast("double") / F.col("gn").cast("double")).alias(
-            "global_rate"
-        ),
-    )
-    return stacked.join(F.broadcast(gstacked), "field").select(
+    wf = Window.partitionBy("field")
+    return stacked.select(
         "batch",
         "field",
         "n_records",
         "n_present",
         "presence_rate",
-        "global_rate",
-        (F.abs(F.col("presence_rate") - F.col("global_rate")) > 0.02).alias(
-            "drifted"
-        ),
+        (
+            F.sum("n_present").over(wf).cast("double")
+            / F.sum("n_records").over(wf).cast("double")
+        ).alias("global_rate"),
+    ).withColumn(
+        "drifted",
+        F.abs(F.col("presence_rate") - F.col("global_rate")) > 0.02,
     )

@@ -1,0 +1,137 @@
+"""Semantics pins for the r7 operators: brute-force twins on tiny
+inputs where the distributed construction could silently drift
+(interval-union coverage, overlapping framing, neighbor Jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hrfco_data_pipeline_spark.operators.multimodal import (
+    frame_windows,
+    to_multimodal,
+)
+
+
+def test_frame_windows_matches_slow_python(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a" * 200, "en", "s", 200),
+            (2, "b" * 64, "en", "s", 64),  # exactly one window
+            (3, "c" * 63, "en", "s", 63),  # no full window
+            (4, "d" * 95, "en", "s", 95),  # one window, tail dropped
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = {
+        (r.doc_id, r.win_idx): r.energy
+        for r in frame_windows(
+            to_multimodal(docs), frame_bytes=64, hop_bytes=32
+        ).collect()
+    }
+    want = {}
+    for doc_id, text in [(1, "a" * 200), (2, "b" * 64), (3, "c" * 63), (4, "d" * 95)]:
+        b = text.encode()
+        w = 0
+        while w * 32 + 64 <= len(b):
+            want[(doc_id, w)] = sum(b[w * 32 : w * 32 + 64])
+            w += 1
+    assert got == want
+    assert not any(d == 3 for d, _ in got)  # sub-frame doc omitted
+
+
+def test_frame_windows_rejects_bad_params(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "s", 1)], ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with pytest.raises(ValueError):
+        frame_windows(to_multimodal(docs), frame_bytes=0)
+
+
+def test_substring_dedup_interval_union_coverage(spark, tmp_path):
+    """Two docs share one long duplicated run; a third is unique. The
+    dup-token count must be the UNION of the 8-gram windows (12 tokens
+    for an 12-token shared run -> 5 duplicated starts covering 12
+    tokens), not 5 * 8 = 40."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_substring_dedup
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, shared + " xx1 yy1 zz1", "en", "sA", 0),
+        (2, shared + " xx2 yy2 zz2", "en", "sA", 0),
+        (3, " ".join(f"u{i}" for i in range(15)), "en", "sB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.source: r
+        for r in docs_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    a = out["sA"]
+    assert a.n_docs == 2 and a.total_tokens == 30
+    assert a.dup_docs == 2
+    # each doc: duplicated starts 0..4, union = [0, 12) = 12 tokens
+    assert a.dup_tokens == 24
+    assert abs(a.dup_token_frac - 24 / 30) < 1e-15
+    b = out["sB"]
+    assert b.dup_docs == 0 and b.dup_tokens == 0
+
+
+def test_copurchase_jaccard_matches_brute_force(spark, tmp_path):
+    """Tiny co-purchase graph: recompute neighbor-set Jaccard with
+    Python sets and compare every reported pair."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        copurchase_jaccard_parts,
+    )
+
+    # orders repeating part pairs so support >= 2 edges exist
+    rows = []
+    orders = [
+        [1, 2, 3],
+        [1, 2, 3],
+        [2, 3, 4],
+        [2, 3, 4],
+        [1, 4, 5],
+        [1, 4, 5],
+        [3, 5],
+        [3, 5],
+    ]
+    for ok, parts in enumerate(orders):
+        for ln, p in enumerate(parts):
+            rows.append((ok, p, ln + 1))
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey", "l_linenumber"])
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {
+        (r.a, r.b): (r.n_common, r.deg_a, r.deg_b, r.jaccard)
+        for r in copurchase_jaccard_parts(spark, str(tmp_path)).collect()
+    }
+
+    # brute force
+    from collections import defaultdict
+    from itertools import combinations
+
+    pair_count = defaultdict(int)
+    for parts in orders:
+        for u, v in combinations(sorted(set(parts)), 2):
+            pair_count[(u, v)] += 1
+    nbrs = defaultdict(set)
+    for (u, v), c in pair_count.items():
+        if c >= 2:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    want = {}
+    nodes = sorted(nbrs)
+    for a, b in combinations(nodes, 2):
+        common = len(nbrs[a] & nbrs[b])
+        if common >= 2:
+            want[(a, b)] = (
+                common,
+                len(nbrs[a]),
+                len(nbrs[b]),
+                common / (len(nbrs[a]) + len(nbrs[b]) - common),
+            )
+    assert got == want and len(want) > 0
