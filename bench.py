@@ -73,6 +73,10 @@ HEADLINE = [
     "docs_train_linear_gate",
     "copurchase_bfs_levels",
     "docs_learning_curve",
+    # round-7 additions: the two heaviest new operators — corpus-wide
+    # 8-gram substring dedup and the wedge-join graph similarity
+    "docs_substring_dedup",
+    "copurchase_jaccard_parts",
 ]
 
 

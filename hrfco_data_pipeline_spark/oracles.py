@@ -6316,3 +6316,20 @@ WIRE_ORACLES["wire_schema_drift"] = _WIRE_CTE + """
       abs(s.presence_rate - g.global_rate) > 0.02 AS drifted
     FROM stacked s JOIN gstacked g USING (field)
     """
+
+
+RELATIONAL_ORACLES["lineitem_key_skew_profile"] = """
+    WITH c AS (
+      SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT count(*) AS total FROM lineitem),
+    k AS (SELECT count(*) AS n_keys FROM c),
+    top AS (SELECT * FROM c ORDER BY n DESC, l_orderkey ASC LIMIT 20)
+    SELECT
+      CAST(row_number() OVER (ORDER BY n DESC, l_orderkey ASC) AS INTEGER)
+        AS rank,
+      l_orderkey, CAST(n AS BIGINT) AS n_rows,
+      CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+      CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS mean_ratio
+    FROM top, t, k
+    """

@@ -4454,3 +4454,36 @@ def orders_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("avg_residual"),
         )
     )
+
+
+def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the report that tells you WHEN to
+    reach for operators/skew.salted_join: the 20 hottest l_orderkey
+    values with each key's row share and its ratio to the mean key
+    size (mean_ratio ~1 = uniform; >>1 = a straggler-making hot key).
+    At 100 TB this is the cheap pre-flight before any fact-fact join:
+    one combiner-friendly groupBy count, a TakeOrderedAndProject
+    top-20 (never a global sort), and two broadcast 1-row totals.
+    Ratios are exact integer operands divided once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("l_orderkey")).limit(20)
+    totals = li.agg(F.count("*").alias("total"))
+    nkeys = counts.agg(F.count("*").alias("n_keys"))
+    w = Window.orderBy(F.desc("n"), F.asc("l_orderkey"))
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nkeys))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "l_orderkey",
+            F.col("n").cast("long").alias("n_rows"),
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("n") * F.col("n_keys")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("mean_ratio"),
+        )
+    )
