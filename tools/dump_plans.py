@@ -110,6 +110,15 @@ AUDIT = [
     "hydro_sensor_gaps",
     "hydro_station_uptime",
     "docs_train_linear_gate",
+    # r7 new operators: substring dedup, salting, graph similarity,
+    # windowed framing, drift, skew diagnostic
+    "docs_substring_dedup",
+    "orders_salted_revenue",
+    "copurchase_jaccard_parts",
+    "orders_seasonal_decomposition",
+    "multimodal_audio_windows",
+    "wire_schema_drift",
+    "lineitem_key_skew_profile",
 ]
 
 
@@ -135,6 +144,9 @@ def main() -> None:
         # would re-embed the upstream tree exponentially (~2 MB plan)
         "nation_trade_pagerank": lambda s, d: relational.nation_trade_pagerank(
             s, d, iters=1, materialize=False
+        ),
+        "copurchase_jaccard_parts": lambda s, d: (
+            relational.copurchase_jaccard_parts(s, d, materialize=False)
         ),
     }
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
