@@ -423,6 +423,16 @@ def wire_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in fields
         ],
     )
+    return drift_report(per)
+
+
+def drift_report(per: DataFrame) -> DataFrame:
+    """Drift report over per-batch presence-count partials (columns:
+    batch, n, p_wlobscd, p_ymdhm, p_wl, p_fw). Shared by the batch
+    face above and the streaming twin
+    (streaming/curation.schema_drift_stream), which maintains the same
+    partials incrementally — both faces emit identical rows for
+    identical partials."""
     stacked = per.selectExpr(
         "batch",
         "n",

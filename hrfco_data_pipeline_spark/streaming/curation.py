@@ -229,3 +229,98 @@ def lm_stats_stream(docs_stream: DataFrame, table_path: str):
         )
 
     return docs_stream.writeStream.foreachBatch(_merge)
+
+
+# ---------------------------------------------------------------------------
+# Streaming schema-drift monitor (stream face of plans/wire.wire_schema_drift)
+# ---------------------------------------------------------------------------
+
+
+def wire_presence_counts(parsed_batch: DataFrame, batch_id: int) -> DataFrame:
+    """One presence-count partial row for a parsed wire micro-batch
+    (the plans/wire.drift_report input shape, keyed by the micro-batch
+    id — the stream's natural ingest-batch counter)."""
+    fields = ("wlobscd", "ymdhm", "wl", "fw")
+    return (
+        parsed_batch.filter(F.col("_corrupt").isNull())
+        .agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.col(f).isNotNull().cast("long")).alias(f"p_{f}")
+                for f in fields
+            ],
+        )
+        .select(F.lit(batch_id).cast("long").alias("batch"), "*")
+    )
+
+
+def merge_presence_counts(
+    spark, table_path: str, counts: DataFrame, batch_id: int
+) -> None:
+    """Append a micro-batch's presence partial to the stored table
+    with merge_lm_counts' staged-swap durability + exactly-once
+    replay protection (the applied batch id commits atomically inside
+    the staging dir; a replayed micro-batch no-ops)."""
+    import os
+    import shutil
+
+    from hrfco_data_pipeline_spark.sinks.writers import recover_swap
+
+    recover_swap(table_path, marker="_batch_id")
+    marker = os.path.join(table_path, "_batch_id")
+    try:
+        with open(marker) as fh:
+            if batch_id <= int(fh.read().strip()):
+                return
+    except OSError:
+        pass
+
+    staging = f"{table_path}__staging__"
+    backup = f"{table_path}__old__"
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        current = spark.read.parquet(table_path)
+        exists = True
+    except Exception:
+        current, exists = None, False
+    merged = current.unionByName(counts) if exists else counts
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, "_batch_id"), "w") as fh:
+        fh.write(str(batch_id))
+    shutil.rmtree(backup, ignore_errors=True)
+    if exists:
+        os.rename(table_path, backup)
+    os.rename(staging, table_path)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
+def schema_drift_stream(parsed_stream: DataFrame, table_path: str):
+    """Keep the wire schema-drift partials current as records stream
+    in: per micro-batch, ONE presence-count row (map-side partials
+    over the batch only — no state store) merged exactly-once into
+    ``table_path``. The report face (``drift_report_from_counts``)
+    reads the same table, so the drift alarm never rescans the wire —
+    the stored-rollup pattern (histogram_rollup_stream, lm_stats_stream)
+    applied to data-contract monitoring.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_presence_counts(
+            batch_df.sparkSession,
+            table_path,
+            wire_presence_counts(batch_df, batch_id),
+            batch_id,
+        )
+
+    return parsed_stream.writeStream.foreachBatch(_merge)
+
+
+def drift_report_from_counts(spark, table_path: str) -> DataFrame:
+    """Schema-drift report over the accumulated partials — identical
+    rows to plans/wire.wire_schema_drift for identical partials
+    (shared plans/wire.drift_report tail)."""
+    from hrfco_data_pipeline_spark.plans.wire import drift_report
+
+    return drift_report(spark.read.parquet(table_path))

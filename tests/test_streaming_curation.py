@@ -329,3 +329,79 @@ def test_merge_stations_recovers_mid_swap_crash(spark, tmp_path):
     assert got == {"A": 1.0, "B": 9.0}
     assert not os.path.exists(f"{table}__old__")
     assert os.path.exists(f"{table}/_committed")
+
+
+def test_schema_drift_stream_equals_batch_face(spark, tmp_path):
+    """Streaming drift monitor: stage the wire as one file per
+    1000-record bucket (micro-batch i == batch-face bucket i under
+    maxFilesPerTrigger=1), run the foreachBatch merge, and the report
+    over the accumulated partials must equal plans/wire's batch face
+    row for row. A replayed batch id must no-op."""
+    import os
+
+    from hrfco_data_pipeline_spark.plans.wire import (
+        synthetic_wire,
+        wire_schema_drift,
+        WIRE_SCHEMA,
+    )
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        drift_report_from_counts,
+        merge_presence_counts,
+        schema_drift_stream,
+        wire_presence_counts,
+    )
+
+    src = str(tmp_path / "wire_src")
+    os.makedirs(src)
+    rows = synthetic_wire(spark, SF).orderBy("obs_id").collect()
+    buckets: dict[int, list[str]] = {}
+    for r in rows:
+        buckets.setdefault(r.obs_id // 1000, []).append(r.value)
+    for b, vals in sorted(buckets.items()):
+        with open(os.path.join(src, f"bucket-{b:05d}.txt"), "w") as fh:
+            fh.write("\n".join(vals) + "\n")
+
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    rec = F.from_json(
+        "value",
+        WIRE_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    parsed = raw.select(rec.alias("rec")).select("rec.*")
+
+    table = str(tmp_path / "presence_counts")
+    q = (
+        schema_drift_stream(parsed, table)
+        .option("checkpointLocation", str(tmp_path / "drift-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    cols = [
+        "batch", "field", "n_records", "n_present",
+        "presence_rate", "global_rate", "drifted",
+    ]
+    got = sorted(
+        tuple(r) for r in drift_report_from_counts(spark, table)
+        .select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r) for r in wire_schema_drift(spark, SF).select(*cols).collect()
+    )
+    assert want and got == want
+
+    # replay protection: re-merging an already-applied batch id no-ops
+    n_before = spark.read.parquet(table).count()
+    replay = wire_presence_counts(
+        spark.createDataFrame(rows[:100], ["obs_id", "value"]).select(
+            rec.alias("rec")
+        ).select("rec.*"),
+        0,
+    )
+    merge_presence_counts(spark, table, replay, 0)
+    assert spark.read.parquet(table).count() == n_before
