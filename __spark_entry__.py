@@ -41,14 +41,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r7 WINDOW (this round): CORRECTNESS_r06 went 49/50 — the one red
     # row, embedding_random_projection (±0.0 split: Spark round() has
     # no signed zero, DuckDB does; fixed by shipping raw bit-identical
-    # doubles), leads the window to re-earn its green. Then the 9
+    # doubles), leads the window to re-earn its green. Then the 10
     # never-checked queries added in r7 (never-checked come first per
     # the ordering contract), then the previously planned r7 cut:
     # (a) wire_csv_parse + hydro_twa_daily_mean (late-r5, never
     # checked), (b) the flagship hot path (hydro_classify_alerts,
     # hydro_alert_counts, wire_parse) whose r4 rows predate a testdata
     # regen, (c) the 32 r2-era greens (evidence two regens old),
-    # (d) the 3 oldest r3-era greens topping up to exactly 50.
+    # (d) the 2 oldest r3-era greens topping up to exactly 50.
     #
     # r8 ROTATION PLAN (execute at the start of r8): the block behind
     # the boundary is already the exact r8 window — the 8 r3-era
@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_windows": llm.multimodal_audio_windows,
         "wire_schema_drift": wire.wire_schema_drift,
         "lineitem_key_skew_profile": relational.lineitem_key_skew_profile,
+        "sessions_error_overlap": relational.sessions_error_overlap,
         # late-r5 strays (never driver-checked)
         "wire_csv_parse": wire.wire_csv_parse,
         "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
@@ -113,14 +114,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oldest r3-era greens (r7 top-up) ---
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "events_moving_stats": relational.events_moving_stats,
-        "events_view_only_users": relational.events_view_only_users,
         # ^^^ first-50 boundary (50 entries above) ^^^
         # ============ r8 WINDOW PLAN (next 50, in order) ============
-        # the 9 r3-era greens squeezed out of the r7 cut by the
+        # the 10 r3-era greens squeezed out of the r7 cut by the
         # new-in-r7 block, then embedding_quantize (dropped from the
         # r7 cut for the red-row retry) + remaining r3-era greens,
         # then the oldest r4-era greens. Pinned by
         # tests/test_entry_contract.py.
+        "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,
         "events_value_percentiles": relational.events_value_percentiles,
         "events_range_window": relational.events_range_window,

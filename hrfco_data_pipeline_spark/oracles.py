@@ -6333,3 +6333,53 @@ RELATIONAL_ORACLES["lineitem_key_skew_profile"] = """
       CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS mean_ratio
     FROM top, t, k
     """
+
+
+RELATIONAL_ORACLES["sessions_error_overlap"] = """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR date_diff('second', lag(ts) OVER w, ts) > 1800
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id,
+        us
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, min(us) AS s_start_us, max(us) AS s_end_us,
+        count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    ),
+    eflag AS (
+      SELECT CAST(ts AS DATE) AS day, ts, event_id, epoch_us(ts) AS us,
+        CASE WHEN lag(ts) OVER we IS NULL
+               OR date_diff('second', lag(ts) OVER we, ts) > 3600
+             THEN 1 ELSE 0 END AS new_ep
+      FROM events WHERE event_type = 'error'
+      WINDOW we AS (PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id)
+    ),
+    eisl AS (
+      SELECT day,
+        sum(new_ep) OVER (PARTITION BY day ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS episode_id,
+        us
+      FROM eflag
+    ),
+    episodes AS (
+      SELECT min(us) AS e_start_us, max(us) AS e_end_us,
+        count(*) AS n_errors
+      FROM eisl GROUP BY day, episode_id
+    )
+    SELECT user_id, s_start_us, s_end_us, n_events,
+      e_start_us, e_end_us, n_errors,
+      least(s_end_us, e_end_us) - greatest(s_start_us, e_start_us)
+        AS overlap_us
+    FROM sessions JOIN episodes
+      ON s_start_us <= e_end_us AND e_start_us <= s_end_us
+    """

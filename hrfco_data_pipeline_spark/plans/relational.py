@@ -4487,3 +4487,91 @@ def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_ratio"),
         )
     )
+
+
+def sessions_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join probe (operators/intervals.overlap_join):
+    which user sessions overlap a platform error episode — the
+    incident-impact query every on-call dashboard wants. Sessions are
+    the 30-minute-gap islands per user (events_sessionize's intervals);
+    error episodes are 60-minute-gap islands of 'error' events within
+    each day (day-partitioned so the island window never runs
+    unpartitioned over a growing table). The join explodes both
+    interval sets into 1-hour buckets, equi-joins on the bucket, and
+    claims each pair exactly once in the bucket of max(starts) — never
+    a cartesian, no distinct. Output: one row per (session, episode)
+    overlap with the exact integer-microsecond overlap length.
+    """
+    from hrfco_data_pipeline_spark.operators.intervals import overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff(
+        "SECOND", F.date_trunc("second", prev), F.date_trunc("second", F.col("ts"))
+    )
+    sess = (
+        ev.withColumn(
+            "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(us).alias("s_start_us"),
+            F.max(us).alias("s_end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+    err = ev.filter(F.col("event_type") == "error").withColumn(
+        "day", F.to_date("ts")
+    )
+    we = Window.partitionBy("day").orderBy("ts", "event_id")
+    eprev = F.lag("ts").over(we)
+    egap = F.timestamp_diff(
+        "SECOND", F.date_trunc("second", eprev), F.date_trunc("second", F.col("ts"))
+    )
+    eps = (
+        err.withColumn(
+            "new_ep", F.when(egap.isNull() | (egap > 3600), 1).otherwise(0)
+        )
+        .withColumn(
+            "episode_id",
+            F.sum("new_ep").over(we.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("day", "episode_id")
+        .agg(
+            F.min(us).alias("e_start_us"),
+            F.max(us).alias("e_end_us"),
+            F.count("*").alias("n_errors"),
+        )
+        .drop("day", "episode_id")
+    )
+
+    pairs = overlap_join(
+        sess.select("user_id", "session_id", "s_start_us", "s_end_us", "n_events"),
+        eps,
+        "s_start_us",
+        "s_end_us",
+        "e_start_us",
+        "e_end_us",
+        bucket_us=3_600_000_000,
+    )
+    return pairs.select(
+        "user_id",
+        "s_start_us",
+        "s_end_us",
+        "n_events",
+        "e_start_us",
+        "e_end_us",
+        "n_errors",
+        (
+            F.least("s_end_us", "e_end_us")
+            - F.greatest("s_start_us", "e_start_us")
+        ).alias("overlap_us"),
+    )

@@ -48,26 +48,27 @@ NEW_IN_R7 = [
     "multimodal_audio_windows",
     "wire_schema_drift",
     "lineitem_key_skew_profile",
+    "sessions_error_overlap",
 ]
 
 
 def test_r7_window_composition():
     """The r7 window: the fixed red row from CORRECTNESS_r06 first
     (embedding_random_projection — ±0.0 round() split, must re-earn
-    its green), the 9 never-checked queries added in r7, then the two
+    its green), the 10 never-checked queries added in r7, then the two
     late-r5 strays, the flagship hot path (r4 evidence, one regen
-    old), the 32 r2-era greens (two regens old), and the 3 oldest
+    old), the 32 r2-era greens (two regens old), and the 2 oldest
     r3-era greens. Pin the block bounds so a careless insert can't
     silently rotate one out."""
     names = list(entry.queries())
     w = names[:50]
     assert w[0] == "embedding_random_projection"
-    assert w[1:10] == NEW_IN_R7
-    assert w[10] == "wire_csv_parse"
-    assert w[11] == "hydro_twa_daily_mean"
-    assert w[12:15] == ["hydro_classify_alerts", "hydro_alert_counts", "wire_parse"]
-    assert w[15] == "wire_dlq"  # r2-era block starts
-    assert w[-1] == "events_view_only_users"
+    assert w[1:11] == NEW_IN_R7
+    assert w[11] == "wire_csv_parse"
+    assert w[12] == "hydro_twa_daily_mean"
+    assert w[13:16] == ["hydro_classify_alerts", "hydro_alert_counts", "wire_parse"]
+    assert w[16] == "wire_dlq"  # r2-era block starts
+    assert w[-1] == "events_moving_stats"
     must_check = {
         "mon_summary",
         "events_sessionize",
@@ -81,17 +82,17 @@ def test_r7_window_composition():
 
 
 def test_r8_window_plan():
-    """Positions 50-99 are exactly next round's window: the 9 r3-era
+    """Positions 50-99 are exactly next round's window: the 10 r3-era
     greens the new-in-r7 queries squeezed out of the r7 cut,
     embedding_quantize (dropped from the r7 cut for the red-row
     retry), the remaining r3-era greens, then the oldest r4-era
     greens — so the r8 rotation is a single 50-entry cut."""
     names = list(entry.queries())
     r8 = names[50:100]
-    assert r8[0] == "events_value_bands"  # squeezed-out block starts
-    assert r8[8] == "dedup_incremental"
-    assert r8[9] == "embedding_quantize"
-    assert r8[10] == "docs_ngram_freq"  # r3-era remainder starts
+    assert r8[0] == "events_view_only_users"  # squeezed-out block starts
+    assert r8[9] == "dedup_incremental"
+    assert r8[10] == "embedding_quantize"
+    assert r8[11] == "docs_ngram_freq"  # r3-era remainder starts
     oracles = set(entry.oracle_sql())
     assert set(r8) <= oracles  # every r8-window slot can go green
     # the r6-certified block sits at the back (freshest evidence last,

@@ -135,3 +135,59 @@ def test_copurchase_jaccard_matches_brute_force(spark, tmp_path):
                 common / (len(nbrs[a]) + len(nbrs[b]) - common),
             )
     assert got == want and len(want) > 0
+
+
+def test_overlap_join_matches_theta_join(spark):
+    """Bucketed interval join vs the naive theta join on random-ish
+    deterministic intervals spanning multiple buckets, including
+    point intervals and exact-touch boundaries (closed semantics)."""
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.operators.intervals import overlap_join
+
+    left = spark.range(60).select(
+        F.col("id").alias("lid"),
+        ((F.col("id") * 733) % 500).alias("ls"),
+        ((F.col("id") * 733) % 500 + (F.col("id") * 97) % 180).alias("le"),
+    )
+    right = spark.range(40).select(
+        F.col("id").alias("rid"),
+        ((F.col("id") * 911) % 520).alias("rs"),
+        ((F.col("id") * 911) % 520 + (F.col("id") * 53) % 160).alias("re"),
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_us=64
+        ).collect()
+    )
+    want = sorted(
+        (r.lid, r.rid)
+        for r in left.join(
+            right, (F.col("ls") <= F.col("re")) & (F.col("rs") <= F.col("le"))
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+    # each overlapping pair claimed exactly once (no bucket dups)
+    assert len(got) == len(set(got))
+
+
+def test_overlap_join_plan_is_equi_join_not_cartesian(spark):
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.operators.intervals import overlap_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("lid"), F.col("id").alias("ls"), (F.col("id") + 5).alias("le")
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("rid"), F.col("id").alias("rs"), (F.col("id") + 5).alias("re")
+    )
+    plan = (
+        overlap_join(left, right, "ls", "le", "rs", "re", bucket_us=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

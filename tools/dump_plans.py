@@ -119,6 +119,7 @@ AUDIT = [
     "multimodal_audio_windows",
     "wire_schema_drift",
     "lineitem_key_skew_profile",
+    "sessions_error_overlap",
 ]
 
 
