@@ -38,89 +38,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r7 WINDOW (this round): CORRECTNESS_r06 went 49/50 — the one red
-    # row, embedding_random_projection (±0.0 split: Spark round() has
-    # no signed zero, DuckDB does; fixed by shipping raw bit-identical
-    # doubles), leads the window to re-earn its green. Then the 10
-    # never-checked queries added in r7 (never-checked come first per
-    # the ordering contract), then the previously planned r7 cut:
-    # (a) wire_csv_parse + hydro_twa_daily_mean (late-r5, never
-    # checked), (b) the flagship hot path (hydro_classify_alerts,
-    # hydro_alert_counts, wire_parse) whose r4 rows predate a testdata
-    # regen, (c) the 32 r2-era greens (evidence two regens old),
-    # (d) the 2 oldest r3-era greens topping up to exactly 50.
+    # r8 WINDOW (this round): CORRECTNESS_r07 went 50/50 — no retries.
+    # Window = new-in-r8 queries (never-checked come first per the
+    # ordering contract), then the pinned 11-entry r8 head promoted
+    # from behind the r7 boundary (events_view_only_users …
+    # embedding_quantize — the r3-era greens squeezed out of the r7
+    # cut plus embedding_quantize), then the remaining r3-era greens
+    # and the oldest r4-era greens in back-catalog order, topping up
+    # to exactly 50. This refreshes the oldest driver evidence in the
+    # registry (the r3-era rows predate two testdata regenerations).
     #
-    # r8 ROTATION PLAN (execute at the start of r8): the block behind
-    # the boundary is already the exact r8 window — the 8 r3-era
-    # greens squeezed out of the r7 cut by the new queries, then
-    # embedding_quantize plus the next back-catalog entries in order
-    # (remaining r3-era greens, then the oldest r4-era greens). r9+
-    # continues r4 rest -> r5 -> r6.
+    # r9 ROTATION PLAN (execute at the start of r9): the block behind
+    # the boundary is the exact r9 window — the remaining r4-era
+    # greens in order, which includes the hydro/station anchor block
+    # (hydro_station_list/detail/threshold_audit/archive_partitions/
+    # alerts_filtered/recent_alerts_500 — the S6/S7/T7/T10/T11/C6/F3/
+    # K1/K2 operators), then the oldest r5-era greens. r10+ continues
+    # r5 rest -> r6 -> the r7/r8-certified blocks.
     return {
-        # ================= r7 WINDOW (first 50) =================
-        # red-row retry (r6's only non-green; plan + oracle fixed)
-        "embedding_random_projection": llm.embedding_random_projection,
-        # --- new in r7 (never checked; oracle-backed) ---
-        "docs_substring_dedup": llm.docs_substring_dedup,
-        "orders_salted_revenue": relational.orders_salted_revenue,
-        "copurchase_jaccard_parts": relational.copurchase_jaccard_parts,
-        "orders_seasonal_decomposition": relational.orders_seasonal_decomposition,
-        "ann_ivf_recall_report": llm.ann_ivf_recall_report,
-        "embedding_pca_power_iteration": llm.embedding_pca_power_iteration,
-        "multimodal_audio_windows": llm.multimodal_audio_windows,
-        "wire_schema_drift": wire.wire_schema_drift,
-        "lineitem_key_skew_profile": relational.lineitem_key_skew_profile,
-        "sessions_error_overlap": relational.sessions_error_overlap,
-        # late-r5 strays (never driver-checked)
-        "wire_csv_parse": wire.wire_csv_parse,
-        "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
-        # flagship hot path (r4 rows predate a testdata regen)
-        "hydro_classify_alerts": hydro.alerts,
-        "hydro_alert_counts": hydro.alert_counts,
-        "wire_parse": wire.wire_parse,
-        # --- r2-era greens ---
-        "wire_dlq": wire.wire_dlq,
-        "wire_batch_flatten": wire.wire_batch_flatten,
-        "mon_status_counts": relational.mon_status_counts,
-        "mon_summary": relational.mon_summary,
-        "mon_activity_delta": relational.mon_activity_delta,
-        "events_hourly": relational.events_hourly,
-        "events_sessionize": relational.events_sessionize,
-        "recent_events_top200": relational.recent_events_top200,
-        "mon_error_bulletins": relational.mon_error_bulletins,
-        "mon_type_pivot": relational.mon_type_pivot,
-        "metrics_format_bytes": relational.metrics_format_bytes,
-        "metrics_durations": relational.metrics_durations,
-        "mon_processing_times": relational.mon_processing_times,
-        "events_props_extract": relational.events_props_extract,
-        "events_asof_last_error": relational.events_asof_last_error,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_region_revenue": relational.q5_region_revenue,
-        "top_customers_per_nation": relational.top_customers_per_nation,
-        "orders_rollup": relational.orders_rollup,
-        "customers_without_orders": relational.customers_without_orders,
-        "customer_order_stats": relational.customer_order_stats,
-        "purchase_and_signup_users": relational.purchase_and_signup_users,
-        "big_orders_having": relational.big_orders_having,
-        "events_cube": relational.events_cube,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q4_order_priority": relational.q4_order_priority,
-        "part_min_price_supplier": relational.part_min_price_supplier,
-        "nation_trade_volume": relational.nation_trade_volume,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "q12_late_shipments": relational.q12_late_shipments,
-        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        # --- oldest r3-era greens (r7 top-up) ---
-        "q18_large_volume_customers": relational.q18_large_volume_customers,
-        "events_moving_stats": relational.events_moving_stats,
-        # ^^^ first-50 boundary (50 entries above) ^^^
-        # ============ r8 WINDOW PLAN (next 50, in order) ============
-        # the 10 r3-era greens squeezed out of the r7 cut by the
-        # new-in-r7 block, then embedding_quantize (dropped from the
-        # r7 cut for the red-row retry) + remaining r3-era greens,
-        # then the oldest r4-era greens. Pinned by
-        # tests/test_entry_contract.py.
+        # ================= r8 WINDOW (first 50) =================
+        # --- pinned r8 head (promoted from behind the r7 boundary) ---
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,
         "events_value_percentiles": relational.events_value_percentiles,
@@ -132,8 +69,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": llm.dup_components,
         "dedup_incremental": llm.dedup_incremental,
         "embedding_quantize": llm.embedding_quantize,
-        # ============ r8+ back-catalog (freshest evidence last) ============
-        # --- remaining r3-era greens ---
+        # --- remaining r3-era greens (evidence two regens old) ---
         "docs_ngram_freq": llm.docs_ngram_freq,
         "docs_repetition_score": llm.docs_repetition_score,
         "docs_decontaminate": llm.docs_decontaminate,
@@ -169,11 +105,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_segment_dedup": llm.docs_segment_dedup,
         "events_retention_cohorts": relational.events_retention_cohorts,
         "events_conversion_funnel": relational.events_conversion_funnel,
-        # --- r4-era greens ---
+        # --- oldest r4-era greens (r8 top-up) ---
         "ivf_cosine_topk": llm.ivf_cosine_topk,
         "events_hll_accuracy": relational.events_hll_accuracy,
         "lsh_cosine_topk": llm.lsh_cosine_topk,
         "embedding_near_dups": llm.embedding_near_dups,
+        # ^^^ first-50 boundary (50 entries above) ^^^
+        # ============ r9 WINDOW PLAN (next 50, in order) ============
+        # remaining r4-era greens — includes the hydro/station anchor
+        # block (S6/S7/T7/T10/T11/C6/F3/K1/K2 operators), which after
+        # r8 clears the r3 era becomes the oldest SURVEY §2 evidence —
+        # then the oldest r5-era greens. Pinned by
+        # tests/test_entry_contract.py.
         "minhash_sig_probe": llm.minhash_sig_probe,
         "simhash_probe": llm.simhash_probe,
         "lsh_sig_probe": llm.lsh_sig_probe,
@@ -269,8 +212,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": relational.copurchase_triangles,
         "nation_trade_pagerank": relational.nation_trade_pagerank,
         # --- r6-era greens (certified 49/50 in CORRECTNESS_r06; the
-        # one red row, embedding_random_projection, leads the r7
-        # window above) ---
+        # one red row, embedding_random_projection, re-earned its
+        # green leading the r7 window and now sits with the r7-era
+        # block below) ---
         "orders_benford_digits": relational.orders_benford_digits,
         "events_ab_test": relational.events_ab_test,
         "brand_supplier_hhi": relational.brand_supplier_hhi,
@@ -320,6 +264,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_standing": relational.customer_balance_standing,
         "hydro_rating_residuals": hydro.rating_curve_residuals,
         "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
+        # --- r7-era greens (certified 50/50 in CORRECTNESS_r07 —
+        # freshest evidence in the registry) ---
+        "embedding_random_projection": llm.embedding_random_projection,
+        "docs_substring_dedup": llm.docs_substring_dedup,
+        "orders_salted_revenue": relational.orders_salted_revenue,
+        "copurchase_jaccard_parts": relational.copurchase_jaccard_parts,
+        "orders_seasonal_decomposition": relational.orders_seasonal_decomposition,
+        "ann_ivf_recall_report": llm.ann_ivf_recall_report,
+        "embedding_pca_power_iteration": llm.embedding_pca_power_iteration,
+        "multimodal_audio_windows": llm.multimodal_audio_windows,
+        "wire_schema_drift": wire.wire_schema_drift,
+        "lineitem_key_skew_profile": relational.lineitem_key_skew_profile,
+        "sessions_error_overlap": relational.sessions_error_overlap,
+        "wire_csv_parse": wire.wire_csv_parse,
+        "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
+        "hydro_classify_alerts": hydro.alerts,
+        "hydro_alert_counts": hydro.alert_counts,
+        "wire_parse": wire.wire_parse,
+        "wire_dlq": wire.wire_dlq,
+        "wire_batch_flatten": wire.wire_batch_flatten,
+        "mon_status_counts": relational.mon_status_counts,
+        "mon_summary": relational.mon_summary,
+        "mon_activity_delta": relational.mon_activity_delta,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
+        "recent_events_top200": relational.recent_events_top200,
+        "mon_error_bulletins": relational.mon_error_bulletins,
+        "mon_type_pivot": relational.mon_type_pivot,
+        "metrics_format_bytes": relational.metrics_format_bytes,
+        "metrics_durations": relational.metrics_durations,
+        "mon_processing_times": relational.mon_processing_times,
+        "events_props_extract": relational.events_props_extract,
+        "events_asof_last_error": relational.events_asof_last_error,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "top_customers_per_nation": relational.top_customers_per_nation,
+        "orders_rollup": relational.orders_rollup,
+        "customers_without_orders": relational.customers_without_orders,
+        "customer_order_stats": relational.customer_order_stats,
+        "purchase_and_signup_users": relational.purchase_and_signup_users,
+        "big_orders_having": relational.big_orders_having,
+        "events_cube": relational.events_cube,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "part_min_price_supplier": relational.part_min_price_supplier,
+        "nation_trade_volume": relational.nation_trade_volume,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_late_shipments": relational.q12_late_shipments,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "events_moving_stats": relational.events_moving_stats,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

@@ -39,25 +39,50 @@ def overlap_join(
     """Join rows whose CLOSED integer intervals [l_start, l_end] and
     [r_start, r_end] overlap. Column sets of ``left`` and ``right``
     must be disjoint; output = left columns + right columns, one row
-    per overlapping pair."""
+    per overlapping pair.
+
+    Inverted intervals (end < start) are dropped before the explode:
+    ``F.sequence`` would otherwise silently emit a DESCENDING bucket
+    list for them, scattering garbage rows across the join (r7
+    advisor item). Bucket ids use integer arithmetic throughout —
+    ``floor(col / lit)`` routes through double division, which is
+    exact only for |value| < 2^53 and would mis-bucket boundary
+    values for arbitrary long inputs; ``(c - pmod(c, w)) div w`` is
+    exact over the full long range (and handles negative starts,
+    where ``div`` alone truncates toward zero instead of flooring)."""
     if bucket_us < 1:
         raise ValueError("bucket_us must be >= 1")
-    w = F.lit(int(bucket_us))
+    w = int(bucket_us)
+    W = F.lit(w)
 
-    def buckets(s: str, e: str):
-        return F.explode(
-            F.sequence(F.floor(F.col(s) / w), F.floor(F.col(e) / w))
+    def bucketed(df: DataFrame, s: str, e: str, out: str) -> DataFrame:
+        lo = F.col(s).cast("long")
+        hi = F.col(e).cast("long")
+        return (
+            df.filter(hi >= lo)
+            .withColumn("_lo_q", lo - F.pmod(lo, W))
+            .withColumn("_hi_q", hi - F.pmod(hi, W))
+            .withColumn(
+                out,
+                F.explode(
+                    F.sequence(
+                        F.expr(f"_lo_q div {w}"), F.expr(f"_hi_q div {w}")
+                    )
+                ),
+            )
+            .drop("_lo_q", "_hi_q")
         )
 
-    lb = left.withColumn("_lb", buckets(l_start, l_end))
-    rb = right.withColumn("_rb", buckets(r_start, r_end))
-    claimed = F.floor(F.greatest(F.col(l_start), F.col(r_start)) / w)
+    lb = bucketed(left, l_start, l_end, "_lb")
+    rb = bucketed(right, r_start, r_end, "_rb")
+    cs = F.greatest(F.col(l_start), F.col(r_start)).cast("long")
     return (
         lb.join(rb, F.col("_lb") == F.col("_rb"))
         .filter(
             (F.col(l_start) <= F.col(r_end))
             & (F.col(r_start) <= F.col(l_end))
-            & (F.col("_lb") == claimed)
         )
-        .drop("_lb", "_rb")
+        .withColumn("_cs_q", cs - F.pmod(cs, W))
+        .filter(F.col("_lb") == F.expr(f"_cs_q div {w}"))
+        .drop("_lb", "_rb", "_cs_q")
     )

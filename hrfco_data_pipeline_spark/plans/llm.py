@@ -3679,9 +3679,14 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Per iteration: dot_i = <x_i, v> as an index-ordered fold
     (deterministic summation), contribution x_i * dot_i floor-quantized
-    to integer nanos and summed as BIGINT (order-invariant exact — the
-    same trick as the GD gradients), then v <- w / max_j |w_j| with the
-    single division done in doubles on identical integer operands.
+    to integer nanos and summed as DECIMAL(38,0) (order-invariant
+    exact — the same trick as the GD gradients, but widened past
+    BIGINT so a 100 TB corpus cannot silently wrap the accumulator
+    under non-ANSI mode; the DuckDB twin accumulates HUGEINT, so both
+    engines are exact to ~1e38 — per-row terms are ~1e12, putting the
+    ceiling at ~1e26 rows, unreachable), then v <- w / max_j |w_j|
+    with the single division done in doubles on identical integer
+    operands.
     Three iterations; the first two collect one 64-long row each
     (bounded k*dim-style collect), the last stays a DataFrame and
     normalizes engine-side. Output: one row per dimension with its
@@ -3708,9 +3713,13 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         return expr
 
     def w_aggs(dot: Column) -> list[Column]:
+        # per-row floor() output fits LONG easily (terms ~1e12); the
+        # overflow risk is the SUM, so it accumulates as decimal
         return [
             F.sum(
-                F.floor(F.element_at("v", j + 1) * dot * F.lit(1000000000.0))
+                F.floor(
+                    F.element_at("v", j + 1) * dot * F.lit(1000000000.0)
+                ).cast("decimal(38,0)")
             ).alias(f"s{j}")
             for j in range(dim)
         ]

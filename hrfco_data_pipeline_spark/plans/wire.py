@@ -432,7 +432,11 @@ def drift_report(per: DataFrame) -> DataFrame:
     face above and the streaming twin
     (streaming/curation.schema_drift_stream), which maintains the same
     partials incrementally — both faces emit identical rows for
-    identical partials."""
+    identical partials. Empty partials (n=0 — an empty or all-corrupt
+    micro-batch on the stream face; the batch face's groupBy can never
+    emit one) are dropped: they carry no presence evidence and would
+    otherwise yield NULL presence_rate / NULL drifted rows."""
+    per = per.filter(F.col("n") > 0)
     stacked = per.selectExpr(
         "batch",
         "n",

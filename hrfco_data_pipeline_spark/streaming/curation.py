@@ -245,8 +245,14 @@ def wire_presence_counts(parsed_batch: DataFrame, batch_id: int) -> DataFrame:
         parsed_batch.filter(F.col("_corrupt").isNull())
         .agg(
             F.count("*").alias("n"),
+            # coalesce: an empty or all-corrupt micro-batch sums to
+            # NULL, which would poison drift_report's global rates
+            # with NULL presence partials (n=0, p_*=0 is the honest
+            # partial; drift_report additionally drops n=0 rows)
             *[
-                F.sum(F.col(f).isNotNull().cast("long")).alias(f"p_{f}")
+                F.coalesce(
+                    F.sum(F.col(f).isNotNull().cast("long")), F.lit(0)
+                ).alias(f"p_{f}")
                 for f in fields
             ],
         )

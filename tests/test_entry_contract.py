@@ -38,67 +38,77 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-NEW_IN_R7 = [
-    "docs_substring_dedup",
-    "orders_salted_revenue",
-    "copurchase_jaccard_parts",
-    "orders_seasonal_decomposition",
-    "ann_ivf_recall_report",
-    "embedding_pca_power_iteration",
-    "multimodal_audio_windows",
-    "wire_schema_drift",
-    "lineitem_key_skew_profile",
-    "sessions_error_overlap",
+# New-in-r8 queries lead the window (never-checked first, per the
+# ordering contract). Append here as they land; the contract tests
+# below derive positions from this list so the pinned r8 head stays
+# inside the first-50 window (len must stay <= 39).
+NEW_IN_R8: list[str] = []
+
+# The pinned r8 head promoted from behind the r7 boundary
+# (VERDICT r7 "Next round" #1): the r3-era greens squeezed out of the
+# r7 cut plus embedding_quantize.
+R8_PROMOTED = [
+    "events_view_only_users",
+    "events_value_bands",
+    "events_value_percentiles",
+    "events_range_window",
+    "dq_referential_report",
+    "tables_report",
+    "events_props_variant",
+    "doc_winnow_fingerprints",
+    "dup_components",
+    "dedup_incremental",
+    "embedding_quantize",
 ]
 
 
-def test_r7_window_composition():
-    """The r7 window: the fixed red row from CORRECTNESS_r06 first
-    (embedding_random_projection — ±0.0 round() split, must re-earn
-    its green), the 10 never-checked queries added in r7, then the two
-    late-r5 strays, the flagship hot path (r4 evidence, one regen
-    old), the 32 r2-era greens (two regens old), and the 2 oldest
-    r3-era greens. Pin the block bounds so a careless insert can't
-    silently rotate one out."""
+def test_r8_window_composition():
+    """The r8 window: new-in-r8 queries first (never checked), then
+    the pinned 11-entry promoted head, then the remaining r3-era
+    greens (evidence two testdata regens old) and the oldest r4-era
+    greens topping up to 50. Pin the block bounds so a careless
+    insert can't silently rotate a pinned entry out."""
     names = list(entry.queries())
     w = names[:50]
-    assert w[0] == "embedding_random_projection"
-    assert w[1:11] == NEW_IN_R7
-    assert w[11] == "wire_csv_parse"
-    assert w[12] == "hydro_twa_daily_mean"
-    assert w[13:16] == ["hydro_classify_alerts", "hydro_alert_counts", "wire_parse"]
-    assert w[16] == "wire_dlq"  # r2-era block starts
-    assert w[-1] == "events_moving_stats"
+    n = len(NEW_IN_R8)
+    assert n <= 39, "new-in-r8 block would push the pinned head out"
+    assert w[:n] == NEW_IN_R8
+    assert w[n : n + 11] == R8_PROMOTED
+    assert w[n + 11] == "docs_ngram_freq"  # r3-era remainder starts
     must_check = {
-        "mon_summary",
-        "events_sessionize",
-        "events_asof_last_error",
-        "q3_shipping_priority",
-        "q5_region_revenue",
-        "q17_small_quantity_revenue",
-        "events_moving_stats",
+        "docs_decontaminate",
+        "docs_pack_sequences",
+        "docs_tfidf_top_terms",
+        "q7_volume_shipping",
+        "q22_idle_customers",
+        "docs_gopher_quality",
     }
     assert must_check <= set(w)
 
 
-def test_r8_window_plan():
-    """Positions 50-99 are exactly next round's window: the 10 r3-era
-    greens the new-in-r7 queries squeezed out of the r7 cut,
-    embedding_quantize (dropped from the r7 cut for the red-row
-    retry), the remaining r3-era greens, then the oldest r4-era
-    greens — so the r8 rotation is a single 50-entry cut."""
+def test_r9_window_plan():
+    """Positions 50-99 lead with the remaining r4-era greens — which
+    contain the hydro/station anchor block (S6/S7/T7/T10/T11/C6/F3/
+    K1/K2), the oldest SURVEY §2 evidence once r8 clears the r3 era
+    (VERDICT r7 "Next round" #5) — topped up by entries the r8 window
+    squeezed out and the oldest r5-era greens."""
     names = list(entry.queries())
-    r8 = names[50:100]
-    assert r8[0] == "events_view_only_users"  # squeezed-out block starts
-    assert r8[9] == "dedup_incremental"
-    assert r8[10] == "embedding_quantize"
-    assert r8[11] == "docs_ngram_freq"  # r3-era remainder starts
+    r9 = names[50:100]
     oracles = set(entry.oracle_sql())
-    assert set(r8) <= oracles  # every r8-window slot can go green
-    # the r6-certified block sits at the back (freshest evidence last,
-    # just ahead of the rows-only tail), minus the red-row retry
-    assert "orders_benford_digits" in names[100:]
-    assert "orders_cohort_ltv_curve" in names[100:]
+    assert set(r9) <= oracles  # every r9-window slot can go green
+    hydro_anchor = {
+        "hydro_station_list",
+        "hydro_station_detail",
+        "hydro_threshold_audit",
+        "hydro_archive_partitions",
+        "hydro_alerts_filtered",
+        "hydro_recent_alerts_500",
+    }
+    assert hydro_anchor <= set(r9)
+    # the r7-certified block sits at the back (freshest evidence last,
+    # just ahead of the rows-only tail)
+    assert "embedding_random_projection" in names[100:]
+    assert "events_moving_stats" in names[100:]
     # rows-only entries stay at the very end
     assert names[-5:] == [
         "events_hll_user_rollup",

@@ -172,6 +172,40 @@ def test_overlap_join_matches_theta_join(spark):
     assert len(got) == len(set(got))
 
 
+def test_overlap_join_negative_and_huge_longs_and_inverted(spark):
+    """r7 advisor item: bucket ids must use integer arithmetic (double
+    division is exact only below 2^53 — boundary values near the top
+    of the long range used to mis-bucket) and must floor, not
+    truncate, for negative starts; inverted intervals (end < start)
+    must be dropped, not exploded into a descending bucket list."""
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.operators.intervals import overlap_join
+
+    base = 4_611_686_018_427_387_904  # 2^62: double(2^62 + small) rounds
+    rows_l = [
+        (0, -130, -70),          # negative interval (floor-div path)
+        (1, base + 1, base + 5), # huge longs, same bucket
+        (2, 10, 20),
+        (3, 50, 40),             # inverted: must be dropped
+    ]
+    rows_r = [
+        (0, -100, -90),          # overlaps lid 0
+        (1, base + 3, base + 9), # overlaps lid 1
+        (2, 21, 30),             # touches nothing (closed: 20 < 21)
+        (3, 45, 35),             # inverted: must be dropped
+    ]
+    left = spark.createDataFrame(rows_l, ["lid", "ls", "le"])
+    right = spark.createDataFrame(rows_r, ["rid", "rs", "re"])
+    got = sorted(
+        (r.lid, r.rid)
+        for r in overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_us=64
+        ).collect()
+    )
+    assert got == [(0, 0), (1, 1)]
+
+
 def test_overlap_join_plan_is_equi_join_not_cartesian(spark):
     from pyspark.sql import functions as F
 

@@ -405,3 +405,47 @@ def test_schema_drift_stream_equals_batch_face(spark, tmp_path):
     )
     merge_presence_counts(spark, table, replay, 0)
     assert spark.read.parquet(table).count() == n_before
+
+
+def test_empty_microbatch_partial_cannot_poison_drift_report(spark, tmp_path):
+    """An empty or all-corrupt micro-batch used to store a partial
+    with n=0 and NULL p_* sums; drift_report then emitted rows with
+    NULL presence_rate and NULL drifted (0/0). The partial must carry
+    p_*=0 (not NULL), and the report must drop n=0 partials entirely
+    — rows the batch face can never produce (r7 advisor item)."""
+    from hrfco_data_pipeline_spark.plans.wire import WIRE_SCHEMA, drift_report
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        wire_presence_counts,
+    )
+
+    rec = F.from_json(
+        "value",
+        WIRE_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    )
+    all_corrupt = (
+        spark.createDataFrame(
+            [(1, "{not json"), (2, "also not json")], ["obs_id", "value"]
+        )
+        .select(rec.alias("rec"))
+        .select("rec.*")
+    )
+    partial = wire_presence_counts(all_corrupt, 7)
+    [row] = partial.collect()
+    assert row.n == 0
+    assert (row.p_wlobscd, row.p_ymdhm, row.p_wl, row.p_fw) == (0, 0, 0, 0)
+
+    ok_batch = (
+        spark.createDataFrame(
+            [(3, '{"wlobscd":"A","ymdhm":"202401010000","wl":"1.2","fw":"3.4"}')],
+            ["obs_id", "value"],
+        )
+        .select(rec.alias("rec"))
+        .select("rec.*")
+    )
+    per = partial.unionByName(wire_presence_counts(ok_batch, 8))
+    report = drift_report(per).collect()
+    assert {r.batch for r in report} == {8}
+    assert all(
+        r.presence_rate is not None and r.drifted is not None for r in report
+    )
