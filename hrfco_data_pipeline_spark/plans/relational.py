@@ -4338,7 +4338,10 @@ def orders_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def copurchase_jaccard_parts(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    wedge_salt: int = 8,
 ) -> DataFrame:
     """Node-similarity join on the part co-purchase graph (same
     support-2 edges as copurchase_triangles): for every part pair
@@ -4347,16 +4350,35 @@ def copurchase_jaccard_parts(
     X also bought Y" primitive, computed without materializing any
     neighbor set on one machine.
 
-    Scale shape: symmetrize edges, wedge-join on the middle vertex
-    (fan-out bounded by per-vertex degree — at 100 TB cap or
-    orient by (degree, id) exactly as the triangle note), count
-    wedges per (a, b) = intersection size, then two degree joins and
-    one exact integer division for the Jaccard. The support-2 common
-    filter keeps output sparse; intersection/degree stay integers so
-    the only double is the final division (bit-portable).
+    Scale shape: symmetrize edges, wedge-join on the middle vertex,
+    count wedges per (a, b) = intersection size, then two degree
+    joins and one exact integer division for the Jaccard. The
+    support-2 common filter keeps output sparse; intersection/degree
+    stay integers so the only double is the final division
+    (bit-portable).
+
+    Hot-vertex bound (enforced, r7 advisor item): unlike triangle
+    counting, Jaccard semantics need EVERY wedge — a (degree, id)
+    orientation would drop pairs — so the deg(u)^2 fan-out behind a
+    hot middle vertex is spread by SALTING the wedge join's key: the
+    s1 side scatters on ``pmod(xxhash64(v), wedge_salt)``, the s2
+    side replicates ``wedge_salt`` times, and the equi-join key
+    becomes (u, salt). Each unordered pair still meets exactly once
+    (s1's salt picks exactly one s2 replica), the pair set is
+    byte-identical, and per-task fan-out drops to deg(u)^2 /
+    wedge_salt. Size ``wedge_salt`` from a degree profile (see
+    lineitem_key_skew_profile / operators/skew) — the replication
+    cost is wedge_salt x |edges|, cheap because edges are the
+    support-filtered pair list, not the fact table. The edge-build
+    self-join on l_orderkey has per-order fan-out C(basket, 2) — an
+    output-semantics cost bounded by basket size on TPC-H-shaped
+    data; for unbounded baskets apply the same salt pattern to the
+    l_orderkey key.
     """
     from hrfco_data_pipeline_spark.operators.dedup import _materialized
 
+    if wedge_salt < 1:
+        raise ValueError("wedge_salt must be >= 1")
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
@@ -4378,11 +4400,19 @@ def copurchase_jaccard_parts(
         edges = _materialized(edges)
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy(F.col("u").alias("p")).agg(F.count("*").alias("deg"))
-    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    salt = int(wedge_salt)
+    s1 = sym.withColumn("_wsalt", F.pmod(F.xxhash64("v"), F.lit(salt))).alias(
+        "s1"
+    )
+    s2 = sym.withColumn(
+        "_wsalt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(salt)]))
+    ).alias("s2")
     common = (
         s1.join(
             s2,
-            (F.col("s1.u") == F.col("s2.u")) & (F.col("s1.v") < F.col("s2.v")),
+            (F.col("s1.u") == F.col("s2.u"))
+            & (F.col("s1._wsalt") == F.col("s2._wsalt"))
+            & (F.col("s1.v") < F.col("s2.v")),
         )
         .groupBy(F.col("s1.v").alias("a"), F.col("s2.v").alias("b"))
         .agg(F.count("*").alias("n_common"))

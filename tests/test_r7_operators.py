@@ -137,6 +137,54 @@ def test_copurchase_jaccard_matches_brute_force(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_copurchase_jaccard_hot_vertex_salted_fanout(spark, tmp_path):
+    """r7 advisor item: a hot middle vertex must not put its deg^2
+    wedge block behind one join key. Star graph through two hubs
+    (deg 30 each): the salted plan must (a) return exactly the
+    unsalted pair set, (b) carry _wsalt in the wedge join key, and
+    (c) scatter the hub's s1 rows across several (u, salt) groups
+    with a bounded max group size."""
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        copurchase_jaccard_parts,
+    )
+
+    rows = []
+    ok = 0
+    for hub in (0, 1000):
+        for v in range(1, 31):
+            for _ in range(2):  # support-2 edges hub—v
+                rows.append((ok, hub, 1))
+                rows.append((ok, v, 2))
+                ok += 1
+    li = spark.createDataFrame(rows, ["l_orderkey", "l_partkey", "l_linenumber"])
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    salted = copurchase_jaccard_parts(spark, str(tmp_path), wedge_salt=8)
+    plain = copurchase_jaccard_parts(spark, str(tmp_path), wedge_salt=1)
+    got = sorted(tuple(r) for r in salted.collect())
+    want = sorted(tuple(r) for r in plain.collect())
+    # every spoke pair shares both hubs (C(30,2) pairs, n_common=2)
+    # plus the hub pair itself, which shares all 30 spokes
+    assert got == want and len(got) == 436
+    assert all(r[2] == 2 for r in got if r[:2] != (0, 1000))
+    assert (0, 1000, 30) in {r[:3] for r in got}
+
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_wsalt" in plan
+
+    # the scatter the plan performs: hub spokes split by pmod(xxhash64)
+    groups = (
+        spark.createDataFrame([(v,) for v in range(1, 31)], ["v"])
+        .groupBy(F.pmod(F.xxhash64("v"), F.lit(8)).alias("s"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    assert len(groups) >= 4  # spread across several salt buckets
+    assert max(g.c for g in groups) <= 12  # no bucket rebuilds deg^2
+
+
 def test_overlap_join_matches_theta_join(spark):
     """Bucketed interval join vs the naive theta join on random-ish
     deterministic intervals spanning multiple buckets, including
