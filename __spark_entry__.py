@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r5 rest -> r6 -> the r7/r8-certified blocks.
     return {
         # ================= r8 WINDOW (first 50) =================
+        # --- new in r8 (never checked; oracle-backed) ---
+        "orders_join_strategy_report": relational.orders_join_strategy_report,
         # --- pinned r8 head (promoted from behind the r7 boundary) ---
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,

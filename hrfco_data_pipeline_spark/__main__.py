@@ -72,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         "events_median_bisect",
         "docs_train_linear_gate",
         "embedding_pca_power_iteration",
+        "orders_join_strategy_report",
     }
     if args.cmd == "explain" and args.query in EAGER:
         print(

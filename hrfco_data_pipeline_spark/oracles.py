@@ -6335,6 +6335,53 @@ RELATIONAL_ORACLES["lineitem_key_skew_profile"] = """
     """
 
 
+RELATIONAL_ORACLES["orders_join_strategy_report"] = """
+    WITH p AS (
+      SELECT 'lineitem_x_part' AS candidate, 'l_partkey' AS join_key,
+             (SELECT count(*) FROM part) AS small_rows,
+             CAST(sum(n) AS BIGINT) AS big_rows,
+             count(*) AS n_keys, max(n) AS max_n
+      FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
+      UNION ALL
+      SELECT 'lineitem_x_orders', 'l_orderkey',
+             (SELECT count(*) FROM orders),
+             CAST(sum(n) AS BIGINT), count(*), max(n)
+      FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+      UNION ALL
+      SELECT 'lineitem_x_supplier', 'l_suppkey',
+             (SELECT count(*) FROM supplier),
+             CAST(sum(n) AS BIGINT), count(*), max(n)
+      FROM (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1)
+      UNION ALL
+      SELECT 'events_x_customer', 'user_id',
+             (SELECT count(*) FROM customer),
+             CAST(sum(n) AS BIGINT), count(*), max(n)
+      FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+    ),
+    r AS (
+      SELECT *,
+        CAST(max_n AS DOUBLE) / CAST(big_rows AS DOUBLE) AS hot_key_share,
+        CAST(max_n * n_keys AS DOUBLE) / CAST(big_rows AS DOUBLE)
+          AS mean_ratio
+      FROM p
+    )
+    SELECT candidate, join_key,
+      CASE WHEN small_rows <= 1000 THEN 'broadcast'
+           WHEN mean_ratio >= 2.0 THEN 'salted'
+           ELSE 'plain' END AS strategy,
+      CAST(CASE WHEN small_rows <= 1000 OR mean_ratio < 2.0 THEN 1
+                ELSE LEAST(32, 1 << CAST(
+                  ceil(log2(greatest(2.0, mean_ratio))) AS INTEGER))
+           END AS BIGINT) AS salt,
+      CAST(small_rows AS BIGINT) AS small_rows,
+      CAST(big_rows AS BIGINT) AS big_rows,
+      CAST(n_keys AS BIGINT) AS n_keys,
+      CAST(max_n AS BIGINT) AS max_key_rows,
+      hot_key_share, mean_ratio
+    FROM r
+    """
+
+
 RELATIONAL_ORACLES["sessions_error_overlap"] = """
     WITH flagged AS (
       SELECT user_id, event_id, ts, epoch_us(ts) AS us,

@@ -4519,6 +4519,82 @@ def lineitem_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_join_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy pre-flight over the four standard fact⋈dim joins
+    (operators/skew.choose_join_strategy — the SCALE.md decision rule
+    as a value): for each candidate, the dim size, the big side's key
+    profile (rows, keys, hottest key), and the decision — broadcast
+    if the dim fits, salted (with the computed salt) if it doesn't
+    and the hottest key holds >= 2x the mean rows-per-key, plain
+    otherwise. This is the report that makes the measured salted-join
+    win (SCALE.md: 4.2-4.5x vs AQE skew-split at 20M/90%-hot)
+    reachable without reading SCALE.md: run it, read the strategy
+    column, apply via operators/skew.apply_join_strategy.
+
+    Policy pinned here: broadcast_max_rows=1000 (a portable row-count
+    rule so the DuckDB twin can replay the decision; production uses
+    the 64 MB Catalyst-stats default), skew_mean_ratio=2.0 (salting's
+    only cost is dim replication, already excluded by the broadcast
+    arm, so mild-skew salting is cheap insurance; the helper default
+    stays at the conservative 4.0).
+
+    EAGER: profiles run at call time (two bounded 1-row aggregates
+    per candidate); the result ships as literals. All ratios are
+    single divisions of exact integers (bit-portable); the salt is
+    2^ceil(log2(mean_ratio)) capped at 32, log2 being IEEE-portable.
+    """
+    from hrfco_data_pipeline_spark.operators.skew import choose_join_strategy
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    candidates = [
+        ("lineitem_x_part", li, load_table(spark, sf_dir, "part"), "l_partkey"),
+        (
+            "lineitem_x_orders",
+            li,
+            load_table(spark, sf_dir, "orders"),
+            "l_orderkey",
+        ),
+        (
+            "lineitem_x_supplier",
+            li,
+            load_table(spark, sf_dir, "supplier"),
+            "l_suppkey",
+        ),
+        (
+            "events_x_customer",
+            ev,
+            load_table(spark, sf_dir, "customer"),
+            "user_id",
+        ),
+    ]
+    rows = []
+    for name, big, small, key in candidates:
+        d = choose_join_strategy(
+            big, small, key, broadcast_max_rows=1000, skew_mean_ratio=2.0
+        )
+        rows.append(
+            (
+                name,
+                key,
+                d.strategy,
+                d.salt,
+                d.small_rows,
+                d.big_rows,
+                d.n_keys,
+                d.max_key_rows,
+                d.hot_key_share,
+                d.mean_ratio,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "candidate string, join_key string, strategy string, salt long, "
+        "small_rows long, big_rows long, n_keys long, max_key_rows long, "
+        "hot_key_share double, mean_ratio double",
+    )
+
+
 def sessions_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join probe (operators/intervals.overlap_join):
     which user sessions overlap a platform error episode — the

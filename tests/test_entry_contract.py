@@ -42,7 +42,9 @@ def test_first_50_all_oracle_backed():
 # ordering contract). Append here as they land; the contract tests
 # below derive positions from this list so the pinned r8 head stays
 # inside the first-50 window (len must stay <= 39).
-NEW_IN_R8: list[str] = []
+NEW_IN_R8: list[str] = [
+    "orders_join_strategy_report",
+]
 
 # The pinned r8 head promoted from behind the r7 boundary
 # (VERDICT r7 "Next round" #1): the r3-era greens squeezed out of the

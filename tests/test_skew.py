@@ -1,12 +1,17 @@
 """operators/skew.salted_join: result parity with the plain join,
-plan actually scatters the key, and the unsound join types refuse."""
+plan actually scatters the key, and the unsound join types refuse;
+choose_join_strategy: the SCALE.md decision rule as a value."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
 
-from hrfco_data_pipeline_spark.operators.skew import salted_join
+from hrfco_data_pipeline_spark.operators.skew import (
+    apply_join_strategy,
+    choose_join_strategy,
+    salted_join,
+)
 
 
 def _skewed(spark):
@@ -65,6 +70,53 @@ def test_salted_join_refuses_small_side_preserving_joins(spark):
     for how in ("right", "full", "full_outer"):
         with pytest.raises(ValueError, match="big-side-preserving"):
             salted_join(big, small, "k", "sk", scatter_on=F.col("row_id"), how=how)
+
+
+def test_choose_join_strategy_three_arms(spark):
+    """The decision rule: broadcast if the dim fits, salt if it
+    doesn't and the key profile shows hot keys, plain otherwise.
+    _skewed has 90% of rows behind one key: total 2000, 6 keys,
+    max 1800 -> mean_ratio 5.4, so the salt lands at 2^ceil(log2(5.4))
+    = 8."""
+    big, small = _skewed(spark)
+    d = choose_join_strategy(big, small, "k", broadcast_max_rows=100)
+    assert d.strategy == "broadcast" and d.salt == 1
+    assert (d.big_rows, d.n_keys, d.max_key_rows) == (2000, 6, 1800)
+
+    d = choose_join_strategy(big, small, "k", broadcast_max_rows=10)
+    assert d.strategy == "salted" and d.salt == 8
+    assert abs(d.mean_ratio - 5.4) < 1e-12
+
+    uniform = spark.range(2000).select(
+        F.col("id").alias("row_id"), (F.col("id") % 50).alias("k")
+    )
+    d = choose_join_strategy(uniform, small, "k", broadcast_max_rows=10)
+    assert d.strategy == "plain" and d.salt == 1
+
+    # the bytes arm: a 50-row dim sits far under the 64 MB default
+    d = choose_join_strategy(big, small, "k")
+    assert d.strategy == "broadcast"
+
+    # salt cap engages on extreme skew
+    d = choose_join_strategy(
+        big, small, "k", broadcast_max_rows=10, max_salt=4
+    )
+    assert d.salt == 4
+
+
+def test_apply_join_strategy_row_parity(spark):
+    """All three executions return the plain join's rows; broadcast
+    and salted leave their fingerprints in the executed plan."""
+    big, small = _skewed(spark)
+    cols = ["row_id", "k", "v", "name"]
+    want = _rows(big.join(small, big["k"] == small["sk"]), cols)
+    for max_rows, mark in ((100, "BroadcastHashJoin"), (10, "_salt")):
+        d = choose_join_strategy(big, small, "k", broadcast_max_rows=max_rows)
+        got = apply_join_strategy(
+            big, small, "k", "sk", F.col("row_id"), d
+        )
+        assert _rows(got, cols) == want
+        assert mark in got._jdf.queryExecution().executedPlan().toString()
 
 
 def test_salted_join_is_deterministic_across_reruns(spark):
