@@ -6430,3 +6430,56 @@ RELATIONAL_ORACLES["sessions_error_overlap"] = """
     FROM sessions JOIN episodes
       ON s_start_us <= e_end_us AND e_start_us <= s_end_us
     """
+
+
+# BM25 top-k: literal query-term list, RATIONAL idf (Spark's LOG2 is
+# ln(x)/ln(2) — 1 ulp off DuckDB's true log2 on some args, so log idf
+# is not engine-exact; see plans/llm.docs_bm25_topk), per-doc sum
+# folded in sorted-term order (≡ Spark sort_array + F.aggregate),
+# ties on doc_id. Fractional literals CAST to DOUBLE (DuckDB parses
+# bare 0.5 as DECIMAL, which would change the arithmetic chain).
+LLM_ORACLES["docs_bm25_topk"] = _TOK_CTE + """
+    , terms AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        unnest(toks) AS term
+      FROM tok
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM terms GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT)
+        AS total_tokens
+      FROM tok
+    ), q(query_id, term) AS (
+      VALUES (1, 'hash'), (1, 'join'), (2, 'stream'), (2, 'window'),
+             (2, 'agg'), (3, 'sort'), (3, 'merge'), (4, 'scan'),
+             (4, 'filter'), (4, 'table')
+    ), cand AS (
+      SELECT q.query_id, tf.doc_id, tf.term,
+        ((n_docs - df + CAST(0.5 AS DOUBLE))
+             / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * ((tf * CAST(2.2 AS DOUBLE))
+           / (tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl
+                   / (CAST(total_tokens AS DOUBLE)
+                      / CAST(n_docs AS DOUBLE))))) AS s
+      FROM tf JOIN df USING (term) JOIN q ON q.term = tf.term, stats
+    ), scored AS (
+      SELECT query_id, doc_id,
+        list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                    (acc, x) -> acc + x) AS score,
+        count(*) AS n_terms
+      FROM cand GROUP BY 1, 2
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC)
+        AS rank
+      FROM scored
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+      CAST(rank AS INTEGER) AS rank, doc_id, score,
+      CAST(n_terms AS BIGINT) AS n_terms
+    FROM ranked WHERE rank <= 10
+    """

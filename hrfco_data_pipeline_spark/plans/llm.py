@@ -3786,3 +3786,118 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_energy").cast("long").alias("max_energy"),
         F.col("peak_idx").cast("long").alias("peak_idx"),
     )
+
+
+BM25_QUERIES = [
+    (1, "hash"),
+    (1, "join"),
+    (2, "stream"),
+    (2, "window"),
+    (2, "agg"),
+    (3, "sort"),
+    (3, "merge"),
+    (4, "scan"),
+    (4, "filter"),
+    (4, "table"),
+]
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str, topk: int = 10) -> DataFrame:
+    """BM25 lexical retrieval top-k over the document corpus — the
+    classic sparse-retrieval face that pairs with the dense ANN family
+    (brute/LSH/IVF/PQ) for hybrid query-document relevance mining:
+    per (query, doc), sum over query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    k1=1.2, b=0.75 and a RATIONAL idf — the raw Robertson odds
+    (N - df + 0.5)/(df + 0.5) + 1 without the log damping. The log is
+    deliberately avoided: Spark's LOG2 evaluates ln(x)/ln(2), which
+    is 1 ulp off a true log2 for some arguments (measured: df=393 at
+    sf0.01 flips the last bit and reorders ranks 4-10), so a
+    log-idf cannot be engine-exactly verified; the rational idf is
+    transcendental-free, monotone in df like log-idf, and the log2
+    variant is a one-line swap where cross-engine verification is
+    not required (same trade docs_tfidf_top_terms documents).
+
+    Exactness: tf/df/dl/N are integers; avgdl is one double division
+    of exact integers; the per-term score chain is written in the
+    same operation order on both engines; the per-doc sum folds the
+    matched terms in sorted-term order (sort_array + F.aggregate ≡
+    DuckDB list ORDER BY + list_reduce), so the doubles are
+    bit-identical and ties break on doc_id.
+
+    Scale shape: one tokenize + (doc, term) tf groupBy (the same
+    postings shape as docs_tfidf_top_terms — df falls out of tf with
+    no second corpus pass), the 10-row query-term list broadcast onto
+    the postings, and a TWO-PHASE top-k: query_id is a handful of
+    values, so a single row_number window over candidates would put
+    each query's whole candidate set in one task at 100 TB — instead
+    candidates first rank within (query, pmod(xxhash64(doc_id), 64))
+    salt buckets (deterministic, AQE-safe), survivors <= 64*topk per
+    query, then the exact global window runs over that bounded set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    terms = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    )
+    qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    cand = (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .withColumn(
+            "idf",
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(0.75)
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ),
+        )
+    )
+    scored = cand.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+    local_w = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(64))
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+    survivors = (
+        scored.withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= topk)
+        .drop("_lr")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "doc_id", "score", "n_terms")
+    )

@@ -4541,7 +4541,11 @@ def orders_join_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     EAGER: profiles run at call time (two bounded 1-row aggregates
     per candidate); the result ships as literals. All ratios are
     single divisions of exact integers (bit-portable); the salt is
-    2^ceil(log2(mean_ratio)) capped at 32, log2 being IEEE-portable.
+    2^ceil(log2(mean_ratio)) capped at 32 — computed DRIVER-side with
+    Python's math.log2, which is bit-equal to DuckDB's log2 (both
+    correctly-rounded true log2; probed over 2001 args). Spark's
+    LOG2 — which evaluates ln(x)/ln(2), ~31% of args 1 ulp off — is
+    never in this path.
     """
     from hrfco_data_pipeline_spark.operators.skew import choose_join_strategy
 

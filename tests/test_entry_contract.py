@@ -44,6 +44,7 @@ def test_first_50_all_oracle_backed():
 # inside the first-50 window (len must stay <= 39).
 NEW_IN_R8: list[str] = [
     "orders_join_strategy_report",
+    "docs_bm25_topk",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary
