@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r8 (never checked; oracle-backed) ---
         "orders_join_strategy_report": relational.orders_join_strategy_report,
         "docs_bm25_topk": llm.docs_bm25_topk,
+        "copurchase_kcore": relational.copurchase_kcore,
         # --- pinned r8 head (promoted from behind the r7 boundary) ---
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,

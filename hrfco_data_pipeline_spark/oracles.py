@@ -6483,3 +6483,43 @@ LLM_ORACLES["docs_bm25_topk"] = _TOK_CTE + """
       CAST(n_terms AS BIGINT) AS n_terms
     FROM ranked WHERE rank <= 10
     """
+
+
+def _kcore_stages(k: int = 3, rounds: int = 8) -> str:
+    """Chained peel stages replaying plans/relational.copurchase_kcore
+    round for round (fixed-iteration pattern; peeling is monotone, so
+    rounds past convergence are no-ops on both engines). Each stage
+    is MATERIALIZED: DuckDB inlines plain CTEs, and every stage here
+    is referenced twice, so un-materialized chains expand to
+    2^rounds copies of the base scan (observed as a too-many-open-
+    files blowup at rounds=8)."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", k{i} AS MATERIALIZED (SELECT u FROM ("
+            f"SELECT u, count(*) AS deg FROM e{i - 1} GROUP BY u"
+            f") WHERE deg >= {k})"
+            f", e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i - 1} e "
+            f"JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)"
+        )
+    return "\n".join(parts)
+
+
+RELATIONAL_ORACLES["copurchase_kcore"] = (
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e0 AS MATERIALIZED (
+      SELECT u, v FROM half UNION ALL SELECT v, u FROM half)
+    """
+    + _kcore_stages()
+    + """
+    SELECT u AS part, CAST(count(*) AS BIGINT) AS core_degree
+    FROM e8 GROUP BY u
+    """
+)

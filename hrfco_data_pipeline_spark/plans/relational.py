@@ -2428,6 +2428,33 @@ def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-2 co-purchase HALF edge list (u < v): part pairs
+    co-ordered >= 2 times — the shared graph substrate of the
+    co-purchase family (triangles, neighbor Jaccard, label
+    propagation, BFS, k-core). Per-order pair fan-out is
+    C(|basket|, 2), bounded by basket size on TPC-H shapes; for
+    unbounded baskets see the salt remark in
+    copurchase_jaccard_parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("u", "v")
+    )
+
+
 def copurchase_triangles(
     spark: SparkSession, sf_dir: str, materialize: bool = True
 ) -> DataFrame:
@@ -2443,23 +2470,7 @@ def copurchase_triangles(
     by all three join legs and the degree agg."""
     from hrfco_data_pipeline_spark.operators.dedup import _materialized
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     if materialize:
         edges = _materialized(edges)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
@@ -3377,23 +3388,7 @@ def copurchase_label_propagation(
     fixpoints after 3 rounds)."""
     from hrfco_data_pipeline_spark.operators.dedup import _materialized
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-        .select("u", "v")
-    )
+    half = _copurchase_edges(spark, sf_dir)
     # undirected adjacency: both directions
     adj = _materialized(
         half.unionAll(
@@ -3862,23 +3857,7 @@ def copurchase_bfs_levels(
     registry's oracle-backed graph-traversal representative."""
     from hrfco_data_pipeline_spark.operators.dedup import _materialized
 
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-        .select("u", "v")
-    )
+    half = _copurchase_edges(spark, sf_dir)
     adj = _materialized(
         half.unionAll(
             half.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -4379,23 +4358,7 @@ def copurchase_jaccard_parts(
 
     if wedge_salt < 1:
         raise ValueError("wedge_salt must be >= 1")
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 2)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     if materialize:
         edges = _materialized(edges)
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -4434,6 +4397,57 @@ def copurchase_jaccard_parts(
                     "double"
                 )
             ).alias("jaccard"),
+        )
+    )
+
+
+def copurchase_kcore(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    rounds: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph (same
+    support-2 edges as the rest of the family): iteratively peel
+    vertices with degree < k until the k-core remains — the standard
+    dense-subgraph primitive for finding the stable "frequently
+    bought together" nucleus that survives when marginal products are
+    stripped away. Output: the surviving vertices with their
+    within-core degree.
+
+    Runs a FIXED ``rounds`` peel iterations (identically replayed by
+    the DuckDB twin as chained CTE stages, the bounded-iteration
+    pattern of docs_learning_curve / copurchase_bfs_levels): peeling
+    is monotone, so extra rounds past convergence are no-ops and the
+    fixed count keeps both engines bit-comparable without a
+    convergence action. At toy scales the graph converges in <= 3
+    rounds; at 100 TB each round is one map-side-combined degree
+    groupBy plus two part-key semi-joins over the (support-filtered,
+    ≪ corpus) edge list, with lineage cut per round so the plan
+    cannot grow exponentially.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    half = _copurchase_edges(spark, sf_dir)
+    sym = half.unionByName(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    alive = _materialized(sym) if materialize else sym
+    for _ in range(rounds):
+        deg = alive.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        alive = alive.join(keep, "u", "left_semi").join(
+            keep.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        if materialize:
+            alive = _materialized(alive)
+    return (
+        alive.groupBy("u")
+        .agg(F.count("*").alias("core_degree"))
+        .select(
+            F.col("u").alias("part"),
+            F.col("core_degree").cast("long").alias("core_degree"),
         )
     )
 

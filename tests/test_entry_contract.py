@@ -45,6 +45,7 @@ def test_first_50_all_oracle_backed():
 NEW_IN_R8: list[str] = [
     "orders_join_strategy_report",
     "docs_bm25_topk",
+    "copurchase_kcore",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary

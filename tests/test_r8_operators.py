@@ -1,0 +1,82 @@
+"""r8 operators: k-core peeling semantics, BM25 ranking sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401 (parity with sibling files)
+
+
+def _write_orders(spark, tmp_path, orders):
+    rows = []
+    for ok, parts in enumerate(orders):
+        for ln, p in enumerate(parts):
+            rows.append((ok, p, ln + 1))
+    spark.createDataFrame(
+        rows, ["l_orderkey", "l_partkey", "l_linenumber"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+
+def test_kcore_peels_tail_keeps_triangle(spark, tmp_path):
+    """Triangle 1-2-3 plus a pendant 1-4 edge (all support-2): the
+    2-core strips the pendant and keeps the triangle with in-core
+    degree 2 each; the 3-core is empty (triangle degrees are 2)."""
+    from hrfco_data_pipeline_spark.plans.relational import copurchase_kcore
+
+    orders = [[1, 2, 3], [1, 2, 3], [1, 4], [1, 4]]
+    _write_orders(spark, tmp_path, orders)
+    got = {
+        r.part: r.core_degree
+        for r in copurchase_kcore(spark, str(tmp_path), k=2).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert copurchase_kcore(spark, str(tmp_path), k=3).count() == 0
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark, tmp_path):
+    """A chain hanging off a 4-clique peels one link per round — the
+    cascade the fixed-round loop must carry through: clique {1,2,3,4}
+    plus chain 4-5, 5-6. k=2 keeps only the clique (chain unravels
+    end-first across two rounds); one round is not enough."""
+    from hrfco_data_pipeline_spark.plans.relational import copurchase_kcore
+
+    clique = [[1, 2, 3, 4], [1, 2, 3, 4]]
+    chain = [[4, 5], [4, 5], [5, 6], [5, 6]]
+    _write_orders(spark, tmp_path, clique + chain)
+    got = {
+        r.part: r.core_degree
+        for r in copurchase_kcore(spark, str(tmp_path), k=2).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    partial = {
+        r.part: r.core_degree
+        for r in copurchase_kcore(spark, str(tmp_path), k=2, rounds=1).collect()
+    }
+    assert 5 in partial  # node 5 only peels after 6 is gone
+
+
+def test_bm25_prefers_higher_tf_shorter_docs(spark, tmp_path):
+    """Sanity on the scoring direction: for a one-term query, a doc
+    with more hits outranks fewer hits; equal hits, the shorter doc
+    wins (length normalization)."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_bm25_topk
+
+    rows = [
+        (1, "hash hash hash pad pad pad", "en", "s", 0),
+        (2, "hash pad pad pad pad pad", "en", "s", 0),
+        (3, "hash pad", "en", "s", 0),
+        (4, "pad pad pad", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = [
+        r.doc_id
+        for r in docs_bm25_topk(spark, str(tmp_path))
+        .filter("query_id = 1")
+        .orderBy("rank")
+        .collect()
+    ]
+    # query 1 = [hash, join]; doc 4 has no query term at all
+    assert out[0] == 1  # highest tf
+    assert out[1] == 3  # tf=1 but dl=2 beats tf=1 dl=6
+    assert out[2] == 2
+    assert 4 not in out
