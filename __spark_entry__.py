@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_join_strategy_report": relational.orders_join_strategy_report,
         "docs_bm25_topk": llm.docs_bm25_topk,
         "copurchase_kcore": relational.copurchase_kcore,
+        "docs_rake_keyphrases": llm.docs_rake_keyphrases,
         # --- pinned r8 head (promoted from behind the r7 boundary) ---
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,

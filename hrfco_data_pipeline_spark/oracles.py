@@ -6523,3 +6523,57 @@ RELATIONAL_ORACLES["copurchase_kcore"] = (
     FROM e8 GROUP BY u
     """
 )
+
+
+# RAKE keyphrases: phrase segmentation by stopword runs, corpus-wide
+# deg/freq word scores (exact integer division), per-phrase sum folded
+# in token-position order, ties on the phrase string.
+LLM_ORACLES["docs_rake_keyphrases"] = _TOK_CTE + """
+    , pos AS (
+      SELECT doc_id, i AS pos, toks[i] AS w,
+        toks[i] IN ('a', 'the') AS is_stop
+      FROM tok, unnest(generate_series(1, len(toks))) AS u(i)
+    ),
+    seg AS (
+      SELECT doc_id, pos, w,
+        sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM pos
+      QUALIFY NOT is_stop
+    ),
+    plen AS (
+      SELECT doc_id, phrase_id, count(*) AS plen
+      FROM seg GROUP BY 1, 2
+    ),
+    wstats AS (
+      SELECT w, CAST(sum(plen) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        AS wscore
+      FROM seg JOIN plen USING (doc_id, phrase_id)
+      GROUP BY w
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+        string_agg(w, ' ' ORDER BY pos) AS phrase,
+        CAST(count(*) AS BIGINT) AS n_words,
+        list_reduce(list_prepend(0.0, list(wscore ORDER BY pos)),
+                    (acc, x) -> acc + x) AS score
+      FROM seg JOIN wstats USING (w)
+      GROUP BY 1, 2
+    ),
+    uniq AS (
+      SELECT doc_id, phrase, min(n_words) AS n_words,
+        min(score) AS score, count(*) AS n_occurrences
+      FROM phrases GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, phrase ASC)
+        AS rank
+      FROM uniq
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, phrase,
+      CAST(n_words AS BIGINT) AS n_words,
+      CAST(n_occurrences AS BIGINT) AS n_occurrences, score
+    FROM ranked WHERE rank <= 3
+    """

@@ -3901,3 +3901,83 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str, topk: int = 10) -> DataFram
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "doc_id", "score", "n_terms")
     )
+
+
+RAKE_STOPWORDS = ("a", "the")
+
+
+def docs_rake_keyphrases(spark: SparkSession, sf_dir: str, topn: int = 3) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) per document:
+    candidate phrases are the maximal token runs between stopwords,
+    each word scores deg(w)/freq(w) over the CORPUS-wide phrase
+    co-occurrence graph (deg = sum of lengths of phrases containing
+    w, freq = occurrence count), a phrase scores the sum of its word
+    scores, and each doc keeps its topn phrases — the unsupervised
+    keyword face of the text-analysis family (tfidf = distinctive
+    single terms; RAKE = multi-word phrases).
+
+    Exactness: deg/freq are exact integers, the word score is one
+    double division, and the per-phrase sum folds word scores in
+    token-position order (sort_array + F.aggregate ≡ DuckDB list
+    ORDER BY + list_reduce) — bit-identical; identical phrase texts
+    fold identically, ranking ties break on the phrase string.
+
+    Scale shape: posexplode + one per-doc running-sum window (state
+    bounded by doc length) segments phrases; word stats are one
+    map-side-combined word-key groupBy; scores join back on the word
+    key; the topn window partitions by doc_id. No driver actions, no
+    UDFs, nothing denser than the (word) and (doc, phrase) keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    pos = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "w")
+    ).withColumn("is_stop", F.col("w").isin(*RAKE_STOPWORDS))
+    wd = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = (
+        pos.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("long")).over(wd)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "phrase_id", "pos", "w")
+    )
+    plen = seg.groupBy("doc_id", "phrase_id").agg(F.count("*").alias("plen"))
+    wstats = (
+        seg.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"), F.sum("plen").alias("deg"))
+        .withColumn(
+            "wscore",
+            F.col("deg").cast("double") / F.col("freq").cast("double"),
+        )
+    )
+    phrases = (
+        seg.join(wstats.select("w", "wscore"), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "w", "wscore"))).alias("ws"))
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("ws", lambda x: x["w"]), " "
+            ).alias("phrase"),
+            F.size("ws").cast("long").alias("n_words"),
+            F.aggregate(
+                "ws", F.lit(0.0), lambda acc, x: acc + x["wscore"]
+            ).alias("score"),
+        )
+    )
+    uniq = phrases.groupBy("doc_id", "phrase").agg(
+        F.min("n_words").alias("n_words"),
+        F.min("score").alias("score"),
+        F.count("*").alias("n_occurrences"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        uniq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= topn)
+        .select("doc_id", "rank", "phrase", "n_words", "n_occurrences", "score")
+    )

@@ -46,6 +46,7 @@ NEW_IN_R8: list[str] = [
     "orders_join_strategy_report",
     "docs_bm25_topk",
     "copurchase_kcore",
+    "docs_rake_keyphrases",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary

@@ -53,6 +53,34 @@ def test_kcore_cascade_needs_multiple_rounds(spark, tmp_path):
     assert 5 in partial  # node 5 only peels after 6 is gone
 
 
+def test_rake_scores_known_corpus(spark, tmp_path):
+    """Hand-checked RAKE on a two-doc corpus: stopword segmentation,
+    corpus-wide deg/freq, phrase score = sum of word scores."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_rake_keyphrases
+
+    rows = [
+        (1, "deep learning the deep learning a net", "en", "s", 0),
+        (2, "net the deep net", "en", "s", 0),
+    ]
+    # phrases: d1: [deep learning] x2, [net]; d2: [net], [deep net]
+    # freq: deep 3, learning 2, net 3
+    # deg:  deep 2+2+2=6, learning 4, net 1+1+2=4
+    # wscore: deep 2.0, learning 2.0, net 4/3
+    # scores: "deep learning" 4.0, "net" 4/3, "deep net" 2 + 4/3
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.doc_id, r.rank): (r.phrase, r.n_words, r.n_occurrences, r.score)
+        for r in docs_rake_keyphrases(spark, str(tmp_path)).collect()
+    }
+    assert got[(1, 1)] == ("deep learning", 2, 2, 4.0)
+    assert got[(1, 2)][0] == "net"
+    assert abs(got[(1, 2)][3] - 4 / 3) < 1e-15
+    assert got[(2, 1)] == ("deep net", 2, 1, 2.0 + 4 / 3)
+    assert got[(2, 2)][0] == "net"
+
+
 def test_bm25_prefers_higher_tf_shorter_docs(spark, tmp_path):
     """Sanity on the scoring direction: for a one-term query, a doc
     with more hits outranks fewer hits; equal hits, the shorter doc
