@@ -6577,3 +6577,99 @@ LLM_ORACLES["docs_rake_keyphrases"] = _TOK_CTE + """
       CAST(n_occurrences AS BIGINT) AS n_occurrences, score
     FROM ranked WHERE rank <= 3
     """
+
+
+# Hybrid RRF: dense arm = ann_cosine_topk's fold-left cosine chain
+# (raw doubles, no rounding — ranks only), sparse arm = the BM25
+# rational-idf chain with the seed doc's distinct terms as the query,
+# RRF terms added in fixed written order (dense + sparse).
+LLM_ORACLES["docs_hybrid_rrf"] = (
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    en AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    enn AS (
+      SELECT vec_id, v, sqrt("""
+    + _fold_dot("v", "v")
+    + """) AS nrm FROM en
+    ),
+    q AS (
+      SELECT vec_id AS seed_id, v AS qv, nrm AS qn FROM enn
+      WHERE vec_id IN (10, 20, 30, 40)
+    ),
+    dsc AS (
+      SELECT seed_id, enn.vec_id AS doc_id, """
+    + _fold_dot("qv", "v")
+    + """ / (qn * nrm) AS cos
+      FROM enn, q WHERE enn.vec_id <> q.seed_id
+    ),
+    drk AS (
+      SELECT seed_id, doc_id,
+        CAST(row_number() OVER (PARTITION BY seed_id
+                                ORDER BY cos DESC, doc_id ASC)
+             AS INTEGER) AS dense_rank
+      FROM dsc QUALIFY dense_rank <= 20
+    ),
+    terms AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        unnest(toks) AS term
+      FROM tok
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM terms GROUP BY 1, 2, 3
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT)
+        AS total_tokens
+      FROM tok
+    ), sq AS (
+      SELECT DISTINCT doc_id AS query_id, term FROM tf
+      WHERE doc_id IN (10, 20, 30, 40)
+    ), scand AS (
+      SELECT sq.query_id, tf.doc_id, tf.term,
+        ((n_docs - df + CAST(0.5 AS DOUBLE))
+             / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        * ((tf * CAST(2.2 AS DOUBLE))
+           / (tf + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl
+                   / (CAST(total_tokens AS DOUBLE)
+                      / CAST(n_docs AS DOUBLE))))) AS s
+      FROM tf JOIN df USING (term) JOIN sq ON sq.term = tf.term, stats
+      WHERE tf.doc_id <> sq.query_id
+    ), ssc AS (
+      SELECT query_id, doc_id,
+        list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                    (acc, x) -> acc + x) AS score
+      FROM scand GROUP BY 1, 2
+    ), srk AS (
+      SELECT query_id AS seed_id, doc_id,
+        CAST(row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC)
+             AS INTEGER) AS sparse_rank
+      FROM ssc QUALIFY sparse_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(d.seed_id, s.seed_id) AS seed_id,
+        COALESCE(d.doc_id, s.doc_id) AS doc_id,
+        COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.dense_rank),
+                 CAST(0.0 AS DOUBLE))
+          + COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.sparse_rank),
+                     CAST(0.0 AS DOUBLE)) AS rrf,
+        d.dense_rank, s.sparse_rank
+      FROM drk d FULL JOIN srk s
+        ON d.seed_id = s.seed_id AND d.doc_id = s.doc_id
+    )
+    SELECT seed_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf,
+      dense_rank, sparse_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY seed_id
+                                   ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """
+)

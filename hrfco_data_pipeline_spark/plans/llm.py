@@ -3802,6 +3802,69 @@ BM25_QUERIES = [
 ]
 
 
+def _bm25_candidates(docs: DataFrame, qterms: DataFrame) -> DataFrame:
+    """Per-term BM25 partial scores of every document containing a
+    query term: (query_id, doc_id, term, s). ``qterms`` is a small
+    (query_id, term) frame (broadcast). Shared by docs_bm25_topk and
+    the hybrid RRF fusion; the arithmetic chain is the bit-portable
+    one documented on docs_bm25_topk."""
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    terms = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = toks.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "avgdl",
+            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .withColumn(
+            "idf",
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(0.75)
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ),
+        )
+    )
+
+
+def _bm25_fold(cand: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score, n_terms): per-doc BM25 totals folding
+    the matched terms in sorted-term order (bit-identical doubles)."""
+    return cand.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score"),
+        F.count("*").alias("n_terms"),
+    )
+
+
 def docs_bm25_topk(spark: SparkSession, sf_dir: str, topk: int = 10) -> DataFrame:
     """BM25 lexical retrieval top-k over the document corpus — the
     classic sparse-retrieval face that pairs with the dense ANN family
@@ -3836,57 +3899,8 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str, topk: int = 10) -> DataFram
     query, then the exact global window runs over that bounded set.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", _tokens().alias("toks"))
-    terms = toks.select(
-        "doc_id", F.size("toks").cast("long").alias("dl"),
-        F.explode("toks").alias("term"),
-    )
-    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
-    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("toks")).alias("total_tokens"),
-    )
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
-    cand = (
-        tf.join(df_tbl, "term")
-        .join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "avgdl",
-            F.col("total_tokens").cast("double") / F.col("n_docs").cast("double"),
-        )
-        .withColumn(
-            "idf",
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-            + F.lit(1.0),
-        )
-        .withColumn(
-            "s",
-            F.col("idf")
-            * (
-                (F.col("tf") * F.lit(2.2))
-                / (
-                    F.col("tf")
-                    + F.lit(1.2)
-                    * (
-                        F.lit(1.0)
-                        - F.lit(0.75)
-                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
-                    )
-                )
-            ),
-        )
-    )
-    scored = cand.groupBy("query_id", "doc_id").agg(
-        F.aggregate(
-            F.sort_array(F.collect_list(F.struct("term", "s"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x["s"],
-        ).alias("score"),
-        F.count("*").alias("n_terms"),
-    )
+    scored = _bm25_fold(_bm25_candidates(docs, qterms))
     local_w = Window.partitionBy(
         "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(64))
     ).orderBy(F.desc("score"), F.asc("doc_id"))
@@ -3980,4 +3994,97 @@ def docs_rake_keyphrases(spark: SparkSession, sf_dir: str, topn: int = 3) -> Dat
         uniq.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= topn)
         .select("doc_id", "rank", "phrase", "n_words", "n_occurrences", "score")
+    )
+
+
+HYBRID_SEEDS = (10, 20, 30, 40)
+
+
+def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval with reciprocal-rank fusion:
+    for each seed document, a DENSE arm ranks the corpus by embedding
+    cosine (exact brute force — the documents and embeddings tables
+    share the 0..N id domain) and a SPARSE arm ranks it by BM25 using
+    the seed's own distinct terms as the query; each arm keeps its
+    top-20 and the lists fuse with the standard RRF
+    score = 1/(60+rank_dense) + 1/(60+rank_sparse) (missing arm
+    contributes 0), top-10 per seed — the curation pattern for
+    harvesting near-topical training data where lexical and semantic
+    similarity disagree.
+
+    Exactness: both arm rankings order bit-identical doubles (the
+    fold-left cosine chain of ann_cosine_topk; the rational-idf BM25
+    chain of docs_bm25_topk) with id tie-breaks; RRF terms are single
+    divisions of exact small integers added in fixed written order.
+
+    Scale shape: dense arm = broadcast 4 seed vectors over one corpus
+    scan; sparse arm = the BM25 postings shape with the seed-term
+    list broadcast; both top-20 windows partition by seed over
+    already-filtered candidates; fusion is a (seed, doc)-key full
+    join of two 80-row frames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # dense arm (ann_cosine_topk's exact chain, seeds as queries)
+    vecd = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    with_norm = vecd.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = with_norm.filter(F.col("vec_id").isin(*HYBRID_SEEDS)).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    dj = with_norm.join(F.broadcast(q), F.col("vec_id") != F.col("seed_id"))
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("nrm"))
+    dw = Window.partitionBy("seed_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        dj.select("seed_id", F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+        .withColumn("dense_rank", F.row_number().over(dw).cast("int"))
+        .filter(F.col("dense_rank") <= 20)
+        .select("seed_id", "doc_id", "dense_rank")
+    )
+
+    # sparse arm: seed doc's distinct terms as the BM25 query
+    seed_docs = docs.filter(F.col("doc_id").isin(*HYBRID_SEEDS))
+    qterms = (
+        seed_docs.select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(_tokens()).alias("term"),
+        )
+        .distinct()
+    )
+    scored = _bm25_fold(
+        _bm25_candidates(docs, qterms).filter(
+            F.col("doc_id") != F.col("query_id")
+        )
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    sparse = (
+        scored.withColumn("sparse_rank", F.row_number().over(sw).cast("int"))
+        .filter(F.col("sparse_rank") <= 20)
+        .select(
+            F.col("query_id").alias("seed_id"), "doc_id", "sparse_rank"
+        )
+    )
+
+    fused = dense.join(sparse, ["seed_id", "doc_id"], "full").withColumn(
+        "rrf",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("dense_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(60) + F.col("sparse_rank")), F.lit(0.0)
+        ),
+    )
+    fw = Window.partitionBy("seed_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(fw).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "seed_id", "rank", "doc_id", "rrf", "dense_rank", "sparse_rank"
+        )
     )

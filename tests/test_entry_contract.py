@@ -47,6 +47,7 @@ NEW_IN_R8: list[str] = [
     "docs_bm25_topk",
     "copurchase_kcore",
     "docs_rake_keyphrases",
+    "docs_hybrid_rrf",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary
