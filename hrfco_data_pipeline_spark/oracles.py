@@ -6673,3 +6673,54 @@ LLM_ORACLES["docs_hybrid_rrf"] = (
     ) WHERE rank <= 10
     """
 )
+
+
+def _hilbert_stages(bits: int = 8) -> str:
+    """Chained xy2d walk replaying operators/bucketing.hilbert_index
+    level for level in pure integer SQL (two linear CTE stages per
+    level — each referenced once, so no inlining blowup)."""
+    parts = []
+    s = 1 << (bits - 1)
+    i = 0
+    while s > 0:
+        i += 1
+        parts.append(
+            f", r{i} AS (SELECT pk, sk, d, x, y,"
+            f" CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,"
+            f" CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry"
+            f" FROM h{i - 1})"
+            f", h{i} AS (SELECT pk, sk,"
+            f" d + {s * s} * xor(3 * rx, ry) AS d,"
+            f" CASE WHEN ry = 0 THEN"
+            f" (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)"
+            f" ELSE x END AS x,"
+            f" CASE WHEN ry = 0 THEN"
+            f" (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)"
+            f" ELSE y END AS y"
+            f" FROM r{i})"
+        )
+        s //= 2
+    return "\n".join(parts)
+
+
+RELATIONAL_ORACLES["lineitem_hilbert_layout"] = (
+    r"""
+    WITH b AS (
+      SELECT min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+      FROM lineitem
+    ), h0 AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk, CAST(0 AS BIGINT) AS d,
+        ((l_partkey - min_pk) * 256) // (max_pk - min_pk + 1) AS x,
+        ((l_suppkey - min_sk) * 256) // (max_sk - min_sk + 1) AS y
+      FROM lineitem, b
+    )
+    """
+    + _hilbert_stages()
+    + """
+    SELECT CAST(d AS BIGINT) >> 8 AS shard, count(*) AS n_rows,
+      min(pk) AS pk_lo, max(pk) AS pk_hi,
+      min(sk) AS sk_lo, max(sk) AS sk_hi
+    FROM h8 GROUP BY 1
+    """
+)

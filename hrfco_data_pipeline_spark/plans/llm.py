@@ -3808,16 +3808,35 @@ def _bm25_candidates(docs: DataFrame, qterms: DataFrame) -> DataFrame:
     (query_id, term) frame (broadcast). Shared by docs_bm25_topk and
     the hybrid RRF fusion; the arithmetic chain is the bit-portable
     one documented on docs_bm25_topk."""
+    return bm25_candidates_from_postings(bm25_postings(docs), qterms)
+
+
+def bm25_postings(docs: DataFrame) -> DataFrame:
+    """The BM25 index rows: (doc_id, dl, term, tf). This is the table
+    the streaming index maintainer (streaming/curation.
+    bm25_index_stream) appends per micro-batch — the corpus is
+    tokenized exactly once, at ingest."""
     toks = docs.select("doc_id", _tokens().alias("toks"))
     terms = toks.select(
-        "doc_id", F.size("toks").cast("long").alias("dl"),
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
         F.explode("toks").alias("term"),
     )
-    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    return terms.groupBy("doc_id", "dl", "term").agg(
+        F.count("*").alias("tf")
+    )
+
+
+def bm25_candidates_from_postings(tf: DataFrame, qterms: DataFrame) -> DataFrame:
+    """The scoring tail over a postings frame — batch and stored-index
+    faces share it row for row. df and the corpus stats re-derive
+    from the postings in one scan of the (vocabulary x doc)-sized
+    index, never the raw corpus: n_docs = distinct doc_id, total
+    tokens = sum(tf) (each doc's tf sums to its dl exactly)."""
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = toks.agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.size("toks")).alias("total_tokens"),
+    stats = tf.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").alias("total_tokens"),
     )
     return (
         tf.join(df_tbl, "term")
@@ -3901,6 +3920,14 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str, topk: int = 10) -> DataFram
     docs = load_table(spark, sf_dir, "documents")
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
     scored = _bm25_fold(_bm25_candidates(docs, qterms))
+    return bm25_rank_topk(scored, topk)
+
+
+def bm25_rank_topk(scored: DataFrame, topk: int = 10) -> DataFrame:
+    """The two-phase top-k tail (salt-bucket local rank, then the
+    exact global window over the bounded survivor set — see
+    docs_bm25_topk's scale note). Shared by the batch face and the
+    stored-index face."""
     local_w = Window.partitionBy(
         "query_id", F.pmod(F.xxhash64("doc_id"), F.lit(64))
     ).orderBy(F.desc("score"), F.asc("doc_id"))

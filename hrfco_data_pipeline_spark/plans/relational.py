@@ -1673,6 +1673,52 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve layout audit over lineitem on
+    (l_partkey, l_suppkey) — lineitem_zorder_layout's stronger
+    sibling: same 8-bit cell quantization against the global min/max,
+    but the shard key walks the Hilbert curve
+    (operators/bucketing.hilbert_index) instead of Morton
+    interleaving. Every Hilbert step moves to an ADJACENT cell (no
+    Morton diagonal jumps at power-of-two boundaries), so the 256
+    shards' (partkey, suppkey) bounding rectangles come out strictly
+    tighter at the same shard count — directly more file pruning.
+    Same plan shape: 1-row bounds broadcast, pure-integer codegen'd
+    index, one 256-ary groupBy; at 100 TB the index feeds the
+    range-exchange sorted writer exactly like the Z-order face.
+    """
+    from hrfco_data_pipeline_spark.operators.bucketing import hilbert_index
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("pk"),
+        F.col("l_suppkey").cast("long").alias("sk"),
+    )
+    bounds = li.agg(
+        F.min("pk").alias("min_pk"),
+        F.max("pk").alias("max_pk"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+    )
+    q = li.crossJoin(F.broadcast(bounds)).select(
+        "pk",
+        "sk",
+        F.expr("((pk - min_pk) * 256) div (max_pk - min_pk + 1)").alias("qx"),
+        F.expr("((sk - min_sk) * 256) div (max_sk - min_sk + 1)").alias("qy"),
+    )
+    h = hilbert_index(F.col("qx"), F.col("qy"), bits=8)
+    return (
+        q.withColumn("shard", F.shiftright(h, 8))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pk").alias("pk_lo"),
+            F.max("pk").alias("pk_hi"),
+            F.min("sk").alias("sk_lo"),
+            F.max("sk").alias("sk_hi"),
+        )
+    )
+
+
 def events_value_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2-style validity intervals (gaps-and-islands): per user, runs
     of consecutive events whose value band (low <20 / mid <60 / high)

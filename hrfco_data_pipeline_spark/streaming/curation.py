@@ -260,13 +260,13 @@ def wire_presence_counts(parsed_batch: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
-def merge_presence_counts(
-    spark, table_path: str, counts: DataFrame, batch_id: int
-) -> None:
-    """Append a micro-batch's presence partial to the stored table
-    with merge_lm_counts' staged-swap durability + exactly-once
-    replay protection (the applied batch id commits atomically inside
-    the staging dir; a replayed micro-batch no-ops)."""
+def _append_merge(spark, table_path: str, rows: DataFrame, batch_id: int) -> None:
+    """Append a micro-batch's rows to a stored table with
+    merge_lm_counts' staged-swap durability + exactly-once replay
+    protection (the applied batch id commits atomically inside the
+    staging dir; a replayed micro-batch no-ops). The pure-append
+    sibling of merge_lm_counts — for partials that accumulate rows
+    (presence counts, postings) rather than re-aggregate."""
     import os
     import shutil
 
@@ -289,7 +289,7 @@ def merge_presence_counts(
         exists = True
     except Exception:
         current, exists = None, False
-    merged = current.unionByName(counts) if exists else counts
+    merged = current.unionByName(rows) if exists else rows
     merged.write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, "_batch_id"), "w") as fh:
         fh.write(str(batch_id))
@@ -298,6 +298,14 @@ def merge_presence_counts(
         os.rename(table_path, backup)
     os.rename(staging, table_path)
     shutil.rmtree(backup, ignore_errors=True)
+
+
+def merge_presence_counts(
+    spark, table_path: str, counts: DataFrame, batch_id: int
+) -> None:
+    """Append a micro-batch's presence partial to the stored table
+    (see _append_merge for the durability/replay contract)."""
+    _append_merge(spark, table_path, counts, batch_id)
 
 
 def schema_drift_stream(parsed_stream: DataFrame, table_path: str):
@@ -330,3 +338,61 @@ def drift_report_from_counts(spark, table_path: str) -> DataFrame:
     from hrfco_data_pipeline_spark.plans.wire import drift_report
 
     return drift_report(spark.read.parquet(table_path))
+
+
+# ---------------------------------------------------------------------------
+# Streaming BM25 index maintenance (stored-postings face of
+# plans/llm.docs_bm25_topk)
+# ---------------------------------------------------------------------------
+
+
+def merge_postings(spark, table_path: str, postings, batch_id: int) -> None:
+    """Append a micro-batch's BM25 postings (doc_id, dl, term, tf —
+    plans/llm.bm25_postings over the batch's docs) into the stored
+    index (see _append_merge for the durability/replay contract).
+    Docs arrive once, so the merge is a pure append — no re-agg."""
+    _append_merge(spark, table_path, postings, batch_id)
+
+
+def bm25_index_stream(docs_stream: DataFrame, table_path: str):
+    """Keep the BM25 postings index current as documents stream in:
+    per micro-batch, tokenize ONLY the batch's docs (the corpus is
+    never re-tokenized) and append the batch's (doc_id, dl, term, tf)
+    rows to ``table_path``. The retrieval face
+    (plans/llm.bm25_candidates_from_postings + bm25_rank_topk over
+    ``spark.read.parquet(table_path)``) then serves top-k without a
+    corpus rescan — df and the corpus stats re-derive from the index
+    itself in one index-sized scan.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+    from hrfco_data_pipeline_spark.plans.llm import bm25_postings
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        merge_postings(
+            batch_df.sparkSession,
+            table_path,
+            bm25_postings(batch_df),
+            batch_id,
+        )
+
+    return docs_stream.writeStream.foreachBatch(_merge)
+
+
+def bm25_topk_from_index(spark, table_path: str, topk: int = 10) -> DataFrame:
+    """Serve the registered BM25 query set from the stored postings
+    index — row-for-row equal to the batch face docs_bm25_topk when
+    the index has absorbed the same corpus (pinned by
+    tests/test_streaming_curation.py)."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        BM25_QUERIES,
+        bm25_candidates_from_postings,
+        bm25_rank_topk,
+    )
+    from hrfco_data_pipeline_spark.plans.llm import _bm25_fold
+
+    tf = spark.read.parquet(table_path)
+    qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
+    return bm25_rank_topk(
+        _bm25_fold(bm25_candidates_from_postings(tf, qterms)), topk
+    )

@@ -48,6 +48,7 @@ NEW_IN_R8: list[str] = [
     "copurchase_kcore",
     "docs_rake_keyphrases",
     "docs_hybrid_rrf",
+    "lineitem_hilbert_layout",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary

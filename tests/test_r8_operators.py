@@ -53,6 +53,45 @@ def test_kcore_cascade_needs_multiple_rounds(spark, tmp_path):
     assert 5 in partial  # node 5 only peels after 6 is gone
 
 
+def test_hilbert_index_matches_reference_walk(spark):
+    """hilbert_index vs a straight Python xy2d port over the full
+    16x16 grid (bits=4): bijection onto 0..255 and every consecutive
+    pair of curve positions is an ADJACENT cell — the locality
+    property that makes Hilbert sharding beat Morton."""
+    from hrfco_data_pipeline_spark.operators.bucketing import hilbert_index
+
+    def xy2d(order, x, y):
+        d = 0
+        s = order // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, "x long, y long")
+    got = {
+        (r.x, r.y): r.d
+        for r in df.select(
+            "x", "y", hilbert_index(F.col("x"), F.col("y"), bits=4).alias("d")
+        ).collect()
+    }
+    want = {(x, y): xy2d(16, x, y) for x, y in cells}
+    assert got == want
+    assert sorted(got.values()) == list(range(256))  # bijection
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1  # unit steps only
+
+
 def test_rake_scores_known_corpus(spark, tmp_path):
     """Hand-checked RAKE on a two-doc corpus: stopword segmentation,
     corpus-wide deg/freq, phrase score = sum of word scores."""

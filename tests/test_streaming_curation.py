@@ -449,3 +449,49 @@ def test_empty_microbatch_partial_cannot_poison_drift_report(spark, tmp_path):
     assert all(
         r.presence_rate is not None and r.drifted is not None for r in report
     )
+
+
+def test_bm25_index_stream_equals_batch_face(spark, tmp_path):
+    """Stream the documents table through the BM25 index maintainer
+    in 4-file micro-batches; the stored-postings retrieval face must
+    return docs_bm25_topk's rows exactly. A replayed batch id must
+    no-op (exactly-once)."""
+    from hrfco_data_pipeline_spark.plans.llm import bm25_postings, docs_bm25_topk
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        bm25_index_stream,
+        bm25_topk_from_index,
+        merge_postings,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "bm25_postings")
+    q = (
+        bm25_index_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "bm25-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    cols = ["query_id", "rank", "doc_id", "score", "n_terms"]
+    got = sorted(
+        tuple(r)
+        for r in bm25_topk_from_index(spark, table).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r) for r in docs_bm25_topk(spark, SF).select(*cols).collect()
+    )
+    assert want and got == want
+
+    # replay protection: re-merging an already-applied batch id no-ops
+    n_before = spark.read.parquet(table).count()
+    merge_postings(spark, table, bm25_postings(docs.limit(5)), 0)
+    assert spark.read.parquet(table).count() == n_before
