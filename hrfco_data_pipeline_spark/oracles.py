@@ -6724,3 +6724,95 @@ RELATIONAL_ORACLES["lineitem_hilbert_layout"] = (
     FROM h8 GROUP BY 1
     """
 )
+
+
+
+def _hilbert_row_stages(bits: int = 8) -> str:
+    """Per-row Hilbert walk over the probe frame, carrying (uid, pk,
+    sk, mz) through the staged levels (same arithmetic as
+    _hilbert_stages)."""
+    parts = []
+    s = 1 << (bits - 1)
+    i = 0
+    while s > 0:
+        i += 1
+        parts.append(
+            f", pr{i} AS (SELECT uid, pk, sk, mz, d, x, y,"
+            f" CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END AS rx,"
+            f" CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END AS ry"
+            f" FROM ph{i - 1})"
+            f", ph{i} AS (SELECT uid, pk, sk, mz,"
+            f" d + {s * s} * xor(3 * rx, ry) AS d,"
+            f" CASE WHEN ry = 0 THEN"
+            f" (CASE WHEN rx = 1 THEN {s - 1} - y ELSE y END)"
+            f" ELSE x END AS x,"
+            f" CASE WHEN ry = 0 THEN"
+            f" (CASE WHEN rx = 1 THEN {s - 1} - x ELSE x END)"
+            f" ELSE y END AS y"
+            f" FROM pr{i})"
+        )
+        s //= 2
+    return "\n".join(parts)
+
+
+def _pruning_arm(code: str, name: str) -> str:
+    """One equal-row-sharded pruning-scorecard row (NTILE cut along
+    ``code``, bbox per shard, probe-intersection counts)."""
+    return f"""
+    SELECT '{name}' AS layout,
+      CAST(count(*) AS BIGINT) AS n_shards,
+      CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        AS shards_scanned,
+      CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS BIGINT)
+        AS rows_scanned,
+      CAST(sum(n_rows) AS BIGINT) AS rows_total,
+      CAST(sum(CASE WHEN hit THEN n_rows ELSE 0 END) AS DOUBLE)
+        / CAST(sum(n_rows) AS DOUBLE) AS scan_fraction
+    FROM (
+      SELECT *, (pk_hi >= 500 AND pk_lo <= 700
+                 AND sk_hi >= 20 AND sk_lo <= 40) AS hit
+      FROM (
+        SELECT shard, count(*) AS n_rows,
+          min(pk) AS pk_lo, max(pk) AS pk_hi,
+          min(sk) AS sk_lo, max(sk) AS sk_hi
+        FROM (
+          SELECT pk, sk,
+            ntile(64) OVER (ORDER BY {code}, uid) AS shard
+          FROM codes
+        ) GROUP BY shard
+      )
+    )
+    """
+
+
+# morton code inline (same interleave as the zorder oracle), hilbert
+# via the staged per-row walk; equal-row NTILE cut along each curve
+# (int_ntile's split is the standard NTILE split on both engines).
+RELATIONAL_ORACLES["layout_pruning_report"] = (
+    r"""
+    WITH b AS (
+      SELECT min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+      FROM lineitem
+    ), pq AS (
+      SELECT l_orderkey * 10 + l_linenumber AS uid,
+        l_partkey AS pk, l_suppkey AS sk,
+        ((l_partkey - min_pk) * 256) // (max_pk - min_pk + 1) AS qx,
+        ((l_suppkey - min_sk) * 256) // (max_sk - min_sk + 1) AS qy
+      FROM lineitem, b
+    ), ph0 AS (
+      SELECT uid, pk, sk, CAST(0 AS BIGINT) AS d, qx AS x, qy AS y,
+        (((qx >> 0) & 1) << 0) + (((qy >> 0) & 1) << 1) + (((qx >> 1) & 1) << 2) + (((qy >> 1) & 1) << 3) + (((qx >> 2) & 1) << 4) + (((qy >> 2) & 1) << 5) + (((qx >> 3) & 1) << 6) + (((qy >> 3) & 1) << 7) + (((qx >> 4) & 1) << 8) + (((qy >> 4) & 1) << 9) + (((qx >> 5) & 1) << 10) + (((qy >> 5) & 1) << 11) + (((qx >> 6) & 1) << 12) + (((qy >> 6) & 1) << 13) + (((qx >> 7) & 1) << 14) + (((qy >> 7) & 1) << 15) AS mz
+      FROM pq
+    )
+    """
+    + _hilbert_row_stages()
+    + """
+    , codes AS (
+      SELECT uid, pk, sk, mz, CAST(d AS BIGINT) AS hz FROM ph8
+    )
+    """
+    + _pruning_arm("mz", "zorder")
+    + " UNION ALL "
+    + _pruning_arm("hz", "hilbert")
+)

@@ -49,6 +49,7 @@ NEW_IN_R8: list[str] = [
     "docs_rake_keyphrases",
     "docs_hybrid_rrf",
     "lineitem_hilbert_layout",
+    "layout_pruning_report",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary
