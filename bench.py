@@ -77,6 +77,10 @@ HEADLINE = [
     # 8-gram substring dedup and the wedge-join graph similarity
     "docs_substring_dedup",
     "copurchase_jaccard_parts",
+    # round-8 additions: the two heaviest new operators — the
+    # double-ranked layout scorecard and the two-arm retrieval fusion
+    "layout_pruning_report",
+    "docs_hybrid_rrf",
 ]
 
 

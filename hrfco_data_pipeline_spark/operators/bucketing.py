@@ -73,44 +73,48 @@ def morton_interleave(qx, qy, bits: int = 8):
 
 
 def hilbert_index(x, y, bits: int = 8):
-    """Hilbert-curve index of two pre-quantized columns (the xy2d
-    walk, loop unrolled into one pure-integer expression tree — no
-    UDF, stays inside whole-stage codegen, exactly reproducible in
-    any engine with integer bit ops).
+    """Hilbert-curve index of two pre-quantized columns: the xy2d
+    walk as an ``F.aggregate`` fold over the bit levels with a
+    (x, y, d) struct accumulator — pure integer arithmetic, no UDF,
+    JVM-side.
 
     The Hilbert curve is the stronger Z-order: Morton interleaving
     has long diagonal jumps at power-of-two boundaries, while every
     Hilbert step moves to an adjacent cell, so range-sharding by this
     key gives output files strictly tighter (x, y) bounding boxes —
     better min/max pruning on both columns at the same file count.
-    Each unrolled level substitutes the previous (x, y) expressions,
-    so the tree doubles per level — fine at the 8-bit default (256
-    leaves), do not call with bits much past 12.
+
+    Why a fold and not loop unrolling: each unrolled level
+    substitutes the previous (x, y) expression tree ~5 times, so the
+    plan grows ~5^bits — the first draft produced a 7 MB formatted
+    plan at bits=8 (past any codegen method limit). The fold's lambda
+    body is CONSTANT-size (the accumulator is a bound variable, never
+    substituted), at the cost of interpreted higher-order-function
+    eval per row — measured indistinguishable at bench scale, and the
+    plan stays readable.
     """
     from pyspark.sql import functions as F
 
-    d = F.lit(0).cast("long")
-    s = 1 << (bits - 1)
-    while s > 0:
-        rx = (
-            F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        ry = (
-            F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1))
-            .otherwise(F.lit(0))
-            .cast("long")
-        )
-        d = d + F.lit(s * s).cast("long") * (F.lit(3) * rx).bitwiseXOR(ry)
-        flipped_x = F.when(rx == 1, F.lit(s - 1) - x).otherwise(x)
-        flipped_y = F.when(rx == 1, F.lit(s - 1) - y).otherwise(y)
-        x, y = (
-            F.when(ry == 0, flipped_y).otherwise(x),
-            F.when(ry == 0, flipped_x).otherwise(y),
-        )
-        s //= 2
-    return d
+    levels = F.array(
+        *[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)]
+    )
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        x.cast("long").alias("x"), y.cast("long").alias("y"), zero.alias("d")
+    )
+
+    def step(acc, s):
+        one = F.lit(1).cast("long")
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, one).otherwise(zero)
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, one).otherwise(zero)
+        d = acc["d"] + s * s * (F.lit(3) * rx).bitwiseXOR(ry)
+        flipped_x = F.when(rx == one, s - 1 - acc["x"]).otherwise(acc["x"])
+        flipped_y = F.when(rx == one, s - 1 - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == zero, flipped_y).otherwise(acc["x"])
+        ny = F.when(ry == zero, flipped_x).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d.alias("d"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
 
 
 def write_zorder(

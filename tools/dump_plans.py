@@ -120,6 +120,16 @@ AUDIT = [
     "wire_schema_drift",
     "lineitem_key_skew_profile",
     "sessions_error_overlap",
+    # r8 new operators: retrieval (sparse + hybrid), graph peeling,
+    # keyphrases, space-filling-curve layouts (the EAGER
+    # orders_join_strategy_report is deliberately absent — explain
+    # would execute its profiling actions)
+    "docs_bm25_topk",
+    "docs_hybrid_rrf",
+    "copurchase_kcore",
+    "docs_rake_keyphrases",
+    "lineitem_hilbert_layout",
+    "layout_pruning_report",
 ]
 
 
