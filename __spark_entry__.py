@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_hybrid_rrf": llm.docs_hybrid_rrf,
         "lineitem_hilbert_layout": relational.lineitem_hilbert_layout,
         "layout_pruning_report": relational.layout_pruning_report,
+        "multimodal_image_patches": llm.multimodal_image_patches,
         # --- pinned r8 head (promoted from behind the r7 boundary) ---
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,

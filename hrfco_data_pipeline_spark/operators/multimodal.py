@@ -204,3 +204,59 @@ def frame_windows(
             yield pd.DataFrame(rows)
 
     return mm.mapInPandas(batches, WINDOW_SCHEMA)
+
+
+PATCH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("py", LongType()),
+        StructField("px", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def image_patches(
+    mm: DataFrame, width: int = 32, patch: int = 8
+) -> DataFrame:
+    """2-D patch windowing for image-like payloads via mapInPandas —
+    the ViT-tokenizer shape: the blob is a row-major H x ``width``
+    byte grid (H = n_bytes div width; the ragged tail row is
+    dropped), cut into a non-overlapping ``patch`` x ``patch`` grid,
+    one row per FULL patch with its integer byte-sum energy and grid
+    coordinates (py, px). A real deployment plugs an image decoder in
+    front and a patch-embedding kernel behind; the integer stand-in
+    keeps the 2-D indexing, fan-out shape, and the whole path
+    oracle-checkable.
+
+    Scale shape: like frame_windows, one blob row fans out inside the
+    Arrow batch — no shuffle, no per-row Python; per-patch downstream
+    work inherits the blob partitioning.
+    """
+    if width < 1 or patch < 1 or width % patch != 0:
+        raise ValueError("need width >= patch >= 1 and width % patch == 0")
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = {"doc_id": [], "modality": [], "py": [], "px": [], "energy": []}
+            for doc_id, modality, content in zip(
+                pdf["doc_id"], pdf["modality"], pdf["content"]
+            ):
+                h = len(content) // width
+                for py in range(h // patch):
+                    for px in range(width // patch):
+                        e = 0
+                        for r in range(patch):
+                            start = (py * patch + r) * width + px * patch
+                            e += sum(content[start : start + patch])
+                        rows["doc_id"].append(doc_id)
+                        rows["modality"].append(modality)
+                        rows["py"].append(py)
+                        rows["px"].append(px)
+                        rows["energy"].append(int(e))
+            yield pd.DataFrame(rows)
+
+    return mm.mapInPandas(batches, PATCH_SCHEMA)

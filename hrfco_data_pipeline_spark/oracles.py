@@ -6816,3 +6816,38 @@ RELATIONAL_ORACLES["layout_pruning_report"] = (
     + " UNION ALL "
     + _pruning_arm("hz", "hilbert")
 )
+
+
+# 2-D patch grid: the blob is text bytes (ASCII → ord(substr) = byte),
+# H = n div 32 rows, 8x8 non-overlapping patches; per-doc rollup with
+# the argmax patch's (py, px), row-major min on ties.
+LLM_ORACLES["multimodal_image_patches"] = """
+    WITH chars AS (
+      SELECT doc_id, length(text) AS n, text FROM documents
+    ),
+    patches AS (
+      SELECT doc_id, py, px,
+        list_reduce(list_prepend(0, list_transform(range(0, 64),
+          j -> ord(substr(text,
+                          (py * 8 + j // 8) * 32 + px * 8 + (j % 8) + 1,
+                          1)))),
+          (a, x) -> a + x) AS energy
+      FROM chars,
+        unnest(range(0, (n // 32) // 8)) AS a(py),
+        unnest(range(0, 4)) AS b(px)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_patches,
+        CAST(sum(energy) AS BIGINT) AS total_energy,
+        CAST(max(energy) AS BIGINT) AS max_energy
+      FROM patches GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_patches, a.total_energy, a.max_energy,
+      CAST(p.py AS BIGINT) AS peak_py,
+      CAST(p.px AS BIGINT) AS peak_px
+    FROM agg a JOIN patches p
+      ON a.doc_id = p.doc_id AND p.energy = a.max_energy
+    -- lexicographic (py, px) min pair, matching Spark's min(struct)
+    QUALIFY row_number() OVER (PARTITION BY a.doc_id
+                               ORDER BY p.py, p.px) = 1
+    """

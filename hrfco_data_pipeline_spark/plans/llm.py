@@ -4115,3 +4115,44 @@ def docs_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seed_id", "rank", "doc_id", "rrf", "dense_rank", "sparse_rank"
         )
     )
+
+
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D patch analysis over image-like binary payloads
+    (operators/multimodal.image_patches: 32-byte rows, 8x8 patches —
+    the ViT-tokenizer fan-out), reduced per document to the patch
+    count, total/max patch energy, and the argmax patch's grid
+    coordinates (row-major first on ties) — the 2-D sibling of
+    multimodal_audio_windows' 1-D framing. All aggregation JVM-side;
+    the only Python is the Arrow-batched patch fan-out."""
+    from hrfco_data_pipeline_spark.operators.multimodal import (
+        image_patches,
+        to_multimodal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pat = image_patches(
+        to_multimodal(docs, modality="image-blob"), width=32, patch=8
+    )
+    agg = pat.groupBy("doc_id").agg(
+        F.count("*").alias("n_patches"),
+        F.sum("energy").alias("total_energy"),
+        F.max("energy").alias("max_energy"),
+    )
+    peak = (
+        pat.join(
+            agg.select("doc_id", F.col("max_energy").alias("me")), "doc_id"
+        )
+        .filter(F.col("energy") == F.col("me"))
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("py", "px")).alias("pk"))
+        .select("doc_id", F.col("pk.py").alias("peak_py"), F.col("pk.px").alias("peak_px"))
+    )
+    return agg.join(peak, "doc_id").select(
+        "doc_id",
+        "n_patches",
+        F.col("total_energy").cast("long").alias("total_energy"),
+        F.col("max_energy").cast("long").alias("max_energy"),
+        F.col("peak_py").cast("long").alias("peak_py"),
+        F.col("peak_px").cast("long").alias("peak_px"),
+    )

@@ -50,6 +50,7 @@ NEW_IN_R8: list[str] = [
     "docs_hybrid_rrf",
     "lineitem_hilbert_layout",
     "layout_pruning_report",
+    "multimodal_image_patches",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary

@@ -120,6 +120,39 @@ def test_rake_scores_known_corpus(spark, tmp_path):
     assert got[(2, 2)][0] == "net"
 
 
+def test_image_patches_known_grid(spark):
+    """Hand-checked 2-D patching: a 4x4 byte grid with patch=2 yields
+    four patches whose energies are the quadrant sums; the ragged
+    tail row (not a full grid row) is dropped."""
+    from hrfco_data_pipeline_spark.operators.multimodal import image_patches
+
+    grid = bytes(
+        [1, 2, 10, 20,
+         3, 4, 30, 40,
+         5, 6, 50, 60,
+         7, 8, 70, 80,
+         9, 9, 9]  # ragged tail: dropped (only 3 of 4 row bytes)
+    )
+    mm = spark.createDataFrame(
+        [(1, "image-blob", grid)], "doc_id long, modality string, content binary"
+    )
+    got = {
+        (r.py, r.px): r.energy
+        for r in image_patches(mm, width=4, patch=2).collect()
+    }
+    assert got == {
+        (0, 0): 1 + 2 + 3 + 4,
+        (0, 1): 10 + 20 + 30 + 40,
+        (1, 0): 5 + 6 + 7 + 8,
+        (1, 1): 50 + 60 + 70 + 80,
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        image_patches(mm, width=4, patch=3)
+
+
 def test_bm25_prefers_higher_tf_shorter_docs(spark, tmp_path):
     """Sanity on the scoring direction: for a one-term query, a doc
     with more hits outranks fewer hits; equal hits, the shorter doc
