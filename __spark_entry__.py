@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_hilbert_layout": relational.lineitem_hilbert_layout,
         "layout_pruning_report": relational.layout_pruning_report,
         "multimodal_image_patches": llm.multimodal_image_patches,
+        "events_kmv_setops": relational.events_kmv_setops,
         # --- pinned r8 head (promoted from behind the r7 boundary) ---
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,

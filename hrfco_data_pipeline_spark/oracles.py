@@ -6851,3 +6851,78 @@ LLM_ORACLES["multimodal_image_patches"] = """
     QUALIFY row_number() OVER (PARTITION BY a.doc_id
                                ORDER BY p.py, p.px) = 1
     """
+
+
+# KMV bottom-k sketch: the Knuth hash is engine-neutral, so the sketch
+# contents — and therefore the estimates — are bit-identical; the
+# oracle recomputes k-min directly (one window; the Spark side's
+# two-phase bucket selection is an exact min-k, so outputs agree).
+# Estimate = (k-1)*2^31 / kth as one double division of exact integers
+# (IEEE-identical); kmv_inter is the same left-to-right
+# (a + b) - union chain as the Spark expression.
+RELATIONAL_ORACLES["events_kmv_setops"] = """
+    WITH du AS (
+      SELECT DISTINCT event_type,
+        ((user_id % 2147483648) * 2654435761) % 2147483648 AS h
+      FROM events
+    ), kmin AS (
+      SELECT event_type, h FROM (
+        SELECT event_type, h,
+          row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM du)
+      WHERE rn <= 64
+    ), sk AS (
+      SELECT event_type, max(h) AS kth, count(*) AS sk_n
+      FROM kmin GROUP BY 1
+    ), p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ), u AS (
+      SELECT DISTINCT p.type_a, p.type_b, k.h
+      FROM p JOIN kmin k ON k.event_type IN (p.type_a, p.type_b)
+    ), usk AS (
+      SELECT type_a, type_b, max(h) AS kth_u, count(*) AS sk_n_u
+      FROM (
+        SELECT type_a, type_b, h,
+          row_number() OVER (PARTITION BY type_a, type_b
+                             ORDER BY h) AS rn
+        FROM u)
+      WHERE rn <= 64
+      GROUP BY 1, 2
+    ), base AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), exact AS (
+      SELECT event_type, count(*) AS exact_n FROM base GROUP BY 1
+    ), inter AS (
+      SELECT x.event_type AS type_a, y.event_type AS type_b,
+        count(*) AS exact_inter
+      FROM base x JOIN base y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+      ea.exact_n AS exact_a, eb.exact_n AS exact_b,
+      CAST(ea.exact_n + eb.exact_n - COALESCE(i.exact_inter, 0)
+           AS BIGINT) AS exact_union,
+      CAST(COALESCE(i.exact_inter, 0) AS BIGINT) AS exact_inter,
+      CASE WHEN sa.sk_n < 64 THEN CAST(sa.sk_n AS DOUBLE)
+           ELSE CAST(135291469824 AS DOUBLE) / sa.kth END AS kmv_a,
+      CASE WHEN sb.sk_n < 64 THEN CAST(sb.sk_n AS DOUBLE)
+           ELSE CAST(135291469824 AS DOUBLE) / sb.kth END AS kmv_b,
+      CASE WHEN us.sk_n_u < 64 THEN CAST(us.sk_n_u AS DOUBLE)
+           ELSE CAST(135291469824 AS DOUBLE) / us.kth_u END AS kmv_union,
+      ((CASE WHEN sa.sk_n < 64 THEN CAST(sa.sk_n AS DOUBLE)
+             ELSE CAST(135291469824 AS DOUBLE) / sa.kth END
+        + CASE WHEN sb.sk_n < 64 THEN CAST(sb.sk_n AS DOUBLE)
+               ELSE CAST(135291469824 AS DOUBLE) / sb.kth END)
+       - CASE WHEN us.sk_n_u < 64 THEN CAST(us.sk_n_u AS DOUBLE)
+              ELSE CAST(135291469824 AS DOUBLE) / us.kth_u END)
+        AS kmv_inter
+    FROM p
+    JOIN sk sa ON sa.event_type = p.type_a
+    JOIN sk sb ON sb.event_type = p.type_b
+    JOIN usk us ON us.type_a = p.type_a AND us.type_b = p.type_b
+    JOIN exact ea ON ea.event_type = p.type_a
+    JOIN exact eb ON eb.event_type = p.type_b
+    LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+    """

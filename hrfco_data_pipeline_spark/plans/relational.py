@@ -4861,3 +4861,146 @@ def sessions_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest("s_start_us", "e_start_us")
         ).alias("overlap_us"),
     )
+
+
+def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketches of the user
+    set per event type, with UNION and INTERSECTION estimates for every
+    type pair — the set-operation capability the HLL rollup
+    (events_hll_accuracy) cannot provide: bottom-k sketches merge by
+    keeping the k smallest hashes of the union, and inclusion-exclusion
+    over the three estimates yields the overlap. (Reference scope: the
+    dashboard only counts per-category totals,
+    DashboardDataService.java; cross-category audience overlap is part
+    of the beyond-reference analytics surface.)
+
+    Portable by construction: the Knuth multiplicative hash (the
+    engine-neutral sampling hash used by the samplers) gives
+    bit-identical sketches in Spark and DuckDB, so the ESTIMATES
+    themselves are hash-checked — stronger than the within-5pct flag
+    the HLL face has to settle for (its sketch bytes are
+    engine-specific).
+
+    Scale shape: one distinct shuffle on (event_type, user_id); k-min
+    selection is two-phase (row_number inside 32 hash buckets bounds
+    every per-task sort to ~distinct/32, then a second pass over
+    <= 32·k candidate rows per type) — no per-type full sort, no
+    collect, sketch state is k longs per (type, bucket). The exact
+    arms (count_distinct + the per-user type self-join, whose fan-out
+    is bounded by the 5-type domain) are the QA face of the report; a
+    production 100 TB run ships only the sketch arms.
+    """
+    K = 64
+    M = 2_147_483_648  # 2^31
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            (((F.col("user_id") % M) * 2654435761) % M).alias("h"),
+        )
+    )
+    wb = Window.partitionBy("event_type", "b").orderBy("h")
+    wt = Window.partitionBy("event_type").orderBy("h")
+    kmin = (
+        du.withColumn("b", F.pmod("h", F.lit(32)))
+        .withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= K)
+        .withColumn("rn2", F.row_number().over(wt))
+        .filter(F.col("rn2") <= K)
+        .select("event_type", "h")
+    )
+    sk = kmin.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count("*").alias("sk_n")
+    )
+
+    def est(kth, sk_n):
+        # (k-1) * 2^31 / kth-smallest-hash; exact when the sketch holds
+        # the whole set. Integer operands -> one double division, IEEE
+        # bit-identical across engines.
+        return F.when(sk_n < K, sk_n.cast("double")).otherwise(
+            F.lit(float((K - 1) * M)) / kth
+        )
+
+    pairs = (
+        sk.alias("a")
+        .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    members = pairs.select(
+        "type_a",
+        "type_b",
+        F.explode(F.array("type_a", "type_b")).alias("event_type"),
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    usk = (
+        members.join(kmin, "event_type")
+        .select("type_a", "type_b", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= K)
+        .groupBy("type_a", "type_b")
+        .agg(F.max("h").alias("kth_u"), F.count("*").alias("sk_n_u"))
+    )
+    base = ev.select("event_type", "user_id").distinct()
+    exact = base.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    inter = (
+        base.alias("x")
+        .join(
+            base.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    ska = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("kth").alias("kth_a"),
+        F.col("sk_n").alias("sk_n_a"),
+    )
+    skb = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("kth").alias("kth_b"),
+        F.col("sk_n").alias("sk_n_b"),
+    )
+    ea = exact.select(
+        F.col("event_type").alias("type_a"), F.col("exact_n").alias("exact_a")
+    )
+    eb = exact.select(
+        F.col("event_type").alias("type_b"), F.col("exact_n").alias("exact_b")
+    )
+    kmv_a = est(F.col("kth_a"), F.col("sk_n_a"))
+    kmv_b = est(F.col("kth_b"), F.col("sk_n_b"))
+    kmv_u = est(F.col("kth_u"), F.col("sk_n_u"))
+    return (
+        pairs.join(ska, "type_a")
+        .join(skb, "type_b")
+        .join(usk, ["type_a", "type_b"])
+        .join(ea, "type_a")
+        .join(eb, "type_b")
+        .join(inter, ["type_a", "type_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            .cast("long")
+            .alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            kmv_a.alias("kmv_a"),
+            kmv_b.alias("kmv_b"),
+            kmv_u.alias("kmv_union"),
+            ((kmv_a + kmv_b) - kmv_u).alias("kmv_inter"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -51,6 +51,7 @@ NEW_IN_R8: list[str] = [
     "lineitem_hilbert_layout",
     "layout_pruning_report",
     "multimodal_image_patches",
+    "events_kmv_setops",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary
@@ -90,9 +91,12 @@ def test_r8_window_composition():
         "docs_tfidf_top_terms",
         "q7_volume_shipping",
         "q22_idle_customers",
-        "docs_gopher_quality",
     }
     assert must_check <= set(w)
+    # events_kmv_setops entering at the head shifted docs_gopher_quality
+    # (r3-era evidence) past the boundary: it must lead the r9 window
+    # with the other r3-era leftovers instead of silently vanishing.
+    assert names[50] == "docs_gopher_quality"
 
 
 def test_r9_window_plan():
