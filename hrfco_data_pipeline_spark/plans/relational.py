@@ -4890,39 +4890,101 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded by the 5-type domain) are the QA face of the report; a
     production 100 TB run ships only the sketch arms.
     """
-    K = 64
-    M = 2_147_483_648  # 2^31
     ev = load_table(spark, sf_dir, "events")
     du = (
         ev.select("event_type", "user_id")
         .distinct()
-        .select(
-            "event_type",
-            (((F.col("user_id") % M) * 2654435761) % M).alias("h"),
-        )
+        .select("event_type", kmv_hash(F.col("user_id")).alias("h"))
     )
+    ests = kmv_pair_estimates(kmv_kmin(du))
+    base = ev.select("event_type", "user_id").distinct()
+    exact = base.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    inter = (
+        base.alias("x")
+        .join(
+            base.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    ea = exact.select(
+        F.col("event_type").alias("type_a"), F.col("exact_n").alias("exact_a")
+    )
+    eb = exact.select(
+        F.col("event_type").alias("type_b"), F.col("exact_n").alias("exact_b")
+    )
+    return (
+        ests.join(ea, "type_a")
+        .join(eb, "type_b")
+        .join(inter, ["type_a", "type_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
+            .cast("long")
+            .alias("exact_union"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            "kmv_a",
+            "kmv_b",
+            "kmv_union",
+            "kmv_inter",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def kmv_hash(user_col: F.Column) -> F.Column:
+    """Engine-neutral 31-bit Knuth multiplicative hash (the portable
+    sampling hash): bijective on ids < 2^31, bit-identical in DuckDB."""
+    M = 2_147_483_648  # 2^31
+    return ((user_col % M) * 2654435761) % M
+
+
+def kmv_kmin(du: DataFrame, k: int = 64) -> DataFrame:
+    """Exact bottom-k of ``h`` per ``event_type`` over a distinct
+    (event_type, h) frame, two-phase so no task ever sorts more than
+    ~distinct/32 rows: row_number inside 32 hash buckets, then a
+    second pass over the <= 32·k survivors per type. Idempotent —
+    applying it to a union of per-batch bottom-k partials yields the
+    global bottom-k (any global k-min hash is a k-min of its own
+    batch), which is what makes the sketch mergeable."""
     wb = Window.partitionBy("event_type", "b").orderBy("h")
     wt = Window.partitionBy("event_type").orderBy("h")
-    kmin = (
+    return (
         du.withColumn("b", F.pmod("h", F.lit(32)))
         .withColumn("rn", F.row_number().over(wb))
-        .filter(F.col("rn") <= K)
+        .filter(F.col("rn") <= k)
         .withColumn("rn2", F.row_number().over(wt))
-        .filter(F.col("rn2") <= K)
+        .filter(F.col("rn2") <= k)
         .select("event_type", "h")
     )
+
+
+def kmv_pair_estimates(kmin: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimates per event-type pair from bottom-k
+    sketches: per-type estimate (k-1)·2^31/kth, union sketch = k
+    smallest of the merged k-mins, intersection by inclusion-exclusion.
+    All arithmetic is one double division of exact integers per
+    estimate, IEEE bit-identical across engines."""
+    M = 2_147_483_648  # 2^31
+
+    def est(kth, sk_n):
+        # exact when the sketch holds the whole set (sk_n < k)
+        return F.when(sk_n < k, sk_n.cast("double")).otherwise(
+            F.lit(float((k - 1) * M)) / kth
+        )
+
     sk = kmin.groupBy("event_type").agg(
         F.max("h").alias("kth"), F.count("*").alias("sk_n")
     )
-
-    def est(kth, sk_n):
-        # (k-1) * 2^31 / kth-smallest-hash; exact when the sketch holds
-        # the whole set. Integer operands -> one double division, IEEE
-        # bit-identical across engines.
-        return F.when(sk_n < K, sk_n.cast("double")).otherwise(
-            F.lit(float((K - 1) * M)) / kth
-        )
-
     pairs = (
         sk.alias("a")
         .join(sk.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
@@ -4942,24 +5004,9 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("type_a", "type_b", "h")
         .distinct()
         .withColumn("rn", F.row_number().over(wu))
-        .filter(F.col("rn") <= K)
+        .filter(F.col("rn") <= k)
         .groupBy("type_a", "type_b")
         .agg(F.max("h").alias("kth_u"), F.count("*").alias("sk_n_u"))
-    )
-    base = ev.select("event_type", "user_id").distinct()
-    exact = base.groupBy("event_type").agg(F.count("*").alias("exact_n"))
-    inter = (
-        base.alias("x")
-        .join(
-            base.alias("y"),
-            (F.col("x.user_id") == F.col("y.user_id"))
-            & (F.col("x.event_type") < F.col("y.event_type")),
-        )
-        .groupBy(
-            F.col("x.event_type").alias("type_a"),
-            F.col("y.event_type").alias("type_b"),
-        )
-        .agg(F.count("*").alias("exact_inter"))
     )
     ska = sk.select(
         F.col("event_type").alias("type_a"),
@@ -4971,12 +5018,6 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kth").alias("kth_b"),
         F.col("sk_n").alias("sk_n_b"),
     )
-    ea = exact.select(
-        F.col("event_type").alias("type_a"), F.col("exact_n").alias("exact_a")
-    )
-    eb = exact.select(
-        F.col("event_type").alias("type_b"), F.col("exact_n").alias("exact_b")
-    )
     kmv_a = est(F.col("kth_a"), F.col("sk_n_a"))
     kmv_b = est(F.col("kth_b"), F.col("sk_n_b"))
     kmv_u = est(F.col("kth_u"), F.col("sk_n_u"))
@@ -4984,23 +5025,12 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(ska, "type_a")
         .join(skb, "type_b")
         .join(usk, ["type_a", "type_b"])
-        .join(ea, "type_a")
-        .join(eb, "type_b")
-        .join(inter, ["type_a", "type_b"], "left")
-        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
         .select(
             "type_a",
             "type_b",
-            "exact_a",
-            "exact_b",
-            (F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"))
-            .cast("long")
-            .alias("exact_union"),
-            F.col("exact_inter").cast("long").alias("exact_inter"),
             kmv_a.alias("kmv_a"),
             kmv_b.alias("kmv_b"),
             kmv_u.alias("kmv_union"),
             ((kmv_a + kmv_b) - kmv_u).alias("kmv_inter"),
         )
-        .orderBy("type_a", "type_b")
     )

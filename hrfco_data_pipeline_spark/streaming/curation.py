@@ -396,3 +396,66 @@ def bm25_topk_from_index(spark, table_path: str, topk: int = 10) -> DataFrame:
     return bm25_rank_topk(
         _bm25_fold(bm25_candidates_from_postings(tf, qterms)), topk
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV sketch maintenance (mergeable bottom-k face of
+# plans/relational.events_kmv_setops)
+# ---------------------------------------------------------------------------
+
+
+def kmv_batch_partials(batch_df: DataFrame, batch_id: int, k: int = 64) -> DataFrame:
+    """Bottom-k partial for one events micro-batch: per event type, the
+    k smallest Knuth hashes of the batch's distinct users. At most
+    k·|types| rows per batch regardless of batch size — the whole point
+    of a mergeable sketch: the stored state grows with batches·k, never
+    with users."""
+    from hrfco_data_pipeline_spark.plans.relational import kmv_hash, kmv_kmin
+
+    du = (
+        batch_df.select("event_type", "user_id")
+        .distinct()
+        .select("event_type", kmv_hash(F.col("user_id")).alias("h"))
+    )
+    return kmv_kmin(du, k).select(
+        F.lit(batch_id).cast("long").alias("batch"), "event_type", "h"
+    )
+
+
+def kmv_sketch_stream(events_stream: DataFrame, table_path: str, k: int = 64):
+    """Keep per-type KMV sketches current as events stream in: per
+    micro-batch, ONE bottom-k partial (bounded rows, no state store)
+    appended exactly-once into ``table_path``. Merging bottom-k
+    partials is lossless — every hash in the global bottom-k is in its
+    own batch's bottom-k — so the serve face
+    (``kmv_setops_from_partials``) reproduces the batch face's sketch
+    estimates without ever rescanning the event stream.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _append_merge(
+            batch_df.sparkSession,
+            table_path,
+            kmv_batch_partials(batch_df, batch_id, k),
+            batch_id,
+        )
+
+    return events_stream.writeStream.foreachBatch(_merge)
+
+
+def kmv_setops_from_partials(spark, table_path: str, k: int = 64) -> DataFrame:
+    """Per-type-pair distinct/union/intersection estimates from the
+    accumulated bottom-k partials — equal to the sketch columns of the
+    batch face plans/relational.events_kmv_setops over the same events
+    (pinned by tests/test_streaming_curation.py). The exact QA arms of
+    the batch face are deliberately absent: they need the raw user
+    sets, which the sketch state does not (and must not) retain."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        kmv_kmin,
+        kmv_pair_estimates,
+    )
+
+    part = spark.read.parquet(table_path).select("event_type", "h").distinct()
+    return kmv_pair_estimates(kmv_kmin(part, k), k).orderBy("type_a", "type_b")

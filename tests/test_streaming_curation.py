@@ -495,3 +495,71 @@ def test_bm25_index_stream_equals_batch_face(spark, tmp_path):
     n_before = spark.read.parquet(table).count()
     merge_postings(spark, table, bm25_postings(docs.limit(5)), 0)
     assert spark.read.parquet(table).count() == n_before
+
+
+def test_kmv_sketch_stream_equals_batch_face(spark, tmp_path):
+    """Stream events in 4-file micro-batches through the KMV sketch
+    maintainer; the serve face over the stored bottom-k partials must
+    reproduce the batch face's sketch estimates exactly (sf0.01 so the
+    150-user domain exceeds k=64 and the estimation branch runs, not
+    the enumerate-all branch). Stored state stays bounded by
+    batches·k·types. A replayed batch id must no-op (exactly-once)."""
+    from pyspark.sql.types import DoubleType, TimestampNTZType
+
+    from hrfco_data_pipeline_spark.plans.relational import events_kmv_setops
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        kmv_batch_partials,
+        kmv_setops_from_partials,
+        kmv_sketch_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "events_src")
+    ev.repartition(4).write.parquet(src)
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "kmv_partials")
+    q = (
+        kmv_sketch_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "kmv-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # bounded state: <= 4 batches * 64 * 5 types rows
+    n_rows = spark.read.parquet(table).count()
+    assert 0 < n_rows <= 4 * 64 * 5
+
+    cols = ["type_a", "type_b", "kmv_a", "kmv_b", "kmv_union", "kmv_inter"]
+    got = sorted(
+        tuple(r)
+        for r in kmv_setops_from_partials(spark, table).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r) for r in events_kmv_setops(spark, sf).select(*cols).collect()
+    )
+    assert want and got == want
+    # the estimation branch really ran (not the enumerate-all branch)
+    assert any(r[2] != round(r[2]) for r in want)
+
+    # replay protection: re-merging an already-applied batch id no-ops
+    from hrfco_data_pipeline_spark.streaming.curation import _append_merge
+
+    _append_merge(spark, table, kmv_batch_partials(ev.limit(50), 0), 0)
+    assert spark.read.parquet(table).count() == n_rows
