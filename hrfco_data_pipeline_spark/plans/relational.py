@@ -4881,22 +4881,20 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HLL face has to settle for (its sketch bytes are
     engine-specific).
 
-    Scale shape: one distinct shuffle on (event_type, user_id); k-min
-    selection is two-phase (row_number inside 32 hash buckets bounds
-    every per-task sort to ~distinct/32, then a second pass over
-    <= 32·k candidate rows per type) — no per-type full sort, no
-    collect, sketch state is k longs per (type, bucket). The exact
-    arms (count_distinct + the per-user type self-join, whose fan-out
-    is bounded by the 5-type domain) are the QA face of the report; a
-    production 100 TB run ships only the sketch arms.
+    Scale shape (kmv_bottomk_from_raw): a map-side HLL pass estimates
+    per-type NDV, a broadcast threshold prunes to ~8·k candidate
+    hashes per type BELOW the distinct, so the sketch arm's only wide
+    exchange carries sketch-sized survivors — the raw frame is
+    scanned, never shuffled. K-min selection on survivors is two-phase
+    (row_number inside 32 hash buckets, then <= 32·k rows per type) —
+    no per-type full sort, no collect. The exact arms (count_distinct
+    + the per-user type self-join, whose fan-out is bounded by the
+    5-type domain) are the QA face of the report; a production 100 TB
+    run ships only the sketch arms.
     """
     ev = load_table(spark, sf_dir, "events")
-    du = (
-        ev.select("event_type", "user_id")
-        .distinct()
-        .select("event_type", kmv_hash(F.col("user_id")).alias("h"))
-    )
-    ests = kmv_pair_estimates(kmv_kmin(du))
+    raw = ev.select("event_type", kmv_hash(F.col("user_id")).alias("h"))
+    ests = kmv_pair_estimates(kmv_bottomk_from_raw(raw))
     base = ev.select("event_type", "user_id").distinct()
     exact = base.groupBy("event_type").agg(F.count("*").alias("exact_n"))
     inter = (
@@ -4955,7 +4953,11 @@ def kmv_kmin(du: DataFrame, k: int = 64) -> DataFrame:
     second pass over the <= 32·k survivors per type. Idempotent —
     applying it to a union of per-batch bottom-k partials yields the
     global bottom-k (any global k-min hash is a k-min of its own
-    batch), which is what makes the sketch mergeable."""
+    batch), which is what makes the sketch mergeable
+    (streaming/curation.kmv_sketch_stream). For a LARGE raw frame use
+    kmv_bottomk_from_raw instead — it prunes before the distinct
+    shuffle; this face is for frames already distinct-and-small
+    (streaming partials, pre-filtered survivors)."""
     wb = Window.partitionBy("event_type", "b").orderBy("h")
     wt = Window.partitionBy("event_type").orderBy("h")
     return (
@@ -4966,6 +4968,52 @@ def kmv_kmin(du: DataFrame, k: int = 64) -> DataFrame:
         .filter(F.col("rn2") <= k)
         .select("event_type", "h")
     )
+
+
+def kmv_bottomk_from_raw(
+    raw: DataFrame, k: int = 64, prefilter_c: int = 8
+) -> DataFrame:
+    """Bottom-k per ``event_type`` of a RAW (pre-distinct, duplicated)
+    (event_type, h) frame — the production shape for the 100 TB path.
+
+    The naive pipeline (distinct then window) shuffles the ENTIRE
+    distinct user set just to keep 64 hashes per type. Instead: one
+    map-side HLL pass estimates the per-type NDV n (approx_count_
+    distinct — no wide shuffle, one row per type), a broadcast
+    threshold thr = min(2^31, c·k·2^31/n + 1) prunes BELOW the
+    distinct, and the distinct + two-phase windows then run over
+    ~c·k·dup rows per type instead of the full set. At scale every
+    post-scan exchange is sketch-sized; tools/scale_probe_kmv.py
+    measures the A/B.
+
+    Bit-identical to kmv_kmin(raw.distinct()) whenever thr exceeds the
+    true k-th smallest hash: the k-th smallest of n uniform 31-bit
+    hashes concentrates at ~k/n·2^31, so c=8 fails with probability
+    < exp(-k(c-1-ln c)) ≈ e^-300 (Chernoff at k=64), and the HLL
+    estimate (rsd 5%) would need an ~8× overestimate of n to tighten
+    thr past the true k-th — both zero in any non-adversarial
+    universe. Ids crafted against the Knuth hash would need
+    prefilter_c raised; prefilter_c=None disables the prune and falls
+    back to the exact distinct-then-window pipeline.
+    """
+    if prefilter_c is None:
+        return kmv_kmin(raw.distinct(), k)
+    M = 2_147_483_648  # 2^31
+    ndv = raw.groupBy("event_type").agg(F.approx_count_distinct("h").alias("ndv"))
+    thr = F.least(
+        F.lit(M),
+        (F.lit(float(prefilter_c * k) * M) / F.col("ndv")).cast("long") + 1,
+    )
+    survivors = (
+        raw.join(
+            F.broadcast(ndv.select("event_type", thr.alias("thr"))),
+            "event_type",
+        )
+        .filter(F.col("h") < F.col("thr"))
+        .select("event_type", "h")
+        .distinct()
+    )
+    return kmv_kmin(survivors, k)
 
 
 def kmv_pair_estimates(kmin: DataFrame, k: int = 64) -> DataFrame:

@@ -301,3 +301,21 @@ def test_shielded_queries_hold_their_duplication_ceiling(spark):
         "optimizer duplication grew past the triaged ceiling "
         f"(no_pushdown barrier broke?) {{name: (delta, ceiling)}}: {offenders}"
     )
+
+
+def test_kmv_setops_bounded_windows_no_cartesian(spark):
+    """KMV sketch: both row_number windows must stay partitioned (the
+    bucket pre-pass keys on (event_type, b), so no task sorts more
+    than ~distinct/32 rows), every join is keyed or a broadcast of a
+    sketch-sized side, and no CartesianProduct appears."""
+    s = _plan(relational.events_kmv_setops(spark, SF))
+    assert "CartesianProduct" not in s
+    # the two-phase bucket window runs first: its partition spec keys
+    # on the hash bucket, visible as a hashpartitioning on (type, b)
+    assert "hashpartitioning" in s
+    import re
+
+    for spec in re.findall(r"Window \[row_number\(\)[^\]]*\], \[([^\]]*)\]", s):
+        # never an unpartitioned global sort: per-type windows key on
+        # event_type (+ bucket), the union-merge window on the pair
+        assert "event_type" in spec or "type_a" in spec
