@@ -67,6 +67,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pruning_report": relational.layout_pruning_report,
         "multimodal_image_patches": llm.multimodal_image_patches,
         "events_kmv_setops": relational.events_kmv_setops,
+        "lineitem_compaction_plan": relational.lineitem_compaction_plan,
+        "customer_scd2_history": relational.customer_scd2_history,
+        "events_sampled_quantiles": relational.events_sampled_quantiles,
         # --- pinned r8 head (promoted from behind the r7 boundary) ---
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,

@@ -6926,3 +6926,104 @@ RELATIONAL_ORACLES["events_kmv_setops"] = """
     JOIN exact eb ON eb.event_type = p.type_b
     LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
     """
+
+RELATIONAL_ORACLES["lineitem_compaction_plan"] = """
+    WITH files AS (
+      SELECT year(l_shipdate) AS part_year,
+        (((l_orderkey * 8 + l_linenumber) % 2147483648)
+          * 2654435761) % 2147483648 % 512 AS file_id,
+        96 * count(*) + CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+          AS file_bytes
+      FROM lineitem GROUP BY 1, 2
+    ), planned AS (
+      SELECT part_year, file_id, file_bytes,
+        CAST(floor(COALESCE(sum(file_bytes) OVER (
+          PARTITION BY part_year ORDER BY file_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          / 65536) AS BIGINT) AS grp
+      FROM files
+    )
+    SELECT part_year, grp,
+      CAST(count(*) AS BIGINT) AS n_inputs,
+      CAST(sum(file_bytes) AS BIGINT) AS out_bytes,
+      CAST(sum(CASE WHEN file_bytes < 32768 THEN 1 ELSE 0 END) AS BIGINT)
+        AS small_inputs,
+      min(file_id) AS first_file,
+      max(file_id) AS last_file
+    FROM planned GROUP BY 1, 2
+    """
+
+RELATIONAL_ORACLES["customer_scd2_history"] = """
+    WITH flagged AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+        CASE WHEN lag(o_orderpriority) OVER w IS NULL
+               OR lag(o_orderpriority) OVER w <> o_orderpriority
+             THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)
+    ), versioned AS (
+      SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS version
+      FROM flagged
+    ), regimes AS (
+      SELECT o_custkey, version,
+        min(o_orderpriority) AS priority,
+        min(o_orderdate) AS valid_from,
+        count(*) AS n_orders
+      FROM versioned GROUP BY 1, 2
+    )
+    SELECT o_custkey AS cust_key,
+      CAST(version AS BIGINT) AS version,
+      priority, valid_from,
+      lead(valid_from) OVER wv AS valid_to,
+      lead(valid_from) OVER wv IS NULL AS is_current,
+      CAST(n_orders AS BIGINT) AS n_orders
+    FROM regimes
+    WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
+    """
+
+RELATIONAL_ORACLES["events_sampled_quantiles"] = """
+    WITH sample AS (
+      SELECT event_type, value FROM events
+      WHERE ((event_id % 2147483648) * 2654435761) % 2147483648
+            < 33554432
+    ), sranked AS (
+      SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM sample
+    ), est AS (
+      SELECT event_type, max(n) AS s_n,
+        max(CASE WHEN rn = ceil(n * CAST(0.5 AS DOUBLE))
+            THEN value END) AS s_p50,
+        max(CASE WHEN rn = ceil(n * CAST(0.9 AS DOUBLE))
+            THEN value END) AS s_p90,
+        max(CASE WHEN rn = ceil(n * CAST(0.99 AS DOUBLE))
+            THEN value END) AS s_p99
+      FROM sranked GROUP BY 1
+    ), xranked AS (
+      SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), exact AS (
+      SELECT event_type, max(n) AS x_n,
+        max(CASE WHEN rn = ceil(n * CAST(0.5 AS DOUBLE))
+            THEN value END) AS x_p50,
+        max(CASE WHEN rn = ceil(n * CAST(0.9 AS DOUBLE))
+            THEN value END) AS x_p90,
+        max(CASE WHEN rn = ceil(n * CAST(0.99 AS DOUBLE))
+            THEN value END) AS x_p99
+      FROM xranked GROUP BY 1
+    )
+    SELECT x.event_type,
+      CAST(x.x_n AS BIGINT) AS n,
+      CAST(e.s_n AS BIGINT) AS n_sample,
+      x.x_p50 AS exact_p50, e.s_p50 AS est_p50,
+      x.x_p90 AS exact_p90, e.s_p90 AS est_p90,
+      x.x_p99 AS exact_p99, e.s_p99 AS est_p99
+    FROM exact x JOIN est e ON e.event_type = x.event_type
+    """

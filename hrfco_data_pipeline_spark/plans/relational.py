@@ -5082,3 +5082,230 @@ def kmv_pair_estimates(kmin: DataFrame, k: int = 64) -> DataFrame:
             ((kmv_a + kmv_b) - kmv_u).alias("kmv_inter"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse maintenance: small-file compaction planning
+# ---------------------------------------------------------------------------
+
+
+def lineitem_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the table-maintenance pass every
+    100 TB lakehouse table needs (the reference archives micro-batch
+    JSON into MinIO date folders, MinioArchiver.java, and never
+    compacts; thousands of tiny objects per day is the #1 cost/latency
+    problem that shape develops at scale).
+
+    Models the file inventory from lineitem (synthetic file ids via
+    the portable Knuth hash, partition = ship year, a deterministic
+    integer sizing model), then plans next-fit compaction groups per
+    partition: files in stable id order, a running byte total, and a
+    group cut every time the PRECEDING total crosses a multiple of the
+    64 KiB target — the greedy sequential fill real compactors
+    (Iceberg binPack / Delta OPTIMIZE) use. Emits one row per planned
+    output file with its input-file count and byte size, plus how many
+    undersized inputs (< half target) it absorbs.
+
+    Scale shape: the plan runs entirely on file METADATA — one
+    map-side-combinable groupBy collapses the table to |files| rows
+    (here 512/partition; real tables: the manifest), and the window
+    partitions by table-partition ordered by file id, so no task sorts
+    more than one partition's manifest slice. The data itself is never
+    shuffled — planning is O(manifest), rewriting is embarrassingly
+    parallel per group.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    M = 2_147_483_648  # 2^31
+    key = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    file_id = (((key % M) * 2654435761) % M) % 512
+    files = (
+        li.select(
+            F.year("l_shipdate").cast("long").alias("part_year"),
+            file_id.alias("file_id"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("part_year", "file_id")
+        .agg(
+            (F.lit(96) * F.count("*") + F.sum("q")).alias("file_bytes"),
+        )
+    )
+    target = 65_536
+    w = (
+        Window.partitionBy("part_year")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "grp",
+        F.floor(
+            F.coalesce(F.sum("file_bytes").over(w), F.lit(0)) / F.lit(target)
+        ),
+    )
+    return (
+        planned.groupBy("part_year", "grp")
+        .agg(
+            F.count("*").alias("n_inputs"),
+            F.sum("file_bytes").alias("out_bytes"),
+            F.sum(
+                F.when(F.col("file_bytes") < target // 2, 1).otherwise(0)
+            ).alias("small_inputs"),
+            F.min("file_id").alias("first_file"),
+            F.max("file_id").alias("last_file"),
+        )
+        .orderBy("part_year", "grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension history (merge/upsert semantics)
+# ---------------------------------------------------------------------------
+
+
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: collapse each
+    customer's order stream into priority REGIMES — contiguous runs of
+    the same o_orderpriority in (o_orderdate, o_orderkey) order — with
+    [valid_from, valid_to) validity ranges, a version number, and an
+    is_current flag. This is the MERGE/upsert history pattern every
+    warehouse dimension needs (the reference's station upsert,
+    MongoSaveService.java, is SCD Type 1 — overwrite, no history; the
+    Type 2 face is the beyond-reference half of W2).
+
+    Classic two-window derivation, all JVM-side: lag() flags attribute
+    changes, a running sum of flags numbers the versions, one groupBy
+    collapses rows to regimes, and lead() closes each regime's
+    validity with the next regime's start (open = current).
+
+    Scale shape: both windows and the groupBy key on cust_key — one
+    hash partitioning reused across the lag, the sum, the collapse,
+    and the lead (no re-shuffle between stages; per-task sort bounded
+    by one customer's orders). A true incremental MERGE at 100 TB
+    would partition the dimension by key and rewrite only changed
+    partitions; this face computes the full history deterministically
+    so the oracle can hash it.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.when(
+            F.lag("o_orderpriority").over(wo).isNull()
+            | (F.lag("o_orderpriority").over(wo) != F.col("o_orderpriority")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    regimes = flagged.groupBy("o_custkey", "version").agg(
+        # the priority is constant inside a regime by construction
+        # (version increments exactly when it changes), so min() IS it
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wl = Window.partitionBy("o_custkey").orderBy("version")
+    nxt = F.lead("valid_from").over(wl)
+    return (
+        regimes.select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("version").cast("long").alias("version"),
+            "priority",
+            "valid_from",
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+        )
+        .orderBy("cust_key", "version")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable hash-sample quantile sketch
+# ---------------------------------------------------------------------------
+
+QSAMPLE_RATE_DEN = 64  # keep hashes below 2^31/64 — a 1/64 sample
+
+
+def qsample_filter(id_col: F.Column) -> F.Column:
+    """Membership predicate of the consistent hash sample: keep rows
+    whose portable Knuth hash falls in the bottom 1/64 of hash space.
+    Consistency is what makes the sketch mergeable — the union of
+    per-batch samples IS the sample of the union (same fixed
+    threshold, disjoint rows), so stored per-batch sample rows serve
+    exact-over-sample quantiles with no rescan
+    (streaming/curation.quantile_sample_stream)."""
+    M = 2_147_483_648  # 2^31
+    return ((id_col % M) * 2654435761) % M < M // QSAMPLE_RATE_DEN
+
+
+def _disc_quantiles(df: DataFrame, keys: list[str], qs: list[float], prefix: str) -> DataFrame:
+    """Exact discrete quantiles (value at rank ceil(q·n), the
+    engine-portable rank rule) per key group, two-phase: rank inside
+    the group-ordered window, pick the target ranks. One hash
+    partitioning on the keys; per-task sort bounded by the group."""
+    w = Window.partitionBy(*keys).orderBy("value")
+    ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy(*keys))
+    )
+    aggs = [F.max("n").alias(f"{prefix}n")]
+    for q in qs:
+        tag = str(int(q * 100))
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(q)), F.col("value")
+                )
+            ).alias(f"{prefix}p{tag}")
+        )
+    return ranked.groupBy(*keys).agg(*aggs)
+
+
+def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a consistent 1/64 hash sample of
+    events, per event type, with the exact quantiles as the QA arm —
+    the mergeable, engine-portable alternative to approx_percentile
+    (whose GK sketch is JVM-internal, so events_approx_stats can only
+    be rows-only; this sketch's every output is hash-checked).
+
+    Estimates are exact discrete quantiles OVER THE SAMPLE (value at
+    rank ceil(q·n_s)): deterministic, mergeable by sample-row union
+    (qsample_filter), expected |error| ~ sqrt(q(1-q)/n_s) in rank
+    space. The exact arm full-sorts per type and is the toy-scale QA
+    face, exactly like events_kmv_setops' exact arms — a production
+    100 TB run ships only the sample arm, whose post-filter input is
+    1/64 of the scan and whose shuffle is sample-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.5, 0.9, 0.99]
+    sample = ev.filter(qsample_filter(F.col("event_id"))).select(
+        "event_type", "value"
+    )
+    est = _disc_quantiles(sample, ["event_type"], qs, "s_")
+    exact = _disc_quantiles(
+        ev.select("event_type", "value"), ["event_type"], qs, "x_"
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            F.col("x_n").cast("long").alias("n"),
+            F.col("s_n").cast("long").alias("n_sample"),
+            F.col("x_p50").alias("exact_p50"),
+            F.col("s_p50").alias("est_p50"),
+            F.col("x_p90").alias("exact_p90"),
+            F.col("s_p90").alias("est_p90"),
+            F.col("x_p99").alias("exact_p99"),
+            F.col("s_p99").alias("est_p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -459,3 +459,68 @@ def kmv_setops_from_partials(spark, table_path: str, k: int = 64) -> DataFrame:
 
     part = spark.read.parquet(table_path).select("event_type", "h").distinct()
     return kmv_pair_estimates(kmv_kmin(part, k), k).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Streaming hash-sample quantile sketch (mergeable face of
+# plans/relational.events_sampled_quantiles)
+# ---------------------------------------------------------------------------
+
+
+def quantile_sample_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+    """The consistent 1/64 hash sample of one events micro-batch —
+    the stored quantile-sketch partial. Because the sample predicate
+    is a FIXED hash threshold (relational.qsample_filter), the union
+    of per-batch samples is exactly the sample of the full stream:
+    merging partials is plain row append, no rank state, and stored
+    rows grow with stream/64, not with batches."""
+    from hrfco_data_pipeline_spark.plans.relational import qsample_filter
+
+    return batch_df.filter(qsample_filter(F.col("event_id"))).select(
+        F.lit(batch_id).cast("long").alias("batch"), "event_type", "value"
+    )
+
+
+def quantile_sample_stream(events_stream: DataFrame, table_path: str):
+    """Keep the quantile sample current as events stream in: per
+    micro-batch, the 1/64 hash sample appended exactly-once into
+    ``table_path`` (shared ``_append_merge`` staged swap). The serve
+    face (``quantiles_from_samples``) then answers any quantile at any
+    time without rescanning the stream — and because the sample is
+    consistent, its answers equal the batch face's sample arm
+    row-for-row (pinned by tests/test_streaming_curation.py).
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _append_merge(
+            batch_df.sparkSession,
+            table_path,
+            quantile_sample_batch(batch_df, batch_id),
+            batch_id,
+        )
+
+    return events_stream.writeStream.foreachBatch(_merge)
+
+
+def quantiles_from_samples(spark, table_path: str) -> DataFrame:
+    """Per-type quantile estimates from the stored sample rows — equal
+    to the est_* columns of the batch face
+    plans/relational.events_sampled_quantiles over the same events.
+    The exact QA arm is deliberately absent: it needs the full value
+    stream, which the sketch state does not (and must not) retain."""
+    from hrfco_data_pipeline_spark.plans.relational import _disc_quantiles
+
+    sample = spark.read.parquet(table_path).select("event_type", "value")
+    return (
+        _disc_quantiles(sample, ["event_type"], [0.5, 0.9, 0.99], "s_")
+        .select(
+            "event_type",
+            F.col("s_n").cast("long").alias("n_sample"),
+            F.col("s_p50").alias("est_p50"),
+            F.col("s_p90").alias("est_p90"),
+            F.col("s_p99").alias("est_p99"),
+        )
+        .orderBy("event_type")
+    )

@@ -52,6 +52,9 @@ NEW_IN_R8: list[str] = [
     "layout_pruning_report",
     "multimodal_image_patches",
     "events_kmv_setops",
+    "lineitem_compaction_plan",
+    "customer_scd2_history",
+    "events_sampled_quantiles",
 ]
 
 # The pinned r8 head promoted from behind the r7 boundary
@@ -90,13 +93,14 @@ def test_r8_window_composition():
         "docs_pack_sequences",
         "docs_tfidf_top_terms",
         "q7_volume_shipping",
-        "q22_idle_customers",
+        "q19_disjunctive_revenue",
     }
     assert must_check <= set(w)
-    # events_kmv_setops entering at the head shifted docs_gopher_quality
-    # (r3-era evidence) past the boundary: it must lead the r9 window
-    # with the other r3-era leftovers instead of silently vanishing.
-    assert names[50] == "docs_gopher_quality"
+    # each new-in-r8 head entry shifts one r3-era green past the
+    # boundary (q20/q21/q22 and docs_gopher_quality onward): they must
+    # lead the r9 window with the other r3-era leftovers instead of
+    # silently vanishing.
+    assert names[50] == "q20_part_share_suppliers"
 
 
 def test_r9_window_plan():

@@ -319,3 +319,35 @@ def test_kmv_setops_bounded_windows_no_cartesian(spark):
         # never an unpartitioned global sort: per-type windows key on
         # event_type (+ bucket), the union-merge window on the pair
         assert "event_type" in spec or "type_a" in spec
+
+
+def test_scd2_single_exchange_reused_across_windows(spark):
+    """customer_scd2_history keys every stage (lag flag, version sum,
+    regime collapse, validity lead) on o_custkey, so the executed plan
+    must contain exactly ONE hash-partitioning exchange — the
+    partitioning is reused end-to-end (a custkey-partitioned groupBy
+    on (custkey, version) needs no re-shuffle). A second exchange
+    means a stage stopped lining up and the 100 TB run re-shuffles the
+    whole dimension."""
+    import re
+
+    s = _plan(relational.customer_scd2_history(spark, SF))
+    assert "CartesianProduct" not in s
+    assert len(re.findall(r"Exchange hashpartitioning", s)) == 1
+
+
+def test_compaction_plan_is_metadata_sized(spark):
+    """lineitem_compaction_plan must collapse to file metadata before
+    any window: the first aggregate is partial (map-side combine on
+    (part_year, file_id)), the scan reads only the four referenced
+    columns, and the packing window partitions by part_year (never a
+    global sort of the manifest)."""
+    s = _formatted(relational.lineitem_compaction_plan(spark, SF))
+    read_schema = s.split("ReadSchema", 1)[1][:300]
+    assert "l_orderkey" in read_schema and "l_returnflag" not in read_schema
+    p = _plan(relational.lineitem_compaction_plan(spark, SF))
+    assert "partial_sum" in p or "partial" in p.lower()
+    import re
+
+    for spec in re.findall(r"Window \[sum\([^\]]*windowspecdefinition\(([^,]*)", p):
+        assert "part_year" in spec

@@ -563,3 +563,73 @@ def test_kmv_sketch_stream_equals_batch_face(spark, tmp_path):
 
     _append_merge(spark, table, kmv_batch_partials(ev.limit(50), 0), 0)
     assert spark.read.parquet(table).count() == n_rows
+
+
+def test_quantile_sample_stream_equals_batch_face(spark, tmp_path):
+    """Stream events in 4-file micro-batches through the quantile
+    sample maintainer; the serve face over the stored sample rows must
+    reproduce the batch face's sample-arm estimates exactly (the
+    sample predicate is a fixed hash threshold, so per-batch sample
+    union == full-stream sample). Stored state stays ~1/64 of the
+    stream. A replayed batch id must no-op (exactly-once)."""
+    from pyspark.sql.types import DoubleType, TimestampNTZType
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_sampled_quantiles,
+    )
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        _append_merge,
+        quantile_sample_batch,
+        quantile_sample_stream,
+        quantiles_from_samples,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "events_src")
+    ev.repartition(4).write.parquet(src)
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "qsample")
+    q = (
+        quantile_sample_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "qs-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # bounded state: a 1/64 hash sample of the stream (loose 2x bound)
+    n_total = ev.count()
+    n_rows = spark.read.parquet(table).count()
+    assert 0 < n_rows <= max(64, 2 * n_total // 64)
+
+    cols = ["event_type", "n_sample", "est_p50", "est_p90", "est_p99"]
+    got = sorted(
+        tuple(r)
+        for r in quantiles_from_samples(spark, table).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in events_sampled_quantiles(spark, sf).select(*cols).collect()
+    )
+    assert want and got == want
+
+    # replayed batch id no-ops
+    before = n_rows
+    _append_merge(spark, table, quantile_sample_batch(ev, 0), 0)
+    assert spark.read.parquet(table).count() == before
