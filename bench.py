@@ -81,6 +81,10 @@ HEADLINE = [
     # double-ranked layout scorecard and the two-arm retrieval fusion
     "layout_pruning_report",
     "docs_hybrid_rrf",
+    # round-8 additions (late): the KMV sketch with its exact QA
+    # self-join arms, and the full-dimension SCD2 history build
+    "events_kmv_setops",
+    "customer_scd2_history",
 ]
 
 
