@@ -145,7 +145,12 @@ def choose_join_strategy(
     ).collect()[0]
     big_rows, n_keys, max_n = int(prof.total), int(prof.n_keys), int(prof.max_n)
     share = (max_n / big_rows) if big_rows else 0.0
-    mean_ratio = (max_n * n_keys / big_rows) if big_rows else 0.0
+    # float-cast numerator and denominator BEFORE dividing: Python's
+    # int/int true division is correctly rounded from the exact
+    # rational, but the DuckDB oracle (and Spark's DOUBLE arithmetic)
+    # casts each side to double first — the two differ by 1 ulp once
+    # max_n*n_keys exceeds 2^53, plausible at 100 TB key cardinalities.
+    mean_ratio = (float(max_n * n_keys) / float(big_rows)) if big_rows else 0.0
 
     if broadcast_max_rows is not None:
         fits = small_rows <= broadcast_max_rows

@@ -1878,23 +1878,40 @@ HYDRO_ORACLES["hydro_resample_10min"] = HYDRO_CTE + """
     """
 
 
-# The multimodal fake-decode twin: the byte-histogram stand-in is pure
-# arithmetic over the UTF-8 payload. The synthetic corpus is ASCII
-# (verified: max byte 121), so per-character ord() == per-byte value
-# and DuckDB list ops reproduce the mapInPandas feature exactly.
-LLM_ORACLES["multimodal_features"] = """
-    WITH chars AS (
-      SELECT doc_id, length(text) AS n_bytes,
-        list_transform(range(1, length(text) + 1),
-                       i -> ord(substr(text, i, 1))) AS bytes
+# UTF-8 byte list shared by the multimodal oracle faces: bytes are
+# decoded from hex(encode(text)) so the oracle operates on the SAME
+# byte domain as the Spark faces (which sum bytes of the UTF-8 blob).
+# The previous ord(substr(text, ...)) form returned CODEPOINTS — equal
+# to bytes only while the corpus stays ASCII; one non-ASCII document
+# in future testdata would silently desynchronize window/patch grids
+# AND energies on all three multimodal oracles at once.
+_UTF8_BYTES_CTE = """
+    WITH hx AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+        hex(encode(text)) AS h
       FROM documents
+    ),
+    chars AS (
+      SELECT doc_id, n,
+        list_transform(range(0, n),
+          j -> (strpos('0123456789ABCDEF', substr(h, 2 * j + 1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(h, 2 * j + 2, 1)) - 1)
+        ) AS bytes
+      FROM hx
     )
-    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+"""
+
+
+# The multimodal fake-decode twin: the byte-histogram stand-in is pure
+# arithmetic over the UTF-8 payload (byte list via _UTF8_BYTES_CTE, so
+# the domain matches the Spark blob face byte-for-byte on any corpus).
+LLM_ORACLES["multimodal_features"] = _UTF8_BYTES_CTE + """
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
       round(CAST(len(list_filter(bytes, b -> b % 16 = 0)) AS DOUBLE)
-            / (CASE WHEN n_bytes = 0 THEN 1.0 ELSE CAST(n_bytes AS DOUBLE) END),
+            / (CASE WHEN n = 0 THEN 1.0 ELSE CAST(n AS DOUBLE) END),
             6) AS bin0,
       round(CAST(len(list_filter(bytes, b -> b % 16 = 1)) AS DOUBLE)
-            / (CASE WHEN n_bytes = 0 THEN 1.0 ELSE CAST(n_bytes AS DOUBLE) END),
+            / (CASE WHEN n = 0 THEN 1.0 ELSE CAST(n AS DOUBLE) END),
             6) AS bin1
     FROM chars
     """
@@ -6228,18 +6245,12 @@ def _pca_power_sql(dim: int = 64, iters: int = 3) -> str:
 LLM_ORACLES["embedding_pca_power_iteration"] = _pca_power_sql()
 
 
-# Overlapping 64/32 byte windows over the ASCII payload: window w
+# Overlapping 64/32 byte windows over the UTF-8 payload: window w
 # covers [w*32+1, w*32+64] (1-based), full windows only; energy is the
-# integer byte sum (ord per char == byte for this corpus, same
-# convention as multimodal_features).
-LLM_ORACLES["multimodal_audio_windows"] = """
-    WITH chars AS (
-      SELECT doc_id, length(text) AS n,
-        list_transform(range(1, length(text) + 1),
-                       i -> ord(substr(text, i, 1))) AS bytes
-      FROM documents
-    ),
-    wins AS (
+# integer byte sum (byte list via _UTF8_BYTES_CTE — same byte domain
+# as the Spark blob face on any corpus, ASCII or not).
+LLM_ORACLES["multimodal_audio_windows"] = _UTF8_BYTES_CTE + """
+    , wins AS (
       SELECT doc_id, w AS win_idx,
         list_reduce(list_prepend(0, list_transform(range(1, 65),
           j -> bytes[w * 32 + j])), (a, x) -> a + x) AS energy
@@ -6520,7 +6531,7 @@ RELATIONAL_ORACLES["copurchase_kcore"] = (
     + _kcore_stages()
     + """
     SELECT u AS part, CAST(count(*) AS BIGINT) AS core_degree
-    FROM e8 GROUP BY u
+    FROM e8 GROUP BY u HAVING count(*) >= 3
     """
 )
 
@@ -6818,19 +6829,15 @@ RELATIONAL_ORACLES["layout_pruning_report"] = (
 )
 
 
-# 2-D patch grid: the blob is text bytes (ASCII → ord(substr) = byte),
+# 2-D patch grid over the UTF-8 payload (byte list via
+# _UTF8_BYTES_CTE — same byte domain as the Spark blob face):
 # H = n div 32 rows, 8x8 non-overlapping patches; per-doc rollup with
 # the argmax patch's (py, px), row-major min on ties.
-LLM_ORACLES["multimodal_image_patches"] = """
-    WITH chars AS (
-      SELECT doc_id, length(text) AS n, text FROM documents
-    ),
-    patches AS (
+LLM_ORACLES["multimodal_image_patches"] = _UTF8_BYTES_CTE + """
+    , patches AS (
       SELECT doc_id, py, px,
         list_reduce(list_prepend(0, list_transform(range(0, 64),
-          j -> ord(substr(text,
-                          (py * 8 + j // 8) * 32 + px * 8 + (j % 8) + 1,
-                          1)))),
+          j -> bytes[(py * 8 + j // 8) * 32 + px * 8 + (j % 8) + 1])),
           (a, x) -> a + x) AS energy
       FROM chars,
         unnest(range(0, (n // 32) // 8)) AS a(py),

@@ -4607,6 +4607,12 @@ def copurchase_kcore(
     return (
         alive.groupBy("u")
         .agg(F.count("*").alias("core_degree"))
+        # final degree gate: if the peel cascade were ever longer than
+        # ``rounds``, vertices with residual degree < k could survive
+        # the loop — this filter restores the k-core invariant (every
+        # emitted vertex has >= k neighbours among the emitted edges)
+        # on the output rows regardless of how ``rounds`` was sized.
+        .filter(F.col("core_degree") >= k)
         .select(
             F.col("u").alias("part"),
             F.col("core_degree").cast("long").alias("core_degree"),

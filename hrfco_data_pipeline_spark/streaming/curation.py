@@ -260,42 +260,135 @@ def wire_presence_counts(parsed_batch: DataFrame, batch_id: int) -> DataFrame:
     )
 
 
-def _append_merge(spark, table_path: str, rows: DataFrame, batch_id: int) -> None:
-    """Append a micro-batch's rows to a stored table with
-    merge_lm_counts' staged-swap durability + exactly-once replay
-    protection (the applied batch id commits atomically inside the
-    staging dir; a replayed micro-batch no-ops). The pure-append
-    sibling of merge_lm_counts — for partials that accumulate rows
-    (presence counts, postings) rather than re-aggregate."""
+def _applied_batch_id(table_path: str) -> int:
+    """Last batch id recorded in the table's ``_batch_id`` marker
+    (-1 when the table or marker does not exist yet)."""
+    import os
+
+    try:
+        with open(os.path.join(table_path, "_batch_id")) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _write_marker(table_path: str, batch_id: int) -> None:
+    """Atomically bump the ``_batch_id`` marker (write-then-replace,
+    so a crash never leaves a torn marker)."""
+    import os
+
+    tmp = os.path.join(table_path, "._batch_id.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(batch_id))
+    os.replace(tmp, os.path.join(table_path, "_batch_id"))
+
+
+def _batch_dirs(table_path: str) -> list[str]:
+    """Committed per-batch subdirectories (``b<id>``), sorted."""
+    import os
+
+    try:
+        return sorted(
+            d
+            for d in os.listdir(table_path)
+            if d.startswith("b")
+            and os.path.isdir(os.path.join(table_path, d))
+        )
+    except OSError:
+        return []
+
+
+def _append_merge(
+    spark,
+    table_path: str,
+    rows: DataFrame,
+    batch_id: int,
+    compact_every: int = 32,
+) -> None:
+    """Exactly-once append of a micro-batch's rows with O(batch)
+    per-batch I/O: each batch lands in its own ``b<id>`` parquet
+    subdirectory via a hidden-tmp write + atomic rename, instead of
+    rewriting the whole accumulated table every micro-batch (the
+    pre-r9 staged-swap form — whose cumulative I/O grew quadratically
+    with stream length, at odds with the maintainers' "no corpus
+    rescan" point). Readers go through ``read_appended`` (recursive
+    file lookup; Spark's listing skips the dot-prefixed tmp dirs and
+    the underscore marker).
+
+    Exactly-once: a replayed micro-batch (foreachBatch is
+    at-least-once) sees its own ``b<id>`` dir — committed atomically
+    by the rename — or a ``_batch_id`` marker at/above its id (after
+    compaction folds the dirs away) and no-ops. Crash windows: mid
+    tmp-write → the hidden dir is swept on the next call; between
+    rename and marker bump → the dir-existence check no-ops the replay
+    and repairs the marker.
+
+    Every ``compact_every`` committed batches the table is folded flat
+    by ``compact_appended`` (the lineitem_compaction_plan pattern:
+    many small files → one right-sized table, amortized 1/K of the
+    old per-batch rewrite), so listing cost and file counts stay
+    bounded on long streams. The re-aggregating sibling is
+    merge_lm_counts, whose stored rollup stays small by construction.
+    """
+    import os
+    import shutil
+
+    from hrfco_data_pipeline_spark.sinks.writers import recover_swap
+
+    recover_swap(table_path, marker="_batch_id")  # heal a compaction crash
+    os.makedirs(table_path, exist_ok=True)
+    for d in os.listdir(table_path):
+        if d.startswith(".tmp-"):
+            shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
+
+    bdir = os.path.join(table_path, f"b{batch_id:012d}")
+    applied = _applied_batch_id(table_path)
+    if batch_id <= applied or os.path.isdir(bdir):
+        if batch_id > applied:
+            _write_marker(table_path, batch_id)
+        return
+
+    tmp = os.path.join(table_path, f".tmp-b{batch_id:012d}")
+    rows.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, bdir)
+    _write_marker(table_path, max(applied, batch_id))
+    if compact_every and len(_batch_dirs(table_path)) >= compact_every:
+        compact_appended(spark, table_path)
+
+
+def read_appended(spark, table_path: str) -> DataFrame:
+    """Read a table maintained by ``_append_merge`` (per-batch
+    ``b<id>`` subdirs plus any compacted root files). A plain
+    ``spark.read.parquet(table_path)`` would silently skip the batch
+    subdirectories — always read through this."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(table_path)
+
+
+def compact_appended(spark, table_path: str) -> None:
+    """Fold all committed batch subdirectories (plus previously
+    compacted root files) into one flat parquet table under the
+    staged-swap protocol (``recover_swap`` heals a crash between the
+    commit renames; the carried ``_batch_id`` marker — max of the
+    marker and the folded dir ids — keeps replay protection across
+    the fold, when the per-batch dirs no longer exist to check)."""
     import os
     import shutil
 
     from hrfco_data_pipeline_spark.sinks.writers import recover_swap
 
     recover_swap(table_path, marker="_batch_id")
-    marker = os.path.join(table_path, "_batch_id")
-    try:
-        with open(marker) as fh:
-            if batch_id <= int(fh.read().strip()):
-                return
-    except OSError:
-        pass
-
+    applied = max(
+        [_applied_batch_id(table_path)]
+        + [int(d[1:]) for d in _batch_dirs(table_path)]
+    )
     staging = f"{table_path}__staging__"
     backup = f"{table_path}__old__"
     shutil.rmtree(staging, ignore_errors=True)
-    try:
-        current = spark.read.parquet(table_path)
-        exists = True
-    except Exception:
-        current, exists = None, False
-    merged = current.unionByName(rows) if exists else rows
-    merged.write.mode("overwrite").parquet(staging)
+    read_appended(spark, table_path).write.mode("overwrite").parquet(staging)
     with open(os.path.join(staging, "_batch_id"), "w") as fh:
-        fh.write(str(batch_id))
+        fh.write(str(applied))
     shutil.rmtree(backup, ignore_errors=True)
-    if exists:
-        os.rename(table_path, backup)
+    os.rename(table_path, backup)
     os.rename(staging, table_path)
     shutil.rmtree(backup, ignore_errors=True)
 
@@ -337,7 +430,7 @@ def drift_report_from_counts(spark, table_path: str) -> DataFrame:
     (shared plans/wire.drift_report tail)."""
     from hrfco_data_pipeline_spark.plans.wire import drift_report
 
-    return drift_report(spark.read.parquet(table_path))
+    return drift_report(read_appended(spark, table_path))
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +453,7 @@ def bm25_index_stream(docs_stream: DataFrame, table_path: str):
     never re-tokenized) and append the batch's (doc_id, dl, term, tf)
     rows to ``table_path``. The retrieval face
     (plans/llm.bm25_candidates_from_postings + bm25_rank_topk over
-    ``spark.read.parquet(table_path)``) then serves top-k without a
+    ``read_appended(spark, table_path)``) then serves top-k without a
     corpus rescan — df and the corpus stats re-derive from the index
     itself in one index-sized scan.
 
@@ -391,7 +484,7 @@ def bm25_topk_from_index(spark, table_path: str, topk: int = 10) -> DataFrame:
     )
     from hrfco_data_pipeline_spark.plans.llm import _bm25_fold
 
-    tf = spark.read.parquet(table_path)
+    tf = read_appended(spark, table_path)
     qterms = spark.createDataFrame(BM25_QUERIES, "query_id long, term string")
     return bm25_rank_topk(
         _bm25_fold(bm25_candidates_from_postings(tf, qterms)), topk
@@ -457,7 +550,7 @@ def kmv_setops_from_partials(spark, table_path: str, k: int = 64) -> DataFrame:
         kmv_pair_estimates,
     )
 
-    part = spark.read.parquet(table_path).select("event_type", "h").distinct()
+    part = read_appended(spark, table_path).select("event_type", "h").distinct()
     return kmv_pair_estimates(kmv_kmin(part, k), k).orderBy("type_a", "type_b")
 
 
@@ -512,7 +605,7 @@ def quantiles_from_samples(spark, table_path: str) -> DataFrame:
     stream, which the sketch state does not (and must not) retain."""
     from hrfco_data_pipeline_spark.plans.relational import _disc_quantiles
 
-    sample = spark.read.parquet(table_path).select("event_type", "value")
+    sample = read_appended(spark, table_path).select("event_type", "value")
     return (
         _disc_quantiles(sample, ["event_type"], [0.5, 0.9, 0.99], "s_")
         .select(

@@ -346,6 +346,7 @@ def test_schema_drift_stream_equals_batch_face(spark, tmp_path):
     )
     from hrfco_data_pipeline_spark.streaming.curation import (
         drift_report_from_counts,
+        read_appended,
         merge_presence_counts,
         schema_drift_stream,
         wire_presence_counts,
@@ -396,7 +397,7 @@ def test_schema_drift_stream_equals_batch_face(spark, tmp_path):
     assert want and got == want
 
     # replay protection: re-merging an already-applied batch id no-ops
-    n_before = spark.read.parquet(table).count()
+    n_before = read_appended(spark, table).count()
     replay = wire_presence_counts(
         spark.createDataFrame(rows[:100], ["obs_id", "value"]).select(
             rec.alias("rec")
@@ -404,7 +405,7 @@ def test_schema_drift_stream_equals_batch_face(spark, tmp_path):
         0,
     )
     merge_presence_counts(spark, table, replay, 0)
-    assert spark.read.parquet(table).count() == n_before
+    assert read_appended(spark, table).count() == n_before
 
 
 def test_empty_microbatch_partial_cannot_poison_drift_report(spark, tmp_path):
@@ -461,6 +462,7 @@ def test_bm25_index_stream_equals_batch_face(spark, tmp_path):
         bm25_index_stream,
         bm25_topk_from_index,
         merge_postings,
+        read_appended,
     )
 
     docs = load_table(spark, SF, "documents")
@@ -492,9 +494,9 @@ def test_bm25_index_stream_equals_batch_face(spark, tmp_path):
     assert want and got == want
 
     # replay protection: re-merging an already-applied batch id no-ops
-    n_before = spark.read.parquet(table).count()
+    n_before = read_appended(spark, table).count()
     merge_postings(spark, table, bm25_postings(docs.limit(5)), 0)
-    assert spark.read.parquet(table).count() == n_before
+    assert read_appended(spark, table).count() == n_before
 
 
 def test_kmv_sketch_stream_equals_batch_face(spark, tmp_path):
@@ -511,6 +513,7 @@ def test_kmv_sketch_stream_equals_batch_face(spark, tmp_path):
         kmv_batch_partials,
         kmv_setops_from_partials,
         kmv_sketch_stream,
+        read_appended,
     )
 
     sf = "/root/testdata/sf0.01"
@@ -543,7 +546,7 @@ def test_kmv_sketch_stream_equals_batch_face(spark, tmp_path):
     assert q.awaitTermination(300)
 
     # bounded state: <= 4 batches * 64 * 5 types rows
-    n_rows = spark.read.parquet(table).count()
+    n_rows = read_appended(spark, table).count()
     assert 0 < n_rows <= 4 * 64 * 5
 
     cols = ["type_a", "type_b", "kmv_a", "kmv_b", "kmv_union", "kmv_inter"]
@@ -562,7 +565,7 @@ def test_kmv_sketch_stream_equals_batch_face(spark, tmp_path):
     from hrfco_data_pipeline_spark.streaming.curation import _append_merge
 
     _append_merge(spark, table, kmv_batch_partials(ev.limit(50), 0), 0)
-    assert spark.read.parquet(table).count() == n_rows
+    assert read_appended(spark, table).count() == n_rows
 
 
 def test_quantile_sample_stream_equals_batch_face(spark, tmp_path):
@@ -582,6 +585,7 @@ def test_quantile_sample_stream_equals_batch_face(spark, tmp_path):
         quantile_sample_batch,
         quantile_sample_stream,
         quantiles_from_samples,
+        read_appended,
     )
 
     sf = "/root/testdata/sf0.01"
@@ -615,7 +619,7 @@ def test_quantile_sample_stream_equals_batch_face(spark, tmp_path):
 
     # bounded state: a 1/64 hash sample of the stream (loose 2x bound)
     n_total = ev.count()
-    n_rows = spark.read.parquet(table).count()
+    n_rows = read_appended(spark, table).count()
     assert 0 < n_rows <= max(64, 2 * n_total // 64)
 
     cols = ["event_type", "n_sample", "est_p50", "est_p90", "est_p99"]
@@ -632,4 +636,62 @@ def test_quantile_sample_stream_equals_batch_face(spark, tmp_path):
     # replayed batch id no-ops
     before = n_rows
     _append_merge(spark, table, quantile_sample_batch(ev, 0), 0)
-    assert spark.read.parquet(table).count() == before
+    assert read_appended(spark, table).count() == before
+
+
+def test_append_merge_incremental_layout_and_compaction(spark, tmp_path):
+    """The r9 _append_merge contract: per-batch I/O is O(batch) — each
+    micro-batch lands in its own atomic b<id> subdirectory instead of
+    rewriting the accumulated table (whose cumulative I/O grew
+    quadratically with stream length) — and every compact_every
+    batches the table folds flat. Replay must no-op BOTH while the
+    batch dir exists and AFTER compaction removed it (the carried
+    _batch_id marker), and an interrupted hidden-tmp write must be
+    swept, not read."""
+    import os
+
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        _append_merge,
+        _batch_dirs,
+        compact_appended,
+        read_appended,
+    )
+
+    table = str(tmp_path / "appended")
+    mk = lambda lo, n: spark.range(lo, lo + n).selectExpr("id", "id * 2 AS v")
+
+    for b in range(4):
+        _append_merge(spark, table, mk(10 * b, 5), b, compact_every=0)
+    assert len(_batch_dirs(table)) == 4  # one dir per batch, no rewrite
+    assert read_appended(spark, table).count() == 20
+
+    # replay while the batch dir exists -> no-op
+    _append_merge(spark, table, mk(0, 5), 2, compact_every=0)
+    assert read_appended(spark, table).count() == 20
+
+    # an interrupted tmp write is swept on the next call, never read
+    os.makedirs(os.path.join(table, ".tmp-b000000000099"))
+    _append_merge(spark, table, mk(40, 5), 4, compact_every=0)
+    assert not os.path.exists(os.path.join(table, ".tmp-b000000000099"))
+    assert read_appended(spark, table).count() == 25
+
+    # compaction folds the dirs flat, keeps every row, carries the id
+    compact_appended(spark, table)
+    assert _batch_dirs(table) == []
+    assert read_appended(spark, table).count() == 25
+    assert int(open(os.path.join(table, "_batch_id")).read()) == 4
+
+    # replay AFTER compaction (batch dir gone) -> marker no-ops it
+    _append_merge(spark, table, mk(0, 5), 4, compact_every=0)
+    assert read_appended(spark, table).count() == 25
+
+    # post-compaction appends mix flat files + new batch dirs
+    _append_merge(spark, table, mk(50, 3), 5, compact_every=0)
+    assert read_appended(spark, table).count() == 28
+    assert len(_batch_dirs(table)) == 1
+
+    # auto-compaction trips at the threshold
+    _append_merge(spark, table, mk(60, 2), 6, compact_every=2)
+    assert _batch_dirs(table) == []
+    assert read_appended(spark, table).count() == 30
+    assert int(open(os.path.join(table, "_batch_id")).read()) == 6

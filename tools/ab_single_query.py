@@ -30,6 +30,9 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
+    if len(sys.argv) < 2:
+        print("usage: python tools/ab_single_query.py QUERY [SF_DIR] [WARM_REPS]")
+        return 2
     query = sys.argv[1]
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
