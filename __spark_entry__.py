@@ -38,98 +38,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r8 WINDOW (this round): CORRECTNESS_r07 went 50/50 — no retries.
-    # Window = new-in-r8 queries (never-checked come first per the
-    # ordering contract), then the pinned 11-entry r8 head promoted
-    # from behind the r7 boundary (events_view_only_users …
-    # embedding_quantize — the r3-era greens squeezed out of the r7
-    # cut plus embedding_quantize), then the remaining r3-era greens
-    # and the oldest r4-era greens in back-catalog order, topping up
-    # to exactly 50. This refreshes the oldest driver evidence in the
-    # registry (the r3-era rows predate two testdata regenerations).
-    #
-    # r9 ROTATION PLAN (execute at the start of r9): the block behind
-    # the boundary is the exact r9 window — the remaining r4-era
-    # greens in order, which includes the hydro/station anchor block
+    # r9 WINDOW (this round): CORRECTNESS_r08 went 50/50 — no retries.
+    # Window = the pinned r9 rotation plan written at the end of r8:
+    # new-in-r9 queries first (never checked), then the remaining
+    # r4-era greens — including the hydro/station anchor block
     # (hydro_station_list/detail/threshold_audit/archive_partitions/
     # alerts_filtered/recent_alerts_500 — the S6/S7/T7/T10/T11/C6/F3/
-    # K1/K2 operators), then the oldest r5-era greens. r10+ continues
-    # r5 rest -> r6 -> the r7/r8-certified blocks.
+    # K1/K2 operators, the oldest SURVEY §2 evidence after r8 cleared
+    # the r3 era) — topped up to exactly 50 with the oldest r5-era
+    # greens. The certified r8 window moved to the back (freshest
+    # evidence last, ahead of the rows-only tail).
+    #
+    # r10 ROTATION PLAN (execute at the start of r10): the block
+    # behind the boundary is the exact r10 window — any r9-window
+    # tail entries new-in-r9 additions displaced, then the remaining
+    # r5-era greens, then the oldest r6-era greens. r11+ continues
+    # r6 rest -> r7 -> r8 -> the r9-certified block.
     return {
-        # ================= r8 WINDOW (first 50) =================
-        # --- new in r8 (never checked; oracle-backed) ---
-        "orders_join_strategy_report": relational.orders_join_strategy_report,
-        "docs_bm25_topk": llm.docs_bm25_topk,
-        "copurchase_kcore": relational.copurchase_kcore,
-        "docs_rake_keyphrases": llm.docs_rake_keyphrases,
-        "docs_hybrid_rrf": llm.docs_hybrid_rrf,
-        "lineitem_hilbert_layout": relational.lineitem_hilbert_layout,
-        "layout_pruning_report": relational.layout_pruning_report,
-        "multimodal_image_patches": llm.multimodal_image_patches,
-        "events_kmv_setops": relational.events_kmv_setops,
-        "lineitem_compaction_plan": relational.lineitem_compaction_plan,
-        "customer_scd2_history": relational.customer_scd2_history,
-        "events_sampled_quantiles": relational.events_sampled_quantiles,
-        # --- pinned r8 head (promoted from behind the r7 boundary) ---
-        "events_view_only_users": relational.events_view_only_users,
-        "events_value_bands": relational.events_value_bands,
-        "events_value_percentiles": relational.events_value_percentiles,
-        "events_range_window": relational.events_range_window,
-        "dq_referential_report": relational.dq_referential_report,
-        "tables_report": relational.tables_report,
-        "events_props_variant": relational.events_props_variant,
-        "doc_winnow_fingerprints": llm.doc_winnow_fingerprints,
-        "dup_components": llm.dup_components,
-        "dedup_incremental": llm.dedup_incremental,
-        "embedding_quantize": llm.embedding_quantize,
-        # --- remaining r3-era greens (evidence two regens old) ---
-        "docs_ngram_freq": llm.docs_ngram_freq,
-        "docs_repetition_score": llm.docs_repetition_score,
-        "docs_decontaminate": llm.docs_decontaminate,
-        "docs_normalize": llm.docs_normalize,
-        "docs_pii_redact": llm.docs_pii_redact,
-        "docs_sample_stratified": llm.docs_sample_stratified,
-        "docs_sample_hash_topk": llm.docs_sample_hash_topk,
-        "docs_domain_mix": llm.docs_domain_mix,
-        "docs_pack_sequences": llm.docs_pack_sequences,
-        "docs_inverted_index": llm.docs_inverted_index,
-        "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
-        "docs_shard_assign": llm.docs_shard_assign,
-        "docs_range_shards": llm.docs_range_shards,
-        "docs_chunk_windows": llm.docs_chunk_windows,
-        "docs_split_assign": llm.docs_split_assign,
-        "docs_curation_funnel": llm.docs_curation_funnel,
-        "embedding_block_near_dups": llm.embedding_block_near_dups,
-        "wire_connector_station_counts": wire.wire_connector_station_counts,
-        "multimodal_blob_stats": llm.multimodal_blob_stats,
-        "q7_volume_shipping": relational.q7_volume_shipping,
-        "q8_market_share": relational.q8_market_share,
-        "q9_product_profit": relational.q9_product_profit,
-        "q11_important_parts": relational.q11_important_parts,
-        "q13_customer_order_distribution": relational.q13_customer_order_distribution,
-        "q15_top_supplier": relational.q15_top_supplier,
-        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
-        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
-        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
-        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        "q22_idle_customers": relational.q22_idle_customers,
-        "docs_gopher_quality": llm.docs_gopher_quality,
-        "docs_token_entropy": llm.docs_token_entropy,
-        "docs_segment_dedup": llm.docs_segment_dedup,
-        "events_retention_cohorts": relational.events_retention_cohorts,
-        "events_conversion_funnel": relational.events_conversion_funnel,
-        # --- oldest r4-era greens (r8 top-up) ---
-        "ivf_cosine_topk": llm.ivf_cosine_topk,
-        "events_hll_accuracy": relational.events_hll_accuracy,
-        "lsh_cosine_topk": llm.lsh_cosine_topk,
-        "embedding_near_dups": llm.embedding_near_dups,
-        # ^^^ first-50 boundary (50 entries above) ^^^
-        # ============ r9 WINDOW PLAN (next 50, in order) ============
-        # remaining r4-era greens — includes the hydro/station anchor
-        # block (S6/S7/T7/T10/T11/C6/F3/K1/K2 operators), which after
-        # r8 clears the r3 era becomes the oldest SURVEY §2 evidence —
-        # then the oldest r5-era greens. Pinned by
-        # tests/test_entry_contract.py.
+        # ================= r9 WINDOW (first 50) =================
+        # --- new in r9 (never checked; oracle-backed) ---
+        # (added at the head as they land this round)
+        # --- remaining r4-era greens (oldest SURVEY §2 evidence after
+        # r8 cleared the r3 era; includes the hydro/station anchor
+        # block — the S6/S7/T7/T10/T11/C6/F3/K1/K2 operators) ---
         "minhash_sig_probe": llm.minhash_sig_probe,
         "simhash_probe": llm.simhash_probe,
         "lsh_sig_probe": llm.lsh_sig_probe,
@@ -181,6 +112,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_safe_split": llm.docs_leakage_safe_split,
         "docs_bpe_pair_counts": llm.docs_bpe_pair_counts,
         "docs_quality_cutoff": llm.docs_quality_cutoff,
+        # ^^^ first-50 boundary (50 entries above) ^^^
+        # ============ r10 WINDOW PLAN (next 50, in order) ============
+        # remaining r5-era greens, then the oldest r6-era greens —
+        # the oldest evidence once this round refreshes the r4 era.
+        # New-in-r9 head entries shift the r9 window's r5-era tail
+        # into this block; they lead r10. Pinned by
+        # tests/test_entry_contract.py.
         "dup_cluster_sizes": llm.dup_cluster_sizes,
         "ann_hard_negatives": llm.ann_hard_negatives,
         "events_user_overlap": relational.events_user_overlap,
@@ -329,6 +267,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "events_moving_stats": relational.events_moving_stats,
+        # --- r8-era greens (certified 50/50 in CORRECTNESS_r08 —
+        # freshest evidence in the registry) ---
+        "orders_join_strategy_report": relational.orders_join_strategy_report,
+        "docs_bm25_topk": llm.docs_bm25_topk,
+        "copurchase_kcore": relational.copurchase_kcore,
+        "docs_rake_keyphrases": llm.docs_rake_keyphrases,
+        "docs_hybrid_rrf": llm.docs_hybrid_rrf,
+        "lineitem_hilbert_layout": relational.lineitem_hilbert_layout,
+        "layout_pruning_report": relational.layout_pruning_report,
+        "multimodal_image_patches": llm.multimodal_image_patches,
+        "events_kmv_setops": relational.events_kmv_setops,
+        "lineitem_compaction_plan": relational.lineitem_compaction_plan,
+        "customer_scd2_history": relational.customer_scd2_history,
+        "events_sampled_quantiles": relational.events_sampled_quantiles,
+        "events_view_only_users": relational.events_view_only_users,
+        "events_value_bands": relational.events_value_bands,
+        "events_value_percentiles": relational.events_value_percentiles,
+        "events_range_window": relational.events_range_window,
+        "dq_referential_report": relational.dq_referential_report,
+        "tables_report": relational.tables_report,
+        "events_props_variant": relational.events_props_variant,
+        "doc_winnow_fingerprints": llm.doc_winnow_fingerprints,
+        "dup_components": llm.dup_components,
+        "dedup_incremental": llm.dedup_incremental,
+        "embedding_quantize": llm.embedding_quantize,
+        "docs_ngram_freq": llm.docs_ngram_freq,
+        "docs_repetition_score": llm.docs_repetition_score,
+        "docs_decontaminate": llm.docs_decontaminate,
+        "docs_normalize": llm.docs_normalize,
+        "docs_pii_redact": llm.docs_pii_redact,
+        "docs_sample_stratified": llm.docs_sample_stratified,
+        "docs_sample_hash_topk": llm.docs_sample_hash_topk,
+        "docs_domain_mix": llm.docs_domain_mix,
+        "docs_pack_sequences": llm.docs_pack_sequences,
+        "docs_inverted_index": llm.docs_inverted_index,
+        "docs_tfidf_top_terms": llm.docs_tfidf_top_terms,
+        "docs_shard_assign": llm.docs_shard_assign,
+        "docs_range_shards": llm.docs_range_shards,
+        "docs_chunk_windows": llm.docs_chunk_windows,
+        "docs_split_assign": llm.docs_split_assign,
+        "docs_curation_funnel": llm.docs_curation_funnel,
+        "embedding_block_near_dups": llm.embedding_block_near_dups,
+        "wire_connector_station_counts": wire.wire_connector_station_counts,
+        "multimodal_blob_stats": llm.multimodal_blob_stats,
+        "q7_volume_shipping": relational.q7_volume_shipping,
+        "q8_market_share": relational.q8_market_share,
+        "q9_product_profit": relational.q9_product_profit,
+        "q11_important_parts": relational.q11_important_parts,
+        "q13_customer_order_distribution": relational.q13_customer_order_distribution,
+        "q15_top_supplier": relational.q15_top_supplier,
+        "q16_part_supplier_counts": relational.q16_part_supplier_counts,
+        "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
+        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_idle_customers": relational.q22_idle_customers,
+        "docs_gopher_quality": llm.docs_gopher_quality,
+        "docs_token_entropy": llm.docs_token_entropy,
+        "docs_segment_dedup": llm.docs_segment_dedup,
+        "events_retention_cohorts": relational.events_retention_cohorts,
+        "events_conversion_funnel": relational.events_conversion_funnel,
+        "ivf_cosine_topk": llm.ivf_cosine_topk,
+        "events_hll_accuracy": relational.events_hll_accuracy,
+        "lsh_cosine_topk": llm.lsh_cosine_topk,
+        "embedding_near_dups": llm.embedding_near_dups,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

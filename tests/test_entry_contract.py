@@ -38,81 +38,83 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-# New-in-r8 queries lead the window (never-checked first, per the
-# ordering contract). Append here as they land; the contract tests
-# below derive positions from this list so the pinned r8 head stays
-# inside the first-50 window (len must stay <= 39).
-NEW_IN_R8: list[str] = [
-    "orders_join_strategy_report",
-    "docs_bm25_topk",
-    "copurchase_kcore",
-    "docs_rake_keyphrases",
-    "docs_hybrid_rrf",
-    "lineitem_hilbert_layout",
-    "layout_pruning_report",
-    "multimodal_image_patches",
-    "events_kmv_setops",
-    "lineitem_compaction_plan",
-    "customer_scd2_history",
-    "events_sampled_quantiles",
+# New-in-r9 queries lead the window (never-checked first, per the
+# ordering contract). Append here as they land; the window pin below
+# derives positions from this list, so a careless insert cannot
+# silently rotate a pinned backlog entry out unnoticed.
+NEW_IN_R9: list[str] = []
+
+# The pinned r9 backlog written at the end of r8 (VERDICT r8 "Next
+# round" #1): the remaining r4-era greens — including the
+# hydro/station anchor block, the oldest SURVEY §2 evidence after r8
+# cleared the r3 era — topped up with the oldest r5-era greens.
+# New-in-r9 head entries displace the TAIL of this list past the
+# boundary; the displaced entries must then lead the r10 window.
+R9_BACKLOG = [
+    "minhash_sig_probe",
+    "simhash_probe",
+    "lsh_sig_probe",
+    "minhash_band_pairs_probe",
+    "simhash_pairs_probe",
+    "near_dedup_probe",
+    "events_peak_window_traffic",
+    "dedup_exact_docs",
+    "dedup_docs_kept",
+    "docs_quality_score",
+    "docs_lang_id",
+    "doc_fingerprints",
+    "docs_bpe_token_count",
+    "ann_cosine_topk",
+    "embedding_label_stats",
+    "docs_ngram_jaccard_pairs",
+    "docs_token_stats",
+    "multimodal_features",
+    "q1_pricing_summary",
+    "hydro_internal_levels",
+    "hydro_station_list",
+    "hydro_archive_partitions",
+    "hydro_threshold_audit",
+    "hydro_station_detail",
+    "hydro_station_tail",
+    "hydro_alerts_filtered",
+    "hydro_recent_alerts_500",
+    "hydro_fact_hourly_rollup",
+    "hydro_sensor_gaps",
+    "hydro_resample_10min",
+    "hydro_station_obs_coverage",
+    "docs_simjoin_prefix",
+    "docs_bloom_decontaminate",
+    "lineitem_zorder_layout",
+    "docs_cms_heavy_hitters",
+    "docs_editdist_pairs",
+    "pq_adc_topk",
+    "events_value_band_history",
+    "docs_line_dedup_rebuild",
+    "ivfpq_adc_topk",
+    "events_grouping_sets",
+    "docs_editdist_prefix_pairs",
+    "events_value_outliers",
+    "multimodal_frame_sample",
+    "semantic_dedup_keep",
+    "kmeans_refine_probe",
+    "docs_dsir_weights",
+    "docs_leakage_safe_split",
+    "docs_bpe_pair_counts",
+    "docs_quality_cutoff",
 ]
 
-# The pinned r8 head promoted from behind the r7 boundary
-# (VERDICT r7 "Next round" #1): the r3-era greens squeezed out of the
-# r7 cut plus embedding_quantize.
-R8_PROMOTED = [
-    "events_view_only_users",
-    "events_value_bands",
-    "events_value_percentiles",
-    "events_range_window",
-    "dq_referential_report",
-    "tables_report",
-    "events_props_variant",
-    "doc_winnow_fingerprints",
-    "dup_components",
-    "dedup_incremental",
-    "embedding_quantize",
-]
 
-
-def test_r8_window_composition():
-    """The r8 window: new-in-r8 queries first (never checked), then
-    the pinned 11-entry promoted head, then the remaining r3-era
-    greens (evidence two testdata regens old) and the oldest r4-era
-    greens topping up to 50. Pin the block bounds so a careless
-    insert can't silently rotate a pinned entry out."""
+def test_r9_window_composition():
+    """The r9 window is exactly (NEW_IN_R9 + R9_BACKLOG)[:50]: new
+    queries first, then the pinned backlog; growth at the head may
+    only displace the backlog TAIL (r5-era top-ups), never the r4-era
+    anchors. The displaced tail must sit immediately behind the
+    boundary, leading the r10 window."""
     names = list(entry.queries())
-    w = names[:50]
-    n = len(NEW_IN_R8)
-    assert n <= 39, "new-in-r8 block would push the pinned head out"
-    assert w[:n] == NEW_IN_R8
-    assert w[n : n + 11] == R8_PROMOTED
-    assert w[n + 11] == "docs_ngram_freq"  # r3-era remainder starts
-    must_check = {
-        "docs_decontaminate",
-        "docs_pack_sequences",
-        "docs_tfidf_top_terms",
-        "q7_volume_shipping",
-        "q19_disjunctive_revenue",
-    }
-    assert must_check <= set(w)
-    # each new-in-r8 head entry shifts one r3-era green past the
-    # boundary (q20/q21/q22 and docs_gopher_quality onward): they must
-    # lead the r9 window with the other r3-era leftovers instead of
-    # silently vanishing.
-    assert names[50] == "q20_part_share_suppliers"
-
-
-def test_r9_window_plan():
-    """Positions 50-99 lead with the remaining r4-era greens — which
-    contain the hydro/station anchor block (S6/S7/T7/T10/T11/C6/F3/
-    K1/K2), the oldest SURVEY §2 evidence once r8 clears the r3 era
-    (VERDICT r7 "Next round" #5) — topped up by entries the r8 window
-    squeezed out and the oldest r5-era greens."""
-    names = list(entry.queries())
-    r9 = names[50:100]
-    oracles = set(entry.oracle_sql())
-    assert set(r9) <= oracles  # every r9-window slot can go green
+    expected = (NEW_IN_R9 + R9_BACKLOG)[:50]
+    assert names[:50] == expected
+    n_displaced = len(NEW_IN_R9 + R9_BACKLOG) - 50
+    assert n_displaced >= 0
     hydro_anchor = {
         "hydro_station_list",
         "hydro_station_detail",
@@ -121,9 +123,32 @@ def test_r9_window_plan():
         "hydro_alerts_filtered",
         "hydro_recent_alerts_500",
     }
-    assert hydro_anchor <= set(r9)
-    # the r7-certified block sits at the back (freshest evidence last,
-    # just ahead of the rows-only tail)
+    assert hydro_anchor <= set(names[:50]), (
+        "the hydro/station anchor block (oldest SURVEY §2 evidence) "
+        "fell out of the r9 window — too many new-in-r9 head entries"
+    )
+    if n_displaced:
+        assert names[50 : 50 + n_displaced] == R9_BACKLOG[-n_displaced:]
+
+
+def test_r10_window_plan():
+    """Positions 50-99 (the r10 plan): displaced r9-backlog tail
+    first, then the remaining r5-era greens, then the oldest r6-era
+    greens — every slot oracle-backed so each can earn a green row.
+    The freshly-certified r8 block sits at the back, just ahead of
+    the rows-only tail."""
+    names = list(entry.queries())
+    r10 = names[50:100]
+    oracles = set(entry.oracle_sql())
+    assert set(r10) <= oracles
+    # remaining r5-era evidence leads (oldest after this round)
+    assert "dup_cluster_sizes" in r10
+    assert "nation_trade_pagerank" in r10
+    # the r8-certified block is behind the r10 window
+    for q in ("orders_join_strategy_report", "docs_bm25_topk",
+              "events_kmv_setops", "customer_scd2_history"):
+        assert q in names[100:], q
+    # the r7-certified block stays at the back too
     assert "embedding_random_projection" in names[100:]
     assert "events_moving_stats" in names[100:]
     # rows-only entries stay at the very end
