@@ -57,7 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ================= r9 WINDOW (first 50) =================
         # --- new in r9 (never checked; oracle-backed) ---
-        # (added at the head as they land this round)
+        "events_segment_enrichment": relational.events_segment_enrichment,
+        "customer_scd2_asof_snapshot": relational.customer_scd2_asof_snapshot,
+        "orders_theilsen_trend": relational.orders_theilsen_trend,
+        "embedding_mutual_knn": llm.embedding_mutual_knn,
+        "docs_pmi_top_pairs": llm.docs_pmi_top_pairs,
         # --- remaining r4-era greens (oldest SURVEY §2 evidence after
         # r8 cleared the r3 era; includes the hydro/station anchor
         # block — the S6/S7/T7/T10/T11/C6/F3/K1/K2 operators) ---

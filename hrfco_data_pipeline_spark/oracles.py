@@ -7034,3 +7034,131 @@ RELATIONAL_ORACLES["events_sampled_quantiles"] = """
       x.x_p99 AS exact_p99, e.s_p99 AS est_p99
     FROM exact x JOIN est e ON e.event_type = x.event_type
     """
+
+
+# Point-in-time SCD2 snapshot: the full history build (shared SQL)
+# filtered to the regime active at the as-of date — half-open
+# [valid_from, valid_to) with NULL = open/current.
+RELATIONAL_ORACLES["customer_scd2_asof_snapshot"] = (
+    "SELECT * FROM (\n"
+    + RELATIONAL_ORACLES["customer_scd2_history"]
+    + """
+    ) WHERE valid_from <= DATE '1995-06-15'
+        AND (valid_to IS NULL OR valid_to > DATE '1995-06-15')
+    """
+)
+
+
+# Theil-Sen over the monthly aggregate: integer month index and
+# counts, each pair slope ONE double division of exact integers,
+# quantiles selected at rank ceil(q*p) under (slope, mi, mj) order —
+# no averaging, no accumulation, nothing engine-sensitive.
+RELATIONAL_ORACLES["orders_theilsen_trend"] = """
+    WITH monthly AS (
+      SELECT o_orderpriority AS p,
+        (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+        count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.p, a.m AS mi, b.m AS mj,
+        CAST(b.n - a.n AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+      FROM monthly a JOIN monthly b ON a.p = b.p AND a.m < b.m
+    ), ranked AS (
+      SELECT p, slope, mi, mj,
+        row_number() OVER (PARTITION BY p ORDER BY slope, mi, mj) AS rk,
+        count(*) OVER (PARTITION BY p) AS np
+      FROM pairs
+    )
+    SELECT p AS o_orderpriority, CAST(max(np) AS BIGINT) AS n_pairs,
+      max(CASE WHEN rk = CAST(ceil(np * 0.25) AS BIGINT)
+          THEN slope END) AS slope_p25,
+      max(CASE WHEN rk = CAST(ceil(np * 0.5) AS BIGINT)
+          THEN slope END) AS theilsen_slope,
+      max(CASE WHEN rk = CAST(ceil(np * 0.75) AS BIGINT)
+          THEN slope END) AS slope_p75
+    FROM ranked GROUP BY p
+    """
+
+
+# The routed enrichment join: the decision (broadcast/salted/plain)
+# is a physical-plan choice — all arms are row-identical — so the
+# twin is the plain join. Cents via the proven portable
+# round(value*100) (events_value_log2_histogram pattern).
+RELATIONAL_ORACLES["events_segment_enrichment"] = """
+    SELECT c_mktsegment,
+      count(*) AS n_events,
+      count(DISTINCT user_id) AS n_users,
+      CAST(sum(CAST(round(coalesce(value, 0.0) * 100) AS BIGINT))
+           AS BIGINT) AS sum_cents
+    FROM events JOIN customer ON user_id = c_custkey
+    WHERE user_id IS NOT NULL
+    GROUP BY 1
+    """
+
+
+# Mutual k-NN: the directed within-label candidate join (the Spark
+# side's sub-sharded pair blocks emit each unordered pair once and
+# explode both orientations — elementwise products commute, so the
+# directed cosines are bit-identical to this plain directed join),
+# fold-left dot in dimension order / sqrt-norm product (the certified
+# embedding chain), rank ties on neighbour id, mutual = reverse edge
+# inside the reverse top-k.
+LLM_ORACLES["embedding_mutual_knn"] = """
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+          AS nrm
+      FROM embeddings
+    ), e AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+        list_reduce(list_prepend(0.0, list_transform(range(len(a.v)),
+          i -> a.v[i + 1] * b.v[i + 1])), (acc, x) -> acc + x)
+          / (a.nrm * b.nrm) AS cos
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT src, nbr, cos,
+        row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr)
+          AS rank
+      FROM e QUALIFY rank <= 3
+    )
+    SELECT k.src AS vec_id, k.nbr AS nbr_id,
+      CAST(k.rank AS INTEGER) AS rank, k.cos AS cos_sim,
+      r.src IS NOT NULL AS mutual
+    FROM knn k LEFT JOIN knn r ON r.src = k.nbr AND r.nbr = k.src
+    """
+
+
+# PMI lift stays rational (N*df_xy / (df_x*df_y): one double division
+# of exact integer products — the docs_bm25_topk no-log discipline);
+# top-100 vocabulary and the final top-50 both deterministic under
+# (count DESC, token) / (lift DESC, tok_a, tok_b) binary-collation
+# orders shared by both engines.
+LLM_ORACLES["docs_pmi_top_pairs"] = r"""
+    WITH tokd AS (
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(
+          regexp_split_to_array(trim(text), '\s+'),
+          t -> lower(t)))) AS tok
+      FROM documents
+    ), dfc AS (SELECT tok, count(*) AS c FROM tokd GROUP BY 1),
+    vocab AS (SELECT tok, c FROM dfc ORDER BY c DESC, tok LIMIT 100),
+    tv AS (SELECT t.doc_id, t.tok, v.c
+           FROM tokd t JOIN vocab v USING (tok)),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    co AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_xy,
+        min(a.c) AS c_a, min(b.c) AS c_b
+      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ), scored AS (
+      SELECT tok_a, tok_b, c_xy, c_a, c_b,
+        CAST(n_docs * c_xy AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)
+          AS lift
+      FROM co CROSS JOIN nd
+    )
+    SELECT tok_a, tok_b, CAST(c_xy AS BIGINT) AS n_co_docs,
+      CAST(c_a AS BIGINT) AS df_a, CAST(c_b AS BIGINT) AS df_b, lift,
+      CAST(row_number() OVER (ORDER BY lift DESC, tok_a, tok_b)
+           AS INTEGER) AS rank
+    FROM scored QUALIFY rank <= 50
+    """

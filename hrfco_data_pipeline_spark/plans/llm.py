@@ -4156,3 +4156,196 @@ def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak_py").cast("long").alias("peak_py"),
         F.col("peak_px").cast("long").alias("peak_px"),
     )
+
+
+def embedding_mutual_knn(
+    spark: SparkSession, sf_dir: str, k: int = 3, max_block: int = 64
+) -> DataFrame:
+    """Mutual k-NN graph over the embedding corpus: each vector's top-k
+    cosine neighbours within its label block, plus the MUTUAL flag
+    (neighbour lists that contain each other) — the graph primitive
+    semantic-clustering and reciprocal-nearest-neighbour dedup build
+    on (a mutual edge is far stronger duplicate evidence than a
+    one-way edge from a hub vector). The label is the coarse blocking
+    key, exactly as in embedding_block_near_dups (in production: a
+    k-means cell or shard id).
+
+    Exactness: cosine = fold-left dot in dimension order over one
+    sqrt-norm product — the bit-portable chain every certified
+    embedding query uses; cos values ship RAW (no rounding), ranks
+    break ties on neighbour id.
+
+    Scale shape: candidate pairs come from the same sub-sharded
+    pair-block scheme as embedding_block_near_dups (labels over
+    ``max_block`` rows split so no task exceeds ~max_block² pairs;
+    replication linear in skew). Each unordered pair's cosine is
+    computed ONCE and exploded to both orientations (elementwise
+    products commute, so the directed values are bit-identical), then
+    one hash-partitioned window ranks each source's neighbours.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecd = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    with_norm = vecd.withColumn("nrm", F.sqrt(_dot("v", "v")))
+    counts = vecd.groupBy("label").agg(F.count("*").alias("n_lbl"))
+    sharded = (
+        with_norm.join(F.broadcast(counts), "label")
+        .withColumn(
+            "kk",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("n_lbl") / F.lit(max_block))
+            ).cast("int"),
+        )
+        .withColumn("s", F.pmod(F.xxhash64("vec_id"), F.col("kk")).cast("int"))
+    )
+    a = sharded.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("s").alias("bl_a"),
+        F.explode(F.sequence(F.col("s"), F.col("kk") - 1)).alias("br_a"),
+    )
+    b = sharded.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("s"))).alias("bl_b"),
+        F.col("s").alias("br_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("label") == F.col("lb"))
+        & (F.col("bl_a") == F.col("bl_b"))
+        & (F.col("br_a") == F.col("br_b"))
+        & (F.col("id_a") != F.col("id_b")),
+    )
+    dedup = pairs.filter(
+        (F.col("bl_a") != F.col("br_a")) | (F.col("id_a") < F.col("id_b"))
+    )
+    scored = dedup.select(
+        "id_a",
+        "id_b",
+        (_dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cos"),
+    )
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"), F.col("id_b").alias("nbr")
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"), F.col("id_a").alias("nbr")
+                ),
+            )
+        ).alias("e"),
+        "cos",
+    ).select("e.src", "e.nbr", "cos")
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("nbr"))
+    knn = directed.select(
+        "src", "nbr", "cos", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= k)
+    rev = knn.select(
+        F.col("src").alias("r_src"), F.col("nbr").alias("r_nbr")
+    )
+    return (
+        knn.join(
+            rev,
+            (F.col("nbr") == F.col("r_src")) & (F.col("src") == F.col("r_nbr")),
+            "left",
+        )
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("nbr").alias("nbr_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("cos").alias("cos_sim"),
+            F.col("r_src").isNotNull().alias("mutual"),
+        )
+    )
+
+
+def docs_pmi_top_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    vocab_size: int = 100,
+    min_co_docs: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Top co-occurring token pairs by PMI lift over the document
+    corpus: lift(x,y) = N·df(x,y) / (df(x)·df(y)) — the association
+    score collocation mining and taxonomy induction start from
+    (lift > 1 = the pair co-occurs more than independence predicts).
+    Scores stay in the RATIONAL domain (the docs_bm25_topk pattern):
+    one double division of exact integer products, no log anywhere —
+    log₂(lift) would re-import Spark's 1-ulp LOG2 drift for zero
+    ranking power.
+
+    Scale shape: the pair explosion is bounded by construction — the
+    corpus-wide top-``vocab_size`` vocabulary (doc-frequency, ties on
+    the token) is a TakeOrderedAndProject broadcast, per-doc distinct
+    tokens are filtered to it BEFORE pairing, so a doc contributes
+    <= vocab_size²/2 pairs regardless of its length and the candidate
+    space is <= vocab_size² rows total: the final ranking window runs
+    over a bounded frame, never the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(_tokens(), lambda t: F.lower(t)))
+        ).alias("tok"),
+    )
+    df_counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    vocab = df_counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_size)
+    tv = toks.join(F.broadcast(vocab), "tok")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    a = tv.select(
+        "doc_id", F.col("tok").alias("tok_a"), F.col("c").alias("c_a")
+    )
+    b = tv.select(
+        F.col("doc_id").alias("d2"),
+        F.col("tok").alias("tok_b"),
+        F.col("c").alias("c_b"),
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("d2")) & (F.col("tok_a") < F.col("tok_b")),
+        )
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count("*").alias("c_xy"),
+            F.min("c_a").alias("c_a"),
+            F.min("c_b").alias("c_b"),
+        )
+        .filter(F.col("c_xy") >= min_co_docs)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_xy",
+            "c_a",
+            "c_b",
+            (
+                (F.col("n_docs") * F.col("c_xy")).cast("double")
+                / (F.col("c_a") * F.col("c_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        co.select(
+            "tok_a",
+            "tok_b",
+            F.col("c_xy").cast("long").alias("n_co_docs"),
+            F.col("c_a").cast("long").alias("df_a"),
+            F.col("c_b").cast("long").alias("df_b"),
+            "lift",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= topk)
+    )

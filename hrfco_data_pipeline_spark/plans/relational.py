@@ -5294,15 +5294,17 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slope estimate is the MEDIAN of all pairwise slopes
     (n_j - n_i)/(m_j - m_i) over month buckets — the standard
     outlier-resistant alternative to least squares (up to ~29% of the
-    months can be corrupted before the estimate moves). Median rule
-    pinned engine-portably: rank the pair slopes ascending (ties
-    broken by the month pair), average the values at ranks
-    floor((p+1)/2) and ceil((p+1)/2).
+    months can be corrupted before the estimate moves). Alongside the
+    median, the p25/p75 slope quartiles — the slope DISPERSION a flat
+    median hides (TPC-H order arrival is uniform, so the median slope
+    is exactly 0; the quartiles carry the hash surface). All three are
+    pure SELECTIONS at rank ceil(q·p) over the ascending pair slopes
+    (ties broken by the month pair) — the _disc_quantiles rank rule.
 
     Exactness: month index and monthly counts are integers; each pair
     slope is ONE double division of exact integers (IEEE-identical in
-    any engine); the median only SELECTS values (plus one portable
-    (a+b)/2 for even pair counts).
+    any engine); quantiles only select values — no averaging, no
+    accumulation.
 
     Scale shape: the all-pairs step runs over the MONTHLY AGGREGATE
     (bounded by the date domain — ~80 months at any corpus size, the
@@ -5349,18 +5351,28 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rk"),
         F.count("*").over(Window.partitionBy("p")).alias("np"),
     )
-    lo = (F.col("np") + 1).cast("long") / 2
-    return (
-        ranked.filter(
-            (F.col("rk") == F.floor(lo)) | (F.col("rk") == F.ceil(lo))
+
+    def pick(q: float) -> F.Column:
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.col("np") * F.lit(q)), F.col("slope")
+            )
         )
-        .groupBy("p")
+
+    return (
+        ranked.groupBy("p")
         .agg(
             F.max("np").cast("long").alias("n_pairs"),
-            (F.sum("slope") / F.count("*")).alias("theilsen_slope"),
+            pick(0.25).alias("slope_p25"),
+            pick(0.5).alias("theilsen_slope"),
+            pick(0.75).alias("slope_p75"),
         )
         .select(
-            F.col("p").alias("o_orderpriority"), "n_pairs", "theilsen_slope"
+            F.col("p").alias("o_orderpriority"),
+            "n_pairs",
+            "slope_p25",
+            "theilsen_slope",
+            "slope_p75",
         )
     )
 
@@ -5368,23 +5380,28 @@ def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event rollup by customer market segment with the events⋈customer
     enrichment join ROUTED through the measured decision rule
-    (operators/skew.choose_join_strategy → apply_join_strategy) — the
-    arm orders_join_strategy_report profiles as SALTED for this
-    candidate under the pinned policy (broadcast_max_rows=1000: the
-    customer dim misses the portable row cap; the hottest user holds
-    >= 2x the mean rows-per-user). The decision is data-driven: on a
-    differently-shaped corpus the same code broadcasts or goes plain,
-    and the output is row-identical either way — which is why the
-    DuckDB twin is the plain join.
+    (operators/skew.choose_join_strategy → apply_join_strategy). Under
+    the pinned policy (broadcast_max_rows=2000, skew_mean_ratio=2.0)
+    the customer dim fits the portable row cap at certification scale,
+    so the profile lands on the BROADCAST arm — the arm a dim
+    enrichment should take — while at larger SFs the same code falls
+    through to plain/salted as the dim outgrows the cap and the user
+    distribution skews (events user traffic is near-uniform at sf0.01:
+    mean_ratio 1.29). The decision is data-driven and the output is
+    row-identical across arms — which is why the DuckDB twin is the
+    plain join. The salted arm's drop-in proof is orders_salted_revenue
+    (lineitem⋈orders profiles salted(4) at sf0.01); together the two
+    routed queries execute two of the three arms in real plans,
+    pinned by tests/test_skew.py.
 
     Exactness: value sums in integer cents via the portable
     round(value*100) (events_value_log2_histogram pattern); counts and
     distincts are integers.
 
     Scale shape: one profile (two bounded 1-row aggregates at plan
-    time), then the routed join — salted: hot users spread across the
-    computed salt's shuffle partitions in the write stage — and one
-    map-side-combined groupBy over 5 segments.
+    time), then the routed join — broadcast here: zero shuffle on the
+    fact side; salted/plain when the profile says so at larger SFs —
+    and one map-side-combined groupBy over 5 segments.
     """
     from hrfco_data_pipeline_spark.operators.skew import (
         apply_join_strategy,
@@ -5398,7 +5415,7 @@ def events_segment_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     decision = choose_join_strategy(
-        ev, cust, "user_id", broadcast_max_rows=1000, skew_mean_ratio=2.0
+        ev, cust, "user_id", broadcast_max_rows=2000, skew_mean_ratio=2.0
     )
     j = apply_join_strategy(
         ev,

@@ -42,7 +42,13 @@ def test_first_50_all_oracle_backed():
 # ordering contract). Append here as they land; the window pin below
 # derives positions from this list, so a careless insert cannot
 # silently rotate a pinned backlog entry out unnoticed.
-NEW_IN_R9: list[str] = []
+NEW_IN_R9: list[str] = [
+    "events_segment_enrichment",
+    "customer_scd2_asof_snapshot",
+    "orders_theilsen_trend",
+    "embedding_mutual_knn",
+    "docs_pmi_top_pairs",
+]
 
 # The pinned r9 backlog written at the end of r8 (VERDICT r8 "Next
 # round" #1): the remaining r4-era greens — including the

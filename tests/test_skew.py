@@ -125,3 +125,67 @@ def test_salted_join_is_deterministic_across_reruns(spark):
     a = _rows(got, ["row_id", "name"])
     b = _rows(got, ["row_id", "name"])
     assert a == b
+
+
+def test_routed_queries_execute_their_profiled_arm(spark):
+    """VERDICT r8 item 5: the decision rule is a DROP-IN, not just a
+    report. orders_salted_revenue (pinned policy: never-broadcast +
+    skew_mean_ratio=1.5 < TPC-H's ~1.75 lines-per-order ratio) must
+    profile SALTED and its executed plan must carry the salted-join
+    machinery (exploded dim replication keyed on (key, salt)); the
+    oracle for the query is unchanged from the hard-coded-salt era
+    because all arms are row-identical."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        orders_salted_revenue,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    d = choose_join_strategy(
+        li, orders, "l_orderkey",
+        broadcast_max_rows=1000, skew_mean_ratio=1.5, max_salt=8,
+    )
+    assert d.strategy == "salted"
+    assert 2 <= d.salt <= 8
+
+    plan = (
+        orders_salted_revenue(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the JOIN's exchange keys on (key, salt) — the agg exchanges
+    # above it don't, so scan every hashpartitioning clause
+    import re
+
+    assert re.search(r"hashpartitioning\([^)]*_salt", plan)
+    assert "Generate explode" in plan
+
+
+def test_segment_enrichment_routes_broadcast_at_cert_scale(spark):
+    """events x customer profiles BROADCAST under the query's pinned
+    policy at the certification SF (the 1500-row customer dim fits
+    the 2000-row portable cap; events user traffic is near-uniform,
+    mean_ratio ~1.29), and events_segment_enrichment's executed plan
+    carries that arm — no shuffle-side explode, a BroadcastHashJoin
+    on the fact scan."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_segment_enrichment,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events").filter(F.col("user_id").isNotNull())
+    cust = load_table(spark, sf, "customer")
+    d = choose_join_strategy(
+        ev, cust, "user_id", broadcast_max_rows=2000, skew_mean_ratio=2.0
+    )
+    assert d.strategy == "broadcast"
+    assert d.salt == 1
+
+    plan = (
+        events_segment_enrichment(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Generate explode" not in plan
