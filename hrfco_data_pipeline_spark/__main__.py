@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
         "docs_train_linear_gate",
         "embedding_pca_power_iteration",
         "orders_join_strategy_report",
+        # routed joins: choose_join_strategy profiles (two bounded
+        # 1-row aggregates) at plan-build time since r9
+        "orders_salted_revenue",
+        "events_segment_enrichment",
     }
     if args.cmd == "explain" and args.query in EAGER:
         print(

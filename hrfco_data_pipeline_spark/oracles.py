@@ -7162,3 +7162,127 @@ LLM_ORACLES["docs_pmi_top_pairs"] = r"""
            AS INTEGER) AS rank
     FROM scored QUALIFY rank <= 50
     """
+
+
+# Double-mass curve: daily integer-cents volumes, cumulative windows
+# over bounded daily aggregates, endpoint proportionality deviation as
+# exact integer cross-products (HUGEINT here, DECIMAL(38,0) on the
+# Spark side — identical values, the PCA-accumulator precedent).
+HYDRO_ORACLES["hydro_double_mass"] = HYDRO_CTE + """
+    , dm AS (
+      SELECT wlobscd AS station, substr(ymdhm, 1, 8) AS day,
+        CAST(round(water_level * 100) AS BIGINT) AS cents
+      FROM classified
+      WHERE water_level IS NOT NULL AND length(ymdhm) = 12
+    ), sd AS (
+      SELECT station, day, sum(cents) AS s_cents FROM dm GROUP BY 1, 2
+    ), dd AS (
+      SELECT day, sum(cents) AS d_cents FROM dm GROUP BY 1
+    ), basin AS (
+      SELECT day, sum(d_cents) OVER (
+        ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS x_cum FROM dd
+    ), stc AS (
+      SELECT station, day, sum(s_cents) OVER (
+        PARTITION BY station ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS y_cum FROM sd
+    ), curve AS (
+      SELECT stc.station, stc.day, stc.y_cum, basin.x_cum
+      FROM stc JOIN basin USING (day)
+    ), ends AS (
+      SELECT station, count(*) AS n_days, max(day) AS last_day,
+        max(y_cum) AS y_total
+      FROM curve GROUP BY 1
+    ), endsx AS (
+      SELECT e.station, e.n_days, e.y_total, b.x_cum AS x_total
+      FROM ends e JOIN basin b ON b.day = e.last_day
+    ), dev AS (
+      SELECT c.station,
+        max(abs(CAST(c.y_cum AS HUGEINT) * CAST(ex.x_total AS HUGEINT)
+              - CAST(c.x_cum AS HUGEINT) * CAST(ex.y_total AS HUGEINT)))
+          AS max_dev
+      FROM curve c JOIN endsx ex USING (station) GROUP BY 1
+    )
+    SELECT ex.station, CAST(ex.n_days AS BIGINT) AS n_days,
+      CAST(ex.y_total AS BIGINT) AS station_cents,
+      CAST(ex.x_total AS BIGINT) AS basin_cents,
+      CAST(ex.y_total AS DOUBLE) / CAST(ex.x_total AS DOUBLE)
+        AS final_ratio,
+      CAST(dev.max_dev AS DECIMAL(38,0)) AS max_dev
+    FROM endsx ex JOIN dev USING (station)
+    """
+
+
+# CCNet terciles rank on the exact _model_z fold (shared CTE chain
+# with docs_model_quality_score up to z) — never a log/exp score.
+LLM_ORACLES["docs_ccnet_quality_buckets"] = (
+    LLM_ORACLES["docs_model_quality_score"].rpartition("SELECT doc_id,")[0]
+    + """
+    , zl AS (
+      SELECT t.lang, z.doc_id, z.n_toks, z.zz,
+        ntile(3) OVER (PARTITION BY t.lang
+                       ORDER BY z.zz DESC, z.doc_id) AS bucket
+      FROM z JOIN (SELECT doc_id, lang FROM documents) t USING (doc_id)
+    )
+    SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+      count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks,
+      min(zz) AS min_z, max(zz) AS max_z
+    FROM zl GROUP BY 1, 2
+    """
+)
+
+
+# Lateness vs the arrival-order high-water mark: the oracle runs the
+# plain global running max (value-identical to the Spark side's
+# two-pass bucketed form — max is associative over any prefix split);
+# integer epoch micros, rank-rule quantiles.
+RELATIONAL_ORACLES["events_watermark_lateness_audit"] = """
+    WITH base AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+    ), hw AS (
+      SELECT event_type, us,
+        max(us) OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS seen
+      FROM base
+    ), lat AS (
+      SELECT event_type,
+        greatest(0, coalesce(seen, 0) - us) AS value
+      FROM hw
+    ), ranked AS (
+      SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM lat
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      CAST(max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+          THEN value END) AS BIGINT) AS p50_us,
+      CAST(max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+          THEN value END) AS BIGINT) AS p95_us,
+      CAST(max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+          THEN value END) AS BIGINT) AS p99_us,
+      CAST(max(value) AS BIGINT) AS max_us,
+      CAST(sum(CASE WHEN value > 600000000 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_late_10m
+    FROM ranked GROUP BY 1
+    """
+
+
+# Retention plan: integer month age against the pinned 1998-08
+# reference, money through the exact printf-cents path.
+RELATIONAL_ORACLES["orders_retention_vacuum_plan"] = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      CAST((1998 - year(o_orderdate)) * 12 + (8 - month(o_orderdate))
+           AS INTEGER) AS age_months,
+      CASE WHEN (1998 - year(o_orderdate)) * 12
+                + (8 - month(o_orderdate)) >= 48 THEN 'drop'
+           WHEN (1998 - year(o_orderdate)) * 12
+                + (8 - month(o_orderdate)) >= 24 THEN 'archive'
+           ELSE 'keep' END AS action,
+      count(*) AS n_orders,
+      CAST(sum(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2)))
+           AS DOUBLE) AS total_value
+    FROM orders GROUP BY 1, 2, 3
+    """

@@ -909,3 +909,82 @@ def time_weighted_daily_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         twa.alias("twa_wl"),
         F.col("plain_wl"),
     )
+
+
+def double_mass_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-mass curve gauge-consistency QA — the classic hydrology
+    check a station network runs before trusting a record (e.g.
+    Searcy & Hardison 1960, USGS WSP 1541-B): plot a station's
+    CUMULATIVE daily level volume against the basin-wide cumulative;
+    a consistent gauge tracks a straight line through the endpoint,
+    while a datum shift / sensor drift shows as a slope break. Per
+    station: days observed, the station and basin cumulative totals,
+    their final ratio, and the maximum proportionality deviation along
+    the curve — the break detector.
+
+    Exactness: daily volumes accumulate in INTEGER CENTS (the portable
+    round(wl*100)); the deviation is the exact integer cross-product
+    |y_i·X_T − x_i·Y_T| computed in DECIMAL(38,0) (the PCA-accumulator
+    precedent — products would pass 2^63 at corpus scale), so no
+    float ever accumulates; the only double is the one final ratio
+    division.
+
+    Scale shape: everything windows over DATE-DOMAIN-BOUNDED daily
+    aggregates (the orders_seasonal_decomposition precedent) — the
+    basin cumulative over ~years of days, the station cumulative
+    partitioned per station — never over raw observations; the
+    endpoint join is a broadcast of the per-station 1-row totals.
+    """
+    c = classified(spark, sf_dir)
+    base = c.filter(
+        F.col("water_level").isNotNull() & (F.length("ymdhm") == 12)
+    ).select(
+        F.col("wlobscd").alias("station"),
+        F.substring("ymdhm", 1, 8).alias("day"),
+        F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+    )
+    sd = base.groupBy("station", "day").agg(F.sum("cents").alias("s_cents"))
+    dd = base.groupBy("day").agg(F.sum("cents").alias("d_cents"))
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    basin = dd.select("day", F.sum("d_cents").over(run).alias("x_cum"))
+    wst = Window.partitionBy("station").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    st = sd.select(
+        "station", "day", F.sum("s_cents").over(wst).alias("y_cum")
+    )
+    curve = st.join(basin, "day")
+    ends = (
+        curve.groupBy("station")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.max("day").alias("last_day"),
+            F.max("y_cum").alias("y_total"),
+        )
+        .join(
+            basin.select(F.col("day").alias("last_day"), F.col("x_cum").alias("x_total")),
+            "last_day",
+        )
+    )
+    d38 = lambda col: F.col(col).cast("decimal(38,0)")
+    dev = (
+        curve.join(F.broadcast(ends.select("station", "x_total", "y_total")), "station")
+        .select(
+            "station",
+            F.abs(
+                d38("y_cum") * d38("x_total") - d38("x_cum") * d38("y_total")
+            ).alias("cross_dev"),
+        )
+        .groupBy("station")
+        .agg(F.max("cross_dev").cast("decimal(38,0)").alias("max_dev"))
+    )
+    return ends.join(dev, "station").select(
+        "station",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("y_total").cast("long").alias("station_cents"),
+        F.col("x_total").cast("long").alias("basin_cents"),
+        (F.col("y_total").cast("double") / F.col("x_total").cast("double")).alias(
+            "final_ratio"
+        ),
+        "max_dev",
+    )

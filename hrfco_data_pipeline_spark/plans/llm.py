@@ -2314,21 +2314,14 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality filtering (the fastText-classifier shape
-    used by CCNet/DataComp/FineWeb): a logistic model over hashed
-    unigram features scores every document map-side; keep = score
-    above 0.5.
-
-    The weight vector is deterministic — w_b = (md5-60bit(b) mod 2001
-    - 1000) / 1000 ∈ [-1, 1] for bucket b — standing in for trained
-    weights with the exact serving-time plan: feature hashing, a
-    sparse dot product folded over the doc's bucket-sorted counts
-    (docs_token_entropy's order-pinned fold), and the sigmoid. At
-    100 TB this is one (doc, bucket) aggregate + a zero-shuffle
-    projection; swapping in real weights is a broadcast join against
-    a 2^b-row weight table."""
-    docs = load_table(spark, sf_dir, "documents")
+def _model_z(docs: DataFrame) -> DataFrame:
+    """Per-document logistic-model score numerator z = Σ_b c_b·w_b / n
+    over hashed unigram buckets — the exact, order-pinned fold shared
+    by docs_model_quality_score (keep gate + sigmoid display) and
+    docs_ccnet_quality_buckets (per-lang tercile ranking). The fold is
+    pure +/*// doubles over integer counts in bucket order, so z is
+    bit-identical across engines — safe to RANK on, unlike any
+    log/exp-derived score. Output: doc_id, n_toks, z."""
     toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
     bucket = (
         F.conv(F.substring(F.md5(F.lower("tok")), 1, 15), 16, 10).cast("long")
@@ -2354,6 +2347,26 @@ def docs_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, t: acc + t["c"].cast("double") * t["w"],
     ) / F.col("n_toks")
+    return per_doc.select("doc_id", "n_toks", z.alias("z"))
+
+
+def docs_model_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier shape
+    used by CCNet/DataComp/FineWeb): a logistic model over hashed
+    unigram features scores every document map-side; keep = score
+    above 0.5.
+
+    The weight vector is deterministic — w_b = (md5-60bit(b) mod 2001
+    - 1000) / 1000 ∈ [-1, 1] for bucket b — standing in for trained
+    weights with the exact serving-time plan: feature hashing, a
+    sparse dot product folded over the doc's bucket-sorted counts
+    (docs_token_entropy's order-pinned fold), and the sigmoid. At
+    100 TB this is one (doc, bucket) aggregate + a zero-shuffle
+    projection; swapping in real weights is a broadcast join against
+    a 2^b-row weight table."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = _model_z(docs)
+    z = F.col("z")
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     # keep is decided on z >= 0 (bit-exact fold arithmetic), not on the
     # sigmoid output — sigmoid(0) = 0.5 exactly at the same boundary,
@@ -4348,4 +4361,48 @@ def docs_pmi_top_pairs(
             F.row_number().over(w).cast("int").alias("rank"),
         )
         .filter(F.col("rank") <= topk)
+    )
+
+
+def docs_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing per language:
+    rank every document inside its language by the trained-model score
+    and cut the ranking into terciles (ntile(3)) — head = the third a
+    CCNet pipeline keeps unconditionally, tail = the third it drops or
+    reserves for contrastive training. Per (lang, bucket): document
+    and token volume plus the score range, i.e. the per-language
+    quality ladder the sampling stage reads.
+
+    The ranking key is _model_z's exact fold (bit-identical across
+    engines) — NOT the sigmoid or a perplexity: CCNet's original
+    log-perplexity ordering would re-import Spark's 1-ulp LOG2 drift
+    into tercile BOUNDARIES, where one flipped comparison relabels two
+    documents (the docs/ROUND8.md log2 finding applied at design
+    time). min_z/max_z ship raw — selection only, no accumulation.
+
+    Scale shape: one (doc, bucket) aggregate for z (map-side combined),
+    then a per-language window — partition count = |languages|, each
+    partition one language's docs (skew-bounded by corpus language
+    mix; a 100 TB run would range-bucket the giant-language partition
+    with operators/ranking.int_ntile, same output).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    z = _model_z(docs)
+    zl = z.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("z"), F.asc("doc_id"))
+    bucketed = zl.select(
+        "lang", "n_toks", "z", F.ntile(3).over(w).alias("bucket")
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_toks"),
+        F.min("z").alias("min_z"),
+        F.max("z").alias("max_z"),
+    ).select(
+        "lang",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_docs",
+        "total_toks",
+        "min_z",
+        "max_z",
     )

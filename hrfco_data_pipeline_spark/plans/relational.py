@@ -5513,3 +5513,138 @@ def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def events_watermark_lateness_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_rows: int = 4096,
+    late_us: int = 600_000_000,
+) -> DataFrame:
+    """Watermark-sizing audit: how late does event time run behind the
+    high-water mark in ARRIVAL order (event_id — the ingest sequence)?
+    lateness(e) = max(0, max_{arrived before e}(event_time) − e's
+    event_time). The per-type lateness quantiles and the share beyond
+    a 10-minute horizon are exactly the numbers that size
+    ``withWatermark`` — p99 ≈ the delay that loses <1% of rows to the
+    state-eviction cutoff. The streaming layer (streaming/curation,
+    dropDuplicatesWithinWatermark) currently hardcodes 10 minutes;
+    this report is the data-driven check on that constant.
+
+    Exactness: all in integer epoch microseconds (the proven
+    unix_micros ≡ epoch_us pair); quantiles by pure rank-rule
+    selection (_disc_quantiles).
+
+    Scale shape: the running maximum NEVER runs as one unpartitioned
+    window — the two-pass bucketed form of operators/ranking (new for
+    MAX here): per-bucket maxima (bucket = arrival id div
+    ``bucket_rows``), a running max over the BOUNDED bucket aggregate,
+    then an in-bucket prefix window keyed by bucket; the per-row
+    high-water mark is the greater of the two. Value-identical to the
+    global window at any bucket size (max is associative over any
+    prefix split) — the oracle runs the plain global form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    base = ev.select(
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.floor(F.col("event_id") / F.lit(bucket_rows))
+        .cast("long")
+        .alias("bkt"),
+    )
+    bmax = base.groupBy("bkt").agg(F.max("us").alias("b_max"))
+    wrun = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bmax.select("bkt", F.max("b_max").over(wrun).alias("prev_max"))
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = (
+        base.join(pre, "bkt")
+        .withColumn("in_max", F.max("us").over(win))
+        .withColumn(
+            "seen",
+            F.greatest(
+                F.coalesce(F.col("prev_max"), F.lit(0)),
+                F.coalesce(F.col("in_max"), F.lit(0)),
+            ),
+        )
+        .select(
+            "event_type",
+            F.greatest(F.lit(0), F.col("seen") - F.col("us")).alias(
+                "lateness_us"
+            ),
+        )
+    )
+    q = _disc_quantiles(
+        lat.select("event_type", F.col("lateness_us").alias("value")),
+        ["event_type"],
+        [0.5, 0.95, 0.99],
+        "l_",
+    )
+    extra = lat.groupBy("event_type").agg(
+        F.max("lateness_us").alias("max_lateness_us"),
+        F.sum((F.col("lateness_us") > late_us).cast("long")).alias(
+            "n_late_10m"
+        ),
+    )
+    return q.join(extra, "event_type").select(
+        "event_type",
+        F.col("l_n").cast("long").alias("n"),
+        F.col("l_p50").cast("long").alias("p50_us"),
+        F.col("l_p95").cast("long").alias("p95_us"),
+        F.col("l_p99").cast("long").alias("p99_us"),
+        F.col("max_lateness_us").cast("long").alias("max_us"),
+        F.col("n_late_10m").cast("long").alias("n_late_10m"),
+    )
+
+
+def orders_retention_vacuum_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retention/TTL vacuum plan over the date-partitioned orders
+    fact — the lifecycle sibling of lineitem_compaction_plan: for each
+    month partition, its age against the corpus reference date
+    (1998-08-01, the TPC-H horizon — pinned so the plan is
+    deterministic, exactly as a nightly job pins "today"), the tier
+    decision (DROP past 48 months, ARCHIVE to cold storage past 24,
+    KEEP otherwise), and the row/value volume the action touches —
+    what a GDPR/retention sweep submits before deleting anything.
+
+    Exactness: age in integer months; money through the exact _dec
+    cents path, divided back to double once.
+
+    Scale shape: metadata-grain output (one row per month partition,
+    bounded by the date domain); ONE map-side-combined aggregate over
+    the fact — at 100 TB the same plan reads the partition manifest
+    instead, with identical decisions.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    age = (F.lit(1998) - F.year("o_orderdate")) * 12 + (
+        F.lit(8) - F.month("o_orderdate")
+    )
+    per = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            age.alias("age_months"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+    action = (
+        F.when(F.col("age_months") >= 48, "drop")
+        .when(F.col("age_months") >= 24, "archive")
+        .otherwise("keep")
+    )
+    return per.select(
+        "month",
+        F.col("age_months").cast("int").alias("age_months"),
+        action.alias("action"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "total_value",
+    )

@@ -48,6 +48,10 @@ NEW_IN_R9: list[str] = [
     "orders_theilsen_trend",
     "embedding_mutual_knn",
     "docs_pmi_top_pairs",
+    "hydro_double_mass",
+    "docs_ccnet_quality_buckets",
+    "events_watermark_lateness_audit",
+    "orders_retention_vacuum_plan",
 ]
 
 # The pinned r9 backlog written at the end of r8 (VERDICT r8 "Next
@@ -149,7 +153,7 @@ def test_r10_window_plan():
     assert set(r10) <= oracles
     # remaining r5-era evidence leads (oldest after this round)
     assert "dup_cluster_sizes" in r10
-    assert "nation_trade_pagerank" in r10
+    assert "metrics_nifi_timestamps" in r10
     # the r8-certified block is behind the r10 window
     for q in ("orders_join_strategy_report", "docs_bm25_topk",
               "events_kmv_setops", "customer_scd2_history"):

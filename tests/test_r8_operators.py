@@ -46,11 +46,19 @@ def test_kcore_cascade_needs_multiple_rounds(spark, tmp_path):
         for r in copurchase_kcore(spark, str(tmp_path), k=2).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # Under-sized rounds: node 5 only peels after 6 is gone, so with
+    # rounds=1 it survives the LOOP — but the r9 final degree gate
+    # (advisor item: restore the k-core invariant on emitted rows)
+    # drops it from the OUTPUT, since its residual degree 1 < k. The
+    # remaining honest truncation artifact is node 4's degree still
+    # counting the unpeeled 5 (4 instead of the converged 3).
     partial = {
         r.part: r.core_degree
         for r in copurchase_kcore(spark, str(tmp_path), k=2, rounds=1).collect()
     }
-    assert 5 in partial  # node 5 only peels after 6 is gone
+    assert 5 not in partial
+    assert partial == {1: 3, 2: 3, 3: 3, 4: 4}
+    assert all(deg >= 2 for deg in partial.values())
 
 
 def test_hilbert_index_matches_reference_walk(spark):

@@ -130,6 +130,19 @@ AUDIT = [
     "docs_rake_keyphrases",
     "lineitem_hilbert_layout",
     "layout_pruning_report",
+    # r9 new operators: routed joins (orders_salted_revenue above now
+    # routes through choose/apply — its profile actions are two
+    # bounded 1-row aggregates, cheap enough to audit), SCD2 time
+    # travel, robust trend, mutual kNN, PMI collocations
+    "events_segment_enrichment",
+    "customer_scd2_asof_snapshot",
+    "orders_theilsen_trend",
+    "embedding_mutual_knn",
+    "docs_pmi_top_pairs",
+    "hydro_double_mass",
+    "docs_ccnet_quality_buckets",
+    "events_watermark_lateness_audit",
+    "orders_retention_vacuum_plan",
 ]
 
 
