@@ -954,37 +954,43 @@ def double_mass_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "station", "day", F.sum("s_cents").over(wst).alias("y_cum")
     )
     curve = st.join(basin, "day")
-    ends = (
-        curve.groupBy("station")
-        .agg(
-            F.count("*").alias("n_days"),
-            F.max("day").alias("last_day"),
-            F.max("y_cum").alias("y_total"),
-        )
-        .join(
-            basin.select(F.col("day").alias("last_day"), F.col("x_cum").alias("x_total")),
-            "last_day",
-        )
+    # endpoints as WINDOWS over the same station partitioning instead
+    # of aggregate-and-join-back: branching `curve` into ends/dev
+    # frames re-embeds the whole classify chain per branch (Spark
+    # shares no CTEs across DataFrame branches — the r5 "one generate"
+    # lesson; first cut of this query audited at 78 exchanges). The
+    # basin endpoint x_total is the x_cum carried by the latest day:
+    # max(struct(day, x_cum)) picks it without a second basin join.
+    wsta = Window.partitionBy("station")
+    d38 = lambda c: c.cast("decimal(38,0)")
+    full = curve.select(
+        "station",
+        "y_cum",
+        "x_cum",
+        F.count("*").over(wsta).alias("n_days"),
+        F.max("y_cum").over(wsta).alias("y_total"),
+        F.max(F.struct("day", "x_cum")).over(wsta)["x_cum"].alias("x_total"),
     )
-    d38 = lambda col: F.col(col).cast("decimal(38,0)")
-    dev = (
-        curve.join(F.broadcast(ends.select("station", "x_total", "y_total")), "station")
-        .select(
+    return (
+        full.select(
             "station",
+            "n_days",
+            "y_total",
+            "x_total",
             F.abs(
-                d38("y_cum") * d38("x_total") - d38("x_cum") * d38("y_total")
+                d38(F.col("y_cum")) * d38(F.col("x_total"))
+                - d38(F.col("x_cum")) * d38(F.col("y_total"))
             ).alias("cross_dev"),
         )
         .groupBy("station")
-        .agg(F.max("cross_dev").cast("decimal(38,0)").alias("max_dev"))
-    )
-    return ends.join(dev, "station").select(
-        "station",
-        F.col("n_days").cast("long").alias("n_days"),
-        F.col("y_total").cast("long").alias("station_cents"),
-        F.col("x_total").cast("long").alias("basin_cents"),
-        (F.col("y_total").cast("double") / F.col("x_total").cast("double")).alias(
-            "final_ratio"
-        ),
-        "max_dev",
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.max("y_total").cast("long").alias("station_cents"),
+            F.max("x_total").cast("long").alias("basin_cents"),
+            (
+                F.max("y_total").cast("double")
+                / F.max("x_total").cast("double")
+            ).alias("final_ratio"),
+            F.max("cross_dev").cast("decimal(38,0)").alias("max_dev"),
+        )
     )
