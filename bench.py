@@ -85,6 +85,12 @@ HEADLINE = [
     # self-join arms, and the full-dimension SCD2 history build
     "events_kmv_setops",
     "customer_scd2_history",
+    # round-9 additions: the heaviest new operators — the classify-
+    # chain double-mass QA, the pair-block mutual kNN graph, and the
+    # two-pass running-max lateness audit
+    "hydro_double_mass",
+    "embedding_mutual_knn",
+    "events_watermark_lateness_audit",
 ]
 
 
