@@ -7273,16 +7273,21 @@ RELATIONAL_ORACLES["events_watermark_lateness_audit"] = """
 # Retention plan: integer month age against the pinned 1998-08
 # reference, money through the exact printf-cents path.
 RELATIONAL_ORACLES["orders_retention_vacuum_plan"] = """
-    SELECT strftime(o_orderdate, '%Y-%m') AS month,
-      CAST((1998 - year(o_orderdate)) * 12 + (8 - month(o_orderdate))
-           AS INTEGER) AS age_months,
-      CASE WHEN (1998 - year(o_orderdate)) * 12
-                + (8 - month(o_orderdate)) >= 48 THEN 'drop'
-           WHEN (1998 - year(o_orderdate)) * 12
-                + (8 - month(o_orderdate)) >= 24 THEN 'archive'
+    WITH per AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        year(o_orderdate) * 12 + month(o_orderdate) AS midx,
+        count(*) AS n_orders,
+        CAST(sum(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2)))
+             AS DOUBLE) AS total_value
+      FROM orders GROUP BY 1, 2
+    ), aged AS (
+      SELECT *, CAST(max(midx) OVER () - midx AS INTEGER) AS age_months
+      FROM per
+    )
+    SELECT month, age_months,
+      CASE WHEN age_months >= 48 THEN 'drop'
+           WHEN age_months >= 24 THEN 'archive'
            ELSE 'keep' END AS action,
-      count(*) AS n_orders,
-      CAST(sum(TRY_CAST(printf('%.2f', o_totalprice) AS DECIMAL(12,2)))
-           AS DOUBLE) AS total_value
-    FROM orders GROUP BY 1, 2, 3
+      CAST(n_orders AS BIGINT) AS n_orders, total_value
+    FROM aged
     """

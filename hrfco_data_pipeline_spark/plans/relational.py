@@ -5607,12 +5607,12 @@ def orders_retention_vacuum_plan(
 ) -> DataFrame:
     """Retention/TTL vacuum plan over the date-partitioned orders
     fact — the lifecycle sibling of lineitem_compaction_plan: for each
-    month partition, its age against the corpus reference date
-    (1998-08-01, the TPC-H horizon — pinned so the plan is
-    deterministic, exactly as a nightly job pins "today"), the tier
-    decision (DROP past 48 months, ARCHIVE to cold storage past 24,
-    KEEP otherwise), and the row/value volume the action touches —
-    what a GDPR/retention sweep submits before deleting anything.
+    month partition, its age against the corpus's NEWEST month (the
+    deterministic, regeneration-proof stand-in for the "today" a
+    nightly job pins), the tier decision (DROP past 48 months, ARCHIVE
+    to cold storage past 24, KEEP otherwise), and the row/value volume
+    the action touches — what a GDPR/retention sweep submits before
+    deleting anything.
 
     Exactness: age in integer months; money through the exact _dec
     cents path, divided back to double once.
@@ -5623,17 +5623,23 @@ def orders_retention_vacuum_plan(
     instead, with identical decisions.
     """
     o = load_table(spark, sf_dir, "orders")
-    age = (F.lit(1998) - F.year("o_orderdate")) * 12 + (
-        F.lit(8) - F.month("o_orderdate")
-    )
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
     per = (
         o.groupBy(
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
-            age.alias("age_months"),
+            midx.alias("midx"),
         )
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+        # age against the newest month: a window over the BOUNDED
+        # month-partition aggregate (one row per month), not the fact
+        .withColumn(
+            "age_months",
+            (F.max("midx").over(Window.partitionBy()) - F.col("midx")).cast(
+                "int"
+            ),
         )
     )
     action = (
@@ -5643,7 +5649,7 @@ def orders_retention_vacuum_plan(
     )
     return per.select(
         "month",
-        F.col("age_months").cast("int").alias("age_months"),
+        "age_months",
         action.alias("action"),
         F.col("n_orders").cast("long").alias("n_orders"),
         "total_value",
