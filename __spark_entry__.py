@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_ccnet_quality_buckets": llm.docs_ccnet_quality_buckets,
         "events_watermark_lateness_audit": relational.events_watermark_lateness_audit,
         "orders_retention_vacuum_plan": relational.orders_retention_vacuum_plan,
+        "events_mad_outliers": relational.events_mad_outliers,
         # --- remaining r4-era greens (oldest SURVEY §2 evidence after
         # r8 cleared the r3 era; includes the hydro/station anchor
         # block — the S6/S7/T7/T10/T11/C6/F3/K1/K2 operators) ---

@@ -7291,3 +7291,42 @@ RELATIONAL_ORACLES["orders_retention_vacuum_plan"] = """
       CAST(n_orders AS BIGINT) AS n_orders, total_value
     FROM aged
     """
+
+
+# MAD outliers: two rank-rule median selections, one multiply by the
+# Python-folded constant 4.4478, integer share division.
+RELATIONAL_ORACLES["events_mad_outliers"] = """
+    WITH ev AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), r1 AS (
+      SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM ev
+    ), med AS (
+      SELECT event_type, max(n) AS n,
+        max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+            THEN value END) AS med
+      FROM r1 GROUP BY 1
+    ), dev AS (
+      SELECT ev.event_type, med.n, med.med,
+        abs(ev.value - med.med) AS adev
+      FROM ev JOIN med USING (event_type)
+    ), r2 AS (
+      SELECT event_type, n, med, adev,
+        row_number() OVER (PARTITION BY event_type ORDER BY adev) AS rn
+      FROM dev
+    ), mad AS (
+      SELECT event_type,
+        max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+            THEN adev END) AS mad
+      FROM r2 GROUP BY 1
+    )
+    SELECT d.event_type, CAST(d.n AS BIGINT) AS n, d.med, m.mad,
+      CAST(sum(CASE WHEN d.adev > m.mad * 4.4478 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_outliers,
+      CAST(sum(CASE WHEN d.adev > m.mad * 4.4478 THEN 1 ELSE 0 END)
+           AS DOUBLE) / CAST(max(d.n) AS DOUBLE) AS outlier_share
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """

@@ -5654,3 +5654,67 @@ def orders_retention_vacuum_plan(
         F.col("n_orders").cast("long").alias("n_orders"),
         "total_value",
     )
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type via the median absolute
+    deviation: flag values beyond median ± 3·(1.4826·MAD) — the
+    estimator that, unlike z-scores, does not let the outliers inflate
+    their own yardstick (the robust-stats sibling of
+    orders_theilsen_trend). Reported per type: the median, the MAD,
+    the outlier count and share.
+
+    Exactness: both medians are pure rank-rule SELECTIONS
+    (_disc_quantiles' ceil(q·n) rule); the threshold is ONE multiply
+    by the precomputed constant 4.4478 (= 3·1.4826 folded in Python so
+    neither engine re-associates it) and the comparison runs on
+    bit-identical operands; the share is one division of exact
+    integers.
+
+    Scale shape: two passes over events (median, then deviations
+    against the broadcast per-type medians), each a hash partitioning
+    on event_type with per-task sorts bounded by the group — the
+    documented _disc_quantiles posture; the final rollup is map-side
+    combined.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    med = _disc_quantiles(
+        ev.select("event_type", "value"), ["event_type"], [0.5], "m_"
+    ).select("event_type", F.col("m_p50").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = _disc_quantiles(
+        dev.select("event_type", F.col("adev").alias("value")),
+        ["event_type"],
+        [0.5],
+        "d_",
+    ).select(
+        "event_type", F.col("d_n").alias("n"), F.col("d_p50").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "n",
+        "med",
+        "mad",
+        (F.col("adev") > F.col("mad") * F.lit(4.4478)).cast("long").alias(
+            "is_out"
+        ),
+    )
+    return flagged.groupBy("event_type", "n", "med", "mad").agg(
+        F.sum("is_out").cast("long").alias("n_outliers"),
+        (
+            F.sum("is_out").cast("double") / F.max("n").cast("double")
+        ).alias("outlier_share"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        "med",
+        "mad",
+        "n_outliers",
+        "outlier_share",
+    )

@@ -16,7 +16,7 @@ minhash_dedup) over the accumulated archive.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hrfco_data_pipeline_spark.operators.textnorm import normalize_text, redact_pii
@@ -617,3 +617,142 @@ def quantiles_from_samples(spark, table_path: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming lateness monitor (stream face of
+# plans/relational.events_watermark_lateness_audit)
+# ---------------------------------------------------------------------------
+
+
+def lateness_state_update(
+    spark, table_path: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Fold one micro-batch into the lateness-monitor state: per-row
+    lateness = max(0, high-water mark − event time), where the mark is
+    the greater of (a) the stored mark from all PREVIOUS batches (max
+    of the partials' batch_max_us — read from state, never from the
+    raw stream) and (b) the in-batch prefix max over arrival order
+    (event_id). This is exactly the batch face's two-pass
+    decomposition with micro-batches as the buckets, so the lateness
+    VALUES are identical to the batch run over the same arrival order
+    (associativity of max over prefix splits).
+
+    Stored per batch, both through ``_append_merge`` (O(batch) I/O,
+    exactly-once by batch id, periodic compaction):
+    - ``<table>/partials``: one EXACT row per (batch, event_type) —
+      n, n_late (>10 min), max_lateness_us, batch_max_us (the mark
+      carrier);
+    - ``<table>/sample``: the 1/64 consistent hash sample of
+      (event_type, lateness_us) rows (qsample_filter), the quantile
+      material — union of per-batch samples == sample of the union.
+    A crash between the two appends replays the batch: the completed
+    append no-ops, the missing one lands — state converges.
+    """
+    import os
+
+    from hrfco_data_pipeline_spark.plans.relational import qsample_filter
+
+    partials = os.path.join(table_path, "partials")
+    sample = os.path.join(table_path, "sample")
+    try:
+        prev_mark = (
+            read_appended(spark, partials)
+            .agg(F.max("batch_max_us"))
+            .collect()[0][0]
+            or 0
+        )
+    except Exception:
+        prev_mark = 0
+
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    win = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    lat = batch_df.select(
+        "event_id",
+        "event_type",
+        us.alias("us"),
+    ).select(
+        "event_id",
+        "event_type",
+        "us",
+        F.greatest(
+            F.lit(0),
+            F.greatest(
+                F.lit(prev_mark).cast("long"),
+                F.coalesce(F.max("us").over(win), F.lit(0)),
+            )
+            - F.col("us"),
+        ).alias("lateness_us"),
+    )
+    part = lat.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("lateness_us") > 600_000_000).cast("long")).alias(
+            "n_late"
+        ),
+        F.max("lateness_us").alias("max_lateness_us"),
+        F.max("us").alias("type_max_us"),
+    ).select(
+        F.lit(batch_id).cast("long").alias("batch"),
+        "event_type",
+        "n",
+        "n_late",
+        "max_lateness_us",
+        F.max("type_max_us").over(Window.partitionBy()).alias(
+            "batch_max_us"
+        ),
+    )
+    _append_merge(spark, partials, part, batch_id)
+    samp = lat.filter(qsample_filter(F.col("event_id"))).select(
+        "event_type", "lateness_us"
+    )
+    _append_merge(spark, sample, samp, batch_id)
+
+
+def lateness_monitor_stream(events_stream: DataFrame, table_path: str):
+    """Keep the watermark-lateness state current as events stream in.
+    The in-batch window runs over ONE micro-batch (bounded by trigger
+    size); cross-batch state is the bounded partials table. Returns a
+    DataStreamWriter; callers add checkpoint/trigger and start()."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        lateness_state_update(
+            batch_df.sparkSession, table_path, batch_df, batch_id
+        )
+
+    return events_stream.writeStream.foreachBatch(_merge)
+
+
+def lateness_report_from_state(spark, table_path: str) -> DataFrame:
+    """Serve face over the stored lateness state: EXACT n / overflow
+    count / max per type (sums and maxes of the exact partials — the
+    per-batch lateness values are the true global values, so their
+    max is the global max), plus estimated quantiles from the stored
+    1/64 sample (rank-rule over the sample — the
+    events_sampled_quantiles estimation arm). No event is ever
+    re-scanned."""
+    import os
+
+    from hrfco_data_pipeline_spark.plans.relational import _disc_quantiles
+
+    part = read_appended(spark, os.path.join(table_path, "partials"))
+    exact = part.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_late").cast("long").alias("n_late_10m"),
+        F.max("max_lateness_us").cast("long").alias("max_us"),
+    )
+    samp = read_appended(spark, os.path.join(table_path, "sample"))
+    est = _disc_quantiles(
+        samp.select("event_type", F.col("lateness_us").alias("value")),
+        ["event_type"],
+        [0.5, 0.95, 0.99],
+        "s_",
+    ).select(
+        "event_type",
+        F.col("s_n").cast("long").alias("n_sample"),
+        F.col("s_p50").cast("long").alias("est_p50_us"),
+        F.col("s_p95").cast("long").alias("est_p95_us"),
+        F.col("s_p99").cast("long").alias("est_p99_us"),
+    )
+    return exact.join(est, "event_type", "left")

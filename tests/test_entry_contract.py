@@ -52,6 +52,7 @@ NEW_IN_R9: list[str] = [
     "docs_ccnet_quality_buckets",
     "events_watermark_lateness_audit",
     "orders_retention_vacuum_plan",
+    "events_mad_outliers",
 ]
 
 # The pinned r9 backlog written at the end of r8 (VERDICT r8 "Next

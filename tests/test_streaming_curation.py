@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     LongType,
@@ -695,3 +696,128 @@ def test_append_merge_incremental_layout_and_compaction(spark, tmp_path):
     assert _batch_dirs(table) == []
     assert read_appended(spark, table).count() == 30
     assert int(open(os.path.join(table, "_batch_id")).read()) == 6
+
+
+def test_lateness_monitor_stream_equals_batch_face(spark, tmp_path):
+    """Stream events in 4 contiguous event_id ranges (micro-batch
+    order == arrival order under maxFilesPerTrigger=1); the serve
+    face's EXACT fields must equal events_watermark_lateness_audit
+    row for row (the stream's per-batch prefix + stored-mark chain is
+    the batch face's two-pass decomposition with micro-batches as
+    buckets), and its estimated quantiles must equal the rank-rule
+    quantiles of the batch-side 1/64 lateness sample. A replayed
+    batch id must no-op both state tables."""
+    import os
+    import time as _time
+
+    from pyspark.sql.types import DoubleType, TimestampNTZType
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        _disc_quantiles,
+        events_watermark_lateness_audit,
+        qsample_filter,
+    )
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        lateness_monitor_stream,
+        lateness_report_from_state,
+        lateness_state_update,
+        read_appended,
+    )
+
+    sf = SF
+    ev = load_table(spark, sf, "events")
+    rows = ev.orderBy("event_id").collect()
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    k = 4
+    per = (len(rows) + k - 1) // k
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    now = _time.time()
+    for i in range(k):
+        chunk = rows[i * per : (i + 1) * per]
+        path = os.path.join(src, f"part-{i:04d}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+        os.utime(path, (now + i, now + i))
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    table = str(tmp_path / "lateness_state")
+    q = (
+        lateness_monitor_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "lm-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    report = {
+        r.event_type: r for r in lateness_report_from_state(spark, table).collect()
+    }
+    batch = {
+        r.event_type: r
+        for r in events_watermark_lateness_audit(spark, sf).collect()
+    }
+    assert set(report) == set(batch)
+    for t, b in batch.items():
+        assert report[t].n == b.n
+        assert report[t].n_late_10m == b.n_late_10m
+        assert report[t].max_us == b.max_us
+
+    # sampled quantiles == batch-side sample quantiles (same 1/64
+    # qsample over the same lateness values)
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    lat = ev.select(
+        "event_id",
+        "event_type",
+        F.greatest(
+            F.lit(0), F.coalesce(F.max(us).over(w), F.lit(0)) - us
+        ).alias("lateness_us"),
+    )
+    want = {
+        r.event_type: r
+        for r in _disc_quantiles(
+            lat.filter(qsample_filter(F.col("event_id"))).select(
+                "event_type", F.col("lateness_us").alias("value")
+            ),
+            ["event_type"],
+            [0.5, 0.95, 0.99],
+            "s_",
+        ).collect()
+    }
+    for t, r in report.items():
+        if r.n_sample is None:
+            assert t not in want
+            continue
+        assert r.n_sample == want[t].s_n
+        assert (r.est_p50_us, r.est_p95_us, r.est_p99_us) == (
+            want[t].s_p50,
+            want[t].s_p95,
+            want[t].s_p99,
+        )
+
+    # replayed batch id no-ops both state tables
+    n_part = read_appended(spark, os.path.join(table, "partials")).count()
+    n_samp = read_appended(spark, os.path.join(table, "sample")).count()
+    lateness_state_update(
+        spark, table, spark.createDataFrame(rows[:per], schema), 0
+    )
+    assert read_appended(spark, os.path.join(table, "partials")).count() == n_part
+    assert read_appended(spark, os.path.join(table, "sample")).count() == n_samp
