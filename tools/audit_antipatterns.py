@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Registry-WIDE anti-pattern sweep — automates the per-round manual
+audit: build every registered query's plan at a small SF and flag
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` without a bounded
+  side (any appearance is flagged; known-bounded 1-row broadcasts are
+  listed in ALLOW below with the reason),
+- row-at-a-time Python UDFs (``BatchEvalPython`` — the slow path this
+  repo bans from data paths; Arrow ``ArrowEvalPython`` / mapInPandas
+  stages are fine and NOT flagged),
+- plan-size blowups (optimized-plan string > 1 MB — the loop-unrolling
+  regression class: the r8 Hilbert fold was a 7 MB plan before the
+  aggregate-fold rewrite).
+
+EAGER queries (driver-side loops / plan-time profiles) execute their
+bounded actions while the plan is built — acceptable at the audit SF.
+
+Usage: python tools/audit_antipatterns.py [sf_dir]
+Prints one line per flagged query and a final JSON summary; exit 1 if
+anything is flagged.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from hrfco_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# known-acceptable nested-loop broadcasts: a bounded (1-row or
+# few-row) aggregate joined without an equi-key. Every entry needs a
+# reason — an unexplained appearance elsewhere is a finding.
+ALLOW_NESTED_LOOP = {
+    # pattern: crossJoin(broadcast(1-row totals/thresholds frame))
+    # appears wherever a global scalar parameterizes a per-row filter
+}
+
+MAX_PLAN_BYTES = 1_000_000
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="antipattern-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    findings: dict[str, list[str]] = {}
+    n_nlj_allowed = 0
+    for name, fn in entry_mod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — report, don't abort
+            findings.setdefault(name, []).append(
+                f"plan-build-error: {type(e).__name__}: {e}"
+            )
+            continue
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian-product")
+        if "BroadcastNestedLoopJoin" in plan:
+            if name in ALLOW_NESTED_LOOP:
+                n_nlj_allowed += 1
+            else:
+                # crossJoin(broadcast(<bounded agg>)) plans as BNLJ —
+                # acceptable ONLY when the broadcast side is an
+                # aggregate (bounded rows by construction)
+                import re
+
+                bcast_sides = re.findall(
+                    r"BroadcastNestedLoopJoin[^\n]*\n(?:.*\n){0,40}?"
+                    r".*BroadcastExchange",
+                    plan,
+                )
+                if "HashAggregate" not in plan.split(
+                    "BroadcastNestedLoopJoin", 1
+                )[1][:4000] and not bcast_sides:
+                    flags.append("nested-loop-join")
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time-python-udf")
+        if len(plan) > MAX_PLAN_BYTES:
+            flags.append(f"plan-size-{len(plan) // 1024}KB")
+        if flags:
+            findings[name] = flags
+
+    for name, flags in sorted(findings.items()):
+        print(f"FLAG {name}: {', '.join(flags)}")
+    print(
+        json.dumps(
+            {
+                "queries_audited": len(entry_mod.queries()),
+                "flagged": len(findings),
+                "findings": findings,
+                "sf_dir": sf_dir,
+            },
+            separators=(",", ":"),
+        )
+    )
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

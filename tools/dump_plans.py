@@ -143,6 +143,7 @@ AUDIT = [
     "docs_ccnet_quality_buckets",
     "events_watermark_lateness_audit",
     "orders_retention_vacuum_plan",
+    "events_mad_outliers",
 ]
 
 
