@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_watermark_lateness_audit": relational.events_watermark_lateness_audit,
         "orders_retention_vacuum_plan": relational.orders_retention_vacuum_plan,
         "events_mad_outliers": relational.events_mad_outliers,
+        "docs_quality_bootstrap_ci": llm.docs_quality_bootstrap_ci,
         # --- remaining r4-era greens (oldest SURVEY §2 evidence after
         # r8 cleared the r3 era; includes the hydro/station anchor
         # block — the S6/S7/T7/T10/T11/C6/F3/K1/K2 operators) ---

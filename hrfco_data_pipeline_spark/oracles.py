@@ -7330,3 +7330,66 @@ RELATIONAL_ORACLES["events_mad_outliers"] = """
     FROM dev d JOIN mad m USING (event_type)
     GROUP BY 1, 2, 3, 4
     """
+
+
+# Poisson bootstrap CI: integer q10 score bands, integer Poisson(1)
+# weights from the pre-scaled thresholds (same literals as
+# plans/llm.POISSON1_T), each resample mean ONE division of exact
+# integer sums, CI bounds by rank-rule selection.
+LLM_ORACLES["docs_quality_bootstrap_ci"] = _TOK_CTE + """
+    , stats AS (
+      SELECT doc_id, source, len(toks) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        CAST(len(list_filter(toks,
+             x -> x IN ('the','a','of','and','data'))) AS DOUBLE)
+          / len(toks) AS ratio
+      FROM tok
+    ), scored AS (
+      SELECT doc_id, source,
+        (CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 4 ELSE 0 END
+         + CASE WHEN ttr >= 0.3 THEN 3 ELSE 0 END
+         + CASE WHEN ratio >= 0.01 AND ratio <= 0.5 THEN 3 ELSE 0 END)
+          AS q10
+      FROM stats
+    ), rs AS (
+      SELECT source, q10, b,
+        ((doc_id * 200 + b) % 2147483648 * 2654435761) % 2147483648 AS h
+      FROM scored, unnest(range(0, 200)) AS u(b)
+    ), wtd AS (
+      SELECT source, b, q10,
+        (CASE WHEN h >= 790015084 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 1580030168 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 1975037710 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 2106706891 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 2139624186 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 2146207645 THEN 1 ELSE 0 END
+         + CASE WHEN h >= 2147304888 THEN 1 ELSE 0 END) AS w
+      FROM rs
+    ), means AS (
+      SELECT source, b,
+        CAST(sum(w * q10) AS DOUBLE)
+          / CAST(10 * sum(w) AS DOUBLE) AS mean_q
+      FROM wtd GROUP BY 1, 2 HAVING sum(w) > 0
+    ), ranked AS (
+      SELECT source, mean_q,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY mean_q, b) AS rn,
+        count(*) OVER (PARTITION BY source) AS nb
+      FROM means
+    ), ci AS (
+      SELECT source, CAST(max(nb) AS BIGINT) AS n_resamples,
+        max(CASE WHEN rn = CAST(ceil(nb * 0.025) AS BIGINT)
+            THEN mean_q END) AS ci_lo,
+        max(CASE WHEN rn = CAST(ceil(nb * 0.975) AS BIGINT)
+            THEN mean_q END) AS ci_hi
+      FROM ranked GROUP BY 1
+    ), pt AS (
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(q10) AS DOUBLE)
+          / CAST(10 * count(*) AS DOUBLE) AS mean_quality
+      FROM scored GROUP BY 1
+    )
+    SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+      p.mean_quality, c.n_resamples, c.ci_lo, c.ci_hi
+    FROM pt p JOIN ci c USING (source)
+    """

@@ -4406,3 +4406,117 @@ def docs_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_z",
         "max_z",
     )
+
+
+# Poisson(1) inverse-CDF thresholds pre-scaled to the 2^31 Knuth-hash
+# space (floor(P(X<=k)·2^31) for k=0..6, computed once in Python so
+# both engines compare INTEGERS; mass beyond w=7 is 8.3e-5 and folds
+# into the top band). The Poisson bootstrap is the standard
+# distributed bootstrap: independent per-row weights need no
+# with-replacement shuffle.
+POISSON1_T = [
+    790015084,
+    1580030168,
+    1975037710,
+    2106706891,
+    2139624186,
+    2146207645,
+    2147304888,
+]
+
+
+def docs_quality_bootstrap_ci(
+    spark: SparkSession, sf_dir: str, n_resamples: int = 200
+) -> DataFrame:
+    """Per-source 95% bootstrap confidence interval for mean document
+    quality — the error bar a curation report should put next to every
+    corpus-health number. Distributed as a POISSON BOOTSTRAP (Chamandy
+    et al., the industry-standard shuffle-free form): resample b gives
+    each document an independent Poisson(1) weight derived from the
+    portable Knuth hash of (doc_id, b), so one pass computes all B
+    resample means; the CI is the rank-rule [2.5%, 97.5%] selection
+    over them.
+
+    INTEGER-EXACT throughout: the quality score is rebuilt as q10 ∈
+    {0,3,4,7,10} (the band constants ×10), weights come from
+    pre-scaled integer thresholds (POISSON1_T — no float CDF at run
+    time), every resample mean is ONE division of two exact integer
+    sums, and the CI bounds only SELECT among those doubles. No
+    accumulation of floats anywhere.
+
+    Scale shape: the ×B blowup is map-side (explode 0..B-1 after the
+    per-doc score — aggregate state is B·|sources| rows per task,
+    combiner-friendly); the CI window runs over the B-row-per-source
+    resample frame, bounded by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+        / n
+    )
+    q10 = (
+        F.when((n >= 20) & (n <= 1000), 4).otherwise(0)
+        + F.when(ttr >= 0.3, 3).otherwise(0)
+        + F.when((ratio >= 0.01) & (ratio <= 0.5), 3).otherwise(0)
+    )
+    scored = docs.select("doc_id", "source", q10.alias("q10"))
+    M = F.lit(2_147_483_648)
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    h = ((F.col("doc_id") * n_resamples + F.col("b")) % M * 2654435761) % M
+    w = sum(
+        (h >= F.lit(t)).cast("long") for t in POISSON1_T
+    )  # 0..7 Poisson(1) weight, integer comparisons only
+    weighted = scored.select("doc_id", "source", "q10", b).select(
+        "source",
+        "b",
+        w.alias("w"),
+        (w * F.col("q10")).alias("wq"),
+    )
+    means = (
+        weighted.groupBy("source", "b")
+        .agg(F.sum("w").alias("sw"), F.sum("wq").alias("swq"))
+        .filter(F.col("sw") > 0)
+        .select(
+            "source",
+            "b",
+            (
+                F.col("swq").cast("double")
+                / (F.lit(10) * F.col("sw")).cast("double")
+            ).alias("mean_q"),
+        )
+    )
+    wq = Window.partitionBy("source").orderBy("mean_q", "b")
+    ranked = means.select(
+        "source",
+        "mean_q",
+        F.row_number().over(wq).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("nb"),
+    )
+    ci = ranked.groupBy("source").agg(
+        F.max("nb").cast("long").alias("n_resamples"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("nb") * F.lit(0.025)),
+                F.col("mean_q"),
+            )
+        ).alias("ci_lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("nb") * F.lit(0.975)),
+                F.col("mean_q"),
+            )
+        ).alias("ci_hi"),
+    )
+    point = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum("q10").cast("double")
+            / (F.lit(10) * F.count("*")).cast("double")
+        ).alias("mean_quality"),
+    )
+    return point.join(ci, "source").select(
+        "source", "n_docs", "mean_quality", "n_resamples", "ci_lo", "ci_hi"
+    )

@@ -53,6 +53,7 @@ NEW_IN_R9: list[str] = [
     "events_watermark_lateness_audit",
     "orders_retention_vacuum_plan",
     "events_mad_outliers",
+    "docs_quality_bootstrap_ci",
 ]
 
 # The pinned r9 backlog written at the end of r8 (VERDICT r8 "Next

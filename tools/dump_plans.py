@@ -144,6 +144,7 @@ AUDIT = [
     "events_watermark_lateness_audit",
     "orders_retention_vacuum_plan",
     "events_mad_outliers",
+    "docs_quality_bootstrap_ci",
 ]
 
 
