@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_retention_vacuum_plan": relational.orders_retention_vacuum_plan,
         "events_mad_outliers": relational.events_mad_outliers,
         "docs_quality_bootstrap_ci": llm.docs_quality_bootstrap_ci,
+        "docs_source_tv_distance": llm.docs_source_tv_distance,
+        "copurchase_weighted_sssp": relational.copurchase_weighted_sssp,
         # --- remaining r4-era greens (oldest SURVEY §2 evidence after
         # r8 cleared the r3 era; includes the hydro/station anchor
         # block — the S6/S7/T7/T10/T11/C6/F3/K1/K2 operators) ---

@@ -7393,3 +7393,81 @@ LLM_ORACLES["docs_quality_bootstrap_ci"] = _TOK_CTE + """
       p.mean_quality, c.n_resamples, c.ci_lo, c.ci_hi
     FROM pt p JOIN ci c USING (source)
     """
+
+
+# TV distance: integer cross-products summed in HUGEINT (Spark:
+# DECIMAL(38,0)); one final division of identically-constructed
+# doubles. Dense 256-bucket grid so absent buckets count as 0 on
+# both faces.
+LLM_ORACLES["docs_source_tv_distance"] = _TOK_CTE + """
+    , tb AS (
+      SELECT source,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef', substr(md5(lower(tok)), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT % 256 AS b
+      FROM (SELECT source, unnest(toks) AS tok FROM tok)
+    ), counts AS (
+      SELECT source, b, count(*) AS c FROM tb GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, sum(c) AS n FROM counts GROUP BY 1
+    ), dense AS (
+      SELECT t.source, t.n, g.b, coalesce(c.c, 0) AS c
+      FROM totals t
+      CROSS JOIN (SELECT unnest(range(0, 256)) AS b) g
+      LEFT JOIN counts c ON c.source = t.source AND c.b = g.b
+    )
+    , agg AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        a.n AS n_a, b.n AS n_b,
+        sum(abs(CAST(a.c AS HUGEINT) * CAST(b.n AS HUGEINT)
+              - CAST(b.c AS HUGEINT) * CAST(a.n AS HUGEINT))) AS terms
+      FROM dense a JOIN dense b
+        ON a.b = b.b AND a.source < b.source
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT source_a, source_b,
+      CAST(n_a AS BIGINT) AS n_toks_a, CAST(n_b AS BIGINT) AS n_toks_b,
+      CAST(terms AS DOUBLE)
+        / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS tv_distance
+    FROM agg
+    """
+
+
+def _sssp_stages(rounds: int = 6) -> str:
+    """Chained Bellman-Ford relaxation stages replaying
+    plans/relational.copurchase_weighted_sssp round for round.
+    MATERIALIZED for the same reason as _kcore_stages: each stage is
+    referenced twice and plain CTEs inline to 2^rounds copies."""
+    parts = []
+    for i in range(1, rounds + 1):
+        parts.append(
+            f", d{i} AS MATERIALIZED ("
+            f"SELECT vertex, min(dist) AS dist FROM ("
+            f"SELECT vertex, dist FROM d{i - 1} "
+            f"UNION ALL SELECT e.v, d.dist + e.w "
+            f"FROM d{i - 1} d JOIN sym e ON e.u = d.vertex"
+            f") GROUP BY vertex)"
+        )
+    return "\n".join(parts)
+
+
+RELATIONAL_ORACLES["copurchase_weighted_sssp"] = (
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    half AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+        1000 // count(*) AS w
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v, w FROM half UNION ALL SELECT v, u, w FROM half),
+    d0 AS MATERIALIZED (
+      SELECT min(u) AS vertex, CAST(0 AS BIGINT) AS dist FROM sym)
+    """
+    + _sssp_stages()
+    + """
+    SELECT vertex AS part, CAST(dist AS BIGINT) AS dist FROM d6
+    """
+)

@@ -4520,3 +4520,88 @@ def docs_quality_bootstrap_ci(
     return point.join(ci, "source").select(
         "source", "n_docs", "mean_quality", "n_resamples", "ci_lo", "ci_hi"
     )
+
+
+def docs_source_tv_distance(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256
+) -> DataFrame:
+    """Pairwise distribution drift between sources as TOTAL-VARIATION
+    distance over hashed token buckets: TV = ½·Σ_b |p_b − q_b| — the
+    drift metric that, unlike KL/JS divergence, needs NO logarithm
+    (the docs/ROUND8.md log2 lesson applied at design time) and is a
+    true metric bounded in [0, 1]. The report a corpus-mix monitor
+    reads to spot a source whose token distribution walked away from
+    the rest between snapshots.
+
+    INTEGER-EXACT core: TV·2·n1·n2 = Σ_b |c1_b·n2 − c2_b·n1| — every
+    term an exact integer cross-product (summed in DECIMAL(38,0) /
+    HUGEINT, the double-mass precedent); the single final division is
+    by 2·n1·n2 computed in doubles from identical operands. Nothing
+    order-dependent survives to the float domain.
+
+    Scale shape: one map-side-combined (source, bucket) count over the
+    token stream, then everything runs on the BOUNDED
+    |sources|·n_buckets aggregate — the dense-grid left join, the
+    pair join, and the rollup are broadcast-sized by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(_tokens()).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower("tok")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    ).alias("b")
+    counts = toks.select("source", bucket).groupBy("source", "b").agg(
+        F.count("*").alias("c")
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
+    grid = totals.select(
+        "source",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("b"),
+    )
+    dense = grid.join(counts, ["source", "b"], "left").select(
+        "source", "n", "b", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    a = dense.select(
+        F.col("source").alias("source_a"),
+        F.col("n").alias("n_a"),
+        F.col("b").alias("ba"),
+        F.col("c").alias("ca"),
+    )
+    bb = dense.select(
+        F.col("source").alias("source_b"),
+        F.col("n").alias("n_b"),
+        F.col("b").alias("bb"),
+        F.col("c").alias("cb"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    pairs = a.join(
+        F.broadcast(bb),
+        (F.col("ba") == F.col("bb"))
+        & (F.col("source_a") < F.col("source_b")),
+    ).select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        F.abs(
+            d38(F.col("ca")) * d38(F.col("n_b"))
+            - d38(F.col("cb")) * d38(F.col("n_a"))
+        ).alias("term"),
+    )
+    return pairs.groupBy("source_a", "source_b", "n_a", "n_b").agg(
+        (
+            F.sum("term").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            )
+        ).alias("tv_distance")
+    ).select(
+        "source_a",
+        "source_b",
+        F.col("n_a").cast("long").alias("n_toks_a"),
+        F.col("n_b").cast("long").alias("n_toks_b"),
+        "tv_distance",
+    )

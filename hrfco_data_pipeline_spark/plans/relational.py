@@ -5718,3 +5718,85 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "outlier_share",
     )
+
+
+def copurchase_weighted_sssp(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = 6,
+    materialize: bool = True,
+) -> DataFrame:
+    """Single-source shortest paths over the WEIGHTED co-purchase
+    graph (edge cost = 1000 div support — strong co-purchase ties are
+    cheap to traverse), Bellman-Ford style: ``rounds`` relaxation
+    sweeps from the lowest part id, emitting every part reachable
+    within ``rounds`` edges and its minimal path cost. The weighted
+    upgrade of copurchase_bfs_levels — the "how strongly connected is
+    this product to the catalog core" signal hop counts can't express.
+
+    Exactness: integer edge weights (integer division on both
+    engines), integer distance sums, min-relaxation — nothing float.
+    Fixed rounds keep both engines bit-comparable without a
+    convergence action (the copurchase_kcore pattern); rounds bounds
+    the PATH LENGTH in edges, so the output is exactly "cheapest cost
+    among paths of <= rounds edges", a well-defined semantics at any
+    scale (full convergence needs diameter sweeps — at toy scale the
+    graph converges within 6).
+
+    Scale shape: each round is one join of the current frontier-dist
+    table against the (support-filtered, << corpus) edge list plus a
+    map-side-combined min — the pointer-free iterative pattern shared
+    with BFS/label-prop/PageRank; lineage cut per round.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+        .select("u", "v", F.expr("1000 div n_ab").alias("w"))
+    )
+    sym = half.unionByName(
+        half.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), F.col("w")
+        )
+    )
+    sym = _materialized(sym) if materialize else sym
+    src = sym.agg(F.min("u").alias("vertex")).select(
+        "vertex", F.lit(0).cast("long").alias("dist")
+    )
+    # rename the edge columns once: dist derives from sym (the source
+    # row is sym's min-vertex aggregate), so an unaliased join would
+    # be an ambiguous self-join on the first round
+    e = sym.select(
+        F.col("u").alias("e_u"),
+        F.col("v").alias("e_v"),
+        F.col("w").alias("e_w"),
+    )
+    dist = src
+    for _ in range(rounds):
+        cand = dist.join(e, F.col("vertex") == F.col("e_u")).select(
+            F.col("e_v").alias("vertex"),
+            (F.col("dist") + F.col("e_w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if materialize:
+            dist = _materialized(dist)
+    return dist.select(
+        F.col("vertex").alias("part"), F.col("dist").cast("long").alias("dist")
+    )

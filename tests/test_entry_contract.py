@@ -54,6 +54,8 @@ NEW_IN_R9: list[str] = [
     "orders_retention_vacuum_plan",
     "events_mad_outliers",
     "docs_quality_bootstrap_ci",
+    "docs_source_tv_distance",
+    "copurchase_weighted_sssp",
 ]
 
 # The pinned r9 backlog written at the end of r8 (VERDICT r8 "Next

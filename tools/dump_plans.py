@@ -145,6 +145,8 @@ AUDIT = [
     "orders_retention_vacuum_plan",
     "events_mad_outliers",
     "docs_quality_bootstrap_ci",
+    "docs_source_tv_distance",
+    "copurchase_weighted_sssp",
 ]
 
 
