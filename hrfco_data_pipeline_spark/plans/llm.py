@@ -4545,14 +4545,31 @@ def docs_source_tv_distance(
     pair join, and the rollup are broadcast-sized by construction.
     """
     docs = load_table(spark, sf_dir, "documents")
+    counts = source_bucket_counts(docs, n_buckets)
+    return tv_from_counts(counts, n_buckets)
+
+
+def source_bucket_counts(docs: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """(source, bucket, c) token counts — the mergeable substrate of
+    the TV drift report (counts merge by plain addition, so per-batch
+    partials union into the corpus counts: the streaming face
+    streaming/curation.tv_drift_stream appends exactly these rows)."""
     toks = docs.select("source", F.explode(_tokens()).alias("tok"))
     bucket = (
         F.conv(F.substring(F.md5(F.lower("tok")), 1, 15), 16, 10).cast("long")
         % n_buckets
     ).alias("b")
-    counts = toks.select("source", bucket).groupBy("source", "b").agg(
+    return toks.select("source", bucket).groupBy("source", "b").agg(
         F.count("*").alias("c")
     )
+
+
+def tv_from_counts(counts: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """Pairwise TV distances from a (source, b, c) counts frame — the
+    shared tail of the batch query and the streaming serve face (the
+    stored per-batch partials sum to the same counts, so the two faces
+    emit identical rows)."""
+    counts = counts.groupBy("source", "b").agg(F.sum("c").alias("c"))
     totals = counts.groupBy("source").agg(F.sum("c").alias("n"))
     grid = totals.select(
         "source",

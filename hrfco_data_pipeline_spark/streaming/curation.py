@@ -756,3 +756,44 @@ def lateness_report_from_state(spark, table_path: str) -> DataFrame:
         F.col("s_p99").cast("long").alias("est_p99_us"),
     )
     return exact.join(est, "event_type", "left")
+
+
+# ---------------------------------------------------------------------------
+# Streaming source-drift monitor (stream face of
+# plans/llm.docs_source_tv_distance)
+# ---------------------------------------------------------------------------
+
+
+def tv_drift_stream(docs_stream: DataFrame, table_path: str):
+    """Keep the TV-drift substrate current as documents stream in: per
+    micro-batch, (source, bucket, c) token counts over the BATCH only
+    (map-side partials, no state store) appended exactly-once through
+    ``_append_merge``. Counts merge by plain addition, so the union of
+    per-batch partials IS the corpus counts — the serve face
+    (``tv_report_from_counts``) groups the stored rows and runs the
+    same pairwise TV tail as the batch query, emitting identical rows
+    without ever re-tokenizing a document.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+    from hrfco_data_pipeline_spark.plans.llm import source_bucket_counts
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _append_merge(
+            batch_df.sparkSession,
+            table_path,
+            source_bucket_counts(batch_df),
+            batch_id,
+        )
+
+    return docs_stream.writeStream.foreachBatch(_merge)
+
+
+def tv_report_from_counts(spark, table_path: str) -> DataFrame:
+    """Pairwise TV distances over the accumulated count partials —
+    identical rows to plans/llm.docs_source_tv_distance for the same
+    corpus (shared tv_from_counts tail; stored partials sum to the
+    batch face's counts)."""
+    from hrfco_data_pipeline_spark.plans.llm import tv_from_counts
+
+    return tv_from_counts(read_appended(spark, table_path))

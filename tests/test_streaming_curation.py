@@ -821,3 +821,65 @@ def test_lateness_monitor_stream_equals_batch_face(spark, tmp_path):
     )
     assert read_appended(spark, os.path.join(table, "partials")).count() == n_part
     assert read_appended(spark, os.path.join(table, "sample")).count() == n_samp
+
+
+def test_tv_drift_stream_equals_batch_face(spark, tmp_path):
+    """Stream the documents table in 4-file micro-batches through the
+    TV-drift maintainer; the serve face over the stored count partials
+    must equal docs_source_tv_distance row for row (counts merge by
+    addition — order-free, unlike the lateness monitor). A replayed
+    batch id must no-op."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        docs_source_tv_distance,
+        source_bucket_counts,
+    )
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        _append_merge,
+        read_appended,
+        tv_drift_stream,
+        tv_report_from_counts,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "tv_counts")
+    q = (
+        tv_drift_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "tv-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    cols = ["source_a", "source_b", "n_toks_a", "n_toks_b", "tv_distance"]
+    got = sorted(
+        tuple(r)
+        for r in tv_report_from_counts(spark, table).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs_source_tv_distance(spark, sf).select(*cols).collect()
+    )
+    assert want and got == want
+
+    # replayed batch id no-ops
+    before = read_appended(spark, table).count()
+    _append_merge(spark, table, source_bucket_counts(docs.limit(10)), 0)
+    assert read_appended(spark, table).count() == before
