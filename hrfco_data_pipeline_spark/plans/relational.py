@@ -5211,6 +5211,14 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle can hash it.
     """
     o = load_table(spark, sf_dir, "orders")
+    return scd2_regimes(o)
+
+
+def scd2_regimes(o: DataFrame) -> DataFrame:
+    """The SCD2 window tail over an orders-shaped frame — shared by
+    the batch query and the streaming ingest's serve face
+    (streaming/curation.scd2_history_from_store), so both derive the
+    identical history from identical rows."""
     wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     flagged = o.select(
         "o_custkey",

@@ -797,3 +797,45 @@ def tv_report_from_counts(spark, table_path: str) -> DataFrame:
     from hrfco_data_pipeline_spark.plans.llm import tv_from_counts
 
     return tv_from_counts(read_appended(spark, table_path))
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 dimension-history maintenance (stream face of
+# plans/relational.customer_scd2_history)
+# ---------------------------------------------------------------------------
+
+
+def scd2_ingest_stream(orders_stream: DataFrame, table_path: str):
+    """Maintain the SCD2 substrate as order events stream in: per
+    micro-batch, append ONLY the four history-relevant columns
+    (custkey, orderkey, priority, orderdate) through ``_append_merge``
+    (O(batch) I/O, exactly-once by batch id, periodic compaction).
+    History derives ON READ (``scd2_history_from_store`` — the stored
+    rows ARE the state, the BM25-postings philosophy): regime
+    boundaries depend on each customer's FULL date-ordered order
+    sequence, so a late-arriving order can legally re-split an old
+    regime — an "incrementally patched" history would have to merge
+    and re-version neighbours anyway, which is exactly the window the
+    serve face runs, restricted at 100 TB to the customers the batch
+    touched (partition the store by cust_key range and rewrite only
+    touched partitions).
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
+        )
+        _append_merge(batch_df.sparkSession, table_path, rows, batch_id)
+
+    return orders_stream.writeStream.foreachBatch(_merge)
+
+
+def scd2_history_from_store(spark, table_path: str) -> DataFrame:
+    """SCD2 history over the accumulated order rows — identical rows
+    to plans/relational.customer_scd2_history for the same orders
+    (shared scd2_regimes window tail)."""
+    from hrfco_data_pipeline_spark.plans.relational import scd2_regimes
+
+    return scd2_regimes(read_appended(spark, table_path))

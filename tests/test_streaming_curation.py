@@ -883,3 +883,73 @@ def test_tv_drift_stream_equals_batch_face(spark, tmp_path):
     before = read_appended(spark, table).count()
     _append_merge(spark, table, source_bucket_counts(docs.limit(10)), 0)
     assert read_appended(spark, table).count() == before
+
+
+def test_scd2_ingest_stream_equals_batch_face(spark, tmp_path):
+    """Stream orders in 4-file micro-batches through the SCD2 ingest;
+    the derive-on-read serve face must reproduce
+    customer_scd2_history row for row — regime splitting is
+    order-free once all rows are stored (the window tail sorts by
+    date, not arrival). A replayed batch id must no-op."""
+    from pyspark.sql.types import TimestampNTZType
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        customer_scd2_history,
+    )
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        _append_merge,
+        read_appended,
+        scd2_history_from_store,
+        scd2_ingest_stream,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    orders = load_table(spark, sf, "orders")
+    src = str(tmp_path / "orders_src")
+    keep = ["o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"]
+    orders.select(*keep).repartition(4).write.parquet(src)
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("o_orderdate", TimestampNTZType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "scd2_store")
+    q = (
+        scd2_ingest_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "scd2-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    cols = [
+        "cust_key", "version", "priority",
+        "valid_from", "valid_to", "is_current", "n_orders",
+    ]
+    got = sorted(
+        tuple(r)
+        for r in scd2_history_from_store(spark, table).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in customer_scd2_history(spark, sf).select(*cols).collect()
+    )
+    assert want and got == want
+
+    # replayed batch id no-ops
+    before = read_appended(spark, table).count()
+    _append_merge(
+        spark, table, orders.select(
+            "o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"
+        ).limit(5), 0,
+    )
+    assert read_appended(spark, table).count() == before
