@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_bootstrap_ci": llm.docs_quality_bootstrap_ci,
         "docs_source_tv_distance": llm.docs_source_tv_distance,
         "copurchase_weighted_sssp": relational.copurchase_weighted_sssp,
+        "docs_length_survival": llm.docs_length_survival,
         # --- remaining r4-era greens (oldest SURVEY §2 evidence after
         # r8 cleared the r3 era; includes the hydro/station anchor
         # block — the S6/S7/T7/T10/T11/C6/F3/K1/K2 operators) ---

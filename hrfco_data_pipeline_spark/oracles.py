@@ -7471,3 +7471,28 @@ RELATIONAL_ORACLES["copurchase_weighted_sssp"] = (
     SELECT vertex AS part, CAST(dist AS BIGINT) AS dist FROM d6
     """
 )
+
+
+# Length-survival: integer token counts, integer truncation losses,
+# one exact-integer division per cutoff.
+LLM_ORACLES["docs_length_survival"] = _TOK_CTE + """
+    , per_doc AS (SELECT len(toks) AS n_toks FROM tok),
+    lv AS (
+      SELECT n_toks, cutoff
+      FROM per_doc, unnest([64, 128, 256, 512, 1024, 2048, 4096, 8192])
+        AS u(cutoff)
+    ), agg AS (
+      SELECT cutoff, count(*) AS n_docs,
+        sum(CASE WHEN n_toks > cutoff THEN 1 ELSE 0 END) AS n_truncated,
+        sum(greatest(0, n_toks - cutoff)) AS tokens_lost,
+        sum(n_toks) AS tokens_total
+      FROM lv GROUP BY 1
+    )
+    SELECT CAST(cutoff AS INTEGER) AS cutoff,
+      CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(n_truncated AS BIGINT) AS n_truncated,
+      CAST(tokens_lost AS BIGINT) AS tokens_lost,
+      CAST(tokens_lost AS DOUBLE) / CAST(tokens_total AS DOUBLE)
+        AS share_lost
+    FROM agg
+    """

@@ -4622,3 +4622,52 @@ def tv_from_counts(counts: DataFrame, n_buckets: int = 256) -> DataFrame:
         F.col("n_b").cast("long").alias("n_toks_b"),
         "tv_distance",
     )
+
+
+def docs_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sizing report: for each candidate sequence
+    length (64·2^k tokens), how many documents would truncate and what
+    share of corpus TOKENS the cutoff discards — the two numbers that
+    actually decide max_seq_len for a training run (doc-count survival
+    alone hides that the tail docs carry disproportionate tokens).
+
+    Exactness: pure integer token counts; tokens_lost = Σ max(0, n−L)
+    per cutoff; the share is one division of exact integers.
+
+    Scale shape: one per-doc token count (map-side), then an explode
+    over the 8 candidate cutoffs — aggregate state is 8 rows per task,
+    combiner-friendly; no sort, no window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(_tokens())
+    per_doc = docs.select(n.alias("n_toks"))
+    cutoffs = [64 * (2 ** k) for k in range(8)]  # 64 .. 8192
+    lv = per_doc.select(
+        "n_toks",
+        F.explode(
+            F.array(*[F.lit(c) for c in cutoffs])
+        ).alias("cutoff"),
+    )
+    return (
+        lv.groupBy("cutoff")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_toks") > F.col("cutoff")).cast("long")).alias(
+                "n_truncated"
+            ),
+            F.sum(F.greatest(F.lit(0), F.col("n_toks") - F.col("cutoff")))
+            .cast("long")
+            .alias("tokens_lost"),
+            F.sum("n_toks").cast("long").alias("tokens_total"),
+        )
+        .select(
+            F.col("cutoff").cast("int").alias("cutoff"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_truncated",
+            "tokens_lost",
+            (
+                F.col("tokens_lost").cast("double")
+                / F.col("tokens_total").cast("double")
+            ).alias("share_lost"),
+        )
+    )

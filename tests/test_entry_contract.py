@@ -56,6 +56,7 @@ NEW_IN_R9: list[str] = [
     "docs_quality_bootstrap_ci",
     "docs_source_tv_distance",
     "copurchase_weighted_sssp",
+    "docs_length_survival",
 ]
 
 # The pinned r9 backlog written at the end of r8 (VERDICT r8 "Next

@@ -147,6 +147,7 @@ AUDIT = [
     "docs_quality_bootstrap_ci",
     "docs_source_tv_distance",
     "copurchase_weighted_sssp",
+    "docs_length_survival",
 ]
 
 
