@@ -4507,6 +4507,15 @@ LLM_ORACLES["docs_contamination_report"] = r"""
 
 
 RELATIONAL_ORACLES["sessions_ordered_funnel"] = """
+    -- The funnel stage is computed RELATIONALLY (greedy-earliest
+    -- match indices), not as a list_reduce fold: DuckDB's vectorized
+    -- list_reduce returns NONDETERMINISTIC results for accumulator-
+    -- BRANCHING lambdas (CASE on acc) at sf0.1 row counts — ~1
+    -- session in 95k flipped stage between runs, found r9; MATERIALIZED
+    -- did not stabilize it. Greedy-earliest (first signup, first view
+    -- after it, any purchase after that view) IS the state machine:
+    -- matching earliest occurrences is optimal for ordered-subsequence
+    -- existence. Plain +/sum folds elsewhere are unaffected.
     WITH flagged AS (
       SELECT user_id, event_id, ts, event_type,
         CASE WHEN lag(ts) OVER w IS NULL
@@ -4519,21 +4528,34 @@ RELATIONAL_ORACLES["sessions_ordered_funnel"] = """
         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
-    ), seqs AS (
+    ), rn AS (
+      SELECT user_id, session_id, event_type,
+        row_number() OVER (PARTITION BY user_id, session_id
+                           ORDER BY ts, event_id) AS rn
+      FROM sess
+    ), s1 AS (
       SELECT user_id, session_id,
-        list(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
-             WHEN 'purchase' THEN 3 ELSE 0 END
-             ORDER BY ts, event_id) AS mapped
-      FROM sess GROUP BY 1, 2
+        min(CASE WHEN event_type = 'signup' THEN rn END) AS r1
+      FROM rn GROUP BY 1, 2
+    ), s2 AS (
+      SELECT r.user_id, r.session_id, min(s1.r1) AS r1,
+        min(CASE WHEN r.event_type = 'view' AND r.rn > s1.r1
+            THEN r.rn END) AS r2
+      FROM rn r JOIN s1 USING (user_id, session_id) GROUP BY 1, 2
+    ), s3 AS (
+      SELECT r.user_id, r.session_id, min(s2.r1) AS r1, min(s2.r2) AS r2,
+        min(CASE WHEN r.event_type = 'purchase' AND r.rn > s2.r2
+            THEN r.rn END) AS r3
+      FROM rn r JOIN s2 USING (user_id, session_id) GROUP BY 1, 2
     ), staged AS (
-      SELECT CAST(list_reduce(list_prepend(0, mapped),
-        (acc, x) -> CASE WHEN acc = 0 AND x = 1 THEN 1
-                         WHEN acc = 1 AND x = 2 THEN 2
-                         WHEN acc = 2 AND x = 3 THEN 3
-                         ELSE acc END) AS INTEGER) AS funnel_stage
-      FROM seqs
+      SELECT CASE WHEN r3 IS NOT NULL THEN 3
+                  WHEN r2 IS NOT NULL THEN 2
+                  WHEN r1 IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_stage
+      FROM s3
     )
-    SELECT funnel_stage, count(*) AS n_sessions
+    SELECT CAST(funnel_stage AS INTEGER) AS funnel_stage,
+      count(*) AS n_sessions
     FROM staged GROUP BY 1
     """
 
