@@ -38,78 +38,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r9 WINDOW (this round): CORRECTNESS_r08 went 50/50 — no retries.
-    # Window = the pinned r9 rotation plan written at the end of r8:
-    # new-in-r9 queries first (never checked), then the remaining
-    # r4-era greens — including the hydro/station anchor block
-    # (hydro_station_list/detail/threshold_audit/archive_partitions/
-    # alerts_filtered/recent_alerts_500 — the S6/S7/T7/T10/T11/C6/F3/
-    # K1/K2 operators, the oldest SURVEY §2 evidence after r8 cleared
-    # the r3 era) — topped up to exactly 50 with the oldest r5-era
-    # greens. The certified r8 window moved to the back (freshest
-    # evidence last, ahead of the rows-only tail).
+    # r10 WINDOW (this round): CORRECTNESS_r09 went 49/50. The one red
+    # row — hydro_double_mass, a decimal-output canonicalization split,
+    # values verified bit-identical (VERDICT r9 "What's wrong" #1) —
+    # re-leads the window after the BIGINT output fix (never-green
+    # first, per the ordering contract). Then the 14 r9-backlog
+    # entries the new-in-r9 head displaced past the boundary
+    # (pq_adc_topk … docs_quality_cutoff — r4-era greens), then the
+    # oldest r5-era greens, topped up to exactly 50. The certified r9
+    # window moved to the back (freshest evidence last, ahead of the
+    # rows-only tail). New-in-r10 queries enter ABOVE the displaced
+    # block as they land, pushing the r5-era tail behind the boundary.
     #
-    # r10 ROTATION PLAN (execute at the start of r10): the block
-    # behind the boundary is the exact r10 window — any r9-window
-    # tail entries new-in-r9 additions displaced, then the remaining
-    # r5-era greens, then the oldest r6-era greens. r11+ continues
-    # r6 rest -> r7 -> r8 -> the r9-certified block.
+    # r11 ROTATION PLAN (execute at the start of r11): the block
+    # behind the boundary is the exact r11 window — any r10-window
+    # tail entries new-in-r10 additions displaced, then the remaining
+    # r5-era greens, then the oldest r6-era greens. r12+ continues
+    # r6 rest -> r7 -> r8 -> the r9/r10-certified blocks.
     return {
-        # ================= r9 WINDOW (first 50) =================
-        # --- new in r9 (never checked; oracle-backed) ---
-        "events_segment_enrichment": relational.events_segment_enrichment,
-        "customer_scd2_asof_snapshot": relational.customer_scd2_asof_snapshot,
-        "orders_theilsen_trend": relational.orders_theilsen_trend,
-        "embedding_mutual_knn": llm.embedding_mutual_knn,
-        "docs_pmi_top_pairs": llm.docs_pmi_top_pairs,
+        # ================= r10 WINDOW (first 50) =================
+        # --- red in r9 (hash-only; BIGINT output fix) — re-lead ---
         "hydro_double_mass": hydro.double_mass_curve,
-        "docs_ccnet_quality_buckets": llm.docs_ccnet_quality_buckets,
-        "events_watermark_lateness_audit": relational.events_watermark_lateness_audit,
-        "orders_retention_vacuum_plan": relational.orders_retention_vacuum_plan,
-        "events_mad_outliers": relational.events_mad_outliers,
-        "docs_quality_bootstrap_ci": llm.docs_quality_bootstrap_ci,
-        "docs_source_tv_distance": llm.docs_source_tv_distance,
-        "copurchase_weighted_sssp": relational.copurchase_weighted_sssp,
-        "docs_length_survival": llm.docs_length_survival,
-        # --- remaining r4-era greens (oldest SURVEY §2 evidence after
-        # r8 cleared the r3 era; includes the hydro/station anchor
-        # block — the S6/S7/T7/T10/T11/C6/F3/K1/K2 operators) ---
-        "minhash_sig_probe": llm.minhash_sig_probe,
-        "simhash_probe": llm.simhash_probe,
-        "lsh_sig_probe": llm.lsh_sig_probe,
-        "minhash_band_pairs_probe": llm.minhash_band_pairs_probe,
-        "simhash_pairs_probe": llm.simhash_pairs_probe,
-        "near_dedup_probe": llm.near_dedup_probe,
-        "events_peak_window_traffic": relational.events_peak_window_traffic,
-        "dedup_exact_docs": llm.dedup_exact_docs,
-        "dedup_docs_kept": llm.dedup_docs_kept,
-        "docs_quality_score": llm.docs_quality_score,
-        "docs_lang_id": llm.docs_lang_id,
-        "doc_fingerprints": llm.doc_fingerprints,
-        "docs_bpe_token_count": llm.docs_bpe_token_count,
-        "ann_cosine_topk": llm.ann_cosine_topk,
-        "embedding_label_stats": llm.embedding_label_stats,
-        "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,
-        "docs_token_stats": llm.docs_token_stats,
-        "multimodal_features": llm.multimodal_features,
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "hydro_internal_levels": hydro.internal_levels,
-        "hydro_station_list": hydro.station_list,
-        "hydro_archive_partitions": hydro.archive_partitions,
-        "hydro_threshold_audit": hydro.threshold_audit,
-        "hydro_station_detail": hydro.station_detail,
-        "hydro_station_tail": hydro.station_tail,
-        "hydro_alerts_filtered": hydro.alerts_filtered,
-        "hydro_recent_alerts_500": hydro.recent_alerts_500,
-        "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
-        "hydro_sensor_gaps": hydro.sensor_gaps,
-        "hydro_resample_10min": hydro.resample_10min,
-        "hydro_station_obs_coverage": hydro.station_obs_coverage,
-        "docs_simjoin_prefix": llm.docs_simjoin_prefix,
-        "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
-        "lineitem_zorder_layout": relational.lineitem_zorder_layout,
-        "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
-        "docs_editdist_pairs": llm.docs_editdist_pairs,
+        # --- r9-displaced backlog (r4-era greens; led the pinned
+        # r10 plan written at the end of r9) ---
         "pq_adc_topk": llm.pq_adc_topk,
         "events_value_band_history": relational.events_value_band_history,
         "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
@@ -117,7 +68,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grouping_sets": relational.events_grouping_sets,
         "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
         "events_value_outliers": relational.events_value_outliers,
-        # --- r5-era greens (certified 50/50 in CORRECTNESS_r05) ---
         "multimodal_frame_sample": llm.multimodal_frame_sample,
         "semantic_dedup_keep": llm.semantic_dedup_keep,
         "kmeans_refine_probe": llm.kmeans_refine_probe,
@@ -125,13 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_leakage_safe_split": llm.docs_leakage_safe_split,
         "docs_bpe_pair_counts": llm.docs_bpe_pair_counts,
         "docs_quality_cutoff": llm.docs_quality_cutoff,
-        # ^^^ first-50 boundary (50 entries above) ^^^
-        # ============ r10 WINDOW PLAN (next 50, in order) ============
-        # remaining r5-era greens, then the oldest r6-era greens —
-        # the oldest evidence once this round refreshes the r4 era.
-        # New-in-r9 head entries shift the r9 window's r5-era tail
-        # into this block; they lead r10. Pinned by
-        # tests/test_entry_contract.py.
+        # --- oldest r5-era greens (certified 50/50 in
+        # CORRECTNESS_r05; oldest evidence after r9 refreshed r4) ---
         "dup_cluster_sizes": llm.dup_cluster_sizes,
         "ann_hard_negatives": llm.ann_hard_negatives,
         "events_user_overlap": relational.events_user_overlap,
@@ -167,6 +112,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_repeat_rate": relational.orders_cohort_repeat_rate,
         "minhash_recall_report": llm.minhash_recall_report,
         "events_type_drift": relational.events_type_drift,
+        # ^^^ first-50 boundary ^^^ (position asserted against the
+        # dict by tests/test_entry_contract.py::
+        # test_boundary_comment_position — the marker line must sit
+        # exactly after entry 50)
+        # ============ r11 WINDOW PLAN (next 50, in order) ============
+        # remaining r5-era greens first (oldest evidence once this
+        # round refreshes them), then the oldest r6-era greens.
+        # New-in-r10 head entries shift the r10 window's r5-era tail
+        # into this block; they lead r11. Pinned by
+        # tests/test_entry_contract.py.
         "events_new_vs_returning": relational.events_new_vs_returning,
         "events_value_log2_histogram": relational.events_value_log2_histogram,
         "hydro_station_uptime": hydro.station_uptime,
@@ -344,6 +299,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_accuracy": relational.events_hll_accuracy,
         "lsh_cosine_topk": llm.lsh_cosine_topk,
         "embedding_near_dups": llm.embedding_near_dups,
+        # --- r9-era greens (certified 49/50 in CORRECTNESS_r09 —
+        # freshest evidence in the registry; the one red,
+        # hydro_double_mass, re-leads the r10 window above) ---
+        "events_segment_enrichment": relational.events_segment_enrichment,
+        "customer_scd2_asof_snapshot": relational.customer_scd2_asof_snapshot,
+        "orders_theilsen_trend": relational.orders_theilsen_trend,
+        "embedding_mutual_knn": llm.embedding_mutual_knn,
+        "docs_pmi_top_pairs": llm.docs_pmi_top_pairs,
+        "docs_ccnet_quality_buckets": llm.docs_ccnet_quality_buckets,
+        "events_watermark_lateness_audit": relational.events_watermark_lateness_audit,
+        "orders_retention_vacuum_plan": relational.orders_retention_vacuum_plan,
+        "events_mad_outliers": relational.events_mad_outliers,
+        "docs_quality_bootstrap_ci": llm.docs_quality_bootstrap_ci,
+        "docs_source_tv_distance": llm.docs_source_tv_distance,
+        "copurchase_weighted_sssp": relational.copurchase_weighted_sssp,
+        "docs_length_survival": llm.docs_length_survival,
+        "minhash_sig_probe": llm.minhash_sig_probe,
+        "simhash_probe": llm.simhash_probe,
+        "lsh_sig_probe": llm.lsh_sig_probe,
+        "minhash_band_pairs_probe": llm.minhash_band_pairs_probe,
+        "simhash_pairs_probe": llm.simhash_pairs_probe,
+        "near_dedup_probe": llm.near_dedup_probe,
+        "events_peak_window_traffic": relational.events_peak_window_traffic,
+        "dedup_exact_docs": llm.dedup_exact_docs,
+        "dedup_docs_kept": llm.dedup_docs_kept,
+        "docs_quality_score": llm.docs_quality_score,
+        "docs_lang_id": llm.docs_lang_id,
+        "doc_fingerprints": llm.doc_fingerprints,
+        "docs_bpe_token_count": llm.docs_bpe_token_count,
+        "ann_cosine_topk": llm.ann_cosine_topk,
+        "embedding_label_stats": llm.embedding_label_stats,
+        "docs_ngram_jaccard_pairs": llm.docs_ngram_jaccard_pairs,
+        "docs_token_stats": llm.docs_token_stats,
+        "multimodal_features": llm.multimodal_features,
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "hydro_internal_levels": hydro.internal_levels,
+        "hydro_station_list": hydro.station_list,
+        "hydro_archive_partitions": hydro.archive_partitions,
+        "hydro_threshold_audit": hydro.threshold_audit,
+        "hydro_station_detail": hydro.station_detail,
+        "hydro_station_tail": hydro.station_tail,
+        "hydro_alerts_filtered": hydro.alerts_filtered,
+        "hydro_recent_alerts_500": hydro.recent_alerts_500,
+        "hydro_fact_hourly_rollup": hydro.fact_hourly_rollup,
+        "hydro_sensor_gaps": hydro.sensor_gaps,
+        "hydro_resample_10min": hydro.resample_10min,
+        "hydro_station_obs_coverage": hydro.station_obs_coverage,
+        "docs_simjoin_prefix": llm.docs_simjoin_prefix,
+        "docs_bloom_decontaminate": llm.docs_bloom_decontaminate,
+        "lineitem_zorder_layout": relational.lineitem_zorder_layout,
+        "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
+        "docs_editdist_pairs": llm.docs_editdist_pairs,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

@@ -3198,7 +3198,12 @@ RELATIONAL_ORACLES["events_user_overlap"] = """
 
 # Logistic quality model: hashed-bucket features, md5-derived weights,
 # fold over bucket-sorted terms; keep decided on z >= 0 (exp-free).
-LLM_ORACLES["docs_model_quality_score"] = _TOK_CTE + r"""
+# The CTE chain through ``z`` is shared verbatim with
+# docs_ccnet_quality_buckets (which terciles on the same exact zz
+# fold) — kept as ONE named constant so an edit to either oracle's
+# final SELECT can never silently desynchronize the other (the
+# previous rpartition-on-substring surgery was exactly that hazard).
+_MODEL_Z_CTE = _TOK_CTE + r"""
     , tb AS (
       SELECT doc_id,
         list_reduce(list_transform(range(1, 16),
@@ -3225,6 +3230,9 @@ LLM_ORACLES["docs_model_quality_score"] = _TOK_CTE + r"""
         / CAST(n_toks AS DOUBLE) AS zz
       FROM per_doc
     )
+    """
+
+LLM_ORACLES["docs_model_quality_score"] = _MODEL_Z_CTE + """
     SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
       round(1.0 / (1.0 + exp(-zz)), 4) AS quality_prob,
       zz >= 0 AS keep
@@ -7213,8 +7221,12 @@ HYDRO_ORACLES["hydro_double_mass"] = HYDRO_CTE + """
       SELECT stc.station, stc.day, stc.y_cum, basin.x_cum
       FROM stc JOIN basin USING (day)
     ), ends AS (
+      -- endpoint cumulative = value at the LAST day (arg-max on day),
+      -- not max(y_cum): identical for nonnegative cents, correct for
+      -- below-datum negative daily volumes too (mirrors the Spark
+      -- struct-max endpoint selection)
       SELECT station, count(*) AS n_days, max(day) AS last_day,
-        max(y_cum) AS y_total
+        max_by(y_cum, day) AS y_total
       FROM curve GROUP BY 1
     ), endsx AS (
       SELECT e.station, e.n_days, e.y_total, b.x_cum AS x_total
@@ -7231,15 +7243,15 @@ HYDRO_ORACLES["hydro_double_mass"] = HYDRO_CTE + """
       CAST(ex.x_total AS BIGINT) AS basin_cents,
       CAST(ex.y_total AS DOUBLE) / CAST(ex.x_total AS DOUBLE)
         AS final_ratio,
-      CAST(dev.max_dev AS DECIMAL(38,0)) AS max_dev
+      CAST(dev.max_dev AS BIGINT) AS max_dev
     FROM endsx ex JOIN dev USING (station)
     """
 
 
-# CCNet terciles rank on the exact _model_z fold (shared CTE chain
-# with docs_model_quality_score up to z) — never a log/exp score.
+# CCNet terciles rank on the exact _MODEL_Z_CTE fold (the named
+# shared chain with docs_model_quality_score) — never a log/exp score.
 LLM_ORACLES["docs_ccnet_quality_buckets"] = (
-    LLM_ORACLES["docs_model_quality_score"].rpartition("SELECT doc_id,")[0]
+    _MODEL_Z_CTE
     + """
     , zl AS (
       SELECT t.lang, z.doc_id, z.n_toks, z.zz,

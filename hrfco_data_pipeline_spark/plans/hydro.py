@@ -968,7 +968,11 @@ def double_mass_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y_cum",
         "x_cum",
         F.count("*").over(wsta).alias("n_days"),
-        F.max("y_cum").over(wsta).alias("y_total"),
+        # endpoint = the cumulative carried by the LAST day, not the
+        # running max: identical for nonnegative cents, but correct
+        # even when levels below datum make daily cents negative
+        # (the x endpoint already used this struct-max selection)
+        F.max(F.struct("day", "y_cum")).over(wsta)["y_cum"].alias("y_total"),
         F.max(F.struct("day", "x_cum")).over(wsta)["x_cum"].alias("x_total"),
     )
     return (
@@ -991,6 +995,15 @@ def double_mass_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max("y_total").cast("double")
                 / F.max("x_total").cast("double")
             ).alias("final_ratio"),
-            F.max("cross_dev").cast("decimal(38,0)").alias("max_dev"),
+            # emit BIGINT, not DECIMAL(38,0): the internal cross-product
+            # stays decimal-exact, but a decimal OUTPUT column split the
+            # driver's value hash in r9 (Spark Decimal repr vs DuckDB
+            # fetch-as-float canonicalization) — the registry's portable
+            # output type set is {long,int,double,string,bool,date,ts}.
+            # Overflow bound: max_dev <= y_total*x_total ~ cents^2*days^2;
+            # 2.8e12 at sf0.1, ~7 orders inside 2^63. At 100 TB basin
+            # scale the guard test (test_hydro.py) would trip first —
+            # switch the output to a string face before it does.
+            F.max("cross_dev").cast("long").alias("max_dev"),
         )
     )

@@ -653,17 +653,34 @@ def lateness_state_update(
 
     from hrfco_data_pipeline_spark.plans.relational import qsample_filter
 
+    from pyspark.errors import AnalysisException
+
     partials = os.path.join(table_path, "partials")
     sample = os.path.join(table_path, "sample")
-    try:
-        prev_mark = (
-            read_appended(spark, partials)
-            .agg(F.max("batch_max_us"))
-            .collect()[0][0]
-            or 0
-        )
-    except Exception:
-        prev_mark = 0
+    # mark from PREVIOUS batches only (batch < batch_id): foreachBatch
+    # is at-least-once, and on a replay after a crash between the
+    # partials append and the sample append the current batch's own
+    # committed partials row would otherwise inflate the mark — the
+    # retried sample append would then write larger-than-true lateness
+    # for every row arriving before the batch's max-timestamp event,
+    # diverging from the first attempt instead of converging to it.
+    prev_mark = 0
+    if os.path.isdir(partials):
+        try:
+            prev_mark = (
+                read_appended(spark, partials)
+                .filter(F.col("batch") < batch_id)
+                .agg(F.max("batch_max_us"))
+                .collect()[0][0]
+                or 0
+            )
+        except AnalysisException:
+            # dir exists but holds no committed parquet yet (a swept
+            # crash window leaves only hidden tmp dirs — schema
+            # inference fails); real read errors propagate so Spark
+            # fails and retries the micro-batch instead of silently
+            # computing against a zero mark
+            prev_mark = 0
 
     us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
     win = Window.orderBy("event_id").rowsBetween(

@@ -38,70 +38,23 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-# New-in-r9 queries lead the window (never-checked first, per the
-# ordering contract). Append here as they land; the window pin below
-# derives positions from this list, so a careless insert cannot
-# silently rotate a pinned backlog entry out unnoticed.
-NEW_IN_R9: list[str] = [
-    "events_segment_enrichment",
-    "customer_scd2_asof_snapshot",
-    "orders_theilsen_trend",
-    "embedding_mutual_knn",
-    "docs_pmi_top_pairs",
+# New-in-r10 queries lead the window (never-checked first, per the
+# ordering contract). hydro_double_mass is not new but leads for the
+# same reason: its r9 driver row was red (decimal-output hash split;
+# re-led after the BIGINT output fix). Append new queries here as
+# they land; the window pin below derives positions from this list,
+# so a careless insert cannot silently rotate a pinned backlog entry
+# out unnoticed.
+NEW_IN_R10: list[str] = [
     "hydro_double_mass",
-    "docs_ccnet_quality_buckets",
-    "events_watermark_lateness_audit",
-    "orders_retention_vacuum_plan",
-    "events_mad_outliers",
-    "docs_quality_bootstrap_ci",
-    "docs_source_tv_distance",
-    "copurchase_weighted_sssp",
-    "docs_length_survival",
 ]
 
-# The pinned r9 backlog written at the end of r8 (VERDICT r8 "Next
-# round" #1): the remaining r4-era greens — including the
-# hydro/station anchor block, the oldest SURVEY §2 evidence after r8
-# cleared the r3 era — topped up with the oldest r5-era greens.
-# New-in-r9 head entries displace the TAIL of this list past the
-# boundary; the displaced entries must then lead the r10 window.
-R9_BACKLOG = [
-    "minhash_sig_probe",
-    "simhash_probe",
-    "lsh_sig_probe",
-    "minhash_band_pairs_probe",
-    "simhash_pairs_probe",
-    "near_dedup_probe",
-    "events_peak_window_traffic",
-    "dedup_exact_docs",
-    "dedup_docs_kept",
-    "docs_quality_score",
-    "docs_lang_id",
-    "doc_fingerprints",
-    "docs_bpe_token_count",
-    "ann_cosine_topk",
-    "embedding_label_stats",
-    "docs_ngram_jaccard_pairs",
-    "docs_token_stats",
-    "multimodal_features",
-    "q1_pricing_summary",
-    "hydro_internal_levels",
-    "hydro_station_list",
-    "hydro_archive_partitions",
-    "hydro_threshold_audit",
-    "hydro_station_detail",
-    "hydro_station_tail",
-    "hydro_alerts_filtered",
-    "hydro_recent_alerts_500",
-    "hydro_fact_hourly_rollup",
-    "hydro_sensor_gaps",
-    "hydro_resample_10min",
-    "hydro_station_obs_coverage",
-    "docs_simjoin_prefix",
-    "docs_bloom_decontaminate",
-    "lineitem_zorder_layout",
-    "docs_cms_heavy_hitters",
-    "docs_editdist_pairs",
+# The pinned r10 backlog written at the end of r9 (VERDICT r9 "Next
+# round" #3): the 14 r9-backlog entries the new-in-r9 head displaced
+# past the boundary (r4-era greens), then the oldest r5-era greens.
+# New-in-r10 head entries displace the TAIL of this list past the
+# boundary; the displaced entries must then lead the r11 window.
+R10_BACKLOG = [
     "pq_adc_topk",
     "events_value_band_history",
     "docs_line_dedup_rebuild",
@@ -116,56 +69,87 @@ R9_BACKLOG = [
     "docs_leakage_safe_split",
     "docs_bpe_pair_counts",
     "docs_quality_cutoff",
+    "dup_cluster_sizes",
+    "ann_hard_negatives",
+    "events_user_overlap",
+    "docs_model_quality_score",
+    "docs_lang_balance_sampler",
+    "docs_curriculum_order",
+    "events_running_distinct_users",
+    "metrics_nifi_timestamps",
+    "minhash_calibration",
+    "docs_bpe_apply_merge",
+    "docs_lang_confusion",
+    "docs_select_token_budget",
+    "events_seasonal_baseline",
+    "hydro_rating_curve",
+    "customer_ltv_deciles",
+    "events_dau_wau_stickiness",
+    "docs_ngram_novelty",
+    "events_markov_transitions",
+    "hydro_alert_episodes",
+    "hydro_daily_extremes",
+    "events_inter_arrival_stats",
+    "events_conversion_latency",
+    "docs_dup_rate_by_source",
+    "supplier_on_time_rate",
+    "embedding_norm_outliers",
+    "events_value_gini",
+    "docs_vocab_growth",
+    "wire_corrupt_rate",
+    "docs_shard_skew_report",
+    "hydro_threshold_margin",
+    "hydro_rise_forecast",
+    "events_weekday_hour_heatmap",
+    "orders_cohort_repeat_rate",
+    "minhash_recall_report",
+    "events_type_drift",
 ]
 
 
-def test_r9_window_composition():
-    """The r9 window is exactly (NEW_IN_R9 + R9_BACKLOG)[:50]: new
-    queries first, then the pinned backlog; growth at the head may
-    only displace the backlog TAIL (r5-era top-ups), never the r4-era
-    anchors. The displaced tail must sit immediately behind the
-    boundary, leading the r10 window."""
+def test_r10_window_composition():
+    """The r10 window is exactly (NEW_IN_R10 + R10_BACKLOG)[:50]:
+    never-green queries first, then the pinned backlog; growth at the
+    head may only displace the backlog TAIL (r5-era entries), never
+    the r4-era displaced block. The displaced tail must sit
+    immediately behind the boundary, leading the r11 window."""
     names = list(entry.queries())
-    expected = (NEW_IN_R9 + R9_BACKLOG)[:50]
+    expected = (NEW_IN_R10 + R10_BACKLOG)[:50]
     assert names[:50] == expected
-    n_displaced = len(NEW_IN_R9 + R9_BACKLOG) - 50
+    n_displaced = len(NEW_IN_R10 + R10_BACKLOG) - 50
     assert n_displaced >= 0
-    hydro_anchor = {
-        "hydro_station_list",
-        "hydro_station_detail",
-        "hydro_threshold_audit",
-        "hydro_archive_partitions",
-        "hydro_alerts_filtered",
-        "hydro_recent_alerts_500",
-    }
-    assert hydro_anchor <= set(names[:50]), (
-        "the hydro/station anchor block (oldest SURVEY §2 evidence) "
-        "fell out of the r9 window — too many new-in-r9 head entries"
+    r4_displaced = set(R10_BACKLOG[:14])
+    assert r4_displaced <= set(names[:50]), (
+        "the r9-displaced r4-era block (oldest driver evidence) fell "
+        "out of the r10 window — too many new-in-r10 head entries"
     )
     if n_displaced:
-        assert names[50 : 50 + n_displaced] == R9_BACKLOG[-n_displaced:]
+        assert names[50 : 50 + n_displaced] == R10_BACKLOG[-n_displaced:]
 
 
-def test_r10_window_plan():
-    """Positions 50-99 (the r10 plan): displaced r9-backlog tail
+def test_r11_window_plan():
+    """Positions 50-99 (the r11 plan): displaced r10-backlog tail
     first, then the remaining r5-era greens, then the oldest r6-era
     greens — every slot oracle-backed so each can earn a green row.
-    The freshly-certified r8 block sits at the back, just ahead of
+    The freshly-certified r9 block sits at the back, just ahead of
     the rows-only tail."""
     names = list(entry.queries())
-    r10 = names[50:100]
+    r11 = names[50:100]
     oracles = set(entry.oracle_sql())
-    assert set(r10) <= oracles
+    assert set(r11) <= oracles
     # remaining r5-era evidence leads (oldest after this round)
-    assert "dup_cluster_sizes" in r10
-    assert "metrics_nifi_timestamps" in r10
-    # the r8-certified block is behind the r10 window
-    for q in ("orders_join_strategy_report", "docs_bm25_topk",
-              "events_kmv_setops", "customer_scd2_history"):
+    assert "events_new_vs_returning" in r11
+    assert "nation_trade_pagerank" in r11
+    # then the oldest r6-era greens
+    assert "orders_benford_digits" in r11
+    # the r9-certified block is behind the r11 window
+    for q in ("events_segment_enrichment", "embedding_mutual_knn",
+              "minhash_sig_probe", "hydro_station_list",
+              "docs_editdist_pairs"):
         assert q in names[100:], q
-    # the r7-certified block stays at the back too
+    # the r7/r8-certified blocks stay at the back too
     assert "embedding_random_projection" in names[100:]
-    assert "events_moving_stats" in names[100:]
+    assert "orders_join_strategy_report" in names[100:]
     # rows-only entries stay at the very end
     assert names[-5:] == [
         "events_hll_user_rollup",
@@ -174,6 +158,26 @@ def test_r10_window_plan():
         "simhash_clusters",
         "near_dedup_keep",
     ]
+
+
+def test_boundary_comment_position():
+    """The human-readable first-50 boundary marker in
+    __spark_entry__.py must sit exactly after entry 50 — a wrong
+    marker on the driver-sampled ordering is how a window slot gets
+    lost (VERDICT r9 "What's wrong" #2: the r9 marker drifted 14
+    entries stale)."""
+    import re
+
+    src = open(entry.__file__).read()
+    before_marker = src.split("first-50 boundary")[0]
+    # count dict-entry lines ("name": module.fn,) above the marker
+    n_above = len(
+        re.findall(r'^\s{8}"[a-z0-9_]+":\s', before_marker, re.MULTILINE)
+    )
+    assert n_above == 50, (
+        f"boundary marker sits after {n_above} entries, want 50 — "
+        "move the comment to the true boundary"
+    )
 
 
 def test_all_callables_and_oracles_nonempty():

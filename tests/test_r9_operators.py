@@ -158,6 +158,27 @@ def test_double_mass_invariants(spark):
         assert 0 < r.final_ratio <= 1.0
         assert r.station_cents <= r.basin_cents <= basin_total
         assert r.max_dev >= 0
+        # max_dev is emitted as BIGINT (a DECIMAL(38,0) output split
+        # the r9 driver hash); the exact decimal cross-product must
+        # keep wide headroom under the long cast
+        assert isinstance(r.max_dev, int)
+        assert r.max_dev < 2**62
+
+
+def test_double_mass_long_headroom_sf01(spark):
+    """The BIGINT output cast on max_dev needs the pre-cast
+    DECIMAL(38,0) cross-product to fit in a long with headroom at the
+    largest certification scale. Bound: max_dev <= y_total * x_total
+    (basin-cents × station-cents); 2.8e12 at sf0.1 — ~6 orders inside
+    2^63. If a future corpus approaches the bound, switch the output
+    face to a string before the cast saturates."""
+    from hrfco_data_pipeline_spark.plans.hydro import double_mass_curve
+
+    rows = double_mass_curve(spark, "/root/testdata/sf0.1").collect()
+    assert rows
+    worst = max(r.max_dev for r in rows)
+    # ≥ 3 orders of magnitude of headroom under 2^63 at sf0.1
+    assert worst < 2**63 / 1000
 
 
 def test_vacuum_plan_tiers_partition_by_age(spark):

@@ -822,6 +822,32 @@ def test_lateness_monitor_stream_equals_batch_face(spark, tmp_path):
     assert read_appended(spark, os.path.join(table, "partials")).count() == n_part
     assert read_appended(spark, os.path.join(table, "sample")).count() == n_samp
 
+    # PARTIAL replay: crash between the partials append and the sample
+    # append of the LAST batch (partials b3 committed, sample b3 not).
+    # The retried batch must reconstruct the same pre-batch mark as
+    # the first attempt — i.e. exclude its own committed partials row
+    # from the high-water max — and so rewrite the sample with values
+    # identical to the uninterrupted run.
+    import shutil
+
+    want_sample = sorted(
+        (r.event_type, r.lateness_us)
+        for r in read_appended(spark, os.path.join(table, "sample")).collect()
+    )
+    last = k - 1
+    sdir = os.path.join(table, "sample")
+    shutil.rmtree(os.path.join(sdir, f"b{last:012d}"))
+    with open(os.path.join(sdir, "_batch_id"), "w") as fh:
+        fh.write(str(last - 1))
+    lateness_state_update(
+        spark, table, spark.createDataFrame(rows[last * per :], schema), last
+    )
+    got_sample = sorted(
+        (r.event_type, r.lateness_us)
+        for r in read_appended(spark, os.path.join(table, "sample")).collect()
+    )
+    assert got_sample == want_sample
+
 
 def test_tv_drift_stream_equals_batch_face(spark, tmp_path):
     """Stream the documents table in 4-file micro-batches through the

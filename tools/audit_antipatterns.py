@@ -10,7 +10,11 @@ audit: build every registered query's plan at a small SF and flag
   stages are fine and NOT flagged),
 - plan-size blowups (optimized-plan string > 1 MB — the loop-unrolling
   regression class: the r8 Hilbert fold was a 7 MB plan before the
-  aggregate-fold rewrite).
+  aggregate-fold rewrite),
+- non-portable output leaf types (decimal/binary/map/float32/... at
+  the registry boundary — the r9 hydro_double_mass DECIMAL(38,0)
+  driver-hash split class; tests/test_output_types.py guards the
+  first-50 window per-suite-run, this sweep covers all queries).
 
 EAGER queries (driver-side loops / plan-time profiles) execute their
 bounded actions while the plan is built — acceptable at the audit SF.
@@ -39,6 +43,22 @@ ALLOW_NESTED_LOOP = {
 }
 
 MAX_PLAN_BYTES = 1_000_000
+
+
+def _nonportable_leaves(dt, path):
+    from pyspark.sql import types as T
+
+    portable = (
+        T.StringType, T.LongType, T.IntegerType, T.DoubleType,
+        T.BooleanType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    )
+    if isinstance(dt, T.ArrayType):
+        yield from _nonportable_leaves(dt.elementType, path + "[]")
+    elif isinstance(dt, T.StructType):
+        for f in dt.fields:
+            yield from _nonportable_leaves(f.dataType, f"{path}.{f.name}")
+    elif not isinstance(dt, portable):
+        yield f"{path}:{type(dt).__name__}"
 
 
 def main() -> int:
@@ -80,6 +100,13 @@ def main() -> int:
                     flags.append("nested-loop-join")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time-python-udf")
+        bad_types = [
+            s
+            for f in df.schema.fields
+            for s in _nonportable_leaves(f.dataType, f.name)
+        ]
+        if bad_types:
+            flags.append("non-portable-output-type:" + ",".join(bad_types))
         if len(plan) > MAX_PLAN_BYTES:
             flags.append(f"plan-size-{len(plan) // 1024}KB")
         if flags:

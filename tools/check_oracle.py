@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 import sys
 from collections import Counter
+from decimal import Decimal
 
 sys.path.insert(0, ".")
 
@@ -26,11 +27,18 @@ def normalize(v):
         # keep -0.0 distinct from 0.0: the driver's value hash
         # distinguishes them (CORRECTNESS_r06 flagged a ±0.0 split
         # this normalization used to mask)
-        return repr(v)
+        return ("f", repr(v))
     if isinstance(v, bool):
-        return repr(v)
+        return ("b", repr(v))
+    if isinstance(v, Decimal):
+        # surface Decimal as its own type: Python's Decimal(5) == 5
+        # made this twin blind to the r9 hydro_double_mass driver
+        # split (Spark Decimal vs DuckDB decimal-fetched-as-float)
+        return ("dec", str(v))
+    if isinstance(v, int):
+        return ("i", v)
     if hasattr(v, "isoformat"):
-        return v.isoformat()
+        return ("t", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(normalize(x) for x in v)
     return v
