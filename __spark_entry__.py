@@ -57,6 +57,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r6 rest -> r7 -> r8 -> the r9/r10-certified blocks.
     return {
         # ================= r10 WINDOW (first 50) =================
+        # --- new in r10 (never checked; oracle-backed) ---
+        "events_ks_two_sample": relational.events_ks_two_sample,
+        "events_mann_whitney": relational.events_mann_whitney,
+        "hydro_recession_constant": hydro.recession_constant,
+        "ann_prefix_dim_recall": llm.ann_prefix_dim_recall,
+        "docs_oov_rate": llm.docs_oov_rate,
+        "lineitem_bloom_semijoin_prune": relational.lineitem_bloom_semijoin_prune,
         # --- red in r9 (hash-only; BIGINT output fix) — re-lead ---
         "hydro_double_mass": hydro.double_mass_curve,
         # --- r9-displaced backlog (r4-era greens; led the pinned
@@ -106,22 +113,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_vocab_growth": llm.docs_vocab_growth,
         "wire_corrupt_rate": wire.wire_corrupt_rate,
         "docs_shard_skew_report": llm.docs_shard_skew_report,
+        # ^^^ first-50 boundary ^^^ (position asserted against the
+        # dict by tests/test_entry_contract.py::
+        # test_boundary_comment_position — the marker line must sit
+        # exactly after entry 50)
+        # ============ r11 WINDOW PLAN (next 50, in order) ============
+        # r10-displaced r5-era tail first (shifted behind the boundary
+        # by the six new-in-r10 head entries), then the remaining
+        # r5-era greens, then the oldest r6-era greens. Pinned by
+        # tests/test_entry_contract.py.
         "hydro_threshold_margin": hydro.threshold_margin,
         "hydro_rise_forecast": hydro.rise_forecast,
         "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
         "orders_cohort_repeat_rate": relational.orders_cohort_repeat_rate,
         "minhash_recall_report": llm.minhash_recall_report,
         "events_type_drift": relational.events_type_drift,
-        # ^^^ first-50 boundary ^^^ (position asserted against the
-        # dict by tests/test_entry_contract.py::
-        # test_boundary_comment_position — the marker line must sit
-        # exactly after entry 50)
-        # ============ r11 WINDOW PLAN (next 50, in order) ============
-        # remaining r5-era greens first (oldest evidence once this
-        # round refreshes them), then the oldest r6-era greens.
-        # New-in-r10 head entries shift the r10 window's r5-era tail
-        # into this block; they lead r11. Pinned by
-        # tests/test_entry_contract.py.
         "events_new_vs_returning": relational.events_new_vs_returning,
         "events_value_log2_histogram": relational.events_value_log2_histogram,
         "hydro_station_uptime": hydro.station_uptime,

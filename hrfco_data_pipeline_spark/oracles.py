@@ -7530,3 +7530,256 @@ LLM_ORACLES["docs_length_survival"] = _TOK_CTE + """
         AS share_lost
     FROM agg
     """
+
+
+# Exact two-sample KS per event type vs the rest: integer ECDF step
+# numerators on the bounded (distinct values × types) grid, HUGEINT
+# running sums (DECIMAL(38,0) on the Spark side — identical values),
+# one final double division; arg-max tie-break (|cum| desc, value asc).
+RELATIONAL_ORACLES["events_ks_two_sample"] = """
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), ct AS (
+      SELECT event_type, value, count(*) AS c_t FROM base GROUP BY 1, 2
+    ), pt AS (
+      SELECT event_type, sum(c_t) AS n_t FROM ct GROUP BY 1
+    ), tot AS (
+      SELECT sum(n_t) AS n_all FROM pt
+    ), cv AS (
+      SELECT value, sum(c_t) AS c_all FROM ct GROUP BY 1
+    ), grid AS (
+      SELECT pt.event_type, cv.value, pt.n_t,
+        tot.n_all - pt.n_t AS n_rest,
+        coalesce(ct.c_t, 0) AS ctv,
+        cv.c_all - coalesce(ct.c_t, 0) AS crv
+      FROM cv CROSS JOIN pt CROSS JOIN tot
+      LEFT JOIN ct ON ct.event_type = pt.event_type AND ct.value = cv.value
+    ), cum AS (
+      SELECT event_type, value, n_t, n_rest,
+        abs(sum(CAST(ctv AS HUGEINT) * CAST(n_rest AS HUGEINT)
+              - CAST(crv AS HUGEINT) * CAST(n_t AS HUGEINT))
+            OVER (PARTITION BY event_type ORDER BY value
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          AS absnum
+      FROM grid
+    ), best AS (
+      SELECT event_type, n_t, n_rest, absnum, value,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY absnum DESC, value ASC) AS rn
+      FROM cum
+    )
+    SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
+      CAST(n_rest AS BIGINT) AS n_rest,
+      CAST(absnum AS DOUBLE)
+        / (CAST(n_t AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS d_stat,
+      value AS d_at_value
+    FROM best WHERE rn = 1
+    """
+
+
+# Mann–Whitney via doubled midranks over the distinct-value counts:
+# exact HUGEINT rank sums (DECIMAL(38,0) on the Spark side), then the
+# SAME fixed-order IEEE chain for the tie-corrected z on both engines.
+RELATIONAL_ORACLES["events_mann_whitney"] = """
+    WITH base AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ), ct AS (
+      SELECT event_type, value, count(*) AS c_t FROM base GROUP BY 1, 2
+    ), cv AS (
+      SELECT value, sum(c_t) AS c_all FROM ct GROUP BY 1
+    ), ranks AS (
+      SELECT value, c_all,
+        2 * coalesce(sum(c_all) OVER (ORDER BY value
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + c_all + 1 AS r2
+      FROM cv
+    ), tie AS (
+      SELECT
+        sum(CAST(c_all AS HUGEINT) * CAST(c_all AS HUGEINT)
+            * CAST(c_all AS HUGEINT) - CAST(c_all AS HUGEINT)) AS t_corr,
+        CAST(sum(c_all) AS HUGEINT) AS n_all
+      FROM ranks
+    ), per_type AS (
+      SELECT event_type, sum(c_t) AS n_t,
+        sum(CAST(c_t AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2_sum
+      FROM ct JOIN ranks USING (value) GROUP BY 1
+    )
+    SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
+      CAST(n_all - n_t AS BIGINT) AS n_rest,
+      CAST(r2_sum - CAST(n_t AS HUGEINT) * (CAST(n_t AS HUGEINT) + 1)
+           AS DOUBLE) / 2.0 AS u_stat,
+      CAST(r2_sum - CAST(n_t AS HUGEINT) * (CAST(n_t AS HUGEINT) + 1)
+           - CAST(n_t AS HUGEINT) * (n_all - n_t) AS DOUBLE)
+        / (2.0 * sqrt(
+            (CAST(CAST(n_t AS HUGEINT) * (n_all - n_t) AS DOUBLE)
+             * CAST(n_all * n_all * n_all - n_all - t_corr AS DOUBLE))
+            / CAST(12 * n_all * (n_all - 1) AS DOUBLE))) AS z_score
+    FROM per_type CROSS JOIN tie
+    """
+
+
+# Recession constant: integer-cents daily volumes, consecutive-day
+# strictly-falling ratios (one exact-integer double division each),
+# rank-rule median under (ratio, day) order.
+HYDRO_ORACLES["hydro_recession_constant"] = HYDRO_CTE + """
+    , dmr AS (
+      SELECT wlobscd AS station, substr(ymdhm, 1, 8) AS day,
+        CAST(round(water_level * 100) AS BIGINT) AS cents
+      FROM classified
+      WHERE water_level IS NOT NULL AND length(ymdhm) = 12
+    ), sdr AS (
+      SELECT station, day, sum(cents) AS s_cents FROM dmr GROUP BY 1, 2
+    ), stepped AS (
+      SELECT station, day, s_cents,
+        lag(s_cents) OVER (PARTITION BY station ORDER BY day)
+          AS prev_cents,
+        lag(day) OVER (PARTITION BY station ORDER BY day) AS prev_day
+      FROM sdr
+    ), falls AS (
+      SELECT station, day,
+        CAST(s_cents AS DOUBLE) / CAST(prev_cents AS DOUBLE) AS ratio
+      FROM stepped
+      WHERE prev_cents IS NOT NULL
+        AND date_diff('day', strptime(prev_day, '%Y%m%d'),
+                      strptime(day, '%Y%m%d')) = 1
+        AND prev_cents > 0 AND s_cents > 0 AND s_cents < prev_cents
+    ), rankedr AS (
+      SELECT station, ratio,
+        row_number() OVER (PARTITION BY station ORDER BY ratio, day)
+          AS rn,
+        count(*) OVER (PARTITION BY station) AS n
+      FROM falls
+    )
+    SELECT station, CAST(max(n) AS BIGINT) AS n_recessions,
+      max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN ratio END)
+        AS k_median,
+      min(ratio) AS k_steepest
+    FROM rankedr GROUP BY station
+    """
+
+
+# Prefix-dimension recall: both rankings share the fold dot, round-4
+# cosines, and the (cos desc, id asc) tie-break; zero-norm vectors
+# excluded on both faces; recall is an exact-integer division.
+LLM_ORACLES["ann_prefix_dim_recall"] = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        (embedding::DOUBLE[])[1:len(embedding) // 2] AS h
+      FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, h,
+        sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+        sqrt(list_sum(list_transform(h, x -> x * x))) AS hnrm
+      FROM e
+    ), nz AS (
+      SELECT * FROM n WHERE nrm > 0 AND hnrm > 0
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, h AS qh, nrm AS qn,
+        hnrm AS qhn
+      FROM nz WHERE vec_id % 50 = 0
+    ), scored AS (
+      SELECT q.query_id, nz.vec_id AS neighbor_id,
+        round(list_sum(list_transform(range(len(nz.v)),
+                i -> nz.v[i + 1] * q.qv[i + 1])) / (nz.nrm * q.qn), 4)
+          AS cf,
+        round(list_sum(list_transform(range(len(nz.h)),
+                i -> nz.h[i + 1] * q.qh[i + 1])) / (nz.hnrm * q.qhn), 4)
+          AS ch
+      FROM nz, q WHERE nz.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cf DESC, neighbor_id ASC) AS rf,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY ch DESC, neighbor_id ASC) AS rh
+      FROM scored
+    ), full10 AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rf <= 10
+    ), half10 AS (
+      SELECT query_id, neighbor_id FROM ranked WHERE rh <= 10
+    )
+    SELECT f.query_id,
+      CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_overlap,
+      CAST(sum(CASE WHEN h.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+           AS DOUBLE) / 10.0 AS recall_at_10
+    FROM full10 f LEFT JOIN half10 h
+      ON f.query_id = h.query_id AND f.neighbor_id = h.neighbor_id
+    GROUP BY f.query_id
+    """
+
+
+# OOV rate vs the corpus's own top-1000 vocabulary: exact occurrence
+# integers, (count desc, token asc) vocabulary cut, one division.
+LLM_ORACLES["docs_oov_rate"] = _TOK_CTE + """
+    , occ AS (
+      SELECT lang, source, lower(unnest(toks)) AS tok FROM tok
+    ), vc AS (
+      SELECT tok, count(*) AS c FROM occ GROUP BY 1
+    ), vocab AS (
+      SELECT tok FROM vc ORDER BY c DESC, tok LIMIT 1000
+    )
+    SELECT o.lang, o.source,
+      CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM occ o LEFT JOIN vocab v USING (tok)
+    GROUP BY 1, 2
+    """
+
+
+# Bloom runtime-filter scorecard: the docs_bloom_decontaminate md5
+# double-hash filter rebuilt bit-for-bit over urgent order keys, then
+# exact integer pass/FP counts and one division.
+RELATIONAL_ORACLES["lineitem_bloom_semijoin_prune"] = """
+    WITH keys AS (
+      SELECT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ), kh AS (
+      SELECT key,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef',
+                      substr(md5(key::VARCHAR), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT AS h1,
+        list_reduce(list_transform(range(17, 32),
+          i -> strpos('0123456789abcdef',
+                      substr(md5(key::VARCHAR), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT AS h2
+      FROM keys
+    ), positions AS (
+      SELECT DISTINCT (h1 + j * h2) % 65536 AS pos
+      FROM kh CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+    ), lh AS (
+      SELECT l_orderkey,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef',
+                      substr(md5(l_orderkey::VARCHAR), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT AS h1,
+        list_reduce(list_transform(range(17, 32),
+          i -> strpos('0123456789abcdef',
+                      substr(md5(l_orderkey::VARCHAR), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT AS h2
+      FROM lineitem
+    ), scored AS (
+      SELECT lh.l_orderkey,
+        CASE WHEN (lh.h1 + 0 * lh.h2) % 65536 IN (SELECT pos FROM positions)
+              AND (lh.h1 + 1 * lh.h2) % 65536 IN (SELECT pos FROM positions)
+              AND (lh.h1 + 2 * lh.h2) % 65536 IN (SELECT pos FROM positions)
+             THEN 1 ELSE 0 END AS bh,
+        CASE WHEN lh.l_orderkey IN (SELECT key FROM keys)
+             THEN 1 ELSE 0 END AS em
+      FROM lh
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM keys) AS n_dim_keys,
+      CAST(count(*) AS BIGINT) AS n_probe_rows,
+      CAST(sum(bh) AS BIGINT) AS n_bloom_pass,
+      CAST(sum(em) AS BIGINT) AS n_exact,
+      CAST(sum(CASE WHEN bh = 1 AND em = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_false_pos,
+      CAST(sum(CASE WHEN bh = 1 AND em = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) - sum(em) AS DOUBLE) AS fp_rate
+    FROM scored
+    """

@@ -1007,3 +1007,86 @@ def double_mass_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cross_dev").cast("long").alias("max_dev"),
         )
     )
+
+
+def recession_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-station recession constant k — the day-over-day decay ratio
+    of the falling limb (level_d / level_{d-1} on strictly-falling
+    consecutive days), summarized as its rank-rule median. Classic
+    baseflow-recession analysis (the k in Q_t = Q_0·k^t, e.g.
+    Tallaksen 1995 review): a station whose median k drifts between
+    years signals storage change or gauge fault, and k parameterizes
+    the synthetic-recession QA the reference's dashboards eyeball.
+    Ratio form, NOT log-slope: ln() is the one transcendental whose
+    last-ulp disagreement between engines this repo bans; the ratio
+    median carries the same information monotonically.
+
+    Exactness: daily volumes are integer cents (sum of
+    round(wl·100)); each ratio is ONE double division of exact
+    integers; the median is a pure rank-rule selection
+    (ceil(n/2) under (ratio, day) order — day breaks exact-tie
+    ratios deterministically).
+
+    Scale shape: everything beyond the one groupBy(station, day)
+    pass runs on DATE-DOMAIN-BOUNDED daily aggregates (the
+    double_mass posture): the lag and the median window both
+    partition by station with per-task sorts bounded by the station's
+    day count.
+    """
+    c = classified(spark, sf_dir)
+    base = c.filter(
+        F.col("water_level").isNotNull() & (F.length("ymdhm") == 12)
+    ).select(
+        F.col("wlobscd").alias("station"),
+        F.substring("ymdhm", 1, 8).alias("day"),
+        F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+    )
+    sd = base.groupBy("station", "day").agg(F.sum("cents").alias("s_cents"))
+    wlag = Window.partitionBy("station").orderBy("day")
+    stepped = sd.select(
+        "station",
+        "day",
+        "s_cents",
+        F.lag("s_cents").over(wlag).alias("prev_cents"),
+        F.lag("day").over(wlag).alias("prev_day"),
+    ).filter(
+        F.col("prev_cents").isNotNull()
+        & (
+            F.datediff(
+                F.to_date("day", "yyyyMMdd"),
+                F.to_date("prev_day", "yyyyMMdd"),
+            )
+            == 1
+        )
+        & (F.col("prev_cents") > 0)
+        & (F.col("s_cents") > 0)
+        & (F.col("s_cents") < F.col("prev_cents"))
+    )
+    rat = stepped.select(
+        "station",
+        "day",
+        (
+            F.col("s_cents").cast("double")
+            / F.col("prev_cents").cast("double")
+        ).alias("ratio"),
+    )
+    wmed = Window.partitionBy("station").orderBy("ratio", "day")
+    ranked = rat.select(
+        "station",
+        "ratio",
+        F.row_number().over(wmed).alias("rn"),
+        F.count("*").over(Window.partitionBy("station")).alias("n"),
+    )
+    return (
+        ranked.groupBy("station")
+        .agg(
+            F.max("n").cast("long").alias("n_recessions"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.ceil(F.col("n") * F.lit(0.5)),
+                    F.col("ratio"),
+                )
+            ).alias("k_median"),
+            F.min("ratio").alias("k_steepest"),
+        )
+    )

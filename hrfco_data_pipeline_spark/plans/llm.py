@@ -4671,3 +4671,136 @@ def docs_length_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_lost"),
         )
     )
+
+
+def ann_prefix_dim_recall(
+    spark: SparkSession, sf_dir: str, topk: int = 10
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation QA: for the bounded query
+    set (vec_id % 50 == 0), recall@10 of the HALF-dimension cosine
+    ranking against the full-dimension ranking — the measurement that
+    decides whether an index can store d/2 prefixes (2× memory/IO
+    saving at 100 TB index scale) without losing neighbors
+    (Kusupati et al. 2022, Matryoshka Representation Learning).
+
+    Exactness: both rankings use the fold dot product (fixed
+    left-to-right order on both engines), round-4 cosines, and the
+    (cos desc, neighbor_id asc) tie-break shared with ann_cosine_topk;
+    recall is one division of exact integers. Zero-norm vectors (in
+    either arm) are excluded on BOTH faces before ranking so no
+    division-by-zero Inf enters an order.
+
+    Scale shape: the ann_cosine_topk posture — tiny query side
+    broadcast, one corpus stream computing both cosines in the same
+    projection, two bounded per-query top-k windows; the overlap join
+    runs on |queries|·k rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecd = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("h", F.expr("slice(v, 1, size(v) div 2)"))
+    with_norms = (
+        vecd.withColumn("nrm", F.sqrt(_dot("v", "v")))
+        .withColumn("hnrm", F.sqrt(_dot("h", "h")))
+        .filter((F.col("nrm") > 0) & (F.col("hnrm") > 0))
+    )
+    q = with_norms.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("h").alias("qh"),
+        F.col("nrm").alias("qn"),
+        F.col("hnrm").alias("qhn"),
+    )
+    joined = with_norms.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _r4(_dot("qv", "v") / (F.col("qn") * F.col("nrm"))).alias("cf"),
+        _r4(_dot("qh", "h") / (F.col("qhn") * F.col("hnrm"))).alias("ch"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cf"), F.asc("neighbor_id")
+    )
+    wh = Window.partitionBy("query_id").orderBy(
+        F.desc("ch"), F.asc("neighbor_id")
+    )
+    ranked = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wh).alias("rh"),
+    )
+    full10 = ranked.filter(F.col("rf") <= topk)
+    half10 = ranked.filter(F.col("rh") <= topk).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        full10.join(half10, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"))
+        .select(
+            "query_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            (F.col("n_overlap").cast("double") / F.lit(float(topk))).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+
+
+def docs_oov_rate(
+    spark: SparkSession, sf_dir: str, vocab_size: int = 1000
+) -> DataFrame:
+    """Out-of-vocabulary rate per (lang, source) against the corpus's
+    own top-``vocab_size`` token vocabulary — the tokenizer-coverage
+    audit run before freezing a vocab for training: a segment whose
+    OOV share is an outlier either needs vocab budget or is noise
+    (the CCNet/Gopher sibling on the LEXICAL axis instead of the
+    quality axis).
+
+    Exactness: occurrence counts are exact integers end to end; the
+    vocabulary cut is deterministic under (count desc, token asc);
+    the rate is one double division.
+
+    Scale shape: two token-explode passes (vocab build, then rate),
+    both map-side combined; the vocabulary is a bounded
+    TakeOrderedAndProject broadcast, so membership is a broadcast
+    join, never a shuffle keyed on tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "source",
+        F.explode(F.transform(_tokens(), lambda t: F.lower(t))).alias(
+            "tok"
+        ),
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            (
+                F.col("n_oov").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )

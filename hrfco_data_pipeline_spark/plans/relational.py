@@ -5808,3 +5808,299 @@ def copurchase_weighted_sssp(
     return dist.select(
         F.col("vertex").alias("part"), F.col("dist").cast("long").alias("dist")
     )
+
+
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic, each event type
+    against the rest of the corpus: D_t = max_v |F_t(v) − F_rest(v)|
+    — the distribution-drift detector that, unlike the hashed-bucket
+    TV distance (docs_source_tv_distance), sees the CONTINUOUS value
+    axis and so catches shifts inside a bucket. The classic feature-
+    drift gate a training pipeline runs per segment before mixing.
+
+    Exactness: D lives in the RATIONAL domain until the very end. Per
+    distinct value the ECDF step numerator is the exact integer
+    s(v) = c_t(v)·n_rest − c_rest(v)·n_t; the running sum of s over
+    value order equals n_t·n_rest·(F_t − F_rest) exactly, so
+    D = max|cum| / (n_t·n_rest) is ONE double division of exact
+    integers. Products accumulate in DECIMAL(38,0) (the
+    hydro_double_mass precedent — c·n passes 2^63 at corpus scale);
+    only the final division and the arg-max value are doubles. The
+    arg-max tie-break is (|cum| desc, value asc) via a single
+    struct-max.
+
+    Scale shape: one groupBy(type, value) pass over events, then
+    everything runs on the BOUNDED counts grid — distinct values ×
+    |event types| rows (the type list is a broadcast aggregate; the
+    grid join is value-hash-partitioned). The per-type cumulative is
+    a window partitioned by type (per-task sort bounded by distinct
+    values; at 100 TB distinct-value cardinality the range-bucketed
+    two-pass cumulative of SCALE.md §r9's running-max probe drops in
+    unchanged — same associative sum). Nothing touches raw events
+    twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ks_from_counts(events_type_value_counts(ev))
+
+
+def events_type_value_counts(ev: DataFrame) -> DataFrame:
+    """The KS substrate: (event_type, value, c_t) counts — additive
+    under union, so per-micro-batch partials (streaming face,
+    streaming/curation.ks_drift_stream) sum to the corpus counts."""
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("c_t"))
+    )
+
+
+def ks_from_counts(raw_counts: DataFrame) -> DataFrame:
+    """The KS tail over (event_type, value, c_t) count rows; re-groups
+    first so both the batch counts and unioned per-batch partials feed
+    the identical computation."""
+    ct = raw_counts.groupBy("event_type", "value").agg(
+        F.sum("c_t").alias("c_t")
+    )
+    per_type = ct.groupBy("event_type").agg(F.sum("c_t").alias("n_t"))
+    totals = per_type.agg(F.sum("n_t").alias("n_all"))
+    cv = ct.groupBy("value").agg(F.sum("c_t").alias("c_all"))
+    grid = (
+        cv.crossJoin(F.broadcast(per_type))
+        .join(ct, ["event_type", "value"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "event_type",
+            "value",
+            "n_t",
+            (F.col("n_all") - F.col("n_t")).alias("n_rest"),
+            F.coalesce(F.col("c_t"), F.lit(0)).alias("ct"),
+            (F.col("c_all") - F.coalesce(F.col("c_t"), F.lit(0))).alias(
+                "cr"
+            ),
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    step = d38(F.col("ct")) * d38(F.col("n_rest")) - d38(
+        F.col("cr")
+    ) * d38(F.col("n_t"))
+    wcum = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grid.select(
+        "event_type",
+        "value",
+        "n_t",
+        "n_rest",
+        F.abs(F.sum(step).over(wcum)).alias("absnum"),
+    )
+    best = F.max(F.struct(F.col("absnum"), (-F.col("value")).alias("nv")))
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n_t").cast("long").alias("n_t"),
+            F.max("n_rest").cast("long").alias("n_rest"),
+            best.alias("b"),
+        )
+        .select(
+            "event_type",
+            "n_t",
+            "n_rest",
+            (
+                F.col("b")["absnum"].cast("double")
+                / (
+                    F.col("n_t").cast("double")
+                    * F.col("n_rest").cast("double")
+                )
+            ).alias("d_stat"),
+            (-F.col("b")["nv"]).alias("d_at_value"),
+        )
+    )
+
+
+def events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test, each event type against the rest:
+    does type t's value distribution stochastically dominate the
+    others'? The nonparametric location-shift companion to
+    events_ks_two_sample (KS sees shape, U sees shift) — the segment
+    A/B gate that needs no normality assumption.
+
+    Exactness: ranks never materialize per row — midranks come from
+    the distinct-value counts: with cb(v) = Σ_{v'<v} c(v') the DOUBLED
+    midrank r2(v) = 2·cb(v) + c(v) + 1 is an exact integer, so
+    2·R_t = Σ_v c_t(v)·r2(v) and 2·U_t = 2·R_t − n_t(n_t+1) stay
+    integer (DECIMAL(38,0) accumulation — the double_mass precedent).
+    The tie-corrected z is a FIXED-ORDER IEEE chain both engines run
+    identically: z = (2U − n_t·n_rest) /
+    (2·sqrt((n_t·n_rest)·(N³−N−T) / (12·N·(N−1)))) with
+    T = Σ_v c(v)³−c(v); every operand is an exact integer cast to
+    double once, and /-then-sqrt are correctly rounded.
+
+    Scale shape: one groupBy(type, value) pass; the rank material is
+    the DISTINCT-value table (cumulative counts over value order —
+    the same bounded cumulative as events_ks_two_sample, with the
+    range-bucketed two-pass as the 100 TB path); per-type sums are
+    map-side combined. No dense grid: only values a type actually
+    holds contribute to its rank sum.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    ct = ev.groupBy("event_type", "value").agg(F.count("*").alias("c_t"))
+    cv = ct.groupBy("value").agg(F.sum("c_t").alias("c_all"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    wb = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranks = cv.select(
+        "value",
+        "c_all",
+        (
+            F.lit(2) * F.coalesce(F.sum("c_all").over(wb), F.lit(0))
+            + F.col("c_all")
+            + F.lit(1)
+        ).alias("r2"),
+    )
+    tie = ranks.agg(
+        F.sum(
+            d38(F.col("c_all")) * d38(F.col("c_all")) * d38(F.col("c_all"))
+            - d38(F.col("c_all"))
+        ).alias("t_corr"),
+        F.sum("c_all").cast("decimal(38,0)").alias("n_all"),
+    )
+    per_type = (
+        ct.join(ranks, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c_t").alias("n_t"),
+            F.sum(d38(F.col("c_t")) * d38(F.col("r2"))).alias("r2_sum"),
+        )
+    )
+    nt = d38(F.col("n_t"))
+    n = F.col("n_all")
+    u2 = F.col("r2_sum") - nt * (nt + F.lit(1).cast("decimal(38,0)"))
+    nrest = n - nt
+    var_num = (nt * nrest).cast("double") * (
+        (n * n * n - n - F.col("t_corr")).cast("double")
+    )
+    var_den = (
+        F.lit(12).cast("decimal(38,0)")
+        * n
+        * (n - F.lit(1).cast("decimal(38,0)"))
+    ).cast("double")
+    z = (u2 - nt * nrest).cast("double") / (
+        F.lit(2.0) * F.sqrt(var_num / var_den)
+    )
+    return per_type.crossJoin(F.broadcast(tie)).select(
+        "event_type",
+        F.col("n_t").cast("long").alias("n_t"),
+        nrest.cast("long").alias("n_rest"),
+        (u2.cast("double") / F.lit(2.0)).alias("u_stat"),
+        z.alias("z_score"),
+    )
+
+
+def lineitem_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter scorecard: how much of a lineitem scan a Bloom
+    filter built from a selective orders predicate (o_orderpriority =
+    '1-URGENT') would prune before the join — the measurement behind
+    the single most important 100 TB join optimization (Spark's own
+    runtime bloom pruning / dynamic partition pruning family): ship a
+    compact bit set of the dim-side join keys to the fact scan and
+    drop rows map-side instead of shuffling them.
+
+    Filter: m = 2^16 bits, k = 3 probes via Kirsch-Mitzenmauer double
+    hashing over two 60-bit md5 slices of the key string — the
+    docs_bloom_decontaminate construction, so the DuckDB twin
+    recomputes the filter bit-for-bit (production swaps in xxhash64,
+    same shape). Represented as the distinct set-bit table
+    (≤ 65 536 rows), broadcast; membership = conjunction of k
+    broadcast lookups, zero shuffles on the probe side.
+
+    Reported (one row): dim-key count, probe-row count, Bloom-pass
+    count, exact-semi-join count, false positives, and the FP rate
+    among true negatives — exact integers plus one division. No false
+    negatives by construction (every true match passes the filter);
+    the test pins n_bloom_pass >= n_exact and the sizing bound.
+    """
+    m_bits = 1 << 16
+    k = 3
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    keys = orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(F.col("o_orderkey").alias("key"))
+    ks = F.col("key").cast("string")
+    kh1 = F.conv(F.substring(F.md5(ks), 1, 15), 16, 10).cast("long")
+    kh2 = F.conv(F.substring(F.md5(ks), 17, 15), 16, 10).cast("long")
+    positions = (
+        keys.select(kh1.alias("h1"), kh2.alias("h2"))
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("h1") + F.lit(j) * F.col("h2")) % m_bits)
+                        for j in range(k)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .select("pos", F.lit(1).alias("bit"))
+    )
+    ls = F.col("l_orderkey").cast("string")
+    lh1 = F.conv(F.substring(F.md5(ls), 1, 15), 16, 10).cast("long")
+    lh2 = F.conv(F.substring(F.md5(ls), 17, 15), 16, 10).cast("long")
+    probe = li.select(
+        "l_orderkey",
+        *[
+            ((lh1 + F.lit(j) * lh2) % m_bits).alias(f"p{j}")
+            for j in range(k)
+        ],
+    )
+    flagged = probe
+    for j in range(k):
+        pj = positions.select(
+            F.col("pos").alias(f"pos{j}"), F.col("bit").alias(f"b{j}")
+        )
+        flagged = flagged.join(
+            F.broadcast(pj), F.col(f"p{j}") == F.col(f"pos{j}"), "left"
+        )
+    bloom_hit = F.when(
+        sum(F.coalesce(F.col(f"b{j}"), F.lit(0)) for j in range(k))
+        == F.lit(k),
+        1,
+    ).otherwise(0)
+    exact_keys = keys.select(
+        F.col("key").alias("l_orderkey"), F.lit(1).alias("is_match")
+    )
+    scored = flagged.join(
+        F.broadcast(exact_keys), "l_orderkey", "left"
+    ).select(
+        bloom_hit.alias("bh"),
+        F.coalesce(F.col("is_match"), F.lit(0)).alias("em"),
+    )
+    n_keys = keys.agg(F.count("*").alias("n_dim_keys"))
+    return (
+        scored.agg(
+            F.count("*").alias("n_probe_rows"),
+            F.sum("bh").alias("n_bloom_pass"),
+            F.sum("em").alias("n_exact"),
+            F.sum(
+                F.when((F.col("bh") == 1) & (F.col("em") == 0), 1).otherwise(
+                    0
+                )
+            ).alias("n_false_pos"),
+        )
+        .crossJoin(F.broadcast(n_keys))
+        .select(
+            F.col("n_dim_keys").cast("long").alias("n_dim_keys"),
+            F.col("n_probe_rows").cast("long").alias("n_probe_rows"),
+            F.col("n_bloom_pass").cast("long").alias("n_bloom_pass"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_false_pos").cast("long").alias("n_false_pos"),
+            (
+                F.col("n_false_pos").cast("double")
+                / (F.col("n_probe_rows") - F.col("n_exact")).cast("double")
+            ).alias("fp_rate"),
+        )
+    )

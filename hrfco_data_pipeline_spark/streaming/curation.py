@@ -856,3 +856,47 @@ def scd2_history_from_store(spark, table_path: str) -> DataFrame:
     from hrfco_data_pipeline_spark.plans.relational import scd2_regimes
 
     return scd2_regimes(read_appended(spark, table_path))
+
+
+# ---------------------------------------------------------------------------
+# Streaming KS-drift monitor (stream face of
+# plans/relational.events_ks_two_sample)
+# ---------------------------------------------------------------------------
+
+
+def ks_drift_stream(events_stream: DataFrame, table_path: str):
+    """Keep the KS-drift substrate current as events stream in: per
+    micro-batch, (event_type, value, c_t) counts over the BATCH only
+    (map-side partials, no state store) appended exactly-once through
+    ``_append_merge``. Counts merge by plain addition, so the union of
+    per-batch partials IS the corpus counts — the serve face
+    (``ks_report_from_counts``) re-groups the stored rows and runs the
+    same exact-rational KS tail as the batch query, emitting identical
+    rows without re-reading any event. The tv_drift_stream pattern on
+    the continuous value axis.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_type_value_counts,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _append_merge(
+            batch_df.sparkSession,
+            table_path,
+            events_type_value_counts(batch_df),
+            batch_id,
+        )
+
+    return events_stream.writeStream.foreachBatch(_merge)
+
+
+def ks_report_from_counts(spark, table_path: str) -> DataFrame:
+    """Per-type-vs-rest KS over the accumulated count partials —
+    identical rows to plans/relational.events_ks_two_sample for the
+    same events (shared ks_from_counts tail; stored partials sum to
+    the batch face's counts)."""
+    from hrfco_data_pipeline_spark.plans.relational import ks_from_counts
+
+    return ks_from_counts(read_appended(spark, table_path))

@@ -46,6 +46,12 @@ def test_first_50_all_oracle_backed():
 # so a careless insert cannot silently rotate a pinned backlog entry
 # out unnoticed.
 NEW_IN_R10: list[str] = [
+    "events_ks_two_sample",
+    "events_mann_whitney",
+    "hydro_recession_constant",
+    "ann_prefix_dim_recall",
+    "docs_oov_rate",
+    "lineitem_bloom_semijoin_prune",
     "hydro_double_mass",
 ]
 

@@ -979,3 +979,67 @@ def test_scd2_ingest_stream_equals_batch_face(spark, tmp_path):
         ).limit(5), 0,
     )
     assert read_appended(spark, table).count() == before
+
+
+def test_ks_drift_stream_equals_batch_face(spark, tmp_path):
+    """Stream the events table in 4-file micro-batches through the
+    KS-drift maintainer; the serve face over the stored count partials
+    must equal events_ks_two_sample row for row (counts merge by
+    addition — order-free). A replayed batch id must no-op."""
+    from pyspark.sql.types import DoubleType, TimestampNTZType
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_ks_two_sample,
+        events_type_value_counts,
+    )
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        _append_merge,
+        ks_drift_stream,
+        ks_report_from_counts,
+        read_appended,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "ev_src")
+    ev.repartition(4).write.parquet(src)
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "ks_counts")
+    q = (
+        ks_drift_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "ks-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    cols = ["event_type", "n_t", "n_rest", "d_stat", "d_at_value"]
+    got = sorted(
+        tuple(r)
+        for r in ks_report_from_counts(spark, table).select(*cols).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in events_ks_two_sample(spark, sf).select(*cols).collect()
+    )
+    assert want and got == want
+
+    # replayed batch id no-ops
+    before = read_appended(spark, table).count()
+    _append_merge(spark, table, events_type_value_counts(ev.limit(10)), 0)
+    assert read_appended(spark, table).count() == before
