@@ -64,6 +64,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_prefix_dim_recall": llm.ann_prefix_dim_recall,
         "docs_oov_rate": llm.docs_oov_rate,
         "lineitem_bloom_semijoin_prune": relational.lineitem_bloom_semijoin_prune,
+        "hydro_pettitt_changepoint": hydro.pettitt_changepoint,
+        "hydro_station_crosscorr": hydro.station_crosscorr,
+        "orders_mann_kendall": relational.orders_mann_kendall,
+        "customer_spearman_balance_value": relational.customer_spearman_balance_value,
         # --- red in r9 (hash-only; BIGINT output fix) — re-lead ---
         "hydro_double_mass": hydro.double_mass_curve,
         # --- r9-displaced backlog (r4-era greens; led the pinned
@@ -109,19 +113,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
         "supplier_on_time_rate": relational.supplier_on_time_rate,
         "embedding_norm_outliers": llm.embedding_norm_outliers,
-        "events_value_gini": relational.events_value_gini,
-        "docs_vocab_growth": llm.docs_vocab_growth,
-        "wire_corrupt_rate": wire.wire_corrupt_rate,
-        "docs_shard_skew_report": llm.docs_shard_skew_report,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
         # exactly after entry 50)
         # ============ r11 WINDOW PLAN (next 50, in order) ============
         # r10-displaced r5-era tail first (shifted behind the boundary
-        # by the six new-in-r10 head entries), then the remaining
+        # by the ten new-in-r10 head entries), then the remaining
         # r5-era greens, then the oldest r6-era greens. Pinned by
         # tests/test_entry_contract.py.
+        "events_value_gini": relational.events_value_gini,
+        "docs_vocab_growth": llm.docs_vocab_growth,
+        "wire_corrupt_rate": wire.wire_corrupt_rate,
+        "docs_shard_skew_report": llm.docs_shard_skew_report,
         "hydro_threshold_margin": hydro.threshold_margin,
         "hydro_rise_forecast": hydro.rise_forecast,
         "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,

@@ -7783,3 +7783,170 @@ RELATIONAL_ORACLES["lineitem_bloom_semijoin_prune"] = """
         / CAST(count(*) - sum(em) AS DOUBLE) AS fp_rate
     FROM scored
     """
+
+
+# Shared daily-cents substrate for the r10 hydro QA pair (a NAMED
+# constant, not string surgery — the ccnet-oracle lesson): classified
+# chain -> per-(station, day) integer-cent volumes.
+_DAILY_CENTS_CTE = HYDRO_CTE + """
+    , dmx AS (
+      SELECT wlobscd AS station, substr(ymdhm, 1, 8) AS day,
+        CAST(round(water_level * 100) AS BIGINT) AS cents
+      FROM classified
+      WHERE water_level IS NOT NULL AND length(ymdhm) = 12
+    ), sdx AS (
+      SELECT station, day, sum(cents) AS s_cents FROM dmx GROUP BY 1, 2
+    )
+"""
+
+
+# Pettitt via the doubled-midrank identity U_t = W_t - t(n+1): exact
+# integers end to end; argmax by (|U| desc, day asc) row_number.
+HYDRO_ORACLES["hydro_pettitt_changepoint"] = _DAILY_CENTS_CTE + """
+    , rk AS (
+      SELECT station, day,
+        2 * rank() OVER (PARTITION BY station ORDER BY s_cents)
+          + count(*) OVER (PARTITION BY station, s_cents) - 1 AS r2,
+        count(*) OVER (PARTITION BY station) AS n
+      FROM sdx
+    ), u AS (
+      SELECT station, day, n,
+        row_number() OVER (PARTITION BY station ORDER BY day) AS t,
+        sum(r2) OVER (PARTITION BY station ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - row_number() OVER (PARTITION BY station ORDER BY day)
+            * (n + 1) AS u_t
+      FROM rk
+    ), cand AS (
+      SELECT * FROM u WHERE t < n
+    ), pick AS (
+      SELECT station, n, day, u_t,
+        row_number() OVER (PARTITION BY station
+                           ORDER BY abs(u_t) DESC, day ASC) AS rn
+      FROM cand
+    )
+    SELECT station, CAST(n AS BIGINT) AS n_days,
+      CAST(abs(u_t) AS BIGINT) AS k_stat,
+      CAST(u_t AS BIGINT) AS u_at_k,
+      day AS cp_day
+    FROM pick WHERE rn = 1
+    """
+
+
+# Cross-correlation: exact sufficient statistics (HUGEINT product
+# sums mirror Spark's DECIMAL(38,0)), then the identical fixed-order
+# num/sqrt(dx*dy) double chain; zero-variance arms yield NULL.
+HYDRO_ORACLES["hydro_station_crosscorr"] = _DAILY_CENTS_CTE + """
+    , sdd AS (
+      SELECT station, CAST(strptime(day, '%Y%m%d') AS DATE) AS dt,
+        s_cents
+      FROM sdx
+    ), al AS (
+      SELECT station AS station_a, dt AS dt_a, s_cents AS va, l.lag
+      FROM sdd CROSS JOIN (VALUES (-1), (0), (1)) AS l(lag)
+    ), ccj AS (
+      SELECT a.station_a, b.station AS station_b, a.lag,
+        a.va, b.s_cents AS vb
+      FROM al a JOIN sdd b
+        ON a.dt_a + a.lag = b.dt AND a.station_a < b.station
+    ), ccs AS (
+      SELECT station_a, station_b, lag, count(*) AS n,
+        sum(va) AS sx, sum(vb) AS sy,
+        sum(CAST(va AS HUGEINT) * vb) AS sxy,
+        sum(CAST(va AS HUGEINT) * va) AS sxx,
+        sum(CAST(vb AS HUGEINT) * vb) AS syy
+      FROM ccj GROUP BY 1, 2, 3 HAVING count(*) >= 30
+    ), ccd AS (
+      SELECT station_a, station_b, lag, n,
+        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS dx,
+        CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS dy
+      FROM ccs
+    )
+    SELECT station_a, station_b, CAST(lag AS INTEGER) AS lag,
+      CAST(n AS BIGINT) AS n_days,
+      CASE WHEN dx > 0 AND dy > 0
+        THEN CAST(num AS DOUBLE)
+             / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+      END AS r
+    FROM ccd
+    """
+
+
+# Mann-Kendall: integer sign sum over the bounded monthly frame;
+# tau is one exact-integer double division; var18 = 18*Var(S) stays
+# integer so the tie bookkeeping is certified without sqrt.
+RELATIONAL_ORACLES["orders_mann_kendall"] = """
+    WITH monthly AS (
+      SELECT o_orderpriority,
+        (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+      FROM orders GROUP BY 1, 2
+    ), pr AS (
+      SELECT a.o_orderpriority AS p,
+        CASE WHEN b.v > a.v THEN 1
+             WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+      FROM monthly a JOIN monthly b
+        ON a.o_orderpriority = b.o_orderpriority AND a.m < b.m
+    ), s AS (
+      SELECT p, CAST(sum(sg) AS BIGINT) AS s_stat FROM pr GROUP BY 1
+    ), tie AS (
+      SELECT o_orderpriority AS p,
+        CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+        CAST(sum(t) AS BIGINT) AS n_months
+      FROM (
+        SELECT o_orderpriority, v, count(*) AS t
+        FROM monthly GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT s.p AS o_orderpriority, tie.n_months, s.s_stat,
+      CAST(s.s_stat AS DOUBLE)
+        / (CAST(tie.n_months * (tie.n_months - 1) AS DOUBLE) / 2) AS tau,
+      CAST(tie.n_months * (tie.n_months - 1) * (2 * tie.n_months + 5)
+           - tie.tie18 AS BIGINT) AS var18
+    FROM s JOIN tie ON s.p = tie.p
+    """
+
+
+# Spearman per nation on doubled midranks: exact-integer sufficient
+# statistics (HUGEINT ≡ Spark DECIMAL(38,0)); rho = the identical
+# num/sqrt(dx*dy) fixed-order double chain.
+RELATIONAL_ORACLES["customer_spearman_balance_value"] = """
+    WITH spend AS (
+      SELECT o_custkey,
+        sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT n.n_name AS nation,
+        CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+        s.spend_cents AS y
+      FROM customer c
+      JOIN spend s ON c.c_custkey = s.o_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), rk AS (
+      SELECT nation,
+        2 * rank() OVER (PARTITION BY nation ORDER BY x)
+          + count(*) OVER (PARTITION BY nation, x) - 1 AS u,
+        2 * rank() OVER (PARTITION BY nation ORDER BY y)
+          + count(*) OVER (PARTITION BY nation, y) - 1 AS w
+      FROM base
+    ), st AS (
+      SELECT nation, count(*) AS n, sum(u) AS su, sum(w) AS sw,
+        sum(CAST(u AS HUGEINT) * w) AS suw,
+        sum(CAST(u AS HUGEINT) * u) AS suu,
+        sum(CAST(w AS HUGEINT) * w) AS sww
+      FROM rk GROUP BY 1
+    ), d AS (
+      SELECT nation, n,
+        CAST(n AS HUGEINT) * suw - CAST(su AS HUGEINT) * sw AS num,
+        CAST(n AS HUGEINT) * suu - CAST(su AS HUGEINT) * su AS dx,
+        CAST(n AS HUGEINT) * sww - CAST(sw AS HUGEINT) * sw AS dy
+      FROM st
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n_customers,
+      CASE WHEN dx > 0 AND dy > 0
+        THEN CAST(num AS DOUBLE)
+             / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+      END AS rho
+    FROM d
+    """

@@ -1090,3 +1090,170 @@ def recession_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ratio").alias("k_steepest"),
         )
     )
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(station, day[yyyyMMdd], s_cents) daily integer-cent volumes —
+    the shared date-domain-bounded substrate under double_mass_curve /
+    recession_constant / the r10 changepoint + cross-correlation QA."""
+    c = classified(spark, sf_dir)
+    return (
+        c.filter(F.col("water_level").isNotNull() & (F.length("ymdhm") == 12))
+        .select(
+            F.col("wlobscd").alias("station"),
+            F.substring("ymdhm", 1, 8).alias("day"),
+            F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("station", "day")
+        .agg(F.sum("cents").alias("s_cents"))
+    )
+
+
+def pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt (1979) rank-based changepoint test per station on the
+    daily level-volume series — the standard nonparametric
+    homogeneity check hydrology networks run to locate a datum shift
+    or land-use break (the pointwise sibling of double_mass_curve's
+    slope-break detector, and the test national services actually
+    apply to gauge records, e.g. WMO homogenization guidance).
+    Emits K = max_t |U_t| with the first day attaining it.
+
+    Exactness: U_t is computed EXACTLY in integers via the midrank
+    identity U_t = (Σ_{i<=t} 2R_i) - t(n+1), where 2R_i =
+    2·minrank + ties - 1 is always integral (midranks are the only
+    half-integers, and the doubled form clears them); no sign() scan
+    over pairs, no floats anywhere — K, U, and the argmax day are
+    integer/string outputs.
+
+    Scale shape: everything windows over the DATE-DOMAIN-BOUNDED
+    daily aggregate (the double_mass posture) — two rank windows and
+    one running sum, all partitioned by station, each task bounded by
+    a station's day count; never over raw observations.
+    """
+    sd = _daily_cents(spark, sf_dir)
+    wrank = Window.partitionBy("station").orderBy("s_cents")
+    wtie = Window.partitionBy("station", "s_cents")
+    wsta = Window.partitionBy("station")
+    ranked = sd.select(
+        "station",
+        "day",
+        (
+            F.lit(2) * F.rank().over(wrank) + F.count("*").over(wtie) - 1
+        ).alias("r2"),
+        F.count("*").over(wsta).alias("n"),
+    )
+    wday = Window.partitionBy("station").orderBy("day")
+    u = ranked.select(
+        "station",
+        "day",
+        "n",
+        F.row_number().over(wday).alias("t"),
+        (
+            F.sum("r2").over(
+                wday.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.row_number().over(wday) * (F.col("n") + 1)
+        ).alias("u_t"),
+    )
+    # t == n is excluded: U_n = 0 by construction (a changepoint must
+    # split the series), and n < 2 stations have no interior point.
+    cand = u.filter(F.col("t") < F.col("n"))
+    wpick = Window.partitionBy("station").orderBy(
+        F.desc(F.abs(F.col("u_t"))), F.asc("day")
+    )
+    return (
+        cand.select(
+            "station",
+            "n",
+            "day",
+            "u_t",
+            F.row_number().over(wpick).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "station",
+            F.col("n").cast("long").alias("n_days"),
+            F.abs(F.col("u_t")).cast("long").alias("k_stat"),
+            F.col("u_t").cast("long").alias("u_at_k"),
+            F.col("day").alias("cp_day"),
+        )
+    )
+
+
+def station_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise station cross-correlation of daily level volumes at
+    lags -1/0/+1 days — the flood-routing lead/lag screen: an
+    upstream gauge whose series correlates with a downstream gauge
+    best at lag +1 is a day of routing time; a pair whose lag-0
+    correlation collapses flags an inconsistent record the
+    double-mass curve then localizes. Pearson r per (pair, lag) over
+    the days both stations observed.
+
+    Exactness: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate EXACTLY — sums in BIGINT, product sums in
+    DECIMAL(38,0) (the double_mass cross-product precedent; DuckDB's
+    HUGEINT mirrors it) — and r is then sqrt+divide on identical
+    exact-integer-valued doubles in the same op order on both
+    engines: num/sqrt(dx·dy). Exact integers below 2^53 convert to
+    double losslessly, so no accumulation error exists anywhere.
+
+    Scale shape: the join runs over DATE-DOMAIN-BOUNDED daily
+    aggregates keyed by day, and the pair space is bounded by the
+    STATION DIM squared (a metadata-scale frame, the
+    embedding_mutual_knn bounded-block posture) — per-day fanout is
+    |stations|², never data×data. Zero-variance arms yield NULL r
+    rather than an engine-dependent Inf.
+    """
+    sd = _daily_cents(spark, sf_dir).select(
+        "station", F.to_date("day", "yyyyMMdd").alias("dt"), "s_cents"
+    )
+    a = sd.select(
+        F.col("station").alias("station_a"),
+        F.col("dt").alias("dt_a"),
+        F.col("s_cents").alias("va"),
+    ).withColumn(
+        "lag", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    )
+    b = sd.select(
+        F.col("station").alias("station_b"),
+        F.col("dt").alias("dt_b"),
+        F.col("s_cents").alias("vb"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    stats = (
+        a.join(
+            b,
+            (F.date_add(F.col("dt_a"), F.col("lag")) == F.col("dt_b"))
+            & (F.col("station_a") < F.col("station_b")),
+        )
+        .groupBy("station_a", "station_b", "lag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("va").alias("sx"),
+            F.sum("vb").alias("sy"),
+            F.sum(d38(F.col("va")) * d38(F.col("vb"))).alias("sxy"),
+            F.sum(d38(F.col("va")) * d38(F.col("va"))).alias("sxx"),
+            F.sum(d38(F.col("vb")) * d38(F.col("vb"))).alias("syy"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    num = d38(F.col("n")) * F.col("sxy") - d38(F.col("sx")) * d38(
+        F.col("sy")
+    )
+    dx = d38(F.col("n")) * F.col("sxx") - d38(F.col("sx")) * d38(
+        F.col("sx")
+    )
+    dy = d38(F.col("n")) * F.col("syy") - d38(F.col("sy")) * d38(
+        F.col("sy")
+    )
+    return stats.select(
+        "station_a",
+        "station_b",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").cast("long").alias("n_days"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("r"),
+    )

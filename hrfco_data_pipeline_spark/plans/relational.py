@@ -6104,3 +6104,173 @@ def lineitem_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("fp_rate"),
         )
     )
+
+
+def orders_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend test per order priority on monthly revenue:
+    S = Σ_{i<j} sign(v_j − v_i) over month buckets, plus Kendall's
+    tau = S / (n(n−1)/2). The SIGNIFICANCE face of the Theil–Sen
+    estimator already shipped (orders_theilsen_trend gives the slope,
+    MK says whether a monotone trend exists at all) — the standard
+    pairing in hydrologic/series trend practice (Mann 1945, Kendall
+    1975), here over TPC-H monthly revenue so the oracle is exact.
+
+    Exactness: monthly revenue accumulates as INTEGER CENTS
+    (round(o_totalprice·100), the benford precedent); S is a pure
+    integer sign sum; tau and the tie-corrected denominator are a
+    fixed-order IEEE chain over exact-integer doubles. Var(S)'s tie
+    term Σ t(t−1)(2t+5) is emitted as the exact integer var18
+    (= 18·Var(S)) so the driver certifies the tie bookkeeping without
+    any portable-sqrt dependence.
+
+    Scale shape: the pair space is the MONTHLY AGGREGATE squared —
+    bounded by the date domain (~80 months at any corpus size, the
+    orders_theilsen_trend posture): one map-side-combined groupBy,
+    then a broadcast self-join of the ~400-row month frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "v"
+        )
+    )
+    a = monthly.select(
+        F.col("o_orderpriority").alias("p"),
+        F.col("m").alias("mi"),
+        F.col("v").alias("vi"),
+    )
+    b = monthly.select(
+        F.col("o_orderpriority").alias("p2"),
+        F.col("m").alias("mj"),
+        F.col("v").alias("vj"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("p") == F.col("p2")) & (F.col("mi") < F.col("mj")),
+    ).select(
+        "p",
+        F.when(F.col("vj") > F.col("vi"), 1)
+        .when(F.col("vj") < F.col("vi"), -1)
+        .otherwise(0)
+        .alias("sg"),
+    )
+    ties = (
+        monthly.groupBy("o_orderpriority", "v")
+        .agg(F.count("*").alias("t"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie18"),
+            F.count("*").alias("n_distinct"),
+            F.sum("t").alias("n_months"),
+        )
+        .withColumnRenamed("o_orderpriority", "p")
+    )
+    s = pairs.groupBy("p").agg(F.sum("sg").cast("long").alias("s_stat"))
+    n = F.col("n_months")
+    return (
+        s.join(ties, "p")
+        .select(
+            F.col("p").alias("o_orderpriority"),
+            n.cast("long").alias("n_months"),
+            "s_stat",
+            (
+                F.col("s_stat").cast("double")
+                / (n * (n - 1) / 2).cast("double")
+            ).alias("tau"),
+            (n * (n - 1) * (2 * n + 5) - F.col("tie18"))
+            .cast("long")
+            .alias("var18"),
+        )
+    )
+
+
+def customer_spearman_balance_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation per nation between a customer's
+    account balance and their lifetime order value — does standing
+    predict spend, monotonically, without assuming linearity? The
+    rank-based sibling of the Pearson machinery elsewhere in the
+    registry (events_type_correlations), robust to the heavy-tailed
+    spend distribution that makes raw-value correlation meaningless.
+
+    Exactness: both variables quantize to integer cents; ranks are
+    DOUBLED MIDRANKS (2R = 2·minrank + ties − 1 — always integral,
+    the pettitt_changepoint identity), so the Pearson-on-ranks
+    sufficient statistics are exact integers (product sums in
+    DECIMAL(38,0)); rho is then one fixed-order num/sqrt(dx·dy)
+    chain over exact-integer doubles. Doubling both rank vectors
+    scales num, dx, dy by 4 each, leaving rho EXACTLY invariant.
+
+    Scale shape: one orders groupBy(custkey) pass (map-side
+    combined), a shuffle join to the customer frame on custkey, then
+    rank windows PARTITIONED BY NATION — per-task sorts bounded by a
+    nation's customer count; at corpus scale a hot nation routes
+    through the two-pass ranked_cumsum (operators/ranking) — and a
+    25-row bounded output.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "spend_cents"
+        )
+    )
+    base = (
+        cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_custkey").alias("ck"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+            F.col("spend_cents").alias("y"),
+        )
+    )
+
+    def r2(col: str) -> F.Column:
+        wrank = Window.partitionBy("nation").orderBy(col)
+        wtie = Window.partitionBy("nation", col)
+        return (
+            F.lit(2) * F.rank().over(wrank) + F.count("*").over(wtie) - 1
+        )
+
+    ranked = base.select(
+        "nation", r2("x").alias("u"), r2("y").alias("w")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    stats = ranked.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("u").alias("su"),
+        F.sum("w").alias("sw"),
+        F.sum(d38(F.col("u")) * d38(F.col("w"))).alias("suw"),
+        F.sum(d38(F.col("u")) * d38(F.col("u"))).alias("suu"),
+        F.sum(d38(F.col("w")) * d38(F.col("w"))).alias("sww"),
+    )
+    num = d38(F.col("n")) * F.col("suw") - d38(F.col("su")) * d38(
+        F.col("sw")
+    )
+    dx = d38(F.col("n")) * F.col("suu") - d38(F.col("su")) * d38(
+        F.col("su")
+    )
+    dy = d38(F.col("n")) * F.col("sww") - d38(F.col("sw")) * d38(
+        F.col("sw")
+    )
+    return stats.select(
+        "nation",
+        F.col("n").cast("long").alias("n_customers"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            num.cast("double")
+            / F.sqrt(dx.cast("double") * dy.cast("double")),
+        ).alias("rho"),
+    )

@@ -52,6 +52,10 @@ NEW_IN_R10: list[str] = [
     "ann_prefix_dim_recall",
     "docs_oov_rate",
     "lineitem_bloom_semijoin_prune",
+    "hydro_pettitt_changepoint",
+    "hydro_station_crosscorr",
+    "orders_mann_kendall",
+    "customer_spearman_balance_value",
     "hydro_double_mass",
 ]
 

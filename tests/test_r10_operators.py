@@ -163,3 +163,214 @@ def test_bloom_prune_no_false_negatives_and_sizing(spark):
     assert r.n_bloom_pass >= r.n_exact
     assert r.n_false_pos == r.n_bloom_pass - r.n_exact
     assert r.fp_rate < 0.05
+
+
+def _py_rank2(vals):
+    """Doubled midranks (2R = 2*minrank + ties - 1) for a list."""
+    from collections import Counter
+
+    cnt = Counter(vals)
+    below = {}
+    run = 0
+    for v in sorted(cnt):
+        below[v] = run
+        run += cnt[v]
+    return [2 * (below[v] + 1) + cnt[v] - 1 for v in vals]
+
+
+def test_pettitt_matches_direct_sign_pair_sum(spark):
+    """The doubled-midrank identity U_t = W_t - t(n+1) must equal the
+    O(n^2) textbook sign-pair sum, station by station, at sf0.001."""
+    from hrfco_data_pipeline_spark.plans.hydro import (
+        _daily_cents,
+        pettitt_changepoint,
+    )
+
+    daily = _daily_cents(spark, SF001).collect()
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.station, []).append((r.day, r.s_cents))
+    want = {}
+    for st, rows in series.items():
+        rows.sort()
+        xs = [v for _, v in rows]
+        n = len(xs)
+        if n < 2:
+            continue
+        best = None
+        for t in range(1, n):
+            u = sum(
+                (xs[i] > xs[j]) - (xs[i] < xs[j])
+                for i in range(t)
+                for j in range(t, n)
+            )
+            key = (-abs(u), rows[t - 1][0])
+            if best is None or key < best[0]:
+                best = (key, (n, abs(u), u, rows[t - 1][0]))
+        want[st] = best[1]
+    got = {
+        r.station: (r.n_days, r.k_stat, r.u_at_k, r.cp_day)
+        for r in pettitt_changepoint(spark, SF001).collect()
+    }
+    assert got == want
+
+
+def test_crosscorr_matches_python_pearson(spark):
+    """Exact sufficient statistics + the fixed num/sqrt(dx*dy) chain
+    must reproduce pure-Python integer Pearson bit-for-bit."""
+    import math
+
+    from hrfco_data_pipeline_spark.plans.hydro import (
+        _daily_cents,
+        station_crosscorr,
+    )
+
+    daily = _daily_cents(spark, SF001).collect()
+    by_st: dict[str, dict] = {}
+    for r in daily:
+        by_st.setdefault(r.station, {})[r.day] = r.s_cents
+
+    import datetime
+
+    def shift(day: str, lag: int) -> str:
+        d = datetime.date(int(day[:4]), int(day[4:6]), int(day[6:8]))
+        return (d + datetime.timedelta(days=lag)).strftime("%Y%m%d")
+
+    want = {}
+    sts = sorted(by_st)
+    for ia, sa in enumerate(sts):
+        for sb in sts[ia + 1 :]:
+            for lag in (-1, 0, 1):
+                pairs = [
+                    (v, by_st[sb][shift(d, lag)])
+                    for d, v in by_st[sa].items()
+                    if shift(d, lag) in by_st[sb]
+                ]
+                n = len(pairs)
+                if n < 30:
+                    continue
+                sx = sum(x for x, _ in pairs)
+                sy = sum(y for _, y in pairs)
+                num = n * sum(x * y for x, y in pairs) - sx * sy
+                dx = n * sum(x * x for x, _ in pairs) - sx * sx
+                dy = n * sum(y * y for _, y in pairs) - sy * sy
+                r = (
+                    float(num) / math.sqrt(float(dx) * float(dy))
+                    if dx > 0 and dy > 0
+                    else None
+                )
+                want[(sa, sb, lag)] = (n, r)
+    got = {
+        (r.station_a, r.station_b, r.lag): (r.n_days, r.r)
+        for r in station_crosscorr(spark, SF001).collect()
+    }
+    assert got == want
+    for (_, _, _), (_, r) in got.items():
+        if r is not None:
+            assert -1.0 <= r <= 1.0
+
+
+def test_mann_kendall_matches_direct_pairs(spark):
+    """S, tau, and the tie-corrected var18 against a direct pure-Python
+    recomputation from the monthly frame at sf0.001."""
+    from collections import Counter
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        orders_mann_kendall,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    o = load_table(spark, SF001, "orders")
+    monthly = (
+        o.groupBy(
+            "o_orderpriority",
+            (
+                (F.year("o_orderdate") - F.lit(1992)) * 12
+                + F.month("o_orderdate")
+                - 1
+            ).alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("v")
+        )
+        .collect()
+    )
+    per_p: dict[str, list] = {}
+    for r in monthly:
+        per_p.setdefault(r.o_orderpriority, []).append((r.m, r.v))
+    want = {}
+    for p, rows in per_p.items():
+        rows.sort()
+        vs = [v for _, v in rows]
+        n = len(vs)
+        s = sum(
+            (vs[j] > vs[i]) - (vs[j] < vs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie18 = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(vs).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        tau = float(s) / (n * (n - 1) / 2)
+        want[p] = (n, s, tau, var18)
+    got = {
+        r.o_orderpriority: (r.n_months, r.s_stat, r.tau, r.var18)
+        for r in orders_mann_kendall(spark, SF001).collect()
+    }
+    assert got == want
+
+
+def test_spearman_matches_python_rank_pearson(spark):
+    """rho per nation against pure-Python doubled-midrank Pearson —
+    exact integers until the one final float chain."""
+    import math
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        customer_spearman_balance_value,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    cust = load_table(spark, SF001, "customer")
+    orders = load_table(spark, SF001, "orders")
+    nation = load_table(spark, SF001, "nation")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "y"
+        )
+    )
+    base = (
+        cust.join(spend, cust["c_custkey"] == spend["o_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+            "y",
+        )
+        .collect()
+    )
+    per_n: dict[str, list] = {}
+    for r in base:
+        per_n.setdefault(r.nation, []).append((r.x, r.y))
+    want = {}
+    for nat, pts in per_n.items():
+        u = _py_rank2([x for x, _ in pts])
+        w = _py_rank2([y for _, y in pts])
+        n = len(pts)
+        su, sw = sum(u), sum(w)
+        num = n * sum(a * b for a, b in zip(u, w)) - su * sw
+        dx = n * sum(a * a for a in u) - su * su
+        dy = n * sum(b * b for b in w) - sw * sw
+        rho = (
+            float(num) / math.sqrt(float(dx) * float(dy))
+            if dx > 0 and dy > 0
+            else None
+        )
+        want[nat] = (n, rho)
+    got = {
+        r.nation: (r.n_customers, r.rho)
+        for r in customer_spearman_balance_value(spark, SF001).collect()
+    }
+    assert got == want
