@@ -900,3 +900,83 @@ def ks_report_from_counts(spark, table_path: str) -> DataFrame:
     from hrfco_data_pipeline_spark.plans.relational import ks_from_counts
 
     return ks_from_counts(read_appended(spark, table_path))
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min-sketch maintenance (stream face of
+# plans/llm.docs_cms_heavy_hitters)
+# ---------------------------------------------------------------------------
+
+
+def cms_stream(docs_stream: DataFrame, table_path: str):
+    """Keep the CMS counter matrix current as documents stream in: per
+    micro-batch, the batch's own 3×1024 (j, pos, c) counter partials
+    (map-side aggregation onto the FIXED cell key space — constant
+    state no matter the token cardinality) appended exactly-once
+    through ``_append_merge``. CMS sketches merge by cell-wise ADD, so
+    the union of per-batch partials IS the corpus sketch — the defining
+    sketch property, here made the storage layout itself.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+    from hrfco_data_pipeline_spark.plans.llm import cms_counters
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _append_merge(
+            batch_df.sparkSession,
+            table_path,
+            cms_counters(batch_df),
+            batch_id,
+        )
+
+    return docs_stream.writeStream.foreachBatch(_merge)
+
+
+def cms_counters_from_store(spark, table_path: str) -> DataFrame:
+    """The merged corpus sketch: stored per-batch partials summed
+    cell-wise — bit-identical to plans/llm.cms_counters over the same
+    documents, in any arrival order."""
+    return (
+        read_appended(spark, table_path)
+        .groupBy("j", "pos")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def cms_heavy_hitters_from_store(
+    spark, sf_dir: str, table_path: str
+) -> DataFrame:
+    """The docs_cms_heavy_hitters probe served from the STORED sketch:
+    exact top-20 terms still come from the corpus (the ground-truth
+    side of the QA), but every CMS estimate reads the streaming
+    counter store instead of re-sketching — row-identical to the batch
+    query, proving estimate serving needs no second corpus pass."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        _docs_parallel,
+        cms_cells,
+    )
+
+    top_k = 20
+    docs = _docs_parallel(spark, sf_dir)
+    tok_expr, cells = cms_cells()
+    top = (
+        docs.select(tok_expr)
+        .groupBy("t")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("t"))
+        .limit(top_k)
+    )
+    probe = top.select(
+        "t", "exact_cnt", F.posexplode(cells).alias("j", "pos")
+    )
+    return (
+        probe.join(cms_counters_from_store(spark, table_path), ["j", "pos"])
+        .groupBy("t", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            F.col("t").alias("term"),
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("inflation"),
+        )
+    )

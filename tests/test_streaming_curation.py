@@ -1043,3 +1043,76 @@ def test_ks_drift_stream_equals_batch_face(spark, tmp_path):
     before = read_appended(spark, table).count()
     _append_merge(spark, table, events_type_value_counts(ev.limit(10)), 0)
     assert read_appended(spark, table).count() == before
+
+
+def test_cms_stream_equals_batch_sketch(spark, tmp_path):
+    """Stream the documents table in 4-file micro-batches through the
+    CMS maintainer; the merged counter store must be CELL-IDENTICAL to
+    the batch sketch (CMS merges by addition), and the heavy-hitters
+    probe served from the store must equal docs_cms_heavy_hitters row
+    for row. A replayed batch id must no-op."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        cms_counters,
+        docs_cms_heavy_hitters,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        _append_merge,
+        cms_counters_from_store,
+        cms_heavy_hitters_from_store,
+        cms_stream,
+        read_appended,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(4).write.parquet(src)
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "cms_counts")
+    q = (
+        cms_stream(stream, table)
+        .option("checkpointLocation", str(tmp_path / "cms-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got_cells = sorted(
+        tuple(r)
+        for r in cms_counters_from_store(spark, table).collect()
+    )
+    want_cells = sorted(tuple(r) for r in cms_counters(docs).collect())
+    assert want_cells and got_cells == want_cells
+
+    cols = ["term", "exact_cnt", "cms_est", "inflation"]
+    got = sorted(
+        tuple(r)
+        for r in cms_heavy_hitters_from_store(spark, sf, table)
+        .select(*cols)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs_cms_heavy_hitters(spark, sf).select(*cols).collect()
+    )
+    assert len(want) == 20 and got == want
+
+    # replayed batch id no-ops
+    before = read_appended(spark, table).count()
+    _append_merge(spark, table, cms_counters(docs.limit(5)), 0)
+    assert read_appended(spark, table).count() == before
