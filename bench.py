@@ -91,6 +91,12 @@ HEADLINE = [
     "hydro_double_mass",
     "embedding_mutual_knn",
     "events_watermark_lateness_audit",
+    # round-10 additions: the heaviest new operators — the bounded
+    # pair-block station cross-correlation, the dual-ranking ANN
+    # truncation QA, and the distinct-value-grid KS drift scan
+    "hydro_station_crosscorr",
+    "ann_prefix_dim_recall",
+    "events_ks_two_sample",
 ]
 
 
