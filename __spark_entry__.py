@@ -68,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_station_crosscorr": hydro.station_crosscorr,
         "orders_mann_kendall": relational.orders_mann_kendall,
         "customer_spearman_balance_value": relational.customer_spearman_balance_value,
+        "events_l_diversity": relational.events_l_diversity,
+        "docs_sqrt_temperature_mix": llm.docs_sqrt_temperature_mix,
+        "embedding_shard_centroid_drift": llm.embedding_shard_centroid_drift,
         # --- red in r9 (hash-only; BIGINT output fix) — re-lead ---
         "hydro_double_mass": hydro.double_mass_curve,
         # --- r9-displaced backlog (r4-era greens; led the pinned
@@ -110,18 +113,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hydro_daily_extremes": hydro.daily_extremes,
         "events_inter_arrival_stats": relational.events_inter_arrival_stats,
         "events_conversion_latency": relational.events_conversion_latency,
-        "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
-        "supplier_on_time_rate": relational.supplier_on_time_rate,
-        "embedding_norm_outliers": llm.embedding_norm_outliers,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
         # exactly after entry 50)
         # ============ r11 WINDOW PLAN (next 50, in order) ============
         # r10-displaced r5-era tail first (shifted behind the boundary
-        # by the ten new-in-r10 head entries), then the remaining
+        # by the thirteen new-in-r10 head entries), then the remaining
         # r5-era greens, then the oldest r6-era greens. Pinned by
         # tests/test_entry_contract.py.
+        "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
+        "supplier_on_time_rate": relational.supplier_on_time_rate,
+        "embedding_norm_outliers": llm.embedding_norm_outliers,
         "events_value_gini": relational.events_value_gini,
         "docs_vocab_growth": llm.docs_vocab_growth,
         "wire_corrupt_rate": wire.wire_corrupt_rate,

@@ -7950,3 +7950,123 @@ RELATIONAL_ORACLES["customer_spearman_balance_value"] = """
       END AS rho
     FROM d
     """
+
+
+# l-diversity over the k-anonymity QI cells: exact distinct-user
+# counts per cell, integer rollup, one raw double division.
+RELATIONAL_ORACLES["events_l_diversity"] = """
+    WITH ucell AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(floor(coalesce(value, -1.0) / 10) AS BIGINT) AS value_band,
+        coalesce(user_id, -1) AS uid, count(*) AS n
+      FROM events GROUP BY 1, 2, 3, 4
+    ), qi AS (
+      SELECT event_type, day, value_band,
+        count(*) AS l, sum(n) AS n
+      FROM ucell GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_cells,
+      CAST(sum(n) AS BIGINT) AS n_rows,
+      CAST(min(l) AS BIGINT) AS min_l,
+      CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS cells_below_3,
+      CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+        AS rows_below_3,
+      CAST(sum(CASE WHEN l < 3 THEN n ELSE 0 END) AS DOUBLE)
+        / CAST(sum(n) AS DOUBLE) AS at_risk_share
+    FROM qi GROUP BY 1
+    """
+
+
+# sqrt-temperature (alpha=0.5) largest-remainder budget apportionment:
+# order-pinned weight-total fold (lang order, plain a+x — the allowed
+# list_reduce shape), identical-double quotas/floors/remainder ranks.
+LLM_ORACLES["docs_sqrt_temperature_mix"] = _TOK_CTE + """
+    , per AS (
+      SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1
+    ), wl AS (
+      SELECT lang, n_tokens,
+        sqrt(CAST(n_tokens AS DOUBLE)) AS w
+      FROM per
+    ), tw AS (
+      SELECT list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY lang)),
+        (a, x) -> a + x) AS tw
+      FROM wl
+    ), qf AS (
+      SELECT lang, n_tokens, w,
+        100000.0 * w / tw.tw AS q
+      FROM wl CROSS JOIN tw
+    ), based AS (
+      SELECT lang, n_tokens, w,
+        CAST(floor(q) AS BIGINT) AS base, q - floor(q) AS rem
+      FROM qf
+    ), bs AS (
+      SELECT CAST(sum(base) AS BIGINT) AS base_sum FROM based
+    ), rk AS (
+      SELECT lang, n_tokens, w, base, rem,
+        row_number() OVER (ORDER BY rem DESC, lang ASC) AS rk
+      FROM based
+    ), alloc AS (
+      SELECT lang, n_tokens, w AS weight,
+        CAST(base + CASE WHEN rk <= 100000 - bs.base_sum
+                         THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+      FROM rk CROSS JOIN bs
+    )
+    SELECT lang, n_tokens, weight, alloc_tokens,
+      CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        AS sampling_rate
+    FROM alloc
+    """
+
+
+# Shard-centroid drift: integer-nano exact component sums (HUGEINT ≡
+# Spark DECIMAL(38,0)), double-division centroids, then three
+# order-pinned plain a+x folds over dim order and the identical
+# dot/(sqrt(na)*sqrt(nb)) final chain.
+LLM_ORACLES["embedding_shard_centroid_drift"] = """
+    WITH comp AS (
+      -- two same-length unnests zip in DuckDB (no WITH ORDINALITY):
+      -- 0-based dim matches Spark's posexplode
+      SELECT label, vec_id % 4 AS shard,
+        unnest(range(len(embedding))) AS dim,
+        unnest(list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1e9) AS BIGINT))) AS nanos
+      FROM embeddings
+    ), per_shard AS (
+      SELECT label, shard, dim,
+        sum(CAST(nanos AS HUGEINT)) AS s_nanos, count(*) AS n
+      FROM comp GROUP BY 1, 2, 3
+    ), per_label AS (
+      SELECT label, dim, sum(s_nanos) AS t_nanos, sum(n) AS tn
+      FROM per_shard GROUP BY 1, 2
+    ), joined AS (
+      SELECT s.label, s.shard, s.dim, s.n,
+        CAST(s.s_nanos AS DOUBLE) / CAST(s.n AS DOUBLE) AS cs,
+        CAST(l.t_nanos AS DOUBLE) / CAST(l.tn AS DOUBLE) AS cl
+      FROM per_shard s JOIN per_label l
+        ON s.label = l.label AND s.dim = l.dim
+    ), packed AS (
+      SELECT label, shard, CAST(max(n) AS BIGINT) AS n_vecs,
+        list(cs * cl ORDER BY dim) AS dots,
+        list(cs * cs ORDER BY dim) AS nas,
+        list(cl * cl ORDER BY dim) AS nbs
+      FROM joined GROUP BY 1, 2
+    ), scored AS (
+      SELECT label, shard, n_vecs,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), dots),
+                    (a, x) -> a + x) AS dot,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), nas),
+                    (a, x) -> a + x) AS na,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), nbs),
+                    (a, x) -> a + x) AS nb
+      FROM packed
+    )
+    SELECT label, CAST(shard AS BIGINT) AS shard, n_vecs,
+      CASE WHEN na > 0 AND nb > 0
+        THEN dot / (sqrt(na) * sqrt(nb))
+      END AS cos_drift
+    FROM scored
+    """

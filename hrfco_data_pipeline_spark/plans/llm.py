@@ -4804,3 +4804,177 @@ def docs_oov_rate(
             ).alias("oov_rate"),
         )
     )
+
+
+def docs_sqrt_temperature_mix(
+    spark: SparkSession, sf_dir: str, budget: int = 100_000
+) -> DataFrame:
+    """Temperature-sampled language-mix allocation at alpha = 0.5: the
+    multilingual-pretraining standard (mBERT / XLM-R exponent-smoothed
+    sampling) that upweights low-resource languages by sampling
+    proportional to n^alpha instead of n. Allocates a fixed token
+    budget across languages by sqrt(n_tokens) weights using
+    LARGEST-REMAINDER (Hamilton) apportionment, so the allocations are
+    integers that sum EXACTLY to the budget — the property a
+    downstream shard planner needs.
+
+    Exactness: alpha = 1/2 is deliberate — sqrt is the one IEEE
+    transcendental-adjacent op that is correctly rounded everywhere,
+    unlike pow/exp/log (banned in this registry); the weight total is
+    an ORDER-PINNED fold (sort by lang) so the double sum is
+    bit-identical across engines; quotas, floors, and remainder ranks
+    then run on identical doubles.
+
+    Scale shape: one token-count aggregate (map-side combined), then
+    everything runs on the BOUNDED language frame (|langs| rows):
+    a 1-row broadcast total, one bounded window for remainder ranks.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(
+        F.sum(F.size(_tokens())).alias("n_tokens")
+    )
+    wl = per.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.sqrt(F.col("n_tokens").cast("double")).alias("w"),
+    )
+    tot = wl.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("lang", "w"))),
+            F.lit(0.0),
+            lambda a, x: a + x["w"],
+        ).alias("tw")
+    )
+    q = wl.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        "w",
+        (F.lit(float(budget)) * F.col("w") / F.col("tw")).alias("q"),
+    )
+    based = q.select(
+        "lang",
+        "n_tokens",
+        "w",
+        F.floor("q").cast("long").alias("base"),
+        (F.col("q") - F.floor("q")).alias("rem"),
+    )
+    bs = based.agg(F.sum("base").alias("base_sum"))
+    wr = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    alloc = (
+        based.crossJoin(F.broadcast(bs))
+        .select(
+            "lang",
+            "n_tokens",
+            "w",
+            "base",
+            (F.lit(budget) - F.col("base_sum")).alias("leftover"),
+            F.row_number().over(wr).alias("rk"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            F.col("w").alias("weight"),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+    return alloc.select(
+        "lang",
+        "n_tokens",
+        "weight",
+        "alloc_tokens",
+        (
+            F.col("alloc_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("sampling_rate"),
+    )
+
+
+def embedding_shard_centroid_drift(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> DataFrame:
+    """Per-label centroid drift across shards: cosine similarity of
+    each shard's label centroid against the whole-corpus label
+    centroid — the cross-shard consistency audit a distributed
+    embedding job runs before trusting per-shard ANN indexes or
+    per-shard semantic dedup (a shard whose centroid drifts flags a
+    bad encoder batch or a skewed partition assignment).
+
+    Exactness: components floor-quantize to integer NANOS and sum as
+    DECIMAL(38,0) (the PQ-distortion order-free exact-sum precedent);
+    centroid components are then one double division each, and the
+    three per-(label, shard) reductions over dims (dot, |a|², |b|²)
+    are ORDER-PINNED folds (sort by dim) of plain a + x products —
+    bit-identical across engines, never an order-dependent SQL sum.
+
+    Scale shape: the dim explode blows up rows by the (fixed, small)
+    dimension count but every sum partial-aggregates map-side onto
+    the BOUNDED |labels|·|shards|·dims key space; the fold stage runs
+    on |labels|·|shards| rows of dim-length arrays. No all-pairs, no
+    unbounded state.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(n_shards)).alias("shard"),
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    ).select(
+        "label",
+        "shard",
+        "dim",
+        F.floor(F.col("val") * F.lit(1e9)).cast("long").alias("nanos"),
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")
+    per_shard = comp.groupBy("label", "shard", "dim").agg(
+        F.sum(d38(F.col("nanos"))).alias("s_nanos"),
+        F.count("*").alias("n"),
+    )
+    per_label = per_shard.groupBy("label", "dim").agg(
+        F.sum("s_nanos").alias("t_nanos"),
+        F.sum("n").alias("tn"),
+    )
+    joined = per_shard.join(per_label, ["label", "dim"]).select(
+        "label",
+        "shard",
+        "dim",
+        "n",
+        (
+            F.col("s_nanos").cast("double") / F.col("n").cast("double")
+        ).alias("cs"),
+        (
+            F.col("t_nanos").cast("double") / F.col("tn").cast("double")
+        ).alias("cl"),
+    )
+    packed = joined.groupBy("label", "shard").agg(
+        F.max("n").cast("long").alias("n_vecs"),
+        F.sort_array(
+            F.collect_list(F.struct("dim", "cs", "cl"))
+        ).alias("pts"),
+    )
+
+    def fold(expr):
+        return F.aggregate(F.col("pts"), F.lit(0.0), expr)
+
+    scored = packed.select(
+        "label",
+        "shard",
+        "n_vecs",
+        fold(lambda a, x: a + x["cs"] * x["cl"]).alias("dot"),
+        fold(lambda a, x: a + x["cs"] * x["cs"]).alias("na"),
+        fold(lambda a, x: a + x["cl"] * x["cl"]).alias("nb"),
+    )
+    return scored.select(
+        "label",
+        F.col("shard").cast("long").alias("shard"),
+        "n_vecs",
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.col("dot") / (F.sqrt("na") * F.sqrt("nb")),
+        ).alias("cos_drift"),
+    )

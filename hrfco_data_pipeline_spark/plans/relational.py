@@ -6274,3 +6274,64 @@ def customer_spearman_balance_value(
             / F.sqrt(dx.cast("double") * dy.cast("double")),
         ).alias("rho"),
     )
+
+
+def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity companion to events_k_anonymity: over the same
+    release quasi-identifier cells (event_type, event date, $10 value
+    band), how many DISTINCT users does each cell contain? A cell can
+    be k-anonymous yet leak identity-attribute links when every row
+    in it belongs to the same few users (Machanavajjhala et al. 2007
+    — the reason k-anonymity alone does not clear a training-data
+    release). Reports, per event type: cell count, the minimum l, the
+    cells below l=3, the rows inside them, and the at-risk share.
+
+    Exactness: distinct counts and conditional sums are exact
+    integers end to end; the one share is a single double division
+    (raw, unrounded — round(x,4) is the known engine-split trap).
+
+    Scale shape: the k_anonymity posture — two bounded-key map-side
+    aggregates (QI cells with an exact distinct over the in-cell user
+    set, then a per-type rollup); no windows, no joins. At corpus
+    scale the distinct is a two-level groupBy((QI, user) -> QI), the
+    same partial-aggregation-friendly shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    band = F.floor(F.coalesce(F.col("value"), F.lit(-1.0)) / 10).cast("long")
+    cells = (
+        ev.groupBy(
+            "event_type",
+            F.to_date("ts").alias("day"),
+            band.alias("value_band"),
+            F.coalesce(F.col("user_id"), F.lit(-1)).alias("uid"),
+        )
+        .agg(F.count("*").alias("n"))
+        .groupBy("event_type", "day", "value_band")
+        .agg(F.count("*").alias("l"), F.sum("n").alias("n"))
+    )
+    return (
+        cells.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n").alias("n_rows"),
+            F.min("l").alias("min_l"),
+            F.sum(F.when(F.col("l") < 3, 1).otherwise(0)).alias(
+                "cells_below_3"
+            ),
+            F.sum(F.when(F.col("l") < 3, F.col("n")).otherwise(0)).alias(
+                "rows_below_3"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("min_l").cast("long").alias("min_l"),
+            F.col("cells_below_3").cast("long").alias("cells_below_3"),
+            F.col("rows_below_3").cast("long").alias("rows_below_3"),
+            (
+                F.col("rows_below_3").cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("at_risk_share"),
+        )
+    )

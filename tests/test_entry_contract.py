@@ -56,6 +56,9 @@ NEW_IN_R10: list[str] = [
     "hydro_station_crosscorr",
     "orders_mann_kendall",
     "customer_spearman_balance_value",
+    "events_l_diversity",
+    "docs_sqrt_temperature_mix",
+    "embedding_shard_centroid_drift",
     "hydro_double_mass",
 ]
 

@@ -374,3 +374,64 @@ def test_spearman_matches_python_rank_pearson(spark):
         for r in customer_spearman_balance_value(spark, SF001).collect()
     }
     assert got == want
+
+
+def test_l_diversity_consistent_with_k_anonymity(spark):
+    """Same QI cells as events_k_anonymity: per-type row totals must
+    agree, cell counts must agree, and l bounds hold (1 <= l <= cell
+    rows)."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_k_anonymity,
+        events_l_diversity,
+    )
+
+    ld = {
+        r.event_type: r for r in events_l_diversity(spark, SF001).collect()
+    }
+    ka = {
+        r.event_type: r for r in events_k_anonymity(spark, SF001).collect()
+    }
+    assert set(ld) == set(ka)
+    for t, r in ld.items():
+        assert r.n_rows == ka[t].n_rows
+        assert r.n_cells == ka[t].n_groups
+        assert 1 <= r.min_l
+        assert 0 <= r.rows_below_3 <= r.n_rows
+        assert r.at_risk_share == r.rows_below_3 / r.n_rows
+
+
+def test_sqrt_mix_exact_budget_and_monotone(spark):
+    """Largest-remainder apportionment: allocations are integers that
+    sum EXACTLY to the budget, and a heavier language never gets less
+    than a lighter one."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        docs_sqrt_temperature_mix,
+    )
+
+    rows = docs_sqrt_temperature_mix(spark, SF001).collect()
+    assert rows
+    assert sum(r.alloc_tokens for r in rows) == 100_000
+    by_w = sorted(rows, key=lambda r: r.weight)
+    for a, b in zip(by_w, by_w[1:]):
+        assert a.alloc_tokens <= b.alloc_tokens
+    for r in rows:
+        assert r.weight == float(r.n_tokens) ** 0.5
+        assert r.sampling_rate == r.alloc_tokens / r.n_tokens
+
+
+def test_centroid_drift_bounds_and_degenerate_shard(spark):
+    """|cos| <= 1 everywhere; with a single shard the shard centroid
+    IS the label centroid, so cos collapses to ~1 (sqrt(x)*sqrt(x)
+    rounding only)."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        embedding_shard_centroid_drift,
+    )
+
+    rows = embedding_shard_centroid_drift(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r.cos_drift is None or -1.0 <= r.cos_drift <= 1.0 + 1e-12
+    one = embedding_shard_centroid_drift(spark, SF001, n_shards=1).collect()
+    assert one
+    for r in one:
+        assert abs(r.cos_drift - 1.0) < 1e-12
