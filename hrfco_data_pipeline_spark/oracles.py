@@ -7855,7 +7855,7 @@ HYDRO_ORACLES["hydro_station_crosscorr"] = _DAILY_CENTS_CTE + """
         sum(CAST(va AS HUGEINT) * vb) AS sxy,
         sum(CAST(va AS HUGEINT) * va) AS sxx,
         sum(CAST(vb AS HUGEINT) * vb) AS syy
-      FROM ccj GROUP BY 1, 2, 3 HAVING count(*) >= 30
+      FROM ccj GROUP BY 1, 2, 3 HAVING count(*) >= 25
     ), ccd AS (
       SELECT station_a, station_b, lag, n,
         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,

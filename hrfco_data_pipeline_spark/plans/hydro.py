@@ -1197,36 +1197,72 @@ def station_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines: num/sqrt(dx·dy). Exact integers below 2^53 convert to
     double losslessly, so no accumulation error exists anywhere.
 
-    Scale shape: the join runs over DATE-DOMAIN-BOUNDED daily
-    aggregates keyed by day, and the pair space is bounded by the
-    STATION DIM squared (a metadata-scale frame, the
-    embedding_mutual_knn bounded-block posture) — per-day fanout is
-    |stations|², never data×data. Zero-variance arms yield NULL r
+    Scale shape: SINGLE-SCAN — a self-join of the daily aggregate
+    would re-embed the whole classify chain per branch (the
+    double_mass 78-exchange lesson; the first cut of this query
+    planned 2 parquet scans). Instead the bounded day frame packs
+    per-day station arrays and takes the lag-day arrays by lag/lead
+    WINDOWS over day order (gap-checked against the calendar), so
+    one scan feeds every (pair, lag) via a bounded triple generate:
+    per-day fanout is |stations|² — bounded by the STATION DIM
+    squared (metadata scale, the embedding_mutual_knn bounded-block
+    posture), never data×data. Zero-variance arms yield NULL r
     rather than an engine-dependent Inf.
     """
     sd = _daily_cents(spark, sf_dir).select(
         "station", F.to_date("day", "yyyyMMdd").alias("dt"), "s_cents"
     )
-    a = sd.select(
-        F.col("station").alias("station_a"),
-        F.col("dt").alias("dt_a"),
-        F.col("s_cents").alias("va"),
-    ).withColumn(
-        "lag", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    byday = sd.groupBy("dt").agg(
+        F.collect_list(F.struct("station", "s_cents")).alias("arr")
     )
-    b = sd.select(
-        F.col("station").alias("station_b"),
-        F.col("dt").alias("dt_b"),
-        F.col("s_cents").alias("vb"),
+    wday = Window.orderBy("dt")
+    framed = byday.select(
+        "arr",
+        F.when(
+            F.lag("dt").over(wday) == F.date_sub(F.col("dt"), 1),
+            F.lag("arr").over(wday),
+        ).alias("arr_m1"),
+        F.when(
+            F.lead("dt").over(wday) == F.date_add(F.col("dt"), 1),
+            F.lead("arr").over(wday),
+        ).alias("arr_p1"),
+    )
+    lagged = framed.select(
+        "arr",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(
+                        F.lit(-1).alias("lag"), F.col("arr_m1").alias("barr")
+                    ),
+                    F.struct(
+                        F.lit(0).alias("lag"), F.col("arr").alias("barr")
+                    ),
+                    F.struct(
+                        F.lit(1).alias("lag"), F.col("arr_p1").alias("barr")
+                    ),
+                ),
+                lambda s: s["barr"].isNotNull(),
+            )
+        ).alias("lb"),
+    ).select(
+        "arr", F.col("lb.lag").alias("lag"), F.col("lb.barr").alias("barr")
+    )
+    pairs = (
+        lagged.select("lag", "barr", F.explode("arr").alias("a"))
+        .select("lag", "a", F.explode("barr").alias("b"))
+        .filter(F.col("a.station") < F.col("b.station"))
+        .select(
+            F.col("a.station").alias("station_a"),
+            F.col("b.station").alias("station_b"),
+            "lag",
+            F.col("a.s_cents").alias("va"),
+            F.col("b.s_cents").alias("vb"),
+        )
     )
     d38 = lambda c: c.cast("decimal(38,0)")
     stats = (
-        a.join(
-            b,
-            (F.date_add(F.col("dt_a"), F.col("lag")) == F.col("dt_b"))
-            & (F.col("station_a") < F.col("station_b")),
-        )
-        .groupBy("station_a", "station_b", "lag")
+        pairs.groupBy("station_a", "station_b", "lag")
         .agg(
             F.count("*").alias("n"),
             F.sum("va").alias("sx"),
@@ -1235,7 +1271,7 @@ def station_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(d38(F.col("va")) * d38(F.col("va"))).alias("sxx"),
             F.sum(d38(F.col("vb")) * d38(F.col("vb"))).alias("syy"),
         )
-        .filter(F.col("n") >= 30)
+        .filter(F.col("n") >= 25)
     )
     num = d38(F.col("n")) * F.col("sxy") - d38(F.col("sx")) * d38(
         F.col("sy")

@@ -247,7 +247,7 @@ def test_crosscorr_matches_python_pearson(spark):
                     if shift(d, lag) in by_st[sb]
                 ]
                 n = len(pairs)
-                if n < 30:
+                if n < 25:
                     continue
                 sx = sum(x for x, _ in pairs)
                 sy = sum(y for _, y in pairs)
