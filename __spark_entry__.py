@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_l_diversity": relational.events_l_diversity,
         "docs_sqrt_temperature_mix": llm.docs_sqrt_temperature_mix,
         "embedding_shard_centroid_drift": llm.embedding_shard_centroid_drift,
+        "hydro_rolling_rise": hydro.rolling_rise,
+        "multimodal_dhash_dups": llm.multimodal_dhash_dups,
         # --- red in r9 (hash-only; BIGINT output fix) — re-lead ---
         "hydro_double_mass": hydro.double_mass_curve,
         # --- r9-displaced backlog (r4-era greens; led the pinned
@@ -111,17 +113,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": relational.events_markov_transitions,
         "hydro_alert_episodes": hydro.alert_episodes,
         "hydro_daily_extremes": hydro.daily_extremes,
-        "events_inter_arrival_stats": relational.events_inter_arrival_stats,
-        "events_conversion_latency": relational.events_conversion_latency,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
         # exactly after entry 50)
         # ============ r11 WINDOW PLAN (next 50, in order) ============
         # r10-displaced r5-era tail first (shifted behind the boundary
-        # by the thirteen new-in-r10 head entries), then the remaining
+        # by the fifteen new-in-r10 head entries), then the remaining
         # r5-era greens, then the oldest r6-era greens. Pinned by
         # tests/test_entry_contract.py.
+        "events_inter_arrival_stats": relational.events_inter_arrival_stats,
+        "events_conversion_latency": relational.events_conversion_latency,
         "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
         "supplier_on_time_rate": relational.supplier_on_time_rate,
         "embedding_norm_outliers": llm.embedding_norm_outliers,

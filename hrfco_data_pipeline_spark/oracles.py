@@ -8070,3 +8070,59 @@ LLM_ORACLES["embedding_shard_centroid_drift"] = """
       END AS cos_drift
     FROM scored
     """
+
+
+# Rolling rise: integer-cent RANGE-frame subtractions on the exact
+# epoch-minute key; frames depend only on minute VALUES so peer order
+# is irrelevant on both engines.
+HYDRO_ORACLES["hydro_rolling_rise"] = HYDRO_CTE + """
+    , rb AS (
+      SELECT wlobscd AS station,
+        CAST(epoch_us(try_strptime(obs_time_str, '%Y-%m-%d %H:%M'))
+             / 60000000 AS BIGINT) AS m,
+        CAST(round(water_level * 100) AS BIGINT) AS cents
+      FROM classified
+      WHERE water_level IS NOT NULL
+        AND try_strptime(obs_time_str, '%Y-%m-%d %H:%M') IS NOT NULL
+    ), risen AS (
+      SELECT station,
+        cents - min(cents) OVER (PARTITION BY station ORDER BY m
+          RANGE BETWEEN 60 PRECEDING AND CURRENT ROW) AS r60,
+        cents - min(cents) OVER (PARTITION BY station ORDER BY m
+          RANGE BETWEEN 180 PRECEDING AND CURRENT ROW) AS r180,
+        cents - min(cents) OVER (PARTITION BY station ORDER BY m
+          RANGE BETWEEN 360 PRECEDING AND CURRENT ROW) AS r360
+      FROM rb
+    )
+    SELECT station, CAST(count(*) AS BIGINT) AS n_obs,
+      CAST(max(r60) AS BIGINT) AS max_rise_1h,
+      CAST(max(r180) AS BIGINT) AS max_rise_3h,
+      CAST(max(r360) AS BIGINT) AS max_rise_6h
+    FROM risen GROUP BY 1
+    """
+
+
+# dHash near-dup buckets: the identical 8x8 grid offsets
+# (floor(i*n/64.0)), gradient bits, and the plain acc*2+b scalar fold
+# (the md5-slice fold shape) over the byte face.
+LLM_ORACLES["multimodal_dhash_dups"] = _UTF8_BYTES_CTE + """
+    , grid AS (
+      SELECT doc_id, n,
+        list_transform(range(0, 64),
+          i -> bytes[CAST(floor(i * n / 64.0) AS INT) + 1]) AS g
+      FROM chars WHERE n > 0
+    ), hashed AS (
+      SELECT doc_id, n,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(0, 56), k ->
+            CASE WHEN g[CAST(floor(k / 7.0) AS INT) * 8 + (k % 7) + 1]
+                      < g[CAST(floor(k / 7.0) AS INT) * 8 + (k % 7) + 2]
+                 THEN 1 ELSE 0 END)),
+          (acc, b) -> acc * 2 + b) AS dhash
+      FROM grid
+    )
+    SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+      min(doc_id) AS keep_doc_id,
+      CAST(sum(n) AS BIGINT) AS total_bytes
+    FROM hashed GROUP BY 1 HAVING count(*) >= 2
+    """

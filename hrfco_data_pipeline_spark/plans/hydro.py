@@ -1293,3 +1293,66 @@ def station_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(dx.cast("double") * dy.cast("double")),
         ).alias("r"),
     )
+
+
+def rolling_rise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intensity–duration screen per station: the maximum water-level
+    RISE inside rolling 1 h / 3 h / 6 h windows — the rate-of-rise
+    statistic flash-flood criteria and dam-operation rules are written
+    against (a station can sit below every absolute threshold and
+    still be rising dangerously fast; T8's ladder sees only levels).
+    rise_W(t) = level(t) − min(level) over [t−W, t].
+
+    Exactness: levels quantize to integer cents; the epoch-minute
+    order key is exact (micros are multiples of 60e6, so the double
+    division is exact before the cast); rises are integer
+    subtractions under RANGE frames whose content depends only on the
+    minute VALUES (peer rows included on both engines, and min is
+    order-free within the frame).
+
+    Scale shape: three RANGE windows over ONE station partitioning —
+    per-task state is the window frame, per-task sort bounded by a
+    station's observation count (time-domain bounded at any corpus
+    size); one bounded rollup after. The parse-derived filter stays
+    behind no_pushdown (the r6 PushDownPredicates re-inline trap).
+    """
+    c = classified(spark, sf_dir)
+    ts = F.try_to_timestamp(
+        F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm")
+    )
+    base = (
+        c.filter(F.col("water_level").isNotNull())
+        .withColumn("obs_ts", ts)
+        .filter(no_pushdown(F.col("obs_ts")).isNotNull())
+        .select(
+            F.col("wlobscd").alias("station"),
+            (
+                F.unix_micros(F.to_utc_timestamp("obs_ts", "UTC"))
+                / F.lit(60_000_000)
+            )
+            .cast("long")
+            .alias("m"),
+            F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def rise(minutes: int) -> F.Column:
+        w = (
+            Window.partitionBy("station")
+            .orderBy("m")
+            .rangeBetween(-minutes, 0)
+        )
+        return F.col("cents") - F.min("cents").over(w)
+
+    risen = base.select(
+        "station",
+        rise(60).alias("r60"),
+        rise(180).alias("r180"),
+        rise(360).alias("r360"),
+    )
+    return risen.groupBy("station").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.max("r60").cast("long").alias("max_rise_1h"),
+        F.max("r180").cast("long").alias("max_rise_3h"),
+        F.max("r360").cast("long").alias("max_rise_6h"),
+    )

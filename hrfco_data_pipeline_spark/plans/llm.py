@@ -4978,3 +4978,91 @@ def embedding_shard_centroid_drift(
             F.col("dot") / (F.sqrt("na") * F.sqrt("nb")),
         ).alias("cos_drift"),
     )
+
+
+def multimodal_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup buckets for binary blobs via dHash
+    (difference hash — the standard image near-dup fingerprint,
+    e.g. the pHash family): sample a deterministic 8×8 grid of bytes
+    at evenly spaced offsets across the blob, take the 7 horizontal
+    brightness-gradient bits per row (g[c] < g[c+1]), and fold the 56
+    bits into one BIGINT fingerprint. Blobs whose CONTENT differs but
+    whose byte-level gradient structure matches land in one bucket —
+    the multimodal sibling of doc_fingerprints, robust to payload
+    padding/truncation the way exact content_hash dedup is not.
+
+    STUB BOUNDARY (honest, as multimodal_features): with no codec in
+    this environment the "pixels" are the raw blob bytes; a real
+    deployment decodes + grayscales first and keeps every line below
+    the grid sample unchanged. The grid/bit/fold plumbing — the part
+    Spark owns — is real and oracle-verified bit-for-bit.
+
+    Exactness: offsets are floor(i·n/64) (exact double division below
+    2^53); byte values come from the hex face; the fold is the plain
+    acc·2+bit integer scalar fold (the md5-slice fold shape, allowed
+    registry-wide); 56 bits fit signed long.
+
+    Scale shape: one scan, per-row bounded (64 substrings) work,
+    one groupBy on the fingerprint — map-side combined; the output
+    keeps only buckets with ≥ 2 members.
+    """
+    docs = _docs_parallel(spark, sf_dir)
+    from hrfco_data_pipeline_spark.operators.multimodal import to_multimodal
+
+    mm = to_multimodal(docs)
+    hexs = F.hex(F.col("content"))
+    n = F.col("meta.n_bytes")
+    grid = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.conv(
+            hexs.substr(
+                (F.floor(i * n / F.lit(64.0)) * 2 + 1).cast("int"),
+                F.lit(2),
+            ),
+            16,
+            10,
+        ).cast("int"),
+    )
+    with_grid = mm.filter(n > 0).select(
+        "doc_id", n.alias("n_bytes"), grid.alias("g")
+    )
+    # 56 bits row-major: rows r=0..7 over cols c=0..6; bit = g[r*8+c]
+    # < g[r*8+c+1]; fold acc*2 + bit in that order
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(55)),
+        lambda k: F.when(
+            F.element_at(
+                F.col("g"),
+                (F.floor(k / F.lit(7.0)) * 8 + (k % 7) + 1).cast("int"),
+            )
+            < F.element_at(
+                F.col("g"),
+                (F.floor(k / F.lit(7.0)) * 8 + (k % 7) + 2).cast("int"),
+            ),
+            1,
+        ).otherwise(0),
+    )
+    hashed = with_grid.select(
+        "doc_id",
+        "n_bytes",
+        F.aggregate(
+            bits,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * 2 + b,
+        ).alias("dhash"),
+    )
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "dhash",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "keep_doc_id",
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+        )
+    )

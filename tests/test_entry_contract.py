@@ -59,6 +59,8 @@ NEW_IN_R10: list[str] = [
     "events_l_diversity",
     "docs_sqrt_temperature_mix",
     "embedding_shard_centroid_drift",
+    "hydro_rolling_rise",
+    "multimodal_dhash_dups",
     "hydro_double_mass",
 ]
 
