@@ -38,90 +38,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r10 WINDOW (this round): CORRECTNESS_r09 went 49/50. The one red
-    # row — hydro_double_mass, a decimal-output canonicalization split,
-    # values verified bit-identical (VERDICT r9 "What's wrong" #1) —
-    # re-leads the window after the BIGINT output fix (never-green
-    # first, per the ordering contract). Then the 14 r9-backlog
-    # entries the new-in-r9 head displaced past the boundary
-    # (pq_adc_topk … docs_quality_cutoff — r4-era greens), then the
-    # oldest r5-era greens, topped up to exactly 50. The certified r9
-    # window moved to the back (freshest evidence last, ahead of the
-    # rows-only tail). New-in-r10 queries enter ABOVE the displaced
-    # block as they land, pushing the r5-era tail behind the boundary.
+    # r11 WINDOW (this round): CORRECTNESS_r10 went 50/50 green, so the
+    # whole r10 window moved to the back as the freshest-certified
+    # block and this window executes the rotation plan pinned at the
+    # end of r10: the r10-displaced r5-era tail first (the 14 entries
+    # the new-in-r10 head pushed behind the boundary), then the
+    # remaining r5-era greens, then the oldest r6-era greens.
+    # New-in-r11 queries enter ABOVE this block as they land, pushing
+    # the window tail behind the boundary; displaced entries must then
+    # lead the r12 window.
     #
-    # r11 ROTATION PLAN (execute at the start of r11): the block
-    # behind the boundary is the exact r11 window — any r10-window
-    # tail entries new-in-r10 additions displaced, then the remaining
-    # r5-era greens, then the oldest r6-era greens. r12+ continues
-    # r6 rest -> r7 -> r8 -> the r9/r10-certified blocks.
+    # r12 ROTATION PLAN (execute at the start of r12): the block
+    # behind the boundary is the exact r12 window — any r11-window
+    # tail entries new-in-r11 additions displaced, then the remaining
+    # r6-era greens, then the oldest r7-era greens. r13+ continues
+    # r7 rest -> r8 -> r9 -> the r10/r11-certified blocks.
     return {
-        # ================= r10 WINDOW (first 50) =================
-        # --- new in r10 (never checked; oracle-backed) ---
-        "events_ks_two_sample": relational.events_ks_two_sample,
-        "events_mann_whitney": relational.events_mann_whitney,
-        "hydro_recession_constant": hydro.recession_constant,
-        "ann_prefix_dim_recall": llm.ann_prefix_dim_recall,
-        "docs_oov_rate": llm.docs_oov_rate,
-        "lineitem_bloom_semijoin_prune": relational.lineitem_bloom_semijoin_prune,
-        "hydro_pettitt_changepoint": hydro.pettitt_changepoint,
-        "hydro_station_crosscorr": hydro.station_crosscorr,
-        "orders_mann_kendall": relational.orders_mann_kendall,
-        "customer_spearman_balance_value": relational.customer_spearman_balance_value,
-        "events_l_diversity": relational.events_l_diversity,
-        "docs_sqrt_temperature_mix": llm.docs_sqrt_temperature_mix,
-        "embedding_shard_centroid_drift": llm.embedding_shard_centroid_drift,
-        "hydro_rolling_rise": hydro.rolling_rise,
+        # ================= r11 WINDOW (first 50) =================
+        # --- re-led in r11: the r10 green was adjudicated weak (a
+        # 0-row-vs-0-row vacuous match, VERDICT r10 "What's wrong"
+        # #1); the query now emits top-20 buckets incl. singletons
+        # and must re-earn an informative green (the double_mass
+        # re-lead precedent) ---
         "multimodal_dhash_dups": llm.multimodal_dhash_dups,
-        # --- red in r9 (hash-only; BIGINT output fix) — re-lead ---
-        "hydro_double_mass": hydro.double_mass_curve,
-        # --- r9-displaced backlog (r4-era greens; led the pinned
-        # r10 plan written at the end of r9) ---
-        "pq_adc_topk": llm.pq_adc_topk,
-        "events_value_band_history": relational.events_value_band_history,
-        "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
-        "ivfpq_adc_topk": llm.ivfpq_adc_topk,
-        "events_grouping_sets": relational.events_grouping_sets,
-        "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
-        "events_value_outliers": relational.events_value_outliers,
-        "multimodal_frame_sample": llm.multimodal_frame_sample,
-        "semantic_dedup_keep": llm.semantic_dedup_keep,
-        "kmeans_refine_probe": llm.kmeans_refine_probe,
-        "docs_dsir_weights": llm.docs_dsir_weights,
-        "docs_leakage_safe_split": llm.docs_leakage_safe_split,
-        "docs_bpe_pair_counts": llm.docs_bpe_pair_counts,
-        "docs_quality_cutoff": llm.docs_quality_cutoff,
-        # --- oldest r5-era greens (certified 50/50 in
-        # CORRECTNESS_r05; oldest evidence after r9 refreshed r4) ---
-        "dup_cluster_sizes": llm.dup_cluster_sizes,
-        "ann_hard_negatives": llm.ann_hard_negatives,
-        "events_user_overlap": relational.events_user_overlap,
-        "docs_model_quality_score": llm.docs_model_quality_score,
-        "docs_lang_balance_sampler": llm.docs_lang_balance_sampler,
-        "docs_curriculum_order": llm.docs_curriculum_order,
-        "events_running_distinct_users": relational.events_running_distinct_users,
-        "metrics_nifi_timestamps": relational.metrics_nifi_timestamps,
-        "minhash_calibration": llm.minhash_calibration,
-        "docs_bpe_apply_merge": llm.docs_bpe_apply_merge,
-        "docs_lang_confusion": llm.docs_lang_confusion,
-        "docs_select_token_budget": llm.docs_select_token_budget,
-        "events_seasonal_baseline": relational.events_seasonal_baseline,
-        "hydro_rating_curve": hydro.rating_curve,
-        "customer_ltv_deciles": relational.customer_ltv_deciles,
-        "events_dau_wau_stickiness": relational.events_dau_wau_stickiness,
-        "docs_ngram_novelty": llm.docs_ngram_novelty,
-        "events_markov_transitions": relational.events_markov_transitions,
-        "hydro_alert_episodes": hydro.alert_episodes,
-        "hydro_daily_extremes": hydro.daily_extremes,
-        # ^^^ first-50 boundary ^^^ (position asserted against the
-        # dict by tests/test_entry_contract.py::
-        # test_boundary_comment_position — the marker line must sit
-        # exactly after entry 50)
-        # ============ r11 WINDOW PLAN (next 50, in order) ============
-        # r10-displaced r5-era tail first (shifted behind the boundary
-        # by the fifteen new-in-r10 head entries), then the remaining
-        # r5-era greens, then the oldest r6-era greens. Pinned by
-        # tests/test_entry_contract.py.
+        # --- r10-displaced r5-era tail (led the pinned r11 plan
+        # written at the end of r10) ---
         "events_inter_arrival_stats": relational.events_inter_arrival_stats,
         "events_conversion_latency": relational.events_conversion_latency,
         "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
@@ -136,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
         "orders_cohort_repeat_rate": relational.orders_cohort_repeat_rate,
         "minhash_recall_report": llm.minhash_recall_report,
+        # --- remaining r5-era greens (certified 50/50 in
+        # CORRECTNESS_r05) ---
         "events_type_drift": relational.events_type_drift,
         "events_new_vs_returning": relational.events_new_vs_returning,
         "events_value_log2_histogram": relational.events_value_log2_histogram,
@@ -145,10 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_copurchase_lift": relational.parts_copurchase_lift,
         "copurchase_triangles": relational.copurchase_triangles,
         "nation_trade_pagerank": relational.nation_trade_pagerank,
-        # --- r6-era greens (certified 49/50 in CORRECTNESS_r06; the
-        # one red row, embedding_random_projection, re-earned its
-        # green leading the r7 window and now sits with the r7-era
-        # block below) ---
+        # --- oldest r6-era greens (certified 49/50 in
+        # CORRECTNESS_r06) ---
         "orders_benford_digits": relational.orders_benford_digits,
         "events_ab_test": relational.events_ab_test,
         "brand_supplier_hhi": relational.brand_supplier_hhi,
@@ -176,6 +117,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_uniqueness_report": relational.dq_uniqueness_report,
         "docs_bigram_perplexity": llm.docs_bigram_perplexity,
         "events_feature_matrix": relational.events_feature_matrix,
+        # ^^^ first-50 boundary ^^^ (position asserted against the
+        # dict by tests/test_entry_contract.py::
+        # test_boundary_comment_position — the marker line must sit
+        # exactly after entry 50)
+        # ============ r12 WINDOW PLAN (next 50, in order) ============
+        # r11-displaced tail first (if new-in-r11 entries displaced
+        # any), then the remaining r6-era greens, then the oldest
+        # r7-era greens. Pinned by tests/test_entry_contract.py.
         "events_k_anonymity": relational.events_k_anonymity,
         "docs_weighted_sample": llm.docs_weighted_sample,
         "copurchase_bfs_levels": relational.copurchase_bfs_levels,
@@ -198,8 +147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_standing": relational.customer_balance_standing,
         "hydro_rating_residuals": hydro.rating_curve_residuals,
         "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
-        # --- r7-era greens (certified 50/50 in CORRECTNESS_r07 —
-        # freshest evidence in the registry) ---
+        # --- r7-era greens (certified 50/50 in CORRECTNESS_r07) ---
         "embedding_random_projection": llm.embedding_random_projection,
         "docs_substring_dedup": llm.docs_substring_dedup,
         "orders_salted_revenue": relational.orders_salted_revenue,
@@ -250,8 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "events_moving_stats": relational.events_moving_stats,
-        # --- r8-era greens (certified 50/50 in CORRECTNESS_r08 —
-        # freshest evidence in the registry) ---
+        # --- r8-era greens (certified 50/50 in CORRECTNESS_r08) ---
         "orders_join_strategy_report": relational.orders_join_strategy_report,
         "docs_bm25_topk": llm.docs_bm25_topk,
         "copurchase_kcore": relational.copurchase_kcore,
@@ -314,9 +261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_accuracy": relational.events_hll_accuracy,
         "lsh_cosine_topk": llm.lsh_cosine_topk,
         "embedding_near_dups": llm.embedding_near_dups,
-        # --- r9-era greens (certified 49/50 in CORRECTNESS_r09 —
-        # freshest evidence in the registry; the one red,
-        # hydro_double_mass, re-leads the r10 window above) ---
+        # --- r9-era greens (certified 49/50 in CORRECTNESS_r09; the
+        # one red, hydro_double_mass, re-earned its green leading the
+        # r10 window and now sits with the r10-era block below) ---
         "events_segment_enrichment": relational.events_segment_enrichment,
         "customer_scd2_asof_snapshot": relational.customer_scd2_asof_snapshot,
         "orders_theilsen_trend": relational.orders_theilsen_trend,
@@ -366,6 +313,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_zorder_layout": relational.lineitem_zorder_layout,
         "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
         "docs_editdist_pairs": llm.docs_editdist_pairs,
+        # --- r10-era greens (certified 50/50 in CORRECTNESS_r10 —
+        # freshest evidence in the registry) ---
+        "events_ks_two_sample": relational.events_ks_two_sample,
+        "events_mann_whitney": relational.events_mann_whitney,
+        "hydro_recession_constant": hydro.recession_constant,
+        "ann_prefix_dim_recall": llm.ann_prefix_dim_recall,
+        "docs_oov_rate": llm.docs_oov_rate,
+        "lineitem_bloom_semijoin_prune": relational.lineitem_bloom_semijoin_prune,
+        "hydro_pettitt_changepoint": hydro.pettitt_changepoint,
+        "hydro_station_crosscorr": hydro.station_crosscorr,
+        "orders_mann_kendall": relational.orders_mann_kendall,
+        "customer_spearman_balance_value": relational.customer_spearman_balance_value,
+        "events_l_diversity": relational.events_l_diversity,
+        "docs_sqrt_temperature_mix": llm.docs_sqrt_temperature_mix,
+        "embedding_shard_centroid_drift": llm.embedding_shard_centroid_drift,
+        "hydro_rolling_rise": hydro.rolling_rise,
+        "hydro_double_mass": hydro.double_mass_curve,
+        "pq_adc_topk": llm.pq_adc_topk,
+        "events_value_band_history": relational.events_value_band_history,
+        "docs_line_dedup_rebuild": llm.docs_line_dedup_rebuild,
+        "ivfpq_adc_topk": llm.ivfpq_adc_topk,
+        "events_grouping_sets": relational.events_grouping_sets,
+        "docs_editdist_prefix_pairs": llm.docs_editdist_prefix_pairs,
+        "events_value_outliers": relational.events_value_outliers,
+        "multimodal_frame_sample": llm.multimodal_frame_sample,
+        "semantic_dedup_keep": llm.semantic_dedup_keep,
+        "kmeans_refine_probe": llm.kmeans_refine_probe,
+        "docs_dsir_weights": llm.docs_dsir_weights,
+        "docs_leakage_safe_split": llm.docs_leakage_safe_split,
+        "docs_bpe_pair_counts": llm.docs_bpe_pair_counts,
+        "docs_quality_cutoff": llm.docs_quality_cutoff,
+        "dup_cluster_sizes": llm.dup_cluster_sizes,
+        "ann_hard_negatives": llm.ann_hard_negatives,
+        "events_user_overlap": relational.events_user_overlap,
+        "docs_model_quality_score": llm.docs_model_quality_score,
+        "docs_lang_balance_sampler": llm.docs_lang_balance_sampler,
+        "docs_curriculum_order": llm.docs_curriculum_order,
+        "events_running_distinct_users": relational.events_running_distinct_users,
+        "metrics_nifi_timestamps": relational.metrics_nifi_timestamps,
+        "minhash_calibration": llm.minhash_calibration,
+        "docs_bpe_apply_merge": llm.docs_bpe_apply_merge,
+        "docs_lang_confusion": llm.docs_lang_confusion,
+        "docs_select_token_budget": llm.docs_select_token_budget,
+        "events_seasonal_baseline": relational.events_seasonal_baseline,
+        "hydro_rating_curve": hydro.rating_curve,
+        "customer_ltv_deciles": relational.customer_ltv_deciles,
+        "events_dau_wau_stickiness": relational.events_dau_wau_stickiness,
+        "docs_ngram_novelty": llm.docs_ngram_novelty,
+        "events_markov_transitions": relational.events_markov_transitions,
+        "hydro_alert_episodes": hydro.alert_episodes,
+        "hydro_daily_extremes": hydro.daily_extremes,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

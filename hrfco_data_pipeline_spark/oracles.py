@@ -8122,7 +8122,9 @@ LLM_ORACLES["multimodal_dhash_dups"] = _UTF8_BYTES_CTE + """
       FROM grid
     )
     SELECT dhash, CAST(count(*) AS BIGINT) AS n_docs,
+      count(*) >= 2 AS is_dup,
       min(doc_id) AS keep_doc_id,
       CAST(sum(n) AS BIGINT) AS total_bytes
-    FROM hashed GROUP BY 1 HAVING count(*) >= 2
+    FROM hashed GROUP BY 1
+    ORDER BY n_docs DESC, dhash ASC LIMIT 20
     """

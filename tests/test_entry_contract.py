@@ -38,72 +38,25 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-# New-in-r10 queries lead the window (never-checked first, per the
-# ordering contract). hydro_double_mass is not new but leads for the
-# same reason: its r9 driver row was red (decimal-output hash split;
-# re-led after the BIGINT output fix). Append new queries here as
-# they land; the window pin below derives positions from this list,
-# so a careless insert cannot silently rotate a pinned backlog entry
-# out unnoticed.
-NEW_IN_R10: list[str] = [
-    "events_ks_two_sample",
-    "events_mann_whitney",
-    "hydro_recession_constant",
-    "ann_prefix_dim_recall",
-    "docs_oov_rate",
-    "lineitem_bloom_semijoin_prune",
-    "hydro_pettitt_changepoint",
-    "hydro_station_crosscorr",
-    "orders_mann_kendall",
-    "customer_spearman_balance_value",
-    "events_l_diversity",
-    "docs_sqrt_temperature_mix",
-    "embedding_shard_centroid_drift",
-    "hydro_rolling_rise",
+# New-in-r11 queries lead the window (never-checked first, per the
+# ordering contract). multimodal_dhash_dups is not new but re-leads:
+# its r10 green was adjudicated weak (0-row vacuous match) and the
+# query now emits top-20 buckets incl. singletons, so it must re-earn
+# an informative green (the hydro_double_mass re-lead precedent).
+# Append new queries here as they land; the window pin below derives
+# positions from this list, so a careless insert cannot silently
+# rotate a pinned backlog entry out unnoticed.
+NEW_IN_R11: list[str] = [
     "multimodal_dhash_dups",
-    "hydro_double_mass",
 ]
 
-# The pinned r10 backlog written at the end of r9 (VERDICT r9 "Next
-# round" #3): the 14 r9-backlog entries the new-in-r9 head displaced
-# past the boundary (r4-era greens), then the oldest r5-era greens.
-# New-in-r10 head entries displace the TAIL of this list past the
-# boundary; the displaced entries must then lead the r11 window.
-R10_BACKLOG = [
-    "pq_adc_topk",
-    "events_value_band_history",
-    "docs_line_dedup_rebuild",
-    "ivfpq_adc_topk",
-    "events_grouping_sets",
-    "docs_editdist_prefix_pairs",
-    "events_value_outliers",
-    "multimodal_frame_sample",
-    "semantic_dedup_keep",
-    "kmeans_refine_probe",
-    "docs_dsir_weights",
-    "docs_leakage_safe_split",
-    "docs_bpe_pair_counts",
-    "docs_quality_cutoff",
-    "dup_cluster_sizes",
-    "ann_hard_negatives",
-    "events_user_overlap",
-    "docs_model_quality_score",
-    "docs_lang_balance_sampler",
-    "docs_curriculum_order",
-    "events_running_distinct_users",
-    "metrics_nifi_timestamps",
-    "minhash_calibration",
-    "docs_bpe_apply_merge",
-    "docs_lang_confusion",
-    "docs_select_token_budget",
-    "events_seasonal_baseline",
-    "hydro_rating_curve",
-    "customer_ltv_deciles",
-    "events_dau_wau_stickiness",
-    "docs_ngram_novelty",
-    "events_markov_transitions",
-    "hydro_alert_episodes",
-    "hydro_daily_extremes",
+# The pinned r11 backlog written at the end of r10 (VERDICT r10 "Next
+# round" #1): the 14 r5-era entries the new-in-r10 head displaced
+# past the boundary, then the remaining r5-era greens, then the
+# oldest r6-era greens. New-in-r11 head entries displace the TAIL of
+# this list past the boundary; the displaced entries must then lead
+# the r12 window.
+R11_BACKLOG = [
     "events_inter_arrival_stats",
     "events_conversion_latency",
     "docs_dup_rate_by_source",
@@ -119,52 +72,84 @@ R10_BACKLOG = [
     "orders_cohort_repeat_rate",
     "minhash_recall_report",
     "events_type_drift",
+    "events_new_vs_returning",
+    "events_value_log2_histogram",
+    "hydro_station_uptime",
+    "events_session_window_agg",
+    "events_histogram_quantiles",
+    "parts_copurchase_lift",
+    "copurchase_triangles",
+    "nation_trade_pagerank",
+    "orders_benford_digits",
+    "events_ab_test",
+    "brand_supplier_hhi",
+    "events_cusum_changepoint",
+    "events_session_paths",
+    "session_survival_curve",
+    "orders_open_backlog_curve",
+    "orders_ship_latency_percentiles",
+    "lineitem_pareto_abc",
+    "customer_rfm_segments",
+    "docs_contamination_report",
+    "sessions_ordered_funnel",
+    "events_type_correlations",
+    "events_median_bisect",
+    "corpus_quality_scorecard",
+    "copurchase_label_propagation",
+    "events_autocorrelation",
+    "docs_containment_pairs",
+    "lineitem_monthly_yoy",
+    "events_holt_forecast",
+    "events_user_lorenz_curve",
+    "events_value_moments",
+    "wire_impute_report",
+    "part_substitutes",
+    "dq_uniqueness_report",
+    "docs_bigram_perplexity",
+    "events_feature_matrix",
 ]
 
 
-def test_r10_window_composition():
-    """The r10 window is exactly (NEW_IN_R10 + R10_BACKLOG)[:50]:
-    never-green queries first, then the pinned backlog; growth at the
-    head may only displace the backlog TAIL (r5-era entries), never
-    the r4-era displaced block. The displaced tail must sit
-    immediately behind the boundary, leading the r11 window."""
+def test_r11_window_composition():
+    """The r11 window is exactly (NEW_IN_R11 + R11_BACKLOG)[:50]:
+    never-green queries first, then the pinned backlog (r5-era
+    displaced tail, remaining r5-era, oldest r6-era). Growth at the
+    head may only displace the backlog TAIL; the displaced tail must
+    sit immediately behind the boundary, leading the r12 window."""
     names = list(entry.queries())
-    expected = (NEW_IN_R10 + R10_BACKLOG)[:50]
+    expected = (NEW_IN_R11 + R11_BACKLOG)[:50]
     assert names[:50] == expected
-    n_displaced = len(NEW_IN_R10 + R10_BACKLOG) - 50
+    n_displaced = len(NEW_IN_R11 + R11_BACKLOG) - 50
     assert n_displaced >= 0
-    r4_displaced = set(R10_BACKLOG[:14])
-    assert r4_displaced <= set(names[:50]), (
-        "the r9-displaced r4-era block (oldest driver evidence) fell "
-        "out of the r10 window — too many new-in-r10 head entries"
-    )
     if n_displaced:
-        assert names[50 : 50 + n_displaced] == R10_BACKLOG[-n_displaced:]
+        assert names[50 : 50 + n_displaced] == R11_BACKLOG[-n_displaced:]
 
 
-def test_r11_window_plan():
-    """Positions 50-99 (the r11 plan): displaced r10-backlog tail
-    first, then the remaining r5-era greens, then the oldest r6-era
-    greens — every slot oracle-backed so each can earn a green row.
-    The freshly-certified r9 block sits at the back, just ahead of
-    the rows-only tail."""
+def test_r12_window_plan():
+    """Positions 50-99 (the r12 plan): displaced r11-backlog tail
+    first (if any), then the remaining r6-era greens, then the oldest
+    r7-era greens — every slot oracle-backed so each can earn a green
+    row. The freshly-certified r10 block sits at the back, just ahead
+    of the rows-only tail."""
     names = list(entry.queries())
-    r11 = names[50:100]
+    r12 = names[50:100]
     oracles = set(entry.oracle_sql())
-    assert set(r11) <= oracles
-    # remaining r5-era evidence leads (oldest after this round)
-    assert "events_new_vs_returning" in r11
-    assert "nation_trade_pagerank" in r11
-    # then the oldest r6-era greens
-    assert "orders_benford_digits" in r11
-    # the r9-certified block is behind the r11 window
-    for q in ("events_segment_enrichment", "embedding_mutual_knn",
-              "minhash_sig_probe", "hydro_station_list",
-              "docs_editdist_pairs"):
+    assert set(r12) <= oracles
+    # remaining r6-era evidence leads (oldest after this round)
+    assert "events_k_anonymity" in r12
+    assert "docs_zipf_fit" in r12
+    # then the oldest r7-era greens
+    assert "embedding_random_projection" in r12
+    # the r8/r9-certified blocks are behind the r12 window
+    for q in ("orders_join_strategy_report", "events_segment_enrichment",
+              "embedding_mutual_knn", "minhash_sig_probe",
+              "hydro_station_list", "docs_editdist_pairs"):
         assert q in names[100:], q
-    # the r7/r8-certified blocks stay at the back too
-    assert "embedding_random_projection" in names[100:]
-    assert "orders_join_strategy_report" in names[100:]
+    # the freshly-certified r10 block sits at the back
+    for q in ("events_ks_two_sample", "hydro_station_crosscorr",
+              "multimodal_dhash_dups", "hydro_double_mass",
+              "hydro_daily_extremes"):
+        assert q in names[100:], q
     # rows-only entries stay at the very end
     assert names[-5:] == [
         "events_hll_user_rollup",
