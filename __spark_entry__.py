@@ -116,15 +116,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_substitutes": relational.part_substitutes,
         "dq_uniqueness_report": relational.dq_uniqueness_report,
         "docs_bigram_perplexity": llm.docs_bigram_perplexity,
-        "events_feature_matrix": relational.events_feature_matrix,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
         # exactly after entry 50)
         # ============ r12 WINDOW PLAN (next 50, in order) ============
-        # r11-displaced tail first (if new-in-r11 entries displaced
-        # any), then the remaining r6-era greens, then the oldest
-        # r7-era greens. Pinned by tests/test_entry_contract.py.
+        # r11-displaced tail first (pushed behind the boundary by the
+        # dhash re-lead at the window head), then the remaining
+        # r6-era greens, then the oldest r7-era greens. Pinned by
+        # tests/test_entry_contract.py.
+        "events_feature_matrix": relational.events_feature_matrix,
         "events_k_anonymity": relational.events_k_anonymity,
         "docs_weighted_sample": llm.docs_weighted_sample,
         "copurchase_bfs_levels": relational.copurchase_bfs_levels,
