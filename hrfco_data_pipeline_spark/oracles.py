@@ -7779,8 +7779,10 @@ RELATIONAL_ORACLES["lineitem_bloom_semijoin_prune"] = """
       CAST(sum(em) AS BIGINT) AS n_exact,
       CAST(sum(CASE WHEN bh = 1 AND em = 0 THEN 1 ELSE 0 END)
            AS BIGINT) AS n_false_pos,
-      CAST(sum(CASE WHEN bh = 1 AND em = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-        / CAST(count(*) - sum(em) AS DOUBLE) AS fp_rate
+      CASE WHEN count(*) - sum(em) > 0 THEN
+        CAST(sum(CASE WHEN bh = 1 AND em = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) - sum(em) AS DOUBLE)
+      END AS fp_rate
     FROM scored
     """
 

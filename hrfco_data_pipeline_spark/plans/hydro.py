@@ -1265,8 +1265,13 @@ def station_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("station_a", "station_b", "lag")
         .agg(
             F.count("*").alias("n"),
-            F.sum("va").alias("sx"),
-            F.sum("vb").alias("sy"),
+            # sx/sy in decimal(38,0) like the product sums: a plain
+            # long sum would WRAP silently under non-ANSI overflow at
+            # very large corpora while the DuckDB twin's HUGEINT keeps
+            # going — the two faces must fail loudly together
+            # (ADVICE r10)
+            F.sum(d38(F.col("va"))).alias("sx"),
+            F.sum(d38(F.col("vb"))).alias("sy"),
             F.sum(d38(F.col("va")) * d38(F.col("vb"))).alias("sxy"),
             F.sum(d38(F.col("va")) * d38(F.col("va"))).alias("sxx"),
             F.sum(d38(F.col("vb")) * d38(F.col("vb"))).alias("syy"),

@@ -6098,9 +6098,14 @@ def lineitem_bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("n_bloom_pass").cast("long").alias("n_bloom_pass"),
             F.col("n_exact").cast("long").alias("n_exact"),
             F.col("n_false_pos").cast("long").alias("n_false_pos"),
-            (
+            # NULL (both faces) when every probe row exact-matches:
+            # Spark's non-ANSI /0 yields NULL while DuckDB's IEEE
+            # division yields NaN/Inf — guard so a degenerate corpus
+            # can't split the oracle hash (ADVICE r10)
+            F.when(
+                (F.col("n_probe_rows") - F.col("n_exact")) > 0,
                 F.col("n_false_pos").cast("double")
-                / (F.col("n_probe_rows") - F.col("n_exact")).cast("double")
+                / (F.col("n_probe_rows") - F.col("n_exact")).cast("double"),
             ).alias("fp_rate"),
         )
     )
