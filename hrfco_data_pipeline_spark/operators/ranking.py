@@ -64,10 +64,21 @@ def ranked_cumsum(
     n_buckets: int = 32,
     sample_mod: int = 64,
     sample_cap: int = 10_000,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add a global ``rank_name`` (row_number) and one cumulative-sum
     column per ``sums`` entry to ``df``, under the total order given by
     ``order_exprs`` — without a single-partition sort.
+
+    With ``partition_cols`` the rank and cumulative sums restart per
+    partition (the SQL ``PARTITION BY p ORDER BY ...`` shape) while the
+    range bucketing on ``bucket_key`` still splits EACH partition's
+    order across tasks: local windows run per (partition, bucket) and
+    the offset join carries |partitions| x n_buckets rows — still
+    broadcastable whenever the partition domain is metadata-scale
+    (event types, languages, sources). Boundaries stay GLOBAL (one
+    sample over all partitions): per-partition value distributions may
+    skew task balance, never results.
 
     Requirements (violations corrupt ranks silently, so the first is
     enforced with a runtime error):
@@ -143,26 +154,30 @@ def ranked_cumsum(
         "_pid", F.size(F.filter("_bounds", lambda b: b < F.col("_bk")))
     )
 
-    w = Window.partitionBy("_pid").orderBy(*order_exprs)
+    parts = list(partition_cols or [])
+    w = Window.partitionBy(*parts, "_pid").orderBy(*order_exprs)
     wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     local = withpid.withColumn("_lrn", F.row_number().over(w))
     for name, col in sums.items():
         local = local.withColumn(f"_l_{name}", F.sum(col).over(wcum))
 
-    # Per-bucket totals: <= n_buckets rows, so the prefix-sum window
-    # below is single-partition by construction — bounded, not a smell.
-    stats = withpid.groupBy("_pid").agg(
+    # Per-bucket totals: <= |partitions| x n_buckets rows, so the
+    # prefix-sum window below is bounded by construction — not a smell.
+    stats = withpid.groupBy(*parts, "_pid").agg(
         F.count("*").alias("_cnt"),
         *[F.sum(col).alias(f"_s_{name}") for name, col in sums.items()],
     )
-    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    woff = (
+        Window.partitionBy(*parts) if parts else Window.partitionBy()
+    ).orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = stats.select(
+        *parts,
         "_pid",
         F.sum("_cnt").over(woff).alias("_rn_off"),
         *[F.sum(f"_s_{name}").over(woff).alias(f"_off_{name}") for name in sums],
     )
 
-    out = local.join(F.broadcast(offsets), "_pid").withColumn(
+    out = local.join(F.broadcast(offsets), parts + ["_pid"]).withColumn(
         rank_name,
         (F.col("_lrn") + F.coalesce(F.col("_rn_off"), F.lit(0))).cast("long"),
     )

@@ -211,10 +211,18 @@ def test_ranked_cumsum_queries_have_no_global_sort(spark):
         relational.lineitem_pareto_abc(spark, SF),
         relational.customer_rfm_segments(spark, SF),
         relational.events_user_lorenz_curve(spark, SF),
+        # r11: the MW/KS distinct-value cumulatives (r10 verdict #3)
+        relational.events_mann_whitney(spark, SF),
+        relational.events_ks_two_sample(spark, SF),
     ]
+    import re
+
     for df in rebuilt:
         s = _plan(df)
-        assert "hashpartitioning(_pid" in s
+        # bucket exchange present — _pid alone (global mode) or
+        # partition_cols + _pid (partitioned mode, e.g. KS's
+        # hashpartitioning(event_type, _pid))
+        assert re.search(r"hashpartitioning\([^)]*_pid", s)
         bad = _single_partition_exchanges_bounded(s)
         assert not bad, f"unbounded single-partition exchange above: {bad}"
 

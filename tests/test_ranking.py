@@ -74,6 +74,42 @@ def test_descending_order_via_negated_bucket_key(spark):
     assert bad.count() == 0
 
 
+@pytest.mark.parametrize("sample_mod", [8, 1 << 20])
+def test_partitioned_rank_and_cumsum_match_partitioned_window(
+    spark, sample_mod
+):
+    """partition_cols mode (the KS/MW wiring): rank and cumsum restart
+    per partition and must equal the plain PARTITION BY window exactly,
+    boundaries shared across partitions or degenerate."""
+    df = _base(spark).withColumn(
+        "p", F.pmod(F.xxhash64("id", F.lit(13)), F.lit(5)).cast("string")
+    )
+    got = ranked_cumsum(
+        df,
+        F.col("k").cast("double"),
+        [F.asc("k"), F.asc("id")],
+        sample_key=F.col("id"),
+        sums={"cum_v": F.col("v")},
+        rank_name="rn",
+        sample_mod=sample_mod,
+        partition_cols=["p"],
+    )
+    w = Window.partitionBy("p").orderBy(F.asc("k"), F.asc("id"))
+    want = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_v"),
+    )
+    j = got.select("id", "rn", "cum_v").alias("g").join(
+        want.alias("w"), "id"
+    )
+    bad = j.filter(
+        (F.col("g.rn") != F.col("w.rn")) | (F.col("g.cum_v") != F.col("w.cum_v"))
+    )
+    assert bad.count() == 0
+    assert got.count() == df.count()
+
+
 @pytest.mark.parametrize("k,n", [(10, 5000), (4, 4001), (7, 6), (3, 3)])
 def test_int_ntile_matches_sql_ntile(spark, k, n):
     df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
