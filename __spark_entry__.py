@@ -121,11 +121,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # test_boundary_comment_position — the marker line must sit
         # exactly after entry 50)
         # ============ r12 WINDOW PLAN (next 50, in order) ============
-        # r11-displaced tail first (pushed behind the boundary by the
-        # dhash re-lead at the window head), then the remaining
-        # r6-era greens, then the oldest r7-era greens. Pinned by
-        # tests/test_entry_contract.py.
+        # Written FROM docs/EVIDENCE.md (the generated per-query
+        # driver-evidence ledger — regenerate with
+        # tools/gen_query_docs.py), not from block-comment
+        # archaeology: the ledger exposed 12 queries whose newest
+        # driver row is r3/r4 despite sitting in blocks labeled
+        # r8-era (they were never actually sampled after r3/r4).
+        # Order: r11-displaced tail first, then the 12 stale r3/r4
+        # greens oldest-first, then the remaining r6-era greens.
+        # Pinned by tests/test_entry_contract.py.
         "events_feature_matrix": relational.events_feature_matrix,
+        # --- newest driver row r3 (sampled only in the r3 window) ---
+        "docs_gopher_quality": llm.docs_gopher_quality,
+        "docs_token_entropy": llm.docs_token_entropy,
+        "docs_segment_dedup": llm.docs_segment_dedup,
+        "events_retention_cohorts": relational.events_retention_cohorts,
+        "events_conversion_funnel": relational.events_conversion_funnel,
+        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_idle_customers": relational.q22_idle_customers,
+        # --- newest driver row r4 ---
+        "ivf_cosine_topk": llm.ivf_cosine_topk,
+        "events_hll_accuracy": relational.events_hll_accuracy,
+        "lsh_cosine_topk": llm.lsh_cosine_topk,
+        "embedding_near_dups": llm.embedding_near_dups,
+        # --- remaining r6-era greens ---
         "events_k_anonymity": relational.events_k_anonymity,
         "docs_weighted_sample": llm.docs_weighted_sample,
         "copurchase_bfs_levels": relational.copurchase_bfs_levels,
@@ -250,18 +270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": relational.q15_top_supplier,
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
-        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
-        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        "q22_idle_customers": relational.q22_idle_customers,
-        "docs_gopher_quality": llm.docs_gopher_quality,
-        "docs_token_entropy": llm.docs_token_entropy,
-        "docs_segment_dedup": llm.docs_segment_dedup,
-        "events_retention_cohorts": relational.events_retention_cohorts,
-        "events_conversion_funnel": relational.events_conversion_funnel,
-        "ivf_cosine_topk": llm.ivf_cosine_topk,
-        "events_hll_accuracy": relational.events_hll_accuracy,
-        "lsh_cosine_topk": llm.lsh_cosine_topk,
-        "embedding_near_dups": llm.embedding_near_dups,
         # --- r9-era greens (certified 49/50 in CORRECTNESS_r09; the
         # one red, hydro_double_mass, re-earned its green leading the
         # r10 window and now sits with the r10-era block below) ---
