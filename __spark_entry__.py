@@ -61,6 +61,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and must re-earn an informative green (the double_mass
         # re-lead precedent) ---
         "multimodal_dhash_dups": llm.multimodal_dhash_dups,
+        # --- new in r11 (never checked; oracle-backed) ---
+        "events_trimmed_mean": relational.events_trimmed_mean,
+        "events_running_records": relational.events_running_records,
+        "docs_source_kl_divergence": llm.docs_source_kl_divergence,
+        "hydro_drought_runs": hydro.drought_runs,
+        "docs_quality_calibration": llm.docs_quality_calibration,
+        "orders_duplicate_invoices": relational.orders_duplicate_invoices,
         # --- r10-displaced r5-era tail (led the pinned r11 plan
         # written at the end of r10) ---
         "events_inter_arrival_stats": relational.events_inter_arrival_stats,
@@ -110,12 +117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_containment_pairs": llm.docs_containment_pairs,
         "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
         "events_holt_forecast": relational.events_holt_forecast,
-        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
-        "events_value_moments": relational.events_value_moments,
-        "wire_impute_report": wire.wire_impute_report,
-        "part_substitutes": relational.part_substitutes,
-        "dq_uniqueness_report": relational.dq_uniqueness_report,
-        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
@@ -130,6 +131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Order: r11-displaced tail first, then the 12 stale r3/r4
         # greens oldest-first, then the remaining r6-era greens.
         # Pinned by tests/test_entry_contract.py.
+        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
+        "events_value_moments": relational.events_value_moments,
+        "wire_impute_report": wire.wire_impute_report,
+        "part_substitutes": relational.part_substitutes,
+        "dq_uniqueness_report": relational.dq_uniqueness_report,
+        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
         "events_feature_matrix": relational.events_feature_matrix,
         # --- newest driver row r3 (sampled only in the r3 window) ---
         "docs_gopher_quality": llm.docs_gopher_quality,

@@ -65,6 +65,7 @@ def ranked_cumsum(
     sample_mod: int = 64,
     sample_cap: int = 10_000,
     partition_cols: list[str] | None = None,
+    maxes: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Add a global ``rank_name`` (row_number) and one cumulative-sum
     column per ``sums`` entry to ``df``, under the total order given by
@@ -93,8 +94,16 @@ def ranked_cumsum(
       tie-breaker).
     - ``sample_key`` should be a roughly-unique column so the hash
       sample is uniform.
+
+    ``maxes`` adds one cumulative-MAX column per entry (the
+    running-record shape): max is associative exactly like the sums,
+    so the same local-window + prior-bucket-offset composition is
+    exact — the offset combine is ``greatest(local, prior)`` instead
+    of ``+`` and the offset prefix is ``max`` over prior buckets
+    (NULL when no prior bucket, i.e. the partition's first bucket).
     """
     sums = sums or {}
+    maxes = maxes or {}
     d = df.withColumn(
         "_bk",
         F.when(
@@ -160,12 +169,15 @@ def ranked_cumsum(
     local = withpid.withColumn("_lrn", F.row_number().over(w))
     for name, col in sums.items():
         local = local.withColumn(f"_l_{name}", F.sum(col).over(wcum))
+    for name, col in maxes.items():
+        local = local.withColumn(f"_lm_{name}", F.max(col).over(wcum))
 
     # Per-bucket totals: <= |partitions| x n_buckets rows, so the
     # prefix-sum window below is bounded by construction — not a smell.
     stats = withpid.groupBy(*parts, "_pid").agg(
         F.count("*").alias("_cnt"),
         *[F.sum(col).alias(f"_s_{name}") for name, col in sums.items()],
+        *[F.max(col).alias(f"_m_{name}") for name, col in maxes.items()],
     )
     woff = (
         Window.partitionBy(*parts) if parts else Window.partitionBy()
@@ -175,6 +187,7 @@ def ranked_cumsum(
         "_pid",
         F.sum("_cnt").over(woff).alias("_rn_off"),
         *[F.sum(f"_s_{name}").over(woff).alias(f"_off_{name}") for name in sums],
+        *[F.max(f"_m_{name}").over(woff).alias(f"_moff_{name}") for name in maxes],
     )
 
     out = local.join(F.broadcast(offsets), parts + ["_pid"]).withColumn(
@@ -185,10 +198,19 @@ def ranked_cumsum(
         out = out.withColumn(
             name, F.col(f"_l_{name}") + F.coalesce(F.col(f"_off_{name}"), F.lit(0))
         )
+    for name in maxes:
+        # greatest() ignores NULL operands, so the first bucket (no
+        # prior offset) degrades to the local cummax — exactly the
+        # partition-start semantics of MAX OVER UNBOUNDED PRECEDING
+        out = out.withColumn(
+            name, F.greatest(F.col(f"_lm_{name}"), F.col(f"_moff_{name}"))
+        )
     drop = (
         ["_bk", "_bounds", "_pid", "_lrn", "_rn_off"]
         + [f"_l_{n}" for n in sums]
         + [f"_off_{n}" for n in sums]
+        + [f"_lm_{n}" for n in maxes]
+        + [f"_moff_{n}" for n in maxes]
     )
     return out.drop(*drop)
 

@@ -8130,3 +8130,207 @@ LLM_ORACLES["multimodal_dhash_dups"] = _UTF8_BYTES_CTE + """
     FROM hashed GROUP BY 1
     ORDER BY n_docs DESC, dhash ASC LIMIT 20
     """
+
+
+# ---------------------------------------------------------------------------
+# r11 additions
+# ---------------------------------------------------------------------------
+
+# Trimmed mean: integer cents, ROW_NUMBER cut under (cents, event_id)
+# total order, HUGEINT sum, fixed sum/n/100 chain.
+RELATIONAL_ORACLES["events_trimmed_mean"] = """
+    WITH base AS (
+      SELECT event_type, event_id,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), n AS (
+      SELECT event_type, count(*) AS n FROM base GROUP BY 1
+    ), r AS (
+      SELECT event_type, c,
+        row_number() OVER (PARTITION BY event_type ORDER BY c, event_id)
+          AS rnk
+      FROM base
+    ), kept AS (
+      SELECT r.event_type, c, n.n
+      FROM r JOIN n USING (event_type)
+      WHERE rnk > CAST(floor(n / 10.0) AS BIGINT)
+        AND rnk <= n - CAST(floor(n / 10.0) AS BIGINT)
+    )
+    SELECT event_type,
+      CAST(max(n) AS BIGINT) AS n,
+      CAST(max(n) - count(*) AS BIGINT) AS n_trimmed,
+      CAST(min(c) AS BIGINT) AS lo_cents,
+      CAST(max(c) AS BIGINT) AS hi_cents,
+      CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) / 100.0 AS trimmed_mean
+    FROM kept GROUP BY 1
+    """
+
+# Running records: inclusive window max over (ts, event_id) order;
+# records counted as DISTINCT c where c equals the running max
+# (record values strictly increase, ties repeat a counted value).
+RELATIONAL_ORACLES["events_running_records"] = """
+    WITH base AS (
+      SELECT event_type, event_id, ts,
+        CAST(round(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), r AS (
+      SELECT event_type, c,
+        max(c) OVER (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rm,
+        row_number() OVER (PARTITION BY event_type
+          ORDER BY ts, event_id) AS rnk
+      FROM base
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      CAST(count(DISTINCT CASE WHEN c = rm THEN c END) AS BIGINT)
+        AS n_records,
+      CAST(max(c) AS BIGINT) AS max_cents,
+      CAST(arg_min(c, rnk) AS BIGINT) AS first_cents,
+      CAST(count(DISTINCT CASE WHEN c = rm THEN c END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS record_rate
+    FROM r GROUP BY 1
+    """
+
+# Per-source token KL vs corpus: fixed-order per-token term, sorted
+# fold (the docs_token_entropy precedent), round 4 at the boundary.
+LLM_ORACLES["docs_source_kl_divergence"] = _TOK_CTE + """
+    , st AS (
+      SELECT source, tok, count(*) AS c_s FROM (
+        SELECT source, unnest(toks) AS tok FROM tok)
+      GROUP BY source, tok
+    ), tot_t AS (
+      SELECT tok, sum(c_s) AS c_all FROM st GROUP BY tok
+    ), tot_s AS (
+      SELECT source, sum(c_s) AS n_s FROM st GROUP BY source
+    ), tot AS (
+      SELECT sum(c_s) AS n_all FROM st
+    ), terms AS (
+      SELECT st.source, tot_s.n_s,
+        (CAST(st.c_s AS DOUBLE) / CAST(tot_s.n_s AS DOUBLE))
+          * ln((CAST(st.c_s AS DOUBLE) / CAST(tot_s.n_s AS DOUBLE))
+               / (CAST(tot_t.c_all AS DOUBLE) / CAST(tot.n_all AS DOUBLE)))
+          AS term
+      FROM st JOIN tot_t USING (tok)
+        JOIN tot_s USING (source) CROSS JOIN tot
+    )
+    SELECT source,
+      CAST(max(n_s) AS BIGINT) AS n_tokens,
+      CAST(count(*) AS BIGINT) AS vocab,
+      round(list_reduce(list_prepend(0.0, list_sort(list(term))),
+        (acc, t) -> acc + t), 4) AS kl_nats
+    FROM terms GROUP BY source
+    """
+
+# Drought spells: per-station daily-min cents, exact k-th order
+# statistic threshold (k = ceil(0.2 n)), calendar gaps-and-islands,
+# integer cent-day deficits, row_number longest-spell pick.
+HYDRO_ORACLES["hydro_drought_runs"] = HYDRO_CTE + """
+    , dmn AS (
+      SELECT wlobscd AS station, substr(ymdhm, 1, 8) AS day,
+        min(CAST(round(water_level * 100) AS BIGINT)) AS mn
+      FROM classified
+      WHERE water_level IS NOT NULL AND length(ymdhm) = 12
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT station, day, mn,
+        row_number() OVER (PARTITION BY station ORDER BY mn, day) AS rnk,
+        count(*) OVER (PARTITION BY station) AS n_days
+      FROM dmn
+    ), thr AS (
+      SELECT station, mn AS thr, n_days FROM rk
+      WHERE rnk = CAST(ceil(0.2 * n_days) AS BIGINT)
+    ), below AS (
+      SELECT d.station, d.day, t.n_days, t.thr,
+        t.thr - d.mn AS deficit,
+        CAST(date_diff('day', DATE '1970-01-01',
+               try_strptime(d.day, '%Y%m%d')) AS BIGINT)
+          - row_number() OVER (PARTITION BY d.station ORDER BY d.day)
+          AS island
+      FROM dmn d JOIN thr t ON d.station = t.station
+      WHERE d.mn <= t.thr
+    ), runs AS (
+      SELECT station, island, max(n_days) AS n_days, max(thr) AS thr,
+        count(*) AS len, sum(deficit) AS ev_deficit,
+        min(day) AS start_day
+      FROM below GROUP BY 1, 2
+    ), pick AS (
+      SELECT *, row_number() OVER (PARTITION BY station
+          ORDER BY len DESC, start_day ASC) AS rn
+      FROM runs
+    )
+    SELECT station,
+      CAST(max(n_days) AS BIGINT) AS n_days,
+      CAST(max(thr) AS BIGINT) AS thr_cents,
+      CAST(count(*) AS BIGINT) AS n_droughts,
+      CAST(sum(len) AS BIGINT) AS drought_days,
+      CAST(max(len) AS BIGINT) AS max_run_days,
+      CAST(sum(ev_deficit) AS BIGINT) AS total_deficit_cents,
+      CAST(max(ev_deficit) AS BIGINT) AS max_event_deficit_cents,
+      min(CASE WHEN rn = 1 THEN start_day END) AS longest_start_day
+    FROM pick GROUP BY station
+    """
+
+# Reliability diagram: z-fold deciles via shared ln-odds literals
+# (no exp/ln at bucketing), Gopher label incl. its round-4 boundary
+# comparisons, exact-integer rate division.
+LLM_ORACLES["docs_quality_calibration"] = _MODEL_Z_CTE + """
+    , gshape AS (
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_toks_g,
+        round(CAST(list_aggregate(list_transform(toks, x -> length(x)),
+                   'sum') AS DOUBLE) / len(toks), 4) AS mean_wlen,
+        round(CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+              / len(toks), 4) AS frac_short
+      FROM tok
+    ), gtop AS (
+      SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM tok)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ), label AS (
+      SELECT s.doc_id,
+        (s.n_toks_g >= 30 AND s.mean_wlen BETWEEN 2.5 AND 10.0
+         AND s.frac_short <= 0.3
+         AND CAST(t.top_cnt AS DOUBLE) / s.n_toks_g <= 0.2)
+          AS gopher_keep
+      FROM gshape s JOIN gtop t ON s.doc_id = t.doc_id
+    ), bucketed AS (
+      SELECT CAST(len(list_filter([
+          -2.1972245773362196, -1.3862943611198906, -0.8472978603872034,
+          -0.4054651081081645, 0.0, 0.4054651081081645,
+          0.8472978603872034, 1.3862943611198906, 2.1972245773362196
+        ], c -> z.zz >= c)) AS INTEGER) AS prob_decile,
+        l.gopher_keep
+      FROM z JOIN label l ON z.doc_id = l.doc_id
+    )
+    SELECT prob_decile,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_gopher_keep,
+      CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) AS gopher_keep_rate
+    FROM bucketed GROUP BY 1
+    """
+
+# Duplicate-invoice screen: custkey-blocked pairs, integer score,
+# deterministic top-20 under (score, k1, k2).
+RELATIONAL_ORACLES["orders_duplicate_invoices"] = """
+    WITH b AS (
+      SELECT o_custkey AS custkey, o_orderkey AS k,
+        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ), pairs AS (
+      SELECT a.custkey, a.k AS k1, b2.k AS k2,
+        abs(a.cents - b2.cents) AS cents_diff,
+        CAST(abs(date_diff('day', b2.d, a.d)) AS BIGINT) AS day_gap
+      FROM b a JOIN b b2
+        ON a.custkey = b2.custkey AND a.k < b2.k
+    )
+    SELECT custkey, k1, k2, cents_diff, day_gap,
+      cents_diff + 100 * day_gap AS score
+    FROM pairs
+    ORDER BY score, k1, k2 LIMIT 20
+    """

@@ -1361,3 +1361,105 @@ def rolling_rise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("r180").cast("long").alias("max_rise_3h"),
         F.max("r360").cast("long").alias("max_rise_6h"),
     )
+
+
+def drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-flow (drought) spell analysis per station — the threshold-
+    level method of hydrological drought practice (Yevjevich 1967;
+    WMO low-flow guidance): take the station's Q80-style low
+    threshold (the 20th-percentile daily-minimum level), find
+    maximal runs of CALENDAR-CONSECUTIVE days at or below it, and
+    report spell count, the longest spell, and deficit volumes —
+    the dry-side complement of alert_episodes (flood spells above
+    warning levels).
+
+    Exactness: daily minima are INTEGER CENTS; the threshold is the
+    exact k-th order statistic (k = ceil(0.2·n) under the total order
+    (cents, day) — both engines cut identically through ties);
+    deficits are integer cent-days; the longest-spell pick is a
+    deterministic row_number under (len desc, start_day asc). No
+    floats anywhere.
+
+    Scale shape: everything beyond the first groupBy runs on the
+    DATE-DOMAIN-BOUNDED (station, day) grid (the double_mass /
+    pettitt posture): rank + islands windows are partitioned by
+    station with per-task size bounded by the day domain; the
+    per-station threshold is a broadcast join.
+    """
+    c = classified(spark, sf_dir)
+    dm = (
+        c.filter(F.col("water_level").isNotNull() & (F.length("ymdhm") == 12))
+        .select(
+            F.col("wlobscd").alias("station"),
+            F.substring("ymdhm", 1, 8).alias("day"),
+            F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("station", "day")
+        .agg(F.min("cents").alias("mn"))
+    )
+    wn = Window.partitionBy("station")
+    wrk = Window.partitionBy("station").orderBy("mn", "day")
+    ranked = dm.select(
+        "station",
+        "day",
+        "mn",
+        F.row_number().over(wrk).alias("rnk"),
+        F.count("*").over(wn).alias("n_days"),
+    )
+    thr = ranked.filter(
+        F.col("rnk")
+        == F.ceil(F.lit(0.2) * F.col("n_days")).cast("long")
+    ).select("station", F.col("mn").alias("thr"), "n_days")
+    wday = Window.partitionBy("station").orderBy("day")
+    below = (
+        dm.join(F.broadcast(thr), "station")
+        .filter(F.col("mn") <= F.col("thr"))
+        .select(
+            "station",
+            "day",
+            "n_days",
+            "thr",
+            (F.col("thr") - F.col("mn")).alias("deficit"),
+            (
+                F.datediff(
+                    F.try_to_date("day", "yyyyMMdd"),
+                    F.to_date(F.lit("1970-01-01")),
+                )
+                - F.row_number().over(wday)
+            ).alias("island"),
+        )
+    )
+    runs = below.groupBy("station", "island").agg(
+        F.max("n_days").alias("n_days"),
+        F.max("thr").alias("thr"),
+        F.count("*").alias("len"),
+        F.sum("deficit").alias("ev_deficit"),
+        F.min("day").alias("start_day"),
+    )
+    wpick = Window.partitionBy("station").orderBy(
+        F.desc("len"), F.asc("start_day")
+    )
+    return (
+        runs.select(
+            "station",
+            "n_days",
+            "thr",
+            "len",
+            "ev_deficit",
+            "start_day",
+            F.row_number().over(wpick).alias("rn"),
+        )
+        .groupBy("station")
+        .agg(
+            F.max("n_days").cast("long").alias("n_days"),
+            F.max("thr").cast("long").alias("thr_cents"),
+            F.count("*").cast("long").alias("n_droughts"),
+            F.sum("len").cast("long").alias("drought_days"),
+            F.max("len").cast("long").alias("max_run_days"),
+            F.sum("ev_deficit").cast("long").alias("total_deficit_cents"),
+            F.max("ev_deficit").cast("long").alias("max_event_deficit_cents"),
+            F.min(F.when(F.col("rn") == 1, F.col("start_day"))).alias(
+                "longest_start_day"
+            ),
+        )
+    )

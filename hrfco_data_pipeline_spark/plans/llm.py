@@ -5074,3 +5074,165 @@ def multimodal_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("dhash"))
         .limit(20)
     )
+
+
+def docs_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution KL divergence against the whole
+    corpus, KL(source ‖ corpus) = Σ_t p_t·ln(p_t/q_t) — the standard
+    domain-shift weight behind mixture reweighting (the DSIR/DoReMi
+    family): a source far from the corpus mean carries more novel
+    signal per token and gets up/down-weighted accordingly. The
+    per-source sibling of docs_source_tv_distance (TV sees bucketed
+    mass, KL sees the full log-ratio geometry).
+
+    Bit-determinism: each token's term is a FIXED-ORDER IEEE chain
+    over exact integer counts (p = c_s/N_s, q = C/N, term =
+    p·ln(p/q)); the per-source sum folds over the SORTED term list
+    (the docs_token_entropy precedent — a plain double SUM over
+    shuffled rows is summation-order-dependent), mirrored fold in the
+    DuckDB twin, rounded to 4 at the boundary.
+
+    Scale shape: one (source, token) count shuffle (map-side
+    combined), corpus token totals by one more re-aggregate joined on
+    token hash, per-source totals broadcast. The collected term list
+    is bounded by the per-source VOCABULARY (Heaps-sublinear —
+    millions, not corpus rows); the fold is one bounded array pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", _tokens().alias("toks"))
+    st = (
+        toks.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c_s"))
+    )
+    tot_t = st.groupBy("tok").agg(F.sum("c_s").alias("c_all"))
+    tot_s = st.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    n_all = st.agg(F.sum("c_s").alias("n_all"))
+    p = F.col("c_s").cast("double") / F.col("n_s").cast("double")
+    q = F.col("c_all").cast("double") / F.col("n_all").cast("double")
+    terms = (
+        st.join(tot_t, "tok")
+        .join(F.broadcast(tot_s), "source")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            "n_s",
+            (p * F.log(p / q)).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.aggregate(
+                F.sort_array(F.collect_list("term")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("kl"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            _r4("kl").alias("kl_nats"),
+        )
+    )
+
+
+# ln-odds cutpoints ln(k/(10-k)), k=1..9, as shared DECIMAL LITERALS:
+# bucketing the exact fold z against literals keeps the reliability
+# diagram exp/ln-free (sigmoid is monotone, so prob-decile edges ARE
+# these z edges) — the one libm call engines may round differently
+# never executes (the docs_model_quality_score z>=0 lesson).
+_LOGIT_CUTS = (
+    -2.1972245773362196,
+    -1.3862943611198906,
+    -0.8472978603872034,
+    -0.4054651081081645,
+    0.0,
+    0.4054651081081645,
+    0.8472978603872034,
+    1.3862943611198906,
+    2.1972245773362196,
+)
+
+
+def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the model-based quality classifier:
+    bucket every document by the model's predicted keep-probability
+    decile and report the empirical Gopher-rule keep rate per bucket
+    — the calibration QA (Guo et al. 2017 style) a pipeline runs
+    before trusting a learned filter's scores as sampling weights
+    (a well-calibrated bucket p≈0.x should show ≈x·100% rule-keeps).
+
+    Exactness: the probability-decile edges are applied in LOG-ODDS
+    space against shared decimal literals (_LOGIT_CUTS) on the
+    bit-exact fold z from _model_z — no exp/ln at bucketing time; the
+    Gopher label reproduces docs_gopher_quality's keep (including its
+    round-4 boundary comparisons); rates are one exact-integer double
+    division.
+
+    Scale shape: two doc-keyed aggregates (the model fold and the
+    Gopher mode count — both map-side combined, second reuses the
+    doc_id partitioning), one broadcast-size 10-row output group.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    z = _model_z(docs)
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    n = F.size("toks")
+    mean_wlen = _r4(
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n
+    )
+    frac_short = _r4(
+        F.size(F.filter("toks", lambda x: F.length(x) <= 2)).cast("double")
+        / n
+    )
+    shape = toks.select(
+        "doc_id",
+        n.alias("n_toks_g"),
+        mean_wlen.alias("mean_wlen"),
+        frac_short.alias("frac_short"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    label = shape.join(top, "doc_id").select(
+        "doc_id",
+        (
+            (F.col("n_toks_g") >= 30)
+            & F.col("mean_wlen").between(2.5, 10.0)
+            & (F.col("frac_short") <= 0.3)
+            & (
+                F.col("top_cnt").cast("double") / F.col("n_toks_g")
+                <= 0.2
+            )
+        ).alias("gopher_keep"),
+    )
+    cuts = F.array(*[F.lit(c) for c in _LOGIT_CUTS])
+    bucket = F.size(F.filter(cuts, lambda c: F.col("z") >= c))
+    return (
+        z.join(label, "doc_id")
+        .select(bucket.alias("prob_decile"), "gopher_keep")
+        .groupBy("prob_decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("gopher_keep").cast("long")).alias("n_gopher_keep"),
+        )
+        .select(
+            F.col("prob_decile").cast("int").alias("prob_decile"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_gopher_keep").cast("long").alias("n_gopher_keep"),
+            (
+                F.col("n_gopher_keep").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("gopher_keep_rate"),
+        )
+    )

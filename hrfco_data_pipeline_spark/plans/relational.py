@@ -6369,3 +6369,197 @@ def events_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("at_risk_share"),
         )
     )
+
+
+def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean of value per event type — the robust location
+    estimate an A/B readout uses when heavy tails make the plain mean
+    swing on a handful of whales (trim beats winsorize when the tail
+    mass is contamination, not signal). Per type: n, rows trimmed,
+    the kept-range order statistics, and the trimmed mean.
+
+    Exactness: values become INTEGER CENTS (round(value*100), the
+    events_value_moments precedent); the trim cut is RANK-based under
+    the total order (cents, event_id) so both engines cut exactly
+    floor(n/10) rows per end even through ties (tied cents are
+    interchangeable in the sum); kept cents accumulate in
+    DECIMAL(38,0); the mean is the fixed chain sum/n_kept/100. The
+    kept-range endpoints (k+1-th and n-k-th order statistics) are
+    exact integers pinning the cut placement.
+
+    Scale shape: the per-type rank runs through the PARTITIONED
+    range-bucketed two-pass (operators/ranking.ranked_cumsum — the
+    events_mann_whitney/KS precedent), never a per-type single-task
+    sort; per-type totals are a broadcast aggregate join.
+    """
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    totals = base.groupBy("event_type").agg(F.count("*").alias("n"))
+    ranked = ranked_cumsum(
+        base,
+        F.col("c").cast("double"),
+        [F.asc("c"), F.asc("event_id")],
+        sample_key=F.col("event_id"),
+        rank_name="rnk",
+        partition_cols=["event_type"],
+    )
+    k = F.floor(F.col("n") / F.lit(10)).cast("long")
+    kept = (
+        ranked.join(F.broadcast(totals), "event_type")
+        .filter((F.col("rnk") > k) & (F.col("rnk") <= F.col("n") - k))
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.count("*").alias("n_kept"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            (F.col("n") - F.col("n_kept")).cast("long").alias("n_trimmed"),
+            F.col("lo_cents").cast("long").alias("lo_cents"),
+            F.col("hi_cents").cast("long").alias("hi_cents"),
+            (
+                F.col("s").cast("double")
+                / F.col("n_kept").cast("double")
+                / F.lit(100.0)
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+def events_running_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking statistics per event type: how many times did
+    the running maximum value get strictly exceeded over time order —
+    the classic records process (for i.i.d. sequences E[records] ~
+    ln n, so a large excess flags trend/regime change and a deficit
+    flags a capped metric; the streaming sibling of the CUSUM/Pettitt
+    changepoint family already shipped).
+
+    Exactness: cents values (round(value*100)); the running max is an
+    exact integer; records are counted WITHOUT a lag/prev column:
+    record values strictly increase, so n_records = COUNT(DISTINCT c)
+    over rows where c equals the inclusive running max (a tie touches
+    the max but repeats an already-counted record value). first_cents
+    (the rank-1 value, necessarily the first record) pins the order
+    placement; record_rate is one exact-integer double division.
+
+    Scale shape: the per-type running max runs through the
+    PARTITIONED range-bucketed two-pass with the new cumulative-MAX
+    combine (operators/ranking.ranked_cumsum maxes= — max is
+    associative exactly like the sums, offset combine is greatest());
+    no per-type single-task sort. The distinct-record count is one
+    (type, c) re-aggregate, map-side combined.
+    """
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    ranked = ranked_cumsum(
+        base,
+        # TIMESTAMP_NTZ has no numeric cast; days-since-epoch is
+        # numeric and (non-strictly) monotone in the (ts, event_id)
+        # order — exactly what the bucket contract requires (ties
+        # share a bucket, boundaries only place tasks)
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("double"),
+        [F.asc("ts"), F.asc("event_id")],
+        sample_key=F.col("event_id"),
+        rank_name="rnk",
+        partition_cols=["event_type"],
+        maxes={"run_max": F.col("c")},
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct(
+                F.when(F.col("c") == F.col("run_max"), F.col("c"))
+            ).alias("n_records"),
+            F.max("c").alias("max_cents"),
+            F.min_by("c", "rnk").alias("first_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_records").cast("long").alias("n_records"),
+            F.col("max_cents").cast("long").alias("max_cents"),
+            F.col("first_cents").cast("long").alias("first_cents"),
+            (
+                F.col("n_records").cast("double")
+                / F.col("n").cast("double")
+            ).alias("record_rate"),
+        )
+    )
+
+
+def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-invoice screen (the record-linkage/fraud-QA staple):
+    for every same-customer order pair, score how suspicious a
+    near-duplicate it is — cents of price difference plus a
+    100-per-day date-gap penalty — and emit the 20 most suspicious
+    pairs. A THRESHOLD filter here would be vacuously empty on clean
+    corpora (the multimodal_dhash_dups r10 lesson: a 0-row-vs-0-row
+    driver green certifies nothing), so the certified face is the
+    deterministic top-K under the total order (score, k1, k2).
+
+    Exactness: prices are integer cents, gaps integer days, the score
+    an integer — no floats anywhere.
+
+    Scale shape: the pair generation is BLOCKED on o_custkey (a
+    same-customer self-join — per-customer order counts are bounded,
+    so the blow-up is O(orders_per_customer²) per key, the PPJoin/
+    embedding_block posture, never a cartesian); top-K is
+    TakeOrdered, no global sort.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.custkey") == F.col("b.custkey"))
+        & (F.col("a.k") < F.col("b.k")),
+    ).select(
+        F.col("a.custkey").alias("custkey"),
+        F.col("a.k").alias("k1"),
+        F.col("b.k").alias("k2"),
+        F.abs(F.col("a.cents") - F.col("b.cents")).alias("cents_diff"),
+        F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+        .cast("long")
+        .alias("day_gap"),
+    )
+    scored = pairs.select(
+        "custkey",
+        "k1",
+        "k2",
+        "cents_diff",
+        "day_gap",
+        (F.col("cents_diff") + F.lit(100) * F.col("day_gap")).alias("score"),
+    )
+    return scored.orderBy(
+        F.asc("score"), F.asc("k1"), F.asc("k2")
+    ).limit(20)

@@ -48,6 +48,12 @@ def test_first_50_all_oracle_backed():
 # rotate a pinned backlog entry out unnoticed.
 NEW_IN_R11: list[str] = [
     "multimodal_dhash_dups",
+    "events_trimmed_mean",
+    "events_running_records",
+    "docs_source_kl_divergence",
+    "hydro_drought_runs",
+    "docs_quality_calibration",
+    "orders_duplicate_invoices",
 ]
 
 # The pinned r11 backlog written at the end of r10 (VERDICT r10 "Next

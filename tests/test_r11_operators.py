@@ -96,3 +96,322 @@ def test_dhash_cap_is_deterministic(spark, tmp_path):
     assert got[0].dhash == _py_dhash(dup_pair) and got[0].n_docs == 2
     expected_singles = sorted(h for h in seen if h != _py_dhash(dup_pair))[:19]
     assert [r.dhash for r in got[1:]] == expected_singles
+
+
+def _write_events(spark, tmp_path, rows):
+    """(event_id, ts_str|None, event_type, value) -> events-shaped
+    parquet dir (extra cols null)."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    full = [
+        (
+            i,
+            dt.datetime.fromisoformat(ts) if ts else None,
+            None,
+            t,
+            v,
+            None,
+        )
+        for i, ts, t, v in rows
+    ]
+    out = str(tmp_path / "events_tbl")
+    spark.createDataFrame(full, schema).write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_trimmed_mean_hand_computed(spark, tmp_path):
+    """11 values incl. two whales: k = floor(11/10) = 1 cut per end;
+    kept = sorted[1:-1], recomputed in Python cents."""
+    from hrfco_data_pipeline_spark.plans.relational import events_trimmed_mean
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 100.0, -50.0]
+    rows = [(i, None, "a", v) for i, v in enumerate(vals)]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_trimmed_mean(spark, sf).collect()}
+    cents = sorted(round(v * 100) for v in vals)
+    kept = cents[1:-1]
+    r = got["a"]
+    assert r.n == 11 and r.n_trimmed == 2
+    assert r.lo_cents == kept[0] and r.hi_cents == kept[-1]
+    assert r.trimmed_mean == sum(kept) / len(kept) / 100.0
+
+
+def test_trimmed_mean_small_group_no_trim(spark, tmp_path):
+    """n < 10 -> k = 0: the trimmed mean degrades to the plain mean."""
+    from hrfco_data_pipeline_spark.plans.relational import events_trimmed_mean
+
+    vals = [10.0, 20.0, 90.0]
+    sf = _write_events(
+        spark, tmp_path, [(i, None, "b", v) for i, v in enumerate(vals)]
+    )
+    r = events_trimmed_mean(spark, sf).collect()[0]
+    assert r.n_trimmed == 0
+    assert r.trimmed_mean == sum(round(v * 100) for v in vals) / 3 / 100.0
+
+
+def test_running_records_hand_computed(spark, tmp_path):
+    """values 1,3,2,3,5 in time order: records are 1,3,5 (the second 3
+    ties the running max and must NOT count); first_cents = 100."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_running_records,
+    )
+
+    seq = [1.0, 3.0, 2.0, 3.0, 5.0]
+    rows = [
+        (i, f"2024-01-0{i + 1}T00:00:00", "a", v) for i, v in enumerate(seq)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    r = events_running_records(spark, sf).collect()[0]
+    assert r.n == 5
+    assert r.n_records == 3
+    assert r.max_cents == 500
+    assert r.first_cents == 100
+    assert r.record_rate == 3 / 5
+
+
+def test_running_records_python_recompute_on_corpus(spark):
+    """sf0.001: recompute records per type in pure Python from the
+    parquet (sorted by ts, event_id) and compare every column."""
+    import duckdb
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_running_records,
+    )
+
+    rows = duckdb.sql(
+        "SELECT event_type, ts, event_id, CAST(round(value*100) AS BIGINT)"
+        " FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+        " WHERE value IS NOT NULL AND ts IS NOT NULL"
+        " ORDER BY event_type, ts, event_id"
+    ).fetchall()
+    exp = {}
+    for t, _, _, c in rows:
+        st = exp.setdefault(t, {"n": 0, "recs": set(), "mx": None, "first": None})
+        st["n"] += 1
+        if st["mx"] is None or c > st["mx"]:
+            st["mx"] = c
+            st["recs"].add(c)
+        if st["first"] is None:
+            st["first"] = c
+    got = {
+        r.event_type: r
+        for r in events_running_records(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(exp)
+    for t, st in exp.items():
+        r = got[t]
+        assert (r.n, r.n_records, r.max_cents, r.first_cents) == (
+            st["n"],
+            len(st["recs"]),
+            st["mx"],
+            st["first"],
+        ), t
+
+
+def test_source_kl_python_recompute(spark, tmp_path):
+    """Two skewed sources: recompute KL(source || corpus) with
+    math.log over exact counts (sorted-term fold mirrored)."""
+    import math
+
+    from hrfco_data_pipeline_spark.plans.llm import docs_source_kl_divergence
+
+    texts = {
+        "web": ["a a a b", "a b c"],
+        "books": ["c c d d e", "d e e"],
+    }
+    rows, i = [], 0
+    for src, docs in texts.items():
+        for t in docs:
+            rows.append((i, t, "en", src, len(t)))
+            i += 1
+    out_dir = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.source: r for r in docs_source_kl_divergence(spark, out_dir).collect()
+    }
+    corpus: dict[str, int] = {}
+    per_src: dict[str, dict[str, int]] = {}
+    for src, docs in texts.items():
+        d = per_src.setdefault(src, {})
+        for t in docs:
+            for tok in t.split():
+                d[tok] = d.get(tok, 0) + 1
+                corpus[tok] = corpus.get(tok, 0) + 1
+    n_all = sum(corpus.values())
+    for src, cnts in per_src.items():
+        n_s = sum(cnts.values())
+        terms = sorted(
+            (c / n_s) * math.log((c / n_s) / (corpus[t] / n_all))
+            for t, c in cnts.items()
+        )
+        acc = 0.0
+        for x in terms:
+            acc += x
+        r = got[src]
+        assert r.n_tokens == n_s and r.vocab == len(cnts)
+        assert r.kl_nats == round(acc, 4)
+        assert r.kl_nats >= 0  # KL >= 0 up to rounding
+
+
+def test_drought_runs_invariants_and_consistency(spark):
+    """sf0.001: structural invariants plus n_days consistency with the
+    oracle-certified pettitt changepoint substrate."""
+    from hrfco_data_pipeline_spark.plans.hydro import (
+        drought_runs,
+        pettitt_changepoint,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = drought_runs(spark, sf).collect()
+    assert rows
+    nd = {r.station: r.n_days for r in pettitt_changepoint(spark, sf).collect()}
+    for r in rows:
+        assert r.n_days == nd[r.station]
+        assert 1 <= r.n_droughts <= r.drought_days <= r.n_days
+        assert 1 <= r.max_run_days <= r.drought_days
+        assert 0 <= r.max_event_deficit_cents <= r.total_deficit_cents
+        assert len(r.longest_start_day) == 8 and r.longest_start_day.isdigit()
+        # ~20% of days sit at/below the 20th-percentile threshold
+        assert r.drought_days >= int(0.2 * r.n_days) - 1
+
+
+def test_quality_calibration_python_recompute(spark):
+    """sf0.001: replicate the hashed-logistic z fold AND the Gopher
+    label in pure Python (hashlib md5), bucket by the shared ln-odds
+    cuts, and compare every bucket row."""
+    import duckdb
+    import hashlib
+
+    from hrfco_data_pipeline_spark.plans.llm import (
+        _LOGIT_CUTS,
+        docs_quality_calibration,
+    )
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    md = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    exp: dict[int, list[int]] = {}
+    for doc_id, text in docs:
+        toks = text.strip().split()
+        counts: dict[int, int] = {}
+        for tok in toks:
+            b = md(tok.lower()) % 256
+            counts[b] = counts.get(b, 0) + 1
+        n = sum(counts.values())
+        acc = 0.0
+        for b in sorted(counts):
+            w = (md(str(b)) % 2001 - 1000) / 1000.0
+            acc += counts[b] * w
+        z = acc / n
+        bucket = sum(1 for c in _LOGIT_CUTS if z >= c)
+        # gopher label
+        wl = round(sum(len(t) for t in toks) / len(toks), 4)
+        fs = round(sum(1 for t in toks if len(t) <= 2) / len(toks), 4)
+        tc: dict[str, int] = {}
+        for t in toks:
+            tc[t] = tc.get(t, 0) + 1
+        top = max(tc.values())
+        keep = (
+            len(toks) >= 30
+            and 2.5 <= wl <= 10.0
+            and fs <= 0.3
+            and top / len(toks) <= 0.2
+        )
+        exp.setdefault(bucket, []).append(1 if keep else 0)
+    got = {
+        r.prob_decile: r
+        for r in docs_quality_calibration(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for b, keeps in exp.items():
+        r = got[b]
+        assert r.n_docs == len(keeps)
+        assert r.n_gopher_keep == sum(keeps)
+        assert r.gopher_keep_rate == sum(keeps) / len(keeps)
+
+
+def test_duplicate_invoices_python_recompute(spark, tmp_path):
+    """Crafted orders: exact top-20 pair list recomputed in Python."""
+    import datetime as dt
+    import itertools
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        orders_duplicate_invoices,
+    )
+
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    # 3 customers x 5 orders; cust 1 has an exact dup pair (score 0)
+    raw = []
+    k = 0
+    for cust in (1, 2, 3):
+        for j in range(5):
+            price = 100.0 * cust + 7.77 * j + (0.0 if (cust == 1 and j == 4) else 0.0)
+            date = base + dt.timedelta(days=3 * j + cust)
+            raw.append((k, cust, "O", price, date, "1-URGENT"))
+            k += 1
+    # exact duplicate of cust 1's first order, same day
+    raw.append((k, 1, "O", 100.0, base + dt.timedelta(days=1), "1-URGENT"))
+    out = str(tmp_path / "orders_tbl")
+    spark.createDataFrame(raw, schema).write.parquet(f"{out}/orders.parquet")
+
+    per_cust: dict[int, list] = {}
+    for okey, cust, _, price, date, _ in raw:
+        per_cust.setdefault(cust, []).append(
+            (okey, round(price * 100), date.date())
+        )
+    pairs = []
+    for cust, orders in per_cust.items():
+        for (k1, c1, d1), (k2, c2, d2) in itertools.combinations(orders, 2):
+            if k1 > k2:
+                k1, c1, d1, k2, c2, d2 = k2, c2, d2, k1, c1, d1
+            cd = abs(c1 - c2)
+            dg = abs((d1 - d2).days)
+            pairs.append((cd + 100 * dg, k1, k2, cust, cd, dg))
+    pairs.sort()
+    want = pairs[:20]
+    got = orders_duplicate_invoices(spark, out).collect()
+    assert len(got) == len(want)
+    assert got[0].score == 0  # the planted exact dup
+    for g, w in zip(got, want):
+        assert (g.score, g.k1, g.k2, g.custkey, g.cents_diff, g.day_gap) == w
