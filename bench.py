@@ -97,6 +97,12 @@ HEADLINE = [
     "hydro_station_crosscorr",
     "ann_prefix_dim_recall",
     "events_ks_two_sample",
+    # round-11 additions: the heaviest new operators — the classify-
+    # chain drought-spell QA, the partitioned-two-pass running-record
+    # scan, and the double-hash-fold calibration diagram
+    "hydro_drought_runs",
+    "events_running_records",
+    "docs_quality_calibration",
 ]
 
 
