@@ -148,6 +148,20 @@ AUDIT = [
     "docs_source_tv_distance",
     "copurchase_weighted_sssp",
     "docs_length_survival",
+    # r10 heavies
+    "events_ks_two_sample",
+    "events_mann_whitney",
+    "hydro_station_crosscorr",
+    "hydro_pettitt_changepoint",
+    "lineitem_bloom_semijoin_prune",
+    "multimodal_dhash_dups",
+    # r11 additions
+    "events_trimmed_mean",
+    "events_running_records",
+    "docs_source_kl_divergence",
+    "hydro_drought_runs",
+    "docs_quality_calibration",
+    "orders_duplicate_invoices",
 ]
 
 
