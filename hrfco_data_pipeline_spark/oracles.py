@@ -8334,3 +8334,136 @@ RELATIONAL_ORACLES["orders_duplicate_invoices"] = """
     FROM pairs
     ORDER BY score, k1, k2 LIMIT 20
     """
+
+# SimHash bit balance: the simhash_probe fingerprint CTE + integer
+# bit extraction, exact-integer share division.
+LLM_ORACLES["simhash_bit_balance"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), hv AS (
+      SELECT doc_id,
+        list_reduce(
+          list_transform(range(1, 16),
+            i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT AS h
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+    ), votes AS (
+      SELECT doc_id, j,
+        sum(2 * ((h // (1::BIGINT << j)) % 2) - 1) AS votes
+      FROM hv, unnest(range(0, 60)) AS u(j)
+      GROUP BY doc_id, j
+    ), sigs AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END)
+             AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    ), bits AS (
+      SELECT j AS bit, (sh // (1::BIGINT << j)) % 2 AS bset
+      FROM sigs, unnest(range(0, 60)) AS u(j)
+    )
+    SELECT CAST(bit AS INTEGER) AS bit,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(bset) AS BIGINT) AS n_set,
+      CAST(sum(bset) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS set_share
+    FROM bits GROUP BY 1
+    """
+
+# IVF occupancy: the shared exact cells CTE, per-cell counts, and
+# the k*sum(s^2)/(sum s)^2 imbalance chain over exact longs.
+LLM_ORACLES["ann_centroid_occupancy"] = (
+    _ivf_cells_cte()
+    + """
+    , sizes AS (
+      SELECT cell, count(*) AS s FROM scored GROUP BY cell
+    ), tot AS (
+      SELECT sum(s) AS n_total, sum(s * s) AS ss, count(*) AS k_cells
+      FROM sizes
+    )
+    SELECT CAST(cell AS INTEGER) AS cell,
+      CAST(s AS BIGINT) AS n_vecs,
+      CAST(s AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
+      CAST(k_cells * ss AS DOUBLE)
+        / CAST(n_total * n_total AS DOUBLE) AS imbalance_factor
+    FROM sizes CROSS JOIN tot
+    """
+)
+
+# Packing waste: exact integer chunk/pad arithmetic, one scan over
+# the 4-length literal grid.
+LLM_ORACLES["docs_packing_waste"] = _TOK_CTE + """
+    , lens AS (
+      SELECT len(toks) AS n FROM tok WHERE len(toks) > 0
+    ), grid AS (
+      SELECT n, seq_len,
+        CAST(ceil(n / CAST(seq_len AS DOUBLE)) AS BIGINT) AS chunks
+      FROM lens, unnest([256, 512, 1024, 2048]) AS u(seq_len)
+    )
+    SELECT CAST(seq_len AS INTEGER) AS seq_len,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n) AS BIGINT) AS total_tokens,
+      CAST(sum(chunks) AS BIGINT) AS total_chunks,
+      CAST(sum(chunks * seq_len - n) AS BIGINT) AS total_pad,
+      CAST(sum(chunks * seq_len - n) AS DOUBLE)
+        / CAST(sum(n) + sum(chunks * seq_len - n) AS DOUBLE) AS pad_share
+    FROM grid GROUP BY 1
+    """
+
+# PSI: exact decile edges (order statistics under (value, event_id)),
+# integer midpoint day split, +1 Laplace smoothing over the 10-bucket
+# grid, sorted-term fold, round 4.
+RELATIONAL_ORACLES["events_psi_by_type"] = """
+    WITH base AS (
+      SELECT event_type, event_id, value,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             AS BIGINT) AS day
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ), tot AS (
+      SELECT count(*) AS n_all, min(day) AS dmin, max(day) AS dmax
+      FROM base
+    ), r AS (
+      SELECT value,
+        row_number() OVER (ORDER BY value, event_id) AS rnk
+      FROM base
+    ), cuts AS (
+      SELECT CAST(floor((n_all * i - 1) / 10.0) AS BIGINT) + 1 AS cut
+      FROM tot, unnest(range(1, 10)) AS t(i)
+    ), edges AS (
+      SELECT list(value ORDER BY rnk) AS es
+      FROM r WHERE rnk IN (SELECT cut FROM cuts)
+    ), bucketed AS (
+      SELECT event_type,
+        len(list_filter(e.es, x -> value > x)) AS bucket,
+        CASE WHEN day <= CAST(floor((dmin + dmax) / 2.0) AS BIGINT)
+             THEN 1 ELSE 0 END AS first_half
+      FROM base, edges e, tot
+    ), counts AS (
+      SELECT event_type, bucket,
+        sum(first_half) AS c1, sum(1 - first_half) AS c2
+      FROM bucketed GROUP BY 1, 2
+    ), grid AS (
+      SELECT t.event_type, b.bucket,
+        coalesce(c.c1, 0) AS c1, coalesce(c.c2, 0) AS c2
+      FROM (SELECT DISTINCT event_type FROM bucketed) t
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS bucket) b
+      LEFT JOIN counts c
+        ON c.event_type = t.event_type AND c.bucket = b.bucket
+    ), halves AS (
+      SELECT event_type, sum(c1) AS n1, sum(c2) AS n2
+      FROM grid GROUP BY 1
+    ), terms AS (
+      SELECT g.event_type, h.n1, h.n2,
+        ((CAST(g.c1 + 1 AS DOUBLE) / CAST(h.n1 + 10 AS DOUBLE))
+         - (CAST(g.c2 + 1 AS DOUBLE) / CAST(h.n2 + 10 AS DOUBLE)))
+        * ln((CAST(g.c1 + 1 AS DOUBLE) / CAST(h.n1 + 10 AS DOUBLE))
+             / (CAST(g.c2 + 1 AS DOUBLE) / CAST(h.n2 + 10 AS DOUBLE)))
+          AS term
+      FROM grid g JOIN halves h ON g.event_type = h.event_type
+    )
+    SELECT event_type,
+      CAST(max(n1) AS BIGINT) AS n_first,
+      CAST(max(n2) AS BIGINT) AS n_second,
+      round(list_reduce(list_prepend(0.0, list_sort(list(term))),
+        (acc, t) -> acc + t), 4) AS psi
+    FROM terms GROUP BY event_type
+    """

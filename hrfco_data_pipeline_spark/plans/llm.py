@@ -5236,3 +5236,167 @@ def docs_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gopher_keep_rate"),
         )
     )
+
+
+def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint HEALTH audit: per bit position, the share
+    of documents with the bit set. A healthy fingerprint has every
+    bit near 0.5 (maximum discrimination); a bit stuck near 0/1
+    contributes ~0 information, silently inflating the Hamming-ball
+    false-negative rate of simhash_clusters' pigeonhole blocking —
+    this is the QA a dedup operator checks before trusting a
+    fingerprint family at 100 TB. Uses the identical portable 60-bit
+    kernel as simhash_probe (operators/dedup.
+    simhash_64_from_token_hashes over md5-60bit token hashes), so a
+    green row certifies bit extraction over the certified kernel.
+
+    Exactness: pure integer bit arithmetic (shift/mod) and one
+    count aggregate; the share is one exact-integer double division.
+
+    Scale shape: fingerprints are one zero-shuffle projection; the
+    60-way explode is a bounded fan-out (60× doc count of 3-column
+    rows) feeding a 60-group map-side-combined aggregate.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        simhash_64_from_token_hashes,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    base = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    sigs = docs.select(
+        "doc_id",
+        simhash_64_from_token_hashes(base).alias("sh"),
+    )
+    bits = sigs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+        F.col("sh"),
+    ).select(
+        "bit",
+        # pure-integer extraction: sh can exceed double's 53-bit
+        # mantissa, so no float division may touch it (the oracle's
+        # (h // (1<<j)) % 2 mirrored via shiftleft + DIV)
+        F.expr(
+            "(sh div shiftleft(CAST(1 AS BIGINT), bit)) % 2"
+        ).alias("set"),
+    )
+    return (
+        bits.groupBy("bit")
+        .agg(F.count("*").alias("n_docs"), F.sum("set").alias("n_set"))
+        .select(
+            F.col("bit").cast("int").alias("bit"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_set").cast("long").alias("n_set"),
+            (
+                F.col("n_set").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("set_share"),
+        )
+    )
+
+
+def ann_centroid_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list occupancy report: per cell, the vector count
+    and corpus share, plus the global IMBALANCE FACTOR
+    k·Σs²/(Σs)² (≥ 1; 1 = perfectly balanced) — the standard IVF
+    health metric: expected probe cost scales with the imbalance
+    factor, so a skewed cell map means the nprobe=1 latency story is
+    fiction regardless of recall. Audits the exact centroids +
+    argmax assignment the ivf_cosine_topk family serves from.
+
+    Exactness: integer counts; share and imbalance are fixed chains
+    over exact integers (k·Σs² and (Σs)² computed as longs).
+
+    Scale shape: the E-step is a zero-shuffle projection against
+    literal centroids; one 16-group aggregate; the imbalance join is
+    a broadcast of a 1-row total.
+    """
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        assign_cells,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = ivf_centroids(vecs, n_centroids=16, dim=64)
+    cells = assign_cells(vecs, cents).select("vec_id", "cell")
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("s"))
+    tot = sizes.agg(
+        F.sum("s").alias("n_total"),
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        F.count("*").alias("k_cells"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("s").cast("long").alias("n_vecs"),
+            (
+                F.col("s").cast("double") / F.col("n_total").cast("double")
+            ).alias("share"),
+            (
+                (F.col("k_cells") * F.col("ss")).cast("double")
+                / (F.col("n_total") * F.col("n_total")).cast("double")
+            ).alias("imbalance_factor"),
+        )
+    )
+
+
+def docs_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing waste curve: for each candidate context
+    length L, the padding a chunk-and-pad loader wastes (per doc:
+    ceil(n/L) chunks, pad = chunks·L − n) — the capacity-planning
+    readout behind choosing a training context length
+    (docs_pack_sequences ships the packer itself; this prices the
+    alternatives before committing a 100 TB tokenization run).
+
+    Exactness: pure integer arithmetic per doc (token counts from
+    the whitespace tokenizer), exact long sums, one double division
+    per output row.
+
+    Scale shape: ONE corpus scan computes all lengths (the L axis is
+    a 4-element literal explode over per-doc counts, not 4 scans);
+    the aggregate is 4 groups, map-side combined.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(F.size(_tokens()).alias("n")).filter(F.col("n") > 0)
+    grid = lens.select(
+        "n",
+        F.explode(
+            F.array(*[F.lit(x) for x in (256, 512, 1024, 2048)])
+        ).alias("seq_len"),
+    )
+    chunks = F.ceil(F.col("n") / F.col("seq_len").cast("double")).cast(
+        "long"
+    )
+    return (
+        grid.select(
+            "seq_len",
+            "n",
+            chunks.alias("chunks"),
+            (chunks * F.col("seq_len") - F.col("n")).alias("pad"),
+        )
+        .groupBy("seq_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").alias("total_tokens"),
+            F.sum("chunks").alias("total_chunks"),
+            F.sum("pad").alias("total_pad"),
+        )
+        .select(
+            F.col("seq_len").cast("int").alias("seq_len"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            F.col("total_chunks").cast("long").alias("total_chunks"),
+            F.col("total_pad").cast("long").alias("total_pad"),
+            (
+                F.col("total_pad").cast("double")
+                / (F.col("total_tokens") + F.col("total_pad")).cast(
+                    "double"
+                )
+            ).alias("pad_share"),
+        )
+    )

@@ -6563,3 +6563,133 @@ def orders_duplicate_invoices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.asc("score"), F.asc("k1"), F.asc("k2")
     ).limit(20)
+
+
+def events_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the corpus' time range — the industry-standard
+    model-monitoring drift score (PSI = Σ_b (p_b−q_b)·ln(p_b/q_b)
+    over fixed buckets; <0.1 stable, >0.25 action): the bucketed,
+    threshold-friendly companion to events_ks_two_sample (KS finds
+    the maximal pointwise gap; PSI prices total bucket-mass movement
+    on the decile grid a scorecard monitors).
+
+    Construction: bucket edges are the EXACT global value deciles
+    (k-th order statistics at k = ceil(i·n/10), cut under the total
+    order (value, event_id)); the time split is the integer midpoint
+    of the day range; counts get +1 Laplace smoothing over the 10
+    buckets so empty cells stay finite — all deterministic on both
+    faces. Each bucket's term is a fixed-order IEEE chain over exact
+    integers; the 10-term sum folds over the SORTED term list (the
+    entropy precedent).
+
+    Scale shape: the decile rank runs through the range-bucketed
+    two-pass (operators/ranking.ranked_cumsum — never a global
+    sort); edges broadcast as one 9-double row; bucketing is a
+    zero-shuffle projection; the rest aggregates a |types|×10 grid.
+    """
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.datediff(
+                F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+            ).cast("long").alias("day"),
+        )
+    )
+    tot = ev.agg(
+        F.count("*").alias("n_all"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    )
+    ranked = ranked_cumsum(
+        ev.select("event_id", "value"),
+        F.col("value"),
+        [F.asc("value"), F.asc("event_id")],
+        sample_key=F.col("event_id"),
+        rank_name="rnk",
+    )
+    cuts = F.transform(
+        F.sequence(F.lit(1), F.lit(9)),
+        lambda i: (
+            F.floor((F.col("n_all") * i - 1) / F.lit(10.0)) + 1
+        ).cast("long"),
+    )
+    edges_df = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.array_contains(cuts, F.col("rnk")))
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("rnk"), F.col("value")))
+                ),
+                lambda s: s["value"],
+            ).alias("es")
+        )
+    )
+    bucketed = (
+        ev.crossJoin(F.broadcast(edges_df))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.size(
+                F.filter("es", lambda e: F.col("value") > e)
+            ).alias("bucket"),
+            (
+                F.col("day")
+                <= F.floor((F.col("dmin") + F.col("dmax")) / F.lit(2.0))
+            ).cast("long").alias("first_half"),
+        )
+    )
+    counts = bucketed.groupBy("event_type", "bucket").agg(
+        F.sum("first_half").alias("c1"),
+        F.sum(F.lit(1) - F.col("first_half")).alias("c2"),
+    )
+    types = bucketed.select("event_type").distinct()
+    grid = (
+        types.select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"),
+        )
+        .join(counts, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    halves = grid.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10).cast("double")
+    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + 10).cast("double")
+    terms = grid.join(F.broadcast(halves), "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        ((p - q) * F.log(p / q)).alias("term"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n_first"),
+            F.max("n2").alias("n_second"),
+            F.aggregate(
+                F.sort_array(F.collect_list("term")),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("psi"),
+        )
+        .select(
+            "event_type",
+            F.col("n_first").cast("long").alias("n_first"),
+            F.col("n_second").cast("long").alias("n_second"),
+            F.round(F.col("psi"), 4).alias("psi"),
+        )
+    )

@@ -54,6 +54,10 @@ NEW_IN_R11: list[str] = [
     "hydro_drought_runs",
     "docs_quality_calibration",
     "orders_duplicate_invoices",
+    "events_psi_by_type",
+    "simhash_bit_balance",
+    "ann_centroid_occupancy",
+    "docs_packing_waste",
 ]
 
 # The pinned r11 backlog written at the end of r10 (VERDICT r10 "Next

@@ -415,3 +415,173 @@ def test_duplicate_invoices_python_recompute(spark, tmp_path):
     assert got[0].score == 0  # the planted exact dup
     for g, w in zip(got, want):
         assert (g.score, g.k1, g.k2, g.custkey, g.cents_diff, g.day_gap) == w
+
+
+def test_psi_python_recompute(spark, tmp_path):
+    """Crafted shifted distribution: recompute the decile edges, the
+    midpoint split, the +1-smoothed shares, and the sorted-fold PSI
+    entirely in Python."""
+    import math
+
+    from hrfco_data_pipeline_spark.plans.relational import events_psi_by_type
+
+    # type 'a' drifts upward in the second half; type 'b' stays flat
+    rows = []
+    eid = 0
+    for day in range(1, 11):  # days 1..10, midpoint day 5
+        for j in range(10):
+            va = float(j + (20 if day > 5 else 0))
+            vb = float(j * 3)
+            rows.append((eid, f"2024-01-{day:02d}T12:00:00", "a", va))
+            eid += 1
+            rows.append((eid, f"2024-01-{day:02d}T12:00:00", "b", vb))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_psi_by_type(spark, sf).collect()}
+
+    # python recompute (same construction)
+    recs = []
+    eid = 0
+    base_day = None
+    import datetime as dt
+
+    for day in range(1, 11):
+        d = (dt.date(2024, 1, day) - dt.date(1970, 1, 1)).days
+        for j in range(10):
+            recs.append((eid, d, "a", float(j + (20 if day > 5 else 0))))
+            eid += 1
+            recs.append((eid, d, "b", float(j * 3)))
+            eid += 1
+    n = len(recs)
+    by_v = sorted(recs, key=lambda r: (r[3], r[0]))
+    cuts = {int((n * i - 1) // 10) + 1 for i in range(1, 10)}
+    edges = [by_v[c - 1][3] for c in sorted(cuts)]
+    dmin = min(r[1] for r in recs)
+    dmax = max(r[1] for r in recs)
+    mid = (dmin + dmax) // 2
+    exp = {}
+    for t in ("a", "b"):
+        c1 = [0] * 10
+        c2 = [0] * 10
+        for _, d, tt, v in recs:
+            if tt != t:
+                continue
+            b = sum(1 for e in edges if v > e)
+            if d <= mid:
+                c1[b] += 1
+            else:
+                c2[b] += 1
+        n1, n2 = sum(c1), sum(c2)
+        terms = sorted(
+            ((c1[b] + 1) / (n1 + 10) - (c2[b] + 1) / (n2 + 10))
+            * math.log(
+                ((c1[b] + 1) / (n1 + 10)) / ((c2[b] + 1) / (n2 + 10))
+            )
+            for b in range(10)
+        )
+        acc = 0.0
+        for x in terms:
+            acc += x
+        exp[t] = (n1, n2, round(acc, 4))
+    for t in ("a", "b"):
+        r = got[t]
+        assert (r.n_first, r.n_second, r.psi) == exp[t], t
+    # the drifted type must score far above the stable one
+    assert got["a"].psi > 0.25 > got["b"].psi >= 0
+
+
+def test_simhash_bit_balance_python_recompute(spark):
+    """sf0.001: recompute the 60-bit fingerprints (hashlib md5 votes)
+    and every per-bit set count in pure Python."""
+    import duckdb
+    import hashlib
+
+    from hrfco_data_pipeline_spark.plans.llm import simhash_bit_balance
+
+    docs = duckdb.sql(
+        "SELECT doc_id, text FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    n_set = [0] * 60
+    for _, text in docs:
+        votes = [0] * 60
+        for tok in text.strip().split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(60):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        for j in range(60):
+            if votes[j] > 0:
+                n_set[j] += 1
+    got = {
+        r.bit: r
+        for r in simhash_bit_balance(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == set(range(60))
+    for j in range(60):
+        assert got[j].n_docs == len(docs)
+        assert got[j].n_set == n_set[j], j
+        assert got[j].set_share == n_set[j] / len(docs)
+
+
+def test_centroid_occupancy_invariants(spark):
+    """sf0.001: cells partition the corpus exactly; shares sum to 1;
+    the imbalance factor is the k*sum(s^2)/total^2 chain and >= 1
+    (Cauchy-Schwarz, equality iff perfectly balanced)."""
+    import duckdb
+
+    from hrfco_data_pipeline_spark.plans.llm import ann_centroid_occupancy
+
+    n_emb = duckdb.sql(
+        "SELECT count(*) FROM"
+        " read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    ).fetchone()[0]
+    rows = ann_centroid_occupancy(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.n_vecs for r in rows)
+    assert total == n_emb
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+    k = len(rows)
+    ss = sum(r.n_vecs**2 for r in rows)
+    want_if = (k * ss) / (total * total)
+    for r in rows:
+        assert r.imbalance_factor == want_if
+        assert r.share == r.n_vecs / total
+    assert want_if >= 1.0
+
+
+def test_packing_waste_python_recompute(spark):
+    """sf0.001: exact integer chunk/pad arithmetic recomputed from
+    the parquet token counts for all four candidate lengths."""
+    import duckdb
+    import math
+
+    from hrfco_data_pipeline_spark.plans.llm import docs_packing_waste
+
+    lens = [
+        n
+        for (n,) in duckdb.sql(
+            r"SELECT len(regexp_split_to_array(trim(text), '\s+')) FROM"
+            " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        ).fetchall()
+        if n > 0
+    ]
+    got = {
+        r.seq_len: r
+        for r in docs_packing_waste(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(got) == {256, 512, 1024, 2048}
+    for L in (256, 512, 1024, 2048):
+        chunks = [math.ceil(n / L) for n in lens]
+        pad = [c * L - n for c, n in zip(chunks, lens)]
+        r = got[L]
+        assert r.n_docs == len(lens)
+        assert r.total_tokens == sum(lens)
+        assert r.total_chunks == sum(chunks)
+        assert r.total_pad == sum(pad)
+        assert r.pad_share == sum(pad) / (sum(lens) + sum(pad))
+    # longer contexts always waste at least as much padding
+    assert (
+        got[256].total_pad
+        <= got[512].total_pad
+        <= got[1024].total_pad
+        <= got[2048].total_pad
+    )
