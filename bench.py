@@ -103,6 +103,10 @@ HEADLINE = [
     "hydro_drought_runs",
     "events_running_records",
     "docs_quality_calibration",
+    # round-11 late additions: the decile-grid PSI drift scan and the
+    # 60-way fingerprint bit audit
+    "events_psi_by_type",
+    "simhash_bit_balance",
 ]
 
 

@@ -162,6 +162,10 @@ AUDIT = [
     "hydro_drought_runs",
     "docs_quality_calibration",
     "orders_duplicate_invoices",
+    "events_psi_by_type",
+    "simhash_bit_balance",
+    "ann_centroid_occupancy",
+    "docs_packing_waste",
 ]
 
 
