@@ -6650,7 +6650,19 @@ def events_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("first_half").alias("c1"),
         F.sum(F.lit(1) - F.col("first_half")).alias("c2"),
     )
-    types = bucketed.select("event_type").distinct()
+    return psi_from_bucket_counts(counts)
+
+
+def psi_from_bucket_counts(counts: DataFrame) -> DataFrame:
+    """The PSI tail over sparse (event_type, bucket, c1, c2) bucket
+    counts (c1 = reference half/snapshot, c2 = comparison half/live):
+    zero-fill the 10-bucket grid, +1 Laplace smoothing, fixed-order
+    IEEE terms, sorted-list fold, round 4. Shared by the batch face
+    (events_psi_by_type) and the streaming monitor
+    (streaming/curation.psi_report_vs_reference) so both serve
+    IDENTICAL rows from the same counts — the ks_from_counts
+    pattern."""
+    types = counts.select("event_type").distinct()
     grid = (
         types.select(
             "event_type",
@@ -6692,4 +6704,23 @@ def events_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_second").cast("long").alias("n_second"),
             F.round(F.col("psi"), 4).alias("psi"),
         )
+    )
+
+
+def psi_bucket_counts(events_batch: DataFrame, edges: list[float]) -> DataFrame:
+    """(event_type, bucket, c) counts over ONE batch of events against
+    FROZEN decile edges — the additive partial the PSI streaming
+    monitor appends per micro-batch (counts merge by plain addition,
+    so the union of partials IS the live distribution)."""
+    earr = F.array(*[F.lit(e) for e in edges])
+    return (
+        events_batch.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.size(
+                F.filter(earr, lambda e: F.col("value") > e)
+            ).alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("c"))
     )

@@ -980,3 +980,66 @@ def cms_heavy_hitters_from_store(
             (F.col("cms_est") - F.col("exact_cnt")).alias("inflation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PSI drift monitor (stream face of
+# plans/relational.events_psi_by_type's scoring tail)
+# ---------------------------------------------------------------------------
+
+
+def psi_drift_stream(events_stream: DataFrame, table_path: str, edges: list):
+    """Keep the live PSI substrate current as events stream in: per
+    micro-batch, (event_type, bucket, c) counts against FROZEN decile
+    edges (the production monitoring shape — edges come from the
+    reference snapshot a model was trained/validated on) appended
+    exactly-once through ``_append_merge``. Bucket counts merge by
+    plain addition, so the union of per-batch partials IS the live
+    distribution; no state store, constant 10-bucket key space per
+    type. The ks_drift_stream pattern on the decile grid.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+    from hrfco_data_pipeline_spark.plans.relational import psi_bucket_counts
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _append_merge(
+            batch_df.sparkSession,
+            table_path,
+            psi_bucket_counts(batch_df, edges),
+            batch_id,
+        )
+
+    return events_stream.writeStream.foreachBatch(_merge)
+
+
+def psi_report_vs_reference(
+    spark, table_path: str, reference_counts: DataFrame
+) -> DataFrame:
+    """PSI per event type of the ACCUMULATED live counts against a
+    reference snapshot's (event_type, bucket, c) counts — identical
+    rows to the batch face for the same halves (shared
+    plans/relational.psi_from_bucket_counts tail; stored partials sum
+    to the live bucket counts)."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        psi_from_bucket_counts,
+    )
+
+    live = (
+        read_appended(spark, table_path)
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("c").alias("c2"))
+    )
+    ref = reference_counts.select(
+        "event_type", "bucket", F.col("c").alias("c1")
+    )
+    counts = (
+        ref.join(live, ["event_type", "bucket"], "full")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    return psi_from_bucket_counts(counts)

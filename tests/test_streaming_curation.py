@@ -1116,3 +1116,111 @@ def test_cms_stream_equals_batch_sketch(spark, tmp_path):
     before = read_appended(spark, table).count()
     _append_merge(spark, table, cms_counters(docs.limit(5)), 0)
     assert read_appended(spark, table).count() == before
+
+
+def test_psi_drift_stream_equals_batch_face(spark, tmp_path):
+    """Stream the SECOND half of the corpus (by the batch face's
+    integer midpoint day split) through the PSI monitor with frozen
+    full-corpus decile edges and a first-half reference snapshot; the
+    serve face must equal events_psi_by_type on the full corpus row
+    for row (bucket counts merge by addition — order-free)."""
+    import duckdb
+
+    from pyspark.sql.types import DoubleType, TimestampNTZType
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_psi_by_type,
+        psi_bucket_counts,
+    )
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        psi_drift_stream,
+        psi_report_vs_reference,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    # full-corpus decile edges + midpoint day, recomputed exactly in
+    # DuckDB (the batch face's own construction)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{sf}/events.parquet')"
+    )
+    edges = [
+        v
+        for (v,) in con.execute(
+            """
+            WITH base AS (
+              SELECT event_id, value FROM events
+              WHERE value IS NOT NULL AND ts IS NOT NULL
+            ), tot AS (SELECT count(*) AS n_all FROM base),
+            r AS (
+              SELECT value,
+                row_number() OVER (ORDER BY value, event_id) AS rnk
+              FROM base
+            ), cuts AS (
+              SELECT CAST(floor((n_all * i - 1) / 10.0) AS BIGINT) + 1
+                AS cut
+              FROM tot, unnest(range(1, 10)) AS t(i)
+            )
+            SELECT value FROM r WHERE rnk IN (SELECT cut FROM cuts)
+            ORDER BY rnk
+            """
+        ).fetchall()
+    ]
+    (mid,) = con.execute(
+        """
+        SELECT CAST(floor((min(d) + max(d)) / 2.0) AS BIGINT) FROM (
+          SELECT CAST(date_diff('day', DATE '1970-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS d
+          FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
+        """
+    ).fetchone()
+
+    ev = load_table(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    day = F.datediff(
+        F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    first = ev.filter(day <= mid)
+    second = ev.filter(day > mid)
+    reference = psi_bucket_counts(first, edges)
+
+    src = str(tmp_path / "psi_src")
+    second.repartition(4).write.parquet(src)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "psi_counts")
+    q = (
+        psi_drift_stream(stream, table, edges)
+        .option("checkpointLocation", str(tmp_path / "psi-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    cols = ["event_type", "n_first", "n_second", "psi"]
+    got = sorted(
+        tuple(r)
+        for r in psi_report_vs_reference(spark, table, reference)
+        .select(*cols)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in events_psi_by_type(spark, sf).select(*cols).collect()
+    )
+    assert got == want
