@@ -194,3 +194,39 @@ def test_all_callables_and_oracles_nonempty():
     q = entry.queries()
     assert all(callable(f) for f in q.values())
     assert all(s.strip() for s in entry.oracle_sql().values())
+
+
+def test_evidence_ledger_is_fresh():
+    """docs/EVIDENCE.md is generated from the registry order + the
+    CORRECTNESS_r*.json history; a registry change without
+    regenerating it would silently de-sync the rotation-planning
+    table (the r11 lesson: comment archaeology drifted 12 queries).
+    Regenerate in-memory and compare."""
+    import importlib
+    import pathlib
+    import sys
+
+    sys.path.insert(0, ".")
+    gen = importlib.import_module("tools.gen_query_docs")
+    hist = gen.driver_history()
+    q = entry.queries()
+    o = entry.oracle_sql()
+    import contextlib
+    import io
+    import os
+    import tempfile
+
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as td:
+        os.makedirs(os.path.join(td, "docs"))
+        try:
+            os.chdir(td)
+            with contextlib.redirect_stdout(io.StringIO()):
+                gen.write_evidence_ledger(q, o, hist)
+            fresh = pathlib.Path(td, "docs", "EVIDENCE.md").read_text()
+        finally:
+            os.chdir(cwd)
+    committed = pathlib.Path(cwd, "docs", "EVIDENCE.md").read_text()
+    assert fresh == committed, (
+        "docs/EVIDENCE.md is stale — run: python tools/gen_query_docs.py"
+    )
