@@ -6655,55 +6655,56 @@ def events_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def psi_from_bucket_counts(counts: DataFrame) -> DataFrame:
     """The PSI tail over sparse (event_type, bucket, c1, c2) bucket
-    counts (c1 = reference half/snapshot, c2 = comparison half/live):
-    zero-fill the 10-bucket grid, +1 Laplace smoothing, fixed-order
-    IEEE terms, sorted-list fold, round 4. Shared by the batch face
-    (events_psi_by_type) and the streaming monitor
-    (streaming/curation.psi_report_vs_reference) so both serve
-    IDENTICAL rows from the same counts — the ks_from_counts
-    pattern."""
-    types = counts.select("event_type").distinct()
-    grid = (
-        types.select(
-            "event_type",
-            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"),
-        )
-        .join(counts, ["event_type", "bucket"], "left")
-        .select(
-            "event_type",
-            "bucket",
-            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
-            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
-        )
+    counts (c1 = reference half/snapshot, c2 = comparison half/live;
+    rows must have c1+c2 > 0): +1 Laplace smoothing, fixed-order IEEE
+    terms, sorted-list fold over all 10 buckets, round 4. Shared by
+    the batch face (events_psi_by_type) and the streaming monitor
+    (streaming/curation.psi_report_vs_reference) — the ks_from_counts
+    pattern.
+
+    Plan shape: ONE groupBy over the sparse counts. Every ABSENT
+    bucket contributes the identical term((0,0)) value, so the
+    zero-filled 10-bucket grid is array_repeat(term00, 10−present)
+    concatenated to the present-bucket terms — no types×10 grid
+    explode, no halves join-back. The first cut of this tail used
+    grid + two join-backs and audited at 72 parquet scans / 79
+    exchanges through DataFrame branch re-embedding (the r9
+    double_mass 78-exchange lesson); this form audits at one scan of
+    the counts subtree. The sorted 10-term MULTISET is identical
+    either way, so the DuckDB twin (which keeps the readable grid
+    form) folds to the same bits."""
+
+    def term(c1, c2, n1, n2):
+        p = (c1 + F.lit(1)).cast("double") / (n1 + F.lit(10)).cast("double")
+        q = (c2 + F.lit(1)).cast("double") / (n2 + F.lit(10)).cast("double")
+        return (p - q) * F.log(p / q)
+
+    per_type = counts.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count("*").alias("n_present"),
+        F.collect_list(F.struct("c1", "c2")).alias("cs"),
     )
-    halves = grid.groupBy("event_type").agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    n1, n2 = F.col("n1"), F.col("n2")
+    all_terms = F.concat(
+        F.transform("cs", lambda s: term(s["c1"], s["c2"], n1, n2)),
+        F.array_repeat(
+            term(F.lit(0), F.lit(0), n1, n2),
+            (F.lit(10) - F.col("n_present")).cast("int"),
+        ),
     )
-    p = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10).cast("double")
-    q = (F.col("c2") + 1).cast("double") / (F.col("n2") + 10).cast("double")
-    terms = grid.join(F.broadcast(halves), "event_type").select(
+    return per_type.select(
         "event_type",
-        "n1",
-        "n2",
-        ((p - q) * F.log(p / q)).alias("term"),
-    )
-    return (
-        terms.groupBy("event_type")
-        .agg(
-            F.max("n1").alias("n_first"),
-            F.max("n2").alias("n_second"),
+        n1.cast("long").alias("n_first"),
+        n2.cast("long").alias("n_second"),
+        F.round(
             F.aggregate(
-                F.sort_array(F.collect_list("term")),
+                F.sort_array(all_terms),
                 F.lit(0.0),
                 lambda acc, t: acc + t,
-            ).alias("psi"),
-        )
-        .select(
-            "event_type",
-            F.col("n_first").cast("long").alias("n_first"),
-            F.col("n_second").cast("long").alias("n_second"),
-            F.round(F.col("psi"), 4).alias("psi"),
-        )
+            ),
+            4,
+        ).alias("psi"),
     )
 
 
