@@ -8467,3 +8467,85 @@ RELATIONAL_ORACLES["events_psi_by_type"] = """
         (acc, t) -> acc + t), 4) AS psi
     FROM terms GROUP BY event_type
     """
+
+# Fano factor: exact integer sufficient stats over the calendar day
+# range, single (D*s2 - n^2)/(D*n) division.
+RELATIONAL_ORACLES["events_burstiness_fano"] = """
+    WITH base AS (
+      SELECT event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             AS BIGINT) AS day
+      FROM events WHERE ts IS NOT NULL
+    ), dd AS (
+      SELECT max(day) - min(day) + 1 AS d_total FROM base
+    ), daily AS (
+      SELECT event_type, day, count(*) AS c FROM base GROUP BY 1, 2
+    ), per_type AS (
+      SELECT event_type, count(*) AS n_days_active, sum(c) AS n,
+        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type,
+      CAST(n AS BIGINT) AS n_events,
+      CAST(n_days_active AS BIGINT) AS n_days_active,
+      CAST(d_total AS BIGINT) AS n_days_total,
+      CAST(CAST(d_total AS HUGEINT) * s2
+           - CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+        / CAST(CAST(d_total AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+        AS fano
+    FROM per_type CROSS JOIN dd
+    """
+
+# Amount reconciliation: integer ten-thousandth-cents on both faces,
+# pure-integer band membership |d|*k <= T.
+RELATIONAL_ORACLES["orders_amount_reconciliation"] = """
+    WITH li AS (
+      SELECT l_orderkey AS okey,
+        sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+            * (100 - CAST(round(l_discount * 100) AS BIGINT))
+            * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS line_units
+      FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT o_orderkey AS okey, o_orderstatus,
+        CAST(round(o_totalprice * 100) AS HUGEINT) * 10000 AS hdr_units
+      FROM orders
+    ), j AS (
+      SELECT o.o_orderstatus, o.hdr_units,
+        li.line_units IS NULL AS no_lines,
+        abs(o.hdr_units - coalesce(li.line_units, 0)) AS ad
+      FROM o LEFT JOIN li ON o.okey = li.okey
+    )
+    SELECT o_orderstatus,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(sum(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_no_lines,
+      CAST(sum(CASE WHEN NOT no_lines AND ad * 1000 <= hdr_units
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_within_0p1pct,
+      CAST(sum(CASE WHEN NOT no_lines AND ad * 100 <= hdr_units
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+      CAST(sum(CASE WHEN NOT no_lines AND ad * 10 <= hdr_units
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_within_10pct
+    FROM j GROUP BY 1
+    """
+
+# Churn sensitivity: integer last-order day vs corpus max day.
+RELATIONAL_ORACLES["customer_churn_sensitivity"] = """
+    WITH o AS (
+      SELECT o_custkey,
+        CAST(date_diff('day', DATE '1970-01-01',
+             CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders
+    ), last AS (
+      SELECT o_custkey, max(day) AS last_day FROM o GROUP BY 1
+    ), dmax AS (
+      SELECT max(day) AS dmax FROM o
+    )
+    SELECT CAST(cutoff_days AS INTEGER) AS cutoff_days,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(sum(CASE WHEN last_day < dmax - cutoff_days THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_churned,
+      CAST(sum(CASE WHEN last_day < dmax - cutoff_days THEN 1 ELSE 0 END)
+           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS churn_rate
+    FROM last, unnest([30, 60, 90]) AS u(cutoff_days), dmax
+    GROUP BY 1
+    """

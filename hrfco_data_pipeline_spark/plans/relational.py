@@ -6725,3 +6725,185 @@ def psi_bucket_counts(events_batch: DataFrame, edges: list[float]) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count("*").alias("c"))
     )
+
+
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness screen per event type: the Fano factor (index of
+    dispersion) of the DAILY event-count series over the full corpus
+    day range — var/mean = 1 for a Poisson arrival process, > 1 for
+    bursty/clustered traffic, < 1 for regular (rate-limited) traffic.
+    The stationarity companion to events_inter_arrival_stats (which
+    sees gaps; Fano sees count clumping at the chosen granularity).
+
+    Exactness: with D = calendar days in the corpus range (zero days
+    count), n = Σc_d and s2 = Σc_d² exact integers, the population
+    Fano factor is the single division (D·s2 − n²)/(D·n) — numerator
+    and denominator stay integer (DECIMAL(38,0) — n² passes 2^63 at
+    corpus scale), one double division at the boundary.
+
+    Scale shape: one (type, day) count aggregate (map-side combined),
+    one per-type re-aggregate on the same key prefix, a broadcast
+    1-row day-range join. Absent (type, day) cells contribute 0 to
+    both sums, so no zero-fill grid materializes.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+            ).cast("long").alias("day"),
+        )
+    )
+    days = ev.agg(
+        (F.max("day") - F.min("day") + 1).alias("d_total")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    d38 = lambda c: c.cast("decimal(38,0)")
+    per_type = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days_active"),
+        F.sum("c").alias("n"),
+        F.sum(d38(F.col("c")) * d38(F.col("c"))).alias("s2"),
+    )
+    return per_type.crossJoin(F.broadcast(days)).select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("n_days_active").cast("long").alias("n_days_active"),
+        F.col("d_total").cast("long").alias("n_days_total"),
+        (
+            (d38(F.col("d_total")) * F.col("s2") - d38(F.col("n")) * d38(F.col("n")))
+            .cast("double")
+            / (d38(F.col("d_total")) * d38(F.col("n"))).cast("double")
+        ).alias("fano"),
+    )
+
+
+def orders_amount_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table amount reconciliation DQ: does o_totalprice equal
+    Σ l_extendedprice·(1−l_discount)·(1+l_tax) over the order's
+    lines? The financial-close audit every warehouse runs between a
+    header table and its lines (here it also certifies the synthetic
+    corpus' header/line independence). Per order status: order count,
+    how many orders have no lines at all, and how many reconcile
+    within 0.1% / 1% / 10% relative difference.
+
+    Exactness: everything is INTEGER TEN-THOUSANDTHS-OF-A-CENT —
+    line value = cents(ext)·(100−pct(disc))·(100+pct(tax)) exactly;
+    the header face is cents(total)·10⁴; band membership is the
+    pure-integer comparison |d|·k ≤ T (k = 1000/100/10), so no
+    division or float ever decides a bucket. Sums accumulate in
+    DECIMAL(38,0).
+
+    Scale shape: one lineitem scan pre-aggregated to per-order sums
+    BEFORE the join (partial-agg shuffle on l_orderkey), one
+    orderkey-join against the header (both sides big → sort-merge;
+    AQE may flip), one tiny status aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long")).cast(
+                "decimal(38,0)"
+            )
+            * (100 + F.round(F.col("l_tax") * 100).cast("long")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("lv"),
+    )
+    line_sums = li.groupBy("okey").agg(F.sum("lv").alias("line_units"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        "o_orderstatus",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+            * F.lit(10000).cast("decimal(38,0)")
+        ).alias("hdr_units"),
+    )
+    j = o.join(line_sums, "okey", "left").select(
+        "o_orderstatus",
+        "hdr_units",
+        F.col("line_units").isNull().alias("no_lines"),
+        F.abs(
+            F.col("hdr_units") - F.coalesce(F.col("line_units"), F.lit(0))
+        ).alias("ad"),
+    )
+    within = lambda k: F.sum(
+        F.when(
+            ~F.col("no_lines")
+            & (F.col("ad") * F.lit(k).cast("decimal(38,0)") <= F.col("hdr_units")),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("no_lines").cast("long")).alias("n_no_lines"),
+            within(1000).alias("n_within_0p1pct"),
+            within(100).alias("n_within_1pct"),
+            within(10).alias("n_within_10pct"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_no_lines").cast("long").alias("n_no_lines"),
+            F.col("n_within_0p1pct").cast("long").alias("n_within_0p1pct"),
+            F.col("n_within_1pct").cast("long").alias("n_within_1pct"),
+            F.col("n_within_10pct").cast("long").alias("n_within_10pct"),
+        )
+    )
+
+
+def customer_churn_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-definition sensitivity: the churn rate under 30/60/90-day
+    inactivity cutoffs — the first analysis a retention team runs
+    before committing to a churn SLA, because the rate is often wildly
+    sensitive to the arbitrary cutoff (a steep curve here means the
+    definition, not the behavior, drives the metric).
+
+    Exactness: last-order day per customer and the corpus max day are
+    exact integers; churned = last_day < dmax − cutoff is an integer
+    comparison; the rate is one exact-integer double division.
+
+    Scale shape: one per-customer max aggregate (map-side combined),
+    a 3-element literal explode on the bounded per-customer frame,
+    a broadcast 1-row corpus-max join, a 3-group aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long").alias("day"),
+    )
+    last = o.groupBy("o_custkey").agg(F.max("day").alias("last_day"))
+    dmax = o.agg(F.max("day").alias("dmax"))
+    grid = last.select(
+        "last_day",
+        F.explode(F.array(*[F.lit(c) for c in (30, 60, 90)])).alias(
+            "cutoff_days"
+        ),
+    )
+    return (
+        grid.crossJoin(F.broadcast(dmax))
+        .groupBy("cutoff_days")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(
+                F.when(
+                    F.col("last_day") < F.col("dmax") - F.col("cutoff_days"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_churned"),
+        )
+        .select(
+            F.col("cutoff_days").cast("int").alias("cutoff_days"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("n_churned").cast("long").alias("n_churned"),
+            (
+                F.col("n_churned").cast("double")
+                / F.col("n_customers").cast("double")
+            ).alias("churn_rate"),
+        )
+    )

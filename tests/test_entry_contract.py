@@ -58,6 +58,9 @@ NEW_IN_R11: list[str] = [
     "simhash_bit_balance",
     "ann_centroid_occupancy",
     "docs_packing_waste",
+    "events_burstiness_fano",
+    "orders_amount_reconciliation",
+    "customer_churn_sensitivity",
 ]
 
 # The pinned r11 backlog written at the end of r10 (VERDICT r10 "Next

@@ -585,3 +585,148 @@ def test_packing_waste_python_recompute(spark):
         <= got[1024].total_pad
         <= got[2048].total_pad
     )
+
+
+def test_fano_hand_computed(spark, tmp_path):
+    """Clumped vs regular arrivals over a 4-day range: Fano recomputed
+    from the closed form (D*s2 - n^2)/(D*n) with zero days counted."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_burstiness_fano,
+    )
+
+    rows = []
+    eid = 0
+    # 'bursty': 8 events on day 1, 0 on days 2-4
+    for _ in range(8):
+        rows.append((eid, "2024-01-01T10:00:00", "bursty", 1.0))
+        eid += 1
+    # 'regular': 2 events each day 1-4
+    for d in range(1, 5):
+        for _ in range(2):
+            rows.append((eid, f"2024-01-0{d}T10:00:00", "regular", 1.0))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    got = {r.event_type: r for r in events_burstiness_fano(spark, sf).collect()}
+    # D = 4 (corpus day range); bursty: n=8, s2=64 -> (4*64-64)/(4*8)=6
+    b = got["bursty"]
+    assert (b.n_events, b.n_days_active, b.n_days_total) == (8, 1, 4)
+    assert b.fano == (4 * 64 - 64) / (4 * 8) == 6.0
+    # regular: n=8, s2=4*4=16 -> (64-64)/32 = 0
+    r = got["regular"]
+    assert (r.n_events, r.n_days_active, r.n_days_total) == (8, 4, 4)
+    assert r.fano == 0.0
+
+
+def test_reconciliation_hand_computed(spark, tmp_path):
+    """Crafted header/lines: one exact match, one 0.5% off, one 5%
+    off, one with no lines — band counts recomputed by hand in
+    integer ten-thousandth-cents."""
+    import datetime as dt
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        orders_amount_reconciliation,
+    )
+
+    oschema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderdate", TimestampType()),
+            StructField("o_orderpriority", StringType()),
+        ]
+    )
+    lschema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_partkey", LongType()),
+            StructField("l_suppkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_extendedprice", DoubleType()),
+            StructField("l_discount", DoubleType()),
+            StructField("l_tax", DoubleType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_linestatus", StringType()),
+            StructField("l_shipdate", TimestampType()),
+        ]
+    )
+    d = dt.datetime(2024, 1, 1)
+    # line value units = cents(ext) * (100-disc) * (100+tax)
+    # order 1: ext 100.00, disc 0, tax 0 -> 10000*100*100 = 1e8 units
+    #          header 100.00 -> 10000*10000 = 1e8 -> exact
+    # order 2: header 100.50 vs lines 100.00 -> 0.4975% off (within 1%)
+    # order 3: header 105.00 vs lines 100.00 -> ~4.76% off (within 10%)
+    # order 4: no lines
+    orders = [
+        (1, 1, "O", 100.00, d, "1"),
+        (2, 1, "O", 100.50, d, "1"),
+        (3, 1, "F", 105.00, d, "1"),
+        (4, 1, "F", 50.00, d, "1"),
+    ]
+    lines = [
+        (1, 1, 1, 1, 1.0, 100.00, 0.0, 0.0, "N", "O", d),
+        (2, 1, 1, 1, 1.0, 100.00, 0.0, 0.0, "N", "O", d),
+        (3, 1, 1, 1, 1.0, 100.00, 0.0, 0.0, "N", "O", d),
+    ]
+    out = str(tmp_path / "recon")
+    spark.createDataFrame(orders, oschema).write.parquet(f"{out}/orders.parquet")
+    spark.createDataFrame(lines, lschema).write.parquet(f"{out}/lineitem.parquet")
+    got = {
+        r.o_orderstatus: r
+        for r in orders_amount_reconciliation(spark, out).collect()
+    }
+    o = got["O"]
+    assert (o.n_orders, o.n_no_lines) == (2, 0)
+    assert (o.n_within_0p1pct, o.n_within_1pct, o.n_within_10pct) == (1, 2, 2)
+    f = got["F"]
+    assert (f.n_orders, f.n_no_lines) == (2, 1)
+    # the no-lines order is excluded from every band
+    assert (f.n_within_0p1pct, f.n_within_1pct, f.n_within_10pct) == (0, 0, 1)
+
+
+def test_churn_sensitivity_python_recompute(spark):
+    """sf0.001: recompute last-order days and all three cutoffs in
+    pure Python from the parquet."""
+    import duckdb
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        customer_churn_sensitivity,
+    )
+
+    rows = duckdb.sql(
+        "SELECT o_custkey, CAST(date_diff('day', DATE '1970-01-01',"
+        " CAST(o_orderdate AS DATE)) AS BIGINT) FROM"
+        " read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    ).fetchall()
+    last: dict[int, int] = {}
+    dmax = 0
+    for c, d in rows:
+        last[c] = max(last.get(c, 0), d)
+        dmax = max(dmax, d)
+    got = {
+        r.cutoff_days: r
+        for r in customer_churn_sensitivity(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == {30, 60, 90}
+    for cut in (30, 60, 90):
+        churned = sum(1 for d in last.values() if d < dmax - cut)
+        r = got[cut]
+        assert r.n_customers == len(last)
+        assert r.n_churned == churned
+        assert r.churn_rate == churned / len(last)
+    # monotone: stricter cutoff -> fewer churned
+    assert got[30].n_churned >= got[60].n_churned >= got[90].n_churned

@@ -166,6 +166,9 @@ AUDIT = [
     "simhash_bit_balance",
     "ann_centroid_occupancy",
     "docs_packing_waste",
+    "events_burstiness_fano",
+    "orders_amount_reconciliation",
+    "customer_churn_sensitivity",
 ]
 
 
