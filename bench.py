@@ -107,6 +107,9 @@ HEADLINE = [
     # 60-way fingerprint bit audit
     "events_psi_by_type",
     "simhash_bit_balance",
+    # round-11 final addition: the header/lines fact-fact
+    # reconciliation join
+    "orders_amount_reconciliation",
 ]
 
 
