@@ -206,3 +206,61 @@ def test_null_bucket_key_raises(spark):
     )
     with pytest.raises(Exception, match="bucket_key must be non-null"):
         got.count()
+
+
+@pytest.mark.parametrize("sample_mod", [8, 1 << 20])
+def test_cummax_matches_partitioned_window(spark, sample_mod):
+    """maxes= mode (the events_running_records wiring): the two-pass
+    cumulative MAX must equal MAX OVER (PARTITION BY p ORDER BY ...
+    UNBOUNDED PRECEDING..CURRENT ROW) exactly — including negative
+    values (greatest() offset combine must not treat the partition
+    start as 0)."""
+    df = _base(spark).withColumn(
+        "p", F.pmod(F.xxhash64("id", F.lit(13)), F.lit(4)).cast("string")
+    ).withColumn("sv", F.col("v") - 500)  # mixed-sign values
+    got = ranked_cumsum(
+        df,
+        F.col("k").cast("double"),
+        [F.asc("k"), F.asc("id")],
+        sample_key=F.col("id"),
+        rank_name="rn",
+        sample_mod=sample_mod,
+        partition_cols=["p"],
+        maxes={"run_max": F.col("sv")},
+    )
+    w = Window.partitionBy("p").orderBy(F.asc("k"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select("id", F.max("sv").over(w).alias("run_max"))
+    bad = (
+        got.select("id", "run_max")
+        .alias("g")
+        .join(want.alias("w"), "id")
+        .filter(F.col("g.run_max") != F.col("w.run_max"))
+    )
+    assert bad.count() == 0
+
+
+def test_cummax_global_mode(spark):
+    """maxes= without partition_cols: plain global running max."""
+    df = _base(spark, 2000)
+    got = ranked_cumsum(
+        df,
+        F.col("k").cast("double"),
+        [F.asc("k"), F.asc("id")],
+        sample_key=F.col("id"),
+        rank_name="rn",
+        sample_mod=4,
+        maxes={"m": F.col("v")},
+    )
+    w = Window.orderBy(F.asc("k"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = df.select("id", F.max("v").over(w).alias("m"))
+    bad = (
+        got.select("id", "m")
+        .alias("g")
+        .join(want.alias("w"), "id")
+        .filter(F.col("g.m") != F.col("w.m"))
+    )
+    assert bad.count() == 0
