@@ -8549,3 +8549,106 @@ RELATIONAL_ORACLES["customer_churn_sensitivity"] = """
     FROM last, unnest([30, 60, 90]) AS u(cutoff_days), dmax
     GROUP BY 1
     """
+
+
+def _pca_ev_sql(dim: int = 64, iters: int = 3) -> str:
+    """Explained-variance twin: the same unrolled power iterations as
+    _pca_power_sql through v3 (normalized), then the floor-quantized
+    Rayleigh numerator / trace sums and the vtv*trace division chain
+    mirrored operand for operand."""
+    q = "1000000000.0"
+
+    def dot_fold(vv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(0, {dim}), "
+            f"i -> v[i + 1] * {vv}[i + 1])), (acc, x) -> acc + x)"
+        )
+
+    def w_cte(name: str, vsrc: str) -> str:
+        sums = ", ".join(
+            f"CAST(sum(floor(v[{j + 1}] * dot * {q})::BIGINT) AS BIGINT) AS s{j}"
+            for j in range(dim)
+        )
+        return (
+            f"{name} AS (SELECT {sums} FROM "
+            f"(SELECT e.v AS v, {dot_fold('vv')} AS dot FROM e, {vsrc}))"
+        )
+
+    def v_cte(name: str, wsrc: str) -> str:
+        gm = "greatest(" + ", ".join(f"abs(s{j})" for j in range(dim)) + ")"
+        comps = ", ".join(
+            f"CAST(s{j} AS DOUBLE) / CAST(gm AS DOUBLE)" for j in range(dim)
+        )
+        return (
+            f"{name} AS (SELECT [{comps}] AS vv FROM "
+            f"(SELECT *, {gm} AS gm FROM {wsrc}))"
+        )
+
+    ones = ", ".join(["1.0"] * dim)
+    ctes = [
+        "e AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS v"
+        " FROM embeddings)",
+        f"v0 AS (SELECT [{ones}] AS vv)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(w_cte(f"w{t}", f"v{t - 1}"))
+        ctes.append(v_cte(f"v{t}", f"w{t}"))
+    norm2 = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(0, {dim}), "
+        f"i -> v[i + 1] * v[i + 1])), (acc, x) -> acc + x)"
+    )
+    vtv = (
+        "list_reduce(list_prepend(0.0, list_transform(vv, x -> x * x)), "
+        "(acc, x) -> acc + x)"
+    )
+    absvv = "list_transform(vv, x -> abs(x))"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , stats AS (
+      SELECT count(*) AS n_vecs,
+        sum(floor(dot * dot * {q})::BIGINT) AS num,
+        sum(floor(n2 * {q})::BIGINT) AS tr
+      FROM (SELECT {dot_fold('vv')} AS dot, {norm2} AS n2
+            FROM e, v{iters})
+    )
+    SELECT CAST(n_vecs AS BIGINT) AS n_vecs,
+      CAST(list_position({absvv}, list_max({absvv})) - 1 AS INTEGER)
+        AS dominant_dim,
+      CAST(num AS DOUBLE) / ({vtv} * CAST(tr AS DOUBLE)) AS ev_ratio
+    FROM stats, v{iters}
+    """
+    )
+
+
+LLM_ORACLES["embedding_pca_explained_variance"] = _pca_ev_sql()
+
+# Vocab coverage curve: row_number over (freq desc, tok), exact
+# cumulative occurrence counts, clamped cuts.
+LLM_ORACLES["docs_vocab_coverage_curve"] = _TOK_CTE + """
+    , tf AS (
+      SELECT tok, count(*) AS freq FROM (
+        SELECT unnest(toks) AS tok FROM tok)
+      GROUP BY tok
+    ), totals AS (
+      SELECT count(*) AS vocab, sum(freq) AS total_toks FROM tf
+    ), ranked AS (
+      SELECT freq,
+        row_number() OVER (ORDER BY freq DESC, tok) AS rnk,
+        sum(freq) OVER (ORDER BY freq DESC, tok
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq
+      FROM tf
+    ), ks AS (
+      SELECT vocab, total_toks, k_requested,
+        least(CAST(k_requested AS BIGINT), vocab) AS kk
+      FROM totals, unnest([100, 1000, 10000]) AS u(k_requested)
+    )
+    SELECT CAST(k_requested AS INTEGER) AS k_requested,
+      CAST(kk AS BIGINT) AS k_effective,
+      CAST(vocab AS BIGINT) AS vocab,
+      CAST(cum_freq AS BIGINT) AS covered_tokens,
+      CAST(total_toks AS BIGINT) AS total_tokens,
+      CAST(cum_freq AS DOUBLE) / CAST(total_toks AS DOUBLE) AS coverage
+    FROM ranked JOIN ks ON ranked.rnk = ks.kk
+    """

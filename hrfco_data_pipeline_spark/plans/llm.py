@@ -5400,3 +5400,151 @@ def docs_packing_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_share"),
         )
     )
+
+
+def embedding_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explained-variance ratio of the dominant principal direction —
+    the one-number answer to "is this embedding space effectively
+    low-rank?" that gates whitening / dimensionality-reduction
+    decisions before ANN indexing (the QA face of
+    embedding_pca_power_iteration, which emits the direction itself;
+    the Matryoshka recall probe answers the same question empirically,
+    this answers it spectrally): ratio = (vᵀMv / vᵀv) / trace(M)
+    over the uncentered second-moment matrix M = Σ x·xᵀ.
+
+    Exactness: v comes from the SAME three integer-exact power
+    iterations as the PCA query (floor-quantized DECIMAL sums,
+    L∞ renormalization on exact integer operands — bounded 64-long
+    collects, the Lloyd-iteration pattern); the Rayleigh numerator
+    Σ⟨x,v⟩² and trace Σ‖x‖² accumulate as floor-quantized integer
+    nanos in DECIMAL(38,0); vᵀv is a left fold from 0.0 over the
+    identical v doubles on both faces. One final division chain.
+
+    Scale shape: four full scans total (three iteration aggregates +
+    the variance aggregate), each a map-side-combined 1-row result;
+    driver state is 64 doubles per iteration.
+    """
+    from hrfco_data_pipeline_spark.operators.similarity import as_double_vec
+
+    dim = 64
+    q = 1000000000.0
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+
+    def dot_with(v_lits: list[float]) -> Column:
+        expr: Column = F.lit(0.0)
+        for j in range(dim):
+            expr = expr + F.element_at("v", j + 1) * F.lit(v_lits[j])
+        return expr
+
+    def w_aggs(dot: Column) -> list[Column]:
+        return [
+            F.sum(
+                F.floor(
+                    F.element_at("v", j + 1) * dot * F.lit(q)
+                ).cast("decimal(38,0)")
+            ).alias(f"s{j}")
+            for j in range(dim)
+        ]
+
+    v = [1.0] * dim
+    for _ in range(3):
+        row = vecs.agg(*w_aggs(dot_with(v))).collect()[0]
+        w = [int(row[f"s{j}"]) for j in range(dim)]
+        wmax = max(abs(x) for x in w)
+        v = [float(x) / float(wmax) for x in w]
+
+    vtv = 0.0
+    for x in v:
+        vtv = vtv + x * x
+    dominant = max(range(dim), key=lambda j: (abs(v[j]), -j))
+
+    d = dot_with(v)
+    norm2: Column = F.lit(0.0)
+    for j in range(dim):
+        norm2 = norm2 + F.element_at("v", j + 1) * F.element_at("v", j + 1)
+    agg = vecs.agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(F.floor(d * d * F.lit(q)).cast("decimal(38,0)")).alias("num"),
+        F.sum(F.floor(norm2 * F.lit(q)).cast("decimal(38,0)")).alias("tr"),
+    )
+    return agg.select(
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.lit(dominant).cast("int").alias("dominant_dim"),
+        (
+            F.col("num").cast("double")
+            / (F.lit(vtv) * F.col("tr").cast("double"))
+        ).alias("ev_ratio"),
+    )
+
+
+def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of corpus token
+    OCCURRENCES covered by the top-k most frequent types, at k =
+    100 / 1 000 / 10 000 — the vocab-size pricing readout a tokenizer
+    design starts from (the Zipf/Heaps fits already shipped model the
+    curve; this measures the three decision points exactly), and the
+    packing_waste sibling on the vocabulary axis.
+
+    Exactness: type frequencies are exact integers; the rank is the
+    total order (freq desc, token asc); the coverage at rank k is an
+    exact cumulative integer over that order; one double division per
+    output row. When the corpus vocabulary is smaller than k the cut
+    clamps to the vocabulary (k_effective), same clamp on both faces.
+
+    Scale shape: one (token) count aggregate (map-side combined),
+    then the rank + cumulative run through the DESCENDING
+    range-bucketed two-pass (negated bucket key — never a global
+    sort over the vocabulary, which grows with the corpus); the
+    3-row cut frame joins broadcast.
+    """
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(_tokens()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    totals = tf.agg(
+        F.count("*").alias("vocab"), F.sum("freq").alias("total_toks")
+    )
+    ranked = ranked_cumsum(
+        tf,
+        -F.col("freq").cast("double"),
+        [F.desc("freq"), F.asc("tok")],
+        sample_key=F.xxhash64("tok"),
+        sums={"cum_freq": F.col("freq")},
+        rank_name="rnk",
+    )
+    ks = (
+        totals.select(
+            "vocab",
+            "total_toks",
+            F.explode(
+                F.array(*[F.lit(k) for k in (100, 1000, 10000)])
+            ).alias("k_requested"),
+        )
+        .select(
+            "vocab",
+            "total_toks",
+            "k_requested",
+            F.least(F.col("k_requested").cast("long"), F.col("vocab")).alias(
+                "kk"
+            ),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(ks), F.col("rnk") == F.col("kk"))
+        .select(
+            F.col("k_requested").cast("int").alias("k_requested"),
+            F.col("kk").cast("long").alias("k_effective"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("cum_freq").cast("long").alias("covered_tokens"),
+            F.col("total_toks").cast("long").alias("total_tokens"),
+            (
+                F.col("cum_freq").cast("double")
+                / F.col("total_toks").cast("double")
+            ).alias("coverage"),
+        )
+    )

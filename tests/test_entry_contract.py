@@ -61,6 +61,8 @@ NEW_IN_R11: list[str] = [
     "events_burstiness_fano",
     "orders_amount_reconciliation",
     "customer_churn_sensitivity",
+    "embedding_pca_explained_variance",
+    "docs_vocab_coverage_curve",
 ]
 
 # The pinned r11 backlog written at the end of r10 (VERDICT r10 "Next
@@ -148,11 +150,15 @@ def test_r12_window_plan():
     r12 = names[50:100]
     oracles = set(entry.oracle_sql())
     assert set(r12) <= oracles
-    # remaining r6-era evidence leads (oldest after this round)
+    # the 12 stale r3/r4 greens the evidence ledger surfaced
+    assert "docs_gopher_quality" in r12
+    assert "embedding_near_dups" in r12
+    # remaining r6-era evidence (oldest after this round)
     assert "events_k_anonymity" in r12
     assert "docs_zipf_fit" in r12
-    # then the oldest r7-era greens
-    assert "embedding_random_projection" in r12
+    # the displaced tail + 12 stale + r6 remainder fill the window
+    # exactly, so the r7-era head sits just behind it
+    assert "embedding_random_projection" in names[100:]
     # the r8/r9-certified blocks are behind the r12 window
     for q in ("orders_join_strategy_report", "events_segment_enrichment",
               "embedding_mutual_knn", "minhash_sig_probe",

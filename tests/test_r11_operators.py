@@ -730,3 +730,61 @@ def test_churn_sensitivity_python_recompute(spark):
         assert r.churn_rate == churned / len(last)
     # monotone: stricter cutoff -> fewer churned
     assert got[30].n_churned >= got[60].n_churned >= got[90].n_churned
+
+
+def test_pca_explained_variance_invariants(spark):
+    """sf0.001: the ratio is in (0, 1]; the dominant dim matches the
+    PCA query's max-|loading| dimension; n matches the table."""
+    import duckdb
+
+    from hrfco_data_pipeline_spark.plans.llm import (
+        embedding_pca_explained_variance,
+        embedding_pca_power_iteration,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    r = embedding_pca_explained_variance(spark, sf).collect()[0]
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert r.n_vecs == n
+    assert 0.0 < r.ev_ratio <= 1.0
+    loadings = embedding_pca_power_iteration(spark, sf).collect()
+    best = max(loadings, key=lambda x: (abs(x.loading), -x.dim))
+    assert r.dominant_dim == best.dim
+
+
+def test_vocab_coverage_python_recompute(spark):
+    """sf0.001: full Python recompute of the coverage cuts under the
+    (freq desc, token asc) total order."""
+    import duckdb
+
+    from hrfco_data_pipeline_spark.plans.llm import docs_vocab_coverage_curve
+
+    toks = duckdb.sql(
+        r"SELECT unnest(regexp_split_to_array(trim(text), '\s+')) FROM"
+        " read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    freq: dict[str, int] = {}
+    for (t,) in toks:
+        freq[t] = freq.get(t, 0) + 1
+    ordered = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(freq.values())
+    got = {
+        r.k_requested: r
+        for r in docs_vocab_coverage_curve(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == {100, 1000, 10000}
+    for k in (100, 1000, 10000):
+        kk = min(k, len(ordered))
+        covered = sum(c for _, c in ordered[:kk])
+        r = got[k]
+        assert r.k_effective == kk
+        assert r.vocab == len(ordered)
+        assert r.covered_tokens == covered
+        assert r.total_tokens == total
+        assert r.coverage == covered / total
+    # coverage is nondecreasing in k
+    assert got[100].coverage <= got[1000].coverage <= got[10000].coverage

@@ -169,6 +169,8 @@ AUDIT = [
     "events_burstiness_fano",
     "orders_amount_reconciliation",
     "customer_churn_sensitivity",
+    "embedding_pca_explained_variance",
+    "docs_vocab_coverage_curve",
 ]
 
 
