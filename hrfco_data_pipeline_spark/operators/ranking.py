@@ -34,7 +34,14 @@ oracle-checkable against a plain SQL window.
 Cost model: two scans of the input (the windowed branch and the
 per-bucket stats branch share the bucket exchange via reuse) plus one
 bounded sample aggregate — the honest two-pass trade every distributed
-rank pays (TeraSort's partitioner does exactly this). The collected
+rank pays (TeraSort's partitioner does exactly this). The sharing is a
+RUNTIME property: AQE's exchange reuse appears only in the executed
+``isFinalPlan=true`` plan (measured r11: 7-10 ReusedExchange nodes in
+the KS/MW consumers), so a static ``explain`` — which prints every
+branch's subtree — overstates the scan count; see SCALE.md §r11.
+Measured crossover vs the single-task window
+(tools/scale_probe_partitioned_cumsum.py): 2.76× faster at 20M rows,
+0.72× at 2M where the sample/offset overhead dominates. The collected
 sample is capped at ``sample_cap`` rows BY CONSTRUCTION: a one-row
 count of the first-level hash sample drives a second-level hash cut
 (keep 1-in-⌈count/cap⌉), so the collect stays bounded at any input
