@@ -8426,7 +8426,7 @@ RELATIONAL_ORACLES["events_psi_by_type"] = """
         row_number() OVER (ORDER BY value, event_id) AS rnk
       FROM base
     ), cuts AS (
-      SELECT CAST(floor((n_all * i - 1) / 10.0) AS BIGINT) + 1 AS cut
+      SELECT (n_all * i - 1) // 10 + 1 AS cut
       FROM tot, unnest(range(1, 10)) AS t(i)
     ), edges AS (
       SELECT list(value ORDER BY rnk) AS es

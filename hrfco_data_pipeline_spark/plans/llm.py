@@ -5004,10 +5004,12 @@ def multimodal_dhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan, per-row bounded (64 substrings) work,
     one groupBy on the fingerprint — map-side combined. The output is
-    every ≥2-member bucket plus the top singleton buckets up to a
-    deterministic cap of 20 rows total (ordered n_docs DESC, dhash
-    ASC — a total order since dhash is the group key), so the driver
-    row is informative even on corpora with no perceptual dups
+    the top-20 buckets by (n_docs DESC, dhash ASC) — a total order
+    since dhash is the group key. Duplicate buckets sort ahead of
+    singletons, but with more than 20 duplicate buckets the excess
+    dup buckets are dropped too (a plain top-20, not an
+    all-dups-plus-filler guarantee), so the driver row is informative
+    even on corpora with no perceptual dups
     (VERDICT r10 "What's wrong" #1: the pure ≥2 filter went green on
     an empty-vs-empty compare at sf0.01, certifying nothing about the
     fingerprint fold).

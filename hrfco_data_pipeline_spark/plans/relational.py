@@ -6579,9 +6579,12 @@ def events_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (value, event_id)); the time split is the integer midpoint
     of the day range; counts get +1 Laplace smoothing over the 10
     buckets so empty cells stay finite — all deterministic on both
-    faces. Each bucket's term is a fixed-order IEEE chain over exact
-    integers; the 10-term sum folds over the SORTED term list (the
-    entropy precedent).
+    faces. The rank cut k = (n·i − 1) div 10 + 1 is pure-integer
+    (`div`, mirrored as `//` in the DuckDB twin) so the decile
+    decision stays exact at any corpus size — float floor() drifts
+    once n·9 exceeds 2^53. Each bucket's term is a fixed-order IEEE
+    chain over exact integers; the 10-term sum folds over the SORTED
+    term list (the entropy precedent).
 
     Scale shape: the decile rank runs through the range-bucketed
     two-pass (operators/ranking.ranked_cumsum — never a global
@@ -6614,11 +6617,8 @@ def events_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_key=F.col("event_id"),
         rank_name="rnk",
     )
-    cuts = F.transform(
-        F.sequence(F.lit(1), F.lit(9)),
-        lambda i: (
-            F.floor((F.col("n_all") * i - 1) / F.lit(10.0)) + 1
-        ).cast("long"),
+    cuts = F.expr(
+        "transform(sequence(1, 9), i -> (n_all * i - 1) div 10 + 1)"
     )
     edges_df = (
         ranked.crossJoin(F.broadcast(tot))
@@ -6686,12 +6686,22 @@ def psi_from_bucket_counts(counts: DataFrame) -> DataFrame:
         F.collect_list(F.struct("c1", "c2")).alias("cs"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
+    # Enforce the 10-bucket invariant loudly: with >10 present rows
+    # per type the pad count would go negative and array_repeat would
+    # silently yield an empty pad (a corrupted PSI, not an error) —
+    # the ranking.ranked_cumsum raise_error precedent.
+    pad_n = F.when(
+        F.col("n_present") > 10,
+        F.raise_error(
+            F.lit(
+                "psi_from_bucket_counts: more than 10 bucket rows for "
+                "one event_type — caller violated the 10-bucket grid"
+            )
+        ).cast("int"),
+    ).otherwise(F.greatest(F.lit(0), F.lit(10) - F.col("n_present")).cast("int"))
     all_terms = F.concat(
         F.transform("cs", lambda s: term(s["c1"], s["c2"], n1, n2)),
-        F.array_repeat(
-            term(F.lit(0), F.lit(0), n1, n2),
-            (F.lit(10) - F.col("n_present")).cast("int"),
-        ),
+        F.array_repeat(term(F.lit(0), F.lit(0), n1, n2), pad_n),
     )
     return per_type.select(
         "event_type",
