@@ -389,6 +389,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": relational.events_markov_transitions,
         "hydro_alert_episodes": hydro.alert_episodes,
         "hydro_daily_extremes": hydro.daily_extremes,
+        # --- new in r12 (STAGING position: verified locally here,
+        # moved to the window head in the r12 rotation reorder) ---
+        "parts_price_size_skyline": relational.parts_price_size_skyline,
+        "events_lateness_profile": relational.events_lateness_profile,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

@@ -8652,3 +8652,54 @@ LLM_ORACLES["docs_vocab_coverage_curve"] = _TOK_CTE + """
       CAST(cum_freq AS DOUBLE) / CAST(total_toks AS DOUBLE) AS coverage
     FROM ranked JOIN ks ON ranked.rnk = ks.kk
     """
+
+
+# ---------------------------------------------------------------------------
+# r12 additions
+# ---------------------------------------------------------------------------
+
+# Skyline: the oracle certifies via the INDEPENDENT quadratic
+# dominance anti-join (NOT EXISTS a dominator) — a different algorithm
+# than the Spark running-record frontier, same set by definition.
+RELATIONAL_ORACLES["parts_price_size_skyline"] = """
+    WITH b AS (
+      SELECT p_partkey AS partkey,
+        CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        CAST(p_size AS BIGINT) AS size
+      FROM part
+    )
+    SELECT partkey, price_cents, size FROM b p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b q
+      WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+        AND (q.price_cents < p.price_cents OR q.size > p.size)
+    )
+    """
+
+# Lateness: TZ-free integer event seconds (date fields, never a
+# session-zone epoch), running max over arrival order, exact sums.
+RELATIONAL_ORACLES["events_lateness_profile"] = """
+    WITH base AS (
+      SELECT event_id, event_type,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             AS BIGINT) * 86400
+        + CAST(date_part('hour', ts) AS BIGINT) * 3600
+        + CAST(date_part('minute', ts) AS BIGINT) * 60
+        + CAST(date_part('second', ts) AS BIGINT) AS sec
+      FROM events WHERE ts IS NOT NULL
+    ), rm AS (
+      SELECT event_type,
+        max(sec) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - sec AS late_sec
+      FROM base
+    )
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CASE WHEN late_sec > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      round(CAST(sum(CASE WHEN late_sec > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / count(*), 4) AS late_pct,
+      CAST(max(late_sec) AS BIGINT) AS max_lateness_sec,
+      round(CAST(sum(late_sec) AS DOUBLE) / count(*), 4) AS avg_lateness_sec
+    FROM rm GROUP BY 1
+    """

@@ -6917,3 +6917,119 @@ def customer_churn_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("churn_rate"),
         )
     )
+
+
+def parts_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: every part for which
+    no other part is both cheaper-or-equal AND larger-or-equal with at
+    least one strict — the classic "best price for the size you get"
+    frontier (Börzsönyi et al., The Skyline Operator, ICDE'01). A new
+    operator CLASS for the registry: dominance queries, the
+    multi-objective sibling of top-k.
+
+    Exactness: prices as integer cents (round(p*100) — the repo's
+    decimal convention), sizes as longs, so every dominance comparison
+    is pure-integer. The record-value dedup reuses the
+    events_running_records insight: under ascending price the skyline
+    sizes are exactly the strictly-increasing records of the per-price
+    max size, and with an INCLUSIVE running max the first (cheapest)
+    price achieving each distinct record value is min(price) per
+    record — no lag/prev column needed.
+
+    Scale shape: one groupBy on price_cents (map-side combined), the
+    per-price table then runs through the range-bucketed two-pass
+    cumulative-MAX (operators/ranking.ranked_cumsum maxes= — never a
+    single-task global sort; the per-price table is |distinct prices|,
+    already ≪ |parts|), one tiny record-value aggregate, and a
+    broadcast semi-join back to parts to recover all partkeys on the
+    frontier. The DuckDB twin certifies via the INDEPENDENT quadratic
+    dominance anti-join — two different algorithms, same frontier.
+    """
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    per_price = base.groupBy("price_cents").agg(F.max("size").alias("max_size"))
+    ranked = ranked_cumsum(
+        per_price,
+        F.col("price_cents").cast("double"),
+        [F.asc("price_cents")],
+        sample_key=F.col("price_cents"),
+        rank_name="rnk",
+        maxes={"run_max": F.col("max_size")},
+    )
+    # Skyline price groups: rows touching the inclusive running max
+    # are record-achievers OR later ties; keeping min(price) per
+    # distinct record value drops the ties (a tie at a higher price is
+    # dominated by the cheaper same-size group).
+    frontier = (
+        ranked.filter(F.col("max_size") == F.col("run_max"))
+        .groupBy(F.col("max_size").alias("size"))
+        .agg(F.min("price_cents").alias("price_cents"))
+    )
+    return base.join(
+        F.broadcast(frontier), ["price_cents", "size"], "left_semi"
+    ).select("partkey", "price_cents", "size")
+
+
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time lateness profile per event type: for each event, how
+    far its timestamp lags the maximum event time already seen in
+    ARRIVAL order (event_id — the ingest sequence) — the measurement a
+    streaming deployment runs BEFORE choosing its watermark delay
+    (`withWatermark` drops state older than max(event_time) − delay,
+    so the lateness distribution IS the expected drop rate at each
+    candidate delay).
+
+    Exactness: event seconds are TZ-free integers (days-since-epoch ×
+    86400 + h/m/s field extracts — TIMESTAMP_NTZ never routes through
+    a session-zone epoch conversion, the streaming/analytics §7 risk);
+    the running max is exact-integer; per-type sums of long lateness
+    are exact, so mean/percentage are single final divisions.
+
+    Scale shape: the global arrival-order running max runs through the
+    range-bucketed two-pass cumulative-MAX (ranked_cumsum maxes= on
+    event_id buckets — no single-task sort); the rest is one
+    map-side-combined groupBy on event_type.
+    """
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    sec = (
+        F.datediff(
+            F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+        ).cast("long")
+        * 86400
+        + F.hour("ts").cast("long") * 3600
+        + F.minute("ts").cast("long") * 60
+        + F.second("ts").cast("long")
+    )
+    base = ev.select("event_id", "event_type", sec.alias("sec"))
+    ranked = ranked_cumsum(
+        base,
+        F.col("event_id").cast("double"),
+        [F.asc("event_id")],
+        sample_key=F.col("event_id"),
+        rank_name="rnk",
+        maxes={"run_max": F.col("sec")},
+    )
+    late = ranked.select(
+        "event_type", (F.col("run_max") - F.col("sec")).alias("late_sec")
+    )
+    return late.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("late_sec") > 0).cast("long")).alias("n_late"),
+        F.round(
+            F.sum((F.col("late_sec") > 0).cast("long")).cast("double")
+            / F.count("*").cast("double"),
+            4,
+        ).alias("late_pct"),
+        F.max("late_sec").alias("max_lateness_sec"),
+        F.round(
+            F.sum("late_sec").cast("double") / F.count("*").cast("double"), 4
+        ).alias("avg_lateness_sec"),
+    )
