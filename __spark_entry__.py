@@ -393,6 +393,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved to the window head in the r12 rotation reorder) ---
         "parts_price_size_skyline": relational.parts_price_size_skyline,
         "events_lateness_profile": relational.events_lateness_profile,
+        "docs_crosssnap_containment": llm.docs_crosssnap_containment,
+        "docs_contamination_heatmap": llm.docs_contamination_heatmap,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

@@ -2448,7 +2448,10 @@ LLM_ORACLES["docs_simjoin_prefix"] = _TOK_CTE + r"""
 # arithmetic (two 60-bit md5 slice hashes, k=3 double-hashed positions
 # mod 2^16), so DuckDB rebuilds the identical bit set and the compare
 # certifies both the no-false-negative invariant and the exact counts.
-LLM_ORACLES["docs_bloom_decontaminate"] = r"""
+# Shared by docs_bloom_decontaminate and docs_contamination_heatmap:
+# the full Bloom-filter rebuild (m=2^16 bits, k=3 Kirsch-Mitzenmaucher
+# probes over two 60-bit md5 slices) up through the per-doc hit counts.
+_BLOOM_CTE = r"""
     WITH tok AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents
@@ -2489,10 +2492,34 @@ LLM_ORACLES["docs_bloom_decontaminate"] = r"""
     ), bloom_counts AS (
       SELECT doc_id, count(*) AS bloom_hits FROM bloom_hit GROUP BY doc_id
     )
+"""
+
+LLM_ORACLES["docs_bloom_decontaminate"] = _BLOOM_CTE + """
     SELECT b.doc_id, b.bloom_hits,
       coalesce(e.exact_hits, 0) AS exact_hits,
       coalesce(e.exact_hits, 0) = 0 AS is_false_positive
     FROM bloom_counts b LEFT JOIN exact_hit e USING (doc_id)
+    """
+
+# Per-source × shard contamination heatmap: the decontamination pass
+# as a QA surface — every TRAIN cell present (left join), so a driver
+# green certifies counts even on a contamination-free corpus.
+LLM_ORACLES["docs_contamination_heatmap"] = _BLOOM_CTE + """
+    , perdoc AS (
+      SELECT b.doc_id, b.bloom_hits, coalesce(e.exact_hits, 0) AS exact_hits
+      FROM bloom_counts b LEFT JOIN exact_hit e USING (doc_id)
+    )
+    SELECT d.source, d.doc_id % 7 AS shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(p.doc_id) AS BIGINT) AS n_bloom_flagged,
+      CAST(sum(CASE WHEN p.exact_hits > 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_contaminated,
+      CAST(sum(CASE WHEN p.doc_id IS NOT NULL AND p.exact_hits = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      round(CAST(count(p.doc_id) AS DOUBLE) / count(*), 4) AS flagged_pct
+    FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY 1, 2
     """
 
 
@@ -8702,4 +8729,72 @@ RELATIONAL_ORACLES["events_lateness_profile"] = """
       CAST(max(late_sec) AS BIGINT) AS max_lateness_sec,
       round(CAST(sum(late_sec) AS DOUBLE) / count(*), 4) AS avg_lateness_sec
     FROM rm GROUP BY 1
+    """
+
+
+# Cross-snapshot containment audit: full winnowing rebuild (4-gram
+# md5, window 5) for both snapshot faces, fingerprint equi-join,
+# deterministic top-20.
+LLM_ORACLES["docs_crosssnap_containment"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), probe AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 97 = 0 THEN 'added' ELSE 'changed' END AS status,
+        toks
+      FROM tok WHERE doc_id % 97 = 0 OR doc_id % 89 = 0
+    ), pg AS (
+      SELECT doc_id, status,
+        CASE WHEN len(toks) >= 4 THEN
+          list_transform(generate_series(1, len(toks) - 3),
+            i -> md5(array_to_string(list_slice(toks, i, i + 3), ' ')))
+        ELSE CAST([] AS VARCHAR[]) END AS h
+      FROM probe
+    ), pf AS (
+      SELECT doc_id, status,
+        CASE WHEN len(h) >= 5 THEN
+          list_distinct(list_transform(generate_series(1, len(h) - 4),
+            i -> list_min(list_slice(h, i, i + 4))))
+        ELSE list_distinct(h) END AS fps
+      FROM pg
+    ), pex AS (
+      SELECT doc_id AS probe_id, status, len(fps) AS n_fps,
+        unnest(fps) AS fp
+      FROM pf
+    ), prevdocs AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 89 = 0 THEN text || ' [rev1]' ELSE text END AS text
+      FROM documents WHERE doc_id % 97 <> 0
+    ), vtok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM prevdocs
+    ), vg AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 4 THEN
+          list_transform(generate_series(1, len(toks) - 3),
+            i -> md5(array_to_string(list_slice(toks, i, i + 3), ' ')))
+        ELSE CAST([] AS VARCHAR[]) END AS h
+      FROM vtok
+    ), vf AS (
+      SELECT doc_id,
+        CASE WHEN len(h) >= 5 THEN
+          list_distinct(list_transform(generate_series(1, len(h) - 4),
+            i -> list_min(list_slice(h, i, i + 4))))
+        ELSE list_distinct(h) END AS fps
+      FROM vg
+    ), vex AS (
+      SELECT doc_id AS prev_id, unnest(fps) AS fp FROM vf
+    ), pairs AS (
+      SELECT probe_id, status, n_fps, prev_id, count(*) AS n_shared
+      FROM pex JOIN vex USING (fp)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT probe_id, status, prev_id,
+      probe_id = prev_id AS is_self_recrawl,
+      CAST(n_fps AS INTEGER) AS n_fps,
+      CAST(n_shared AS BIGINT) AS n_shared,
+      round(CAST(n_shared AS DOUBLE) / n_fps, 4) AS containment
+    FROM pairs
+    ORDER BY containment DESC, probe_id ASC, prev_id ASC LIMIT 20
     """

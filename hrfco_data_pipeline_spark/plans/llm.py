@@ -5550,3 +5550,150 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r12 additions
+# --------------------------------------------------------------------------
+
+def docs_crosssnap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot NEAR-dup audit: every document the snapshot diff
+    (docs_snapshot_diff) classifies as 'added' or 'changed' is probed
+    by winnowing-fingerprint containment against the PREVIOUS
+    snapshot's content — the re-crawl inflation check an exact-hash
+    diff cannot do (a re-crawled page with one edited sentence is
+    'added' by key/hash but near-identical in content, and silently
+    re-inflates the corpus between training-set versions).
+
+    Semantics: snapshots derive exactly as in docs_snapshot_diff
+    (doc_id%97 missing from prev = added; %89 carries a stale-revision
+    suffix in prev = changed); fingerprints are the certified MOSS
+    winnowing selection (4-gram md5, window 5 — any shared run of
+    ≥ 8 tokens yields a shared fingerprint); containment =
+    |fps(probe) ∩ fps(prev doc)| / |fps(probe)|. A 'changed' doc
+    matching its own prev revision near 1.0 is the expected re-crawl
+    signal (is_self_recrawl); an 'added' doc scoring high against a
+    DIFFERENT prev doc is the inflation finding.
+
+    Output: deterministic top-20 pairs by (containment DESC, probe,
+    prev) — never a bare threshold filter (the r10 dhash lesson), and
+    the 'changed' self-matches guarantee a non-vacuous driver row on
+    any corpus.
+
+    Scale shape: the probe side is the diff's added/changed slice
+    (~2% here; release-diff-sized in production) — fingerprints via
+    the two-stage winnowing with the materialization barrier
+    (doc_winnow_fingerprints precedent); the join key is the
+    fingerprint (selective by construction: winnowing keeps ~1/window
+    of grams); one (probe, prev) aggregate; top-20 is
+    TakeOrderedAndProject. Skewed (boilerplate) fingerprints would cap
+    with a df filter exactly like docs_containment_pairs — left out
+    here so the oracle certifies the unclipped semantics.
+    """
+    docs = _docs_parallel(spark, sf_dir)
+    is_added = F.col("doc_id") % 97 == 0
+    probe = docs.filter(is_added | (F.col("doc_id") % 89 == 0)).select(
+        "doc_id",
+        F.when(is_added, F.lit("added")).otherwise(F.lit("changed")).alias(
+            "status"
+        ),
+        _tokens().alias("toks"),
+    )
+    probe_h = probe.select(
+        "doc_id", "status", gram_hashes_expr(F.col("toks")).alias("h")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    probe_ex = probe_h.select(
+        F.col("doc_id").alias("probe_id"),
+        "status",
+        window_min_fps_expr(F.col("h")).alias("fps"),
+    ).select(
+        "probe_id",
+        "status",
+        F.size("fps").alias("n_fps"),
+        F.explode("fps").alias("fp"),
+    )
+    prev = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0,
+            F.concat(F.col("text"), F.lit(" [rev1]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    prev_h = prev.select(
+        "doc_id", gram_hashes_expr(_tokens()).alias("h")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    prev_ex = prev_h.select(
+        F.col("doc_id").alias("prev_id"),
+        F.explode(window_min_fps_expr(F.col("h"))).alias("fp"),
+    )
+    pairs = (
+        probe_ex.join(prev_ex, "fp")
+        .groupBy("probe_id", "status", "n_fps", "prev_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    cont = _r4(F.col("n_shared").cast("double") / F.col("n_fps").cast("double"))
+    return (
+        pairs.select(
+            "probe_id",
+            "status",
+            "prev_id",
+            (F.col("probe_id") == F.col("prev_id")).alias("is_self_recrawl"),
+            "n_fps",
+            "n_shared",
+            cont.alias("containment"),
+        )
+        .orderBy(
+            F.desc("containment"), F.asc("probe_id"), F.asc("prev_id")
+        )
+        .limit(20)
+    )
+
+
+def docs_contamination_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source × shard contamination heatmap: the Bloom-filter
+    decontamination pass (docs_bloom_decontaminate — same filter,
+    m=2^16 / k=3) re-cut as a QA surface showing WHERE eval-set
+    overlap concentrates in the training corpus (a contaminated
+    source/shard is usually one bad upstream dump, and the heatmap is
+    how it gets found and quarantined rather than row-filtered).
+
+    Every TRAIN (source, shard) cell is emitted with its doc count
+    (left join from the corpus side), so the driver row is informative
+    even on a contamination-free corpus — counts of zero are the
+    finding. Shard = doc_id % 7 stands in for the physical shard id a
+    real layout carries (7 is coprime with the synthetic source cycle,
+    so every source spans every shard — % 4 aliased 1:1 with source on
+    this testdata and degenerated the grid to one cell per source).
+
+    Scale shape: inherits the decontamination plan (bounded Bloom
+    broadcast, zero-shuffle probe chain); the heatmap adds one
+    broadcast left join (flagged docs ≪ corpus) and one
+    map-side-combined groupBy on (source, shard).
+    """
+    flagged = docs_bloom_decontaminate(spark, sf_dir)
+    cells = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "source", (F.col("doc_id") % 7).alias("shard"))
+    )
+    j = cells.join(F.broadcast(flagged), "doc_id", "left")
+    return j.groupBy("source", "shard").agg(
+        F.count("*").alias("n_docs"),
+        F.count("bloom_hits").alias("n_bloom_flagged"),
+        F.sum(F.when(F.col("exact_hits") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.sum(
+            F.when(
+                F.col("bloom_hits").isNotNull() & (F.col("exact_hits") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.round(
+            F.count("bloom_hits").cast("double") / F.count("*").cast("double"),
+            4,
+        ).alias("flagged_pct"),
+    )

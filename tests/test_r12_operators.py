@@ -153,3 +153,163 @@ def test_lateness_profile_hand_computed(spark, tmp_path):
     assert r.max_lateness_sec == max(late) == 20
     assert r.avg_lateness_sec == round(sum(late) / len(late), 4)
     assert r.late_pct == round(1 / 5, 4)
+
+
+def _write_docs(spark, tmp_path, rows, name="docs_tbl"):
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / name)
+    docs.write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def _py_winnow(text: str) -> list[str]:
+    """Independent pure-Python winnowing (4-gram md5, window 5)."""
+    import hashlib
+
+    toks = text.strip().split()
+    grams = (
+        [
+            hashlib.md5(" ".join(toks[i : i + 4]).encode()).hexdigest()
+            for i in range(len(toks) - 3)
+        ]
+        if len(toks) >= 4
+        else []
+    )
+    if len(grams) >= 5:
+        fps = [min(grams[i : i + 5]) for i in range(len(grams) - 4)]
+    else:
+        fps = grams
+    return sorted(set(fps))
+
+
+def test_crosssnap_containment_recompute(spark, tmp_path):
+    """doc 97 ('added') is doc 1 with two extra lead tokens — high
+    containment against prev doc 1; doc 89 ('changed') must match its
+    own prev revision. Containments recomputed in pure Python."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_crosssnap_containment
+
+    base = " ".join(f"w{i % 13}x{i % 7}" for i in range(40))
+    other = " ".join(f"z{i}q{i}" for i in range(40))
+    changed = " ".join(f"c{i % 11}y{i % 5}" for i in range(40))
+    rows = [
+        (1, base, "en", "s0", len(base)),
+        (2, other, "en", "s1", len(other)),
+        (89, changed, "en", "s0", len(changed)),
+        (97, "pad0 pad1 " + base, "en", "s1", len(base) + 10),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    # pure-Python twin of the whole audit
+    prev = {
+        d: (t + " [rev1]" if d % 89 == 0 else t)
+        for d, t, *_ in rows
+        if d % 97 != 0
+    }
+    probes = {d: t for d, t, *_ in rows if d % 97 == 0 or d % 89 == 0}
+    expected = {}
+    for pid, ptext in probes.items():
+        pf = set(_py_winnow(ptext))
+        for vid, vtext in prev.items():
+            shared = pf & set(_py_winnow(vtext))
+            if shared:
+                expected[(pid, vid)] = (
+                    len(pf),
+                    len(shared),
+                    round(len(shared) / len(pf), 4),
+                )
+
+    got = docs_crosssnap_containment(spark, sf).collect()
+    assert {(r.probe_id, r.prev_id) for r in got} == set(expected)
+    for r in got:
+        n_fps, n_shared, cont = expected[(r.probe_id, r.prev_id)]
+        assert (r.n_fps, r.n_shared) == (n_fps, n_shared)
+        assert r.containment == cont
+        assert r.is_self_recrawl == (r.probe_id == r.prev_id)
+    by_pair = {(r.probe_id, r.prev_id): r for r in got}
+    self_row = by_pair[(89, 89)]
+    assert self_row.status == "changed" and self_row.containment > 0.8
+    near = by_pair[(97, 1)]
+    assert near.status == "added" and near.containment > 0.8
+
+
+def _py_bloom_per_doc(rows):
+    """Pure-Python twin of the Bloom decontamination per-doc counts:
+    3-token distinct shingles, md5-slice double hash, m=2^16, k=3."""
+    import hashlib
+
+    def shingles(text):
+        toks = text.strip().split()
+        if len(toks) >= 3:
+            return sorted({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        return [" ".join(toks)]
+
+    def h12(s):
+        h = hashlib.md5(s.encode()).hexdigest()
+        return int(h[0:15], 16), int(h[16:31], 16)
+
+    m = 1 << 16
+    positions, eval_sh = set(), set()
+    for d, t, *_ in rows:
+        if d % 97 == 0:
+            for s in shingles(t):
+                h1, h2 = h12(s)
+                positions.update((h1 + j * h2) % m for j in range(3))
+                eval_sh.add(s)
+    out = {}
+    for d, t, *_ in rows:
+        if d % 97 == 0:
+            continue
+        bloom = exact = 0
+        for s in shingles(t):
+            h1, h2 = h12(s)
+            if all((h1 + j * h2) % m in positions for j in range(3)):
+                bloom += 1
+            if s in eval_sh:
+                exact += 1
+        out[d] = (bloom, exact)
+    return out
+
+
+def test_contamination_heatmap_recompute(spark, tmp_path):
+    """One train doc copies a run from the eval doc (real
+    contamination); the rest are clean. Cell counts recomputed via an
+    independent pure-Python Bloom filter."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_contamination_heatmap
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    dirty = "intro words alpha beta gamma delta epsilon closing remark"
+    clean1 = " ".join(f"u{i}v{i}" for i in range(12))
+    clean2 = " ".join(f"p{i}r{i}" for i in range(12))
+    rows = [
+        (0, eval_text, "en", "s0", len(eval_text)),   # eval (0 % 97 == 0)
+        (1, dirty, "en", "s0", len(dirty)),
+        (2, clean1, "en", "s0", len(clean1)),
+        (10, clean2, "en", "s1", len(clean2)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    perdoc = _py_bloom_per_doc(rows)
+
+    cells = {}
+    for d, t, lang, src, n in rows:
+        if d % 97 == 0:
+            continue
+        key = (src, d % 7)
+        bloom, exact = perdoc[d]
+        c = cells.setdefault(key, [0, 0, 0, 0])
+        c[0] += 1
+        c[1] += 1 if bloom > 0 else 0
+        c[2] += 1 if exact > 0 else 0
+        c[3] += 1 if bloom > 0 and exact == 0 else 0
+
+    got = {(r.source, r.shard): r for r in docs_contamination_heatmap(spark, sf).collect()}
+    assert set(got) == set(cells)
+    for key, (n_docs, n_flag, n_cont, n_fp) in cells.items():
+        r = got[key]
+        assert (r.n_docs, r.n_bloom_flagged, r.n_contaminated, r.n_false_pos) == (
+            n_docs, n_flag, n_cont, n_fp,
+        )
+        assert r.flagged_pct == round(n_flag / n_docs, 4)
+    # the dirty doc really is contaminated, and clean docs are not
+    assert perdoc[1][1] > 0 and perdoc[2][1] == 0 and perdoc[10][1] == 0
