@@ -395,6 +395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_lateness_profile": relational.events_lateness_profile,
         "docs_crosssnap_containment": llm.docs_crosssnap_containment,
         "docs_contamination_heatmap": llm.docs_contamination_heatmap,
+        "embedding_label_noise_screen": llm.embedding_label_noise_screen,
+        "embedding_cosine_histogram": llm.embedding_cosine_histogram,
+        "docs_partition_checksums": llm.docs_partition_checksums,
+        "docs_length_quantiles_by_source": llm.docs_length_quantiles_by_source,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

@@ -8798,3 +8798,101 @@ LLM_ORACLES["docs_crosssnap_containment"] = r"""
     FROM pairs
     ORDER BY containment DESC, probe_id ASC, prev_id ASC LIMIT 20
     """
+
+
+# kNN label-agreement screen: the ann_cosine_topk cosine/rank idiom
+# (round-4 cosine, ties on neighbor id) + integer agreement rollup.
+LLM_ORACLES["embedding_label_noise_screen"] = """
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
+      FROM e WHERE vec_id % 29 = 0
+    ), scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label AS nlabel,
+        round(list_sum(list_transform(range(len(e.v)),
+                i -> e.v[i + 1] * q.qv[i + 1])) / (e.nrm * q.qn), 4) AS cos_sim
+      FROM e, q WHERE e.vec_id <> q.qid
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ), per_probe AS (
+      SELECT qid, qlabel,
+        sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS n_agree
+      FROM ranked WHERE rank <= 5 GROUP BY 1, 2
+    )
+    SELECT qlabel AS label,
+      CAST(count(*) AS BIGINT) AS n_probes,
+      CAST(sum(n_agree) AS BIGINT) AS n_agree_total,
+      round(CAST(sum(n_agree) AS DOUBLE) / (count(*) * 5), 4) AS mean_agreement,
+      CAST(sum(CASE WHEN n_agree <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect
+    FROM per_probe GROUP BY 1
+    """
+
+# Pairwise-cosine histogram over the probe sample: fixed 20-bin grid,
+# bin decided on the round-4 cosine (portable bits).
+LLM_ORACLES["embedding_cosine_histogram"] = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+        sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings WHERE vec_id % 53 = 0
+    ), pairs AS (
+      SELECT round(list_sum(list_transform(range(len(a.v)),
+               i -> a.v[i + 1] * b.v[i + 1])) / (a.nrm * b.nrm), 4) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ), binned AS (
+      SELECT least(CAST(floor((cos + 1.0) * 10.0) AS INTEGER), 19) AS bin
+      FROM pairs
+    )
+    SELECT CAST(bin AS INTEGER) AS bin,
+      CAST(bin AS DOUBLE) / 10.0 - 1.0 AS lo,
+      (CAST(bin AS DOUBLE) + 1.0) / 10.0 - 1.0 AS hi,
+      CAST(count(*) AS BIGINT) AS n_pairs
+    FROM binned GROUP BY bin
+    """
+
+# Anti-entropy checksums: 60-bit md5 slice of "doc_id:text", exact
+# HUGEINT sum folded mod 2^60 — commutative, so replica/order-free.
+LLM_ORACLES["docs_partition_checksums"] = """
+    WITH h AS (
+      SELECT source, doc_id % 7 AS shard, n_chars,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d) AS h60
+      FROM documents
+    )
+    SELECT source, shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(sum(CAST(h60 AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+        AS checksum
+    FROM h GROUP BY 1, 2
+    """
+
+# Exact per-source deciles: pure-integer cut ranks under the
+# (n_tokens, doc_id) per-source total order.
+LLM_ORACLES["docs_length_quantiles_by_source"] = r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+          AS n_tokens
+      FROM documents
+    ), r AS (
+      SELECT source, n_tokens,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY n_tokens, doc_id) AS rnk
+      FROM tok
+    ), c AS (
+      SELECT source, count(*) AS n FROM tok GROUP BY 1
+    )
+    SELECT r.source, CAST(c.n AS BIGINT) AS n_docs,
+      min(CASE WHEN rnk = (n * 1 - 1) // 10 + 1 THEN n_tokens END) AS p10,
+      min(CASE WHEN rnk = (n * 5 - 1) // 10 + 1 THEN n_tokens END) AS p50,
+      min(CASE WHEN rnk = (n * 9 - 1) // 10 + 1 THEN n_tokens END) AS p90
+    FROM r JOIN c USING (source)
+    GROUP BY 1, 2
+    """

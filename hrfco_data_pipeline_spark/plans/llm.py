@@ -5697,3 +5697,201 @@ def docs_contamination_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flagged_pct"),
     )
+
+
+def embedding_label_noise_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen by kNN label agreement (the Confident
+    Learning / deep-kNN heuristic): for a deterministic probe set
+    (vec_id % 29 == 0), find each probe's 5 nearest neighbors by
+    cosine and score the fraction that share the probe's label — a
+    label whose probes systematically disagree with their neighborhood
+    is a mislabeled or ill-defined class, the QA a labeled
+    training-set pipeline runs before trusting its labels.
+
+    Exactness: cosines rounded to 4 before ranking (the
+    ann_cosine_topk convention — rounded bits match DuckDB, ties break
+    on neighbor id); agreement counts are integers, so the per-label
+    mean is one exact final division.
+
+    Scale shape: the probe side broadcasts against one corpus scan
+    (the brute-force-topk pattern — bounded query set, never
+    corpus×corpus); per-probe top-5 is a window over the join output;
+    the label rollup is a tiny aggregate. At unbounded probe counts
+    the candidate join swaps to the IVF/LSH route unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecd = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(_dot("v", "v")))
+    q = vecd.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    joined = vecd.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cos = _r4(_dot("qv", "v") / (F.col("qn") * F.col("nrm")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    knn = (
+        joined.select(
+            "qid", "qlabel", "vec_id", F.col("label").alias("nlabel"), cos.alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    per_probe = knn.groupBy("qid", "qlabel").agg(
+        F.sum((F.col("nlabel") == F.col("qlabel")).cast("long")).alias("n_agree")
+    )
+    return per_probe.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").alias("n_probes"),
+        F.sum("n_agree").alias("n_agree_total"),
+        F.round(
+            F.sum("n_agree").cast("double")
+            / (F.count("*") * F.lit(5)).cast("double"),
+            4,
+        ).alias("mean_agreement"),
+        F.sum((F.col("n_agree") <= 1).cast("long")).alias("n_suspect"),
+    )
+
+
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine histogram over a deterministic probe sample
+    (vec_id % 53 == 0, all probe pairs) — the embedding-space isotropy
+    / collapse diagnostic: a healthy space piles mass near 0, a
+    collapsed or anisotropic one (Ethayarajh '19) shifts the whole
+    distribution toward +1, and SemDeDup-style near-dup mass shows as
+    a spike in the top bins. Run before trusting any cosine-threshold
+    dedup or ANN recall number.
+
+    Exactness: cosines rounded to 4 (portable bits), binned on a fixed
+    20-bucket grid over [-1, 1] by pure float-compare (bin edges are
+    exact tenths; the clamp puts cos == 1.0 in bin 19).
+
+    Scale shape: probe pairs are (corpus/53 choose 2) — a bounded
+    quadratic documented as such; the pair join broadcasts the probe
+    table against itself and the histogram is one tiny groupBy. Scale
+    the modulus with corpus size to hold the pair budget.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = (
+        emb.filter(F.col("vec_id") % 53 == 0)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
+    )
+    a = probes.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = probes.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cos = _r4(_dot("va", "vb") / (F.col("na") * F.col("nb")))
+    binned = pairs.select(
+        F.least(
+            F.floor((cos + F.lit(1.0)) * F.lit(10.0)).cast("int"), F.lit(19)
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").alias("n_pairs")).select(
+        "bin",
+        (F.col("bin").cast("double") / 10.0 - 1.0).alias("lo"),
+        ((F.col("bin").cast("double") + 1.0) / 10.0 - 1.0).alias("hi"),
+        "n_pairs",
+    )
+
+
+def docs_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums per (source, shard) — the
+    anti-entropy / replica-repair primitive: two copies of a corpus
+    partition agree iff their checksum rows agree, with no row
+    ordering or single-machine hashing anywhere (the Cassandra/Dynamo
+    Merkle-leaf idea, flattened to one level).
+
+    Exactness: per-row 60-bit hash from an md5 slice of
+    "doc_id:text" (id-qualified so a swapped pair of texts changes the
+    sum); the sum is EXACT in DECIMAL(38,0) — commutative and
+    associative, so any partitioning/merge order yields identical
+    checksums — folded to 60 bits at the end. A plain XOR would also
+    work but cancels duplicate rows pairwise; the sum counts them.
+
+    Scale shape: one scan, one map-side-combined groupBy on
+    (source, shard); output is metadata-sized (|sources| × |shards|).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        docs.select(
+            "source",
+            (F.col("doc_id") % 7).alias("shard"),
+            h.alias("h"),
+            F.col("n_chars"),
+        )
+        .groupBy("source", "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.pmod(F.sum("h"), F.lit(2**60).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+
+
+def docs_length_quantiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-source token-length deciles (p10/p50/p90) — the
+    per-slice length profile a curation pipeline publishes next to its
+    global one (a source whose median collapses between crawls is a
+    truncation bug upstream; approx_percentile cannot certify that,
+    exact order statistics can).
+
+    Exactness: cut ranks k = (n·i − 1) div 10 + 1 (pure-integer, the
+    events_psi_by_type convention) under the per-source total order
+    (n_tokens, doc_id); emitted quantiles are exact longs.
+
+    Scale shape: the per-source rank runs through the PARTITIONED
+    range-bucketed two-pass (ranked_cumsum partition_cols — local
+    windows per (source, bucket), offset join of |sources|×buckets
+    rows, never a per-source single-task sort); counts broadcast back;
+    the final pivot is a tiny per-source aggregate.
+    """
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(_tokens()).cast("long").alias("n_tokens")
+    )
+    ranked = ranked_cumsum(
+        base,
+        F.col("n_tokens").cast("double"),
+        [F.asc("n_tokens"), F.asc("doc_id")],
+        sample_key=F.col("doc_id"),
+        rank_name="rnk",
+        partition_cols=["source"],
+    )
+    counts = base.groupBy("source").agg(F.count("*").alias("n"))
+    j = ranked.join(F.broadcast(counts), "source")
+    cut = lambda i: F.expr(f"(n * {i} - 1) div 10 + 1")
+    picked = j.filter(
+        (F.col("rnk") == cut(1)) | (F.col("rnk") == cut(5)) | (F.col("rnk") == cut(9))
+    )
+    return picked.groupBy("source", "n").agg(
+        F.min(F.when(F.col("rnk") == cut(1), F.col("n_tokens"))).alias("p10"),
+        F.min(F.when(F.col("rnk") == cut(5), F.col("n_tokens"))).alias("p50"),
+        F.min(F.when(F.col("rnk") == cut(9), F.col("n_tokens"))).alias("p90"),
+    ).select(
+        "source", F.col("n").alias("n_docs"), "p10", "p50", "p90"
+    )

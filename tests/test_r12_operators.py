@@ -313,3 +313,170 @@ def test_contamination_heatmap_recompute(spark, tmp_path):
         assert r.flagged_pct == round(n_flag / n_docs, 4)
     # the dirty doc really is contaminated, and clean docs are not
     assert perdoc[1][1] > 0 and perdoc[2][1] == 0 and perdoc[10][1] == 0
+
+
+def _write_embeddings(spark, tmp_path, rows, name="emb_tbl"):
+    """rows: (vec_id, [floats], label)"""
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = str(tmp_path / name)
+    emb.write.parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def _py_cos(a, b):
+    import math
+
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(dot / (na * nb), 4)
+
+
+def test_label_noise_screen_recompute(spark, tmp_path):
+    """Probe 0 (label 1) sits among label-1 vectors (full agreement);
+    probe 29 (label 2) sits among label-1 vectors (suspect). kNN and
+    agreement recomputed in pure Python (float32-exact coordinates)."""
+    from hrfco_data_pipeline_spark.plans.llm import embedding_label_noise_screen
+
+    def vec(x, y):
+        return [float(x), float(y), 0.0, 0.0]
+
+    rows = [
+        (0, vec(1.0, 0.0), 1),       # probe, label 1
+        (1, vec(1.0, 0.125), 1),
+        (2, vec(1.0, 0.25), 1),
+        (3, vec(1.0, -0.125), 1),
+        (4, vec(1.0, -0.25), 1),
+        (5, vec(1.0, 0.5), 1),
+        (29, vec(0.96875, 0.0625), 2),  # probe, label 2 but in label-1 space
+        (7, vec(0.0, 1.0), 3),
+        (8, vec(-0.125, 1.0), 3),
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+
+    by_id = {i: (v, lbl) for i, v, lbl in rows}
+    expected = {}
+    for qid in (0, 29):
+        qv, qlabel = by_id[qid]
+        scored = sorted(
+            (
+                (-_py_cos(qv, v), i, lbl)
+                for i, (v, lbl) in by_id.items()
+                if i != qid
+            ),
+        )[:5]
+        n_agree = sum(1 for _, _, lbl in scored if lbl == qlabel)
+        e = expected.setdefault(qlabel, [0, 0, 0])
+        e[0] += 1
+        e[1] += n_agree
+        e[2] += 1 if n_agree <= 1 else 0
+
+    got = {r.label: r for r in embedding_label_noise_screen(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for lbl, (n_probes, n_agree, n_suspect) in expected.items():
+        r = got[lbl]
+        assert (r.n_probes, r.n_agree_total, r.n_suspect) == (
+            n_probes, n_agree, n_suspect,
+        )
+        assert r.mean_agreement == round(n_agree / (5 * n_probes), 4)
+    assert got[1].n_suspect == 0
+    assert got[2].n_suspect == 1  # the mislabeled probe is flagged
+
+
+def test_cosine_histogram_recompute(spark, tmp_path):
+    """Four probe vectors at known angles; per-pair cosine bins
+    recomputed in pure Python, including the cos=1.0 clamp to bin 19."""
+    from hrfco_data_pipeline_spark.plans.llm import embedding_cosine_histogram
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (53, [2.0, 0.0], 0),     # cos(0,53) = 1.0 -> clamp to bin 19
+        (106, [0.0, 1.0], 0),    # orthogonal to 0/53 -> bin 10
+        (159, [-1.0, 0.0], 0),   # cos -1.0 with 0/53 -> bin 0
+        (7, [5.0, 5.0], 0),      # NOT a probe (7 % 53 != 0)
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+
+    probes = {i: v for i, v, _ in rows if i % 53 == 0}
+    from collections import Counter
+
+    bins = Counter()
+    ids = sorted(probes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            c = _py_cos(probes[ids[x]], probes[ids[y]])
+            bins[min(int((c + 1.0) * 10.0), 19)] += 1
+
+    got = {r.bin: r for r in embedding_cosine_histogram(spark, sf).collect()}
+    assert {b: r.n_pairs for b, r in got.items()} == dict(bins)
+    for b, r in got.items():
+        assert r.lo == b / 10.0 - 1.0
+        assert r.hi == (b + 1) / 10.0 - 1.0
+    # pairs: (0,53)->19, (0,159)/(53,159)->0, (0,106)/(53,106)/(106,159)->10
+    assert got[19].n_pairs == 1 and got[0].n_pairs == 2 and got[10].n_pairs == 3
+
+
+def test_partition_checksums_recompute(spark, tmp_path):
+    """Checksums recomputed in pure Python; swapping two texts between
+    docs changes the checksum (id-qualified hash) even though the bag
+    of texts is unchanged."""
+    import hashlib
+
+    from hrfco_data_pipeline_spark.plans.llm import docs_partition_checksums
+
+    def h60(d, t):
+        return int(hashlib.md5(f"{d}:{t}".encode()).hexdigest()[:15], 16)
+
+    rows = [
+        (0, "alpha beta", "en", "s0", 10),
+        (7, "gamma delta", "en", "s0", 11),
+        (14, "epsilon zeta", "en", "s1", 12),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    expected = {}
+    for d, t, _, src, n in rows:
+        key = (src, d % 7)
+        c = expected.setdefault(key, [0, 0, 0])
+        c[0] += 1
+        c[1] += n
+        c[2] = (c[2] + h60(d, t)) % (1 << 60)
+
+    got = {(r.source, r.shard): r for r in docs_partition_checksums(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for key, (n_docs, chars, chk) in expected.items():
+        r = got[key]
+        assert (r.n_docs, r.total_chars, r.checksum) == (n_docs, chars, chk)
+
+    swapped = [rows[0][:1] + (rows[1][1],) + rows[0][2:],
+               rows[1][:1] + (rows[0][1],) + rows[1][2:], rows[2]]
+    sf2 = _write_docs(spark, tmp_path, swapped, name="docs_tbl2")
+    got2 = {(r.source, r.shard): r for r in docs_partition_checksums(spark, sf2).collect()}
+    assert got2[("s0", 0)].checksum != got[("s0", 0)].checksum
+
+
+def test_length_quantiles_by_source_recompute(spark, tmp_path):
+    """Per-source exact decile cuts recomputed in pure Python over a
+    crafted 11-doc source (plus a 1-doc source: all cuts = its row)."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_length_quantiles_by_source
+
+    texts = [" ".join(f"t{j}" for j in range(k)) for k in
+             [3, 9, 4, 15, 7, 2, 30, 11, 5, 8, 20]]
+    rows = [(i, t, "en", "big", len(t)) for i, t in enumerate(texts)]
+    rows.append((99, "one two three four", "en", "tiny", 18))
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def cuts(lengths):
+        n = len(lengths)
+        s = sorted(lengths)
+        return {i: s[(n * i - 1) // 10] for i in (1, 5, 9)}
+
+    big = cuts([len(t.split()) for t in texts])
+    tiny = cuts([4])
+    got = {r.source: r for r in docs_length_quantiles_by_source(spark, sf).collect()}
+    assert (got["big"].p10, got["big"].p50, got["big"].p90) == (big[1], big[5], big[9])
+    assert got["big"].n_docs == 11
+    assert (got["tiny"].p10, got["tiny"].p50, got["tiny"].p90) == (4, 4, 4)
