@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_histogram": llm.embedding_cosine_histogram,
         "docs_partition_checksums": llm.docs_partition_checksums,
         "docs_length_quantiles_by_source": llm.docs_length_quantiles_by_source,
+        "multimodal_bytes_entropy": llm.multimodal_bytes_entropy,
+        "docs_quality_dup_contingency": llm.docs_quality_dup_contingency,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

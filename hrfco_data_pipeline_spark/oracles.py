@@ -8896,3 +8896,66 @@ LLM_ORACLES["docs_length_quantiles_by_source"] = r"""
     FROM r JOIN c USING (source)
     GROUP BY 1, 2
     """
+
+
+# Byte-entropy QA: _UTF8_BYTES_CTE byte lists, sorted-fold per-blob
+# entropy, integer-nanos quantized cross-blob mean.
+LLM_ORACLES["multimodal_bytes_entropy"] = _UTF8_BYTES_CTE + """
+    , ex AS (
+      SELECT c.doc_id, d.source, c.n, unnest(c.bytes) AS byte
+      FROM chars c JOIN documents d USING (doc_id) WHERE c.n > 0
+    ), cnt AS (
+      SELECT doc_id, source, n, byte, count(*) AS c
+      FROM ex GROUP BY 1, 2, 3, 4
+    ), per_doc AS (
+      SELECT doc_id, source, n, list_sort(list(c)) AS cs
+      FROM cnt GROUP BY 1, 2, 3
+    ), ent AS (
+      SELECT source,
+        -list_reduce(list_prepend(0.0, list_transform(cs,
+            c -> (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))),
+          (acc, t) -> acc + t) AS entropy
+      FROM per_doc
+    ), q AS (
+      SELECT source, CAST(floor(entropy * 1000000000.0) AS BIGINT) AS qe,
+        CASE WHEN entropy < 4.0 THEN 1 ELSE 0 END AS low
+      FROM ent
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_blobs,
+      round(CAST(sum(qe) AS DOUBLE) / 1000000000.0 / count(*), 4)
+        AS avg_entropy,
+      CAST(sum(low) AS BIGINT) AS n_low_entropy
+    FROM q GROUP BY 1
+    """
+
+# Quality × prefix-dup contingency: the certified quality gate plus
+# the 8-token prefix fingerprint group sizes, 4-cell rollup.
+LLM_ORACLES["docs_quality_dup_contingency"] = _TOK_CTE + """
+    , q AS (
+      SELECT doc_id, toks, len(toks) AS n,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','data')))
+             AS DOUBLE) / len(toks) AS stop
+      FROM tok
+    ), s AS (
+      SELECT doc_id,
+        (CASE WHEN n >= 20 AND n <= 1000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN ttr >= 0.3 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+         + CASE WHEN stop >= 0.01 AND stop <= 0.5
+                THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) >= 0.7 AS quality_keep,
+        md5(array_to_string(toks[1:8], ' ')) AS fp
+      FROM q
+    ), fpc AS (
+      SELECT fp, count(*) AS n_fp FROM s GROUP BY 1
+    ), j AS (
+      SELECT s.quality_keep, fpc.n_fp > 1 AS is_prefix_dup
+      FROM s JOIN fpc USING (fp)
+    ), t AS (
+      SELECT count(*) AS total FROM documents
+    )
+    SELECT quality_keep, is_prefix_dup,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      round(CAST(count(*) AS DOUBLE) / total, 4) AS pct_of_corpus
+    FROM j, t GROUP BY 1, 2, total
+    """

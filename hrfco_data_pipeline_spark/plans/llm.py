@@ -5895,3 +5895,115 @@ def docs_length_quantiles_by_source(
     ).select(
         "source", F.col("n").alias("n_docs"), "p10", "p50", "p90"
     )
+
+
+def multimodal_bytes_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level Shannon entropy per blob, rolled up per source — the
+    codec-free multimodal QA that IS honest in this environment: raw
+    byte statistics need no decoder, and they catch the two failure
+    classes a blob pipeline sees first (truncated/zero-padded payloads
+    → entropy collapse; double-compressed or encrypted payloads →
+    entropy pegged at ~8 bits/byte). The decode-dependent features
+    stay behind the documented stub boundary; this one is real end to
+    end.
+
+    Exactness: byte values via the hex face (the dhash idiom — one
+    hex() per blob, O(1) substr per byte); per-blob entropy folds over
+    the SORTED byte-count list (the docs_token_entropy precedent, so
+    the 256-term double sum is bit-equal to the DuckDB twin); the
+    cross-blob mean floor-quantizes each entropy to integer nanos and
+    sums EXACTLY (the train_linear_gate convention) — no
+    order-dependent double aggregation anywhere.
+
+    Scale shape: one explode to (blob, byte) rows — 1 row per payload
+    byte, the same linear pass a decoder would make — then two
+    map-side-combined groupBys ((doc, byte) then doc) and a
+    metadata-sized source rollup.
+    """
+    from hrfco_data_pipeline_spark.operators.multimodal import to_multimodal
+
+    mm = to_multimodal(_docs_parallel(spark, sf_dir)).filter(
+        F.col("meta.n_bytes") > 0
+    )
+    hexs = F.hex(F.col("content"))
+    n = F.col("meta.n_bytes")
+    byte_arr = F.transform(
+        F.sequence(F.lit(1), n.cast("int")),
+        lambda i: F.conv(hexs.substr((i * 2 - 1).cast("int"), F.lit(2)), 16, 10).cast(
+            "int"
+        ),
+    )
+    ex = mm.select(
+        "doc_id",
+        F.col("meta.source").alias("source"),
+        n.alias("n"),
+        F.explode(byte_arr).alias("byte"),
+    )
+    counts = ex.groupBy("doc_id", "source", "n", "byte").agg(
+        F.count("*").alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "source", "n").agg(
+        F.sort_array(F.collect_list("c")).alias("cs")
+    )
+    p = lambda c: c.cast("double") / F.col("n").cast("double")
+    ent = -F.aggregate(
+        "cs", F.lit(0.0), lambda acc, c: acc + p(c) * F.log2(p(c))
+    )
+    q = per_doc.select(
+        "source",
+        F.floor(ent * F.lit(1e9)).cast("long").alias("qe"),
+        (ent < 4.0).cast("long").alias("low"),
+    )
+    return q.groupBy("source").agg(
+        F.count("*").alias("n_blobs"),
+        F.round(
+            F.sum("qe").cast("double") / F.lit(1e9) / F.count("*").cast("double"),
+            4,
+        ).alias("avg_entropy"),
+        F.sum("low").alias("n_low_entropy"),
+    )
+
+
+def docs_quality_dup_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate × prefix-dup contingency table: do duplicate-ish
+    documents skew low-quality? — the measurement behind the
+    'dedup before or after the quality filter' pipeline-ordering
+    decision (if dups concentrate in the reject class, filtering
+    first shrinks the dedup join; if not, dedup first preserves
+    quality-score counterfactuals).
+
+    Dup here is the cheap boilerplate screen: sharing the 8-token
+    prefix fingerprint (doc_fingerprints' prefix_fp) with ≥1 other doc
+    — the precursor tier of the near-dup ladder, and non-degenerate on
+    corpora where full-text exact dup is rare. Quality is the
+    certified quality_score_expr gate at 0.7.
+
+    Scale shape: one groupBy on the 16-byte fingerprint for group
+    sizes, one shuffle join back on the fingerprint, a 4-cell
+    aggregate, and a broadcast scalar total for the shares.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens()
+    base = docs.select(
+        "doc_id",
+        (quality_score_expr(toks) >= 0.7).alias("quality_keep"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8))).alias("fp"),
+    )
+    fpc = base.groupBy("fp").agg(F.count("*").alias("n_fp"))
+    j = base.join(fpc, "fp").select(
+        "quality_keep", (F.col("n_fp") > 1).alias("is_prefix_dup")
+    )
+    tot = docs.agg(F.count("*").alias("total"))
+    return (
+        j.groupBy("quality_keep", "is_prefix_dup")
+        .agg(F.count("*").alias("n_docs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "quality_keep",
+            "is_prefix_dup",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("total").cast("double"), 4
+            ).alias("pct_of_corpus"),
+        )
+    )

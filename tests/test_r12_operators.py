@@ -480,3 +480,96 @@ def test_length_quantiles_by_source_recompute(spark, tmp_path):
     assert (got["big"].p10, got["big"].p50, got["big"].p90) == (big[1], big[5], big[9])
     assert got["big"].n_docs == 11
     assert (got["tiny"].p10, got["tiny"].p50, got["tiny"].p90) == (4, 4, 4)
+
+
+def test_bytes_entropy_recompute(spark, tmp_path):
+    """Per-blob byte entropy recomputed in pure Python: a constant
+    blob has entropy 0 (low), a 16-symbol uniform blob exactly 4.0
+    (NOT low — strict <), and a two-symbol blob exactly 1.0."""
+    import math
+
+    from hrfco_data_pipeline_spark.plans.llm import multimodal_bytes_entropy
+
+    const = "a" * 32
+    uniform16 = "abcdefghijklmnop" * 2   # 16 symbols x 2 -> 4.0 bits
+    two = "abab"                          # 1.0 bit
+    rows = [
+        (1, const, "en", "s0", len(const)),
+        (2, uniform16, "en", "s0", len(uniform16)),
+        (3, two, "en", "s1", len(two)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def py_entropy(text):
+        b = text.encode()
+        n = len(b)
+        counts = sorted(
+            sum(1 for x in b if x == v) for v in sorted(set(b))
+        )
+        acc = 0.0
+        for c in counts:
+            p = c / n
+            acc += p * math.log2(p)
+        return -acc
+
+    ents = {"s0": [py_entropy(const), py_entropy(uniform16)], "s1": [py_entropy(two)]}
+    got = {r.source: r for r in multimodal_bytes_entropy(spark, sf).collect()}
+    for src, es in ents.items():
+        qs = [math.floor(e * 1e9) for e in es]
+        r = got[src]
+        assert r.n_blobs == len(es)
+        assert r.avg_entropy == round(sum(qs) / 1e9 / len(es), 4)
+        assert r.n_low_entropy == sum(1 for e in es if e < 4.0)
+    assert got["s0"].n_low_entropy == 1  # const low; uniform16 == 4.0 is NOT
+    assert got["s1"].n_low_entropy == 1
+
+
+def test_quality_dup_contingency_recompute(spark, tmp_path):
+    """Hand corpus with both margins varying: two docs share an
+    8-token prefix (one high-quality, one degenerate), two unique."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_quality_dup_contingency
+
+    prefix = "p0 p1 p2 p3 p4 p5 p6 p7"
+    # high quality: >= 20 tokens, high ttr, stopword ratio in band
+    good_tail = " ".join(f"w{i}" for i in range(20)) + " the a"
+    # degenerate: same prefix then one token repeated (low ttr)
+    bad_tail = " ".join("x" for _ in range(30))
+    uniq_good = " ".join(f"u{i}" for i in range(25)) + " the of"
+    uniq_bad = "short text"
+    rows = [
+        (1, f"{prefix} {good_tail}", "en", "s0", 1),
+        (2, f"{prefix} {bad_tail}", "en", "s0", 1),
+        (3, uniq_good, "en", "s0", 1),
+        (4, uniq_bad, "en", "s1", 1),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def quality_keep(text):
+        toks = text.strip().split()
+        n = len(toks)
+        ttr = len(set(toks)) / n
+        stop = sum(1 for t in toks if t in ("the", "a", "of", "and", "data")) / n
+        score = (
+            (0.4 if 20 <= n <= 1000 else 0.0)
+            + (0.3 if ttr >= 0.3 else 0.0)
+            + (0.3 if 0.01 <= stop <= 0.5 else 0.0)
+        )
+        return score >= 0.7
+
+    from collections import Counter
+
+    fps = Counter(" ".join(t.strip().split()[:8]) for _, t, *_ in rows)
+    expected = Counter()
+    for _, t, *_ in rows:
+        fp = " ".join(t.strip().split()[:8])
+        expected[(quality_keep(t), fps[fp] > 1)] += 1
+
+    got = {
+        (r.quality_keep, r.is_prefix_dup): r
+        for r in docs_quality_dup_contingency(spark, sf).collect()
+    }
+    assert {k: r.n_docs for k, r in got.items()} == dict(expected)
+    for k, r in got.items():
+        assert r.pct_of_corpus == round(expected[k] / 4, 4)
+    # both margins vary: a dup-good, a dup-bad, a unique-good, a unique-bad
+    assert set(got) == {(True, True), (False, True), (True, False), (False, False)}
