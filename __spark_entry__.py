@@ -38,99 +38,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r11 WINDOW (this round): CORRECTNESS_r10 went 50/50 green, so the
-    # whole r10 window moved to the back as the freshest-certified
+    # r12 WINDOW (this round): CORRECTNESS_r11 went 50/50 green, so
+    # the whole r11 window moved to the back as the freshest-certified
     # block and this window executes the rotation plan pinned at the
-    # end of r10: the r10-displaced r5-era tail first (the 14 entries
-    # the new-in-r10 head pushed behind the boundary), then the
-    # remaining r5-era greens, then the oldest r6-era greens.
-    # New-in-r11 queries enter ABOVE this block as they land, pushing
-    # the window tail behind the boundary; displaced entries must then
-    # lead the r12 window.
+    # end of r11 (written FROM docs/EVIDENCE.md): new-in-r12 head
+    # first, then the r11-displaced backlog tail, the 12 stale r3/r4
+    # greens the ledger surfaced, and the r6-era remainder up to the
+    # boundary. New-in-r12 additions displaced the backlog's last 10
+    # r6-era entries past the boundary; those lead the r13 window.
     #
-    # r12 ROTATION PLAN (execute at the start of r12): the block
-    # behind the boundary is the exact r12 window — any r11-window
-    # tail entries new-in-r11 additions displaced, then the remaining
-    # r6-era greens, then the oldest r7-era greens. r13+ continues
-    # r7 rest -> r8 -> r9 -> the r10/r11-certified blocks.
+    # r13 ROTATION PLAN (execute at the start of r13, regenerating
+    # the ledger first — tools/round_start.py): the 10 displaced
+    # r6-era entries, then the oldest r7-era greens. r14+ continues
+    # r7 rest -> r8 -> r9 -> the r10/r11/r12-certified blocks.
     return {
-        # ================= r11 WINDOW (first 50) =================
-        # --- re-led in r11: the r10 green was adjudicated weak (a
-        # 0-row-vs-0-row vacuous match, VERDICT r10 "What's wrong"
-        # #1); the query now emits top-20 buckets incl. singletons
-        # and must re-earn an informative green (the double_mass
-        # re-lead precedent) ---
-        "multimodal_dhash_dups": llm.multimodal_dhash_dups,
-        # --- new in r11 (never checked; oracle-backed) ---
-        "events_trimmed_mean": relational.events_trimmed_mean,
-        "events_running_records": relational.events_running_records,
-        "docs_source_kl_divergence": llm.docs_source_kl_divergence,
-        "hydro_drought_runs": hydro.drought_runs,
-        "docs_quality_calibration": llm.docs_quality_calibration,
-        "orders_duplicate_invoices": relational.orders_duplicate_invoices,
-        "events_psi_by_type": relational.events_psi_by_type,
-        "simhash_bit_balance": llm.simhash_bit_balance,
-        "ann_centroid_occupancy": llm.ann_centroid_occupancy,
-        "docs_packing_waste": llm.docs_packing_waste,
-        "events_burstiness_fano": relational.events_burstiness_fano,
-        "orders_amount_reconciliation": relational.orders_amount_reconciliation,
-        "customer_churn_sensitivity": relational.customer_churn_sensitivity,
-        "embedding_pca_explained_variance": llm.embedding_pca_explained_variance,
-        "docs_vocab_coverage_curve": llm.docs_vocab_coverage_curve,
-        # --- r10-displaced r5-era tail (led the pinned r11 plan
-        # written at the end of r10) ---
-        "events_inter_arrival_stats": relational.events_inter_arrival_stats,
-        "events_conversion_latency": relational.events_conversion_latency,
-        "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
-        "supplier_on_time_rate": relational.supplier_on_time_rate,
-        "embedding_norm_outliers": llm.embedding_norm_outliers,
-        "events_value_gini": relational.events_value_gini,
-        "docs_vocab_growth": llm.docs_vocab_growth,
-        "wire_corrupt_rate": wire.wire_corrupt_rate,
-        "docs_shard_skew_report": llm.docs_shard_skew_report,
-        "hydro_threshold_margin": hydro.threshold_margin,
-        "hydro_rise_forecast": hydro.rise_forecast,
-        "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
-        "orders_cohort_repeat_rate": relational.orders_cohort_repeat_rate,
-        "minhash_recall_report": llm.minhash_recall_report,
-        # --- remaining r5-era greens (certified 50/50 in
-        # CORRECTNESS_r05) ---
-        "events_type_drift": relational.events_type_drift,
-        "events_new_vs_returning": relational.events_new_vs_returning,
-        "events_value_log2_histogram": relational.events_value_log2_histogram,
-        "hydro_station_uptime": hydro.station_uptime,
-        "events_session_window_agg": relational.events_session_window_agg,
-        "events_histogram_quantiles": relational.events_histogram_quantiles,
-        "parts_copurchase_lift": relational.parts_copurchase_lift,
-        "copurchase_triangles": relational.copurchase_triangles,
-        "nation_trade_pagerank": relational.nation_trade_pagerank,
-        # --- oldest r6-era greens (certified 49/50 in
-        # CORRECTNESS_r06) ---
-        "orders_benford_digits": relational.orders_benford_digits,
-        "events_ab_test": relational.events_ab_test,
-        "brand_supplier_hhi": relational.brand_supplier_hhi,
-        "events_cusum_changepoint": relational.events_cusum_changepoint,
-        "events_session_paths": relational.events_session_paths,
-        "session_survival_curve": relational.session_survival_curve,
-        "orders_open_backlog_curve": relational.orders_open_backlog_curve,
-        "orders_ship_latency_percentiles": relational.orders_ship_latency_percentiles,
-        "lineitem_pareto_abc": relational.lineitem_pareto_abc,
-        "customer_rfm_segments": relational.customer_rfm_segments,
-        "docs_contamination_report": llm.docs_contamination_report,
-        # ^^^ first-50 boundary ^^^ (position asserted against the
-        # dict by tests/test_entry_contract.py::
-        # test_boundary_comment_position — the marker line must sit
-        # exactly after entry 50)
-        # ============ r12 WINDOW PLAN (next 50, in order) ============
-        # Written FROM docs/EVIDENCE.md (the generated per-query
-        # driver-evidence ledger — regenerate with
-        # tools/gen_query_docs.py), not from block-comment
-        # archaeology: the ledger exposed 12 queries whose newest
-        # driver row is r3/r4 despite sitting in blocks labeled
-        # r8-era (they were never actually sampled after r3/r4).
-        # Order: r11-displaced tail first, then the 12 stale r3/r4
-        # greens oldest-first, then the remaining r6-era greens.
-        # Pinned by tests/test_entry_contract.py.
+        # --- new in r12 (never checked; oracle-backed) ---
+        "parts_price_size_skyline": relational.parts_price_size_skyline,
+        "events_lateness_profile": relational.events_lateness_profile,
+        "docs_crosssnap_containment": llm.docs_crosssnap_containment,
+        "docs_contamination_heatmap": llm.docs_contamination_heatmap,
+        "embedding_label_noise_screen": llm.embedding_label_noise_screen,
+        "embedding_cosine_histogram": llm.embedding_cosine_histogram,
+        "docs_partition_checksums": llm.docs_partition_checksums,
+        "docs_length_quantiles_by_source": llm.docs_length_quantiles_by_source,
+        "multimodal_bytes_entropy": llm.multimodal_bytes_entropy,
+        "docs_quality_dup_contingency": llm.docs_quality_dup_contingency,
+        # --- r11-displaced backlog head: the 16 entries the new-in-r11 head pushed behind the r11 boundary ---
         "sessions_ordered_funnel": relational.sessions_ordered_funnel,
         "events_type_correlations": relational.events_type_correlations,
         "events_median_bisect": relational.events_median_bisect,
@@ -147,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_uniqueness_report": relational.dq_uniqueness_report,
         "docs_bigram_perplexity": llm.docs_bigram_perplexity,
         "events_feature_matrix": relational.events_feature_matrix,
-        # --- newest driver row r3 (sampled only in the r3 window) ---
+        # --- stale r3 greens the evidence ledger surfaced (newest driver row r3) ---
         "docs_gopher_quality": llm.docs_gopher_quality,
         "docs_token_entropy": llm.docs_token_entropy,
         "docs_segment_dedup": llm.docs_segment_dedup,
@@ -156,12 +89,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_part_share_suppliers": relational.q20_part_share_suppliers,
         "q21_waiting_suppliers": relational.q21_waiting_suppliers,
         "q22_idle_customers": relational.q22_idle_customers,
-        # --- newest driver row r4 ---
+        # --- stale r4 greens ---
         "ivf_cosine_topk": llm.ivf_cosine_topk,
         "events_hll_accuracy": relational.events_hll_accuracy,
         "lsh_cosine_topk": llm.lsh_cosine_topk,
         "embedding_near_dups": llm.embedding_near_dups,
-        # --- remaining r6-era greens ---
+        # --- remaining r6-era greens (window tail: first 12 of 22 fit) ---
         "events_k_anonymity": relational.events_k_anonymity,
         "docs_weighted_sample": llm.docs_weighted_sample,
         "copurchase_bfs_levels": relational.copurchase_bfs_levels,
@@ -174,6 +107,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_nearest_error": relational.events_nearest_error,
         "docs_snapshot_diff": llm.docs_snapshot_diff,
         "hydro_stage_exceedance": hydro.stage_exceedance_curve,
+        # ^^^ first-50 boundary ^^^ (position asserted against the
+        # dict by tests/test_entry_contract.py::
+        # test_boundary_comment_position — the marker line must sit
+        # exactly after entry 50)
+        # ============ r13 WINDOW PLAN (next 50, in order) ============
+        # Written from docs/EVIDENCE.md (regenerate with
+        # tools/round_start.py). Order: the 10 r6-era entries the
+        # new-in-r12 head displaced past the boundary, then the
+        # oldest r7-era greens. Pinned by test_r13_window_plan.
+        # --- r12-displaced r6-era tail (leads the r13 window) ---
         "hydro_return_periods": hydro.return_periods,
         "docs_train_linear_gate": llm.docs_train_linear_gate,
         "docs_nb_holdout_eval": llm.docs_nb_holdout_eval,
@@ -184,7 +127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_standing": relational.customer_balance_standing,
         "hydro_rating_residuals": hydro.rating_curve_residuals,
         "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
-        # --- r7-era greens (certified 50/50 in CORRECTNESS_r07) ---
+        # --- r7-era through r10-certified greens, order unchanged
+        # from r11. Era boundaries are NOT annotated here on purpose:
+        # the generated ledger docs/EVIDENCE.md is the source of truth
+        # for per-query driver-evidence age (comment archaeology
+        # drifted 12 queries in r11 — the ledger exists so plans are
+        # written from data, not comments) ---
         "embedding_random_projection": llm.embedding_random_projection,
         "docs_substring_dedup": llm.docs_substring_dedup,
         "orders_salted_revenue": relational.orders_salted_revenue,
@@ -235,7 +183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
         "q18_large_volume_customers": relational.q18_large_volume_customers,
         "events_moving_stats": relational.events_moving_stats,
-        # --- r8-era greens (certified 50/50 in CORRECTNESS_r08) ---
         "orders_join_strategy_report": relational.orders_join_strategy_report,
         "docs_bm25_topk": llm.docs_bm25_topk,
         "copurchase_kcore": relational.copurchase_kcore,
@@ -286,9 +233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q15_top_supplier": relational.q15_top_supplier,
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
-        # --- r9-era greens (certified 49/50 in CORRECTNESS_r09; the
-        # one red, hydro_double_mass, re-earned its green leading the
-        # r10 window and now sits with the r10-era block below) ---
         "events_segment_enrichment": relational.events_segment_enrichment,
         "customer_scd2_asof_snapshot": relational.customer_scd2_asof_snapshot,
         "orders_theilsen_trend": relational.orders_theilsen_trend,
@@ -338,8 +282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_zorder_layout": relational.lineitem_zorder_layout,
         "docs_cms_heavy_hitters": llm.docs_cms_heavy_hitters,
         "docs_editdist_pairs": llm.docs_editdist_pairs,
-        # --- r10-era greens (certified 50/50 in CORRECTNESS_r10 —
-        # freshest evidence in the registry) ---
         "events_ks_two_sample": relational.events_ks_two_sample,
         "events_mann_whitney": relational.events_mann_whitney,
         "hydro_recession_constant": hydro.recession_constant,
@@ -389,18 +331,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": relational.events_markov_transitions,
         "hydro_alert_episodes": hydro.alert_episodes,
         "hydro_daily_extremes": hydro.daily_extremes,
-        # --- new in r12 (STAGING position: verified locally here,
-        # moved to the window head in the r12 rotation reorder) ---
-        "parts_price_size_skyline": relational.parts_price_size_skyline,
-        "events_lateness_profile": relational.events_lateness_profile,
-        "docs_crosssnap_containment": llm.docs_crosssnap_containment,
-        "docs_contamination_heatmap": llm.docs_contamination_heatmap,
-        "embedding_label_noise_screen": llm.embedding_label_noise_screen,
-        "embedding_cosine_histogram": llm.embedding_cosine_histogram,
-        "docs_partition_checksums": llm.docs_partition_checksums,
-        "docs_length_quantiles_by_source": llm.docs_length_quantiles_by_source,
-        "multimodal_bytes_entropy": llm.multimodal_bytes_entropy,
-        "docs_quality_dup_contingency": llm.docs_quality_dup_contingency,
+        # --- freshest-certified: the r11 window (50/50 green in CORRECTNESS_r11) ---
+        "multimodal_dhash_dups": llm.multimodal_dhash_dups,
+        "events_trimmed_mean": relational.events_trimmed_mean,
+        "events_running_records": relational.events_running_records,
+        "docs_source_kl_divergence": llm.docs_source_kl_divergence,
+        "hydro_drought_runs": hydro.drought_runs,
+        "docs_quality_calibration": llm.docs_quality_calibration,
+        "orders_duplicate_invoices": relational.orders_duplicate_invoices,
+        "events_psi_by_type": relational.events_psi_by_type,
+        "simhash_bit_balance": llm.simhash_bit_balance,
+        "ann_centroid_occupancy": llm.ann_centroid_occupancy,
+        "docs_packing_waste": llm.docs_packing_waste,
+        "events_burstiness_fano": relational.events_burstiness_fano,
+        "orders_amount_reconciliation": relational.orders_amount_reconciliation,
+        "customer_churn_sensitivity": relational.customer_churn_sensitivity,
+        "embedding_pca_explained_variance": llm.embedding_pca_explained_variance,
+        "docs_vocab_coverage_curve": llm.docs_vocab_coverage_curve,
+        "events_inter_arrival_stats": relational.events_inter_arrival_stats,
+        "events_conversion_latency": relational.events_conversion_latency,
+        "docs_dup_rate_by_source": llm.docs_dup_rate_by_source,
+        "supplier_on_time_rate": relational.supplier_on_time_rate,
+        "embedding_norm_outliers": llm.embedding_norm_outliers,
+        "events_value_gini": relational.events_value_gini,
+        "docs_vocab_growth": llm.docs_vocab_growth,
+        "wire_corrupt_rate": wire.wire_corrupt_rate,
+        "docs_shard_skew_report": llm.docs_shard_skew_report,
+        "hydro_threshold_margin": hydro.threshold_margin,
+        "hydro_rise_forecast": hydro.rise_forecast,
+        "events_weekday_hour_heatmap": relational.events_weekday_hour_heatmap,
+        "orders_cohort_repeat_rate": relational.orders_cohort_repeat_rate,
+        "minhash_recall_report": llm.minhash_recall_report,
+        "events_type_drift": relational.events_type_drift,
+        "events_new_vs_returning": relational.events_new_vs_returning,
+        "events_value_log2_histogram": relational.events_value_log2_histogram,
+        "hydro_station_uptime": hydro.station_uptime,
+        "events_session_window_agg": relational.events_session_window_agg,
+        "events_histogram_quantiles": relational.events_histogram_quantiles,
+        "parts_copurchase_lift": relational.parts_copurchase_lift,
+        "copurchase_triangles": relational.copurchase_triangles,
+        "nation_trade_pagerank": relational.nation_trade_pagerank,
+        "orders_benford_digits": relational.orders_benford_digits,
+        "events_ab_test": relational.events_ab_test,
+        "brand_supplier_hhi": relational.brand_supplier_hhi,
+        "events_cusum_changepoint": relational.events_cusum_changepoint,
+        "events_session_paths": relational.events_session_paths,
+        "session_survival_curve": relational.session_survival_curve,
+        "orders_open_backlog_curve": relational.orders_open_backlog_curve,
+        "orders_ship_latency_percentiles": relational.orders_ship_latency_percentiles,
+        "lineitem_pareto_abc": relational.lineitem_pareto_abc,
+        "customer_rfm_segments": relational.customer_rfm_segments,
+        "docs_contamination_report": llm.docs_contamination_report,
         # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

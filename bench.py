@@ -110,6 +110,13 @@ HEADLINE = [
     # round-11 final addition: the header/lines fact-fact
     # reconciliation join
     "orders_amount_reconciliation",
+    # round-12 additions: the heaviest new operators — the
+    # double-winnowing cross-snapshot containment join, the 1-row-per-
+    # payload-byte entropy scan, and the Bloom pass re-cut as the
+    # source x shard heatmap
+    "docs_crosssnap_containment",
+    "multimodal_bytes_entropy",
+    "docs_contamination_heatmap",
 ]
 
 

@@ -38,74 +38,31 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-# New-in-r11 queries lead the window (never-checked first, per the
-# ordering contract). multimodal_dhash_dups is not new but re-leads:
-# its r10 green was adjudicated weak (0-row vacuous match) and the
-# query now emits top-20 buckets incl. singletons, so it must re-earn
-# an informative green (the hydro_double_mass re-lead precedent).
-# Append new queries here as they land; the window pin below derives
-# positions from this list, so a careless insert cannot silently
-# rotate a pinned backlog entry out unnoticed.
-NEW_IN_R11: list[str] = [
-    "multimodal_dhash_dups",
-    "events_trimmed_mean",
-    "events_running_records",
-    "docs_source_kl_divergence",
-    "hydro_drought_runs",
-    "docs_quality_calibration",
-    "orders_duplicate_invoices",
-    "events_psi_by_type",
-    "simhash_bit_balance",
-    "ann_centroid_occupancy",
-    "docs_packing_waste",
-    "events_burstiness_fano",
-    "orders_amount_reconciliation",
-    "customer_churn_sensitivity",
-    "embedding_pca_explained_variance",
-    "docs_vocab_coverage_curve",
+# New-in-r12 queries lead the window (never-checked first, per the
+# ordering contract). Append new queries here as they land; the window
+# pin below derives positions from this list, so a careless insert
+# cannot silently rotate a pinned backlog entry out unnoticed.
+NEW_IN_R12: list[str] = [
+    "parts_price_size_skyline",
+    "events_lateness_profile",
+    "docs_crosssnap_containment",
+    "docs_contamination_heatmap",
+    "embedding_label_noise_screen",
+    "embedding_cosine_histogram",
+    "docs_partition_checksums",
+    "docs_length_quantiles_by_source",
+    "multimodal_bytes_entropy",
+    "docs_quality_dup_contingency",
 ]
 
-# The pinned r11 backlog written at the end of r10 (VERDICT r10 "Next
-# round" #1): the 14 r5-era entries the new-in-r10 head displaced
-# past the boundary, then the remaining r5-era greens, then the
-# oldest r6-era greens. New-in-r11 head entries displace the TAIL of
-# this list past the boundary; the displaced entries must then lead
-# the r12 window.
-R11_BACKLOG = [
-    "events_inter_arrival_stats",
-    "events_conversion_latency",
-    "docs_dup_rate_by_source",
-    "supplier_on_time_rate",
-    "embedding_norm_outliers",
-    "events_value_gini",
-    "docs_vocab_growth",
-    "wire_corrupt_rate",
-    "docs_shard_skew_report",
-    "hydro_threshold_margin",
-    "hydro_rise_forecast",
-    "events_weekday_hour_heatmap",
-    "orders_cohort_repeat_rate",
-    "minhash_recall_report",
-    "events_type_drift",
-    "events_new_vs_returning",
-    "events_value_log2_histogram",
-    "hydro_station_uptime",
-    "events_session_window_agg",
-    "events_histogram_quantiles",
-    "parts_copurchase_lift",
-    "copurchase_triangles",
-    "nation_trade_pagerank",
-    "orders_benford_digits",
-    "events_ab_test",
-    "brand_supplier_hhi",
-    "events_cusum_changepoint",
-    "events_session_paths",
-    "session_survival_curve",
-    "orders_open_backlog_curve",
-    "orders_ship_latency_percentiles",
-    "lineitem_pareto_abc",
-    "customer_rfm_segments",
-    "docs_contamination_report",
+# The pinned r12 backlog written at the end of r11 (VERDICT r11 "Next
+# round" #1, generated from docs/EVIDENCE.md): the 16 entries the
+# new-in-r11 head displaced past the r11 boundary, then the 12 stale
+# r3/r4 greens the evidence ledger surfaced, then the remaining
+# r6-era greens. New-in-r12 head entries displace the TAIL of this
+# list past the boundary; the displaced entries must then lead the
+# r13 window.
+R12_BACKLOG = [
     "sessions_ordered_funnel",
     "events_type_correlations",
     "events_median_bisect",
@@ -122,52 +79,81 @@ R11_BACKLOG = [
     "dq_uniqueness_report",
     "docs_bigram_perplexity",
     "events_feature_matrix",
+    "docs_gopher_quality",
+    "docs_token_entropy",
+    "docs_segment_dedup",
+    "events_retention_cohorts",
+    "events_conversion_funnel",
+    "q20_part_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "ivf_cosine_topk",
+    "events_hll_accuracy",
+    "lsh_cosine_topk",
+    "embedding_near_dups",
+    "events_k_anonymity",
+    "docs_weighted_sample",
+    "copurchase_bfs_levels",
+    "docs_nb_lang_classifier",
+    "events_touch_attribution",
+    "docs_zipf_fit",
+    "lineitem_returnflag_anova",
+    "wire_field_presence",
+    "pq_distortion_report",
+    "events_nearest_error",
+    "docs_snapshot_diff",
+    "hydro_stage_exceedance",
+    "hydro_return_periods",
+    "docs_train_linear_gate",
+    "docs_nb_holdout_eval",
+    "docs_learning_curve",
+    "events_entropy_rate",
+    "hydro_baseflow_separation",
+    "events_weekday_type_chisq",
+    "customer_balance_standing",
+    "hydro_rating_residuals",
+    "orders_cohort_ltv_curve",
 ]
 
 
-def test_r11_window_composition():
-    """The r11 window is exactly (NEW_IN_R11 + R11_BACKLOG)[:50]:
-    never-green queries first, then the pinned backlog (r5-era
-    displaced tail, remaining r5-era, oldest r6-era). Growth at the
+def test_r12_window_composition():
+    """The r12 window is exactly (NEW_IN_R12 + R12_BACKLOG)[:50]:
+    never-green queries first, then the pinned backlog. Growth at the
     head may only displace the backlog TAIL; the displaced tail must
-    sit immediately behind the boundary, leading the r12 window."""
+    sit immediately behind the boundary, leading the r13 window."""
     names = list(entry.queries())
-    expected = (NEW_IN_R11 + R11_BACKLOG)[:50]
+    expected = (NEW_IN_R12 + R12_BACKLOG)[:50]
     assert names[:50] == expected
-    n_displaced = len(NEW_IN_R11 + R11_BACKLOG) - 50
+    n_displaced = len(NEW_IN_R12 + R12_BACKLOG) - 50
     assert n_displaced >= 0
     if n_displaced:
-        assert names[50 : 50 + n_displaced] == R11_BACKLOG[-n_displaced:]
+        assert names[50 : 50 + n_displaced] == R12_BACKLOG[-n_displaced:]
 
 
-def test_r12_window_plan():
-    """Positions 50-99 (the r12 plan): displaced r11-backlog tail
-    first (if any), then the remaining r6-era greens, then the oldest
-    r7-era greens — every slot oracle-backed so each can earn a green
-    row. The freshly-certified r10 block sits at the back, just ahead
-    of the rows-only tail."""
+def test_r13_window_plan():
+    """Positions 50-99 (the r13 plan): the displaced r12-backlog tail
+    first (r6-era), then the oldest r7-era greens — every slot
+    oracle-backed so each can earn a green row. The freshly-certified
+    r11 block sits at the back, just ahead of the rows-only tail."""
     names = list(entry.queries())
-    r12 = names[50:100]
+    r13 = names[50:100]
     oracles = set(entry.oracle_sql())
-    assert set(r12) <= oracles
-    # the 12 stale r3/r4 greens the evidence ledger surfaced
-    assert "docs_gopher_quality" in r12
-    assert "embedding_near_dups" in r12
-    # remaining r6-era evidence (oldest after this round)
-    assert "events_k_anonymity" in r12
-    assert "docs_zipf_fit" in r12
-    # the displaced tail + 12 stale + r6 remainder fill the window
-    # exactly, so the r7-era head sits just behind it
-    assert "embedding_random_projection" in names[100:]
-    # the r8/r9-certified blocks are behind the r12 window
+    assert set(r13) <= oracles
+    # the displaced r6-era tail leads
+    n_displaced = len(NEW_IN_R12 + R12_BACKLOG) - 50
+    assert r13[:n_displaced] == R12_BACKLOG[-n_displaced:]
+    # oldest r7-era greens fill the rest
+    for q in ("embedding_random_projection", "docs_substring_dedup",
+              "orders_salted_revenue"):
+        assert q in r13, q
+    # the r8/r9-certified blocks are behind the r13 window
     for q in ("orders_join_strategy_report", "events_segment_enrichment",
               "embedding_mutual_knn", "minhash_sig_probe",
               "hydro_station_list", "docs_editdist_pairs"):
         assert q in names[100:], q
-    # the freshly-certified r10 block sits at the back
-    # (multimodal_dhash_dups excepted: it re-leads the r11 window)
-    for q in ("events_ks_two_sample", "hydro_station_crosscorr",
-              "hydro_double_mass", "hydro_daily_extremes"):
+    # the freshly-certified r11 block sits at the back
+    for q in ("events_trimmed_mean", "events_psi_by_type",
+              "multimodal_dhash_dups", "hydro_drought_runs"):
         assert q in names[100:], q
     # rows-only entries stay at the very end
     assert names[-5:] == [
