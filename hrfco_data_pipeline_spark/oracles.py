@@ -8959,3 +8959,68 @@ LLM_ORACLES["docs_quality_dup_contingency"] = _TOK_CTE + """
       round(CAST(count(*) AS DOUBLE) / total, 4) AS pct_of_corpus
     FROM j, t GROUP BY 1, 2, total
     """
+
+
+# Sessionization-gap sweep: one lag window, 3-threshold explode.
+RELATIONAL_ORACLES["events_session_gap_sensitivity"] = """
+    WITH base AS (
+      SELECT user_id,
+        date_diff('second', lag(ts) OVER w, ts) AS gap
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sw AS (
+      SELECT user_id, gap, g.gap_threshold_sec
+      FROM base, (SELECT unnest([1800, 3600, 7200]) AS gap_threshold_sec) g
+    )
+    SELECT CAST(gap_threshold_sec AS INTEGER) AS gap_threshold_sec,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(sum(CASE WHEN gap IS NULL OR gap > gap_threshold_sec
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      round(CAST(count(*) AS DOUBLE)
+            / sum(CASE WHEN gap IS NULL OR gap > gap_threshold_sec
+                  THEN 1 ELSE 0 END), 4) AS avg_events_per_session
+    FROM sw GROUP BY gap_threshold_sec
+    """
+
+# Dedup-threshold curve: the certified jaccard-pair machinery once,
+# pairwise-shadow drops per integer-percent threshold, full grid.
+LLM_ORACLES["docs_dedup_threshold_curve"] = _TOK_CTE + """
+    , sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jp AS (
+      SELECT doc_b, CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+      FROM pairs WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+    ), ths AS (
+      SELECT unnest([20, 30, 40, 50, 60, 70, 80]) AS t_pct
+    ), dropped AS (
+      SELECT t_pct, count(DISTINCT doc_b) AS n_dropped
+      FROM jp, ths
+      WHERE jaccard >= CAST(t_pct AS DOUBLE) / 100.0
+      GROUP BY 1
+    ), tot AS (
+      SELECT count(*) AS total FROM documents
+    )
+    SELECT CAST(ths.t_pct AS INTEGER) AS t_pct,
+      CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+      CAST(total - coalesce(d.n_dropped, 0) AS BIGINT) AS n_survivors,
+      round(CAST(total - coalesce(d.n_dropped, 0) AS DOUBLE) / total, 4)
+        AS survival_pct
+    FROM ths CROSS JOIN tot LEFT JOIN dropped d ON ths.t_pct = d.t_pct
+    """

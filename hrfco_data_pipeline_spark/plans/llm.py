@@ -6007,3 +6007,57 @@ def docs_quality_dup_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_of_corpus"),
         )
     )
+
+
+def docs_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold pricing curve: corpus survivors under the
+    keep-first-occurrence rule at Jaccard thresholds 0.2–0.8 — the
+    measurement behind choosing the near-dup threshold (every corpus
+    paper picks 0.8 by convention; this shows what each step actually
+    costs on YOUR corpus, from one pass over the certified pair
+    table).
+
+    Semantics: at threshold t a doc is dropped iff it has at least one
+    MORE-SENIOR near-neighbor (a pair (a, b) with a < b and
+    jaccard ≥ t drops b) — the pairwise-shadow rule, a documented
+    lower bound on transitive-closure dedup (chains can only drop
+    more). Thresholds are integer percent points; the comparison is
+    jaccard ≥ t/100 on the exact rational jaccard bits.
+
+    Scale shape: reuses docs_ngram_jaccard_pairs (banded/hot-capped
+    candidate machinery, never all-pairs) ONCE; the 7-threshold sweep
+    is a 7× explode of the tiny pair table, one distinct-doc_b count
+    per threshold, and a broadcast scalar total — every threshold row
+    always present (left join from the threshold grid).
+    """
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    ths = F.array(*[F.lit(t) for t in (20, 30, 40, 50, 60, 70, 80)])
+    dropped = (
+        pairs.select("doc_b", "jaccard", F.explode(ths).alias("t_pct"))
+        .filter(
+            F.col("jaccard") >= F.col("t_pct").cast("double") / F.lit(100.0)
+        )
+        .groupBy("t_pct")
+        .agg(F.countDistinct("doc_b").alias("n_dropped"))
+    )
+    tot = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("total")
+    )
+    grid = tot.select("total", F.explode(ths).alias("t_pct"))
+    return (
+        grid.join(F.broadcast(dropped), "t_pct", "left")
+        .select(
+            "t_pct",
+            F.coalesce("n_dropped", F.lit(0).cast("long")).alias("n_dropped"),
+            (F.col("total") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_survivors"
+            ),
+            F.round(
+                (F.col("total") - F.coalesce("n_dropped", F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("total").cast("double"),
+                4,
+            ).alias("survival_pct"),
+        )
+    )

@@ -7033,3 +7033,52 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("late_sec").cast("double") / F.count("*").cast("double"), 4
         ).alias("avg_lateness_sec"),
     )
+
+
+def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization-gap parameter sweep: session counts and mean
+    session length at 30/60/120-minute inactivity thresholds — the
+    measurement behind choosing the gap BEFORE baking it into the
+    session tables (the churn-cutoff-sensitivity pattern applied to
+    sessionization; a metric that swings hard across the sweep says
+    the 'session' construct is threshold-driven, not behavior-driven).
+
+    Exactness: gaps via timestamp_diff on second-truncated NTZ values
+    (the events_sessionize idiom — never a session-zone epoch);
+    session starts are integer flags, so every output is an exact
+    count or one final division.
+
+    Scale shape: ONE lag window per user (shuffle on user_id) computes
+    the inter-arrival once; the 3-threshold sweep is a 3× explode of
+    the (user, gap) projection — no re-windowing per threshold — then
+    one map-side-combined groupBy on the threshold.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff(
+        "SECOND", F.date_trunc("second", prev), F.date_trunc("second", F.col("ts"))
+    )
+    base = ev.select("user_id", gap.alias("gap"))
+    sw = base.select(
+        "user_id",
+        "gap",
+        F.explode(F.array(F.lit(1800), F.lit(3600), F.lit(7200))).alias(
+            "gap_threshold_sec"
+        ),
+    )
+    start = (F.col("gap").isNull() | (F.col("gap") > F.col("gap_threshold_sec"))).cast(
+        "long"
+    )
+    return sw.groupBy("gap_threshold_sec").agg(
+        F.count("*").alias("n_events"),
+        F.sum(start).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(
+            F.count("*").cast("double") / F.sum(start).cast("double"), 4
+        ).alias("avg_events_per_session"),
+    )

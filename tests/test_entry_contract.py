@@ -53,6 +53,8 @@ NEW_IN_R12: list[str] = [
     "docs_length_quantiles_by_source",
     "multimodal_bytes_entropy",
     "docs_quality_dup_contingency",
+    "events_session_gap_sensitivity",
+    "docs_dedup_threshold_curve",
 ]
 
 # The pinned r12 backlog written at the end of r11 (VERDICT r11 "Next

@@ -573,3 +573,111 @@ def test_quality_dup_contingency_recompute(spark, tmp_path):
         assert r.pct_of_corpus == round(expected[k] / 4, 4)
     # both margins vary: a dup-good, a dup-bad, a unique-good, a unique-bad
     assert set(got) == {(True, True), (False, True), (True, False), (False, False)}
+
+
+def test_session_gap_sensitivity_recompute(spark, tmp_path):
+    """Two users with gaps of 45 min and 3 h: at a 30-min threshold
+    both gaps split sessions, at 60 min only the 3-h one, at 120 min
+    still only the 3-h one. Recomputed in pure Python."""
+    import datetime as dt
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_session_gap_sensitivity,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    seq = [
+        (1, "2024-01-01T10:00:00"),
+        (1, "2024-01-01T10:45:00"),   # 45-min gap
+        (1, "2024-01-01T13:45:00"),   # 3-h gap
+        (2, "2024-01-01T09:00:00"),
+        (2, "2024-01-01T09:10:00"),   # 10-min gap
+    ]
+    rows = [
+        (i, dt.datetime.fromisoformat(t), u, "a", None, None)
+        for i, (u, t) in enumerate(seq)
+    ]
+    out = str(tmp_path / "ev_gap")
+    spark.createDataFrame(rows, schema).write.parquet(f"{out}/events.parquet")
+
+    def py_sessions(g):
+        n = 0
+        last = {}
+        for u, t in seq:
+            sec = dt.datetime.fromisoformat(t).timestamp()
+            if u not in last or sec - last[u] > g:
+                n += 1
+            last[u] = sec
+        return n
+
+    got = {
+        r.gap_threshold_sec: r
+        for r in events_session_gap_sensitivity(spark, out).collect()
+    }
+    assert set(got) == {1800, 3600, 7200}
+    for g, r in got.items():
+        ns = py_sessions(g)
+        assert r.n_events == 5 and r.n_users == 2
+        assert r.n_sessions == ns
+        assert r.avg_events_per_session == round(5 / ns, 4)
+    assert got[1800].n_sessions == 4
+    assert got[3600].n_sessions == 3
+    assert got[7200].n_sessions == 3
+
+
+def test_dedup_threshold_curve_recompute(spark, tmp_path):
+    """Three docs: B is a light edit of A (high jaccard), C unrelated.
+    Survivors per threshold recomputed from pure-Python 5-gram
+    jaccards under the keep-first (pairwise-shadow) rule."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_dedup_threshold_curve
+
+    a = " ".join(f"w{i}" for i in range(30))
+    b = " ".join(f"w{i}" for i in range(28)) + " zz yy"   # near-dup of a
+    c = " ".join(f"q{i}" for i in range(30))
+    rows = [
+        (1, a, "en", "s0", len(a)),
+        (2, b, "en", "s0", len(b)),
+        (3, c, "en", "s0", len(c)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+
+    def sh5(text):
+        toks = text.strip().split()
+        return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+
+    texts = {1: sh5(a), 2: sh5(b), 3: sh5(c)}
+    ids = sorted(texts)
+    jac = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            sa, sb = texts[ids[x]], texts[ids[y]]
+            common = len(sa & sb)
+            if common and common / len(sa | sb) >= 0.2:
+                jac[(ids[x], ids[y])] = common / len(sa | sb)
+
+    got = {r.t_pct: r for r in docs_dedup_threshold_curve(spark, sf).collect()}
+    assert set(got) == {20, 30, 40, 50, 60, 70, 80}
+    for t, r in got.items():
+        dropped = {b_ for (_, b_), j in jac.items() if j >= t / 100.0}
+        assert r.n_dropped == len(dropped)
+        assert r.n_survivors == 3 - len(dropped)
+        assert r.survival_pct == round((3 - len(dropped)) / 3, 4)
+    # sanity: the near-dup pair is above 0.8, the unrelated pair absent
+    assert got[80].n_dropped == 1 and (1, 3) not in jac
