@@ -8785,9 +8785,15 @@ LLM_ORACLES["docs_crosssnap_containment"] = r"""
       FROM vg
     ), vex AS (
       SELECT doc_id AS prev_id, unnest(fps) AS fp FROM vf
+    ), hot AS (
+      SELECT fp FROM vex GROUP BY fp HAVING count(*) > 50
+    ), vexc AS (
+      SELECT vex.* FROM vex ANTI JOIN hot USING (fp)
+    ), pexc AS (
+      SELECT pex.* FROM pex ANTI JOIN hot USING (fp)
     ), pairs AS (
       SELECT probe_id, status, n_fps, prev_id, count(*) AS n_shared
-      FROM pex JOIN vex USING (fp)
+      FROM pexc JOIN vexc USING (fp)
       GROUP BY 1, 2, 3, 4
     )
     SELECT probe_id, status, prev_id,

@@ -5583,12 +5583,16 @@ def docs_crosssnap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the probe side is the diff's added/changed slice
     (~2% here; release-diff-sized in production) — fingerprints via
     the two-stage winnowing with the materialization barrier
-    (doc_winnow_fingerprints precedent); the join key is the
-    fingerprint (selective by construction: winnowing keeps ~1/window
-    of grams); one (probe, prev) aggregate; top-20 is
-    TakeOrderedAndProject. Skewed (boilerplate) fingerprints would cap
-    with a df filter exactly like docs_containment_pairs — left out
-    here so the oracle certifies the unclipped semantics.
+    (doc_winnow_fingerprints precedent); one (probe, prev) aggregate;
+    top-20 is TakeOrderedAndProject. Hot (boilerplate) fingerprints
+    are CAPPED at df > 50 over the prev corpus and excluded from BOTH
+    join sides (the docs_containment_pairs precedent, mirrored in the
+    oracle): without the cap the fp equi-join fans out as Σ df_probe ×
+    df_prev per fingerprint — measured 178 s at sf0.1 on this
+    corpus's small synthetic vocabulary vs ~2 s capped, and unbounded
+    at 100 TB. Containment therefore counts RARE shared fingerprints
+    over the full probe set size — a documented underestimate on
+    boilerplate-heavy pairs, identical on both faces.
     """
     docs = _docs_parallel(spark, sf_dir)
     is_added = F.col("doc_id") % 97 == 0
@@ -5602,15 +5606,19 @@ def docs_crosssnap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_h = probe.select(
         "doc_id", "status", gram_hashes_expr(F.col("toks")).alias("h")
     ).repartition(spark.sparkContext.defaultParallelism)
+    # NB: size(fps) and explode(fps) in ONE projection trips a
+    # pathological plan: the Generate + the duplicated window-min
+    # expression ran 162 s for 108 probe docs at sf0.1 where either
+    # alone runs in ~2 s. fps is DISTINCT by construction, so n_fps is
+    # recovered exactly as the per-probe row count after the explode —
+    # one tiny aggregate + broadcast join instead of the fused size().
     probe_ex = probe_h.select(
         F.col("doc_id").alias("probe_id"),
         "status",
-        window_min_fps_expr(F.col("h")).alias("fps"),
-    ).select(
-        "probe_id",
-        "status",
-        F.size("fps").alias("n_fps"),
-        F.explode("fps").alias("fp"),
+        F.explode(window_min_fps_expr(F.col("h"))).alias("fp"),
+    )
+    n_fps_tbl = probe_ex.groupBy("probe_id").agg(
+        F.count("*").cast("int").alias("n_fps")
     )
     prev = docs.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id",
@@ -5628,10 +5636,19 @@ def docs_crosssnap_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("prev_id"),
         F.explode(window_min_fps_expr(F.col("h"))).alias("fp"),
     )
+    hot = (
+        prev_ex.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > 50)
+        .select("fp")
+    )
+    prev_ex = prev_ex.join(F.broadcast(hot), "fp", "left_anti")
+    probe_ex = probe_ex.join(F.broadcast(hot), "fp", "left_anti")
     pairs = (
         probe_ex.join(prev_ex, "fp")
-        .groupBy("probe_id", "status", "n_fps", "prev_id")
+        .groupBy("probe_id", "status", "prev_id")
         .agg(F.count("*").alias("n_shared"))
+        .join(F.broadcast(n_fps_tbl), "probe_id")
     )
     cont = _r4(F.col("n_shared").cast("double") / F.col("n_fps").cast("double"))
     return (
