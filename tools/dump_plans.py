@@ -171,6 +171,19 @@ AUDIT = [
     "customer_churn_sensitivity",
     "embedding_pca_explained_variance",
     "docs_vocab_coverage_curve",
+    # r12 additions
+    "parts_price_size_skyline",
+    "events_lateness_profile",
+    "docs_crosssnap_containment",
+    "docs_contamination_heatmap",
+    "embedding_label_noise_screen",
+    "embedding_cosine_histogram",
+    "docs_partition_checksums",
+    "docs_length_quantiles_by_source",
+    "multimodal_bytes_entropy",
+    "docs_quality_dup_contingency",
+    "events_session_gap_sensitivity",
+    "docs_dedup_threshold_curve",
 ]
 
 
