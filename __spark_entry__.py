@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_dup_contingency": llm.docs_quality_dup_contingency,
         "events_session_gap_sensitivity": relational.events_session_gap_sensitivity,
         "docs_dedup_threshold_curve": llm.docs_dedup_threshold_curve,
+        "embedding_label_silhouette": llm.embedding_label_silhouette,
         # --- r11-displaced backlog head: the 16 entries the new-in-r11 head pushed behind the r11 boundary ---
         "sessions_ordered_funnel": relational.sessions_ordered_funnel,
         "events_type_correlations": relational.events_type_correlations,
@@ -106,7 +107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
         "wire_field_presence": wire.wire_field_presence,
         "pq_distortion_report": llm.pq_distortion_report,
-        "events_nearest_error": relational.events_nearest_error,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new-in-r12 head displaced past the boundary, then the
         # oldest r7-era greens. Pinned by test_r13_window_plan.
         # --- r12-displaced r6-era tail (leads the r13 window) ---
+        "events_nearest_error": relational.events_nearest_error,
         "docs_snapshot_diff": llm.docs_snapshot_diff,
         "hydro_stage_exceedance": hydro.stage_exceedance_curve,
         "hydro_return_periods": hydro.return_periods,

@@ -9030,3 +9030,51 @@ LLM_ORACLES["docs_dedup_threshold_curve"] = _TOK_CTE + """
         AS survival_pct
     FROM ths CROSS JOIN tot LEFT JOIN dropped d ON ths.t_pct = d.t_pct
     """
+
+
+# Simplified silhouette: nano-quantized exact centroid means, explicit
+# left-fold distances (list_reduce), min-based a/b, quantized rollup.
+LLM_ORACLES["embedding_label_silhouette"] = """
+    WITH vecs AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), dims AS (
+      SELECT label, unnest(range(len(v))) AS j, v[unnest(range(len(v))) + 1] AS x
+      FROM vecs
+    ), cent_cols AS (
+      SELECT label, j,
+        sum(CAST(floor(x * 1000000000.0) AS HUGEINT)) AS sq,
+        count(*) AS n
+      FROM dims GROUP BY 1, 2
+    ), centroids AS (
+      SELECT label AS clabel,
+        list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0)
+             ORDER BY j) AS cv
+      FROM cent_cols GROUP BY 1
+    ), scored AS (
+      SELECT v.vec_id, v.label, v.label = c.clabel AS own,
+        sqrt(list_reduce(list_prepend(0.0,
+          list_transform(range(len(v.v)),
+            i -> (v.v[i + 1] - c.cv[i + 1]) * (v.v[i + 1] - c.cv[i + 1]))),
+          (acc, t) -> acc + t)) AS d
+      FROM vecs v CROSS JOIN centroids c
+    ), ab AS (
+      SELECT vec_id, label,
+        min(CASE WHEN own THEN d END) AS a,
+        min(CASE WHEN NOT own THEN d END) AS b
+      FROM scored GROUP BY 1, 2
+    ), sil AS (
+      SELECT label,
+        CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+             ELSE 0.0 END AS s
+      FROM ab
+    ), q AS (
+      SELECT label, CAST(floor(s * 1000000000.0) AS BIGINT) AS qs,
+        CASE WHEN s < 0 THEN 1 ELSE 0 END AS neg
+      FROM sil
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      round(CAST(sum(qs) AS DOUBLE) / 1000000000.0 / count(*), 4)
+        AS mean_silhouette,
+      CAST(sum(neg) AS BIGINT) AS n_negative
+    FROM q GROUP BY 1
+    """

@@ -6078,3 +6078,94 @@ def docs_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival_pct"),
         )
     )
+
+
+def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label (centroid form: a = distance to
+    own label centroid, b = nearest other centroid, s = (b−a)/max(a,b))
+    — the cluster-quality QA that says whether the LABELS define tight,
+    separated regions of embedding space at all; a label with negative
+    mean silhouette overlaps another class wholesale (systematic
+    mislabeling or an ill-split taxonomy), the centroid-level
+    complement of the per-point kNN screen
+    (embedding_label_noise_screen).
+
+    Exactness: centroid components are exact DECIMAL sums of
+    nano-quantized coordinates divided once (deterministic at any
+    partitioning — the double mean of raw doubles would be
+    summation-order-dependent); distances fold over dims in index
+    order (the dot-product convention, mirrored as an explicit
+    list_reduce in the DuckDB twin); a/b are mins (order-free);
+    the cross-label mean quantizes s to integer nanos and sums
+    EXACTLY (the train_linear_gate convention).
+
+    Scale shape: one dim-explode + (label, dim) aggregate builds the
+    k×dim centroid table (bounded — the k-means collect bound); the
+    10-row centroid table broadcasts against one corpus scan
+    (|vectors| × k rows, k constant); everything after is a per-vector
+    aggregate and a k-row rollup. No quadratic anywhere.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    dims = vecs.select(
+        "label", F.posexplode("v").alias("j", "x")
+    )
+    cent_cols = dims.groupBy("label", "j").agg(
+        F.sum(F.floor(F.col("x") * F.lit(1e9)).cast("decimal(38,0)")).alias("sq"),
+        F.count("*").alias("n"),
+    )
+    centroids = (
+        cent_cols.select(
+            "label",
+            "j",
+            (
+                F.col("sq").cast("double")
+                / (F.col("n").cast("double") * F.lit(1e9))
+            ).alias("c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("clabel"), "cv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "cv", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        (F.col("label") == F.col("clabel")).alias("own"),
+        dist.alias("d"),
+    )
+    ab = scored.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("own"), F.col("d"))).alias("a"),
+        F.min(F.when(~F.col("own"), F.col("d"))).alias("b"),
+    )
+    s = F.when(
+        F.greatest("a", "b") > 0,
+        (F.col("b") - F.col("a")) / F.greatest("a", "b"),
+    ).otherwise(F.lit(0.0))
+    per_vec = ab.select(
+        "label",
+        F.floor(s * F.lit(1e9)).cast("long").alias("qs"),
+        (s < 0).cast("long").alias("neg"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum("qs").cast("double") / F.lit(1e9) / F.count("*").cast("double"),
+            4,
+        ).alias("mean_silhouette"),
+        F.sum("neg").alias("n_negative"),
+    )

@@ -55,6 +55,7 @@ NEW_IN_R12: list[str] = [
     "docs_quality_dup_contingency",
     "events_session_gap_sensitivity",
     "docs_dedup_threshold_curve",
+    "embedding_label_silhouette",
 ]
 
 # The pinned r12 backlog written at the end of r11 (VERDICT r11 "Next

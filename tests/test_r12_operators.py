@@ -681,3 +681,62 @@ def test_dedup_threshold_curve_recompute(spark, tmp_path):
         assert r.survival_pct == round((3 - len(dropped)) / 3, 4)
     # sanity: the near-dup pair is above 0.8, the unrelated pair absent
     assert got[80].n_dropped == 1 and (1, 3) not in jac
+
+
+def test_label_silhouette_recompute(spark, tmp_path):
+    """Two tight separated clusters -> silhouette near 1 for both; a
+    third label sitting inside cluster 1's region -> negative. Full
+    pure-Python recompute of the centroid/quantization chain."""
+    import math
+
+    from hrfco_data_pipeline_spark.plans.llm import embedding_label_silhouette
+
+    rows = [
+        (0, [0.0, 0.0], 1),
+        (1, [0.0, 0.25], 1),
+        (2, [10.0, 0.0], 2),
+        (3, [10.0, 0.25], 2),
+        # label 3 is incoherent: one member sits in label 1's region,
+        # one near label 2's — its centroid represents neither, so the
+        # near-label-1 member scores NEGATIVE (closer to label 1's
+        # centroid than to its own)
+        (4, [0.0, 0.1], 3),
+        (5, [-20.0, 0.0], 3),
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+
+    by_label = {}
+    for _, v, lbl in rows:
+        by_label.setdefault(lbl, []).append(v)
+    cents = {}
+    for lbl, vs in by_label.items():
+        n = len(vs)
+        cents[lbl] = [
+            sum(math.floor(v[j] * 1e9) for v in vs) / (n * 1e9)
+            for j in range(2)
+        ]
+
+    def dist(v, c):
+        acc = 0.0
+        for x, cc in zip(v, c):
+            acc += (x - cc) * (x - cc)
+        return math.sqrt(acc)
+
+    expected = {}
+    for _, v, lbl in rows:
+        a = dist(v, cents[lbl])
+        b = min(dist(v, c) for l2, c in cents.items() if l2 != lbl)
+        s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+        e = expected.setdefault(lbl, [0, 0, 0])
+        e[0] += 1
+        e[1] += math.floor(s * 1e9)
+        e[2] += 1 if s < 0 else 0
+
+    got = {r.label: r for r in embedding_label_silhouette(spark, sf).collect()}
+    assert set(got) == set(expected)
+    for lbl, (n, qsum, neg) in expected.items():
+        r = got[lbl]
+        assert r.n_vecs == n and r.n_negative == neg
+        assert r.mean_silhouette == round(qsum / 1e9 / n, 4)
+    assert got[2].mean_silhouette > 0.9          # far cluster: clean
+    assert got[3].n_negative == 1                # incoherent label flagged
