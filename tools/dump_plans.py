@@ -184,6 +184,7 @@ AUDIT = [
     "docs_quality_dup_contingency",
     "events_session_gap_sensitivity",
     "docs_dedup_threshold_curve",
+    "embedding_label_silhouette",
 ]
 
 
