@@ -44,11 +44,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end of r11 (written FROM docs/EVIDENCE.md): new-in-r12 head
     # first, then the r11-displaced backlog tail, the 12 stale r3/r4
     # greens the ledger surfaced, and the r6-era remainder up to the
-    # boundary. New-in-r12 additions displaced the backlog's last 10
+    # boundary. New-in-r12 additions displaced the backlog's last 16
     # r6-era entries past the boundary; those lead the r13 window.
     #
     # r13 ROTATION PLAN (execute at the start of r13, regenerating
-    # the ledger first — tools/round_start.py): the 10 displaced
+    # the ledger first — tools/round_start.py): the 16 displaced
     # r6-era entries, then the oldest r7-era greens. r14+ continues
     # r7 rest -> r8 -> r9 -> the r10/r11/r12-certified blocks.
     return {
@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_gap_sensitivity": relational.events_session_gap_sensitivity,
         "docs_dedup_threshold_curve": llm.docs_dedup_threshold_curve,
         "embedding_label_silhouette": llm.embedding_label_silhouette,
+        "hydro_level_mad_outliers": hydro.level_mad_outliers,
+        "docs_source_vocab_overlap": llm.docs_source_vocab_overlap,
+        "events_t_closeness": relational.events_t_closeness,
         # --- r11-displaced backlog head: the 16 entries the new-in-r11 head pushed behind the r11 boundary ---
         "sessions_ordered_funnel": relational.sessions_ordered_funnel,
         "events_type_correlations": relational.events_type_correlations,
@@ -104,19 +107,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
         "events_touch_attribution": relational.events_touch_attribution,
         "docs_zipf_fit": llm.docs_zipf_fit,
-        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
-        "wire_field_presence": wire.wire_field_presence,
-        "pq_distortion_report": llm.pq_distortion_report,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
         # exactly after entry 50)
         # ============ r13 WINDOW PLAN (next 50, in order) ============
         # Written from docs/EVIDENCE.md (regenerate with
-        # tools/round_start.py). Order: the 10 r6-era entries the
+        # tools/round_start.py). Order: the 16 r6-era entries the
         # new-in-r12 head displaced past the boundary, then the
         # oldest r7-era greens. Pinned by test_r13_window_plan.
         # --- r12-displaced r6-era tail (leads the r13 window) ---
+        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
+        "wire_field_presence": wire.wire_field_presence,
+        "pq_distortion_report": llm.pq_distortion_report,
         "events_nearest_error": relational.events_nearest_error,
         "docs_snapshot_diff": llm.docs_snapshot_diff,
         "hydro_stage_exceedance": hydro.stage_exceedance_curve,

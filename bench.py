@@ -117,6 +117,9 @@ HEADLINE = [
     "docs_crosssnap_containment",
     "multimodal_bytes_entropy",
     "docs_contamination_heatmap",
+    "hydro_level_mad_outliers",
+    "docs_source_vocab_overlap",
+    "events_t_closeness",
 ]
 
 

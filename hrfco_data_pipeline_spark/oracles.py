@@ -9078,3 +9078,121 @@ LLM_ORACLES["embedding_label_silhouette"] = """
       CAST(sum(neg) AS BIGINT) AS n_negative
     FROM q GROUP BY 1
     """
+
+
+# Robust per-station MAD outlier screen: integer cents, exact
+# lower-median order statistics (rank (n+1)//2) for both the median
+# and the MAD, pure-integer 3*MAD cutoff.
+HYDRO_ORACLES["hydro_level_mad_outliers"] = HYDRO_CTE + """
+    , base AS (
+      SELECT wlobscd AS station, obs_id,
+        CAST(round(water_level * 100) AS BIGINT) AS cents
+      FROM classified WHERE water_level IS NOT NULL
+    ), r1 AS (
+      SELECT station, obs_id, cents,
+        row_number() OVER (PARTITION BY station
+                           ORDER BY cents, obs_id) AS rnk,
+        count(*) OVER (PARTITION BY station) AS n
+      FROM base
+    ), med AS (
+      SELECT station, cents AS med, n FROM r1 WHERE rnk = (n + 1) // 2
+    ), dev AS (
+      SELECT b.station, b.obs_id, b.cents, m.med, m.n,
+        abs(b.cents - m.med) AS dev
+      FROM base b JOIN med m ON b.station = m.station
+    ), r2 AS (
+      SELECT station, dev, n,
+        row_number() OVER (PARTITION BY station
+                           ORDER BY dev, obs_id) AS rnk
+      FROM dev
+    ), mad AS (
+      SELECT station, dev AS mad FROM r2 WHERE rnk = (n + 1) // 2
+    )
+    SELECT d.station,
+      CAST(count(*) AS BIGINT) AS n_obs,
+      CAST(max(d.med) AS BIGINT) AS median_cents,
+      CAST(max(m.mad) AS BIGINT) AS mad_cents,
+      CAST(sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_outliers,
+      CAST(max(d.dev) AS BIGINT) AS max_abs_dev_cents
+    FROM dev d JOIN mad m ON d.station = m.station
+    GROUP BY 1
+    """
+
+
+# Source x source vocabulary Jaccard: distinct (source, token) sets,
+# every unordered pair present (zero-overlap pairs emit 0).
+LLM_ORACLES["docs_source_vocab_overlap"] = _TOK_CTE + """
+    , st AS (
+      SELECT DISTINCT source, token
+      FROM (SELECT source, unnest(toks) AS token FROM tok)
+    ), sizes AS (
+      SELECT source, count(*) AS vocab FROM st GROUP BY 1
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        count(*) AS n_shared
+      FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT g.source_a, g.source_b,
+      CAST(sa.vocab AS BIGINT) AS vocab_a,
+      CAST(sb.vocab AS BIGINT) AS vocab_b,
+      CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+      round(CAST(COALESCE(sh.n_shared, 0) AS DOUBLE)
+            / (sa.vocab + sb.vocab - COALESCE(sh.n_shared, 0)), 6)
+        AS jaccard
+    FROM (SELECT a.source AS source_a, b.source AS source_b
+          FROM sizes a JOIN sizes b ON a.source < b.source) g
+    JOIN sizes sa ON g.source_a = sa.source
+    JOIN sizes sb ON g.source_b = sb.source
+    LEFT JOIN shared sh
+      ON g.source_a = sh.source_a AND g.source_b = sh.source_b
+    """
+
+
+
+# t-closeness: per-(day, band) TV distance of the event_type
+# distribution vs global, HUGEINT-exact numerators, closed-form
+# absent-type contribution, pure-integer 10*num > 6*n*N cutoff.
+RELATIONAL_ORACLES["events_t_closeness"] = """
+    WITH base AS (
+      SELECT CAST(ts AS DATE) AS day,
+        CAST(floor(COALESCE(value, -1.0) / 10) AS BIGINT) AS value_band,
+        event_type
+      FROM events
+    ), gtab AS (
+      SELECT event_type, count(*) AS C FROM base GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(C) AS BIGINT) AS tot_n FROM gtab
+    ), cells_t AS (
+      SELECT day, value_band, event_type, count(*) AS c
+      FROM base GROUP BY 1, 2, 3
+    ), n_cell AS (
+      SELECT day, value_band, CAST(sum(c) AS BIGINT) AS n
+      FROM cells_t GROUP BY 1, 2
+    ), per_cell AS (
+      SELECT ct.day, ct.value_band, nc.n, t.tot_n,
+        sum(abs(CAST(ct.c AS HUGEINT) * t.tot_n
+                - CAST(g.C AS HUGEINT) * nc.n)) AS num_present,
+        sum(CAST(g.C AS HUGEINT)) AS c_present
+      FROM cells_t ct
+      JOIN gtab g USING (event_type)
+      JOIN n_cell nc ON ct.day = nc.day AND ct.value_band = nc.value_band
+      CROSS JOIN tot t
+      GROUP BY 1, 2, 3, 4
+    ), scored AS (
+      SELECT day, n,
+        CAST(num_present + (CAST(tot_n AS HUGEINT) - c_present) * n AS DOUBLE)
+          / (2.0 * n * tot_n) AS tv,
+        CASE WHEN 10 * (num_present + (CAST(tot_n AS HUGEINT) - c_present) * n)
+               > 6 * CAST(n AS HUGEINT) * tot_n THEN 1 ELSE 0 END AS above
+      FROM per_cell
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS n_cells,
+      CAST(sum(n) AS BIGINT) AS n_rows,
+      max(tv) AS max_tv,
+      CAST(sum(above) AS BIGINT) AS n_cells_above_t,
+      CAST(sum(CASE WHEN above = 1 THEN n ELSE 0 END) AS BIGINT)
+        AS rows_at_risk
+    FROM scored GROUP BY 1
+    """

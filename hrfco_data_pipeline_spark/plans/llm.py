@@ -6169,3 +6169,76 @@ def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_silhouette"),
         F.sum("neg").alias("n_negative"),
     )
+
+
+def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × source vocabulary Jaccard matrix — the set-overlap
+    complement of the distributional drift family (docs_source_tv_distance
+    measures token-FREQUENCY divergence; docs_source_kl_divergence the
+    mixture weights; this one asks how much of each source's *distinct*
+    vocabulary is shared). A pair whose Jaccard collapses between
+    crawls signals a domain shift the frequency views smooth over; a
+    pair near 1.0 marks redundant sources a mixture rebalance should
+    treat as one.
+
+    Determinism: every unordered source pair (source_a < source_b) is
+    always present — the pair grid is built from the per-source vocab
+    sizes and shared counts are left-joined onto it (zero-overlap
+    pairs emit n_shared = 0, never a missing row — the
+    contamination-heatmap every-cell-present convention). jaccard =
+    n_shared / (|A| + |B| − n_shared), round 6.
+
+    Scale shape: one map-side-combined distinct on (source, token),
+    then a groupBy(token) collect_set over a ≤|sources| set — the
+    per-token source-set explode emits ≤ C(|sources|, 2) pair rows per
+    token (4 sources → ≤6), never a token self-join whose fan-out is
+    quadratic in per-token source multiplicity; vocab sizes and the
+    pair grid are metadata-sized broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(_tokens()).alias("token")
+    ).distinct()
+    sizes = toks.groupBy("source").agg(F.count("*").alias("vocab"))
+    tok_sources = toks.groupBy("token").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    shared = (
+        tok_sources.select(
+            F.explode("ss").alias("source_a"), F.col("ss")
+        )
+        .select(
+            "source_a", F.explode("ss").alias("source_b")
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    grid = (
+        sizes.select(
+            F.col("source").alias("source_a"), F.col("vocab").alias("vocab_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("vocab").alias("vocab_b"),
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    out = grid.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+    ns = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("vocab_a").cast("long").alias("vocab_a"),
+        F.col("vocab_b").cast("long").alias("vocab_b"),
+        ns.alias("n_shared"),
+        F.round(
+            ns.cast("double")
+            / (F.col("vocab_a") + F.col("vocab_b") - ns).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )

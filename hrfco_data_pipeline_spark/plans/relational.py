@@ -7082,3 +7082,86 @@ def events_session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFram
             F.count("*").cast("double") / F.sum(start).cast("double"), 4
         ).alias("avg_events_per_session"),
     )
+
+
+def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness screen — the third leg of the release-privacy
+    family (Li, Li & Venkatasubramanian 2007): a cell can be
+    k-anonymous (events_k_anonymity) and l-diverse
+    (events_l_diversity) yet still leak when its SENSITIVE-attribute
+    distribution diverges from the global one (everyone in the cell
+    shares a behavior class). Quasi-identifiers here are (event date,
+    $10 value band); the sensitive attribute is event_type — the
+    categorical payload a release protects, so the distance is total
+    variation (= EMD under the discrete metric). Reports per day:
+    cells, rows, the worst cell's TV distance, and the cells/rows
+    beyond t = 0.3.
+
+    Exactness: per-cell TV = Σ_t |c_t·N − C_t·n| / (2·n·N) with every
+    product and sum in DECIMAL(38,0) (long·long overflows past
+    N ≈ 3·10^9 — the orders_amount_reconciliation lesson); types
+    absent from a cell contribute C_t·n via the closed form
+    (N − ΣC_present)·n, never a grid explode. The t cutoff is the
+    PURE-INTEGER compare 10·Σ > 6·n·N (no float threshold anywhere);
+    the one emitted double is a single cast-then-divide of exact
+    operands (raw, unrounded — the l_diversity convention).
+
+    Scale shape: the family posture — bounded-key map-side aggregates
+    only: global type counts (|types| rows) and the corpus total are
+    broadcast; cells aggregate on (day, band, type) then (day, band);
+    the rollup is per-day. No windows, no unbounded joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    band = F.floor(F.coalesce(F.col("value"), F.lit(-1.0)) / 10).cast("long")
+    base = ev.select(
+        F.to_date("ts").alias("day"),
+        band.alias("value_band"),
+        "event_type",
+    )
+    glob = base.groupBy("event_type").agg(F.count("*").alias("gc"))
+    total = glob.agg(F.sum("gc").cast("long").alias("tot_n"))
+    cells_t = base.groupBy("day", "value_band", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    n_cell = cells_t.groupBy("day", "value_band").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")
+    j = (
+        cells_t.join(F.broadcast(glob), "event_type")
+        .join(n_cell, ["day", "value_band"])
+        .crossJoin(F.broadcast(total))
+    )
+    per_cell = j.groupBy("day", "value_band", "n", "tot_n").agg(
+        F.sum(F.abs(dec("c") * dec("tot_n") - dec("gc") * dec("n"))).alias(
+            "num_present"
+        ),
+        F.sum(dec("gc")).alias("c_present"),
+    )
+    # absent types contribute |0*N - C_t*n| = C_t*n; their C sums to
+    # N - c_present, so the full numerator closes without a type grid
+    num = (
+        F.col("num_present")
+        + (dec("tot_n") - F.col("c_present")) * dec("n")
+    )
+    tv = num.cast("double") / (
+        F.lit(2.0) * F.col("n").cast("double") * F.col("tot_n").cast("double")
+    )
+    above = (F.lit(10).cast("decimal(38,0)") * num) > (
+        F.lit(6).cast("decimal(38,0)") * dec("n") * dec("tot_n")
+    )
+    scored = per_cell.select(
+        "day",
+        F.col("n").alias("n"),
+        tv.alias("tv"),
+        above.cast("long").alias("above"),
+    )
+    return scored.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("tv").alias("max_tv"),
+        F.sum("above").cast("long").alias("n_cells_above_t"),
+        F.sum(F.when(F.col("above") == 1, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+    )

@@ -56,6 +56,9 @@ NEW_IN_R12: list[str] = [
     "events_session_gap_sensitivity",
     "docs_dedup_threshold_curve",
     "embedding_label_silhouette",
+    "hydro_level_mad_outliers",
+    "docs_source_vocab_overlap",
+    "events_t_closeness",
 ]
 
 # The pinned r12 backlog written at the end of r11 (VERDICT r11 "Next

@@ -740,3 +740,134 @@ def test_label_silhouette_recompute(spark, tmp_path):
         assert r.mean_silhouette == round(qsum / 1e9 / n, 4)
     assert got[2].mean_silhouette > 0.9          # far cluster: clean
     assert got[3].n_negative == 1                # incoherent label flagged
+
+
+def test_level_mad_outliers_recompute(spark):
+    """sf0.001: recompute every station's lower-median, MAD, outlier
+    count, and max deviation in pure Python from the same classified
+    substrate — the two-pass rank plumbing is what's under test, so
+    the recompute sorts plain Python lists instead."""
+    from collections import defaultdict
+
+    from hrfco_data_pipeline_spark.plans.hydro import (
+        classified,
+        level_mad_outliers,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        classified(spark, sf)
+        .filter(F.col("water_level").isNotNull())
+        .select(
+            F.col("wlobscd").alias("station"),
+            F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by = defaultdict(list)
+    for r in base:
+        by[r.station].append(r.cents)
+    got = {r.station: r for r in level_mad_outliers(spark, sf).collect()}
+    assert set(got) == set(by) and got
+    for st, cs in by.items():
+        n = len(cs)
+        med = sorted(cs)[(n + 1) // 2 - 1]
+        devs = sorted(abs(x - med) for x in cs)
+        mad = devs[(n + 1) // 2 - 1]
+        r = got[st]
+        assert (r.n_obs, r.median_cents, r.mad_cents) == (n, med, mad)
+        assert r.n_outliers == sum(1 for d in devs if d > 3 * mad)
+        assert r.max_abs_dev_cents == devs[-1]
+
+
+def test_source_vocab_overlap_recompute(spark, tmp_path):
+    """Hand corpus: one overlapping pair (Jaccard 2/5) and two
+    zero-overlap pairs that must still be present with n_shared=0."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_source_vocab_overlap
+
+    rows = [
+        (1, "apple banana cherry", "en", "s1", 19),
+        (2, "banana date", "en", "s1", 11),
+        (3, "banana cherry egg", "en", "s2", 17),
+        (4, "fig grape", "en", "s3", 9),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.source_a, r.source_b): r
+        for r in docs_source_vocab_overlap(spark, sf).collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = got[("s1", "s2")]
+    assert (r12.vocab_a, r12.vocab_b, r12.n_shared) == (4, 3, 2)
+    assert r12.jaccard == round(2 / 5, 6)
+    for pair in (("s1", "s3"), ("s2", "s3")):
+        assert got[pair].n_shared == 0 and got[pair].jaccard == 0.0
+
+
+def test_t_closeness_recompute(spark, tmp_path):
+    """Hand events frame with a NULL-value band, a perfectly
+    representative cell (TV 0-ish), and a single-type cell beyond
+    t=0.3; expected per-day rows recomputed with exact Fraction
+    arithmetic in pure Python."""
+    import datetime as dt
+    from collections import Counter
+    from fractions import Fraction
+
+    from hrfco_data_pipeline_spark.plans.relational import events_t_closeness
+
+    d1 = dt.datetime(2024, 1, 1, 5)
+    d2 = dt.datetime(2024, 1, 2, 7)
+    rows = [
+        # (event_id, ts, user_id, event_type, value, props)
+        (1, d1, 10, "A", 1.0, None),
+        (2, d1, 10, "A", 2.0, None),
+        (3, d1, 11, "A", 3.0, None),
+        (4, d1, 12, "B", 2.0, None),
+        (5, d1, 10, "A", 11.0, None),
+        (6, d2, 10, "A", 1.0, None),
+        (7, d2, 11, "A", 5.0, None),
+        (8, d2, 12, "B", 3.0, None),
+        (9, d2, 13, "B", 25.0, None),
+        (10, d2, 10, "A", None, None),  # NULL value -> band -1
+    ]
+    out = str(tmp_path / "tclose")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{out}/events.parquet")
+
+    # pure-Python twin
+    import math
+
+    def band(v):
+        return math.floor((v if v is not None else -1.0) / 10)
+
+    glob = Counter(t for (_, _, _, t, _, _) in rows)
+    N = sum(glob.values())
+    cells: dict[tuple, Counter] = {}
+    for (_, ts, _, t, v, _) in rows:
+        cells.setdefault((ts.date(), band(v)), Counter())[t] += 1
+    per_day: dict = {}
+    for (day, _), cnt in cells.items():
+        n = sum(cnt.values())
+        num = sum(abs(c * N - glob[t] * n) for t, c in cnt.items())
+        num += (N - sum(glob[t] for t in cnt)) * n
+        tv = num / (2.0 * n * N)
+        above = 10 * num > 6 * n * N
+        e = per_day.setdefault(day, dict(cells=0, rows=0, tv=0.0, ab=0, risk=0))
+        e["cells"] += 1
+        e["rows"] += n
+        e["tv"] = max(e["tv"], tv)
+        e["ab"] += int(above)
+        e["risk"] += n if above else 0
+    assert any(e["ab"] for e in per_day.values())  # non-vacuous cutoff
+    assert any(Fraction(0) < Fraction(e["tv"]) < 1 for e in per_day.values())
+
+    got = {r.day: r for r in events_t_closeness(spark, out).collect()}
+    assert set(got) == set(per_day)
+    for day, e in per_day.items():
+        r = got[day]
+        assert (r.n_cells, r.n_rows) == (e["cells"], e["rows"])
+        assert r.max_tv == e["tv"]
+        assert (r.n_cells_above_t, r.rows_at_risk) == (e["ab"], e["risk"])

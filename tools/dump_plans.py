@@ -185,6 +185,9 @@ AUDIT = [
     "events_session_gap_sensitivity",
     "docs_dedup_threshold_curve",
     "embedding_label_silhouette",
+    "hydro_level_mad_outliers",
+    "docs_source_vocab_overlap",
+    "events_t_closeness",
 ]
 
 
