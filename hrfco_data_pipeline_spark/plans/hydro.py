@@ -1464,7 +1464,6 @@ def drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-
 def level_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-station robust outlier screen: median / MAD (median absolute
     deviation) over all observed levels, flagging |level − median| >
@@ -1473,79 +1472,86 @@ def level_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     values; the MAD screen catches *plausible-but-wrong* readings a
     fixed band can never see, and unlike a mean/stddev z-score it does
     not let the outliers themselves inflate the cutoff — 50% breakdown
-    point vs 0). Sibling of relational.events_mad_outliers, differing
-    where the substrates differ: events groups are many and bounded
-    (per-type task sorts are safe), hydro stations are FEW with
-    unbounded history (a per-station sort concentrates each station
-    in one task — hence the partitioned two-pass below), and the
-    hydro face stays pure-integer (cents, lower-median, 3·MAD)
-    instead of the 1.4826·MAD float yardstick.
+    point vs 0). Sibling of relational.events_mad_outliers; the two
+    substrates earn different shapes (see Scale below) and the hydro
+    face stays pure-integer (cents, lower-median, 3·MAD) instead of
+    the 1.4826·MAD float yardstick.
 
     Exactness: levels become INTEGER CENTS (round(wl·100), the
     drought_runs convention); both medians are the exact LOWER-median
-    order statistic (rank k = (n+1) div 2 under the total orders
-    (cents, obs_id) then (|dev|, obs_id) — both engines cut
-    identically through ties); deviations and the 3·MAD cutoff are
-    pure-integer compares. When MAD = 0 (constant-majority series) any
-    nonzero deviation flags — the standard degenerate-MAD fallback,
-    identical on both faces. No floats anywhere.
+    order statistic — the smallest value whose weighted running count
+    reaches k = (n+1) div 2, identical through ties on both faces —
+    and deviations plus the 3·MAD cutoff are pure-integer compares.
+    When MAD = 0 (constant-majority series) any nonzero deviation
+    flags — the standard degenerate-MAD fallback. No floats anywhere.
 
-    Scale shape: BOTH median ranks run through the PARTITIONED
-    range-bucketed two-pass (operators/ranking.ranked_cumsum, the
-    events_trimmed_mean precedent) — raw observations per station are
-    unbounded in time, so a plain per-station window would concentrate
-    each station in one task; medians/counts broadcast back
-    (|stations| rows); the final rollup is one map-side-combined
-    groupBy.
+    Scale shape: aggregate FIRST to the (station, cents) VALUE DOMAIN
+    (one map-side-combined groupBy — the only pass over raw
+    observations), then both weighted-median picks and the outlier
+    rollup run on that domain-bounded frame: per-station window sizes
+    are capped by the distinct-cents domain ([-10, 50] m × 100 =
+    ≤ 6001 rows/station) regardless of corpus size — the drought_runs
+    day-domain posture. Raw-row ranking (the first implementation)
+    re-evaluated the parse→classify chain per two-pass layer: 16.5 s
+    cold at sf0.1 vs ~intrinsic-chain cost for this form (SCALE.md
+    §r12). Medians/MADs broadcast back (|stations| rows).
     """
-    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
-
     c = classified(spark, sf_dir)
-    base = c.filter(F.col("water_level").isNotNull()).select(
-        F.col("wlobscd").alias("station"),
-        "obs_id",
-        F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+    agg = (
+        c.filter(F.col("water_level").isNotNull())
+        .groupBy(
+            F.col("wlobscd").alias("station"),
+            F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+        )
+        .agg(F.count("*").alias("w"))
     )
-    counts = base.groupBy("station").agg(F.count("*").alias("n"))
-    ranked = ranked_cumsum(
-        base,
-        F.col("cents").cast("double"),
-        [F.asc("cents"), F.asc("obs_id")],
-        sample_key=F.col("obs_id"),
-        rank_name="rnk",
-        partition_cols=["station"],
+    wcum = (
+        Window.partitionBy("station")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("station")
+    r = agg.select(
+        "station",
+        "cents",
+        "w",
+        F.sum("w").over(wcum).alias("cum"),
+        F.sum("w").over(wall).alias("n"),
     )
     med = (
-        ranked.join(F.broadcast(counts), "station")
-        .filter(F.col("rnk") == F.expr("(n + 1) div 2"))
-        .select("station", F.col("cents").alias("med"), "n")
+        r.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("station")
+        .agg(F.min("cents").alias("med"), F.min("n").alias("n"))
     )
-    dev = base.join(F.broadcast(med), "station").select(
-        "station",
-        "obs_id",
-        "cents",
-        "med",
-        "n",
-        F.abs(F.col("cents") - F.col("med")).alias("dev"),
+    dev = (
+        agg.join(F.broadcast(med), "station")
+        .groupBy(
+            "station",
+            "n",
+            F.abs(F.col("cents") - F.col("med")).alias("dev"),
+        )
+        .agg(F.sum("w").alias("w"))
     )
-    ranked2 = ranked_cumsum(
-        dev,
-        F.col("dev").cast("double"),
-        [F.asc("dev"), F.asc("obs_id")],
-        sample_key=F.col("obs_id"),
-        rank_name="rnk",
-        partition_cols=["station"],
+    wcum2 = (
+        Window.partitionBy("station")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    mad = ranked2.filter(F.col("rnk") == F.expr("(n + 1) div 2")).select(
-        "station", F.col("dev").alias("mad")
+    r2 = dev.withColumn("cum", F.sum("w").over(wcum2))
+    mad = (
+        r2.filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("station")
+        .agg(F.min("dev").alias("mad"))
     )
-    flagged = dev.join(F.broadcast(mad), "station")
+    flagged = dev.join(F.broadcast(mad), "station").join(
+        F.broadcast(med.select("station", "med")), "station"
+    )
     return flagged.groupBy("station").agg(
-        F.count("*").cast("long").alias("n_obs"),
+        F.sum("w").cast("long").alias("n_obs"),
         F.max("med").cast("long").alias("median_cents"),
         F.max("mad").cast("long").alias("mad_cents"),
         F.sum(
-            (F.col("dev") > 3 * F.col("mad")).cast("long")
+            F.when(F.col("dev") > 3 * F.col("mad"), F.col("w")).otherwise(0)
         ).cast("long").alias("n_outliers"),
         F.max("dev").cast("long").alias("max_abs_dev_cents"),
     )
