@@ -9138,9 +9138,8 @@ LLM_ORACLES["docs_source_vocab_overlap"] = _TOK_CTE + """
       CAST(sa.vocab AS BIGINT) AS vocab_a,
       CAST(sb.vocab AS BIGINT) AS vocab_b,
       CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
-      round(CAST(COALESCE(sh.n_shared, 0) AS DOUBLE)
-            / (sa.vocab + sb.vocab - COALESCE(sh.n_shared, 0)), 6)
-        AS jaccard
+      CAST(COALESCE(sh.n_shared, 0) AS DOUBLE)
+        / (sa.vocab + sb.vocab - COALESCE(sh.n_shared, 0)) AS jaccard
     FROM (SELECT a.source AS source_a, b.source AS source_b
           FROM sizes a JOIN sizes b ON a.source < b.source) g
     JOIN sizes sa ON g.source_a = sa.source

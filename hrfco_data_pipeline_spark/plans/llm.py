@@ -6186,7 +6186,9 @@ def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes and shared counts are left-joined onto it (zero-overlap
     pairs emit n_shared = 0, never a missing row — the
     contamination-heatmap every-cell-present convention). jaccard =
-    n_shared / (|A| + |B| − n_shared), round 6.
+    n_shared / (|A| + |B| − n_shared) — ONE double division of
+    exact integers, emitted RAW (the l_diversity convention: round(x, k)
+    on a computed double is the known engine-split trap).
 
     Scale shape: one map-side-combined distinct on (source, token),
     then a groupBy(token) collect_set over a ≤|sources| set — the
@@ -6236,9 +6238,8 @@ def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vocab_a").cast("long").alias("vocab_a"),
         F.col("vocab_b").cast("long").alias("vocab_b"),
         ns.alias("n_shared"),
-        F.round(
+        (
             ns.cast("double")
-            / (F.col("vocab_a") + F.col("vocab_b") - ns).cast("double"),
-            6,
+            / (F.col("vocab_a") + F.col("vocab_b") - ns).cast("double")
         ).alias("jaccard"),
     )

@@ -799,7 +799,7 @@ def test_source_vocab_overlap_recompute(spark, tmp_path):
     assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
     r12 = got[("s1", "s2")]
     assert (r12.vocab_a, r12.vocab_b, r12.n_shared) == (4, 3, 2)
-    assert r12.jaccard == round(2 / 5, 6)
+    assert r12.jaccard == 2 / 5
     for pair in (("s1", "s3"), ("s2", "s3")):
         assert got[pair].n_shared == 0 and got[pair].jaccard == 0.0
 
