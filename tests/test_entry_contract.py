@@ -197,26 +197,22 @@ def test_all_callables_and_oracles_nonempty():
     assert all(s.strip() for s in entry.oracle_sql().values())
 
 
-def test_evidence_ledger_is_fresh():
-    """docs/EVIDENCE.md is generated from the registry order + the
-    CORRECTNESS_r*.json history; a registry change without
-    regenerating it would silently de-sync the rotation-planning
-    table (the r11 lesson: comment archaeology drifted 12 queries).
-    Regenerate in-memory and compare."""
+def _regenerate_ledger(hist) -> str:
+    """Render the evidence ledger for the given driver history into a
+    temp cwd and return its text (the guard's in-memory twin of
+    tools/gen_query_docs.py)."""
+    import contextlib
     import importlib
+    import io
+    import os
     import pathlib
     import sys
+    import tempfile
 
     sys.path.insert(0, ".")
     gen = importlib.import_module("tools.gen_query_docs")
-    hist = gen.driver_history()
     q = entry.queries()
     o = entry.oracle_sql()
-    import contextlib
-    import io
-    import os
-    import tempfile
-
     cwd = os.getcwd()
     with tempfile.TemporaryDirectory() as td:
         os.makedirs(os.path.join(td, "docs"))
@@ -224,10 +220,100 @@ def test_evidence_ledger_is_fresh():
             os.chdir(td)
             with contextlib.redirect_stdout(io.StringIO()):
                 gen.write_evidence_ledger(q, o, hist)
-            fresh = pathlib.Path(td, "docs", "EVIDENCE.md").read_text()
+            return pathlib.Path(td, "docs", "EVIDENCE.md").read_text()
         finally:
             os.chdir(cwd)
-    committed = pathlib.Path(cwd, "docs", "EVIDENCE.md").read_text()
+
+
+def _committed_ledger_and_stamp():
+    import pathlib
+    import re
+
+    committed = pathlib.Path("docs", "EVIDENCE.md").read_text()
+    m = re.search(r"history through r(\d+)", committed)
+    assert m, (
+        "docs/EVIDENCE.md carries no round stamp — run: "
+        "python tools/gen_query_docs.py"
+    )
+    return committed, int(m.group(1))
+
+
+def test_evidence_ledger_is_fresh():
+    """docs/EVIDENCE.md is generated from the registry order + the
+    CORRECTNESS_r*.json history; a registry change without
+    regenerating it would silently de-sync the rotation-planning
+    table (the r11 lesson: comment archaeology drifted 12 queries).
+    Regenerate in-memory and compare — filtering the history to the
+    committed ledger's own round stamp, so the driver dropping
+    CORRECTNESS_r{N+1}.json after round N closes no longer reds the
+    suite at every boundary (VERDICT r12 'Next round' #2);
+    tools/round_start.py still regenerates from the full history at
+    round open."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, ".")
+    gen = importlib.import_module("tools.gen_query_docs")
+    committed, stamp = _committed_ledger_and_stamp()
+    fresh = _regenerate_ledger(gen.driver_history(max_round=stamp))
     assert fresh == committed, (
         "docs/EVIDENCE.md is stale — run: python tools/gen_query_docs.py"
     )
+
+
+def test_freshness_guard_tolerates_boundary_correctness_drop(tmp_path):
+    """Simulated round boundary: a CORRECTNESS file from a LATER round
+    than the ledger stamp appears (the driver always lands one after
+    round close) — the stamp-filtered history must not see it, so the
+    regenerated ledger still equals the committed one and the suite
+    stays green."""
+    import glob
+    import importlib
+    import json
+    import os
+    import shutil
+    import sys
+
+    sys.path.insert(0, ".")
+    gen = importlib.import_module("tools.gen_query_docs")
+    committed, stamp = _committed_ledger_and_stamp()
+    cwd = os.getcwd()
+    for p in glob.glob("CORRECTNESS_r*.json"):
+        shutil.copy(p, tmp_path / p)
+    # the boundary drop: a green row for a query whose committed
+    # last_green is older — unfiltered it WOULD change the ledger
+    fake = {
+        "hydro_classify_alerts": {
+            "rows_match": True,
+            "schema_match": True,
+            "hash_match": True,
+        }
+    }
+    (tmp_path / f"CORRECTNESS_r{stamp + 1}.json").write_text(
+        json.dumps(fake)
+    )
+    try:
+        os.chdir(tmp_path)
+        filtered = gen.driver_history(max_round=stamp)
+        unfiltered = gen.driver_history()
+    finally:
+        os.chdir(cwd)
+    assert _regenerate_ledger(filtered) == committed
+    assert _regenerate_ledger(unfiltered) != committed
+
+
+def test_freshness_guard_catches_registry_drift(monkeypatch):
+    """A registry edit without regenerating the ledger must still fail
+    the guard: drop one entry from queries() and the stamp-filtered
+    regeneration diverges from the committed file."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, ".")
+    gen = importlib.import_module("tools.gen_query_docs")
+    committed, stamp = _committed_ledger_and_stamp()
+    real = entry.queries()
+    drifted = dict(list(real.items())[:-1])
+    monkeypatch.setattr(entry, "queries", lambda: drifted)
+    fresh = _regenerate_ledger(gen.driver_history(max_round=stamp))
+    assert fresh != committed
