@@ -6195,9 +6195,12 @@ def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token source-set explode emits ≤ C(|sources|, 2) pair rows per
     token (4 sources → ≤6), never a token self-join whose fan-out is
     quadratic in per-token source multiplicity; vocab sizes and the
-    pair grid are metadata-sized broadcasts.
+    pair grid are metadata-sized broadcasts. The documents scan routes
+    through _docs_parallel like the sibling llm kernels so the
+    tokenize+distinct stage parallelizes on single-split testdata
+    layouts too (ADVICE r12).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select(
         "source", F.explode(_tokens()).alias("token")
     ).distinct()
