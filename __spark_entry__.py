@@ -38,85 +38,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r12 WINDOW (this round): CORRECTNESS_r11 went 50/50 green, so
-    # the whole r11 window moved to the back as the freshest-certified
+    # r13 WINDOW (this round): CORRECTNESS_r12 went 50/50 green, so
+    # the whole r12 window moved to the back as the freshest-certified
     # block and this window executes the rotation plan pinned at the
-    # end of r11 (written FROM docs/EVIDENCE.md): new-in-r12 head
-    # first, then the r11-displaced backlog tail, the 12 stale r3/r4
-    # greens the ledger surfaced, and the r6-era remainder up to the
-    # boundary. New-in-r12 additions displaced the backlog's last 16
-    # r6-era entries past the boundary; those lead the r13 window.
+    # end of r12 (written FROM docs/EVIDENCE.md, regenerated at r13
+    # open with tools/round_start.py): new-in-r13 head first, then
+    # the 16 r6-era entries the r12 head displaced, then the oldest
+    # r7-era greens up to the boundary. Each new-in-r13 addition
+    # displaces the backlog tail past the boundary; the displaced
+    # entries lead the r14 window.
     #
-    # r13 ROTATION PLAN (execute at the start of r13, regenerating
-    # the ledger first — tools/round_start.py): the 16 displaced
-    # r6-era entries, then the oldest r7-era greens. r14+ continues
-    # r7 rest -> r8 -> r9 -> the r10/r11/r12-certified blocks.
+    # r14 ROTATION PLAN (execute at the start of r14, regenerating
+    # the ledger first — tools/round_start.py): the r13-displaced
+    # backlog tail, then the remaining r7-era greens. r15+ continues
+    # r8 -> r9 -> r10 -> the r11/r12/r13-certified blocks.
     return {
-        # --- new in r12 (never checked; oracle-backed) ---
-        "parts_price_size_skyline": relational.parts_price_size_skyline,
-        "events_lateness_profile": relational.events_lateness_profile,
-        "docs_crosssnap_containment": llm.docs_crosssnap_containment,
-        "docs_contamination_heatmap": llm.docs_contamination_heatmap,
-        "embedding_label_noise_screen": llm.embedding_label_noise_screen,
-        "embedding_cosine_histogram": llm.embedding_cosine_histogram,
-        "docs_partition_checksums": llm.docs_partition_checksums,
-        "docs_length_quantiles_by_source": llm.docs_length_quantiles_by_source,
-        "multimodal_bytes_entropy": llm.multimodal_bytes_entropy,
-        "docs_quality_dup_contingency": llm.docs_quality_dup_contingency,
-        "events_session_gap_sensitivity": relational.events_session_gap_sensitivity,
-        "docs_dedup_threshold_curve": llm.docs_dedup_threshold_curve,
-        "embedding_label_silhouette": llm.embedding_label_silhouette,
-        "hydro_level_mad_outliers": hydro.level_mad_outliers,
-        "docs_source_vocab_overlap": llm.docs_source_vocab_overlap,
-        "events_t_closeness": relational.events_t_closeness,
-        # --- r11-displaced backlog head: the 16 entries the new-in-r11 head pushed behind the r11 boundary ---
-        "sessions_ordered_funnel": relational.sessions_ordered_funnel,
-        "events_type_correlations": relational.events_type_correlations,
-        "events_median_bisect": relational.events_median_bisect,
-        "corpus_quality_scorecard": llm.corpus_quality_scorecard,
-        "copurchase_label_propagation": relational.copurchase_label_propagation,
-        "events_autocorrelation": relational.events_autocorrelation,
-        "docs_containment_pairs": llm.docs_containment_pairs,
-        "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
-        "events_holt_forecast": relational.events_holt_forecast,
-        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
-        "events_value_moments": relational.events_value_moments,
-        "wire_impute_report": wire.wire_impute_report,
-        "part_substitutes": relational.part_substitutes,
-        "dq_uniqueness_report": relational.dq_uniqueness_report,
-        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
-        "events_feature_matrix": relational.events_feature_matrix,
-        # --- stale r3 greens the evidence ledger surfaced (newest driver row r3) ---
-        "docs_gopher_quality": llm.docs_gopher_quality,
-        "docs_token_entropy": llm.docs_token_entropy,
-        "docs_segment_dedup": llm.docs_segment_dedup,
-        "events_retention_cohorts": relational.events_retention_cohorts,
-        "events_conversion_funnel": relational.events_conversion_funnel,
-        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
-        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
-        "q22_idle_customers": relational.q22_idle_customers,
-        # --- stale r4 greens ---
-        "ivf_cosine_topk": llm.ivf_cosine_topk,
-        "events_hll_accuracy": relational.events_hll_accuracy,
-        "lsh_cosine_topk": llm.lsh_cosine_topk,
-        "embedding_near_dups": llm.embedding_near_dups,
-        # --- remaining r6-era greens (window tail: first 12 of 22 fit) ---
-        "events_k_anonymity": relational.events_k_anonymity,
-        "docs_weighted_sample": llm.docs_weighted_sample,
-        "copurchase_bfs_levels": relational.copurchase_bfs_levels,
-        "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
-        "events_touch_attribution": relational.events_touch_attribution,
-        "docs_zipf_fit": llm.docs_zipf_fit,
-        # ^^^ first-50 boundary ^^^ (position asserted against the
-        # dict by tests/test_entry_contract.py::
-        # test_boundary_comment_position — the marker line must sit
-        # exactly after entry 50)
-        # ============ r13 WINDOW PLAN (next 50, in order) ============
-        # Written from docs/EVIDENCE.md (regenerate with
-        # tools/round_start.py). Order: the 16 r6-era entries the
-        # new-in-r12 head displaced past the boundary, then the
-        # oldest r7-era greens. Pinned by test_r13_window_plan.
-        # --- r12-displaced r6-era tail (leads the r13 window) ---
+        # ===== new in r13 (never checked; oracle-backed) — grows to ~16;
+        # each addition displaces the backlog tail below past the boundary =====
+        "dedup_survivor_length_bias": llm.dedup_survivor_length_bias,
+        "docs_cross_source_dup_matrix": llm.docs_cross_source_dup_matrix,
+        "dedup_incremental_certificate": llm.dedup_incremental_certificate,
+        "dedup_chaining_audit": llm.dedup_chaining_audit,
+        "lsh_band_tradeoff_curve": llm.lsh_band_tradeoff_curve,
+        "hydro_flashiness_index": hydro.flashiness_index,
+        "hydro_flood_volume": hydro.flood_volume,
+        # --- r13 backlog head: the 16 r6-era entries the r12 head displaced ---
         "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
         "wire_field_presence": wire.wire_field_presence,
         "pq_distortion_report": llm.pq_distortion_report,
@@ -133,12 +79,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_balance_standing": relational.customer_balance_standing,
         "hydro_rating_residuals": hydro.rating_curve_residuals,
         "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
-        # --- r7-era through r10-certified greens, order unchanged
-        # from r11. Era boundaries are NOT annotated here on purpose:
-        # the generated ledger docs/EVIDENCE.md is the source of truth
-        # for per-query driver-evidence age (comment archaeology
-        # drifted 12 queries in r11 — the ledger exists so plans are
-        # written from data, not comments) ---
+        # --- oldest r7-era greens first; r8/r9/r10/r11-certified blocks follow,
+        #     order unchanged from r12 (docs/EVIDENCE.md is the per-query
+        #     evidence-age source of truth, not these comments) ---
         "embedding_random_projection": llm.embedding_random_projection,
         "docs_substring_dedup": llm.docs_substring_dedup,
         "orders_salted_revenue": relational.orders_salted_revenue,
@@ -166,6 +109,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mon_error_bulletins": relational.mon_error_bulletins,
         "mon_type_pivot": relational.mon_type_pivot,
         "metrics_format_bytes": relational.metrics_format_bytes,
+        # ^^^ first-50 boundary ^^^ (position asserted against the
+        # dict by tests/test_entry_contract.py::
+        # test_boundary_comment_position — the marker line must sit
+        # exactly after entry 50)
+        # ============ r14 WINDOW PLAN (next 50, in order) ============
+        # Written from docs/EVIDENCE.md (regenerate with
+        # tools/round_start.py). Order: the r13-displaced backlog tail
+        # first, then the remaining r7-era greens and the r8-era block.
+        # Pinned by test_r14_window_plan.
         "metrics_durations": relational.metrics_durations,
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,
@@ -337,7 +289,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": relational.events_markov_transitions,
         "hydro_alert_episodes": hydro.alert_episodes,
         "hydro_daily_extremes": hydro.daily_extremes,
-        # --- freshest-certified: the r11 window (50/50 green in CORRECTNESS_r11) ---
         "multimodal_dhash_dups": llm.multimodal_dhash_dups,
         "events_trimmed_mean": relational.events_trimmed_mean,
         "events_running_records": relational.events_running_records,
@@ -388,7 +339,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pareto_abc": relational.lineitem_pareto_abc,
         "customer_rfm_segments": relational.customer_rfm_segments,
         "docs_contamination_report": llm.docs_contamination_report,
-        # --- rows-only by design (no portable SQL twin; see oracle_sql) ---
+        # --- r12-certified window block (moved to the back at r13 open:
+        #     freshest driver evidence) ---
+        "parts_price_size_skyline": relational.parts_price_size_skyline,
+        "events_lateness_profile": relational.events_lateness_profile,
+        "docs_crosssnap_containment": llm.docs_crosssnap_containment,
+        "docs_contamination_heatmap": llm.docs_contamination_heatmap,
+        "embedding_label_noise_screen": llm.embedding_label_noise_screen,
+        "embedding_cosine_histogram": llm.embedding_cosine_histogram,
+        "docs_partition_checksums": llm.docs_partition_checksums,
+        "docs_length_quantiles_by_source": llm.docs_length_quantiles_by_source,
+        "multimodal_bytes_entropy": llm.multimodal_bytes_entropy,
+        "docs_quality_dup_contingency": llm.docs_quality_dup_contingency,
+        "events_session_gap_sensitivity": relational.events_session_gap_sensitivity,
+        "docs_dedup_threshold_curve": llm.docs_dedup_threshold_curve,
+        "embedding_label_silhouette": llm.embedding_label_silhouette,
+        "hydro_level_mad_outliers": hydro.level_mad_outliers,
+        "docs_source_vocab_overlap": llm.docs_source_vocab_overlap,
+        "events_t_closeness": relational.events_t_closeness,
+        "sessions_ordered_funnel": relational.sessions_ordered_funnel,
+        "events_type_correlations": relational.events_type_correlations,
+        "events_median_bisect": relational.events_median_bisect,
+        "corpus_quality_scorecard": llm.corpus_quality_scorecard,
+        "copurchase_label_propagation": relational.copurchase_label_propagation,
+        "events_autocorrelation": relational.events_autocorrelation,
+        "docs_containment_pairs": llm.docs_containment_pairs,
+        "lineitem_monthly_yoy": relational.lineitem_monthly_yoy,
+        "events_holt_forecast": relational.events_holt_forecast,
+        "events_user_lorenz_curve": relational.events_user_lorenz_curve,
+        "events_value_moments": relational.events_value_moments,
+        "wire_impute_report": wire.wire_impute_report,
+        "part_substitutes": relational.part_substitutes,
+        "dq_uniqueness_report": relational.dq_uniqueness_report,
+        "docs_bigram_perplexity": llm.docs_bigram_perplexity,
+        "events_feature_matrix": relational.events_feature_matrix,
+        "docs_gopher_quality": llm.docs_gopher_quality,
+        "docs_token_entropy": llm.docs_token_entropy,
+        "docs_segment_dedup": llm.docs_segment_dedup,
+        "events_retention_cohorts": relational.events_retention_cohorts,
+        "events_conversion_funnel": relational.events_conversion_funnel,
+        "q20_part_share_suppliers": relational.q20_part_share_suppliers,
+        "q21_waiting_suppliers": relational.q21_waiting_suppliers,
+        "q22_idle_customers": relational.q22_idle_customers,
+        "ivf_cosine_topk": llm.ivf_cosine_topk,
+        "events_hll_accuracy": relational.events_hll_accuracy,
+        "lsh_cosine_topk": llm.lsh_cosine_topk,
+        "embedding_near_dups": llm.embedding_near_dups,
+        "events_k_anonymity": relational.events_k_anonymity,
+        "docs_weighted_sample": llm.docs_weighted_sample,
+        "copurchase_bfs_levels": relational.copurchase_bfs_levels,
+        "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
+        "events_touch_attribution": relational.events_touch_attribution,
+        "docs_zipf_fit": llm.docs_zipf_fit,
+        # --- rows-only tail (no oracle by design; never in a window) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,
         "minhash_near_dups": llm.minhash_near_dups,

@@ -9195,3 +9195,304 @@ RELATIONAL_ORACLES["events_t_closeness"] = """
         AS rows_at_risk
     FROM scored GROUP BY 1
     """
+
+
+# --- r13: dedup certificates & survivor audits -----------------------------
+
+LLM_ORACLES["dedup_survivor_length_bias"] = r"""
+    WITH h AS (
+      SELECT doc_id, source,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+        row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT source,
+      count(*) AS n_docs,
+      CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+      CAST(sum(CASE WHEN rk = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+        AS toks_kept,
+      CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE n_toks END) AS BIGINT)
+        AS toks_dropped,
+      CAST(sum(CASE WHEN rk = 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+        / CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        AS mean_toks_kept,
+      CASE WHEN sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) > 0 THEN
+        CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE n_toks END) AS DOUBLE)
+          / CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS DOUBLE)
+      END AS mean_toks_dropped
+    FROM h GROUP BY source
+    """
+
+LLM_ORACLES["docs_cross_source_dup_matrix"] = """
+    WITH ths AS (
+      SELECT DISTINCT source, md5(lower(trim(text))) AS th FROM documents
+    ), sizes AS (
+      SELECT source, count(*) AS n_hashes FROM ths GROUP BY source
+    ), shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        count(*) AS n_shared
+      FROM ths a JOIN ths b ON a.th = b.th AND a.source < b.source
+      GROUP BY 1, 2
+    ), grid AS (
+      SELECT sa.source AS source_a, sa.n_hashes AS hashes_a,
+        sb.source AS source_b, sb.n_hashes AS hashes_b
+      FROM sizes sa CROSS JOIN sizes sb
+      WHERE sa.source < sb.source
+    )
+    SELECT source_a, source_b,
+      CAST(hashes_a AS BIGINT) AS hashes_a,
+      CAST(hashes_b AS BIGINT) AS hashes_b,
+      CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+      CAST(COALESCE(n_shared, 0) AS DOUBLE)
+        / CAST(hashes_a + hashes_b - COALESCE(n_shared, 0) AS DOUBLE)
+        AS jaccard
+    FROM grid LEFT JOIN shared USING (source_a, source_b)
+    """
+
+# Incremental-replay certificate: the oracle computes the ONE-SHOT
+# survivors under arrival order (step, doc_id) — the provably-equal
+# closed form of the 3-step replay — and emits both counts from it
+# plus TRUE. The Spark face runs the replay loop for real; a replay
+# bug diverges n_incremental / n_agree and the driver hash catches it
+# (the events_hll_accuracy oracle-constant-flag pattern).
+LLM_ORACLES["dedup_incremental_certificate"] = """
+    WITH d AS (
+      SELECT doc_id, doc_id % 3 AS step, md5(lower(trim(text))) AS th
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, step,
+        row_number() OVER (PARTITION BY th
+                           ORDER BY step ASC, doc_id ASC) AS rn
+      FROM d
+    ), surv AS (
+      SELECT step, count(*) AS n FROM ranked WHERE rn = 1 GROUP BY step
+    ), arrived AS (
+      SELECT step, count(*) AS n_arrived FROM d GROUP BY step
+    )
+    SELECT CAST(a.step AS BIGINT) AS step,
+      CAST(a.n_arrived AS BIGINT) AS n_arrived,
+      CAST(COALESCE(s.n, 0) AS BIGINT) AS n_incremental,
+      CAST(COALESCE(s.n, 0) AS BIGINT) AS n_oneshot,
+      CAST(COALESCE(s.n, 0) AS BIGINT) AS n_agree,
+      TRUE AS replay_matches_oneshot
+    FROM arrived a LEFT JOIN surv s ON a.step = s.step
+    """
+
+
+# Chaining audit: the dup_components recursive-closure machinery at
+# threshold 0.5 + pairwise-shadow counts, folded to one summary row.
+LLM_ORACLES["dedup_chaining_audit"] = r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jp AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+        AND CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ), reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), csz AS (
+      SELECT component, count(*) AS sz FROM comp GROUP BY component
+    )
+    SELECT
+      (SELECT count(*) FROM documents) AS n_docs,
+      (SELECT CAST(count(*) AS BIGINT) FROM jp) AS n_pairs,
+      (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp)
+        AS n_dropped_pairwise,
+      (SELECT CAST(COALESCE(sum(CASE WHEN id <> component THEN 1 ELSE 0
+          END), 0) AS BIGINT) FROM comp) AS n_dropped_chained,
+      (SELECT CAST(COALESCE(sum(CASE WHEN id <> component THEN 1 ELSE 0
+          END), 0) AS BIGINT) FROM comp)
+        - (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp)
+        AS n_chain_only,
+      (SELECT CAST(count(*) AS BIGINT) FROM csz) AS n_components,
+      (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) FROM csz)
+        AS max_component_size
+    """
+
+# LSH banding tradeoff: the certified pair table's exact jaccard run
+# through repeated-squaring S-curves (no pow() — libm differs in the
+# last ulp between engines), nano-quantized exact sums.
+LLM_ORACLES["lsh_band_tradeoff_curve"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jac AS (
+      SELECT CAST(common AS DOUBLE) / (na + nb - common) AS s
+      FROM prs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+    ), sq AS (
+      -- repeated squarings of s and staged (1 - s^r) chains
+      SELECT s,
+        s * s AS s2
+      FROM jac
+    ), sq2 AS (
+      SELECT s, s2, s2 * s2 AS s4 FROM sq
+    ), sq3 AS (
+      SELECT s, s2, s4, s4 * s4 AS s8 FROM sq2
+    ), sq4 AS (
+      SELECT s, s4, s8, s8 * s8 AS s16 FROM sq3
+    ), u AS (
+      SELECT 32 AS bands, 4 AS rows_per_band, 1.0 - s4 AS q, 5 AS bsq
+      FROM sq4
+      UNION ALL
+      SELECT 16, 8, 1.0 - s8, 4 FROM sq4
+      UNION ALL
+      SELECT 8, 16, 1.0 - s16, 3 FROM sq4
+    ), powed AS (
+      SELECT bands, rows_per_band,
+        1.0 - (CASE bsq
+          WHEN 3 THEN ((q*q)*(q*q))*((q*q)*(q*q))
+          WHEN 4 THEN (((q*q)*(q*q))*((q*q)*(q*q)))
+                      * (((q*q)*(q*q))*((q*q)*(q*q)))
+          ELSE ((((q*q)*(q*q))*((q*q)*(q*q)))
+                * (((q*q)*(q*q))*((q*q)*(q*q))))
+               * ((((q*q)*(q*q))*((q*q)*(q*q)))
+                  * (((q*q)*(q*q))*((q*q)*(q*q))))
+        END) AS p
+      FROM u
+    )
+    SELECT CAST(bands AS INTEGER) AS bands,
+      CAST(rows_per_band AS INTEGER) AS rows_per_band,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(CAST(floor(p * 1000000000.0) AS BIGINT)) AS BIGINT)
+        AS expected_detected_nanos,
+      CAST(sum(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_past_half_detection
+    FROM powed GROUP BY 1, 2
+    """
+
+
+# --- r13: hydro flashiness + flood volume ----------------------------------
+# Both mirror the hydro_twa_daily_mean conventions: minutes-of-day as
+# exact integers from the wall-clock string, integer cents levels
+# (round(wl*100) — the MAD-screen convention), index-based scalar
+# folds over (t, v)-ordered in-day arrays.
+
+HYDRO_ORACLES["hydro_flashiness_index"] = HYDRO_CTE + """
+    , obs_ok AS (
+      SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
+        TRY_CAST(substr(obs_time_str, 12, 2) AS INTEGER) * 60
+          + TRY_CAST(substr(obs_time_str, 15, 2) AS INTEGER) AS t,
+        CAST(round(water_level * 100) AS BIGINT) AS v
+      FROM classified WHERE water_level IS NOT NULL
+    ),
+    pts AS (
+      SELECT wlobscd, day, count(*) AS n_obs,
+        CAST(sum(v) AS BIGINT) AS sum_cents,
+        list(struct_pack(t := t, v := v) ORDER BY t, v) AS arr
+      FROM obs_ok WHERE t IS NOT NULL GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT wlobscd, day, n_obs, sum_cents,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(2, greatest(len(arr), 1) + 1),
+            i -> abs(arr[i].v - arr[i - 1].v))),
+          (a, b) -> a + b) AS BIGINT) AS within_abs,
+        arr[1].v AS first_cents,
+        arr[len(arr)].v AS last_cents
+      FROM pts
+    ),
+    bounded AS (
+      SELECT wlobscd, n_obs, sum_cents, within_abs,
+        COALESCE(abs(first_cents - lag(last_cents) OVER (
+          PARTITION BY wlobscd ORDER BY day)), 0) AS boundary_abs
+      FROM folded
+    ),
+    rolled AS (
+      SELECT wlobscd,
+        CAST(sum(n_obs) AS BIGINT) AS n_obs,
+        CAST(sum(within_abs + boundary_abs) AS BIGINT)
+          AS sum_abs_delta_cents,
+        CAST(sum(sum_cents) AS BIGINT) AS sum_level_cents
+      FROM bounded GROUP BY wlobscd
+    )
+    SELECT wlobscd, n_obs, sum_abs_delta_cents, sum_level_cents,
+      CASE WHEN sum_level_cents > 0 THEN
+        CAST(sum_abs_delta_cents AS DOUBLE)
+          / CAST(sum_level_cents AS DOUBLE)
+      END AS flashiness
+    FROM rolled
+    """
+
+HYDRO_ORACLES["hydro_flood_volume"] = HYDRO_CTE + """
+    , obs_ok AS (
+      SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
+        TRY_CAST(substr(obs_time_str, 12, 2) AS INTEGER) * 60
+          + TRY_CAST(substr(obs_time_str, 15, 2) AS INTEGER) AS t,
+        greatest(CAST(round(water_level * 100) AS BIGINT)
+                 - CAST(round(attwl * 100) AS BIGINT),
+                 CAST(0 AS BIGINT)) AS v
+      FROM classified
+      WHERE water_level IS NOT NULL AND station_found
+        AND attwl IS NOT NULL AND attwl > 0
+    ),
+    pts AS (
+      SELECT wlobscd, day, count(*) AS n_obs,
+        CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_exceed,
+        CAST(max(v) AS BIGINT) AS max_exceed,
+        list(struct_pack(t := t, v := v) ORDER BY t, v) AS arr
+      FROM obs_ok WHERE t IS NOT NULL GROUP BY 1, 2
+    ),
+    folded AS (
+      SELECT wlobscd, day, n_obs, n_exceed, max_exceed,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(2, greatest(len(arr), 1) + 1),
+            i -> (arr[i].t - arr[i - 1].t) * (arr[i].v + arr[i - 1].v))),
+          (a, b) -> a + b) AS BIGINT) AS twice_vol
+      FROM pts
+    )
+    SELECT wlobscd,
+      CAST(sum(n_obs) AS BIGINT) AS n_obs,
+      CAST(sum(n_exceed) AS BIGINT) AS n_exceed_obs,
+      CAST(max(max_exceed) AS BIGINT) AS max_exceed_cents,
+      CAST(sum(twice_vol) AS BIGINT) AS twice_volume_cents_min
+    FROM folded GROUP BY wlobscd
+    """

@@ -1555,3 +1555,161 @@ def level_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_outliers"),
         F.max("dev").cast("long").alias("max_abs_dev_cents"),
     )
+
+
+def flashiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richards–Baker flashiness index per station over the full
+    parse→classify chain: Σ|Δlevel| / Σlevel across the time-ordered
+    observation series — the hydrology-standard "how twitchy is this
+    gauge" screen (a flashy station needs denser sampling and tighter
+    alert hysteresis; a near-zero index with nonzero variance flags a
+    stuck-then-jumping sensor). Day boundaries are included: the
+    series is continuous per station, so cross-midnight rises count.
+
+    Exactness: levels become INTEGER CENTS (round(wl·100) — the
+    MAD-screen convention); every |Δ| and both sums are pure-integer;
+    the index is ONE double division of exact longs, raw (unrounded).
+    Zero/negative level sums (levels can be negative in the physical
+    band) emit NULL rather than a sign-flipped ratio.
+
+    Scale shape: in-day deltas fold per (station, day) over
+    day-bounded sorted arrays (the hydro_twa_daily_mean fold shape:
+    index-based scalar accumulator, never a struct accumulator);
+    cross-day boundary deltas come from a per-station lag window over
+    the DAY DOMAIN (≤ days rows per station regardless of corpus
+    size); the rollup is one |stations|-group aggregate.
+    """
+    c = classified(spark, sf_dir)
+    day = F.substring("obs_time_str", 1, 10)
+    minute = (
+        F.substring("obs_time_str", 12, 2).try_cast("int") * 60
+        + F.substring("obs_time_str", 15, 2).try_cast("int")
+    )
+    cents = F.round(F.col("water_level") * 100).cast("long")
+    keep = F.col("water_level").isNotNull() & minute.isNotNull()
+    pts = c.filter(no_pushdown(keep)).groupBy(
+        "wlobscd", day.alias("day")
+    ).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(cents).alias("sum_cents"),
+        F.sort_array(
+            F.collect_list(F.struct(minute.alias("t"), cents.alias("v")))
+        ).alias("arr"),
+    )
+    n_arr = F.size("arr")
+    el = lambda i: F.element_at("arr", i)  # noqa: E731
+    within = F.aggregate(
+        F.sequence(F.lit(2), F.greatest(n_arr, F.lit(2))),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.when(
+            i <= n_arr,
+            acc + F.abs(el(i.cast("int"))["v"] - el((i - 1).cast("int"))["v"]),
+        ).otherwise(acc),
+    )
+    daily = pts.select(
+        "wlobscd",
+        "day",
+        "n_obs",
+        "sum_cents",
+        within.alias("within_abs"),
+        el(1)["v"].alias("first_cents"),
+        el(n_arr)["v"].alias("last_cents"),
+    )
+    wd = Window.partitionBy("wlobscd").orderBy("day")
+    staged = daily.withColumn(
+        "boundary_abs",
+        F.coalesce(
+            F.abs(F.col("first_cents") - F.lag("last_cents").over(wd)),
+            F.lit(0).cast("long"),
+        ),
+    )
+    out = staged.groupBy("wlobscd").agg(
+        F.sum("n_obs").cast("long").alias("n_obs"),
+        F.sum(F.col("within_abs") + F.col("boundary_abs"))
+        .cast("long")
+        .alias("sum_abs_delta_cents"),
+        F.sum("sum_cents").cast("long").alias("sum_level_cents"),
+    )
+    return out.select(
+        "wlobscd",
+        "n_obs",
+        "sum_abs_delta_cents",
+        "sum_level_cents",
+        F.when(
+            F.col("sum_level_cents") > 0,
+            F.col("sum_abs_delta_cents").cast("double")
+            / F.col("sum_level_cents").cast("double"),
+        ).alias("flashiness"),
+    )
+
+
+def flood_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flood volume above the ATTENTION stage per station: the
+    trapezoidal time-integral of max(level − attwl, 0) over each day's
+    observation series — the "how much water over the line, for how
+    long" severity metric behind flood damage assessment (two stations
+    can share a peak level while differing 10× in integrated
+    exceedance). Composes the classify chain with the J1 threshold dim
+    (stations with a valid attention threshold only, the C2 > 0
+    convention).
+
+    Exactness: levels and thresholds become INTEGER CENTS; per-segment
+    area (t_i − t_{i−1})·(e_i + e_{i−1}) is pure-integer (cents ×
+    minutes), summed exactly as longs — the emitted column is TWICE
+    the volume so no /2 ever touches a float. Days integrate
+    independently (the agency daily-rollup convention: overnight gaps
+    are not water).
+
+    Scale shape: the hydro_twa_daily_mean day-bounded fold (index-based
+    scalar accumulator) per (station, day), then one station-group
+    rollup; threshold lookup rides the existing broadcast dim join in
+    the chain — no extra shuffle.
+    """
+    c = classified(spark, sf_dir)
+    day = F.substring("obs_time_str", 1, 10)
+    minute = (
+        F.substring("obs_time_str", 12, 2).try_cast("int") * 60
+        + F.substring("obs_time_str", 15, 2).try_cast("int")
+    )
+    cents = F.round(F.col("water_level") * 100).cast("long")
+    att_cents = F.round(F.col("attwl") * 100).cast("long")
+    e = F.greatest(cents - att_cents, F.lit(0).cast("long"))
+    keep = (
+        F.col("water_level").isNotNull()
+        & minute.isNotNull()
+        & F.col("station_found")
+        & F.col("attwl").isNotNull()
+        & (F.col("attwl") > 0)
+    )
+    pts = c.filter(no_pushdown(keep)).groupBy(
+        "wlobscd", day.alias("day")
+    ).agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.when(e > 0, 1).otherwise(0)).alias("n_exceed"),
+        F.max(e).alias("max_exceed"),
+        F.sort_array(
+            F.collect_list(F.struct(minute.alias("t"), e.alias("v")))
+        ).alias("arr"),
+    )
+    n_arr = F.size("arr")
+    el = lambda i: F.element_at("arr", i)  # noqa: E731
+    seg = lambda i: (  # noqa: E731
+        (el(i)["t"] - el(i - 1)["t"]) * (el(i)["v"] + el(i - 1)["v"])
+    )
+    twice_area = F.aggregate(
+        F.sequence(F.lit(2), F.greatest(n_arr, F.lit(2))),
+        F.lit(0).cast("long"),
+        lambda acc, i: F.when(
+            i <= n_arr, acc + seg(i.cast("int"))
+        ).otherwise(acc),
+    )
+    daily = pts.select(
+        "wlobscd", "day", "n_obs", "n_exceed", "max_exceed",
+        twice_area.alias("twice_vol"),
+    )
+    return daily.groupBy("wlobscd").agg(
+        F.sum("n_obs").cast("long").alias("n_obs"),
+        F.sum("n_exceed").cast("long").alias("n_exceed_obs"),
+        F.max("max_exceed").cast("long").alias("max_exceed_cents"),
+        F.sum("twice_vol").cast("long").alias("twice_volume_cents_min"),
+    )

@@ -6246,3 +6246,334 @@ def docs_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("vocab_a") + F.col("vocab_b") - ns).cast("double")
         ).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# r13: dedup certificates & survivor audits
+# --------------------------------------------------------------------------
+
+def dedup_survivor_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does keep-first exact dedup bias the surviving corpus? Per
+    source: token-length stats of KEPT vs DROPPED rows under the
+    keep-lowest-id policy (dedup_docs_kept's rule) — the standard
+    post-dedup QA: a keep policy correlated with length (or source)
+    silently reshapes the training mixture, and this is the
+    measurement that would catch it before a 100 TB tokenization run.
+
+    Exactness: token counts are integers, sums are exact longs; the
+    two means are ONE double division each of exact integers (raw,
+    unrounded — the l_diversity emission convention); sources with no
+    dropped rows emit NULL means, never a 0/0.
+
+    Scale shape: one scan computes hash + token count; the keep
+    decision is a row_number window over the 16-byte hash key (group
+    size = duplicate multiplicity — bounded by the corpus's dup depth,
+    not its size); the rollup is a |sources|-group map-side-combined
+    aggregate. No joins, no collects.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim("text"))).alias("th"),
+        F.size(_tokens()).alias("n_toks"),
+    )
+    w = Window.partitionBy("th").orderBy(F.asc("doc_id"))
+    flagged = h.withColumn("kept", F.row_number().over(w) == 1)
+    kept_n = F.sum(F.when(F.col("kept"), 1).otherwise(0))
+    kept_toks = F.sum(F.when(F.col("kept"), F.col("n_toks")).otherwise(0))
+    drop_n = F.sum(F.when(F.col("kept"), 0).otherwise(1))
+    drop_toks = F.sum(F.when(F.col("kept"), 0).otherwise(F.col("n_toks")))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        kept_n.cast("long").alias("n_kept"),
+        drop_n.cast("long").alias("n_dropped"),
+        kept_toks.cast("long").alias("toks_kept"),
+        drop_toks.cast("long").alias("toks_dropped"),
+        (kept_toks.cast("double") / kept_n.cast("double")).alias(
+            "mean_toks_kept"
+        ),
+        F.when(
+            drop_n > 0, drop_toks.cast("double") / drop_n.cast("double")
+        ).alias("mean_toks_dropped"),
+    )
+
+
+def docs_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source × source DOCUMENT-level duplication matrix: for every
+    unordered source pair, how many distinct content hashes appear in
+    both — the doc-granularity complement of
+    docs_source_vocab_overlap (token sets) and the per-source
+    docs_dup_rate_by_source (which cannot see CROSS-source template
+    reuse: two mirrors crawling the same upstream show up here as a
+    hot cell long before vocabulary drift notices).
+
+    Determinism: every pair (source_a < source_b) always present —
+    shared counts left-join onto the vocab-overlap pair grid, zero
+    overlaps emit n_shared = 0; jaccard = n_shared /
+    (|A| + |B| − n_shared), one double division of exact integers,
+    emitted raw.
+
+    Scale shape: the docs_source_vocab_overlap plan verbatim with the
+    16-byte content hash as the set element instead of the token: one
+    map-side-combined distinct on (source, th), a groupBy(th)
+    collect_set over a ≤|sources| set, per-hash pair explode
+    ≤ C(|sources|, 2) rows — never a hash self-join; grids broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ths = docs.select(
+        "source", F.md5(F.lower(F.trim("text"))).alias("th")
+    ).distinct()
+    sizes = ths.groupBy("source").agg(F.count("*").alias("n_hashes"))
+    th_sources = ths.groupBy("th").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    shared = (
+        th_sources.select(F.explode("ss").alias("source_a"), F.col("ss"))
+        .select("source_a", F.explode("ss").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    grid = (
+        sizes.select(
+            F.col("source").alias("source_a"),
+            F.col("n_hashes").alias("hashes_a"),
+        )
+        .crossJoin(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n_hashes").alias("hashes_b"),
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    out = grid.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+    ns = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    return out.select(
+        "source_a",
+        "source_b",
+        F.col("hashes_a").cast("long").alias("hashes_a"),
+        F.col("hashes_b").cast("long").alias("hashes_b"),
+        ns.alias("n_shared"),
+        (
+            ns.cast("double")
+            / (F.col("hashes_a") + F.col("hashes_b") - ns).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def dedup_incremental_certificate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-dedup correctness certificate: replay exact dedup
+    over three arrival snapshots (step = doc_id % 3, arrival order
+    (step, doc_id)) through the incremental path — each batch
+    anti-joined against the accumulated hash index, then first-wins
+    within the batch (operators/dedup.incremental_dedup) — and compare
+    the union of per-step survivors against ONE-SHOT dedup of the full
+    corpus under the same arrival order. The two must agree doc for
+    doc; per step the row reports both counts and the agreement join.
+    This is the replay-vs-batch contract an incremental 100 TB corpus
+    build depends on (VERDICT r12 'Next round' #4c).
+
+    Non-vacuous by construction: the two faces compute survivors by
+    DIFFERENT plans (a 3-iteration anti-join loop vs one row_number
+    window over (step, doc_id)); a bug in either — a leaked index
+    entry, a wrong within-batch order — breaks n_agree and the driver
+    hash.
+
+    Scale shape: the loop is over SNAPSHOT COUNT (bounded, 3), not
+    data; each iteration shuffles only 16-byte keys in the anti-join;
+    the one-shot face is a single hash-key window; the agreement join
+    keys on doc_id. At a real deployment the accumulated index is the
+    narrow (hash) table incremental_dedup documents.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("step"),
+        F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+    )
+    inc_parts = []
+    for t in range(3):
+        new = docs.filter(F.col("step") == t)
+        seen = docs.filter(F.col("step") < t)
+        inc_parts.append(
+            incremental_dedup(new, seen).select("doc_id", "step")
+        )
+    inc = inc_parts[0].unionByName(inc_parts[1]).unionByName(inc_parts[2])
+
+    w = Window.partitionBy("text_hash").orderBy(F.asc("step"), F.asc("doc_id"))
+    oneshot = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "step")
+    )
+    arrived = docs.groupBy("step").agg(F.count("*").alias("n_arrived"))
+    n_inc = inc.groupBy("step").agg(F.count("*").alias("n_incremental"))
+    n_one = oneshot.groupBy("step").agg(F.count("*").alias("n_oneshot"))
+    agree = (
+        inc.join(oneshot, ["doc_id", "step"])
+        .groupBy("step")
+        .agg(F.count("*").alias("n_agree"))
+    )
+    out = (
+        arrived.join(n_inc, "step", "left")
+        .join(n_one, "step", "left")
+        .join(agree, "step", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    return out.select(
+        F.col("step").cast("long").alias("step"),
+        F.col("n_arrived").cast("long").alias("n_arrived"),
+        z("n_incremental").alias("n_incremental"),
+        z("n_oneshot").alias("n_oneshot"),
+        z("n_agree").alias("n_agree"),
+        (
+            (z("n_agree") == z("n_incremental"))
+            & (z("n_agree") == z("n_oneshot"))
+        ).alias("replay_matches_oneshot"),
+    )
+
+
+def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-chaining exposure audit at Jaccard ≥ 0.5: how much
+    MORE does component-closure dedup drop than the pairwise-shadow
+    rule on the same pair graph? Chains (A~B, B~C, A≁C) are the
+    classic over-dedup failure mode of clustering near-dup pairs
+    ("everything merges through boilerplate bridges"); this emits the
+    one-row gap measurement — pairwise drops are a documented lower
+    bound (docs_dedup_threshold_curve), the component closure the
+    upper bound, and the delta is the chaining cost a threshold choice
+    signs up for.
+
+    Non-vacuous: the Spark face labels components ITERATIVELY
+    (operators/dedup.connected_components, O(log d) pointer jumping);
+    the DuckDB twin recomputes the same fixpoint as a recursive
+    transitive closure (the dup_components oracle machinery at 0.5).
+
+    Scale shape: reuses the banded/hot-capped pair machinery once;
+    the closure runs on the pair graph (pairs, not docs); the final
+    report is a handful of scalar aggregates over component labels.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp_sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    pair_stats = pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("doc_b").alias("n_dropped_pairwise"),
+    )
+    chain_stats = comp.join(
+        comp_sizes, "component"
+    ).agg(
+        F.sum(
+            F.when(F.col("id") != F.col("component"), 1).otherwise(0)
+        ).alias("n_dropped_chained"),
+        F.count_distinct("component").alias("n_components"),
+        F.max("sz").alias("max_component_size"),
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(pair_stats))
+        .crossJoin(F.broadcast(chain_stats))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_dropped_pairwise").cast("long").alias(
+                "n_dropped_pairwise"
+            ),
+            F.coalesce(F.col("n_dropped_chained"), F.lit(0))
+            .cast("long")
+            .alias("n_dropped_chained"),
+            (
+                F.coalesce(F.col("n_dropped_chained"), F.lit(0))
+                - F.col("n_dropped_pairwise")
+            ).cast("long").alias("n_chain_only"),
+            F.coalesce(F.col("n_components"), F.lit(0))
+            .cast("long")
+            .alias("n_components"),
+            F.coalesce(F.col("max_component_size"), F.lit(0))
+            .cast("long")
+            .alias("max_component_size"),
+        )
+    )
+
+
+def lsh_band_tradeoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH (bands × rows) parameter pricing over the CERTIFIED
+    exact-Jaccard candidate pair table: for each 128-hash banding
+    (b=32×r=4, b=16×r=8, b=8×r=16), the expected number of candidate
+    pairs LSH would surface — Σ over pairs of the S-curve detection
+    probability p(s) = 1 − (1 − s^r)^b — plus how many pairs sit past
+    the curve's half-detection point. The measurement behind choosing
+    (b, r) before a corpus-scale MinHash run (minhash_calibration
+    prices ONE configuration against its own signatures; this prices
+    the grid analytically from exact similarities, no signatures
+    computed).
+
+    Caveat (documented): the pair set is the banded/hot-capped
+    candidate table (jaccard ≥ 0.2), so the curve is conditional on
+    candidacy — exactly the regime (b, r) tuning cares about.
+
+    Exactness: s is the certified exact rational-division double;
+    s^r and (1−x)^b are REPEATED-SQUARING chains (r, b powers of two:
+    4→2 squarings, 8→3, 16→4, 32→5) — only IEEE multiplications, no
+    pow() (libm pow differs between engines in the last ulp);
+    per-pair p floor-quantizes to integer nanos and sums EXACTLY
+    (the train_linear_gate convention), so the expected-count column
+    is order-invariant and bit-portable.
+
+    Scale shape: one pass over the (tiny relative to corpus) pair
+    table; the 3-config axis is a literal explode; aggregates are
+    3-group map-side-combined sums.
+    """
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir).select("jaccard")
+
+    def sq(c, times):
+        for _ in range(times):
+            c = c * c
+        return c
+
+    def p_detect(s, r_sq, b_sq):
+        # s^r via r_sq squarings; (1 - s^r)^b via b_sq squarings
+        return F.lit(1.0) - sq(F.lit(1.0) - sq(s, r_sq), b_sq)
+
+    s = F.col("jaccard")
+    cfg = F.array(
+        F.struct(
+            F.lit(32).alias("b"), F.lit(4).alias("r"),
+            p_detect(s, 2, 5).alias("p"),
+        ),
+        F.struct(
+            F.lit(16).alias("b"), F.lit(8).alias("r"),
+            p_detect(s, 3, 4).alias("p"),
+        ),
+        F.struct(
+            F.lit(8).alias("b"), F.lit(16).alias("r"),
+            p_detect(s, 4, 3).alias("p"),
+        ),
+    )
+    staged = pairs.select(F.explode(cfg).alias("c")).select(
+        F.col("c.b").alias("bands"),
+        F.col("c.r").alias("rows_per_band"),
+        F.col("c.p").alias("p"),
+    )
+    return staged.groupBy("bands", "rows_per_band").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.floor(F.col("p") * F.lit(1000000000.0)).cast("long"))
+        .cast("long")
+        .alias("expected_detected_nanos"),
+        F.sum(F.when(F.col("p") >= 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_past_half_detection"),
+    )

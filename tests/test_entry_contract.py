@@ -38,71 +38,27 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-# New-in-r12 queries lead the window (never-checked first, per the
+# New-in-r13 queries lead the window (never-checked first, per the
 # ordering contract). Append new queries here as they land; the window
 # pin below derives positions from this list, so a careless insert
 # cannot silently rotate a pinned backlog entry out unnoticed.
-NEW_IN_R12: list[str] = [
-    "parts_price_size_skyline",
-    "events_lateness_profile",
-    "docs_crosssnap_containment",
-    "docs_contamination_heatmap",
-    "embedding_label_noise_screen",
-    "embedding_cosine_histogram",
-    "docs_partition_checksums",
-    "docs_length_quantiles_by_source",
-    "multimodal_bytes_entropy",
-    "docs_quality_dup_contingency",
-    "events_session_gap_sensitivity",
-    "docs_dedup_threshold_curve",
-    "embedding_label_silhouette",
-    "hydro_level_mad_outliers",
-    "docs_source_vocab_overlap",
-    "events_t_closeness",
+NEW_IN_R13: list[str] = [
+    "dedup_survivor_length_bias",
+    "docs_cross_source_dup_matrix",
+    "dedup_incremental_certificate",
+    "dedup_chaining_audit",
+    "lsh_band_tradeoff_curve",
+    "hydro_flashiness_index",
+    "hydro_flood_volume",
 ]
 
-# The pinned r12 backlog written at the end of r11 (VERDICT r11 "Next
-# round" #1, generated from docs/EVIDENCE.md): the 16 entries the
-# new-in-r11 head displaced past the r11 boundary, then the 12 stale
-# r3/r4 greens the evidence ledger surfaced, then the remaining
-# r6-era greens. New-in-r12 head entries displace the TAIL of this
-# list past the boundary; the displaced entries must then lead the
-# r13 window.
-R12_BACKLOG = [
-    "sessions_ordered_funnel",
-    "events_type_correlations",
-    "events_median_bisect",
-    "corpus_quality_scorecard",
-    "copurchase_label_propagation",
-    "events_autocorrelation",
-    "docs_containment_pairs",
-    "lineitem_monthly_yoy",
-    "events_holt_forecast",
-    "events_user_lorenz_curve",
-    "events_value_moments",
-    "wire_impute_report",
-    "part_substitutes",
-    "dq_uniqueness_report",
-    "docs_bigram_perplexity",
-    "events_feature_matrix",
-    "docs_gopher_quality",
-    "docs_token_entropy",
-    "docs_segment_dedup",
-    "events_retention_cohorts",
-    "events_conversion_funnel",
-    "q20_part_share_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "ivf_cosine_topk",
-    "events_hll_accuracy",
-    "lsh_cosine_topk",
-    "embedding_near_dups",
-    "events_k_anonymity",
-    "docs_weighted_sample",
-    "copurchase_bfs_levels",
-    "docs_nb_lang_classifier",
-    "events_touch_attribution",
-    "docs_zipf_fit",
+# The pinned r13 backlog written at the end of r12 (VERDICT r12 "Next
+# round" #1, generated from docs/EVIDENCE.md regenerated at r13 open):
+# the 16 r6-era entries the new-in-r12 head displaced past the r12
+# boundary, then the oldest r7-era greens. New-in-r13 head entries
+# displace the TAIL of this list past the boundary; the displaced
+# entries must then lead the r14 window.
+R13_BACKLOG = [
     "lineitem_returnflag_anova",
     "wire_field_presence",
     "pq_distortion_report",
@@ -119,47 +75,83 @@ R12_BACKLOG = [
     "customer_balance_standing",
     "hydro_rating_residuals",
     "orders_cohort_ltv_curve",
+    "embedding_random_projection",
+    "docs_substring_dedup",
+    "orders_salted_revenue",
+    "copurchase_jaccard_parts",
+    "orders_seasonal_decomposition",
+    "ann_ivf_recall_report",
+    "embedding_pca_power_iteration",
+    "multimodal_audio_windows",
+    "wire_schema_drift",
+    "lineitem_key_skew_profile",
+    "sessions_error_overlap",
+    "wire_csv_parse",
+    "hydro_twa_daily_mean",
+    "hydro_classify_alerts",
+    "hydro_alert_counts",
+    "wire_parse",
+    "wire_dlq",
+    "wire_batch_flatten",
+    "mon_status_counts",
+    "mon_summary",
+    "mon_activity_delta",
+    "events_hourly",
+    "events_sessionize",
+    "recent_events_top200",
+    "mon_error_bulletins",
+    "mon_type_pivot",
+    "metrics_format_bytes",
+    "metrics_durations",
+    "mon_processing_times",
+    "events_props_extract",
+    "events_asof_last_error",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_per_nation",
 ]
 
 
-def test_r12_window_composition():
-    """The r12 window is exactly (NEW_IN_R12 + R12_BACKLOG)[:50]:
+def test_r13_window_composition():
+    """The r13 window is exactly (NEW_IN_R13 + R13_BACKLOG)[:50]:
     never-green queries first, then the pinned backlog. Growth at the
     head may only displace the backlog TAIL; the displaced tail must
-    sit immediately behind the boundary, leading the r13 window."""
+    sit immediately behind the boundary, leading the r14 window."""
     names = list(entry.queries())
-    expected = (NEW_IN_R12 + R12_BACKLOG)[:50]
+    expected = (NEW_IN_R13 + R13_BACKLOG)[:50]
     assert names[:50] == expected
-    n_displaced = len(NEW_IN_R12 + R12_BACKLOG) - 50
+    n_displaced = len(NEW_IN_R13 + R13_BACKLOG) - 50
     assert n_displaced >= 0
     if n_displaced:
-        assert names[50 : 50 + n_displaced] == R12_BACKLOG[-n_displaced:]
+        assert names[50 : 50 + n_displaced] == R13_BACKLOG[-n_displaced:]
 
 
-def test_r13_window_plan():
-    """Positions 50-99 (the r13 plan): the displaced r12-backlog tail
-    first (r6-era), then the oldest r7-era greens — every slot
-    oracle-backed so each can earn a green row. The freshly-certified
-    r11 block sits at the back, just ahead of the rows-only tail."""
+def test_r14_window_plan():
+    """Positions 50-99 (the r14 plan): the displaced r13-backlog tail
+    first, then the remaining r7-era greens — every slot oracle-backed
+    so each can earn a green row. The freshly-certified r12 block sits
+    at the back, just ahead of the rows-only tail."""
     names = list(entry.queries())
-    r13 = names[50:100]
+    r14 = names[50:100]
     oracles = set(entry.oracle_sql())
-    assert set(r13) <= oracles
-    # the displaced r6-era tail leads
-    n_displaced = len(NEW_IN_R12 + R12_BACKLOG) - 50
-    assert r13[:n_displaced] == R12_BACKLOG[-n_displaced:]
-    # oldest r7-era greens fill the rest
-    for q in ("embedding_random_projection", "docs_substring_dedup",
-              "orders_salted_revenue"):
-        assert q in r13, q
-    # the r8/r9-certified blocks are behind the r13 window
-    for q in ("orders_join_strategy_report", "events_segment_enrichment",
-              "embedding_mutual_knn", "minhash_sig_probe",
-              "hydro_station_list", "docs_editdist_pairs"):
+    assert set(r14) <= oracles
+    # the displaced backlog tail leads (R13_BACKLOG[-0:] would be the
+    # whole list — guard the empty-head case)
+    n_displaced = len(NEW_IN_R13 + R13_BACKLOG) - 50
+    if n_displaced:
+        assert r14[:n_displaced] == R13_BACKLOG[-n_displaced:]
+    # remaining r7-era greens fill the next slots, r8-era entries the
+    # rest (the r7 block is nearly consumed after r13)
+    for q in ("orders_rollup", "customers_without_orders",
+              "customer_order_stats", "orders_join_strategy_report"):
+        assert q in r14, q
+    # the r9/r10-certified blocks are behind the r14 window
+    for q in ("minhash_sig_probe", "hydro_station_list",
+              "docs_editdist_pairs", "docs_curation_funnel"):
         assert q in names[100:], q
-    # the freshly-certified r11 block sits at the back
-    for q in ("events_trimmed_mean", "events_psi_by_type",
-              "multimodal_dhash_dups", "hydro_drought_runs"):
+    # the freshly-certified r12 block sits at the back
+    for q in ("parts_price_size_skyline", "docs_crosssnap_containment",
+              "hydro_level_mad_outliers", "events_t_closeness"):
         assert q in names[100:], q
     # rows-only entries stay at the very end
     assert names[-5:] == [

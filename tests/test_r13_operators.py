@@ -1,0 +1,285 @@
+"""Unit tests for the operators added in round 13.
+
+Each plan-level test recomputes the expected answer in pure Python
+over a tiny hand-built frame, so a Spark-side regression cannot hide
+behind an oracle that shares the same mistake."""
+
+from __future__ import annotations
+
+
+def _write_docs(spark, tmp_path, rows, name="docs_tbl"):
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / name)
+    docs.write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_dedup_survivor_length_bias_recompute(spark, tmp_path):
+    """Keep-lowest-id per content hash; kept/dropped token means per
+    source recomputed by hand. Source s1's only kept doc is unique
+    content; its duplicate of s0's doc is dropped."""
+    from hrfco_data_pipeline_spark.plans.llm import dedup_survivor_length_bias
+
+    rows = [
+        (1, "a b c", "en", "s0", 5),
+        (2, "a b c", "en", "s0", 5),      # dup of 1 -> dropped
+        (3, "x y", "en", "s0", 3),
+        (4, "a b c", "en", "s1", 5),      # dup of 1 -> dropped
+        (5, "p q r s", "en", "s1", 7),
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {
+        r.source: r for r in dedup_survivor_length_bias(spark, out).collect()
+    }
+    s0, s1 = got["s0"], got["s1"]
+    assert (s0.n_docs, s0.n_kept, s0.n_dropped) == (3, 2, 1)
+    assert (s0.toks_kept, s0.toks_dropped) == (3 + 2, 3)
+    assert s0.mean_toks_kept == 5 / 2 and s0.mean_toks_dropped == 3.0
+    assert (s1.n_docs, s1.n_kept, s1.n_dropped) == (2, 1, 1)
+    assert s1.mean_toks_kept == 4.0 and s1.mean_toks_dropped == 3.0
+
+
+def test_dedup_survivor_length_bias_no_drops_null_mean(spark, tmp_path):
+    from hrfco_data_pipeline_spark.plans.llm import dedup_survivor_length_bias
+
+    rows = [(1, "a b", "en", "s0", 3), (2, "c d e", "en", "s0", 5)]
+    out = _write_docs(spark, tmp_path, rows)
+    (r,) = dedup_survivor_length_bias(spark, out).collect()
+    assert r.n_dropped == 0 and r.mean_toks_dropped is None
+
+
+def test_cross_source_dup_matrix_recompute(spark, tmp_path):
+    """Grid completeness (every source pair present, zero overlaps as
+    n_shared=0) + hand-checked shared-hash counts."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_cross_source_dup_matrix
+
+    rows = [
+        (1, "a b c", "en", "s0", 5),
+        (2, "x y", "en", "s0", 3),
+        (3, "a b c", "en", "s1", 5),      # shared with s0
+        (4, "p q r s", "en", "s1", 7),
+        (5, "only here", "en", "s2", 9),  # no overlap with anyone
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.source_a, r.source_b): r
+        for r in docs_cross_source_dup_matrix(spark, out).collect()
+    }
+    assert set(got) == {("s0", "s1"), ("s0", "s2"), ("s1", "s2")}
+    r01 = got[("s0", "s1")]
+    assert (r01.hashes_a, r01.hashes_b, r01.n_shared) == (2, 2, 1)
+    assert r01.jaccard == 1 / 3
+    assert got[("s0", "s2")].n_shared == 0
+    assert got[("s0", "s2")].jaccard == 0.0
+
+
+def test_dedup_incremental_certificate_recompute(spark, tmp_path):
+    """3-step replay vs one-shot on a frame where a later step
+    re-crawls earlier content: step 1 and step 2 arrivals duplicate
+    step-0 docs, so only step 0 keeps survivors."""
+    from hrfco_data_pipeline_spark.plans.llm import dedup_incremental_certificate
+
+    # step = doc_id % 3
+    rows = [
+        (3, "d one", "en", "s0", 5),   # step 0
+        (6, "d two", "en", "s0", 5),   # step 0
+        (4, "d one", "en", "s0", 5),   # step 1, dup of 3
+        (5, "d two", "en", "s0", 5),   # step 2, dup of 6
+        (7, "d three", "en", "s0", 7),  # step 1, fresh
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r.step: r for r in dedup_incremental_certificate(spark, out).collect()}
+    assert (got[0].n_arrived, got[0].n_incremental, got[0].n_oneshot) == (2, 2, 2)
+    assert (got[1].n_arrived, got[1].n_incremental, got[1].n_oneshot) == (2, 1, 1)
+    assert (got[2].n_arrived, got[2].n_incremental, got[2].n_oneshot) == (1, 0, 0)
+    assert all(r.replay_matches_oneshot for r in got.values())
+    assert all(r.n_agree == r.n_incremental for r in got.values())
+
+
+# Chain fixture: doc 3 bridges docs 1 and 2. 14 tokens -> ten 5-token
+# shingles; overlap counts give J(1,3)=J(2,3)=7/13 >= 0.5 but
+# J(1,2)=4/16=0.25 < 0.5 — a pure chain.
+_MID = [f"m{i}" for i in range(4, 12)]          # 8 shared mid tokens
+_DOC_A = ["a1", "a2", "a3"] + _MID + ["z1", "z2", "z3"]
+_DOC_C = ["c1", "c2", "c3"] + _MID + ["w1", "w2", "w3"]
+_DOC_B = ["a1", "a2", "a3"] + _MID + ["w1", "w2", "w3"]
+
+
+def test_dedup_chaining_audit_recompute(spark, tmp_path):
+    """Pairwise-shadow drops only doc 3 (the bridge is each pair's
+    doc_b); component closure also drops doc 2 — n_chain_only = 1."""
+    from hrfco_data_pipeline_spark.plans.llm import dedup_chaining_audit
+
+    rows = [
+        (1, " ".join(_DOC_A), "en", "s0", 1),
+        (2, " ".join(_DOC_C), "en", "s0", 1),
+        (3, " ".join(_DOC_B), "en", "s0", 1),
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    (r,) = dedup_chaining_audit(spark, out).collect()
+    assert r.n_docs == 3
+    assert r.n_pairs == 2                      # (1,3), (2,3) at >= 0.5
+    assert r.n_dropped_pairwise == 1           # {3}
+    assert r.n_dropped_chained == 2            # {2, 3}
+    assert r.n_chain_only == 1
+    assert (r.n_components, r.max_component_size) == (1, 3)
+
+
+def test_lsh_band_tradeoff_recompute(spark, tmp_path):
+    """Expected-detection sums recomputed in pure Python with the same
+    repeated-squaring float chains over the three exact jaccards
+    (7/13, 7/13, 4/16)."""
+    from hrfco_data_pipeline_spark.plans.llm import lsh_band_tradeoff_curve
+
+    rows = [
+        (1, " ".join(_DOC_A), "en", "s0", 1),
+        (2, " ".join(_DOC_C), "en", "s0", 1),
+        (3, " ".join(_DOC_B), "en", "s0", 1),
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {
+        (r.bands, r.rows_per_band): r
+        for r in lsh_band_tradeoff_curve(spark, out).collect()
+    }
+
+    def sq(x, times):
+        for _ in range(times):
+            x = x * x
+        return x
+
+    jacs = [7 / 13, 7 / 13, 4 / 16]
+    import math
+
+    for (b, r_), (r_sq, b_sq) in {(32, 4): (2, 5), (16, 8): (3, 4),
+                                  (8, 16): (4, 3)}.items():
+        ps = [1.0 - sq(1.0 - sq(s, r_sq), b_sq) for s in jacs]
+        row = got[(b, r_)]
+        assert row.n_pairs == 3
+        assert row.expected_detected_nanos == sum(
+            math.floor(p * 1e9) for p in ps
+        )
+        assert row.n_past_half_detection == sum(1 for p in ps if p >= 0.5)
+
+
+def _minute(s):
+    if s is None or len(s) < 16:
+        return None
+    hh, mm = s[11:13], s[14:16]
+    if not (hh.isdigit() and mm.isdigit()):
+        return None
+    return int(hh) * 60 + int(mm)
+
+
+def test_hydro_flashiness_recompute(spark):
+    """sf0.001: recompute every station's Σ|Δ| (in-day folds + cross-
+    midnight boundaries) and Σlevel in pure Python from the same
+    classified substrate — the fold/window plumbing is under test, so
+    the recompute sorts plain Python lists."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.plans.hydro import (
+        classified,
+        flashiness_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        classified(spark, sf)
+        .filter(F.col("water_level").isNotNull())
+        .select(
+            "wlobscd",
+            "obs_time_str",
+            F.round(F.col("water_level") * 100).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by = defaultdict(lambda: defaultdict(list))
+    for r in base:
+        t = _minute(r.obs_time_str)
+        if t is None:
+            continue
+        by[r.wlobscd][r.obs_time_str[:10]].append((t, r.cents))
+    got = {r.wlobscd: r for r in flashiness_index(spark, sf).collect()}
+    assert set(got) == set(by) and got
+    for st, days in by.items():
+        total_abs = n = s = 0
+        prev_last = None
+        for day in sorted(days):
+            arr = sorted(days[day])
+            n += len(arr)
+            s += sum(v for _, v in arr)
+            if prev_last is not None:
+                total_abs += abs(arr[0][1] - prev_last)
+            total_abs += sum(
+                abs(arr[i][1] - arr[i - 1][1]) for i in range(1, len(arr))
+            )
+            prev_last = arr[-1][1]
+        r = got[st]
+        assert (r.n_obs, r.sum_abs_delta_cents, r.sum_level_cents) == (
+            n, total_abs, s,
+        )
+        if s > 0:
+            assert r.flashiness == total_abs / s
+        else:
+            assert r.flashiness is None
+
+
+def test_hydro_flood_volume_recompute(spark):
+    """sf0.001: per-station twice-volume (trapezoid over in-day
+    exceedance) recomputed in pure Python; days integrate
+    independently."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.plans.hydro import classified, flood_volume
+
+    sf = "/root/testdata/sf0.001"
+    base = (
+        classified(spark, sf)
+        .filter(
+            F.col("water_level").isNotNull()
+            & F.col("station_found")
+            & F.col("attwl").isNotNull()
+            & (F.col("attwl") > 0)
+        )
+        .select(
+            "wlobscd",
+            "obs_time_str",
+            (
+                F.greatest(
+                    F.round(F.col("water_level") * 100).cast("long")
+                    - F.round(F.col("attwl") * 100).cast("long"),
+                    F.lit(0).cast("long"),
+                )
+            ).alias("e"),
+        )
+        .collect()
+    )
+    by = defaultdict(lambda: defaultdict(list))
+    for r in base:
+        t = _minute(r.obs_time_str)
+        if t is None:
+            continue
+        by[r.wlobscd][r.obs_time_str[:10]].append((t, r.e))
+    got = {r.wlobscd: r for r in flood_volume(spark, sf).collect()}
+    assert set(got) == set(by) and got
+    for st, days in by.items():
+        n = n_ex = mx = vol2 = 0
+        for day in days:
+            arr = sorted(days[day])
+            n += len(arr)
+            n_ex += sum(1 for _, v in arr if v > 0)
+            mx = max([mx] + [v for _, v in arr])
+            vol2 += sum(
+                (arr[i][0] - arr[i - 1][0]) * (arr[i][1] + arr[i - 1][1])
+                for i in range(1, len(arr))
+            )
+        r = got[st]
+        assert (r.n_obs, r.n_exceed_obs) == (n, n_ex)
+        assert r.max_exceed_cents == mx
+        assert r.twice_volume_cents_min == vol2

@@ -14,7 +14,14 @@ audit: build every registered query's plan at a small SF and flag
 - non-portable output leaf types (decimal/binary/map/float32/... at
   the registry boundary — the r9 hydro_double_mass DECIMAL(38,0)
   driver-hash split class; tests/test_output_types.py guards the
-  first-50 window per-suite-run, this sweep covers all queries).
+  first-50 window per-suite-run, this sweep covers all queries),
+- ``Generate`` nodes whose generator argument is a large inline
+  expression that appears more than once in the plan (the r12
+  ``size(gen)+explode(gen)`` fused-projection pathology: the same
+  expensive array expression evaluated per output row on both faces
+  of a Generate boundary cost docs_crosssnap_containment 162 s before
+  a human noticed — SCALE.md §r12; materialize the array in a child
+  projection so the Generate consumes an attribute instead).
 
 EAGER queries (driver-side loops / plan-time profiles) execute their
 bounded actions while the plan is built — acceptable at the audit SF.
@@ -43,6 +50,74 @@ ALLOW_NESTED_LOOP = {
 }
 
 MAX_PLAN_BYTES = 1_000_000
+
+# Generator arguments shorter than this are cheap enough that a second
+# evaluation elsewhere in the plan is noise, not a pathology (the r12
+# incident's winnowing expression was tens of KB).
+MIN_GEN_EXPR_CHARS = 120
+
+
+def generate_duplication_flags(plan: str) -> list[str]:
+    """Flag Generate nodes whose generator argument is a LARGE inline
+    expression that also appears elsewhere in the plan — the
+    ``size(gen)+explode(gen)`` fused-projection pathology (SCALE.md
+    §r12): both sibling projections re-evaluate the expensive array
+    expression per row. A generator over a bare attribute reference
+    (``explode(fps#123)``) is the materialized-child fix and never
+    flags."""
+    import re
+
+    # the two evaluations of the same expression carry different
+    # expression/lambda-variable ids (x_1#4 vs x_1#5) — normalize ids
+    # away so textual identity means structural identity
+    plan = re.sub(r"#\d+", "#x", plan)
+    gen_args: list[tuple[str, str]] = []  # (generator, arg)
+    spans: list[tuple[int, int]] = []  # generator-arg char spans
+    for m in re.finditer(r"Generate (explode|posexplode|inline)\(", plan):
+        start = m.end() - 1  # at the opening paren
+        depth = 0
+        end = start
+        for i in range(start, min(len(plan), start + 200_000)):
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        arg = plan[start + 1 : end]
+        spans.append((start + 1, end))
+        if len(arg) < MIN_GEN_EXPR_CHARS:
+            continue
+        if re.fullmatch(r"[A-Za-z_][A-Za-z_0-9 .]*#xL?", arg.strip()):
+            continue  # attribute reference — evaluated once upstream
+        gen_args.append((m.group(1), arg))
+    # The same expression feeding SEVERAL Generate nodes (one per plan
+    # branch, each evaluated once per branch row) is legitimate DAG
+    # reuse — the pathology is an occurrence OUTSIDE every generator
+    # argument (the fused sibling projection re-evaluating it per
+    # exploded output row). An occurrence judged by POSITION: inside
+    # any generator-arg span (two branches' args can differ by a
+    # cast, making one a substring of the other) it is part of that
+    # generator's single evaluation and benign.
+    flags = []
+    seen: set[str] = set()
+    for gen, arg in gen_args:
+        if arg in seen:
+            continue
+        seen.add(arg)
+        n_outside = 0
+        for mo in re.finditer(re.escape(arg), plan):
+            s, e = mo.start(), mo.end()
+            if not any(a <= s and e <= b for a, b in spans):
+                n_outside += 1
+        if n_outside:
+            flags.append(
+                f"generate-duplicated-expression:{gen}"
+                f"({arg[:60]}...)x{n_outside}+gen"
+            )
+    return flags
 
 
 def _nonportable_leaves(dt, path):
@@ -100,6 +175,7 @@ def main() -> int:
                     flags.append("nested-loop-join")
         if "BatchEvalPython" in plan:
             flags.append("row-at-a-time-python-udf")
+        flags.extend(generate_duplication_flags(plan))
         bad_types = [
             s
             for f in df.schema.fields
