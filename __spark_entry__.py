@@ -62,6 +62,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_band_tradeoff_curve": llm.lsh_band_tradeoff_curve,
         "hydro_flashiness_index": hydro.flashiness_index,
         "hydro_flood_volume": hydro.flood_volume,
+        "events_bot_regularity_screen": relational.events_bot_regularity_screen,
+        "events_ewma_control": relational.events_ewma_control,
+        "events_quantile_sketch_error": relational.events_quantile_sketch_error,
+        "supplier_share_drift": relational.supplier_share_drift,
         # --- r13 backlog head: the 16 r6-era entries the r12 head displaced ---
         "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
         "wire_field_presence": wire.wire_field_presence,
@@ -105,10 +109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mon_activity_delta": relational.mon_activity_delta,
         "events_hourly": relational.events_hourly,
         "events_sessionize": relational.events_sessionize,
-        "recent_events_top200": relational.recent_events_top200,
-        "mon_error_bulletins": relational.mon_error_bulletins,
-        "mon_type_pivot": relational.mon_type_pivot,
-        "metrics_format_bytes": relational.metrics_format_bytes,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
@@ -118,6 +118,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/round_start.py). Order: the r13-displaced backlog tail
         # first, then the remaining r7-era greens and the r8-era block.
         # Pinned by test_r14_window_plan.
+        "recent_events_top200": relational.recent_events_top200,
+        "mon_error_bulletins": relational.mon_error_bulletins,
+        "mon_type_pivot": relational.mon_type_pivot,
+        "metrics_format_bytes": relational.metrics_format_bytes,
         "metrics_durations": relational.metrics_durations,
         "mon_processing_times": relational.mon_processing_times,
         "events_props_extract": relational.events_props_extract,

@@ -9496,3 +9496,130 @@ HYDRO_ORACLES["hydro_flood_volume"] = HYDRO_CTE + """
       CAST(sum(twice_vol) AS BIGINT) AS twice_volume_cents_min
     FROM folded GROUP BY wlobscd
     """
+
+
+# --- r13: cadence/bot screen, EWMA chart, sketch certificate, drift --------
+
+RELATIONAL_ORACLES["events_bot_regularity_screen"] = """
+    WITH g AS (
+      SELECT user_id,
+        (epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+          AS gap_s
+      FROM events
+    ), agg AS (
+      SELECT user_id, count(*) AS n,
+        sum(gap_s::HUGEINT) AS s1,
+        sum((gap_s * gap_s)::HUGEINT) AS s2
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 10
+    )
+    SELECT user_id,
+      CAST(n AS BIGINT) AS n_gaps,
+      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_s,
+      CASE WHEN s1 > 0 THEN
+        CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(s1 * s1 AS DOUBLE)
+      END AS cv2,
+      n >= 20 AND s1 > 0
+        AND CASE WHEN s1 > 0 THEN
+          CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(s1 * s1 AS DOUBLE)
+        END < 0.01 AS is_regular_bot
+    FROM agg
+    """
+
+# EWMA chart: the same sequential (acc + x) * 0.5 fold over the
+# day-sorted count array, seeded at the first day — dyadic-exact.
+RELATIONAL_ORACLES["events_ewma_control"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), arrs AS (
+      SELECT event_type,
+        list(struct_pack(day := day, n := n) ORDER BY day) AS arr
+      FROM daily GROUP BY event_type
+    ), ex AS (
+      SELECT event_type, arr, unnest(range(1, len(arr) + 1)) AS i
+      FROM arrs
+    ), folded AS (
+      SELECT event_type,
+        arr[i].day AS day,
+        arr[i].n AS n_events,
+        CASE WHEN i > 1 THEN
+          list_reduce(
+            list_prepend(CAST(arr[1].n AS DOUBLE),
+              list_transform(range(2, i), j -> CAST(arr[j].n AS DOUBLE))),
+            (acc, x) -> (acc + x) * 0.5)
+        END AS ewma_prev
+      FROM ex
+    )
+    SELECT event_type, day,
+      CAST(n_events AS BIGINT) AS n_events,
+      ewma_prev,
+      CASE WHEN ewma_prev IS NOT NULL THEN
+        CAST(n_events AS DOUBLE) > 2 * ewma_prev
+      END AS is_spike
+    FROM folded
+    """
+
+# Quantile-sketch certificate: the sketch element is engine-specific
+# and never emitted; the oracle asserts the GUARANTEE (the
+# events_hll_accuracy constant-flag pattern) plus the exact counts.
+RELATIONAL_ORACLES["events_quantile_sketch_error"] = """
+    WITH base AS (
+      SELECT event_type, count(*) AS n FROM events
+      WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type,
+      CAST(p_pct AS INTEGER) AS p_pct,
+      CAST(n AS BIGINT) AS n,
+      TRUE AS within_rank_tolerance
+    FROM base, unnest([50, 90]) AS u(p_pct)
+    """
+
+RELATIONAL_ORACLES["supplier_share_drift"] = """
+    WITH li AS (
+      SELECT l_partkey, l_suppkey,
+        CAST(TRY_CAST(printf('%.2f', l_extendedprice) AS DECIMAL(12,2))
+             * (1 - TRY_CAST(printf('%.2f', l_discount) AS DECIMAL(12,2)))
+             * 10000 AS HUGEINT) AS c,
+        CAST(date_diff('day', DATE '1970-01-01',
+             CAST(l_shipdate AS DATE)) AS BIGINT) AS d
+      FROM lineitem
+    ), rng AS (
+      SELECT CAST(floor((min(d) + max(d)) / 2.0) AS BIGINT) AS mid FROM li
+    ), staged AS (
+      SELECT p.p_brand, li.l_suppkey, li.c, li.d <= rng.mid AS first_half
+      FROM li JOIN part p ON li.l_partkey = p.p_partkey, rng
+    ), per_supp AS (
+      SELECT p_brand, l_suppkey,
+        sum(CASE WHEN first_half THEN c ELSE 0 END) AS c1,
+        sum(CASE WHEN first_half THEN 0 ELSE c END) AS c2
+      FROM staged GROUP BY 1, 2
+    ), winded AS (
+      SELECT p_brand, c1, c2,
+        sum(c1) OVER (PARTITION BY p_brand) AS n1,
+        sum(c2) OVER (PARTITION BY p_brand) AS n2
+      FROM per_supp
+    ), tots AS (
+      -- per-supplier share differences quantized to nanos: every
+      -- double conversion stays under 2^53 (DuckDB's HUGEINT->DOUBLE
+      -- cast is NOT correctly rounded past it — measured, see the
+      -- Spark docstring)
+      SELECT p_brand, count(*) AS n_suppliers,
+        max(n1) AS n1, max(n2) AS n2,
+        sum(CASE WHEN n1 > 0 AND n2 > 0 THEN
+          CAST(floor(abs(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                         - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     * 1000000000.0) AS BIGINT)
+        END) AS tv_nanos
+      FROM winded GROUP BY p_brand
+    )
+    SELECT p_brand,
+      CAST(n_suppliers AS BIGINT) AS n_suppliers,
+      CAST(n1 AS DOUBLE) AS rev1_hcents,
+      CAST(n2 AS DOUBLE) AS rev2_hcents,
+      CASE WHEN n1 > 0 AND n2 > 0 THEN
+        CAST(tv_nanos AS DOUBLE) / 2000000000.0
+      END AS tv_share_drift
+    FROM tots
+    """

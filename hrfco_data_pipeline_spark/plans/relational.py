@@ -7165,3 +7165,290 @@ def events_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_at_risk"),
     )
+
+
+# --------------------------------------------------------------------------
+# r13: cadence/bot screening, control charts, sketch certificates, drift
+# --------------------------------------------------------------------------
+
+def events_bot_regularity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-traffic screen by inter-arrival regularity: per user
+    (≥ 10 gaps), the squared coefficient of variation of consecutive
+    event gaps — human cadence is bursty (CV² ≈ 1 for Poisson, > 1
+    for sessions), schedulers and scrapers tick (CV² → 0). The
+    pre-training corpus counterpart strips bot-generated interaction
+    logs before they dominate a behavioral dataset; the flag rule
+    (≥ 20 gaps AND CV² < 0.01) is deliberately conservative.
+
+    Exactness: gaps are integer SECONDS (microsecond difference `div`
+    10^6 — pure-integer on both faces); Σx and Σx² accumulate as
+    DECIMAL(38,0) internally (per-user gap sums square past BIGINT on
+    long histories; ceiling ~1e19 gap-seconds-squared per user —
+    unreachable), and CV² = (n·Σx² − (Σx)²) / (Σx)² is ONE double
+    division of exact integer operands, emitted raw. The mean divides
+    the same exact sums.
+
+    Scale shape: one lag window per user (the inter_arrival_stats
+    shape — group size = per-user event count), then a user-keyed
+    map-side-combined aggregate; no joins, no collects. Output is
+    bounded by the ≥ 10-gap user set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    prev_us = F.unix_micros(F.to_utc_timestamp(F.lag("ts").over(w), "UTC"))
+    gaps = (
+        ev.select("user_id", (us - prev_us).alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum(F.col("gap_s").cast("decimal(38,0)")).alias("s1"),
+        F.sum(
+            (F.col("gap_s") * F.col("gap_s")).cast("decimal(38,0)")
+        ).alias("s2"),
+    ).filter(F.col("n_gaps") >= 10)
+    n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
+    cv2 = F.when(
+        s1 > 0,
+        (n * s2 - s1 * s1).cast("double") / (s1 * s1).cast("double"),
+    )
+    return agg.select(
+        "user_id",
+        n.cast("long").alias("n_gaps"),
+        (s1.cast("double") / n.cast("double")).alias("mean_gap_s"),
+        cv2.alias("cv2"),
+        ((n >= 20) & (s1 > 0) & (cv2 < 0.01)).alias("is_regular_bot"),
+    )
+
+
+def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over daily event counts per type with
+    λ = 1/2: each day is compared against the exponentially-weighted
+    mean of its PAST (e_t = (x_t + e_{t−1})/2, seeded at the first
+    day) and flagged when it more than doubles the forecast — the
+    streaming-friendly anomaly chart next to the one-shot
+    events_cusum_changepoint (CUSUM localizes a single level shift;
+    EWMA tracks and flags continuously).
+
+    Exactness: counts are integers and λ = 1/2 keeps every EWMA value
+    a DYADIC rational — the sequential (acc + x)·0.5 fold is exact in
+    doubles until day counts exceed ~2^52·2^−t, and past that both
+    engines round the identical IEEE operation chain identically (the
+    fold order is pinned by the day-sorted array). The spike test
+    x > 2·e_prev compares a long against a dyadic double — exact.
+
+    Scale shape: the day-count substrate is one map-side-combined
+    groupBy; per type the chart folds over the DAY-DOMAIN array
+    (≤ days rows regardless of corpus size — the drought_runs
+    posture); per-day prefix folds cost O(days²) on that bounded
+    domain. One explode back to rows.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("day"), F.col("n")))
+    )
+    per_type = daily.groupBy("event_type").agg(arr.alias("arr"))
+    n_arr = F.size("arr")
+    el = lambda i: F.element_at("arr", i)  # noqa: E731
+
+    def ewma_prefix(i):
+        # e_i = fold over arr[2..i] seeded at x_1, each step (acc+x)/2
+        return F.aggregate(
+            F.sequence(F.lit(2), F.greatest(i, F.lit(2))),
+            el(1)["n"].cast("double"),
+            lambda acc, j: F.when(
+                j <= i,
+                (acc + el(j.cast("int"))["n"].cast("double")) * F.lit(0.5),
+            ).otherwise(acc),
+        )
+
+    rows = F.transform(
+        F.sequence(F.lit(1), n_arr),
+        lambda i: F.struct(
+            el(i.cast("int"))["day"].alias("day"),
+            el(i.cast("int"))["n"].alias("n_events"),
+            F.when(i > 1, ewma_prefix((i - 1).cast("int"))).alias(
+                "ewma_prev"
+            ),
+        ),
+    )
+    out = per_type.select("event_type", F.explode(rows).alias("r"))
+    return out.select(
+        "event_type",
+        F.col("r.day").alias("day"),
+        F.col("r.n_events").cast("long").alias("n_events"),
+        F.col("r.ewma_prev").alias("ewma_prev"),
+        F.when(
+            F.col("r.ewma_prev").isNotNull(),
+            F.col("r.n_events").cast("double") > 2 * F.col("r.ewma_prev"),
+        ).alias("is_spike"),
+    )
+
+
+def events_quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-error certificate for approx_percentile (the
+    Greenwald–Khanna sketch): per event type and p ∈ {0.5, 0.9} at
+    accuracy 100, verify the sketch's returned element really sits
+    within ±n/100 ranks of the target — the events_hll_accuracy
+    pattern for the quantile sketch (the estimate itself is
+    engine-specific and never emitted; the GUARANTEE is the portable
+    fact, and a sketch regression flips the flag under the driver
+    hash).
+
+    The check joins the 2·|types| sketch outputs back against one
+    corpus scan and counts values strictly below / at-or-below the
+    returned element — exact integer ranks, integer tolerance bound
+    (|types|·2-row broadcast against the scan).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    sk = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(100)
+        ).alias("vs"),
+        F.count("*").alias("n"),
+    )
+    probes = sk.select(
+        "event_type",
+        "n",
+        F.posexplode("vs").alias("pi", "v"),
+    ).select(
+        "event_type",
+        "n",
+        F.when(F.col("pi") == 0, 50).otherwise(90).alias("p_pct"),
+        "v",
+    )
+    joined = ev.join(
+        F.broadcast(probes.withColumnRenamed("event_type", "et")),
+        F.col("event_type") == F.col("et"),
+    )
+    ranks = joined.groupBy("et", "p_pct", "n").agg(
+        F.sum(F.when(F.col("value") <= F.col("v"), 1).otherwise(0)).alias(
+            "rank_le"
+        ),
+        F.sum(F.when(F.col("value") < F.col("v"), 1).otherwise(0)).alias(
+            "rank_lt"
+        ),
+    )
+    # GK guarantee at accuracy a: some rank in [rank_lt+1, rank_le]
+    # lies within n/a of ceil(p*n/100) — pure-integer arithmetic
+    # (`div`, mirrored as `//` in the twin; no float ceil/floor)
+    target = F.expr("(p_pct * n + 99) div 100")
+    tol = F.expr("n div 100 + 1")
+    ok = (F.col("rank_le") >= target - tol) & (
+        F.col("rank_lt") <= target + tol
+    )
+    return ranks.select(
+        F.col("et").alias("event_type"),
+        F.col("p_pct").cast("int").alias("p_pct"),
+        F.col("n").cast("long").alias("n"),
+        ok.alias("within_rank_tolerance"),
+    )
+
+
+def supplier_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-base drift per brand: total-variation distance between
+    the supplier revenue-share distribution in the FIRST and SECOND
+    half of the ship-date range — the procurement twin of the corpus
+    drift family (docs_source_tv_distance measures token mixture;
+    this measures whether a brand quietly re-sourced). TV near 1
+    means the supplier set turned over wholesale; 0 means stable
+    shares.
+
+    Exactness: per-item revenue becomes an exact integer (the
+    %.2f-DECIMAL house convention × 10⁴ — hundredths of cents);
+    per-(brand, supplier) half-sums accumulate as DECIMAL(38,0).
+    TV folds as Σ_s floor(|c1_s/N1 − c2_s/N2|·10⁹) — each share is
+    one double division of exact integers, the quantized terms sum
+    EXACTLY as longs (the train_linear_gate convention), and the
+    final tv divides the long by 2·10⁹ once. The integer-product form
+    Σ|c1·N2 − c2·N1| / (2·N1·N2) was tried and REVERTED: its
+    numerator exceeds 2^53 and DuckDB's HUGEINT→DOUBLE cast is NOT
+    correctly rounded there (measured: 7.34076513938130271480e20
+    converts one ulp high), so the share-difference form keeps every
+    double conversion under 2^53 (revenue sums to ~9e15
+    hundredth-cents per brand-half — $9e11, beyond the synthetic
+    corpus at any SF; a real 100 TB ledger would emit whole cents).
+    Brands with an empty half emit NULL tv. The time split is the
+    integer midpoint day (the PSI convention).
+
+    Scale shape: one lineitem scan joined to the part dim on partkey
+    (Catalyst picks broadcast when the dim fits); per-(brand,
+    supplier) partial aggregation map-side; the TV rollup runs on the
+    |brands|×|suppliers| grid. The 1-row date-range aggregate
+    broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = lambda c: F.format_string("%.2f", F.col(c)).cast(  # noqa: E731
+        "decimal(12,2)"
+    )
+    rev = (
+        (dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount")))
+        * F.lit(10000)
+    ).cast("decimal(38,0)")
+    day = F.datediff(
+        F.col("l_shipdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    rng = li.agg(F.min(day).alias("dmin"), F.max(day).alias("dmax"))
+    staged = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "p_brand",
+            "l_suppkey",
+            rev.alias("c"),
+            (
+                day
+                <= F.floor((F.col("dmin") + F.col("dmax")) / F.lit(2.0))
+            ).alias("first_half"),
+        )
+    )
+    per_supp = staged.groupBy("p_brand", "l_suppkey").agg(
+        F.sum(F.when(F.col("first_half"), F.col("c")).otherwise(0)).alias(
+            "c1"
+        ),
+        F.sum(
+            F.when(F.col("first_half"), F.lit(0)).otherwise(F.col("c"))
+        ).alias("c2"),
+    )
+    wb = Window.partitionBy("p_brand")
+    tv_base = per_supp.select(
+        "p_brand",
+        "c1",
+        "c2",
+        F.sum("c1").over(wb).alias("n1"),
+        F.sum("c2").over(wb).alias("n2"),
+    )
+    term = F.floor(
+        F.abs(
+            F.col("c1").cast("double") / F.col("n1").cast("double")
+            - F.col("c2").cast("double") / F.col("n2").cast("double")
+        )
+        * F.lit(1000000000.0)
+    ).cast("long")
+    out = tv_base.groupBy("p_brand").agg(
+        F.count("*").alias("n_suppliers"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(
+            F.when((F.col("n1") > 0) & (F.col("n2") > 0), term)
+        ).alias("tv_nanos"),
+    )
+    tv = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0),
+        F.col("tv_nanos").cast("double") / F.lit(2000000000.0),
+    )
+    return out.select(
+        "p_brand",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.col("n1").cast("double").alias("rev1_hcents"),
+        F.col("n2").cast("double").alias("rev2_hcents"),
+        tv.alias("tv_share_drift"),
+    )

@@ -50,6 +50,10 @@ NEW_IN_R13: list[str] = [
     "lsh_band_tradeoff_curve",
     "hydro_flashiness_index",
     "hydro_flood_volume",
+    "events_bot_regularity_screen",
+    "events_ewma_control",
+    "events_quantile_sketch_error",
+    "supplier_share_drift",
 ]
 
 # The pinned r13 backlog written at the end of r12 (VERDICT r12 "Next

@@ -283,3 +283,147 @@ def test_hydro_flood_volume_recompute(spark):
         assert (r.n_obs, r.n_exceed_obs) == (n, n_ex)
         assert r.max_exceed_cents == mx
         assert r.twice_volume_cents_min == vol2
+
+
+def _write_events(spark, tmp_path, rows, name="ev_tbl"):
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    out = str(tmp_path / name)
+    ev.write.parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_bot_regularity_screen_recompute(spark, tmp_path):
+    """Metronome user (25 events, 60 s apart) flags; a jittered user
+    (>=10 gaps) appears with the hand-computed CV²; a 5-event user is
+    absent."""
+    from datetime import datetime, timedelta
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_bot_regularity_screen,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for i in range(25):                      # user 1: perfect metronome
+        rows.append((eid, t0 + timedelta(seconds=60 * i), 1, "view", 1.0, "{}"))
+        eid += 1
+    jitter = [30, 90, 30, 90, 30, 90, 30, 90, 30, 90, 30]
+    t = t0
+    for g in jitter:                         # user 2: 11 jittered gaps
+        rows.append((eid, t, 2, "view", 1.0, "{}"))
+        t += timedelta(seconds=g)
+        eid += 1
+    rows.append((eid, t, 2, "view", 1.0, "{}"))
+    eid += 1
+    for i in range(5):                       # user 3: too few gaps
+        rows.append((eid, t0 + timedelta(seconds=7 * i), 3, "view", 1.0, "{}"))
+        eid += 1
+    out = _write_events(spark, tmp_path, rows)
+    got = {r.user_id: r for r in events_bot_regularity_screen(spark, out).collect()}
+    assert set(got) == {1, 2}
+    r1 = got[1]
+    assert (r1.n_gaps, r1.mean_gap_s, r1.cv2) == (24, 60.0, 0.0)
+    assert r1.is_regular_bot
+    r2 = got[2]
+    n, s1 = len(jitter), sum(jitter)
+    s2 = sum(g * g for g in jitter)
+    assert (r2.n_gaps, r2.mean_gap_s) == (n, s1 / n)
+    assert r2.cv2 == (n * s2 - s1 * s1) / (s1 * s1)
+    assert not r2.is_regular_bot             # n_gaps < 20
+
+
+def test_ewma_control_recompute(spark, tmp_path):
+    """[1, 1, 10] daily counts: day-3 forecast is 1.0, so 10 > 2·1
+    spikes; [4, 2, 6] never does (6 is not > 2·3)."""
+    from datetime import datetime, timedelta
+
+    from hrfco_data_pipeline_spark.plans.relational import events_ewma_control
+
+    t0 = datetime(2024, 3, 1, 12, 0)
+    rows = []
+    eid = 0
+    for day, cnt in enumerate([1, 1, 10]):
+        for _ in range(cnt):
+            rows.append((eid, t0 + timedelta(days=day), 1, "a", 1.0, "{}"))
+            eid += 1
+    for day, cnt in enumerate([4, 2, 6]):
+        for _ in range(cnt):
+            rows.append((eid, t0 + timedelta(days=day), 1, "b", 1.0, "{}"))
+            eid += 1
+    out = _write_events(spark, tmp_path, rows)
+    got = {
+        (r.event_type, str(r.day)): r
+        for r in events_ewma_control(spark, out).collect()
+    }
+    a1 = got[("a", "2024-03-01")]
+    assert a1.ewma_prev is None and a1.is_spike is None
+    a2 = got[("a", "2024-03-02")]
+    assert a2.ewma_prev == 1.0 and not a2.is_spike
+    a3 = got[("a", "2024-03-03")]
+    assert a3.ewma_prev == 1.0 and a3.is_spike
+    b3 = got[("b", "2024-03-03")]
+    assert b3.ewma_prev == (4 + 2) / 2 and not b3.is_spike  # 6 > 6 is False
+
+
+def test_quantile_sketch_error_contract(spark, tmp_path):
+    """200 distinct values per type: the GK guarantee must hold for
+    both percentiles and the exact n must come through."""
+    from datetime import datetime, timedelta
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_quantile_sketch_error,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), i % 7, "x", float(i), "{}")
+        for i in range(200)
+    ]
+    out = _write_events(spark, tmp_path, rows)
+    got = events_quantile_sketch_error(spark, out).collect()
+    assert {(r.p_pct) for r in got} == {50, 90}
+    assert all(r.n == 200 for r in got)
+    assert all(r.within_rank_tolerance for r in got)
+
+
+def test_supplier_share_drift_recompute(spark, tmp_path):
+    """Brand with a wholesale supplier swap between halves reads
+    TV = 1.0; a stable single-supplier brand reads 0.0."""
+    from datetime import datetime
+
+    from hrfco_data_pipeline_spark.plans.relational import supplier_share_drift
+
+    part = spark.createDataFrame(
+        [(1, "pa", "B1", "T", 1, 10.0), (2, "pb", "B2", "T", 1, 10.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    d0, d1 = datetime(2024, 1, 1), datetime(2024, 1, 11)
+    li_rows = [
+        # B1: supplier 10 only in first half, supplier 20 only in second
+        (1, 1, 10, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d0),
+        (2, 1, 20, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d1),
+        # B2: same supplier both halves, equal revenue
+        (3, 2, 30, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", d0),
+        (4, 2, 30, 1, 1.0, 50.0, 0.0, 0.0, "N", "O", d1),
+    ]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp_ntz",
+    )
+    out = str(tmp_path / "drift_tbl")
+    part.write.parquet(f"{out}/part.parquet")
+    li.write.parquet(f"{out}/lineitem.parquet")
+    got = {r.p_brand: r for r in supplier_share_drift(spark, out).collect()}
+    assert got["B1"].tv_share_drift == 1.0
+    assert got["B1"].n_suppliers == 2
+    assert got["B2"].tv_share_drift == 0.0
+    assert got["B2"].rev1_hcents == 50.0 * 10000
