@@ -66,6 +66,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma_control": relational.events_ewma_control,
         "events_quantile_sketch_error": relational.events_quantile_sketch_error,
         "supplier_share_drift": relational.supplier_share_drift,
+        "wire_dedup_replay": wire.wire_dedup_replay,
+        "docs_tokenizer_fertility": llm.docs_tokenizer_fertility,
+        "ann_recall_by_occupancy": llm.ann_recall_by_occupancy,
+        "stream_batch_cms_parity": llm.stream_batch_cms_parity,
+        "stream_batch_psi_parity": relational.stream_batch_psi_parity,
         # --- r13 backlog head: the 16 r6-era entries the r12 head displaced ---
         "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
         "wire_field_presence": wire.wire_field_presence,
@@ -104,11 +109,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_parse": wire.wire_parse,
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,
-        "mon_status_counts": relational.mon_status_counts,
-        "mon_summary": relational.mon_summary,
-        "mon_activity_delta": relational.mon_activity_delta,
-        "events_hourly": relational.events_hourly,
-        "events_sessionize": relational.events_sessionize,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/round_start.py). Order: the r13-displaced backlog tail
         # first, then the remaining r7-era greens and the r8-era block.
         # Pinned by test_r14_window_plan.
+        "mon_status_counts": relational.mon_status_counts,
+        "mon_summary": relational.mon_summary,
+        "mon_activity_delta": relational.mon_activity_delta,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
         "recent_events_top200": relational.recent_events_top200,
         "mon_error_bulletins": relational.mon_error_bulletins,
         "mon_type_pivot": relational.mon_type_pivot,

@@ -9623,3 +9623,127 @@ RELATIONAL_ORACLES["supplier_share_drift"] = """
       END AS tv_share_drift
     FROM tots
     """
+
+
+# --- r13: wire redelivery collapse + tokenizer fertility -------------------
+
+WIRE_ORACLES["wire_dedup_replay"] = _WIRE_CTE + """
+    , parsed AS (
+      SELECT obs_id,
+        json_extract_string(value, '$.wlobscd') AS wlobscd,
+        json_extract_string(value, '$.ymdhm') AS ymdhm,
+        json_extract_string(value, '$.wl') AS wl,
+        json_extract_string(value, '$.fw') AS fw
+      FROM wire WHERE json_valid(value)
+    ), delivered AS (
+      SELECT * FROM parsed
+      UNION ALL
+      SELECT * FROM parsed WHERE obs_id % 11 = 0
+    ), per_key AS (
+      SELECT COALESCE(wlobscd, '__null_station__') AS station, obs_id,
+        count(*) AS c,
+        count(DISTINCT md5(COALESCE(wlobscd, '') || '|'
+          || COALESCE(ymdhm, '') || '|' || COALESCE(wl, '') || '|'
+          || COALESCE(fw, ''))) AS pd
+      FROM delivered GROUP BY 1, 2
+    )
+    SELECT station,
+      CAST(sum(c) AS BIGINT) AS n_delivered,
+      CAST(count(*) AS BIGINT) AS n_unique,
+      CAST(sum(c - 1) AS BIGINT) AS n_dups_dropped,
+      CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_rate,
+      CAST(sum(CASE WHEN pd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_conflicting_payloads
+    FROM per_key GROUP BY station
+    """
+
+LLM_ORACLES["docs_tokenizer_fertility"] = r"""
+    WITH words AS (
+      SELECT source, lower(unnest(regexp_split_to_array(trim(text), '\s+')))
+        AS w
+      FROM documents
+    ), swc AS (
+      SELECT source, w, count(*) AS wn FROM words GROUP BY 1, 2
+    ), prs AS (
+      SELECT wn, unnest(CASE WHEN length(w) >= 2 THEN
+          [substr(w, i, 2) FOR i IN range(1, length(w))]
+        ELSE [] END) AS pair
+      FROM swc
+    ), top1 AS (
+      SELECT pair AS mp FROM prs GROUP BY pair
+      ORDER BY sum(wn) DESC, pair ASC LIMIT 1
+    ), staged AS (
+      SELECT source, wn, length(w) AS n_chars_w,
+        length(replace(w, mp, chr(1))) AS n_syms_w
+      FROM swc, top1
+    ), rolled AS (
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_vocab,
+        CAST(sum(wn) AS BIGINT) AS n_words,
+        CAST(sum(wn * n_chars_w) AS BIGINT) AS n_chars,
+        CAST(sum(wn * n_syms_w) AS BIGINT) AS n_syms
+      FROM staged GROUP BY source
+    )
+    SELECT source, n_vocab, n_words, n_chars, n_syms,
+      CAST(n_syms AS DOUBLE) / CAST(n_chars AS DOUBLE) * 100.0
+        AS syms_per_100_chars
+    FROM rolled
+    """
+
+
+# Shard-skew-aware recall: the cells CTE + the full recall-report
+# oracle composed as derived tables (both already exact twins).
+LLM_ORACLES["ann_recall_by_occupancy"] = (
+    _ivf_cells_cte()
+    + """
+    , sizes AS (
+      SELECT cell, count(*) AS n_vecs FROM scored GROUP BY cell
+    ), rec AS (
+    """
+    + LLM_ORACLES["ann_ivf_recall_report"]
+    + """
+    ), qc AS (
+      SELECT s.cell, r.n_hits FROM scored s
+      JOIN rec r ON s.vec_id = r.query_id
+    ), per_cell AS (
+      SELECT cell, count(*) AS n_queries, sum(n_hits) AS sum_hits
+      FROM qc GROUP BY cell
+    )
+    SELECT CAST(sizes.cell AS INTEGER) AS cell,
+      CAST(n_vecs AS BIGINT) AS n_vecs,
+      CAST(COALESCE(n_queries, 0) AS BIGINT) AS n_queries,
+      CAST(COALESCE(sum_hits, 0) AS BIGINT) AS sum_hits,
+      CASE WHEN COALESCE(n_queries, 0) > 0 THEN
+        CAST(sum_hits AS DOUBLE) / (5.0 * CAST(n_queries AS DOUBLE))
+      END AS recall_at_5
+    FROM sizes LEFT JOIN per_cell ON sizes.cell = per_cell.cell
+    """
+)
+
+
+# --- r13: streaming<->batch parity certificates ----------------------------
+# The oracle for each parity query is the BATCH face's own (already
+# exact) SQL plus a constant-TRUE flag — the Spark side serves the
+# values from the STREAMING store, so a maintainer bug diverges the
+# values and the flag under the driver hash (the events_hll_accuracy
+# constant-flag pattern, applied to streaming parity).
+
+LLM_ORACLES["stream_batch_cms_parity"] = (
+    "WITH b AS ("
+    + LLM_ORACLES["docs_cms_heavy_hitters"]
+    + """)
+    SELECT term, exact_cnt, cms_est, inflation,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)
+
+RELATIONAL_ORACLES["stream_batch_psi_parity"] = (
+    "WITH b AS ("
+    + RELATIONAL_ORACLES["events_psi_by_type"]
+    + """)
+    SELECT event_type, n_first, n_second, psi,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)

@@ -6577,3 +6577,195 @@ def lsh_band_tradeoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_past_half_detection"),
     )
+
+
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source after ONE BPE merge: symbols per
+    100 characters when the corpus's top pair (docs_bpe_pair_counts's
+    winner under the same total order) is merged — the
+    tokens-per-byte QA every tokenizer change is priced by (a source
+    whose fertility barely drops is one the merge vocabulary doesn't
+    serve; per-source fertility gaps flag domain mismatch long before
+    training). Composes the certified BPE kernel surface
+    (operators/bpe.py, docs_bpe_apply_merge) into the per-source
+    report face.
+
+    Exactness: symbol counts are integers
+    (len(replace(w, pair, SEP)) — the docs_bpe_apply_merge chr(1)
+    placeholder trick counts the merged pair as one symbol), sums are
+    exact longs, fertility is ONE double division of exact integers
+    × a literal 100, raw.
+
+    Scale shape: one explode + (source, word) partial-aggregated
+    groupBy (the vocab-collapse discipline: per-word symbol work runs
+    once per DISTINCT (source, word)); the 1-row top-pair broadcasts;
+    the rollup is |sources| groups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source", F.explode(_tokens()).alias("w0")
+    ).select("source", F.lower("w0").alias("w"))
+    swc = words.groupBy("source", "w").agg(F.count("*").alias("wn"))
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("w") - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top1 = (
+        swc.select("wn", F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("wn").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("mp"))
+    )
+    SEP = "\x01"
+    staged = swc.crossJoin(F.broadcast(top1)).select(
+        "source",
+        "wn",
+        F.length("w").alias("n_chars_w"),
+        F.length(F.replace(F.col("w"), F.col("mp"), F.lit(SEP))).alias(
+            "n_syms_w"
+        ),
+    )
+    out = staged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.sum("wn").cast("long").alias("n_words"),
+        F.sum(F.col("wn") * F.col("n_chars_w")).cast("long").alias("n_chars"),
+        F.sum(F.col("wn") * F.col("n_syms_w")).cast("long").alias("n_syms"),
+    )
+    return out.select(
+        "source",
+        "n_vocab",
+        "n_words",
+        "n_chars",
+        "n_syms",
+        (
+            F.col("n_syms").cast("double")
+            / F.col("n_chars").cast("double")
+            * F.lit(100.0)
+        ).alias("syms_per_100_chars"),
+    )
+
+
+def ann_recall_by_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-skew-aware ANN recall: IVF recall@5 broken down by the
+    PROBED CELL, joined with that cell's occupancy — the measurement
+    that answers "does IVF degrade on hot cells?" (VERDICT r12 'Next
+    round' #4b). A skewed cell map can hide behind a healthy mean
+    recall: hot cells answer many queries against many candidates
+    (recall fine, latency terrible), cold cells the reverse — this
+    emits the per-cell grid so both failure modes are visible next to
+    ann_centroid_occupancy's imbalance factor.
+
+    Composes three oracle-exact faces — the centroid/assignment
+    kernel (ivf_centroids + assign_cells), the IVF and brute-force
+    top-5 — so every emitted number is itself oracle-backed. Every
+    populated cell is always present; cells with no queries emit
+    n_queries = 0 and NULL recall.
+
+    Scale shape: inherits the bounded shapes of its inputs (cell-
+    routed candidates, WindowGroupLimit top-k, zero-shuffle E-step
+    projection); the report joins key on vec_id/cell — query-bounded
+    and ≤k_cells-bounded exchanges; the k×dim centroid collect is the
+    documented Lloyd bound.
+    """
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        assign_cells,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = ivf_centroids(vecs, n_centroids=16, dim=64)
+    cells = assign_cells(vecs, cents).select("vec_id", "cell")
+    sizes = cells.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    rec = ann_ivf_recall_report(spark, sf_dir).select("query_id", "n_hits")
+    qc = cells.join(rec, cells["vec_id"] == rec["query_id"])
+    per_cell = qc.groupBy("cell").agg(
+        F.count("*").alias("n_queries"),
+        F.sum("n_hits").alias("sum_hits"),
+    )
+    out = sizes.join(per_cell, "cell", "left")
+    nq = F.coalesce(F.col("n_queries"), F.lit(0)).cast("long")
+    return out.select(
+        F.col("cell").cast("int").alias("cell"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        nq.alias("n_queries"),
+        F.coalesce(F.col("sum_hits"), F.lit(0)).cast("long").alias(
+            "sum_hits"
+        ),
+        F.when(
+            nq > 0,
+            F.col("sum_hits").cast("double")
+            / (F.lit(5.0) * nq.cast("double")),
+        ).alias("recall_at_5"),
+    )
+
+
+def stream_batch_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the CMS maintainer
+    (VERDICT r12 'Next round' #4a): stream the documents table through
+    streaming/curation.cms_stream in file micro-batches (availableNow),
+    then serve the heavy-hitters probe FROM THE STREAMING STORE and
+    emit it next to a matches-batch-face flag computed against the
+    batch query. CMS counters merge by cell-wise addition, so the
+    served rows must be row-identical to docs_cms_heavy_hitters in any
+    arrival order — a maintainer bug (lost batch, double-applied
+    batch, wrong cell arithmetic) breaks the values AND the flag, and
+    the driver hash catches both (the oracle is the batch face + TRUE:
+    the pytest twin pins the same identity in-suite, this pins it
+    under the driver gate).
+
+    EAGER query (the docs_train_linear_gate convention): the streaming
+    run executes at call time into a session temp dir; 4 micro-batches
+    of the fixed 3×1024 counter partials — constant state no matter
+    the corpus size, the defining sketch property.
+    """
+    import tempfile
+
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        cms_heavy_hitters_from_store,
+        cms_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="hrfco_cms_parity_")
+    src = f"{base}/src"
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = f"{base}/store"
+    q = (
+        cms_stream(stream, table)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        raise RuntimeError("CMS parity stream did not terminate")
+    served = cms_heavy_hitters_from_store(spark, sf_dir, table)
+    batch = docs_cms_heavy_hitters(spark, sf_dir).select(
+        F.col("term").alias("b_term"),
+        F.col("exact_cnt").alias("b_exact"),
+        F.col("cms_est").alias("b_est"),
+    )
+    j = served.join(
+        batch, served["term"] == batch["b_term"], "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("term"), F.col("b_term")).alias("term"),
+        F.col("exact_cnt"),
+        F.col("cms_est"),
+        F.col("inflation"),
+        (
+            F.col("exact_cnt").eqNullSafe(F.col("b_exact"))
+            & F.col("cms_est").eqNullSafe(F.col("b_est"))
+        ).alias("matches_batch_face"),
+    )

@@ -7452,3 +7452,108 @@ def supplier_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").cast("double").alias("rev2_hcents"),
         tv.alias("tv_share_drift"),
     )
+
+
+def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the PSI drift monitor
+    (VERDICT r12 'Next round' #4a): freeze the batch face's own decile
+    edges and midpoint-day split, snapshot the first half as the
+    reference bucket counts, stream the SECOND half through
+    streaming/curation.psi_drift_stream in file micro-batches
+    (availableNow), and serve the PSI report from the accumulated
+    store. Bucket counts merge by plain addition, so the served rows
+    must be row-identical to events_psi_by_type on the full corpus —
+    the emission carries the report plus a matches-batch-face flag
+    (the oracle is the batch face's own SQL + TRUE; a monitor bug
+    breaks values and flag under the driver hash).
+
+    EAGER query: the 9-double edge collect and the 1-row midpoint are
+    bounded metadata collects (the k-means Lloyd-bound convention);
+    the streaming run executes at call time into a session temp dir.
+    """
+    import tempfile
+
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        psi_drift_stream,
+        psi_report_vs_reference,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            F.datediff(
+                F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+            ).cast("long").alias("day"),
+        )
+    )
+    tot = ev.agg(
+        F.count("*").alias("n_all"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    ).collect()[0]
+    mid = (tot.dmin + tot.dmax) // 2
+    ranked = ranked_cumsum(
+        ev.select("event_id", "value"),
+        F.col("value"),
+        [F.asc("value"), F.asc("event_id")],
+        sample_key=F.col("event_id"),
+        rank_name="rnk",
+    )
+    cut_ranks = [(tot.n_all * i - 1) // 10 + 1 for i in range(1, 10)]
+    edges = [
+        r.value
+        for r in ranked.filter(F.col("rnk").isin(cut_ranks))
+        .orderBy("rnk")
+        .select("value")
+        .collect()
+    ]
+    first = ev.filter(F.col("day") <= mid).drop("day")
+    second = ev.filter(F.col("day") > mid).drop("day")
+    reference = psi_bucket_counts(first, edges)
+
+    base = tempfile.mkdtemp(prefix="hrfco_psi_parity_")
+    src = f"{base}/src"
+    second.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = f"{base}/store"
+    q = (
+        psi_drift_stream(stream, table, edges)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        raise RuntimeError("PSI parity stream did not terminate")
+    served = psi_report_vs_reference(spark, table, reference)
+    batch = events_psi_by_type(spark, sf_dir).select(
+        F.col("event_type").alias("b_et"),
+        F.col("n_first").alias("b_n1"),
+        F.col("n_second").alias("b_n2"),
+        F.col("psi").alias("b_psi"),
+    )
+    j = served.join(
+        batch, served["event_type"] == batch["b_et"], "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("event_type"), F.col("b_et")).alias("event_type"),
+        F.col("n_first"),
+        F.col("n_second"),
+        F.col("psi"),
+        (
+            F.col("n_first").eqNullSafe(F.col("b_n1"))
+            & F.col("n_second").eqNullSafe(F.col("b_n2"))
+            & F.col("psi").eqNullSafe(F.col("b_psi"))
+        ).alias("matches_batch_face"),
+    )

@@ -466,3 +466,47 @@ def drift_report(per: DataFrame) -> DataFrame:
         "drifted",
         F.abs(F.col("presence_rate") - F.col("global_rate")) > 0.02,
     )
+
+
+def wire_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once redelivery collapse: the wire stream with every
+    11th record delivered twice (the broker-retry fixture — the
+    deterministic %-derivation convention of docs_snapshot_diff), then
+    keyed first-wins dedup and a per-station report: delivered vs
+    unique counts, the dup rate, and a payload-conflict certificate
+    (redeliveries of one obs_id must carry byte-identical payloads —
+    n_conflicting > 0 would mean the 'duplicate' was actually a
+    different record under a reused key, the poison-redelivery case a
+    real pipeline must dead-letter instead of dropping).
+
+    Scale shape: one parse pass + a (station, obs_id)-keyed partial
+    aggregate (the dedup unit), then a |stations|-group rollup; the
+    payload identity check rides the same aggregate via a distinct
+    count over 16-byte hashes — no extra shuffle, no raw-payload
+    comparison.
+    """
+    parsed = wire_parse(spark, sf_dir)
+    delivered = parsed.unionByName(parsed.filter(F.col("obs_id") % 11 == 0))
+    z = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
+    payload = F.md5(
+        F.concat_ws("|", z("wlobscd"), z("ymdhm"), z("wl"), z("fw"))
+    )
+    station = F.coalesce(F.col("wlobscd"), F.lit("__null_station__"))
+    per_key = delivered.groupBy(
+        station.alias("station"), F.col("obs_id")
+    ).agg(
+        F.count("*").alias("c"),
+        F.count_distinct(payload).alias("pd"),
+    )
+    return per_key.groupBy("station").agg(
+        F.sum("c").cast("long").alias("n_delivered"),
+        F.count("*").cast("long").alias("n_unique"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dups_dropped"),
+        (
+            F.sum(F.col("c") - 1).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_rate"),
+        F.sum(F.when(F.col("pd") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_conflicting_payloads"),
+    )

@@ -54,6 +54,11 @@ NEW_IN_R13: list[str] = [
     "events_ewma_control",
     "events_quantile_sketch_error",
     "supplier_share_drift",
+    "wire_dedup_replay",
+    "docs_tokenizer_fertility",
+    "ann_recall_by_occupancy",
+    "stream_batch_cms_parity",
+    "stream_batch_psi_parity",
 ]
 
 # The pinned r13 backlog written at the end of r12 (VERDICT r12 "Next
