@@ -120,6 +120,27 @@ HEADLINE = [
     "hydro_level_mad_outliers",
     "docs_source_vocab_overlap",
     "events_t_closeness",
+    # round-13 additions: BASELINE.md's standing composition policy
+    # (every new operator over ~0.5 s isolated cold at sf0.1 joins) —
+    # all 16 r13 operators cleared it, including the two streaming
+    # parity certificates, which pay a real availableNow micro-batch
+    # run per execution
+    "dedup_survivor_length_bias",
+    "docs_cross_source_dup_matrix",
+    "dedup_incremental_certificate",
+    "dedup_chaining_audit",
+    "lsh_band_tradeoff_curve",
+    "hydro_flashiness_index",
+    "hydro_flood_volume",
+    "events_bot_regularity_screen",
+    "events_ewma_control",
+    "events_quantile_sketch_error",
+    "supplier_share_drift",
+    "wire_dedup_replay",
+    "docs_tokenizer_fertility",
+    "ann_recall_by_occupancy",
+    "stream_batch_cms_parity",
+    "stream_batch_psi_parity",
 ]
 
 

@@ -6670,12 +6670,18 @@ def ann_recall_by_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed candidates, WindowGroupLimit top-k, zero-shuffle E-step
     projection); the report joins key on vec_id/cell — query-bounded
     and ≤k_cells-bounded exchanges; the k×dim centroid collect is the
-    documented Lloyd bound.
+    documented Lloyd bound. The kernels are INLINED rather than
+    composed from the two query faces so centroid training runs once
+    (the composed form trained three times — measured 20.2 s vs
+    ~12 s at sf0.1; the oracle stays the composed SQL, which computes
+    identical values by construction).
     """
     from hrfco_data_pipeline_spark.operators.similarity import (
         as_double_vec,
         assign_cells,
+        brute_force_topk,
         ivf_centroids,
+        ivf_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -6683,7 +6689,22 @@ def ann_recall_by_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = ivf_centroids(vecs, n_centroids=16, dim=64)
     cells = assign_cells(vecs, cents).select("vec_id", "cell")
     sizes = cells.groupBy("cell").agg(F.count("*").alias("n_vecs"))
-    rec = ann_ivf_recall_report(spark, sf_dir).select("query_id", "n_hits")
+    queries = vecs.filter(F.col("vec_id") % 50 == 0)
+    ivf = ivf_topk(vecs, queries, cents, k=5).select("qid", "cid")
+    brute = brute_force_topk(vecs, queries, k=5).select("qid", "cid")
+    hits = (
+        ivf.join(brute, ["qid", "cid"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    rec = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        )
+    )
     qc = cells.join(rec, cells["vec_id"] == rec["query_id"])
     per_cell = qc.groupBy("cell").agg(
         F.count("*").alias("n_queries"),
