@@ -6771,6 +6771,17 @@ def stream_batch_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not q.awaitTermination(600):
         raise RuntimeError("CMS parity stream did not terminate")
+    return cms_parity_report(spark, sf_dir, table)
+
+
+def cms_parity_report(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """The serve-vs-batch comparison tail of stream_batch_cms_parity,
+    factored out so the negative-path test can point it at a TAMPERED
+    store and watch the flag flip (tests/test_r13_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        cms_heavy_hitters_from_store,
+    )
+
     served = cms_heavy_hitters_from_store(spark, sf_dir, table)
     batch = docs_cms_heavy_hitters(spark, sf_dir).select(
         F.col("term").alias("b_term"),

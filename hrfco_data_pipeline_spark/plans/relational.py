@@ -7473,11 +7473,39 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
     from hrfco_data_pipeline_spark.streaming.curation import (
         psi_drift_stream,
-        psi_report_vs_reference,
     )
+
+    edges, reference, second = psi_parity_inputs(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="hrfco_psi_parity_")
+    src = f"{base}/src"
+    second.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = f"{base}/store"
+    q = (
+        psi_drift_stream(stream, table, edges)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        raise RuntimeError("PSI parity stream did not terminate")
+    return psi_parity_report(spark, sf_dir, table, reference)
+
+
+def psi_parity_inputs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list, DataFrame, DataFrame]:
+    """(edges, reference_counts, second_half) — the frozen decile
+    edges, first-half reference bucket counts, and second-half frame
+    built by the batch face's own construction; shared by the parity
+    query and its negative-path test."""
+    from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -7517,25 +7545,19 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     first = ev.filter(F.col("day") <= mid).drop("day")
     second = ev.filter(F.col("day") > mid).drop("day")
-    reference = psi_bucket_counts(first, edges)
+    return edges, psi_bucket_counts(first, edges), second
 
-    base = tempfile.mkdtemp(prefix="hrfco_psi_parity_")
-    src = f"{base}/src"
-    second.repartition(4).write.parquet(src)
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+
+def psi_parity_report(
+    spark: SparkSession, sf_dir: str, table: str, reference: DataFrame
+) -> DataFrame:
+    """The serve-vs-batch comparison tail of stream_batch_psi_parity,
+    factored out so the negative-path test can point it at a TAMPERED
+    store and watch the flag flip (tests/test_r13_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        psi_report_vs_reference,
     )
-    table = f"{base}/store"
-    q = (
-        psi_drift_stream(stream, table, edges)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        raise RuntimeError("PSI parity stream did not terminate")
+
     served = psi_report_vs_reference(spark, table, reference)
     batch = events_psi_by_type(spark, sf_dir).select(
         F.col("event_type").alias("b_et"),

@@ -527,3 +527,49 @@ def test_stream_batch_psi_parity_certificate(spark):
         assert r.matches_batch_face
         b = batch[r.event_type]
         assert (r.n_first, r.n_second, r.psi) == (b.n_first, b.n_second, b.psi)
+
+
+def test_cms_parity_flag_flips_on_tampered_store(spark, tmp_path):
+    """Non-vacuousness of the CMS parity certificate: a correct store
+    (batch partials appended exactly-once) reads all-true; doubling
+    every counter cell (a double-applied batch) flips the flag."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        cms_parity_report,
+        cms_counters,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import _append_merge
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    table = str(tmp_path / "store")
+    _append_merge(spark, table, cms_counters(docs), 0)
+    ok = cms_parity_report(spark, sf, table).collect()
+    assert len(ok) == 20 and all(r.matches_batch_face for r in ok)
+
+    _append_merge(spark, table, cms_counters(docs), 1)  # double-apply
+    bad = cms_parity_report(spark, sf, table).collect()
+    assert not any(r.matches_batch_face for r in bad)
+
+
+def test_psi_parity_flag_flips_on_tampered_store(spark, tmp_path):
+    """Non-vacuousness of the PSI parity certificate: the correctly-
+    built live store reads all-true; re-appending the second half (a
+    replayed-but-not-deduped batch) flips flags."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        psi_bucket_counts,
+        psi_parity_inputs,
+        psi_parity_report,
+    )
+    from hrfco_data_pipeline_spark.streaming.curation import _append_merge
+
+    sf = "/root/testdata/sf0.001"
+    edges, reference, second = psi_parity_inputs(spark, sf)
+    table = str(tmp_path / "store")
+    _append_merge(spark, table, psi_bucket_counts(second, edges), 0)
+    ok = psi_parity_report(spark, sf, table, reference).collect()
+    assert ok and all(r.matches_batch_face for r in ok)
+
+    _append_merge(spark, table, psi_bucket_counts(second, edges), 1)
+    bad = psi_parity_report(spark, sf, table, reference).collect()
+    assert not any(r.matches_batch_face for r in bad)
