@@ -188,6 +188,23 @@ AUDIT = [
     "hydro_level_mad_outliers",
     "docs_source_vocab_overlap",
     "events_t_closeness",
+    # r13 new operators (streaming parity queries excluded: their
+    # served report is a store read-back — the plan of record is the
+    # maintainer's, audited via tests/test_streaming_curation.py)
+    "dedup_survivor_length_bias",
+    "docs_cross_source_dup_matrix",
+    "dedup_incremental_certificate",
+    "dedup_chaining_audit",
+    "lsh_band_tradeoff_curve",
+    "hydro_flashiness_index",
+    "hydro_flood_volume",
+    "events_bot_regularity_screen",
+    "events_ewma_control",
+    "events_quantile_sketch_error",
+    "supplier_share_drift",
+    "wire_dedup_replay",
+    "docs_tokenizer_fertility",
+    "ann_recall_by_occupancy",
 ]
 
 
