@@ -479,14 +479,20 @@ def wire_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     different record under a reused key, the poison-redelivery case a
     real pipeline must dead-letter instead of dropping).
 
-    Scale shape: one parse pass + a (station, obs_id)-keyed partial
-    aggregate (the dedup unit), then a |stations|-group rollup; the
+    Scale shape: ONE parse pass — redelivery fan-out is a per-row
+    copies sequence exploded in place (a union of the base frame with
+    its filtered self was tried first and re-embedded the source scan
+    twice in the plan); then a (station, obs_id)-keyed partial
+    aggregate (the dedup unit) and a |stations|-group rollup; the
     payload identity check rides the same aggregate via a distinct
     count over 16-byte hashes — no extra shuffle, no raw-payload
     comparison.
     """
     parsed = wire_parse(spark, sf_dir)
-    delivered = parsed.unionByName(parsed.filter(F.col("obs_id") % 11 == 0))
+    copies = F.when(F.col("obs_id") % 11 == 0, 2).otherwise(1)
+    delivered = parsed.withColumn(
+        "copy_no", F.explode(F.sequence(F.lit(1), copies))
+    ).drop("copy_no")
     z = lambda c: F.coalesce(F.col(c), F.lit(""))  # noqa: E731
     payload = F.md5(
         F.concat_ws("|", z("wlobscd"), z("ymdhm"), z("wl"), z("fw"))
