@@ -359,3 +359,30 @@ def test_compaction_plan_is_metadata_sized(spark):
 
     for spec in re.findall(r"Window \[sum\([^\]]*windowspecdefinition\(([^,]*)", p):
         assert "part_year" in spec
+
+
+def test_wire_dedup_replay_single_scan_no_union(spark):
+    """The redelivery fan-out must stay the in-place copies-sequence
+    explode: ONE source scan, no Union re-embedding the parse chain
+    (SCALE.md §r13 — the union form evaluated the whole upstream
+    projection twice)."""
+    from hrfco_data_pipeline_spark.plans import wire
+
+    s = _plan(wire.wire_dedup_replay(spark, SF))
+    assert "Union" not in s
+    assert s.count("Scan parquet") == 1
+    assert "Generate explode" in s
+
+
+def test_supplier_share_drift_broadcasts_part_dim(spark):
+    s = _plan(relational.supplier_share_drift(spark, SF))
+    assert "BroadcastHashJoin" in s
+
+
+def test_bot_screen_single_scan_single_exchange(spark):
+    """One scan; the user-key window and the user-key aggregate share
+    the same partitioning, so exactly one hash exchange appears."""
+    s = _plan(relational.events_bot_regularity_screen(spark, SF))
+    assert s.count("Scan parquet") == 1
+    stripped = s.replace("Exchange RoundRobinPartitioning", "")
+    assert stripped.count("Exchange") == 1
