@@ -9215,9 +9215,10 @@ LLM_ORACLES["dedup_survivor_length_bias"] = r"""
         AS toks_kept,
       CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE n_toks END) AS BIGINT)
         AS toks_dropped,
-      CAST(sum(CASE WHEN rk = 1 THEN n_toks ELSE 0 END) AS DOUBLE)
-        / CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-        AS mean_toks_kept,
+      CASE WHEN sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) > 0 THEN
+        CAST(sum(CASE WHEN rk = 1 THEN n_toks ELSE 0 END) AS DOUBLE)
+          / CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      END AS mean_toks_kept,
       CASE WHEN sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) > 0 THEN
         CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE n_toks END) AS DOUBLE)
           / CAST(sum(CASE WHEN rk = 1 THEN 0 ELSE 1 END) AS DOUBLE)
@@ -9514,15 +9515,22 @@ RELATIONAL_ORACLES["events_bot_regularity_screen"] = """
       FROM g WHERE gap_s IS NOT NULL
       GROUP BY user_id HAVING count(*) >= 10
     )
+    -- sums to DOUBLE first, variance algebra in double space: the
+    -- products pass 2^53 long before the sums do, and HUGEINT->DOUBLE
+    -- is not correctly rounded there (SCALE.md §r13)
     SELECT user_id,
       CAST(n AS BIGINT) AS n_gaps,
       CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean_gap_s,
       CASE WHEN s1 > 0 THEN
-        CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(s1 * s1 AS DOUBLE)
+        (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
       END AS cv2,
       n >= 20 AND s1 > 0
         AND CASE WHEN s1 > 0 THEN
-          CAST(n * s2 - s1 * s1 AS DOUBLE) / CAST(s1 * s1 AS DOUBLE)
+          (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+          / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
         END < 0.01 AS is_regular_bot
     FROM agg
     """
@@ -9685,8 +9693,9 @@ LLM_ORACLES["docs_tokenizer_fertility"] = r"""
       FROM staged GROUP BY source
     )
     SELECT source, n_vocab, n_words, n_chars, n_syms,
-      CAST(n_syms AS DOUBLE) / CAST(n_chars AS DOUBLE) * 100.0
-        AS syms_per_100_chars
+      CASE WHEN n_chars > 0 THEN
+        CAST(n_syms AS DOUBLE) / CAST(n_chars AS DOUBLE) * 100.0
+      END AS syms_per_100_chars
     FROM rolled
     """
 

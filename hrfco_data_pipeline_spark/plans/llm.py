@@ -6290,9 +6290,13 @@ def dedup_survivor_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_n.cast("long").alias("n_dropped"),
         kept_toks.cast("long").alias("toks_kept"),
         drop_toks.cast("long").alias("toks_dropped"),
-        (kept_toks.cast("double") / kept_n.cast("double")).alias(
-            "mean_toks_kept"
-        ),
+        # n_kept = 0 per source IS reachable (the keep policy is
+        # GLOBAL: a source whose every text also appears under a lower
+        # doc_id elsewhere keeps nothing) — guard both means, not just
+        # the dropped one (ANSI division throws; r13 self-review)
+        F.when(
+            kept_n > 0, kept_toks.cast("double") / kept_n.cast("double")
+        ).alias("mean_toks_kept"),
         F.when(
             drop_n > 0, drop_toks.cast("double") / drop_n.cast("double")
         ).alias("mean_toks_dropped"),
@@ -6642,10 +6646,13 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_chars",
         "n_syms",
-        (
+        # an all-whitespace source tokenizes to one empty word
+        # (n_chars = 0) — guard the division (ANSI throws)
+        F.when(
+            F.col("n_chars") > 0,
             F.col("n_syms").cast("double")
             / F.col("n_chars").cast("double")
-            * F.lit(100.0)
+            * F.lit(100.0),
         ).alias("syms_per_100_chars"),
     )
 
@@ -6670,16 +6677,20 @@ def ann_recall_by_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     routed candidates, WindowGroupLimit top-k, zero-shuffle E-step
     projection); the report joins key on vec_id/cell — query-bounded
     and ≤k_cells-bounded exchanges; the k×dim centroid collect is the
-    documented Lloyd bound. The kernels are INLINED rather than
-    composed from the two query faces so centroid training runs once
+    documented Lloyd bound. The IVF kernels are INLINED rather than
+    composed from the query faces so centroid training runs once
     (the composed form trained three times — measured 20.2 s vs
     ~12 s at sf0.1; the oracle stays the composed SQL, which computes
-    identical values by construction).
+    identical values by construction). The BRUTE side composes the
+    certified ann_cosine_topk face verbatim — it ranks on the
+    4-decimal ROUNDED cosine exactly like its oracle, where
+    operators/similarity.brute_force_topk ranks raw (a round-tie at
+    the rank-5 boundary would silently split the hash; caught in the
+    r13 self-review) — and trains nothing.
     """
     from hrfco_data_pipeline_spark.operators.similarity import (
         as_double_vec,
         assign_cells,
-        brute_force_topk,
         ivf_centroids,
         ivf_topk,
     )
@@ -6691,7 +6702,9 @@ def ann_recall_by_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = cells.groupBy("cell").agg(F.count("*").alias("n_vecs"))
     queries = vecs.filter(F.col("vec_id") % 50 == 0)
     ivf = ivf_topk(vecs, queries, cents, k=5).select("qid", "cid")
-    brute = brute_force_topk(vecs, queries, k=5).select("qid", "cid")
+    brute = ann_cosine_topk(spark, sf_dir).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("cid")
+    )
     hits = (
         ivf.join(brute, ["qid", "cid"])
         .groupBy("qid")
@@ -6746,19 +6759,17 @@ def stream_batch_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the fixed 3×1024 counter partials — constant state no matter
     the corpus size, the defining sketch property.
     """
-    import tempfile
-
     from hrfco_data_pipeline_spark.streaming.curation import (
-        cms_heavy_hitters_from_store,
         cms_stream,
+        parity_workdir,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="hrfco_cms_parity_")
+    base = parity_workdir("hrfco_cms_parity_")
     src = f"{base}/src"
     docs.repartition(4).write.parquet(src)
     stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
+        spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )

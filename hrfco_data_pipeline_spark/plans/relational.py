@@ -7210,14 +7210,27 @@ def events_bot_regularity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s2"),
     ).filter(F.col("n_gaps") >= 10)
     n, s1, s2 = F.col("n_gaps"), F.col("s1"), F.col("s2")
+    # convert the three sums to double FIRST and do the variance
+    # algebra in double space: n·Σx² and (Σx)² exceed 2^53 long before
+    # the sums themselves do, and DuckDB's HUGEINT→DOUBLE cast is not
+    # correctly rounded past 2^53 (the supplier_share_drift lesson,
+    # SCALE.md §r13 — applied here in the r13 self-review). Identical
+    # IEEE multiply/subtract/divide chains on identical operands are
+    # portable; the exactness ceiling is Σx² < 2^53 per user
+    # (~9e5 gaps of ~1e5 s each), far beyond any event log's per-user
+    # history.
+    n_d, s1_d, s2_d = (
+        n.cast("double"),
+        s1.cast("double"),
+        s2.cast("double"),
+    )
     cv2 = F.when(
-        s1 > 0,
-        (n * s2 - s1 * s1).cast("double") / (s1 * s1).cast("double"),
+        s1 > 0, (n_d * s2_d - s1_d * s1_d) / (s1_d * s1_d)
     )
     return agg.select(
         "user_id",
         n.cast("long").alias("n_gaps"),
-        (s1.cast("double") / n.cast("double")).alias("mean_gap_s"),
+        (s1_d / n_d).alias("mean_gap_s"),
         cv2.alias("cv2"),
         ((n >= 20) & (s1 > 0) & (cv2 < 0.01)).alias("is_regular_bot"),
     )
@@ -7386,11 +7399,11 @@ def supplier_share_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    dec = lambda c: F.format_string("%.2f", F.col(c)).cast(  # noqa: E731
-        "decimal(12,2)"
-    )
     rev = (
-        (dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount")))
+        (
+            _dec("l_extendedprice")
+            * (F.lit(1).cast("decimal(12,2)") - _dec("l_discount"))
+        )
         * F.lit(10000)
     ).cast("decimal(38,0)")
     day = F.datediff(
@@ -7471,18 +7484,26 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded metadata collects (the k-means Lloyd-bound convention);
     the streaming run executes at call time into a session temp dir.
     """
-    import tempfile
-
     from hrfco_data_pipeline_spark.streaming.curation import (
+        parity_workdir,
         psi_drift_stream,
     )
 
     edges, reference, second = psi_parity_inputs(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="hrfco_psi_parity_")
+    if not edges:
+        # degenerate corpus (no value/ts-valid events): the batch face
+        # and oracle emit zero rows — mirror that instead of crashing
+        # on a None day range (r13 self-review)
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_first long, n_second long, "
+            "psi double, matches_batch_face boolean",
+        )
+    base = parity_workdir("hrfco_psi_parity_")
     src = f"{base}/src"
     second.repartition(4).write.parquet(src)
     stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
+        spark.readStream.schema(second.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
@@ -7527,6 +7548,9 @@ def psi_parity_inputs(
         F.min("day").alias("dmin"),
         F.max("day").alias("dmax"),
     ).collect()[0]
+    if tot.n_all == 0:
+        empty = ev.drop("day").limit(0)
+        return [], psi_bucket_counts(empty, [0.0]), empty
     mid = (tot.dmin + tot.dmax) // 2
     ranked = ranked_cumsum(
         ev.select("event_id", "value"),

@@ -1043,3 +1043,32 @@ def psi_report_vs_reference(
         )
     )
     return psi_from_bucket_counts(counts)
+
+
+def parity_workdir(prefix: str) -> str:
+    """Session temp dir for a parity-certificate run.
+
+    The serving DataFrame reads the streaming store LAZILY, so the dir
+    cannot be removed before the caller collects — instead it is
+    registered for removal at interpreter exit, and stale dirs from
+    crashed sessions (> 6 h old, same prefix) are swept on each call,
+    bounding the /tmp footprint across repeated bench/driver runs
+    (r13 self-review)."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    root = tempfile.gettempdir()
+    cutoff = time.time() - 6 * 3600
+    for d in glob.glob(os.path.join(root, prefix + "*")):
+        try:
+            if os.path.getmtime(d) < cutoff:
+                shutil.rmtree(d, ignore_errors=True)
+        except OSError:
+            pass
+    base = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base

@@ -573,3 +573,38 @@ def test_psi_parity_flag_flips_on_tampered_store(spark, tmp_path):
     _append_merge(spark, table, psi_bucket_counts(second, edges), 1)
     bad = psi_parity_report(spark, sf, table, reference).collect()
     assert not any(r.matches_batch_face for r in bad)
+
+
+def test_survivor_bias_source_with_zero_kept(spark, tmp_path):
+    """The keep policy is GLOBAL: a source whose every text also
+    appears under a lower doc_id elsewhere keeps nothing — the kept
+    mean must be NULL, not an ANSI division error (r13 self-review)."""
+    from hrfco_data_pipeline_spark.plans.llm import dedup_survivor_length_bias
+
+    rows = [
+        (1, "a b c", "en", "s0", 5),
+        (2, "a b c", "en", "s1", 5),   # s1's only doc duplicates s0's
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r.source: r for r in dedup_survivor_length_bias(spark, out).collect()}
+    s1 = got["s1"]
+    assert (s1.n_kept, s1.n_dropped) == (0, 1)
+    assert s1.mean_toks_kept is None
+    assert s1.mean_toks_dropped == 3.0
+
+
+def test_tokenizer_fertility_all_whitespace_source(spark, tmp_path):
+    """An all-whitespace source tokenizes to one empty word
+    (n_chars = 0): fertility must be NULL, not an ANSI division error
+    (r13 self-review)."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_tokenizer_fertility
+
+    rows = [
+        (1, "ab ab", "en", "s0", 5),
+        (2, "   ", "en", "s1", 3),
+    ]
+    out = _write_docs(spark, tmp_path, rows)
+    got = {r.source: r for r in docs_tokenizer_fertility(spark, out).collect()}
+    assert got["s1"].n_chars == 0
+    assert got["s1"].syms_per_100_chars is None
+    assert got["s0"].syms_per_100_chars is not None
