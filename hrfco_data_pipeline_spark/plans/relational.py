@@ -7303,6 +7303,18 @@ def events_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gk_within_tolerance(rank_lt, rank_le, target, tol):
+    """The GK rank-tolerance predicate: some attainable rank of the
+    returned element — the interval [rank_lt+1, rank_le] — intersects
+    [target-tol, target+tol]. The low side therefore requires
+    rank_lt+1 <= target+tol, i.e. rank_lt STRICTLY below target+tol:
+    `<=` would pass an element whose LOWEST attainable rank sits one
+    past tolerance (ADVICE r13 — the constant-TRUE oracle of
+    events_quantile_sketch_error cannot catch that regression, so the
+    boundary is pinned by a unit test instead)."""
+    return (rank_le >= target - tol) & (rank_lt < target + tol)
+
+
 def events_quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rank-error certificate for approx_percentile (the
     Greenwald–Khanna sketch): per event type and p ∈ {0.5, 0.9} at
@@ -7351,11 +7363,11 @@ def events_quantile_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # GK guarantee at accuracy a: some rank in [rank_lt+1, rank_le]
     # lies within n/a of ceil(p*n/100) — pure-integer arithmetic
-    # (`div`, mirrored as `//` in the twin; no float ceil/floor)
+    # (`div`, mirrored as `//` in the twin; no float ceil/floor).
     target = F.expr("(p_pct * n + 99) div 100")
     tol = F.expr("n div 100 + 1")
-    ok = (F.col("rank_le") >= target - tol) & (
-        F.col("rank_lt") <= target + tol
+    ok = gk_within_tolerance(
+        F.col("rank_lt"), F.col("rank_le"), target, tol
     )
     return ranks.select(
         F.col("et").alias("event_type"),

@@ -468,6 +468,18 @@ def drift_report(per: DataFrame) -> DataFrame:
     )
 
 
+def redelivery_copies(key):
+    """Deterministic redelivery fan-out count for wire_dedup_replay:
+    2 copies when key % 11 == 0, else 1 — NULL-SAFE by two layers
+    (ADVICE r13): CASE WHEN with a NULL condition already falls
+    through to the ELSE branch, and the coalesce pins copies=1 even
+    if the expression is ever restructured without an otherwise().
+    A NULL copies would make sequence()/explode() emit NOTHING and
+    silently DROP the row, splitting the driver hash from the
+    UNION-ALL oracle, which keeps NULL-key rows in its base branch."""
+    return F.coalesce(F.when(key % 11 == 0, 2).otherwise(1), F.lit(1))
+
+
 def wire_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once redelivery collapse: the wire stream with every
     11th record delivered twice (the broker-retry fixture — the
@@ -489,7 +501,7 @@ def wire_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison.
     """
     parsed = wire_parse(spark, sf_dir)
-    copies = F.when(F.col("obs_id") % 11 == 0, 2).otherwise(1)
+    copies = redelivery_copies(F.col("obs_id"))
     delivered = parsed.withColumn(
         "copy_no", F.explode(F.sequence(F.lit(1), copies))
     ).drop("copy_no")

@@ -1053,7 +1053,15 @@ def parity_workdir(prefix: str) -> str:
     registered for removal at interpreter exit, and stale dirs from
     crashed sessions (> 6 h old, same prefix) are swept on each call,
     bounding the /tmp footprint across repeated bench/driver runs
-    (r13 self-review)."""
+    (r13 self-review).
+
+    Each dir carries a ``.owner_pid`` sentinel; the sweep skips dirs
+    whose owning process is still alive, so a legitimately
+    long-running (> 6 h) concurrent session sharing the prefix cannot
+    have its live workdir rmtree'd from under a lazily-evaluated
+    serving frame (ADVICE r13 — the base dir's mtime is NOT refreshed
+    by writes inside its subdirectories, so age alone is not evidence
+    of abandonment)."""
     import atexit
     import glob
     import os
@@ -1061,14 +1069,30 @@ def parity_workdir(prefix: str) -> str:
     import tempfile
     import time
 
+    def _owner_alive(d: str) -> bool:
+        try:
+            with open(os.path.join(d, ".owner_pid")) as fh:
+                pid = int(fh.read().strip())
+        except (OSError, ValueError):
+            return False  # legacy / torn dir: age alone decides
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+            return True
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by another user
+
     root = tempfile.gettempdir()
     cutoff = time.time() - 6 * 3600
     for d in glob.glob(os.path.join(root, prefix + "*")):
         try:
-            if os.path.getmtime(d) < cutoff:
+            if os.path.getmtime(d) < cutoff and not _owner_alive(d):
                 shutil.rmtree(d, ignore_errors=True)
         except OSError:
             pass
     base = tempfile.mkdtemp(prefix=prefix)
+    with open(os.path.join(base, ".owner_pid"), "w") as fh:
+        fh.write(str(os.getpid()))
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base

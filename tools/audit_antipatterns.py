@@ -73,6 +73,7 @@ def generate_duplication_flags(plan: str) -> list[str]:
     plan = re.sub(r"#\d+", "#x", plan)
     gen_args: list[tuple[str, str]] = []  # (generator, arg)
     spans: list[tuple[int, int]] = []  # generator-arg char spans
+    overflow_flags: list[str] = []
     for m in re.finditer(r"Generate (explode|posexplode|inline)\(", plan):
         start = m.end() - 1  # at the opening paren
         depth = 0
@@ -86,6 +87,16 @@ def generate_duplication_flags(plan: str) -> list[str]:
                 if depth == 0:
                     end = i
                     break
+        if end == start:
+            # the closing paren was not found within the scan cap —
+            # the LARGEST instances of the very pathology this
+            # detector exists for would otherwise be silently skipped
+            # (ADVICE r13): surface an explicit audit flag instead.
+            overflow_flags.append(
+                f"generator-arg-too-large-to-audit:{m.group(1)}"
+                f"@{m.start()}"
+            )
+            continue
         arg = plan[start + 1 : end]
         spans.append((start + 1, end))
         if len(arg) < MIN_GEN_EXPR_CHARS:
@@ -101,7 +112,7 @@ def generate_duplication_flags(plan: str) -> list[str]:
     # any generator-arg span (two branches' args can differ by a
     # cast, making one a substring of the other) it is part of that
     # generator's single evaluation and benign.
-    flags = []
+    flags = list(overflow_flags)
     seen: set[str] = set()
     for gen, arg in gen_args:
         if arg in seen:
