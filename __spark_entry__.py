@@ -38,86 +38,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r13 WINDOW (this round): CORRECTNESS_r12 went 50/50 green, so
-    # the whole r12 window moved to the back as the freshest-certified
+    # r14 WINDOW (this round): CORRECTNESS_r13 went 50/50 green, so
+    # the whole r13 window moved to the back as the freshest-certified
     # block and this window executes the rotation plan pinned at the
-    # end of r12 (written FROM docs/EVIDENCE.md, regenerated at r13
-    # open with tools/round_start.py): new-in-r13 head first, then
-    # the 16 r6-era entries the r12 head displaced, then the oldest
-    # r7-era greens up to the boundary. Each new-in-r13 addition
-    # displaces the backlog tail past the boundary; the displaced
-    # entries lead the r14 window.
+    # end of r13 (test_r14_window_plan, written FROM docs/EVIDENCE.md,
+    # regenerated at r14 open with tools/round_start.py): the
+    # r13-displaced backlog tail first, then the remaining r7-era
+    # greens and the oldest r8-era greens up to the boundary. Each
+    # new-in-r14 addition displaces the backlog tail past the
+    # boundary; the displaced entries lead the r15 window.
     #
-    # r14 ROTATION PLAN (execute at the start of r14, regenerating
-    # the ledger first — tools/round_start.py): the r13-displaced
-    # backlog tail, then the remaining r7-era greens. r15+ continues
-    # r8 -> r9 -> r10 -> the r11/r12/r13-certified blocks.
+    # r15 ROTATION PLAN (execute at the start of r15, regenerating
+    # the ledger first — tools/round_start.py): the r14-displaced
+    # backlog tail, then the remaining r8-era greens. r16+ continues
+    # r9 -> r10 -> the r11/r12/r13-certified blocks.
     return {
-        # ===== new in r13 (never checked; oracle-backed) — grows to ~16;
+        # ===== new in r14 (never checked; oracle-backed) — grows to ~16;
         # each addition displaces the backlog tail below past the boundary =====
-        "dedup_survivor_length_bias": llm.dedup_survivor_length_bias,
-        "docs_cross_source_dup_matrix": llm.docs_cross_source_dup_matrix,
-        "dedup_incremental_certificate": llm.dedup_incremental_certificate,
-        "dedup_chaining_audit": llm.dedup_chaining_audit,
-        "lsh_band_tradeoff_curve": llm.lsh_band_tradeoff_curve,
-        "hydro_flashiness_index": hydro.flashiness_index,
-        "hydro_flood_volume": hydro.flood_volume,
-        "events_bot_regularity_screen": relational.events_bot_regularity_screen,
-        "events_ewma_control": relational.events_ewma_control,
-        "events_quantile_sketch_error": relational.events_quantile_sketch_error,
-        "supplier_share_drift": relational.supplier_share_drift,
-        "wire_dedup_replay": wire.wire_dedup_replay,
-        "docs_tokenizer_fertility": llm.docs_tokenizer_fertility,
-        "ann_recall_by_occupancy": llm.ann_recall_by_occupancy,
-        "stream_batch_cms_parity": llm.stream_batch_cms_parity,
-        "stream_batch_psi_parity": relational.stream_batch_psi_parity,
-        # --- r13 backlog head: the 16 r6-era entries the r12 head displaced ---
-        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
-        "wire_field_presence": wire.wire_field_presence,
-        "pq_distortion_report": llm.pq_distortion_report,
-        "events_nearest_error": relational.events_nearest_error,
-        "docs_snapshot_diff": llm.docs_snapshot_diff,
-        "hydro_stage_exceedance": hydro.stage_exceedance_curve,
-        "hydro_return_periods": hydro.return_periods,
-        "docs_train_linear_gate": llm.docs_train_linear_gate,
-        "docs_nb_holdout_eval": llm.docs_nb_holdout_eval,
-        "docs_learning_curve": llm.docs_learning_curve,
-        "events_entropy_rate": relational.events_entropy_rate,
-        "hydro_baseflow_separation": hydro.baseflow_separation,
-        "events_weekday_type_chisq": relational.events_weekday_type_chisq,
-        "customer_balance_standing": relational.customer_balance_standing,
-        "hydro_rating_residuals": hydro.rating_curve_residuals,
-        "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
-        # --- oldest r7-era greens first; r8/r9/r10/r11-certified blocks follow,
-        #     order unchanged from r12 (docs/EVIDENCE.md is the per-query
-        #     evidence-age source of truth, not these comments) ---
-        "embedding_random_projection": llm.embedding_random_projection,
-        "docs_substring_dedup": llm.docs_substring_dedup,
-        "orders_salted_revenue": relational.orders_salted_revenue,
-        "copurchase_jaccard_parts": relational.copurchase_jaccard_parts,
-        "orders_seasonal_decomposition": relational.orders_seasonal_decomposition,
-        "ann_ivf_recall_report": llm.ann_ivf_recall_report,
-        "embedding_pca_power_iteration": llm.embedding_pca_power_iteration,
-        "multimodal_audio_windows": llm.multimodal_audio_windows,
-        "wire_schema_drift": wire.wire_schema_drift,
-        "lineitem_key_skew_profile": relational.lineitem_key_skew_profile,
-        "sessions_error_overlap": relational.sessions_error_overlap,
-        "wire_csv_parse": wire.wire_csv_parse,
-        "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
-        "hydro_classify_alerts": hydro.alerts,
-        "hydro_alert_counts": hydro.alert_counts,
-        "wire_parse": wire.wire_parse,
-        "wire_dlq": wire.wire_dlq,
-        "wire_batch_flatten": wire.wire_batch_flatten,
-        # ^^^ first-50 boundary ^^^ (position asserted against the
-        # dict by tests/test_entry_contract.py::
-        # test_boundary_comment_position — the marker line must sit
-        # exactly after entry 50)
-        # ============ r14 WINDOW PLAN (next 50, in order) ============
-        # Written from docs/EVIDENCE.md (regenerate with
-        # tools/round_start.py). Order: the r13-displaced backlog tail
-        # first, then the remaining r7-era greens and the r8-era block.
-        # Pinned by test_r14_window_plan.
+        # --- r14 backlog: the r13-displaced tail (16), then the
+        #     remaining r7-era greens and oldest r8-era greens ---
         "mon_status_counts": relational.mon_status_counts,
         "mon_summary": relational.mon_summary,
         "mon_activity_delta": relational.mon_activity_delta,
@@ -168,6 +107,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_window": relational.events_range_window,
         "dq_referential_report": relational.dq_referential_report,
         "tables_report": relational.tables_report,
+        # ^^^ first-50 boundary ^^^ (position asserted against the
+        # dict by tests/test_entry_contract.py::
+        # test_boundary_comment_position — the marker line must sit
+        # exactly after entry 50)
+        # ============ r15 WINDOW PLAN (next 50, in order) ============
+        # Written from docs/EVIDENCE.md (regenerate with
+        # tools/round_start.py). Order: the r14-displaced backlog tail
+        # first (new-in-r14 head entries displace the tail above past
+        # the boundary), then the remaining r8-era greens below.
+        # Pinned by test_r15_window_plan.
         "events_props_variant": relational.events_props_variant,
         "doc_winnow_fingerprints": llm.doc_winnow_fingerprints,
         "dup_components": llm.dup_components,
@@ -349,7 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_rfm_segments": relational.customer_rfm_segments,
         "docs_contamination_report": llm.docs_contamination_report,
         # --- r12-certified window block (moved to the back at r13 open:
-        #     freshest driver evidence) ---
+        #     second-freshest driver evidence) ---
         "parts_price_size_skyline": relational.parts_price_size_skyline,
         "events_lateness_profile": relational.events_lateness_profile,
         "docs_crosssnap_containment": llm.docs_crosssnap_containment,
@@ -400,6 +349,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_nb_lang_classifier": llm.docs_nb_lang_classifier,
         "events_touch_attribution": relational.events_touch_attribution,
         "docs_zipf_fit": llm.docs_zipf_fit,
+        # --- r13-certified window block (moved to the back at r14 open:
+        #     freshest driver evidence) ---
+        "dedup_survivor_length_bias": llm.dedup_survivor_length_bias,
+        "docs_cross_source_dup_matrix": llm.docs_cross_source_dup_matrix,
+        "dedup_incremental_certificate": llm.dedup_incremental_certificate,
+        "dedup_chaining_audit": llm.dedup_chaining_audit,
+        "lsh_band_tradeoff_curve": llm.lsh_band_tradeoff_curve,
+        "hydro_flashiness_index": hydro.flashiness_index,
+        "hydro_flood_volume": hydro.flood_volume,
+        "events_bot_regularity_screen": relational.events_bot_regularity_screen,
+        "events_ewma_control": relational.events_ewma_control,
+        "events_quantile_sketch_error": relational.events_quantile_sketch_error,
+        "supplier_share_drift": relational.supplier_share_drift,
+        "wire_dedup_replay": wire.wire_dedup_replay,
+        "docs_tokenizer_fertility": llm.docs_tokenizer_fertility,
+        "ann_recall_by_occupancy": llm.ann_recall_by_occupancy,
+        "stream_batch_cms_parity": llm.stream_batch_cms_parity,
+        "stream_batch_psi_parity": relational.stream_batch_psi_parity,
+        "lineitem_returnflag_anova": relational.lineitem_returnflag_anova,
+        "wire_field_presence": wire.wire_field_presence,
+        "pq_distortion_report": llm.pq_distortion_report,
+        "events_nearest_error": relational.events_nearest_error,
+        "docs_snapshot_diff": llm.docs_snapshot_diff,
+        "hydro_stage_exceedance": hydro.stage_exceedance_curve,
+        "hydro_return_periods": hydro.return_periods,
+        "docs_train_linear_gate": llm.docs_train_linear_gate,
+        "docs_nb_holdout_eval": llm.docs_nb_holdout_eval,
+        "docs_learning_curve": llm.docs_learning_curve,
+        "events_entropy_rate": relational.events_entropy_rate,
+        "hydro_baseflow_separation": hydro.baseflow_separation,
+        "events_weekday_type_chisq": relational.events_weekday_type_chisq,
+        "customer_balance_standing": relational.customer_balance_standing,
+        "hydro_rating_residuals": hydro.rating_curve_residuals,
+        "orders_cohort_ltv_curve": relational.orders_cohort_ltv_curve,
+        "embedding_random_projection": llm.embedding_random_projection,
+        "docs_substring_dedup": llm.docs_substring_dedup,
+        "orders_salted_revenue": relational.orders_salted_revenue,
+        "copurchase_jaccard_parts": relational.copurchase_jaccard_parts,
+        "orders_seasonal_decomposition": relational.orders_seasonal_decomposition,
+        "ann_ivf_recall_report": llm.ann_ivf_recall_report,
+        "embedding_pca_power_iteration": llm.embedding_pca_power_iteration,
+        "multimodal_audio_windows": llm.multimodal_audio_windows,
+        "wire_schema_drift": wire.wire_schema_drift,
+        "lineitem_key_skew_profile": relational.lineitem_key_skew_profile,
+        "sessions_error_overlap": relational.sessions_error_overlap,
+        "wire_csv_parse": wire.wire_csv_parse,
+        "hydro_twa_daily_mean": hydro.time_weighted_daily_mean,
+        "hydro_classify_alerts": hydro.alerts,
+        "hydro_alert_counts": hydro.alert_counts,
+        "wire_parse": wire.wire_parse,
+        "wire_dlq": wire.wire_dlq,
+        "wire_batch_flatten": wire.wire_batch_flatten,
         # --- rows-only tail (no oracle by design; never in a window) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

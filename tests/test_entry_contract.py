@@ -38,70 +38,19 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-# New-in-r13 queries lead the window (never-checked first, per the
+# New-in-r14 queries lead the window (never-checked first, per the
 # ordering contract). Append new queries here as they land; the window
 # pin below derives positions from this list, so a careless insert
 # cannot silently rotate a pinned backlog entry out unnoticed.
-NEW_IN_R13: list[str] = [
-    "dedup_survivor_length_bias",
-    "docs_cross_source_dup_matrix",
-    "dedup_incremental_certificate",
-    "dedup_chaining_audit",
-    "lsh_band_tradeoff_curve",
-    "hydro_flashiness_index",
-    "hydro_flood_volume",
-    "events_bot_regularity_screen",
-    "events_ewma_control",
-    "events_quantile_sketch_error",
-    "supplier_share_drift",
-    "wire_dedup_replay",
-    "docs_tokenizer_fertility",
-    "ann_recall_by_occupancy",
-    "stream_batch_cms_parity",
-    "stream_batch_psi_parity",
-]
+NEW_IN_R14: list[str] = []
 
-# The pinned r13 backlog written at the end of r12 (VERDICT r12 "Next
-# round" #1, generated from docs/EVIDENCE.md regenerated at r13 open):
-# the 16 r6-era entries the new-in-r12 head displaced past the r12
-# boundary, then the oldest r7-era greens. New-in-r13 head entries
-# displace the TAIL of this list past the boundary; the displaced
-# entries must then lead the r14 window.
-R13_BACKLOG = [
-    "lineitem_returnflag_anova",
-    "wire_field_presence",
-    "pq_distortion_report",
-    "events_nearest_error",
-    "docs_snapshot_diff",
-    "hydro_stage_exceedance",
-    "hydro_return_periods",
-    "docs_train_linear_gate",
-    "docs_nb_holdout_eval",
-    "docs_learning_curve",
-    "events_entropy_rate",
-    "hydro_baseflow_separation",
-    "events_weekday_type_chisq",
-    "customer_balance_standing",
-    "hydro_rating_residuals",
-    "orders_cohort_ltv_curve",
-    "embedding_random_projection",
-    "docs_substring_dedup",
-    "orders_salted_revenue",
-    "copurchase_jaccard_parts",
-    "orders_seasonal_decomposition",
-    "ann_ivf_recall_report",
-    "embedding_pca_power_iteration",
-    "multimodal_audio_windows",
-    "wire_schema_drift",
-    "lineitem_key_skew_profile",
-    "sessions_error_overlap",
-    "wire_csv_parse",
-    "hydro_twa_daily_mean",
-    "hydro_classify_alerts",
-    "hydro_alert_counts",
-    "wire_parse",
-    "wire_dlq",
-    "wire_batch_flatten",
+# The pinned r14 backlog written at the end of r13 (VERDICT r13 "Next
+# round" #1, generated from docs/EVIDENCE.md regenerated at r14 open):
+# the 16 entries the new-in-r13 head displaced past the r13 boundary,
+# then the remaining r7-era greens and the oldest r8-era greens.
+# New-in-r14 head entries displace the TAIL of this list past the
+# boundary; the displaced entries must then lead the r15 window.
+R14_BACKLOG = [
     "mon_status_counts",
     "mon_summary",
     "mon_activity_delta",
@@ -118,49 +67,81 @@ R13_BACKLOG = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "top_customers_per_nation",
+    "orders_rollup",
+    "customers_without_orders",
+    "customer_order_stats",
+    "purchase_and_signup_users",
+    "big_orders_having",
+    "events_cube",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "part_min_price_supplier",
+    "nation_trade_volume",
+    "q14_promo_revenue",
+    "q10_returned_items",
+    "q12_late_shipments",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "events_moving_stats",
+    "orders_join_strategy_report",
+    "docs_bm25_topk",
+    "copurchase_kcore",
+    "docs_rake_keyphrases",
+    "docs_hybrid_rrf",
+    "lineitem_hilbert_layout",
+    "layout_pruning_report",
+    "multimodal_image_patches",
+    "events_kmv_setops",
+    "lineitem_compaction_plan",
+    "customer_scd2_history",
+    "events_sampled_quantiles",
+    "events_view_only_users",
+    "events_value_bands",
+    "events_value_percentiles",
+    "events_range_window",
+    "dq_referential_report",
+    "tables_report",
 ]
 
 
-def test_r13_window_composition():
-    """The r13 window is exactly (NEW_IN_R13 + R13_BACKLOG)[:50]:
+def test_r14_window_composition():
+    """The r14 window is exactly (NEW_IN_R14 + R14_BACKLOG)[:50]:
     never-green queries first, then the pinned backlog. Growth at the
     head may only displace the backlog TAIL; the displaced tail must
-    sit immediately behind the boundary, leading the r14 window."""
+    sit immediately behind the boundary, leading the r15 window."""
     names = list(entry.queries())
-    expected = (NEW_IN_R13 + R13_BACKLOG)[:50]
+    expected = (NEW_IN_R14 + R14_BACKLOG)[:50]
     assert names[:50] == expected
-    n_displaced = len(NEW_IN_R13 + R13_BACKLOG) - 50
+    n_displaced = len(NEW_IN_R14 + R14_BACKLOG) - 50
     assert n_displaced >= 0
     if n_displaced:
-        assert names[50 : 50 + n_displaced] == R13_BACKLOG[-n_displaced:]
+        assert names[50 : 50 + n_displaced] == R14_BACKLOG[-n_displaced:]
 
 
-def test_r14_window_plan():
-    """Positions 50-99 (the r14 plan): the displaced r13-backlog tail
-    first, then the remaining r7-era greens — every slot oracle-backed
-    so each can earn a green row. The freshly-certified r12 block sits
+def test_r15_window_plan():
+    """Positions 50-99 (the r15 plan): the displaced r14-backlog tail
+    first, then the remaining r8-era greens — every slot oracle-backed
+    so each can earn a green row. The freshly-certified r13 block sits
     at the back, just ahead of the rows-only tail."""
     names = list(entry.queries())
-    r14 = names[50:100]
+    r15 = names[50:100]
     oracles = set(entry.oracle_sql())
-    assert set(r14) <= oracles
-    # the displaced backlog tail leads (R13_BACKLOG[-0:] would be the
-    # whole list — guard the empty-head case)
-    n_displaced = len(NEW_IN_R13 + R13_BACKLOG) - 50
+    assert set(r15) <= oracles
+    # the displaced backlog tail leads (guard the empty-head case)
+    n_displaced = len(NEW_IN_R14 + R14_BACKLOG) - 50
     if n_displaced:
-        assert r14[:n_displaced] == R13_BACKLOG[-n_displaced:]
-    # remaining r7-era greens fill the next slots, r8-era entries the
-    # rest (the r7 block is nearly consumed after r13)
-    for q in ("orders_rollup", "customers_without_orders",
-              "customer_order_stats", "orders_join_strategy_report"):
-        assert q in r14, q
-    # the r9/r10-certified blocks are behind the r14 window
-    for q in ("minhash_sig_probe", "hydro_station_list",
-              "docs_editdist_pairs", "docs_curation_funnel"):
+        assert r15[:n_displaced] == R14_BACKLOG[-n_displaced:]
+    # remaining r8-era greens fill the next slots
+    for q in ("events_props_variant", "doc_winnow_fingerprints",
+              "docs_curation_funnel", "embedding_block_near_dups"):
+        assert q in r15, q
+    # the r9/r10-certified blocks are behind the r15 window
+    for q in ("q1_pricing_summary", "hydro_station_list",
+              "docs_editdist_pairs", "events_ks_two_sample"):
         assert q in names[100:], q
-    # the freshly-certified r12 block sits at the back
-    for q in ("parts_price_size_skyline", "docs_crosssnap_containment",
-              "hydro_level_mad_outliers", "events_t_closeness"):
+    # the freshly-certified r13 block sits at the back
+    for q in ("dedup_survivor_length_bias", "stream_batch_psi_parity",
+              "hydro_classify_alerts", "wire_batch_flatten"):
         assert q in names[100:], q
     # rows-only entries stay at the very end
     assert names[-5:] == [
