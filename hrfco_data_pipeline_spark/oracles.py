@@ -229,7 +229,8 @@ RELATIONAL_ORACLES: dict[str, str] = {
     """,
     "customers_without_orders": """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderpriority = '1-URGENT')
     """,
     "customer_order_stats": """
     SELECT c_custkey, c_name, n_orders, total_spent, avg_order
