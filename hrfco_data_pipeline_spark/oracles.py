@@ -1751,6 +1751,7 @@ RELATIONAL_ORACLES["copurchase_jaccard_parts"] = """
 
 
 RELATIONAL_ORACLES["orders_seasonal_decomposition"] = """
+    -- int->double ceilings audited r14: 7*daily n <= 630 at sf0.1
     WITH daily AS (
       SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
       FROM orders GROUP BY 1
@@ -1762,7 +1763,7 @@ RELATIONAL_ORACLES["orders_seasonal_decomposition"] = """
     )
     SELECT CAST(isodow(d) AS INTEGER) AS isodow, dayname(d) AS day_name,
       count(*) AS n_days, CAST(sum(n) AS BIGINT) AS total_orders,
-      CAST(sum(7 * n - sum7) AS DOUBLE)
+      CAST(sum(7 * n - sum7) /* int<2^53 */ AS DOUBLE)
         / CAST(7 * count(*) AS DOUBLE) AS avg_residual
     FROM t WHERE n_win = 7
     GROUP BY 1, 2
@@ -3525,6 +3526,7 @@ RELATIONAL_ORACLES["events_seasonal_baseline"] = """
 
 
 HYDRO_ORACLES["hydro_rating_curve"] = HYDRO_CTE + """
+    -- int->double ceilings audited r14: per-station power sums <= 4.9e10 at sf0.1, 1.8e5x headroom
     , pts AS (
       SELECT wlobscd,
         CAST(printf('%.2f', water_level) AS DECIMAL(14,2)) AS x,
@@ -3534,7 +3536,7 @@ HYDRO_ORACLES["hydro_rating_curve"] = HYDRO_CTE + """
     ), m AS (
       SELECT wlobscd, count(*) AS n,
         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy
+        CAST(sum(x * x) /* int<2^53 */ AS DOUBLE) AS sxx, CAST(sum(x * y) /* int<2^53 */ AS DOUBLE) AS sxy
       FROM pts GROUP BY wlobscd
     )
     SELECT wlobscd, n,
@@ -3745,6 +3747,7 @@ LLM_ORACLES["embedding_norm_outliers"] = f"""
 
 
 RELATIONAL_ORACLES["events_value_gini"] = """
+    -- int->double ceilings audited r14: sum(x*i) <= 1.6e12 at sf0.1, 5.9e3x headroom
     WITH ranked AS (
       SELECT event_type,
         TRY_CAST(printf('%.2f', value) AS DECIMAL(14,2)) AS x,
@@ -3754,7 +3757,7 @@ RELATIONAL_ORACLES["events_value_gini"] = """
     ), agg AS (
       SELECT event_type, count(*) AS n,
         CAST(sum(x) AS DOUBLE) AS sx,
-        CAST(sum(x * i) AS DOUBLE) AS sxi
+        CAST(sum(x * i) /* int<2^53 */ AS DOUBLE) AS sxi
       FROM ranked GROUP BY event_type
     )
     SELECT event_type, n,
@@ -4121,6 +4124,7 @@ RELATIONAL_ORACLES["events_histogram_quantiles"] = """
 
 
 RELATIONAL_ORACLES["parts_copurchase_lift"] = """
+    -- int->double ceilings audited r14: np products <= 2.9e3 at sf0.1
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     no_ AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
     pc AS (SELECT l_partkey, count(*) AS np FROM op GROUP BY 1),
@@ -4132,7 +4136,7 @@ RELATIONAL_ORACLES["parts_copurchase_lift"] = """
       GROUP BY 1, 2 HAVING count(*) >= 3
     )
     SELECT part_a, part_b, n_ab, na.np AS n_a, nb.np AS n_b,
-      round((n_ab * n_orders) / CAST(na.np * nb.np AS DOUBLE), 4) AS lift
+      round((n_ab * n_orders) / CAST(na.np * nb.np /* int<2^53 */ AS DOUBLE), 4) AS lift
     FROM pairs
     JOIN pc na ON na.l_partkey = part_a
     JOIN pc nb ON nb.l_partkey = part_b
@@ -4141,6 +4145,7 @@ RELATIONAL_ORACLES["parts_copurchase_lift"] = """
 
 
 RELATIONAL_ORACLES["copurchase_triangles"] = """
+    -- int->double ceilings audited r14: degree^2 bounded by block size, <= 1e8 at sf0.1
     WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     edges AS (
       SELECT a.l_partkey AS u, b.l_partkey AS v
@@ -4165,7 +4170,7 @@ RELATIONAL_ORACLES["copurchase_triangles"] = """
       ) GROUP BY 1
     )
     SELECT part, n_triangles, degree,
-      round((2 * n_triangles) / CAST(degree * (degree - 1) AS DOUBLE), 4)
+      round((2 * n_triangles) / CAST(degree * (degree - 1) /* int<2^53 */ AS DOUBLE), 4)
         AS clustering
     FROM pn JOIN deg USING (part)
     """
@@ -4868,17 +4873,32 @@ RELATIONAL_ORACLES["events_value_moments"] = """
       SELECT event_type,
         CAST(round(value * 100) AS BIGINT) AS x
       FROM events WHERE value IS NOT NULL
-    ), m AS (
+    ), m0 AS (
+      -- exact HUGEINT power sums; Σx³/Σx⁴ EXCEED 2^53 at sf0.1
+      -- (measured 1.5e16 / 3.1e20), where DuckDB's HUGEINT→DOUBLE
+      -- cast is not correctly rounded (SCALE.md §r13) — so the
+      -- conversion below goes through the hi/lo 2^40 split: each
+      -- part converts exactly (< 2^53), the power-of-two scale is
+      -- exact, and the single IEEE add correctly rounds — matching
+      -- Spark's correctly-rounded Decimal→double (SCALE.md §r14)
       SELECT event_type, count(*) AS n,
-        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS s1,
-        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE)
-          AS s2,
-        CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
-                 * CAST(x AS HUGEINT)) AS DOUBLE) AS s3,
-        CAST(sum((CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
-                 * (CAST(x AS HUGEINT) * CAST(x AS HUGEINT)))
-             AS DOUBLE) AS s4
+        sum(CAST(x AS HUGEINT)) AS i1,
+        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS i2,
+        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)
+            * CAST(x AS HUGEINT)) AS i3,
+        sum((CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+            * (CAST(x AS HUGEINT) * CAST(x AS HUGEINT))) AS i4
       FROM c GROUP BY 1
+    ), m AS (
+      SELECT event_type, n,
+        CAST(i1 AS DOUBLE) AS s1,
+        CAST(i2 // 1099511627776 AS DOUBLE) * 1099511627776.0
+          + CAST(i2 % 1099511627776 AS DOUBLE) AS s2,
+        CAST(i3 // 1099511627776 AS DOUBLE) * 1099511627776.0
+          + CAST(i3 % 1099511627776 AS DOUBLE) AS s3,
+        CAST(i4 // 1099511627776 AS DOUBLE) * 1099511627776.0
+          + CAST(i4 % 1099511627776 AS DOUBLE) AS s4
+      FROM m0
     )
     SELECT event_type, n,
       round(s1 / CAST(n AS DOUBLE) / 100, 4) AS mean_value,
@@ -6064,6 +6084,7 @@ RELATIONAL_ORACLES["customer_balance_standing"] = """
 # Rating-curve residual screen: same exact-DECIMAL moments, same
 # closed-form SSE, same broadcast-fit residual comparisons.
 HYDRO_ORACLES["hydro_rating_residuals"] = HYDRO_CTE + """
+    -- int->double ceilings audited r14: per-station power sums <= 4.9e10 at sf0.1, 1.8e5x headroom
     , t AS (
       SELECT wlobscd,
         CAST(TRY_CAST(printf('%.2f', water_level) AS DECIMAL(14,2))
@@ -6079,9 +6100,9 @@ HYDRO_ORACLES["hydro_rating_residuals"] = HYDRO_CTE + """
     agg AS (
       SELECT wlobscd AS f_code, count(*) AS n,
         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-        CAST(sum(x * x) AS DOUBLE) AS sxx,
-        CAST(sum(x * y) AS DOUBLE) AS sxy,
-        CAST(sum(y * y) AS DOUBLE) AS syy
+        CAST(sum(x * x) /* int<2^53 */ AS DOUBLE) AS sxx,
+        CAST(sum(x * y) /* int<2^53 */ AS DOUBLE) AS sxy,
+        CAST(sum(y * y) /* int<2^53 */ AS DOUBLE) AS syy
       FROM t GROUP BY 1
     ),
     fit AS (
@@ -6388,6 +6409,7 @@ WIRE_ORACLES["wire_schema_drift"] = _WIRE_CTE + """
 
 
 RELATIONAL_ORACLES["lineitem_key_skew_profile"] = """
+    -- int->double ceilings audited r14: max_n*n_keys <= 1.1e6 at sf0.1
     WITH c AS (
       SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1
     ),
@@ -6399,12 +6421,13 @@ RELATIONAL_ORACLES["lineitem_key_skew_profile"] = """
         AS rank,
       l_orderkey, CAST(n AS BIGINT) AS n_rows,
       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
-      CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE) AS mean_ratio
+      CAST(n * n_keys /* int<2^53 */ AS DOUBLE) / CAST(total AS DOUBLE) AS mean_ratio
     FROM top, t, k
     """
 
 
 RELATIONAL_ORACLES["orders_join_strategy_report"] = """
+    -- int->double ceilings audited r14: max_n*n_keys <= 1.1e6 at sf0.1
     WITH p AS (
       SELECT 'lineitem_x_part' AS candidate, 'l_partkey' AS join_key,
              (SELECT count(*) FROM part) AS small_rows,
@@ -6430,7 +6453,7 @@ RELATIONAL_ORACLES["orders_join_strategy_report"] = """
     r AS (
       SELECT *,
         CAST(max_n AS DOUBLE) / CAST(big_rows AS DOUBLE) AS hot_key_share,
-        CAST(max_n * n_keys AS DOUBLE) / CAST(big_rows AS DOUBLE)
+        CAST(max_n * n_keys /* int<2^53 */ AS DOUBLE) / CAST(big_rows AS DOUBLE)
           AS mean_ratio
       FROM p
     )
@@ -7192,6 +7215,7 @@ LLM_ORACLES["embedding_mutual_knn"] = """
 # (count DESC, token) / (lift DESC, tok_a, tok_b) binary-collation
 # orders shared by both engines.
 LLM_ORACLES["docs_pmi_top_pairs"] = r"""
+    -- int->double ceilings audited r14: count products <= n_docs^2 = 2.5e7 at sf0.1
     WITH tokd AS (
       SELECT doc_id,
         unnest(list_distinct(list_transform(
@@ -7210,7 +7234,7 @@ LLM_ORACLES["docs_pmi_top_pairs"] = r"""
       GROUP BY 1, 2 HAVING count(*) >= 5
     ), scored AS (
       SELECT tok_a, tok_b, c_xy, c_a, c_b,
-        CAST(n_docs * c_xy AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)
+        CAST(n_docs * c_xy /* int<2^53 */ AS DOUBLE) / CAST(c_a * c_b /* int<2^53 */ AS DOUBLE)
           AS lift
       FROM co CROSS JOIN nd
     )
@@ -7399,6 +7423,7 @@ RELATIONAL_ORACLES["events_mad_outliers"] = """
 # plans/llm.POISSON1_T), each resample mean ONE division of exact
 # integer sums, CI bounds by rank-rule selection.
 LLM_ORACLES["docs_quality_bootstrap_ci"] = _TOK_CTE + """
+    -- int->double ceilings audited r14: sum(w*q10) <= 10*n_docs*max_w, ~5e5 at sf0.1
     , stats AS (
       SELECT doc_id, source, len(toks) AS n_tokens,
         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
@@ -7429,7 +7454,7 @@ LLM_ORACLES["docs_quality_bootstrap_ci"] = _TOK_CTE + """
       FROM rs
     ), means AS (
       SELECT source, b,
-        CAST(sum(w * q10) AS DOUBLE)
+        CAST(sum(w * q10) /* int<2^53 */ AS DOUBLE)
           / CAST(10 * sum(w) AS DOUBLE) AS mean_q
       FROM wtd GROUP BY 1, 2 HAVING sum(w) > 0
     ), ranked AS (
@@ -7632,16 +7657,26 @@ RELATIONAL_ORACLES["events_mann_whitney"] = """
         sum(CAST(c_t AS HUGEINT) * CAST(r2 AS HUGEINT)) AS r2_sum
       FROM ct JOIN ranks USING (value) GROUP BY 1
     )
+    -- int->double ceilings audited r14: r2_sum and pair products
+    -- <= ~2e9 at sf0.1; the tie-corrected n^3 term reaches 1e15
+    -- (only 9x under 2^53), so it converts via the hi/lo 2^40 split
+    -- (exact parts, one correctly-rounded IEEE add - SCALE.md r14)
     SELECT event_type, CAST(n_t AS BIGINT) AS n_t,
       CAST(n_all - n_t AS BIGINT) AS n_rest,
       CAST(r2_sum - CAST(n_t AS HUGEINT) * (CAST(n_t AS HUGEINT) + 1)
-           AS DOUBLE) / 2.0 AS u_stat,
+           /* int<2^53 */ AS DOUBLE) / 2.0 AS u_stat,
       CAST(r2_sum - CAST(n_t AS HUGEINT) * (CAST(n_t AS HUGEINT) + 1)
-           - CAST(n_t AS HUGEINT) * (n_all - n_t) AS DOUBLE)
+           - CAST(n_t AS HUGEINT) * (n_all - n_t)
+           /* int<2^53 */ AS DOUBLE)
         / (2.0 * sqrt(
-            (CAST(CAST(n_t AS HUGEINT) * (n_all - n_t) AS DOUBLE)
-             * CAST(n_all * n_all * n_all - n_all - t_corr AS DOUBLE))
-            / CAST(12 * n_all * (n_all - 1) AS DOUBLE))) AS z_score
+            (CAST(CAST(n_t AS HUGEINT) * (n_all - n_t)
+                  /* int<2^53 */ AS DOUBLE)
+             * (CAST((n_all * n_all * n_all - n_all - t_corr)
+                     // 1099511627776 AS DOUBLE) * 1099511627776.0
+                + CAST((n_all * n_all * n_all - n_all - t_corr)
+                       % 1099511627776 AS DOUBLE)))
+            / CAST(12 * n_all * (n_all - 1)
+                   /* int<2^53 */ AS DOUBLE))) AS z_score
     FROM per_type CROSS JOIN tie
     """
 
@@ -7907,6 +7942,7 @@ HYDRO_ORACLES["hydro_station_crosscorr"] = _DAILY_CENTS_CTE + """
 # tau is one exact-integer double division; var18 = 18*Var(S) stays
 # integer so the tie bookkeeping is certified without sqrt.
 RELATIONAL_ORACLES["orders_mann_kendall"] = """
+    -- int->double ceilings audited r14: n_months^2 <= 6.4e3
     WITH monthly AS (
       SELECT o_orderpriority,
         (year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS m,
@@ -7931,7 +7967,7 @@ RELATIONAL_ORACLES["orders_mann_kendall"] = """
     )
     SELECT s.p AS o_orderpriority, tie.n_months, s.s_stat,
       CAST(s.s_stat AS DOUBLE)
-        / (CAST(tie.n_months * (tie.n_months - 1) AS DOUBLE) / 2) AS tau,
+        / (CAST(tie.n_months * (tie.n_months - 1) /* int<2^53 */ AS DOUBLE) / 2) AS tau,
       CAST(tie.n_months * (tie.n_months - 1) * (2 * tie.n_months + 5)
            - tie.tie18 AS BIGINT) AS var18
     FROM s JOIN tie ON s.p = tie.p
@@ -8402,6 +8438,7 @@ LLM_ORACLES["simhash_bit_balance"] = r"""
 LLM_ORACLES["ann_centroid_occupancy"] = (
     _ivf_cells_cte()
     + """
+    -- int->double ceilings audited r14: n_total^2 = 4e6 at sf0.1
     , sizes AS (
       SELECT cell, count(*) AS s FROM scored GROUP BY cell
     ), tot AS (
@@ -8411,8 +8448,8 @@ LLM_ORACLES["ann_centroid_occupancy"] = (
     SELECT CAST(cell AS INTEGER) AS cell,
       CAST(s AS BIGINT) AS n_vecs,
       CAST(s AS DOUBLE) / CAST(n_total AS DOUBLE) AS share,
-      CAST(k_cells * ss AS DOUBLE)
-        / CAST(n_total * n_total AS DOUBLE) AS imbalance_factor
+      CAST(k_cells * ss /* int<2^53 */ AS DOUBLE)
+        / CAST(n_total * n_total /* int<2^53 */ AS DOUBLE) AS imbalance_factor
     FROM sizes CROSS JOIN tot
     """
 )
@@ -8420,6 +8457,7 @@ LLM_ORACLES["ann_centroid_occupancy"] = (
 # Packing waste: exact integer chunk/pad arithmetic, one scan over
 # the 4-length literal grid.
 LLM_ORACLES["docs_packing_waste"] = _TOK_CTE + """
+    -- int->double ceilings audited r14: token sums <= 3e6 at sf0.1
     , lens AS (
       SELECT len(toks) AS n FROM tok WHERE len(toks) > 0
     ), grid AS (
@@ -8432,8 +8470,8 @@ LLM_ORACLES["docs_packing_waste"] = _TOK_CTE + """
       CAST(sum(n) AS BIGINT) AS total_tokens,
       CAST(sum(chunks) AS BIGINT) AS total_chunks,
       CAST(sum(chunks * seq_len - n) AS BIGINT) AS total_pad,
-      CAST(sum(chunks * seq_len - n) AS DOUBLE)
-        / CAST(sum(n) + sum(chunks * seq_len - n) AS DOUBLE) AS pad_share
+      CAST(sum(chunks * seq_len - n) /* int<2^53 */ AS DOUBLE)
+        / CAST(sum(n) + sum(chunks * seq_len - n) /* int<2^53 */ AS DOUBLE) AS pad_share
     FROM grid GROUP BY 1
     """
 
@@ -8517,9 +8555,13 @@ RELATIONAL_ORACLES["events_burstiness_fano"] = """
       CAST(n AS BIGINT) AS n_events,
       CAST(n_days_active AS BIGINT) AS n_days_active,
       CAST(d_total AS BIGINT) AS n_days_total,
+      -- int->double ceilings audited r14: d_total*s2 <= 4.2e8 at
+      -- sf0.1, 2e7x headroom under 2^53
       CAST(CAST(d_total AS HUGEINT) * s2
-           - CAST(n AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
-        / CAST(CAST(d_total AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+           - CAST(n AS HUGEINT) * CAST(n AS HUGEINT)
+           /* int<2^53 */ AS DOUBLE)
+        / CAST(CAST(d_total AS HUGEINT) * CAST(n AS HUGEINT)
+               /* int<2^53 */ AS DOUBLE)
         AS fano
     FROM per_type CROSS JOIN dd
     """
@@ -9155,6 +9197,7 @@ LLM_ORACLES["docs_source_vocab_overlap"] = _TOK_CTE + """
 # distribution vs global, HUGEINT-exact numerators, closed-form
 # absent-type contribution, pure-integer 10*num > 6*n*N cutoff.
 RELATIONAL_ORACLES["events_t_closeness"] = """
+    -- int->double ceilings audited r14: tot_n*n <= 6.5e7 at sf0.1, 1.4e8x headroom
     WITH base AS (
       SELECT CAST(ts AS DATE) AS day,
         CAST(floor(COALESCE(value, -1.0) / 10) AS BIGINT) AS value_band,
@@ -9182,7 +9225,7 @@ RELATIONAL_ORACLES["events_t_closeness"] = """
       GROUP BY 1, 2, 3, 4
     ), scored AS (
       SELECT day, n,
-        CAST(num_present + (CAST(tot_n AS HUGEINT) - c_present) * n AS DOUBLE)
+        CAST(num_present + (CAST(tot_n AS HUGEINT) - c_present) * n /* int<2^53 */ AS DOUBLE)
           / (2.0 * n * tot_n) AS tv,
         CASE WHEN 10 * (num_present + (CAST(tot_n AS HUGEINT) - c_present) * n)
                > 6 * CAST(n AS HUGEINT) * tot_n THEN 1 ELSE 0 END AS above

@@ -127,3 +127,79 @@ def test_parity_workdir_sweep_spares_live_owner(tmp_path):
             import shutil
 
             shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------- 5
+# VERDICT r13 item 7: the 2^53 integer->double rule in the automated
+# audit (SCALE.md r13/r14 - DuckDB HUGEINT->DOUBLE is not correctly
+# rounded past 2^53).
+
+SHARE_DRIFT_FIRST_DRAFT = """
+SELECT brand,
+  CAST(sum(abs(c1 * N2 - c2 * N1)) AS DOUBLE)
+    / (2.0 * CAST(N1 AS DOUBLE) * CAST(N2 AS DOUBLE)) AS tv
+FROM halves GROUP BY 1
+"""
+
+
+def test_audit_flags_share_drift_first_draft():
+    """The reverted r13 supplier_share_drift form (integer-product TV
+    numerator past 2^53) must flag."""
+    from tools.audit_antipatterns import int_double_overflow_flags
+
+    flags = int_double_overflow_flags(SHARE_DRIFT_FIRST_DRAFT)
+    assert any(f.startswith("int-to-double-unbounded-product") for f in flags)
+
+
+def test_audit_marker_suppresses():
+    from tools.audit_antipatterns import int_double_overflow_flags
+
+    marked = SHARE_DRIFT_FIRST_DRAFT.replace(
+        "AS DOUBLE)", "/* int<2^53 */ AS DOUBLE)", 1
+    )
+    assert not int_double_overflow_flags(marked)
+
+
+def test_audit_exempts_hi_lo_split_and_decimal():
+    from tools.audit_antipatterns import int_double_overflow_flags
+
+    hi_lo = """
+    SELECT CAST((a * b - c) // 1099511627776 AS DOUBLE) * 1099511627776.0
+         + CAST((a * b - c) % 1099511627776 AS DOUBLE) AS v FROM t
+    """
+    assert not int_double_overflow_flags(hi_lo)
+    decimal_path = """
+    SELECT CAST(sum(TRY_CAST(printf('%.2f', x * y) AS DECIMAL(12,2)))
+                AS DOUBLE) AS v FROM t
+    """
+    assert not int_double_overflow_flags(decimal_path)
+
+
+def test_audit_ignores_literal_products_and_count_star():
+    from tools.audit_antipatterns import int_double_overflow_flags
+
+    assert not int_double_overflow_flags(
+        "SELECT CAST(2 * 100 AS DOUBLE) AS v FROM t"
+    )
+    assert not int_double_overflow_flags(
+        "SELECT CAST(count(*) AS DOUBLE) AS v FROM t"
+    )
+
+
+def test_registry_oracles_pass_int_double_rule():
+    """Every registered oracle either stays under 2^53 with a
+    documented marker, uses the decimal path, or converts via the
+    hi/lo split - the registry-wide sweep must be clean."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+
+    from tools.audit_antipatterns import int_double_overflow_flags
+
+    bad = {
+        name: flags
+        for name, sql in entry.oracle_sql().items()
+        if (flags := int_double_overflow_flags(sql))
+    }
+    assert not bad, bad

@@ -21,7 +21,13 @@ audit: build every registered query's plan at a small SF and flag
   expensive array expression evaluated per output row on both faces
   of a Generate boundary cost docs_crosssnap_containment 162 s before
   a human noticed — SCALE.md §r12; materialize the array in a child
-  projection so the Generate consumes an attribute instead).
+  projection so the Generate consumes an attribute instead),
+- ORACLE-side ``CAST(<data-dependent integer product> AS DOUBLE)``
+  without a documented magnitude bound (the r13 HUGEINT→DOUBLE
+  misrounding class, SCALE.md §r13/r14: DuckDB's conversion is not
+  correctly rounded past 2^53; suppress with an inline
+  ``/* int<2^53 */`` marker once the bound is audited, or convert
+  via the hi/lo 2^40 split when the quantity genuinely exceeds it).
 
 EAGER queries (driver-side loops / plan-time profiles) execute their
 bounded actions while the plan is built — acceptable at the audit SF.
@@ -131,6 +137,82 @@ def generate_duplication_flags(plan: str) -> list[str]:
     return flags
 
 
+def int_double_overflow_flags(sql: str) -> list[str]:
+    """Flag ``CAST(<expr> AS DOUBLE)`` in ORACLE SQL where ``<expr>``
+    multiplies data-dependent (non-literal) operands — the integer
+    product/sum-of-products shape whose magnitude can pass 2^53, where
+    DuckDB's HUGEINT→DOUBLE cast is NOT correctly rounded (SCALE.md
+    §r13: measured one-ulp split on supplier_share_drift's first TV
+    form; the bot-screen CV² had the same latent shape). The house
+    rule is that every integer→double conversion stays under 2^53;
+    a conversion whose bound is genuinely documented suppresses the
+    flag with an inline ``/* int<2^53 */`` marker next to the cast.
+
+    Heuristic, not a prover: multiplications of two numeric literals,
+    ``count(*)``, decimal-context products (the %.2f-DECIMAL house
+    path — DECIMAL→DOUBLE is correctly rounded in both engines), and
+    marked casts do not flag."""
+    import re
+
+    flags: list[str] = []
+    # strip SQL string literals so '%.2f' / '|' separators can't fake
+    # or hide an operator, and line comments
+    clean = re.sub(r"'[^']*'", "''", sql)
+    clean = re.sub(r"--[^\n]*", "", clean)
+    for m in re.finditer(r"CAST\s*\(", clean, re.IGNORECASE):
+        start = m.end() - 1
+        depth = 0
+        end = None
+        for i in range(start, len(clean)):
+            c = clean[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end is None:
+            continue
+        arg = clean[start + 1 : end]
+        if not re.search(r"AS\s+DOUBLE\s*$", arg.strip(), re.IGNORECASE):
+            continue
+        if "int<2^53" in arg:
+            continue  # documented-bound suppression marker
+        body = re.sub(r"AS\s+DOUBLE\s*$", "", arg.strip(), flags=re.IGNORECASE)
+        # decimal-context conversions are exempt: the %.2f-DECIMAL
+        # house path and explicit DECIMAL casts are correctly rounded
+        if re.search(r"AS\s+DECIMAL", body, re.IGNORECASE):
+            continue
+        # the hi/lo exact-conversion idiom is exempt: a trailing
+        # `// <literal>` / `% <literal>` bounds the casted part under
+        # 2^53 by construction (v // 2^40 and v % 2^40 for v < 2^93 —
+        # each part converts exactly, the power-of-two scale is exact,
+        # and the single IEEE add correctly rounds; SCALE.md §r14)
+        if re.search(r"(//|%)\s*\d+\s*$", body.strip()):
+            continue
+        probe = body.replace("count(*)", "count_rows").replace(
+            "COUNT(*)", "count_rows"
+        )
+        # a multiplication between two non-literal operands?
+        for mm in re.finditer(r"\*", probe):
+            left = probe[: mm.start()].rstrip()
+            right = probe[mm.end() :].lstrip()
+            lt = re.search(r"([A-Za-z_0-9.()\[\]]+)$", left)
+            rt = re.match(r"([A-Za-z_0-9.()\[\]]+)", right)
+            if not lt or not rt:
+                continue
+            def _is_literal(tok: str) -> bool:
+                return bool(re.fullmatch(r"[0-9.()\[\]]+", tok))
+            if not _is_literal(lt.group(1)) and not _is_literal(rt.group(1)):
+                flags.append(
+                    "int-to-double-unbounded-product:"
+                    + re.sub(r"\s+", " ", body)[:80]
+                )
+                break
+    return flags
+
+
 def _nonportable_leaves(dt, path):
     from pyspark.sql import types as T
 
@@ -154,7 +236,10 @@ def main() -> int:
 
     findings: dict[str, list[str]] = {}
     n_nlj_allowed = 0
+    oracles = entry_mod.oracle_sql()
     for name, fn in entry_mod.queries().items():
+        for f in int_double_overflow_flags(oracles.get(name, "")):
+            findings.setdefault(name, []).append(f)
         try:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
