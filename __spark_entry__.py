@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ===== new in r14 (never checked; oracle-backed) — grows to ~16;
         # each addition displaces the backlog tail below past the boundary =====
+        "stream_batch_bm25_parity": llm.stream_batch_bm25_parity,
+        "stream_batch_kmv_parity": relational.stream_batch_kmv_parity,
+        "stream_batch_qsample_parity": relational.stream_batch_qsample_parity,
         # --- r14 backlog: the r13-displaced tail (16), then the
         #     remaining r7-era greens and oldest r8-era greens ---
         "mon_status_counts": relational.mon_status_counts,
@@ -104,13 +107,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_view_only_users": relational.events_view_only_users,
         "events_value_bands": relational.events_value_bands,
         "events_value_percentiles": relational.events_value_percentiles,
-        "events_range_window": relational.events_range_window,
-        "dq_referential_report": relational.dq_referential_report,
-        "tables_report": relational.tables_report,
         # ^^^ first-50 boundary ^^^ (position asserted against the
         # dict by tests/test_entry_contract.py::
         # test_boundary_comment_position — the marker line must sit
         # exactly after entry 50)
+        "events_range_window": relational.events_range_window,
+        "dq_referential_report": relational.dq_referential_report,
+        "tables_report": relational.tables_report,
         # ============ r15 WINDOW PLAN (next 50, in order) ============
         # Written from docs/EVIDENCE.md (regenerate with
         # tools/round_start.py). Order: the r14-displaced backlog tail

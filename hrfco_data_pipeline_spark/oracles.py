@@ -9800,3 +9800,33 @@ RELATIONAL_ORACLES["stream_batch_psi_parity"] = (
     FROM b
     """
 )
+
+LLM_ORACLES["stream_batch_bm25_parity"] = (
+    "WITH b AS ("
+    + LLM_ORACLES["docs_bm25_topk"]
+    + """)
+    SELECT query_id, rank, doc_id, score, n_terms,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)
+
+RELATIONAL_ORACLES["stream_batch_kmv_parity"] = (
+    "WITH b AS ("
+    + RELATIONAL_ORACLES["events_kmv_setops"]
+    + """)
+    SELECT type_a, type_b, kmv_a, kmv_b, kmv_union, kmv_inter,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)
+
+RELATIONAL_ORACLES["stream_batch_qsample_parity"] = (
+    "WITH b AS ("
+    + RELATIONAL_ORACLES["events_sampled_quantiles"]
+    + """)
+    SELECT event_type, n_sample, est_p50, est_p90, est_p99,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)

@@ -7627,3 +7627,179 @@ def psi_parity_report(
             & F.col("psi").eqNullSafe(F.col("b_psi"))
         ).alias("matches_batch_face"),
     )
+
+
+def stream_batch_kmv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the KMV sketch
+    maintainer (VERDICT r13 'Next round' #3): stream the events table
+    through streaming/curation.kmv_sketch_stream in file micro-batches
+    (availableNow) — each batch contributing ONE bottom-k partial per
+    type (bounded rows, no state store) — then serve the type-pair
+    set-operation estimates FROM THE ACCUMULATED PARTIALS and emit
+    them next to a matches-batch-face flag computed against the
+    sketch arms of events_kmv_setops. Bottom-k merge is lossless
+    (every hash in the global bottom-k is in its own batch's
+    bottom-k), so the served estimates must be row-identical to the
+    batch face in any arrival order — a maintainer bug (lost partial,
+    double-applied batch, wrong k) shifts a kth hash and breaks the
+    values AND the flag; the driver hash catches both (the oracle is
+    the batch face's own SQL projected to the sketch arms + TRUE —
+    the r13 cms_parity_report factoring).
+
+    EAGER query: the streaming run executes at call time into a
+    session temp dir; stored state is batches·k·|types| hashes —
+    sketch-sized regardless of stream length, the defining mergeable-
+    sketch property. At scale the certificate runs against an
+    existing partial store, not a re-copy.
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        kmv_sketch_stream,
+        parity_workdir,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = parity_workdir("hrfco_kmv_parity_")
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = f"{base}/store"
+    q = (
+        kmv_sketch_stream(stream, table)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        raise RuntimeError("KMV parity stream did not terminate")
+    return kmv_parity_report(spark, sf_dir, table)
+
+
+def kmv_parity_report(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """The serve-vs-batch comparison tail of stream_batch_kmv_parity,
+    factored out so the negative-path test can point it at a TAMPERED
+    store (a re-appended partial leaves bottom-k unions intact, so the
+    tamper injects SHIFTED hashes instead) and watch the flag flip
+    (tests/test_r14_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        kmv_setops_from_partials,
+    )
+
+    served = kmv_setops_from_partials(spark, table)
+    batch = events_kmv_setops(spark, sf_dir).select(
+        F.col("type_a").alias("b_a"),
+        F.col("type_b").alias("b_b"),
+        F.col("kmv_a").alias("b_kmv_a"),
+        F.col("kmv_b").alias("b_kmv_b"),
+        F.col("kmv_union").alias("b_kmv_u"),
+        F.col("kmv_inter").alias("b_kmv_i"),
+    )
+    j = served.join(
+        batch,
+        (served["type_a"] == batch["b_a"])
+        & (served["type_b"] == batch["b_b"]),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("type_a"), F.col("b_a")).alias("type_a"),
+        F.coalesce(F.col("type_b"), F.col("b_b")).alias("type_b"),
+        F.col("kmv_a"),
+        F.col("kmv_b"),
+        F.col("kmv_union"),
+        F.col("kmv_inter"),
+        (
+            F.col("kmv_a").eqNullSafe(F.col("b_kmv_a"))
+            & F.col("kmv_b").eqNullSafe(F.col("b_kmv_b"))
+            & F.col("kmv_union").eqNullSafe(F.col("b_kmv_u"))
+            & F.col("kmv_inter").eqNullSafe(F.col("b_kmv_i"))
+        ).alias("matches_batch_face"),
+    )
+
+
+def stream_batch_qsample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the consistent-hash
+    quantile sampler (VERDICT r13 'Next round' #3): stream the events
+    table through streaming/curation.quantile_sample_stream in file
+    micro-batches (availableNow) — each batch appending its FIXED
+    1/64 hash sample exactly-once — then serve the per-type quantile
+    estimates FROM THE STORED SAMPLE next to a matches-batch-face
+    flag computed against the est_* arms of events_sampled_quantiles.
+    The sample predicate is a fixed hash threshold, so the union of
+    per-batch samples IS the sample of the full stream: the served
+    quantiles must be row-identical to the batch face in any arrival
+    order — a maintainer bug (lost batch, double-applied batch,
+    drifted threshold) changes sample membership and breaks the
+    values AND the flag (the oracle is the batch face's own SQL
+    projected to the est arms + TRUE — the r13 cms_parity_report
+    factoring).
+
+    EAGER query: the streaming run executes at call time into a
+    session temp dir; stored state grows with stream/64, not with
+    batches. At scale the certificate runs against an existing
+    sample store, not a re-copy.
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        parity_workdir,
+        quantile_sample_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = parity_workdir("hrfco_qsample_parity_")
+    src = f"{base}/src"
+    ev.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = f"{base}/store"
+    q = (
+        quantile_sample_stream(stream, table)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        raise RuntimeError("quantile-sample parity stream did not terminate")
+    return qsample_parity_report(spark, sf_dir, table)
+
+
+def qsample_parity_report(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """The serve-vs-batch comparison tail of
+    stream_batch_qsample_parity, factored out so the negative-path
+    test can point it at a TAMPERED store (a double-appended sample
+    duplicates rows, shifting every discrete rank) and watch the flag
+    flip (tests/test_r14_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        quantiles_from_samples,
+    )
+
+    served = quantiles_from_samples(spark, table)
+    batch = events_sampled_quantiles(spark, sf_dir).select(
+        F.col("event_type").alias("b_et"),
+        F.col("n_sample").alias("b_ns"),
+        F.col("est_p50").alias("b_p50"),
+        F.col("est_p90").alias("b_p90"),
+        F.col("est_p99").alias("b_p99"),
+    )
+    j = served.join(
+        batch, served["event_type"] == batch["b_et"], "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("event_type"), F.col("b_et")).alias("event_type"),
+        F.col("n_sample"),
+        F.col("est_p50"),
+        F.col("est_p90"),
+        F.col("est_p99"),
+        (
+            F.col("n_sample").eqNullSafe(F.col("b_ns"))
+            & F.col("est_p50").eqNullSafe(F.col("b_p50"))
+            & F.col("est_p90").eqNullSafe(F.col("b_p90"))
+            & F.col("est_p99").eqNullSafe(F.col("b_p99"))
+        ).alias("matches_batch_face"),
+    )

@@ -42,7 +42,11 @@ def test_first_50_all_oracle_backed():
 # ordering contract). Append new queries here as they land; the window
 # pin below derives positions from this list, so a careless insert
 # cannot silently rotate a pinned backlog entry out unnoticed.
-NEW_IN_R14: list[str] = []
+NEW_IN_R14: list[str] = [
+    "stream_batch_bm25_parity",
+    "stream_batch_kmv_parity",
+    "stream_batch_qsample_parity",
+]
 
 # The pinned r14 backlog written at the end of r13 (VERDICT r13 "Next
 # round" #1, generated from docs/EVIDENCE.md regenerated at r14 open):
