@@ -278,11 +278,19 @@ def simhash_pairs(
     return simhash_pairs_from(hashed, max_hamming)
 
 
-def simhash_pairs_from(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs_from(
+    hashed: DataFrame, max_hamming: int | None = 3
+) -> DataFrame:
     """Pigeonhole pairing over a precomputed ``(id, sh)`` fingerprint
     frame — shared by the production xxhash64 path (simhash_pairs) and
     the portable-hash probe (plans/llm.simhash_pairs_probe), so the
-    oracle exercises the identical chunking/join/Hamming code."""
+    oracle exercises the identical chunking/join/Hamming code.
+
+    ``max_hamming=None`` returns the UNFILTERED candidate population
+    (every deduped pair sharing a 16-bit chunk) — the calibration
+    substrate of plans/llm.docs_simhash_hamming_histogram. The
+    pigeonhole guarantee only makes the population complete up to
+    Hamming 3; above that it is the candidate set, by design."""
     chunked = hashed.select(
         "id",
         "sh",
@@ -302,7 +310,7 @@ def simhash_pairs_from(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select("id", "sh", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
     a, b = chunked.alias("a"), chunked.alias("b")
     hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -315,8 +323,10 @@ def simhash_pairs_from(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
             hamming.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
     )
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out
 
 
 def dedup_keep_best(

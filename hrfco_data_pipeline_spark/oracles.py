@@ -5507,6 +5507,91 @@ def _pq_distortion_sql(m: int = 8, ksub: int = 16, dim: int = 64, quant: int = 1
 LLM_ORACLES["pq_distortion_report"] = _pq_distortion_sql()
 
 
+def _pq_code_balance_sql(m: int = 8, ksub: int = 16, dim: int = 64, quant: int = 1_000_000) -> str:
+    """Twin of plans/llm.ann_pq_code_balance: the _pq_distortion_sql
+    codebook CTEs, then per sub-space the argmin CODE (first index
+    wins, matching array_position-of-min) and the usage-balance
+    rollup (fixed ksub slots; Sigma s^2 <= n^2 = 4e6 at sf0.1)."""
+    dsub = dim // m
+
+    def h60(j: int) -> str:
+        return (
+            "list_reduce(list_transform(range(1, 16), "
+            "i -> strpos('0123456789abcdef', "
+            f"substr(md5(vec_id::VARCHAR || ':{j}'), i, 1)) - 1), "
+            "(acc, d) -> acc * 16 + d)::BIGINT"
+        )
+
+    cells = ", ".join(f"{h60(j)} % {ksub} AS c{j}" for j in range(m))
+    melt = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, c{j} AS cell, v[{j * dsub + 1}:{(j + 1) * dsub}] AS vs FROM h"
+        for j in range(m)
+    )
+    sums = ", ".join(
+        f"sum(floor(vs[{t + 1}] * {quant}.0)::BIGINT) AS s{t}" for t in range(dsub)
+    )
+    cvec = (
+        "["
+        + ", ".join(f"s{t}::DOUBLE / (n * {quant})::DOUBLE" for t in range(dsub))
+        + "]"
+    )
+    zeros = "[" + ", ".join("0.0" for _ in range(dsub)) + "]"
+
+    def l2fold(vec: str, off: int, cv: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}), "
+            f"t -> ({vec}[{off} + t] - ({cv})[t]) * ({vec}[{off} + t] - ({cv})[t]))), "
+            "(acc, x) -> acc + x)"
+        )
+
+    dists = ", ".join(
+        f"list_transform(mm[{j + 1}], cv -> {l2fold('v', j * dsub, 'cv')}) AS d{j}"
+        for j in range(m)
+    )
+    unpiv = "\n      UNION ALL ".join(
+        f"SELECT {j} AS subspace, "
+        f"(list_position(d{j}, list_min(d{j})) - 1) AS code FROM dmatrix"
+        for j in range(m)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), h AS (
+      SELECT vec_id, v, {cells} FROM e
+    ), melt AS (
+      {melt}
+    ), sums AS (
+      SELECT j, cell, count(*) AS n, {sums} FROM melt GROUP BY j, cell
+    ), cents AS (
+      SELECT jr.range AS j, ir.range AS cell,
+        CASE WHEN s.n IS NULL THEN {zeros} ELSE {cvec} END AS cv
+      FROM range(0, {m}) jr CROSS JOIN range(0, {ksub}) ir
+      LEFT JOIN sums s ON s.j = jr.range AND s.cell = ir.range
+    ), cmats AS (
+      SELECT j, list(cv ORDER BY cell) AS ml FROM cents GROUP BY j
+    ), cmat AS (
+      SELECT list(ml ORDER BY j) AS mm FROM cmats
+    ), dmatrix AS (
+      SELECT vec_id, v, {dists} FROM h, cmat
+    ), unpiv AS (
+      {unpiv}
+    ), sizes AS (
+      SELECT subspace, code, count(*) AS s FROM unpiv GROUP BY 1, 2
+    )
+    SELECT CAST(subspace AS INTEGER) AS subspace,
+      CAST(count(*) AS BIGINT) AS n_codes_used,
+      CAST({ksub} * sum(s * s) /* int<2^53 */ AS DOUBLE)
+        / CAST(sum(s) * sum(s) /* int<2^53 */ AS DOUBLE)
+        AS imbalance_factor,
+      CAST(max(s) AS DOUBLE) / CAST(sum(s) AS DOUBLE) AS max_code_share
+    FROM sizes GROUP BY subspace
+    """
+
+
+LLM_ORACLES["ann_pq_code_balance"] = _pq_code_balance_sql()
+
+
 # Bidirectional as-of: the same two running frames (forward = running
 # last under the reversed order), same tie rule, exact microseconds.
 RELATIONAL_ORACLES["events_nearest_error"] = """
@@ -6199,6 +6284,70 @@ WIRE_ORACLES["wire_csv_parse"] = f"""
 
 # Time-weighted daily mean: same exact minute/level inputs, same
 # sequential trapezoid fold carried through a struct accumulator.
+HYDRO_ORACLES["hydro_station_ewma"] = HYDRO_CTE + """
+    , daily AS (
+      SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
+        count(*) AS n_obs,
+        CAST(sum(TRY_CAST(printf('%.2f', water_level) AS DECIMAL(12,2)))
+             AS DOUBLE) / count(*) AS m
+      FROM classified
+      WHERE water_level IS NOT NULL
+        AND substr(obs_time_str, 1, 10) IS NOT NULL
+      GROUP BY 1, 2
+    ), arrs AS (
+      SELECT wlobscd,
+        list(struct_pack(day := day, n_obs := n_obs, m := m)
+             ORDER BY day) AS arr
+      FROM daily GROUP BY wlobscd
+    ), ex AS (
+      SELECT wlobscd, arr, unnest(range(1, len(arr) + 1)) AS i
+      FROM arrs
+    ), folded AS (
+      SELECT wlobscd,
+        arr[i].day AS day,
+        arr[i].n_obs AS n_obs,
+        arr[i].m AS daily_mean,
+        CASE WHEN i > 1 THEN
+          list_reduce(
+            list_prepend(arr[1].m,
+              list_transform(range(2, i), j -> arr[j].m)),
+            (acc, x) -> (acc + x) * 0.5)
+        END AS ewma_prev
+      FROM ex
+    )
+    SELECT wlobscd, day,
+      CAST(n_obs AS BIGINT) AS n_obs,
+      daily_mean,
+      ewma_prev,
+      CASE WHEN ewma_prev IS NOT NULL THEN
+        daily_mean > 1.25 * ewma_prev
+      END AS is_high
+    FROM folded
+    """
+
+HYDRO_ORACLES["hydro_alert_transition_matrix"] = HYDRO_CTE + """
+    , cats AS (
+      SELECT observation_code, obs_id, observation_time,
+        CASE WHEN is_anomaly OR warning_level = 'ANOMALY' THEN 'anomaly'
+             ELSE lower(warning_level) END AS cat
+      FROM alerts WHERE observation_time IS NOT NULL
+    ), seq AS (
+      SELECT cat AS to_category,
+        lag(cat) OVER (PARTITION BY observation_code
+                       ORDER BY observation_time, obs_id) AS from_category
+      FROM cats
+    ), cells AS (
+      SELECT from_category, to_category, count(*) AS n
+      FROM seq WHERE from_category IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_category, to_category,
+      CAST(n AS BIGINT) AS n,
+      round(CAST(n AS DOUBLE)
+            / CAST(sum(n) OVER (PARTITION BY from_category) AS DOUBLE), 4)
+        AS p
+    FROM cells
+    """
+
 HYDRO_ORACLES["hydro_twa_daily_mean"] = HYDRO_CTE + """
     , obs_ok AS (
       SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
@@ -6940,6 +7089,38 @@ LLM_ORACLES["multimodal_image_patches"] = _UTF8_BYTES_CTE + """
                                ORDER BY p.py, p.px) = 1
     """
 
+
+# Patch-energy concentration: the image-patches CTE + exact integer
+# Renyi-2 rollup (transcendental-free: JVM Math.log is 1 ulp off
+# glibc/DuckDB ln for some args — SCALE.md r14).
+LLM_ORACLES["multimodal_patch_energy_profile"] = _UTF8_BYTES_CTE + """
+    , patches AS (
+      SELECT doc_id, py, px,
+        list_reduce(list_prepend(0, list_transform(range(0, 64),
+          j -> bytes[(py * 8 + j // 8) * 32 + px * 8 + (j % 8) + 1])),
+          (a, x) -> a + x) AS energy
+      FROM chars,
+        unnest(range(0, (n // 32) // 8)) AS a(py),
+        unnest(range(0, 4)) AS b(px)
+    ), agg AS (
+      SELECT doc_id, count(*) AS n_patches,
+        sum(energy) AS e_tot,
+        sum(energy * energy) AS ss,
+        max(energy) AS e_max
+      FROM patches GROUP BY doc_id
+    )
+    SELECT doc_id,
+      CAST(n_patches AS BIGINT) AS n_patches,
+      CAST(e_tot AS BIGINT) AS total_energy,
+      CASE WHEN e_tot > 0 THEN
+        CAST(n_patches * ss /* int<2^53 */ AS DOUBLE)
+          / CAST(e_tot * e_tot /* int<2^53 */ AS DOUBLE)
+      END AS energy_imbalance,
+      CASE WHEN e_tot > 0 THEN
+        CAST(e_max AS DOUBLE) / CAST(e_tot AS DOUBLE)
+      END AS max_patch_share
+    FROM agg
+    """
 
 # KMV bottom-k sketch: the Knuth hash is engine-neutral, so the sketch
 # contents — and therefore the estimates — are bit-identical; the
@@ -8454,6 +8635,101 @@ LLM_ORACLES["ann_centroid_occupancy"] = (
     """
 )
 
+# Shard-cell drift: shared IVF cells CTE + per-shard occupancy TV
+# against the global cell distribution (nano-quantized exact sums).
+LLM_ORACLES["embedding_shard_cell_drift"] = (
+    _ivf_cells_cte()
+    + """
+    , sc AS (
+      SELECT vec_id % 4 AS shard, cell FROM scored
+    ), cs AS (
+      SELECT shard, cell, count(*) AS s FROM sc GROUP BY 1, 2
+    ), gl AS (
+      SELECT cell, sum(s) AS g FROM cs GROUP BY 1
+    ), ns AS (
+      SELECT shard, sum(s) AS n_s FROM cs GROUP BY 1
+    ), ntot AS (
+      SELECT sum(s) AS n FROM cs
+    ), grid AS (
+      SELECT ns.shard, gl.cell, coalesce(cs.s, 0) AS s, gl.g, ns.n_s
+      FROM ns CROSS JOIN gl
+      LEFT JOIN cs ON cs.shard = ns.shard AND cs.cell = gl.cell
+    ), terms AS (
+      SELECT shard, n_s,
+        CAST(floor(abs(CAST(s AS DOUBLE) / CAST(n_s AS DOUBLE)
+          - CAST(g AS DOUBLE)
+            / CAST((SELECT n FROM ntot) AS DOUBLE)) * 1000000000.0)
+          AS BIGINT) AS q
+      FROM grid
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+      CAST(max(n_s) AS BIGINT) AS n_vecs,
+      CAST(sum(q) AS DOUBLE) / 2000000000.0 AS tv_vs_global
+    FROM terms GROUP BY shard
+    """
+)
+
+# Norm-quality Pearson: nano-floored norm energy x, tenth-rounded
+# quality y, DECIMAL/HUGEINT sufficient sums converted via the hi/lo
+# 2^40 split (sxx reaches ~8e23), Pearson algebra in double space.
+LLM_ORACLES["embedding_norm_quality_corr"] = _TOK_CTE + """
+    , x AS (
+      SELECT vec_id AS doc_id,
+        list_reduce(list_prepend(0::BIGINT,
+          list_transform(embedding,
+            v -> CAST(floor(v::DOUBLE * v::DOUBLE * 1000000000.0)
+                      AS BIGINT))),
+          (acc, t) -> acc + t) AS x
+      FROM embeddings
+    ), stats AS (
+      SELECT doc_id,
+        len(toks) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+        CAST(len(list_filter(toks,
+          t -> t IN ('the','a','of','and','data'))) AS DOUBLE)
+          / len(toks) AS stopword_ratio
+      FROM tok
+    ), y AS (
+      SELECT s.doc_id, d.source,
+        CAST(round((
+          CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+               THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+          + CASE WHEN ttr >= 0.3 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+          + CASE WHEN stopword_ratio >= 0.01 AND stopword_ratio <= 0.5
+                 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) * 10)
+          AS BIGINT) AS y
+      FROM stats s JOIN documents d USING (doc_id)
+    ), agg AS (
+      SELECT source, count(*) AS n,
+        sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        sum(x::HUGEINT * y) AS sxy,
+        sum(x::HUGEINT * x) AS sxx,
+        sum(y::HUGEINT * y) AS syy
+      FROM x JOIN y USING (doc_id)
+      GROUP BY source
+    ), d AS (
+      SELECT source,
+        CAST(n AS DOUBLE) AS n_d,
+        CAST(sx AS DOUBLE) AS sx_d,
+        CAST(sy AS DOUBLE) AS sy_d,
+        CAST(sxy // 1099511627776 AS DOUBLE) * 1099511627776.0
+        + CAST(sxy % 1099511627776 AS DOUBLE) AS sxy_d,
+        CAST(sxx // 1099511627776 AS DOUBLE) * 1099511627776.0
+        + CAST(sxx % 1099511627776 AS DOUBLE) AS sxx_d,
+        CAST(syy AS DOUBLE) AS syy_d,
+        n AS n_raw
+      FROM agg
+    )
+    SELECT source, CAST(n_raw AS BIGINT) AS n_docs,
+      CASE WHEN (n_d * sxx_d - sx_d * sx_d) > 0
+             AND (n_d * syy_d - sy_d * sy_d) > 0 THEN
+        (n_d * sxy_d - sx_d * sy_d)
+          / sqrt((n_d * sxx_d - sx_d * sx_d)
+                 * (n_d * syy_d - sy_d * sy_d))
+      END AS norm_quality_r
+    FROM d
+    """
+
 # Packing waste: exact integer chunk/pad arithmetic, one scan over
 # the 4-length literal grid.
 LLM_ORACLES["docs_packing_waste"] = _TOK_CTE + """
@@ -8536,6 +8812,141 @@ RELATIONAL_ORACLES["events_psi_by_type"] = """
 
 # Fano factor: exact integer sufficient stats over the calendar day
 # range, single (D*s2 - n^2)/(D*n) division.
+RELATIONAL_ORACLES["events_kanon_generalization_ladder"] = """
+    WITH base AS (
+      SELECT event_type, ts, value, lvl
+      FROM events, unnest(range(0, 4)) AS u(lvl)
+    ), keyed AS (
+      SELECT lvl, event_type,
+        coalesce(
+          CASE WHEN lvl = 0 THEN CAST(CAST(ts AS DATE) AS VARCHAR)
+               WHEN lvl = 1 THEN
+                 CAST(CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+                           AS DATE) AS VARCHAR)
+               ELSE CAST(CAST(date_trunc('month', CAST(ts AS TIMESTAMP))
+                              AS DATE) AS VARCHAR) END, '~')
+        || '|' ||
+        coalesce(
+          CASE WHEN lvl = 0 THEN
+                 CAST(CAST(floor(coalesce(value, -1.0) / 10) AS BIGINT)
+                      AS VARCHAR)
+               WHEN lvl = 1 THEN
+                 CAST(CAST(floor(coalesce(value, -1.0) / 50) AS BIGINT)
+                      AS VARCHAR)
+               WHEN lvl = 2 THEN
+                 CAST(CAST(floor(coalesce(value, -1.0) / 100) AS BIGINT)
+                      AS VARCHAR)
+               END, '~') AS qi
+      FROM base
+    ), cells AS (
+      SELECT lvl, event_type, qi, count(*) AS n
+      FROM keyed GROUP BY 1, 2, 3
+    )
+    SELECT CAST(lvl AS INTEGER) AS level, event_type,
+      CAST(count(*) AS BIGINT) AS n_groups,
+      CAST(sum(n) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_singletons,
+      CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        AS rows_at_risk,
+      round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+            / CAST(sum(n) AS DOUBLE), 4) AS at_risk_share
+    FROM cells GROUP BY 1, 2
+    """
+
+RELATIONAL_ORACLES["orders_priority_psi_by_segment"] = """
+    WITH o AS (
+      SELECT o_custkey,
+        CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS bucket,
+        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             AS BIGINT) AS day
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ), tot AS (
+      SELECT min(day) AS dmin, max(day) AS dmax FROM o
+    ), h AS (
+      SELECT o_custkey, bucket,
+        CASE WHEN day <= CAST(floor((dmin + dmax) / 2.0) AS BIGINT)
+             THEN 1 ELSE 0 END AS first_half
+      FROM o, tot
+    ), seg AS (
+      SELECT c_mktsegment AS s, bucket, first_half
+      FROM h JOIN customer ON o_custkey = c_custkey
+    ), counts AS (
+      SELECT s, bucket,
+        sum(first_half) AS c1, sum(1 - first_half) AS c2
+      FROM seg GROUP BY 1, 2
+      HAVING sum(first_half) + sum(1 - first_half) > 0
+    ), grid AS (
+      SELECT t.s, b.slot, coalesce(c.c1, 0) AS c1, coalesce(c.c2, 0) AS c2
+      FROM (SELECT DISTINCT s FROM counts) t
+      CROSS JOIN (SELECT unnest(range(0, 10)) AS slot) b
+      LEFT JOIN counts c ON c.s = t.s AND c.bucket = b.slot
+    ), halves AS (
+      SELECT s, sum(c1) AS n1, sum(c2) AS n2 FROM grid GROUP BY 1
+    ), terms AS (
+      SELECT g.s, h.n1, h.n2,
+        ((CAST(g.c1 + 1 AS DOUBLE) / CAST(h.n1 + 10 AS DOUBLE))
+         - (CAST(g.c2 + 1 AS DOUBLE) / CAST(h.n2 + 10 AS DOUBLE)))
+        * ln((CAST(g.c1 + 1 AS DOUBLE) / CAST(h.n1 + 10 AS DOUBLE))
+             / (CAST(g.c2 + 1 AS DOUBLE) / CAST(h.n2 + 10 AS DOUBLE)))
+          AS term
+      FROM grid g JOIN halves h ON g.s = h.s
+    )
+    SELECT s AS mktsegment,
+      CAST(max(n1) AS BIGINT) AS n_first,
+      CAST(max(n2) AS BIGINT) AS n_second,
+      round(list_reduce(list_prepend(0.0, list_sort(list(term))),
+        (acc, t) -> acc + t), 4) AS psi
+    FROM terms GROUP BY s
+    """
+
+# Regularity-band contingency: composes the bot screen's CV2 with
+# dyadic band cuts; lift products are <= ~1e10 at sf0.1 (audited
+# int->double ceiling, 8e5x headroom under 2^53).
+RELATIONAL_ORACLES["events_regularity_type_mix"] = """
+    WITH g AS (
+      SELECT user_id,
+        (epoch_us(ts) - epoch_us(lag(ts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id))) // 1000000
+          AS gap_s
+      FROM events
+    ), agg AS (
+      SELECT user_id, count(*) AS n,
+        sum(gap_s::HUGEINT) AS s1,
+        sum((gap_s * gap_s)::HUGEINT) AS s2
+      FROM g WHERE gap_s IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 10
+    ), cv AS (
+      SELECT user_id,
+        (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        / (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS cv2
+      FROM agg WHERE s1 > 0
+    ), users AS (
+      SELECT user_id,
+        CASE WHEN cv2 < 0.875 THEN 'steady'
+             WHEN cv2 < 1.0 THEN 'sub_poisson'
+             WHEN cv2 < 1.125 THEN 'poisson'
+             ELSE 'bursty' END AS band
+      FROM cv
+    ), grid AS (
+      SELECT band, event_type, count(*) AS n
+      FROM events JOIN users USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT band, event_type,
+      CAST(n AS BIGINT) AS n_events,
+      CAST(n AS DOUBLE)
+        / CAST(sum(n) OVER (PARTITION BY band) AS DOUBLE)
+        AS share_in_band,
+      CAST(n * (sum(n) OVER ()) /* int<2^53 */ AS DOUBLE)
+        / CAST((sum(n) OVER (PARTITION BY band))
+               * (sum(n) OVER (PARTITION BY event_type))
+               /* int<2^53 */ AS DOUBLE)
+        AS lift_vs_corpus
+    FROM grid
+    """
+
 RELATIONAL_ORACLES["events_burstiness_fano"] = """
     WITH base AS (
       SELECT event_type,
@@ -9328,6 +9739,125 @@ LLM_ORACLES["dedup_incremental_certificate"] = """
 
 # Chaining audit: the dup_components recursive-closure machinery at
 # threshold 0.5 + pairwise-shadow counts, folded to one summary row.
+LLM_ORACLES["docs_crosssnap_dup_trend"] = """
+    WITH cur AS (
+      SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+        md5(text) AS h_new
+      FROM documents
+    ), prev AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 89 = 0 THEN text || ' [rev1]'
+                 ELSE text END) AS h_old
+      FROM documents WHERE doc_id % 97 <> 0
+    ), j AS (
+      SELECT cur.doc_id, cur.text_hash,
+        CASE WHEN prev.h_old IS NULL THEN 'added'
+             WHEN cur.h_new <> prev.h_old THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM cur LEFT JOIN prev ON cur.doc_id = prev.doc_id
+    ), groups AS (
+      SELECT md5(lower(trim(text))) AS text_hash,
+        count(*) AS n_copies, min(doc_id) AS keep_doc_id
+      FROM documents GROUP BY 1
+    ), d AS (
+      SELECT j.status, j.doc_id, g.n_copies, g.keep_doc_id
+      FROM j JOIN groups g ON j.text_hash = g.text_hash
+    )
+    SELECT status,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_members,
+      CAST(sum(CASE WHEN doc_id <> keep_doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_dropped,
+      CAST(sum(CASE WHEN doc_id <> keep_doc_id THEN 1 ELSE 0 END)
+           AS DOUBLE) / CAST(count(*) AS DOUBLE) AS drop_rate
+    FROM d GROUP BY status
+    """
+
+LLM_ORACLES["docs_simhash_hamming_histogram"] = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), hv AS (
+      SELECT doc_id,
+        list_reduce(
+          list_transform(range(1, 16),
+            i -> strpos('0123456789abcdef', substr(md5(t), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT AS h
+      FROM (SELECT doc_id, unnest(toks) AS t FROM tok)
+    ), bits AS (
+      SELECT doc_id, j,
+        sum(2 * ((h // (1::BIGINT << j)) % 2) - 1) AS votes
+      FROM hv, unnest(range(0, 60)) AS u(j)
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id,
+        CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END)
+             AS BIGINT) AS sh
+      FROM bits GROUP BY doc_id
+    ), chunks AS (
+      -- the SAME 16-bit pigeonhole blocking as the Spark path: above
+      -- Hamming 3 the candidate population differs from naive
+      -- all-pairs, so the twin must block identically
+      SELECT doc_id, sh, c AS chunk,
+        (sh >> (16 * c)) & 65535 AS val
+      FROM fp, unnest(range(0, 4)) AS u(c)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        bit_count(xor(a.sh, b.sh)) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    ), hist AS (
+      SELECT hamming, count(*) AS n_pairs FROM cand GROUP BY hamming
+    )
+    SELECT CAST(hamming AS INTEGER) AS hamming,
+      CAST(n_pairs AS BIGINT) AS n_pairs,
+      CAST(sum(n_pairs) OVER (ORDER BY hamming
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_pairs
+    FROM hist
+    """
+
+LLM_ORACLES["dedup_survivor_source_flow"] = """
+    WITH hashed AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS text_hash
+      FROM documents
+    ), groups AS (
+      SELECT text_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+      FROM hashed GROUP BY text_hash HAVING count(*) > 1
+    ), winners AS (
+      SELECT h.text_hash, h.source AS winner_source
+      FROM hashed h JOIN groups g ON h.text_hash = g.text_hash
+      WHERE h.doc_id = g.keep_doc_id
+    ), losers AS (
+      SELECT h.text_hash, h.source AS loser_source
+      FROM hashed h JOIN groups g ON h.text_hash = g.text_hash
+      WHERE h.doc_id <> g.keep_doc_id
+    ), flow AS (
+      SELECT winner_source, loser_source, count(*) AS n
+      FROM losers l JOIN winners w ON l.text_hash = w.text_hash
+      GROUP BY 1, 2
+    ), srcs AS (
+      SELECT DISTINCT source FROM documents
+    ), grid AS (
+      SELECT a.source AS winner_source, b.source AS loser_source
+      FROM srcs a CROSS JOIN srcs b
+    ), filled AS (
+      SELECT g.winner_source, g.loser_source,
+        coalesce(f.n, 0) AS n_losses
+      FROM grid g LEFT JOIN flow f
+        ON g.winner_source = f.winner_source
+       AND g.loser_source = f.loser_source
+    )
+    SELECT winner_source, loser_source,
+      CAST(n_losses AS BIGINT) AS n_losses,
+      CASE WHEN sum(n_losses) OVER (PARTITION BY loser_source) > 0 THEN
+        CAST(n_losses AS DOUBLE)
+          / CAST(sum(n_losses) OVER (PARTITION BY loser_source) AS DOUBLE)
+      END AS loss_share
+    FROM filled
+    """
+
 LLM_ORACLES["dedup_chaining_audit"] = r"""
     WITH RECURSIVE tok AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -9380,6 +9910,125 @@ LLM_ORACLES["dedup_chaining_audit"] = r"""
         AS n_chain_only,
       (SELECT CAST(count(*) AS BIGINT) FROM csz) AS n_components,
       (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) FROM csz)
+        AS max_component_size
+    """
+
+LLM_ORACLES["dedup_chaining_threshold_sweep"] = r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jpbase AS (
+      SELECT doc_a, doc_b,
+        CAST(common AS DOUBLE) / (na + nb - common) AS j
+      FROM pairs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+    )
+    , jp_t30 AS (
+      SELECT doc_a, doc_b FROM jpbase WHERE j >= 0.3
+    ), edges_t30 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp_t30
+      UNION
+      SELECT doc_b, doc_a FROM jp_t30
+    ), reach_t30 AS (
+      SELECT src AS id, src AS r FROM edges_t30
+      UNION
+      SELECT reach_t30.id, e.dst FROM reach_t30
+        JOIN edges_t30 e ON reach_t30.r = e.src
+    ), comp_t30 AS (
+      SELECT id, min(r) AS component FROM reach_t30 GROUP BY id
+    ), csz_t30 AS (
+      SELECT component, count(*) AS sz FROM comp_t30 GROUP BY component
+    )
+    , jp_t50 AS (
+      SELECT doc_a, doc_b FROM jpbase WHERE j >= 0.5
+    ), edges_t50 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp_t50
+      UNION
+      SELECT doc_b, doc_a FROM jp_t50
+    ), reach_t50 AS (
+      SELECT src AS id, src AS r FROM edges_t50
+      UNION
+      SELECT reach_t50.id, e.dst FROM reach_t50
+        JOIN edges_t50 e ON reach_t50.r = e.src
+    ), comp_t50 AS (
+      SELECT id, min(r) AS component FROM reach_t50 GROUP BY id
+    ), csz_t50 AS (
+      SELECT component, count(*) AS sz FROM comp_t50 GROUP BY component
+    )
+    , jp_t70 AS (
+      SELECT doc_a, doc_b FROM jpbase WHERE j >= 0.7
+    ), edges_t70 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp_t70
+      UNION
+      SELECT doc_b, doc_a FROM jp_t70
+    ), reach_t70 AS (
+      SELECT src AS id, src AS r FROM edges_t70
+      UNION
+      SELECT reach_t70.id, e.dst FROM reach_t70
+        JOIN edges_t70 e ON reach_t70.r = e.src
+    ), comp_t70 AS (
+      SELECT id, min(r) AS component FROM reach_t70 GROUP BY id
+    ), csz_t70 AS (
+      SELECT component, count(*) AS sz FROM comp_t70 GROUP BY component
+    )
+    SELECT CAST(0.3 AS DOUBLE) AS threshold,
+      (SELECT CAST(count(*) AS BIGINT) FROM jp_t30) AS n_pairs,
+      (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp_t30)
+        AS n_dropped_pairwise,
+      (SELECT CAST(COALESCE(sum(CASE WHEN id <> component THEN 1 ELSE 0
+          END), 0) AS BIGINT) FROM comp_t30) AS n_dropped_chained,
+      (SELECT CAST(COALESCE(sum(CASE WHEN id <> component THEN 1 ELSE 0
+          END), 0) AS BIGINT) FROM comp_t30)
+        - (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp_t30)
+        AS n_chain_only,
+      (SELECT CAST(count(*) AS BIGINT) FROM csz_t30) AS n_components,
+      (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) FROM csz_t30)
+        AS max_component_size
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE) AS threshold,
+      (SELECT CAST(count(*) AS BIGINT) FROM jp_t50) AS n_pairs,
+      (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp_t50)
+        AS n_dropped_pairwise,
+      (SELECT CAST(COALESCE(sum(CASE WHEN id <> component THEN 1 ELSE 0
+          END), 0) AS BIGINT) FROM comp_t50) AS n_dropped_chained,
+      (SELECT CAST(COALESCE(sum(CASE WHEN id <> component THEN 1 ELSE 0
+          END), 0) AS BIGINT) FROM comp_t50)
+        - (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp_t50)
+        AS n_chain_only,
+      (SELECT CAST(count(*) AS BIGINT) FROM csz_t50) AS n_components,
+      (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) FROM csz_t50)
+        AS max_component_size
+    UNION ALL
+    SELECT CAST(0.7 AS DOUBLE) AS threshold,
+      (SELECT CAST(count(*) AS BIGINT) FROM jp_t70) AS n_pairs,
+      (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp_t70)
+        AS n_dropped_pairwise,
+      (SELECT CAST(COALESCE(sum(CASE WHEN id <> component THEN 1 ELSE 0
+          END), 0) AS BIGINT) FROM comp_t70) AS n_dropped_chained,
+      (SELECT CAST(COALESCE(sum(CASE WHEN id <> component THEN 1 ELSE 0
+          END), 0) AS BIGINT) FROM comp_t70)
+        - (SELECT CAST(count(DISTINCT doc_b) AS BIGINT) FROM jp_t70)
+        AS n_chain_only,
+      (SELECT CAST(count(*) AS BIGINT) FROM csz_t70) AS n_components,
+      (SELECT CAST(COALESCE(max(sz), 0) AS BIGINT) FROM csz_t70)
         AS max_component_size
     """
 

@@ -1713,3 +1713,141 @@ def flood_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("max_exceed").cast("long").alias("max_exceed_cents"),
         F.sum("twice_vol").cast("long").alias("twice_volume_cents_min"),
     )
+
+
+def station_ewma_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ = 1/2) over each station's DAILY MEAN
+    stage — the hydrology face of the events_ewma_control kernel
+    (VERDICT r13 'Next round' #3): every day's mean level is compared
+    against the exponentially-weighted mean of its PAST
+    (e_t = (x_t + e_{t−1})/2, seeded at the station's first day) and
+    flagged when it exceeds the forecast by a quarter — a rising-limb
+    alarm that, unlike the fixed attention/warning ladder
+    (operators/classify), adapts to each station's own regime. Routes
+    the full classify chain (parse→coerce→validate→classified), so a
+    green row re-certifies T4/T5/T6/F1/F2 evidence too.
+
+    Exactness: daily means are one double division of an exact
+    DECIMAL(12,2) sum by an integer count; the fold is (acc + x)·0.5
+    over the day-sorted array — the ·0.5 step is exact and the add
+    rounds once per step, an IDENTICAL IEEE chain on both engines
+    (unlike the integer-count events_ewma_control, the means are not
+    dyadic, so the values are reproducible-rounded rather than exact
+    rationals — pinned by the float recompute test); the flag
+    multiplier 1.25 is exactly representable, so the comparison is
+    portable bit-for-bit.
+
+    Scale shape: one classify-chain scan → per-(station, day)
+    map-side-combined aggregate → per-station day-domain array fold
+    (≤ days entries per station regardless of observation density —
+    the drought_runs posture); per-day prefix folds cost O(days²) on
+    that bounded domain. One explode back to rows.
+    """
+    c = classified(spark, sf_dir)
+    day = F.substring("obs_time_str", 1, 10)
+    keep = F.col("water_level").isNotNull() & day.isNotNull()
+    daily = (
+        c.filter(no_pushdown(keep))
+        .groupBy("wlobscd", day.alias("day"))
+        .agg(
+            F.count("*").alias("n_obs"),
+            (
+                F.sum(
+                    F.format_string("%.2f", F.col("water_level")).cast(
+                        "decimal(12,2)"
+                    )
+                ).cast("double")
+                / F.count("*")
+            ).alias("m"),
+        )
+    )
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("day"), F.col("n_obs"), F.col("m")))
+    )
+    per_st = daily.groupBy("wlobscd").agg(arr.alias("arr"))
+    n_arr = F.size("arr")
+    el = lambda i: F.element_at("arr", i)  # noqa: E731
+
+    def ewma_prefix(i):
+        # e_i = fold over arr[2..i] seeded at m_1, each step (acc+x)/2
+        return F.aggregate(
+            F.sequence(F.lit(2), F.greatest(i, F.lit(2))),
+            el(1)["m"],
+            lambda acc, j: F.when(
+                j <= i, (acc + el(j.cast("int"))["m"]) * F.lit(0.5)
+            ).otherwise(acc),
+        )
+
+    rows = F.transform(
+        F.sequence(F.lit(1), n_arr),
+        lambda i: F.struct(
+            el(i.cast("int"))["day"].alias("day"),
+            el(i.cast("int"))["n_obs"].alias("n_obs"),
+            el(i.cast("int"))["m"].alias("daily_mean"),
+            F.when(i > 1, ewma_prefix((i - 1).cast("int"))).alias(
+                "ewma_prev"
+            ),
+        ),
+    )
+    out = per_st.select("wlobscd", F.explode(rows).alias("r"))
+    return out.select(
+        "wlobscd",
+        F.col("r.day").alias("day"),
+        F.col("r.n_obs").cast("long").alias("n_obs"),
+        F.col("r.daily_mean").alias("daily_mean"),
+        F.col("r.ewma_prev").alias("ewma_prev"),
+        F.when(
+            F.col("r.ewma_prev").isNotNull(),
+            F.col("r.daily_mean") > F.lit(1.25) * F.col("r.ewma_prev"),
+        ).alias("is_high"),
+    )
+
+
+def alert_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-category transition matrix: counts of consecutive
+    dashboard-category pairs within each station's observation
+    sequence (the events_markov_transitions kernel on the classify
+    chain) — the escalation profile a flood desk reads ("how often
+    does attention jump straight to warning?") and the r14 chain
+    refresher: a green row re-certifies the parse→coerce→validate→
+    classify→publish route end to end.
+
+    Category uses the dashboard's anomaly precedence
+    (alert_counts); sequences order by (observation_time, obs_id) —
+    obs_id unique, so the order is total; NULL observation times are
+    excluded on BOTH faces (Spark sorts NULLs first, DuckDB last —
+    filtering beats relying on either default).
+
+    Scale shape: one classify-chain scan, one station-keyed lag
+    window (group size = per-station observation count), a bounded
+    |categories|² aggregate, and the share window over that grid.
+    """
+    a = alerts(spark, sf_dir).filter(F.col("observation_time").isNotNull())
+    category = F.when(
+        F.col("is_anomaly") | (F.col("warning_level") == "ANOMALY"), "anomaly"
+    ).otherwise(F.lower(F.col("warning_level")))
+    w = Window.partitionBy("observation_code").orderBy(
+        "observation_time", "obs_id"
+    )
+    seq = a.select(
+        "observation_code",
+        category.alias("cat"),
+        F.lag(category).over(w).alias("from_cat"),
+    )
+    cells = (
+        seq.filter(F.col("from_cat").isNotNull())
+        .groupBy(
+            F.col("from_cat").alias("from_category"),
+            F.col("cat").alias("to_category"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    row = Window.partitionBy("from_category")
+    return cells.select(
+        "from_category",
+        "to_category",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(row), 4
+        ).alias("p"),
+    )

@@ -6898,3 +6898,529 @@ def bm25_parity_report(spark: SparkSession, sf_dir: str, table: str) -> DataFram
             & F.col("n_terms").eqNullSafe(F.col("b_terms"))
         ).alias("matches_batch_face"),
     )
+
+
+def dedup_chaining_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaining-exposure CURVE (VERDICT r13 'Next round' #3): the
+    dedup_chaining_audit gap measurement swept over Jaccard thresholds
+    {0.3, 0.5, 0.7} — how the pairwise-shadow lower bound, the
+    component-closure upper bound, and the chaining cost between them
+    move as the near-dup threshold tightens. This is the table a
+    threshold choice is actually made from: the single-threshold audit
+    says what 0.5 costs, the sweep says where the chaining cliff is.
+
+    Scale shape: the expensive banded/hot-capped pair table builds
+    ONCE (materialized by docs_ngram_jaccard_pairs); the pairwise arm
+    is ONE explode pass over it (each pair emits the thresholds it
+    clears — the docs_dedup_threshold_curve trick); only the closure
+    arm runs per threshold (3 pointer-jumping CC runs on pair-sized,
+    monotonically shrinking graphs — pairs, never docs).
+
+    Non-vacuous like the parent audit: the Spark closure is iterative
+    min-label propagation; the DuckDB twin recomputes each threshold's
+    fixpoint as a recursive transitive closure.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    thresholds = [0.3, 0.5, 0.7]
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    # pairwise arm: one pass — explode the thresholds each pair clears
+    cleared = pairs.select(
+        "doc_b",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(t) for t in thresholds]),
+                lambda t: F.col("jaccard") >= t,
+            )
+        ).alias("threshold"),
+    )
+    pairwise = cleared.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.count_distinct("doc_b").alias("n_dropped_pairwise"),
+    )
+    # closure arm: one CC per threshold on the shrinking pair graph
+    chained_rows = []
+    for t in thresholds:
+        p_t = pairs.filter(F.col("jaccard") >= t)
+        comp = connected_components(p_t, "doc_a", "doc_b")
+        comp_sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+        chained_rows.append(
+            comp.join(comp_sizes, "component").agg(
+                F.lit(t).alias("threshold"),
+                F.sum(
+                    F.when(F.col("id") != F.col("component"), 1).otherwise(0)
+                ).alias("n_dropped_chained"),
+                F.count_distinct("component").alias("n_components"),
+                F.max("sz").alias("max_component_size"),
+            )
+        )
+    chained = chained_rows[0]
+    for df in chained_rows[1:]:
+        chained = chained.unionByName(df)
+    out = pairwise.join(chained, "threshold", "full_outer")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    return out.select(
+        F.col("threshold").cast("double").alias("threshold"),
+        z("n_pairs").alias("n_pairs"),
+        z("n_dropped_pairwise").alias("n_dropped_pairwise"),
+        z("n_dropped_chained").alias("n_dropped_chained"),
+        (z("n_dropped_chained") - z("n_dropped_pairwise")).alias(
+            "n_chain_only"
+        ),
+        z("n_components").alias("n_components"),
+        z("max_component_size").alias("max_component_size"),
+    )
+
+
+def docs_crosssnap_dup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-rate per snapshot change class (VERDICT r13 'Next round'
+    #3): the docs_snapshot_diff classification (added / changed /
+    unchanged, per CURRENT doc — removed keys have no current text to
+    dedup) crossed with the exact-dedup cluster structure: do freshly
+    added or upstream-edited documents duplicate existing content more
+    than the stable base? A rising dup-rate among 'added' docs is the
+    mirror-crawl early-warning an incremental curation pipeline
+    watches between releases.
+
+    Composes the parent kernels verbatim: the previous-snapshot hash
+    derivation of docs_snapshot_diff (doc_id % 97 not-yet-ingested,
+    % 89 stale-revision) and dedup_exact_docs' groups (min-doc_id
+    keep policy on the normalized-text hash).
+
+    Scale shape: the diff arm is a doc_id-keyed self-join comparing
+    16-byte hashes; the dedup arm joins the doc frame to its
+    hash-keyed group table (same dedup_exact_docs shuffle); the
+    report aggregates 3 classes map-side. Raw text is consumed only
+    inside per-scan hash projections — the joins move 16-byte keys.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+        F.md5("text").alias("h_new"),
+    )
+    prev = docs.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 89 == 0,
+                F.concat(F.col("text"), F.lit(" [rev1]")),
+            ).otherwise(F.col("text"))
+        ).alias("h_old"),
+    )
+    j = cur.join(prev, "doc_id", "left")
+    status = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new") != F.col("h_old"), "changed")
+        .otherwise("unchanged")
+    )
+    groups = dedup_exact_docs(spark, sf_dir)
+    d = j.select("doc_id", "text_hash", status.alias("status")).join(
+        groups, "text_hash"
+    )
+    agg = d.groupBy("status").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)).alias(
+            "n_dup_members"
+        ),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("keep_doc_id"), 1).otherwise(0)
+        ).alias("n_dropped"),
+    )
+    return agg.select(
+        "status",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_dup_members").cast("long").alias("n_dup_members"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+        (
+            F.col("n_dropped").cast("double") / F.col("n_docs").cast("double")
+        ).alias("drop_rate"),
+    )
+
+
+def docs_simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash threshold-calibration curve: the Hamming-distance
+    HISTOGRAM (with a cumulative arm) over the full pigeonhole
+    candidate population — every deduped pair sharing one of the four
+    16-bit fingerprint chunks, no Hamming filter. This is the table a
+    max_hamming choice is read from: cum_pairs at h = 3 is exactly
+    the pair volume simhash_clusters accepts, and the histogram's
+    tail shows what each extra bit of tolerance would admit. Up to
+    Hamming 3 the population is COMPLETE (any 3-bit difference leaves
+    a chunk untouched — the pigeonhole guarantee); above 3 it is the
+    candidate set the blocking happens to surface, by design — the
+    curve prices the filter, not the full metric space.
+
+    Portable like simhash_pairs_probe: fingerprints fold the md5-60bit
+    token hashes (pure integer votes), the oracle recomputes the SAME
+    blocked population (chunk-join + pair-dedup, never naive
+    all-pairs — above Hamming 3 the two populations differ).
+
+    Scale shape: one fingerprint projection, the 16-bit-bucket
+    self-join (bounded by bucket occupancy, the production simhash
+    shape), then a ≤ 61-row histogram; the cumulative window runs on
+    that bounded grid.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        simhash_64_from_token_hashes,
+        simhash_pairs_from,
+    )
+
+    docs = _docs_parallel(spark, sf_dir)
+    base = F.transform(
+        _tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    hashed = docs.select(
+        F.col("doc_id").alias("id"),
+        simhash_64_from_token_hashes(base).alias("sh"),
+    )
+    pairs = simhash_pairs_from(hashed, max_hamming=None)
+    hist = pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+    w = Window.orderBy("hamming").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        F.col("hamming").cast("int").alias("hamming"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
+    )
+
+
+def dedup_survivor_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Who wins dedup against whom: for every exact-dup cluster the
+    min-doc_id keep policy resolves, the (winner_source, loser_source)
+    flow counts — the directional face of docs_cross_source_dup_matrix
+    (that one says which source PAIRS share content; this one says
+    which source's copy actually survives the keep policy). A source
+    that loses mostly to one other source is a mirror lagging its
+    origin; a source that wins everywhere is the canonical feed.
+
+    Composes dedup_exact_docs' groups (same normalized-text hash, same
+    min-doc_id policy). loss_share = n_losses / total losses of the
+    losing source — one double division of exact counts, NULL when the
+    source loses nothing.
+
+    Determinism (the docs_cross_source_dup_matrix convention): every
+    ORDERED source pair — diagonal included, a source can out-rank its
+    own later copies — is always present, zero-filled; exact dups only
+    exist at sf0.1 in the synthetic corpus, so without the grid the
+    gate-SF row would be empty (the r14 vacuity rule).
+
+    Scale shape: the groups table joins back to the doc frame twice on
+    the 16-byte hash (winner rows, loser rows) — both arms move
+    (hash, source) pairs only; the flow aggregates on the
+    |sources|² grid (broadcast) and the share window runs over it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+    )
+    groups = dedup_exact_docs(spark, sf_dir).filter(F.col("n_copies") > 1)
+    winners = hashed.join(groups, "text_hash").filter(
+        F.col("doc_id") == F.col("keep_doc_id")
+    ).select("text_hash", F.col("source").alias("winner_source"))
+    losers = (
+        hashed.join(groups, "text_hash")
+        .filter(F.col("doc_id") != F.col("keep_doc_id"))
+        .select("text_hash", F.col("source").alias("loser_source"))
+    )
+    flow = (
+        losers.join(winners, "text_hash")
+        .groupBy("winner_source", "loser_source")
+        .agg(F.count("*").alias("n"))
+    )
+    srcs = docs.select("source").distinct()
+    grid = srcs.select(F.col("source").alias("winner_source")).crossJoin(
+        F.broadcast(srcs.select(F.col("source").alias("loser_source")))
+    )
+    filled = grid.join(
+        flow, ["winner_source", "loser_source"], "left"
+    ).withColumn("n_losses", F.coalesce(F.col("n"), F.lit(0)))
+    wl = Window.partitionBy("loser_source")
+    tot = F.sum("n_losses").over(wl)
+    return filled.select(
+        "winner_source",
+        "loser_source",
+        F.col("n_losses").cast("long").alias("n_losses"),
+        F.when(
+            tot > 0,
+            F.col("n_losses").cast("double") / tot.cast("double"),
+        ).alias("loss_share"),
+    )
+
+
+def embedding_shard_cell_drift(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4
+) -> DataFrame:
+    """IVF cell-occupancy drift across shards (VERDICT r13 'Next
+    round' #3): per shard, the total-variation distance between that
+    shard's cell-occupancy distribution and the whole-corpus one —
+    the cell-level face of embedding_shard_centroid_drift (centroids
+    say where a shard's MASS CENTER moved; this says whether its
+    vectors ROUTE to the same inverted lists). A drifting shard means
+    per-shard IVF indexes probe differently than a global one would —
+    the audit to run before trusting shard-local ANN.
+
+    Composes the certified IVF kernels with ONE centroid training
+    (the ann_recall_by_occupancy single-training lesson): assign
+    cells once, then everything is counting.
+
+    Exactness: shares are one double division of exact longs each;
+    |p − q| quantizes to nanos and sums exactly as longs, one final
+    division by 2·10⁹ (the supplier_share_drift TV convention).
+
+    Scale shape: the E-step is a zero-shuffle projection against
+    literal centroids; counts partial-aggregate onto the
+    |shards|·|cells| grid; the global/per-shard totals broadcast.
+    """
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        assign_cells,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = ivf_centroids(vecs, n_centroids=16, dim=64)
+    cells = assign_cells(vecs, cents).select(
+        F.pmod(F.col("vec_id"), F.lit(n_shards)).alias("shard"), "cell"
+    )
+    cs = cells.groupBy("shard", "cell").agg(F.count("*").alias("s"))
+    gl = cs.groupBy("cell").agg(F.sum("s").alias("g"))
+    ns = cs.groupBy("shard").agg(F.sum("s").alias("n_s"))
+    ntot = cs.agg(F.sum("s").alias("n"))
+    grid = (
+        ns.crossJoin(F.broadcast(gl))
+        .join(cs, ["shard", "cell"], "left")
+        .withColumn("s", F.coalesce(F.col("s"), F.lit(0)))
+        .crossJoin(F.broadcast(ntot))
+    )
+    q = F.floor(
+        F.abs(
+            F.col("s").cast("double") / F.col("n_s").cast("double")
+            - F.col("g").cast("double") / F.col("n").cast("double")
+        )
+        * F.lit(1e9)
+    ).cast("long")
+    return (
+        grid.select("shard", "n_s", q.alias("q"))
+        .groupBy("shard")
+        .agg(
+            F.max("n_s").cast("long").alias("n_vecs"),
+            (F.sum("q").cast("double") / F.lit(2e9)).alias("tv_vs_global"),
+        )
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            "n_vecs",
+            "tv_vs_global",
+        )
+    )
+
+
+def embedding_norm_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation between embedding energy
+    (squared L2 norm) and the document quality score — the cross-table
+    QA joining the dense and heuristic views of the same corpus: a
+    strong correlation means the encoder's magnitude leaks the quality
+    signal (useful as a cheap pre-filter; dangerous if the ANN index
+    then under-represents low-quality strata). vec_id joins doc_id
+    1:1 in the synthetic corpus (a real pipeline carries the doc key
+    on the embedding row).
+
+    Exactness: x = Σ_i floor(v_i²·10⁹) — per-component nano floors sum
+    exactly as longs (order-free integer adds); y = round(quality·10)
+    — the score is a sum of {0.4, 0.3, 0.3} steps, so rounding the
+    tenths is exact where floor would straddle 0.6's representation.
+    Sufficient statistics accumulate as DECIMAL(38,0) (Σx² reaches
+    ~8e23 — far past 2^53), convert to double via Spark's
+    correctly-rounded Decimal cast (the DuckDB twin uses the hi/lo
+    2^40 split — SCALE.md §r14), and the Pearson algebra runs in
+    double space on both faces (the bot-screen convention).
+    Zero-variance sources emit NULL r, never a division error.
+
+    Scale shape: one embeddings projection (codegen'd fold per row),
+    one documents projection, a key-colocated 1:1 join, and a
+    |sources|-group map-side-combined aggregate of six sums.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.aggregate(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(
+                    v.cast("double") * v.cast("double") * F.lit(1e9)
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + t,
+        ).alias("x"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    y = docs.select(
+        "doc_id",
+        "source",
+        F.round(quality_score_expr(_tokens()) * 10).cast("long").alias("y"),
+    )
+    j = x.join(y, "doc_id")
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    r = F.when(
+        (varx > 0) & (vary > 0),
+        (n * sxy - sx * sy) / F.sqrt(varx * vary),
+    )
+    return agg.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        r.alias("norm_quality_r"),
+    )
+
+
+def ann_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-usage balance audit for the PQ index: per sub-space,
+    how evenly the ksub=16 codes are used — n_codes_used, the
+    imbalance factor ksub·Σs²/(Σs)² (≥ 1; 1 = uniform usage — the
+    ann_centroid_occupancy convention with the code-slot count fixed
+    at ksub, unused codes contributing zero mass), and the hottest
+    code's share. A sub-space that collapses onto a few codes wastes
+    its bits and inflates ADC distortion — this is the audit that
+    says WHICH sub-space to retrain, where pq_distortion_report says
+    by how much reconstruction suffers.
+
+    Codebook training is the shared integer-exact pq_subcentroids;
+    code assignment is the same first-index-wins argmin as pq_codes.
+    Counts are exact longs; Σs² ≤ n² = 4e6 at sf0.1 (the audited
+    int→double ceiling); share and imbalance are single fixed double
+    chains.
+
+    Scale shape: encoding is a zero-shuffle projection against
+    literal codebooks; one |m|·|ksub|-group aggregate; per-subspace
+    rollup on the 8-row grid.
+    """
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        _cmat_lit,
+        as_double_vec,
+        l2sq,
+        pq_subcentroids,
+    )
+
+    m, ksub, dim = 8, 16, 64
+    dsub = dim // m
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = pq_subcentroids(vecs, m=m, ksub=ksub, dim=dim)
+    ccols = []
+    for j in range(m):
+        sub = F.slice("v", j * dsub + 1, dsub)
+        dists = F.transform(_cmat_lit(cents[j]), lambda c: l2sq(sub, c))
+        ccols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"c{j}")
+        )
+    coded = vecs.select(*ccols)
+    stacked = coded.selectExpr(
+        "stack({}, {}) AS (subspace, code)".format(
+            m, ", ".join(f"{j}, c{j}" for j in range(m))
+        )
+    )
+    sizes = stacked.groupBy("subspace", "code").agg(F.count("*").alias("s"))
+    return (
+        sizes.groupBy("subspace")
+        .agg(
+            F.count("*").alias("n_codes_used"),
+            F.sum("s").alias("n_total"),
+            F.sum(F.col("s") * F.col("s")).alias("ss"),
+            F.max("s").alias("s_max"),
+        )
+        .select(
+            F.col("subspace").cast("int").alias("subspace"),
+            F.col("n_codes_used").cast("long").alias("n_codes_used"),
+            (
+                (F.lit(ksub) * F.col("ss")).cast("double")
+                / (F.col("n_total") * F.col("n_total")).cast("double")
+            ).alias("imbalance_factor"),
+            (
+                F.col("s_max").cast("double") / F.col("n_total").cast("double")
+            ).alias("max_code_share"),
+        )
+    )
+
+
+def multimodal_patch_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-energy concentration profile per image-like blob: the
+    Rényi-2 (collision) concentration of the energy distribution
+    across the 8×8 patch grid — imbalance = n·Σe²/(Σe)² (≥ 1;
+    1 = perfectly even placement, the IVF-occupancy convention) plus
+    the hottest patch's share. A blank or vignetted payload
+    concentrates energy (high imbalance), sensor noise spreads it.
+    The 2-D sibling of multimodal_bytes_entropy: that one profiles
+    BYTE VALUES within a blob, this one profiles ENERGY PLACEMENT
+    across the patch grid — the QA pair a ViT-style ingest runs
+    before spending decode/embed compute. Composes the certified
+    image_patches fan-out (Arrow mapInPandas; 32-byte rows, 8×8
+    patches).
+
+    Exactness: TRANSCENDENTAL-FREE by design. A Shannon-entropy first
+    draft split the driver hash by one ulp: JVM Math.log(x) is NOT
+    correctly rounded for all arguments (measured: x = 6194/24170
+    differs from glibc/DuckDB ln by 1 ulp — SCALE.md §r14), so the
+    concentration statistic is the Rényi-2 collision form instead —
+    patch energies are exact integer byte sums, n·Σe² and (Σe)² are
+    exact longs (≤ ~1e10 per doc at any text size that fits the blob
+    fixture), and the imbalance/share are one double division each.
+
+    Scale shape: the patch fan-out happens inside the Arrow batch (no
+    shuffle); one doc-keyed map-side-combined aggregate of three
+    integer sums. No collected arrays, no driver actions.
+    """
+    from hrfco_data_pipeline_spark.operators.multimodal import (
+        image_patches,
+        to_multimodal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pat = image_patches(
+        to_multimodal(docs, modality="image-blob"), width=32, patch=8
+    )
+    agg = pat.groupBy("doc_id").agg(
+        F.count("*").alias("n_patches"),
+        F.sum("energy").alias("e_tot"),
+        F.sum(F.col("energy") * F.col("energy")).alias("ss"),
+        F.max("energy").alias("e_max"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_patches").cast("long").alias("n_patches"),
+        F.col("e_tot").cast("long").alias("total_energy"),
+        F.when(
+            F.col("e_tot") > 0,
+            (F.col("n_patches") * F.col("ss")).cast("double")
+            / (F.col("e_tot") * F.col("e_tot")).cast("double"),
+        ).alias("energy_imbalance"),
+        F.when(
+            F.col("e_tot") > 0,
+            F.col("e_max").cast("double") / F.col("e_tot").cast("double"),
+        ).alias("max_patch_share"),
+    )

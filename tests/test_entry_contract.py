@@ -46,6 +46,19 @@ NEW_IN_R14: list[str] = [
     "stream_batch_bm25_parity",
     "stream_batch_kmv_parity",
     "stream_batch_qsample_parity",
+    "dedup_chaining_threshold_sweep",
+    "hydro_station_ewma",
+    "orders_priority_psi_by_segment",
+    "events_regularity_type_mix",
+    "docs_crosssnap_dup_trend",
+    "docs_simhash_hamming_histogram",
+    "dedup_survivor_source_flow",
+    "embedding_shard_cell_drift",
+    "embedding_norm_quality_corr",
+    "ann_pq_code_balance",
+    "hydro_alert_transition_matrix",
+    "multimodal_patch_energy_profile",
+    "events_kanon_generalization_ladder",
 ]
 
 # The pinned r14 backlog written at the end of r13 (VERDICT r13 "Next
