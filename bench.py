@@ -141,6 +141,27 @@ HEADLINE = [
     "ann_recall_by_occupancy",
     "stream_batch_cms_parity",
     "stream_batch_psi_parity",
+    # round-14 additions: the standing composition policy again —
+    # all 16 r14 operators cleared ~0.5 s isolated cold at sf0.1,
+    # including the three new streaming parity certificates (real
+    # availableNow micro-batch runs) and the three-rung chaining
+    # threshold sweep (one pair-table build + 3 pointer-jumping CCs)
+    "stream_batch_bm25_parity",
+    "stream_batch_kmv_parity",
+    "stream_batch_qsample_parity",
+    "dedup_chaining_threshold_sweep",
+    "hydro_station_ewma",
+    "orders_priority_psi_by_segment",
+    "events_regularity_type_mix",
+    "docs_crosssnap_dup_trend",
+    "docs_simhash_hamming_histogram",
+    "dedup_survivor_source_flow",
+    "embedding_shard_cell_drift",
+    "embedding_norm_quality_corr",
+    "ann_pq_code_balance",
+    "hydro_alert_transition_matrix",
+    "multimodal_patch_energy_profile",
+    "events_kanon_generalization_ladder",
 ]
 
 
