@@ -11,6 +11,12 @@ from __future__ import annotations
 from hrfco_data_pipeline_spark.sources.synthetic import OBS_SQL, STATIONS_SQL
 
 # Layered CTE prefix implementing parse (T3-T6), F1, F2, J1, C1-C4.
+# Previous-snapshot fixture moduli — single source with
+# plans/llm.SNAPSHOT_GAP_MOD / SNAPSHOT_REV_MOD (pinned by
+# tests/test_r14_operators.py::test_snapshot_fixture_single_source).
+SNAPSHOT_GAP_MOD = 97
+SNAPSHOT_REV_MOD = 89
+
 HYDRO_CTE = f"""
 WITH obs AS ({OBS_SQL}),
 st AS ({STATIONS_SQL}),
@@ -9746,7 +9752,8 @@ LLM_ORACLES["docs_crosssnap_dup_trend"] = """
       FROM documents
     ), prev AS (
       SELECT doc_id,
-        md5(CASE WHEN doc_id % 89 = 0 THEN text || ' [rev1]'
+        md5(CASE WHEN doc_id % 89 = 0
+                 THEN text || ' [rev1]'
                  ELSE text END) AS h_old
       FROM documents WHERE doc_id % 97 <> 0
     ), j AS (

@@ -3467,42 +3467,52 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The derived previous-snapshot fixture (shared by docs_snapshot_diff,
+# docs_crosssnap_dup_trend, and their oracle twins via
+# oracles.SNAPSHOT_GAP_MOD/SNAPSHOT_REV_MOD — r14 self-review: the
+# constants were maintained in four places):
+SNAPSHOT_GAP_MOD = 97  # doc_id % GAP == 0: not yet ingested in prev
+SNAPSHOT_REV_MOD = 89  # doc_id % REV == 0: stale upstream revision
+
+
+def prev_snapshot_hashes(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(doc_id, h_old) of the deterministically-derived previous
+    snapshot, including the one retired key the current snapshot no
+    longer carries (exercises the 'removed' class; harmless to
+    consumers that join on current keys only)."""
+    return docs.filter(F.col("doc_id") % SNAPSHOT_GAP_MOD != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % SNAPSHOT_REV_MOD == 0,
+                F.concat(F.col("text"), F.lit(" [rev1]")),
+            ).otherwise(F.col("text"))
+        ).alias("h_old"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(-1).cast("long").alias("doc_id"),
+            F.md5(F.lit("retired")).alias("h_old"),
+        )
+    )
+
+
 def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff: classify every document key as added,
     removed, changed, or unchanged between two corpus snapshots — the
     audit an incremental curation pipeline publishes per release
     ("what moved since the last training set"). The 'previous'
-    snapshot derives deterministically from the current table (drop
-    doc_id % 97 == 0 as not-yet-ingested; a stale-revision suffix for
-    doc_id % 89 == 0 as upstream edits), so the diff is
-    oracle-checkable without a second stored table; a real deployment
-    points the two sides at two snapshot paths.
+    snapshot derives deterministically from the current table
+    (prev_snapshot_hashes: SNAPSHOT_GAP_MOD drops not-yet-ingested
+    keys, SNAPSHOT_REV_MOD marks stale upstream revisions), so the
+    diff is oracle-checkable without a second stored table; a real
+    deployment points the two sides at two snapshot paths.
 
     Shape: one full-outer join on the key comparing 16-byte content
     hashes — never the texts themselves — with map-side-combined
     classification counts; scales as two scans + one key shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     cur = docs.select("doc_id", F.md5("text").alias("h_new"))
-    prev = (
-        docs.filter(F.col("doc_id") % 97 != 0)
-        .select(
-            "doc_id",
-            F.md5(
-                F.when(
-                    F.col("doc_id") % 89 == 0,
-                    F.concat(F.col("text"), F.lit(" [rev1]")),
-                ).otherwise(F.col("text"))
-            ).alias("h_old"),
-        )
-        # one retired key that the current snapshot no longer carries,
-        # so the 'removed' class is exercised too
-        .unionByName(
-            spark.range(1).select(
-                F.lit(-1).cast("long").alias("doc_id"),
-                F.md5(F.lit("retired")).alias("h_old"),
-            )
-        )
-    )
+    prev = prev_snapshot_hashes(spark, docs)
     j = cur.join(prev, "doc_id", "full_outer")
     status = (
         F.when(F.col("h_old").isNull(), "added")
@@ -6781,6 +6791,11 @@ def stream_batch_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     if not q.awaitTermination(600):
+        # stop the orphaned query BEFORE raising: the parity
+        # workdir is rmtree'd at interpreter exit, and a live
+        # foreachBatch writer would race that removal
+        # (r14 self-review)
+        q.stop()
         raise RuntimeError("CMS parity stream did not terminate")
     return cms_parity_report(spark, sf_dir, table)
 
@@ -6859,6 +6874,11 @@ def stream_batch_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     if not q.awaitTermination(600):
+        # stop the orphaned query BEFORE raising: the parity
+        # workdir is rmtree'd at interpreter exit, and a live
+        # foreachBatch writer would race that removal
+        # (r14 self-review)
+        q.stop()
         raise RuntimeError("BM25 parity stream did not terminate")
     return bm25_parity_report(spark, sf_dir, table)
 
@@ -6984,10 +7004,10 @@ def docs_crosssnap_dup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror-crawl early-warning an incremental curation pipeline
     watches between releases.
 
-    Composes the parent kernels verbatim: the previous-snapshot hash
-    derivation of docs_snapshot_diff (doc_id % 97 not-yet-ingested,
-    % 89 stale-revision) and dedup_exact_docs' groups (min-doc_id
-    keep policy on the normalized-text hash).
+    Composes the parent kernels verbatim: the shared
+    prev_snapshot_hashes fixture (SNAPSHOT_GAP_MOD not-yet-ingested,
+    SNAPSHOT_REV_MOD stale-revision) and dedup_exact_docs' groups
+    (min-doc_id keep policy on the normalized-text hash).
 
     Scale shape: the diff arm is a doc_id-keyed self-join comparing
     16-byte hashes; the dedup arm joins the doc frame to its
@@ -7001,15 +7021,9 @@ def docs_crosssnap_dup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim("text"))).alias("text_hash"),
         F.md5("text").alias("h_new"),
     )
-    prev = docs.filter(F.col("doc_id") % 97 != 0).select(
-        "doc_id",
-        F.md5(
-            F.when(
-                F.col("doc_id") % 89 == 0,
-                F.concat(F.col("text"), F.lit(" [rev1]")),
-            ).otherwise(F.col("text"))
-        ).alias("h_old"),
-    )
+    # shared fixture; the retired key it carries never matches a
+    # current doc_id, so the left join below is unaffected
+    prev = prev_snapshot_hashes(spark, docs)
     j = cur.join(prev, "doc_id", "left")
     status = (
         F.when(F.col("h_old").isNull(), "added")
@@ -7309,7 +7323,10 @@ def ann_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     by how much reconstruction suffers.
 
     Codebook training is the shared integer-exact pq_subcentroids;
-    code assignment is the same first-index-wins argmin as pq_codes.
+    code assignment COMPOSES operators/similarity.pq_codes — the same
+    encoder column the ADC scan and distortion report read, so the
+    "same codebooks, same codes" cross-check holds by construction
+    (r14 self-review: a first draft re-implemented the argmin loop).
     Counts are exact longs; Σs² ≤ n² = 4e6 at sf0.1 (the audited
     int→double ceiling); share and imbalance are single fixed double
     chains.
@@ -7319,31 +7336,17 @@ def ann_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup on the 8-row grid.
     """
     from hrfco_data_pipeline_spark.operators.similarity import (
-        _cmat_lit,
         as_double_vec,
-        l2sq,
+        pq_codes,
         pq_subcentroids,
     )
 
     m, ksub, dim = 8, 16, 64
-    dsub = dim // m
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
     cents = pq_subcentroids(vecs, m=m, ksub=ksub, dim=dim)
-    ccols = []
-    for j in range(m):
-        sub = F.slice("v", j * dsub + 1, dsub)
-        dists = F.transform(_cmat_lit(cents[j]), lambda c: l2sq(sub, c))
-        ccols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"c{j}")
-        )
-    coded = vecs.select(*ccols)
-    stacked = coded.selectExpr(
-        "stack({}, {}) AS (subspace, code)".format(
-            m, ", ".join(f"{j}, c{j}" for j in range(m))
-        )
+    stacked = vecs.select(
+        F.posexplode(pq_codes(cents)).alias("subspace", "code")
     )
     sizes = stacked.groupBy("subspace", "code").agg(F.count("*").alias("s"))
     return (

@@ -7539,6 +7539,11 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     if not q.awaitTermination(600):
+        # stop the orphaned query BEFORE raising: the parity
+        # workdir is rmtree'd at interpreter exit, and a live
+        # foreachBatch writer would race that removal
+        # (r14 self-review)
+        q.stop()
         raise RuntimeError("PSI parity stream did not terminate")
     return psi_parity_report(spark, sf_dir, table, reference)
 
@@ -7674,6 +7679,11 @@ def stream_batch_kmv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     if not q.awaitTermination(600):
+        # stop the orphaned query BEFORE raising: the parity
+        # workdir is rmtree'd at interpreter exit, and a live
+        # foreachBatch writer would race that removal
+        # (r14 self-review)
+        q.stop()
         raise RuntimeError("KMV parity stream did not terminate")
     return kmv_parity_report(spark, sf_dir, table)
 
@@ -7763,6 +7773,11 @@ def stream_batch_qsample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     if not q.awaitTermination(600):
+        # stop the orphaned query BEFORE raising: the parity
+        # workdir is rmtree'd at interpreter exit, and a live
+        # foreachBatch writer would race that removal
+        # (r14 self-review)
+        q.stop()
         raise RuntimeError("quantile-sample parity stream did not terminate")
     return qsample_parity_report(spark, sf_dir, table)
 

@@ -516,3 +516,31 @@ def test_kanon_ladder_level0_equals_parent(spark):
     for r in ladder:
         per_type_rows.setdefault(r.event_type, set()).add(r.n_rows)
     assert all(len(v) == 1 for v in per_type_rows.values())
+
+
+def test_snapshot_fixture_single_source():
+    """The previous-snapshot fixture moduli live in ONE place per
+    layer: the Spark faces share prev_snapshot_hashes, and both
+    oracle twins must embed exactly the module constants (r14
+    self-review: the constants were drifting toward four copies)."""
+    import re
+
+    import __spark_entry__ as entry
+    from hrfco_data_pipeline_spark import oracles
+    from hrfco_data_pipeline_spark.plans import llm
+
+    assert (llm.SNAPSHOT_GAP_MOD, llm.SNAPSHOT_REV_MOD) == (
+        oracles.SNAPSHOT_GAP_MOD,
+        oracles.SNAPSHOT_REV_MOD,
+    )
+    for q in ("docs_snapshot_diff", "docs_crosssnap_dup_trend"):
+        sql = entry.oracle_sql()[q]
+        assert f"doc_id % {llm.SNAPSHOT_REV_MOD} = 0" in sql, q
+        assert f"doc_id % {llm.SNAPSHOT_GAP_MOD} <> 0" in sql, q
+    # the Spark faces share one helper (no re-inlined moduli)
+    import inspect
+
+    for fn in (llm.docs_snapshot_diff, llm.docs_crosssnap_dup_trend):
+        body = inspect.getsource(fn)
+        assert "prev_snapshot_hashes" in body, fn.__name__
+        assert "% 97" not in body and "% 89" not in body, fn.__name__

@@ -18,16 +18,12 @@ import sys
 
 sys.path.insert(0, ".")
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
-
 
 def main() -> int:
     import duckdb
 
     import __spark_entry__ as entry
+    from hrfco_data_pipeline_spark.sources.tables import TABLES
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     con = duckdb.connect()
