@@ -7112,9 +7112,11 @@ def dedup_survivor_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     that loses mostly to one other source is a mirror lagging its
     origin; a source that wins everywhere is the canonical feed.
 
-    Composes dedup_exact_docs' groups (same normalized-text hash, same
-    min-doc_id policy). loss_share = n_losses / total losses of the
-    losing source — one double division of exact counts, NULL when the
+    The groups table is dedup_exact_docs' aggregate (same
+    normalized-text hash, same min-doc_id policy), derived from the
+    materialized hash projection below so the policy and the flow read
+    the same bytes. loss_share = n_losses / total losses of the losing
+    source — one double division of exact counts, NULL when the
     source loses nothing.
 
     Determinism (the docs_cross_source_dup_matrix convention): every
@@ -7123,18 +7125,33 @@ def dedup_survivor_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist at sf0.1 in the synthetic corpus, so without the grid the
     gate-SF row would be empty (the r14 vacuity rule).
 
-    Scale shape: the groups table joins back to the doc frame twice on
-    the 16-byte hash (winner rows, loser rows) — both arms move
-    (hash, source) pairs only; the flow aggregates on the
-    |sources|² grid (broadcast) and the share window runs over it.
+    Scale shape: the (doc_id, source, hash) projection MATERIALIZES
+    once — it is consumed by FIVE branches (winner arm, loser arm,
+    the groups aggregate, and the two grid sides), and a first draft
+    let Catalyst re-embed the text-reading scan into each (6 corpus
+    scans; the r9 branch-re-embedding lesson, caught by the r14 plan
+    spot-check). Both join arms move (hash, source) pairs only; the
+    flow aggregates on the |sources|² grid (broadcast) and the share
+    window runs over it.
     """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
     docs = load_table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+    hashed = _materialized(
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+        )
     )
-    groups = dedup_exact_docs(spark, sf_dir).filter(F.col("n_copies") > 1)
+    groups = (
+        hashed.groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
     winners = hashed.join(groups, "text_hash").filter(
         F.col("doc_id") == F.col("keep_doc_id")
     ).select("text_hash", F.col("source").alias("winner_source"))
@@ -7148,7 +7165,7 @@ def dedup_survivor_source_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("winner_source", "loser_source")
         .agg(F.count("*").alias("n"))
     )
-    srcs = docs.select("source").distinct()
+    srcs = hashed.select("source").distinct()
     grid = srcs.select(F.col("source").alias("winner_source")).crossJoin(
         F.broadcast(srcs.select(F.col("source").alias("loser_source")))
     )
@@ -7190,8 +7207,14 @@ def embedding_shard_cell_drift(
 
     Scale shape: the E-step is a zero-shuffle projection against
     literal centroids; counts partial-aggregate onto the
-    |shards|·|cells| grid; the global/per-shard totals broadcast.
+    |shards|·|cells| grid, which MATERIALIZES (≤ 64 rows) before the
+    four derived aggregates — a first draft derived gl/ns/ntot/grid
+    lazily and Catalyst re-embedded the embeddings scan into every
+    branch (4 corpus scans; the r9 double_mass branch-re-embedding
+    lesson, caught by the r14 plan spot-check); the global/per-shard
+    totals broadcast.
     """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
     from hrfco_data_pipeline_spark.operators.similarity import (
         as_double_vec,
         assign_cells,
@@ -7204,7 +7227,9 @@ def embedding_shard_cell_drift(
     cells = assign_cells(vecs, cents).select(
         F.pmod(F.col("vec_id"), F.lit(n_shards)).alias("shard"), "cell"
     )
-    cs = cells.groupBy("shard", "cell").agg(F.count("*").alias("s"))
+    cs = _materialized(
+        cells.groupBy("shard", "cell").agg(F.count("*").alias("s"))
+    )
     gl = cs.groupBy("cell").agg(F.sum("s").alias("g"))
     ns = cs.groupBy("shard").agg(F.sum("s").alias("n_s"))
     ntot = cs.agg(F.sum("s").alias("n"))
