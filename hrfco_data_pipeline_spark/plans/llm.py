@@ -6771,32 +6771,11 @@ def stream_batch_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hrfco_data_pipeline_spark.streaming.curation import (
         cms_stream,
-        parity_workdir,
+        run_parity_stream,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = parity_workdir("hrfco_cms_parity_")
-    src = f"{base}/src"
-    docs.repartition(4).write.parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    table = f"{base}/store"
-    q = (
-        cms_stream(stream, table)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # stop the orphaned query BEFORE raising: the parity
-        # workdir is rmtree'd at interpreter exit, and a live
-        # foreachBatch writer would race that removal
-        # (r14 self-review)
-        q.stop()
-        raise RuntimeError("CMS parity stream did not terminate")
+    table = run_parity_stream(spark, docs, cms_stream, "hrfco_cms_parity_")
     return cms_parity_report(spark, sf_dir, table)
 
 
@@ -6854,32 +6833,13 @@ def stream_batch_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hrfco_data_pipeline_spark.streaming.curation import (
         bm25_index_stream,
-        parity_workdir,
+        run_parity_stream,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = parity_workdir("hrfco_bm25_parity_")
-    src = f"{base}/src"
-    docs.repartition(4).write.parquet(src)
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    table = run_parity_stream(
+        spark, docs, bm25_index_stream, "hrfco_bm25_parity_"
     )
-    table = f"{base}/store"
-    q = (
-        bm25_index_stream(stream, table)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # stop the orphaned query BEFORE raising: the parity
-        # workdir is rmtree'd at interpreter exit, and a live
-        # foreachBatch writer would race that removal
-        # (r14 self-review)
-        q.stop()
-        raise RuntimeError("BM25 parity stream did not terminate")
     return bm25_parity_report(spark, sf_dir, table)
 
 

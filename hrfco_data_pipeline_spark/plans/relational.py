@@ -7509,8 +7509,8 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming run executes at call time into a session temp dir.
     """
     from hrfco_data_pipeline_spark.streaming.curation import (
-        parity_workdir,
         psi_drift_stream,
+        run_parity_stream,
     )
 
     edges, reference, second = psi_parity_inputs(spark, sf_dir)
@@ -7523,28 +7523,12 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type string, n_first long, n_second long, "
             "psi double, matches_batch_face boolean",
         )
-    base = parity_workdir("hrfco_psi_parity_")
-    src = f"{base}/src"
-    second.repartition(4).write.parquet(src)
-    stream = (
-        spark.readStream.schema(second.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    table = run_parity_stream(
+        spark,
+        second,
+        lambda stream, t: psi_drift_stream(stream, t, edges),
+        "hrfco_psi_parity_",
     )
-    table = f"{base}/store"
-    q = (
-        psi_drift_stream(stream, table, edges)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # stop the orphaned query BEFORE raising: the parity
-        # workdir is rmtree'd at interpreter exit, and a live
-        # foreachBatch writer would race that removal
-        # (r14 self-review)
-        q.stop()
-        raise RuntimeError("PSI parity stream did not terminate")
     return psi_parity_report(spark, sf_dir, table, reference)
 
 
@@ -7659,32 +7643,13 @@ def stream_batch_kmv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from hrfco_data_pipeline_spark.streaming.curation import (
         kmv_sketch_stream,
-        parity_workdir,
+        run_parity_stream,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    base = parity_workdir("hrfco_kmv_parity_")
-    src = f"{base}/src"
-    ev.repartition(4).write.parquet(src)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    table = run_parity_stream(
+        spark, ev, kmv_sketch_stream, "hrfco_kmv_parity_"
     )
-    table = f"{base}/store"
-    q = (
-        kmv_sketch_stream(stream, table)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # stop the orphaned query BEFORE raising: the parity
-        # workdir is rmtree'd at interpreter exit, and a live
-        # foreachBatch writer would race that removal
-        # (r14 self-review)
-        q.stop()
-        raise RuntimeError("KMV parity stream did not terminate")
     return kmv_parity_report(spark, sf_dir, table)
 
 
@@ -7752,33 +7717,14 @@ def stream_batch_qsample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample store, not a re-copy.
     """
     from hrfco_data_pipeline_spark.streaming.curation import (
-        parity_workdir,
         quantile_sample_stream,
+        run_parity_stream,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    base = parity_workdir("hrfco_qsample_parity_")
-    src = f"{base}/src"
-    ev.repartition(4).write.parquet(src)
-    stream = (
-        spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    table = run_parity_stream(
+        spark, ev, quantile_sample_stream, "hrfco_qsample_parity_"
     )
-    table = f"{base}/store"
-    q = (
-        quantile_sample_stream(stream, table)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # stop the orphaned query BEFORE raising: the parity
-        # workdir is rmtree'd at interpreter exit, and a live
-        # foreachBatch writer would race that removal
-        # (r14 self-review)
-        q.stop()
-        raise RuntimeError("quantile-sample parity stream did not terminate")
     return qsample_parity_report(spark, sf_dir, table)
 
 

@@ -1096,3 +1096,36 @@ def parity_workdir(prefix: str) -> str:
         fh.write(str(os.getpid()))
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     return base
+
+
+def run_parity_stream(spark, frame, bind, prefix: str) -> str:
+    """The shared scaffold of every streaming↔batch parity certificate
+    (five as of r14: CMS, PSI, BM25, KMV, quantile-sample; factored in
+    r14 — the five sites carried byte-identical copies): copy ``frame``
+    into a session parity workdir as 4 parquet files, stream them as
+    availableNow micro-batches through ``bind(stream, table_path)``
+    (a maintainer writer factory returning a DataStreamWriter), and
+    return the store path once the run completes. The stream schema
+    comes from the SOURCE frame, never re-inferred from the written
+    files (r13 self-review), and a hung query is stopped before
+    raising so the orphaned writer cannot race the workdir's exit-time
+    removal (r14 self-review)."""
+    base = parity_workdir(prefix)
+    src = f"{base}/src"
+    frame.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = f"{base}/store"
+    q = (
+        bind(stream, table)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{prefix}parity stream did not terminate")
+    return table
