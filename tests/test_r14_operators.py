@@ -544,3 +544,18 @@ def test_snapshot_fixture_single_source():
         body = inspect.getsource(fn)
         assert "prev_snapshot_hashes" in body, fn.__name__
         assert "% 97" not in body and "% 89" not in body, fn.__name__
+
+
+def test_kmv_and_qsample_certificates_end_to_end(spark):
+    """The full availableNow certificate runs at sf0.001 for the two
+    events-table maintainers (the BM25 twin above covers documents):
+    real file micro-batches through run_parity_stream, served from
+    the store — every row true."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        stream_batch_kmv_parity,
+        stream_batch_qsample_parity,
+    )
+
+    for fn in (stream_batch_kmv_parity, stream_batch_qsample_parity):
+        rows = fn(spark, SF).collect()
+        assert rows and all(r.matches_batch_face for r in rows), fn.__name__
