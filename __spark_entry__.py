@@ -38,79 +38,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row, so they live behind the boundary (pinned by
     # tests/test_entry_contract.py).
     #
-    # r14 WINDOW (this round): CORRECTNESS_r13 went 50/50 green, so
-    # the whole r13 window moved to the back as the freshest-certified
+    # r15 WINDOW (this round): CORRECTNESS_r14 went 50/50 green, so
+    # the whole r14 window moved to the back as the freshest-certified
     # block and this window executes the rotation plan pinned at the
-    # end of r13 (test_r14_window_plan, written FROM docs/EVIDENCE.md,
-    # regenerated at r14 open with tools/round_start.py): the
-    # r13-displaced backlog tail first, then the remaining r7-era
-    # greens and the oldest r8-era greens up to the boundary. Each
-    # new-in-r14 addition displaces the backlog tail past the
-    # boundary; the displaced entries lead the r15 window.
+    # end of r14 (test_r15_window_plan, written FROM docs/EVIDENCE.md,
+    # regenerated at r15 open with tools/round_start.py): the
+    # r14-displaced backlog tail first, then the remaining r8-era
+    # greens up to the boundary. Each new-in-r15 addition displaces
+    # the backlog tail past the boundary; the displaced entries lead
+    # the r16 window.
     #
-    # r15 ROTATION PLAN (execute at the start of r15, regenerating
-    # the ledger first — tools/round_start.py): the r14-displaced
-    # backlog tail, then the remaining r8-era greens. r16+ continues
-    # r9 -> r10 -> the r11/r12/r13-certified blocks.
+    # r16 ROTATION PLAN (execute at the start of r16, regenerating
+    # the ledger first — tools/round_start.py): the r15-displaced
+    # backlog tail, then the remaining r8-era and oldest r9-era
+    # greens. r17+ continues r9 -> r10 -> the r11/r12/r13/r14
+    # certified blocks.
     return {
-        # ===== new in r14 (never checked; oracle-backed) — grows to ~16;
+        # ===== new in r15 (never checked; oracle-backed) — grows to ~16;
         # each addition displaces the backlog tail below past the boundary =====
-        "stream_batch_bm25_parity": llm.stream_batch_bm25_parity,
-        "stream_batch_kmv_parity": relational.stream_batch_kmv_parity,
-        "stream_batch_qsample_parity": relational.stream_batch_qsample_parity,
-        "dedup_chaining_threshold_sweep": llm.dedup_chaining_threshold_sweep,
-        "hydro_station_ewma": hydro.station_ewma_chart,
-        "orders_priority_psi_by_segment": relational.orders_priority_psi_by_segment,
-        "events_regularity_type_mix": relational.events_regularity_type_mix,
-        "docs_crosssnap_dup_trend": llm.docs_crosssnap_dup_trend,
-        "docs_simhash_hamming_histogram": llm.docs_simhash_hamming_histogram,
-        "dedup_survivor_source_flow": llm.dedup_survivor_source_flow,
-        "embedding_shard_cell_drift": llm.embedding_shard_cell_drift,
-        "embedding_norm_quality_corr": llm.embedding_norm_quality_corr,
-        "ann_pq_code_balance": llm.ann_pq_code_balance,
-        "hydro_alert_transition_matrix": hydro.alert_transition_matrix,
-        "multimodal_patch_energy_profile": llm.multimodal_patch_energy_profile,
-        "events_kanon_generalization_ladder": relational.events_kanon_generalization_ladder,
-        # --- r14 backlog: the r13-displaced tail (16), then the
-        #     remaining r7-era greens and oldest r8-era greens ---
-        "mon_status_counts": relational.mon_status_counts,
-        "mon_summary": relational.mon_summary,
-        "mon_activity_delta": relational.mon_activity_delta,
-        "events_hourly": relational.events_hourly,
-        "events_sessionize": relational.events_sessionize,
-        "recent_events_top200": relational.recent_events_top200,
-        "mon_error_bulletins": relational.mon_error_bulletins,
-        "mon_type_pivot": relational.mon_type_pivot,
-        "metrics_format_bytes": relational.metrics_format_bytes,
-        "metrics_durations": relational.metrics_durations,
-        "mon_processing_times": relational.mon_processing_times,
-        "events_props_extract": relational.events_props_extract,
-        "events_asof_last_error": relational.events_asof_last_error,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q5_region_revenue": relational.q5_region_revenue,
-        "top_customers_per_nation": relational.top_customers_per_nation,
-        "orders_rollup": relational.orders_rollup,
-        "customers_without_orders": relational.customers_without_orders,
-        "customer_order_stats": relational.customer_order_stats,
-        "purchase_and_signup_users": relational.purchase_and_signup_users,
-        "big_orders_having": relational.big_orders_having,
-        "events_cube": relational.events_cube,
-        "q6_forecast_revenue": relational.q6_forecast_revenue,
-        "q4_order_priority": relational.q4_order_priority,
-        "part_min_price_supplier": relational.part_min_price_supplier,
-        "nation_trade_volume": relational.nation_trade_volume,
-        "q14_promo_revenue": relational.q14_promo_revenue,
-        "q10_returned_items": relational.q10_returned_items,
-        "q12_late_shipments": relational.q12_late_shipments,
-        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
-        "q18_large_volume_customers": relational.q18_large_volume_customers,
-        "events_moving_stats": relational.events_moving_stats,
-        "orders_join_strategy_report": relational.orders_join_strategy_report,
-        "docs_bm25_topk": llm.docs_bm25_topk,
-        # ^^^ first-50 boundary ^^^ (position asserted against the
-        # dict by tests/test_entry_contract.py::
-        # test_boundary_comment_position — the marker line must sit
-        # exactly after entry 50)
+        "customers_without_urgent_orders": relational.customers_without_urgent_orders,
+        # --- r15 backlog: the r14-displaced tail (16), then the
+        #     remaining r8-era greens ---
         "copurchase_kcore": relational.copurchase_kcore,
         "docs_rake_keyphrases": llm.docs_rake_keyphrases,
         "docs_hybrid_rrf": llm.docs_hybrid_rrf,
@@ -127,12 +75,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_window": relational.events_range_window,
         "dq_referential_report": relational.dq_referential_report,
         "tables_report": relational.tables_report,
-        # ============ r15 WINDOW PLAN (next 50, in order) ============
-        # Written from docs/EVIDENCE.md (regenerate with
-        # tools/round_start.py). Order: the r14-displaced backlog tail
-        # first (new-in-r14 head entries displace the tail above past
-        # the boundary), then the remaining r8-era greens below.
-        # Pinned by test_r15_window_plan.
         "events_props_variant": relational.events_props_variant,
         "doc_winnow_fingerprints": llm.doc_winnow_fingerprints,
         "dup_components": llm.dup_components,
@@ -166,7 +108,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_part_supplier_counts": relational.q16_part_supplier_counts,
         "q19_disjunctive_revenue": relational.q19_disjunctive_revenue,
         "events_segment_enrichment": relational.events_segment_enrichment,
+        # ^^^ first-50 boundary ^^^ (position asserted against the
+        # dict by tests/test_entry_contract.py::
+        # test_boundary_comment_position — the marker line must sit
+        # exactly after entry 50)
         "customer_scd2_asof_snapshot": relational.customer_scd2_asof_snapshot,
+        # ============ r16 WINDOW PLAN (next 50, in order) ============
+        # Written from docs/EVIDENCE.md (regenerate with
+        # tools/round_start.py). Order: the r15-displaced backlog tail
+        # first (new-in-r15 head entries displace the tail above past
+        # the boundary), then the remaining r8-era and oldest r9-era
+        # greens below. Pinned by test_r16_window_plan.
         "orders_theilsen_trend": relational.orders_theilsen_trend,
         "embedding_mutual_knn": llm.embedding_mutual_knn,
         "docs_pmi_top_pairs": llm.docs_pmi_top_pairs,
@@ -417,6 +369,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wire_parse": wire.wire_parse,
         "wire_dlq": wire.wire_dlq,
         "wire_batch_flatten": wire.wire_batch_flatten,
+        # --- r14-certified window block (moved to the back at r15 open:
+        #     freshest driver evidence) ---
+        "stream_batch_bm25_parity": llm.stream_batch_bm25_parity,
+        "stream_batch_kmv_parity": relational.stream_batch_kmv_parity,
+        "stream_batch_qsample_parity": relational.stream_batch_qsample_parity,
+        "dedup_chaining_threshold_sweep": llm.dedup_chaining_threshold_sweep,
+        "hydro_station_ewma": hydro.station_ewma_chart,
+        "orders_priority_psi_by_segment": relational.orders_priority_psi_by_segment,
+        "events_regularity_type_mix": relational.events_regularity_type_mix,
+        "docs_crosssnap_dup_trend": llm.docs_crosssnap_dup_trend,
+        "docs_simhash_hamming_histogram": llm.docs_simhash_hamming_histogram,
+        "dedup_survivor_source_flow": llm.dedup_survivor_source_flow,
+        "embedding_shard_cell_drift": llm.embedding_shard_cell_drift,
+        "embedding_norm_quality_corr": llm.embedding_norm_quality_corr,
+        "ann_pq_code_balance": llm.ann_pq_code_balance,
+        "hydro_alert_transition_matrix": hydro.alert_transition_matrix,
+        "multimodal_patch_energy_profile": llm.multimodal_patch_energy_profile,
+        "events_kanon_generalization_ladder": relational.events_kanon_generalization_ladder,
+        "mon_status_counts": relational.mon_status_counts,
+        "mon_summary": relational.mon_summary,
+        "mon_activity_delta": relational.mon_activity_delta,
+        "events_hourly": relational.events_hourly,
+        "events_sessionize": relational.events_sessionize,
+        "recent_events_top200": relational.recent_events_top200,
+        "mon_error_bulletins": relational.mon_error_bulletins,
+        "mon_type_pivot": relational.mon_type_pivot,
+        "metrics_format_bytes": relational.metrics_format_bytes,
+        "metrics_durations": relational.metrics_durations,
+        "mon_processing_times": relational.mon_processing_times,
+        "events_props_extract": relational.events_props_extract,
+        "events_asof_last_error": relational.events_asof_last_error,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q5_region_revenue": relational.q5_region_revenue,
+        "top_customers_per_nation": relational.top_customers_per_nation,
+        "orders_rollup": relational.orders_rollup,
+        "customer_order_stats": relational.customer_order_stats,
+        "purchase_and_signup_users": relational.purchase_and_signup_users,
+        "big_orders_having": relational.big_orders_having,
+        "events_cube": relational.events_cube,
+        "q6_forecast_revenue": relational.q6_forecast_revenue,
+        "q4_order_priority": relational.q4_order_priority,
+        "part_min_price_supplier": relational.part_min_price_supplier,
+        "nation_trade_volume": relational.nation_trade_volume,
+        "q14_promo_revenue": relational.q14_promo_revenue,
+        "q10_returned_items": relational.q10_returned_items,
+        "q12_late_shipments": relational.q12_late_shipments,
+        "q17_small_quantity_revenue": relational.q17_small_quantity_revenue,
+        "q18_large_volume_customers": relational.q18_large_volume_customers,
+        "events_moving_stats": relational.events_moving_stats,
+        "orders_join_strategy_report": relational.orders_join_strategy_report,
+        "docs_bm25_topk": llm.docs_bm25_topk,
         # --- rows-only tail (no oracle by design; never in a window) ---
         "events_hll_user_rollup": relational.events_hll_user_rollup,
         "events_approx_stats": relational.events_approx_stats,

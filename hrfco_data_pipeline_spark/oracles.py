@@ -233,7 +233,7 @@ RELATIONAL_ORACLES: dict[str, str] = {
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
-    "customers_without_orders": """
+    "customers_without_urgent_orders": """
     SELECT c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                       AND o_orderpriority = '1-URGENT')
@@ -5642,14 +5642,14 @@ RELATIONAL_ORACLES["events_nearest_error"] = """
 
 
 # Snapshot diff: same derived previous snapshot, same hash compare.
-LLM_ORACLES["docs_snapshot_diff"] = r"""
+LLM_ORACLES["docs_snapshot_diff"] = rf"""
     WITH cur AS (SELECT doc_id, md5(text) AS h_new FROM documents),
     prev AS (
       SELECT doc_id,
-        md5(CASE WHEN doc_id % 89 = 0
+        md5(CASE WHEN doc_id % {SNAPSHOT_REV_MOD} = 0
                  THEN text || ' [rev1]'
                  ELSE text END) AS h_old
-      FROM documents WHERE doc_id % 97 <> 0
+      FROM documents WHERE doc_id % {SNAPSHOT_GAP_MOD} <> 0
       UNION ALL SELECT CAST(-1 AS BIGINT), md5('retired')
     ),
     j AS (SELECT * FROM cur FULL OUTER JOIN prev USING (doc_id))
@@ -9195,15 +9195,18 @@ RELATIONAL_ORACLES["events_lateness_profile"] = """
 # Cross-snapshot containment audit: full winnowing rebuild (4-gram
 # md5, window 5) for both snapshot faces, fingerprint equi-join,
 # deterministic top-20.
-LLM_ORACLES["docs_crosssnap_containment"] = r"""
+LLM_ORACLES["docs_crosssnap_containment"] = rf"""
     WITH tok AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents
     ), probe AS (
       SELECT doc_id,
-        CASE WHEN doc_id % 97 = 0 THEN 'added' ELSE 'changed' END AS status,
+        CASE WHEN doc_id % {SNAPSHOT_GAP_MOD} = 0 THEN 'added'
+             ELSE 'changed' END AS status,
         toks
-      FROM tok WHERE doc_id % 97 = 0 OR doc_id % 89 = 0
+      FROM tok
+      WHERE doc_id % {SNAPSHOT_GAP_MOD} = 0
+         OR doc_id % {SNAPSHOT_REV_MOD} = 0
     ), pg AS (
       SELECT doc_id, status,
         CASE WHEN len(toks) >= 4 THEN
@@ -9224,8 +9227,9 @@ LLM_ORACLES["docs_crosssnap_containment"] = r"""
       FROM pf
     ), prevdocs AS (
       SELECT doc_id,
-        CASE WHEN doc_id % 89 = 0 THEN text || ' [rev1]' ELSE text END AS text
-      FROM documents WHERE doc_id % 97 <> 0
+        CASE WHEN doc_id % {SNAPSHOT_REV_MOD} = 0
+             THEN text || ' [rev1]' ELSE text END AS text
+      FROM documents WHERE doc_id % {SNAPSHOT_GAP_MOD} <> 0
     ), vtok AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM prevdocs
@@ -9745,17 +9749,17 @@ LLM_ORACLES["dedup_incremental_certificate"] = """
 
 # Chaining audit: the dup_components recursive-closure machinery at
 # threshold 0.5 + pairwise-shadow counts, folded to one summary row.
-LLM_ORACLES["docs_crosssnap_dup_trend"] = """
+LLM_ORACLES["docs_crosssnap_dup_trend"] = f"""
     WITH cur AS (
       SELECT doc_id, md5(lower(trim(text))) AS text_hash,
         md5(text) AS h_new
       FROM documents
     ), prev AS (
       SELECT doc_id,
-        md5(CASE WHEN doc_id % 89 = 0
+        md5(CASE WHEN doc_id % {SNAPSHOT_REV_MOD} = 0
                  THEN text || ' [rev1]'
                  ELSE text END) AS h_old
-      FROM documents WHERE doc_id % 97 <> 0
+      FROM documents WHERE doc_id % {SNAPSHOT_GAP_MOD} <> 0
     ), j AS (
       SELECT cur.doc_id, cur.text_hash,
         CASE WHEN prev.h_old IS NULL THEN 'added'

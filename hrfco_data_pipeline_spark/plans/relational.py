@@ -174,14 +174,22 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customers_without_urgent_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Anti join (NOT EXISTS surface) with a filtered right side:
     customers who never placed an URGENT order. The unfiltered form
-    returned 0 rows at sf0.01 (every synthetic customer has an order),
-    so its green driver row certified only the empty result — the
+    (registered as ``customers_without_orders`` through r14) returned
+    0 rows at sf0.01 (every synthetic customer has an order), so its
+    green driver row certified only the empty result — the
     gate-SF-vacuity observation of VERDICT r13; the priority slice is
     non-empty at every SF (18 / 203 / 1986 rows) and exercises the
     strictly richer shape (predicate pushed below the anti join).
+    Renamed in r15 so the registry key states the URGENT semantics
+    (ADVICE r14: the r14 semantic strengthening kept the old name,
+    which would hand a consumer of the registered name different rows
+    silently); the rename resets the entry's driver-evidence ledger,
+    so it re-certifies in the r15 window head.
 
     Scale shape: the filter prunes the right side BEFORE the anti
     join's shuffle; Catalyst pushes o_orderpriority into the parquet

@@ -38,70 +38,24 @@ def test_first_50_all_oracle_backed():
     assert not missing, f"rows-only queries inside the first-50 window: {missing}"
 
 
-# New-in-r14 queries lead the window (never-checked first, per the
+# New-in-r15 queries lead the window (never-checked first, per the
 # ordering contract). Append new queries here as they land; the window
 # pin below derives positions from this list, so a careless insert
 # cannot silently rotate a pinned backlog entry out unnoticed.
-NEW_IN_R14: list[str] = [
-    "stream_batch_bm25_parity",
-    "stream_batch_kmv_parity",
-    "stream_batch_qsample_parity",
-    "dedup_chaining_threshold_sweep",
-    "hydro_station_ewma",
-    "orders_priority_psi_by_segment",
-    "events_regularity_type_mix",
-    "docs_crosssnap_dup_trend",
-    "docs_simhash_hamming_histogram",
-    "dedup_survivor_source_flow",
-    "embedding_shard_cell_drift",
-    "embedding_norm_quality_corr",
-    "ann_pq_code_balance",
-    "hydro_alert_transition_matrix",
-    "multimodal_patch_energy_profile",
-    "events_kanon_generalization_ladder",
+NEW_IN_R15: list[str] = [
+    # ADVICE r14 rename: the URGENT-slice anti join re-keyed so the
+    # registry name states its semantics; evidence ledger reset, so it
+    # re-certifies here (the old customers_without_orders key retired)
+    "customers_without_urgent_orders",
 ]
 
-# The pinned r14 backlog written at the end of r13 (VERDICT r13 "Next
-# round" #1, generated from docs/EVIDENCE.md regenerated at r14 open):
-# the 16 entries the new-in-r13 head displaced past the r13 boundary,
-# then the remaining r7-era greens and the oldest r8-era greens.
-# New-in-r14 head entries displace the TAIL of this list past the
-# boundary; the displaced entries must then lead the r15 window.
-R14_BACKLOG = [
-    "mon_status_counts",
-    "mon_summary",
-    "mon_activity_delta",
-    "events_hourly",
-    "events_sessionize",
-    "recent_events_top200",
-    "mon_error_bulletins",
-    "mon_type_pivot",
-    "metrics_format_bytes",
-    "metrics_durations",
-    "mon_processing_times",
-    "events_props_extract",
-    "events_asof_last_error",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "top_customers_per_nation",
-    "orders_rollup",
-    "customers_without_orders",
-    "customer_order_stats",
-    "purchase_and_signup_users",
-    "big_orders_having",
-    "events_cube",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "part_min_price_supplier",
-    "nation_trade_volume",
-    "q14_promo_revenue",
-    "q10_returned_items",
-    "q12_late_shipments",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "events_moving_stats",
-    "orders_join_strategy_report",
-    "docs_bm25_topk",
+# The pinned r15 backlog written at the end of r14 (VERDICT r14 "Next
+# round" #1, generated from docs/EVIDENCE.md regenerated at r15 open):
+# the 16 entries the new-in-r14 head displaced past the r14 boundary,
+# then the remaining r8-era greens. New-in-r15 head entries displace
+# the TAIL of this list past the boundary; the displaced entries must
+# then lead the r16 window.
+R15_BACKLOG = [
     "copurchase_kcore",
     "docs_rake_keyphrases",
     "docs_hybrid_rrf",
@@ -118,47 +72,88 @@ R14_BACKLOG = [
     "events_range_window",
     "dq_referential_report",
     "tables_report",
+    "events_props_variant",
+    "doc_winnow_fingerprints",
+    "dup_components",
+    "dedup_incremental",
+    "embedding_quantize",
+    "docs_ngram_freq",
+    "docs_repetition_score",
+    "docs_decontaminate",
+    "docs_normalize",
+    "docs_pii_redact",
+    "docs_sample_stratified",
+    "docs_sample_hash_topk",
+    "docs_domain_mix",
+    "docs_pack_sequences",
+    "docs_inverted_index",
+    "docs_tfidf_top_terms",
+    "docs_shard_assign",
+    "docs_range_shards",
+    "docs_chunk_windows",
+    "docs_split_assign",
+    "docs_curation_funnel",
+    "embedding_block_near_dups",
+    "wire_connector_station_counts",
+    "multimodal_blob_stats",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q19_disjunctive_revenue",
+    "events_segment_enrichment",
+    "customer_scd2_asof_snapshot",
 ]
 
 
-def test_r14_window_composition():
-    """The r14 window is exactly (NEW_IN_R14 + R14_BACKLOG)[:50]:
+def test_r15_window_composition():
+    """The r15 window is exactly (NEW_IN_R15 + R15_BACKLOG)[:50]:
     never-green queries first, then the pinned backlog. Growth at the
     head may only displace the backlog TAIL; the displaced tail must
-    sit immediately behind the boundary, leading the r15 window."""
+    sit immediately behind the boundary, leading the r16 window."""
     names = list(entry.queries())
-    expected = (NEW_IN_R14 + R14_BACKLOG)[:50]
+    expected = (NEW_IN_R15 + R15_BACKLOG)[:50]
     assert names[:50] == expected
-    n_displaced = len(NEW_IN_R14 + R14_BACKLOG) - 50
+    n_displaced = len(NEW_IN_R15 + R15_BACKLOG) - 50
     assert n_displaced >= 0
     if n_displaced:
-        assert names[50 : 50 + n_displaced] == R14_BACKLOG[-n_displaced:]
+        assert names[50 : 50 + n_displaced] == R15_BACKLOG[-n_displaced:]
 
 
-def test_r15_window_plan():
-    """Positions 50-99 (the r15 plan): the displaced r14-backlog tail
-    first, then the remaining r8-era greens — every slot oracle-backed
-    so each can earn a green row. The freshly-certified r13 block sits
-    at the back, just ahead of the rows-only tail."""
+def test_r16_window_plan():
+    """Positions 50-99 (the r16 plan): the displaced r15-backlog tail
+    first, then the remaining r8-era and oldest r9-era greens — every
+    slot oracle-backed so each can earn a green row. The
+    freshly-certified r14 block sits at the back, just ahead of the
+    rows-only tail."""
     names = list(entry.queries())
-    r15 = names[50:100]
+    r16 = names[50:100]
     oracles = set(entry.oracle_sql())
-    assert set(r15) <= oracles
+    assert set(r16) <= oracles
     # the displaced backlog tail leads (guard the empty-head case)
-    n_displaced = len(NEW_IN_R14 + R14_BACKLOG) - 50
+    n_displaced = len(NEW_IN_R15 + R15_BACKLOG) - 50
     if n_displaced:
-        assert r15[:n_displaced] == R14_BACKLOG[-n_displaced:]
-    # remaining r8-era greens fill the next slots
-    for q in ("events_props_variant", "doc_winnow_fingerprints",
-              "docs_curation_funnel", "embedding_block_near_dups"):
-        assert q in r15, q
-    # the r9/r10-certified blocks are behind the r15 window
-    for q in ("q1_pricing_summary", "hydro_station_list",
-              "docs_editdist_pairs", "events_ks_two_sample"):
-        assert q in names[100:], q
-    # the freshly-certified r13 block sits at the back
-    for q in ("dedup_survivor_length_bias", "stream_batch_psi_parity",
-              "hydro_classify_alerts", "wire_batch_flatten"):
+        assert r16[:n_displaced] == R15_BACKLOG[-n_displaced:]
+    # remaining r8-era / oldest r9-era greens fill the next slots
+    for q in ("orders_theilsen_trend", "embedding_mutual_knn",
+              "docs_pmi_top_pairs", "events_watermark_lateness_audit"):
+        assert q in r16, q
+    # the deeper r9/r10-certified blocks are behind the r16 window
+    # (they only clear position 100 once the r15 head has grown —
+    # the window pins above keep them out of the FIRST 50 throughout)
+    deep = ("hydro_resample_10min", "docs_simjoin_prefix",
+            "events_mann_whitney", "hydro_recession_constant")
+    for q in deep:
+        assert q not in names[:50], q
+    if len(NEW_IN_R15) >= 10:
+        for q in deep:
+            assert q in names[100:], q
+    # the freshly-certified r14 block sits at the back
+    for q in ("stream_batch_kmv_parity", "hydro_station_ewma",
+              "events_kanon_generalization_ladder", "docs_bm25_topk"):
         assert q in names[100:], q
     # rows-only entries stay at the very end
     assert names[-5:] == [

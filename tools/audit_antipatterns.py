@@ -185,11 +185,17 @@ def int_double_overflow_flags(sql: str) -> list[str]:
         if re.search(r"AS\s+DECIMAL", body, re.IGNORECASE):
             continue
         # the hi/lo exact-conversion idiom is exempt: a trailing
-        # `// <literal>` / `% <literal>` bounds the casted part under
-        # 2^53 by construction (v // 2^40 and v % 2^40 for v < 2^93 —
+        # `% <literal>` bounds the casted part under the literal by
+        # construction, and a trailing `// <literal>` bounds it under
+        # 2^53 ONLY when the divisor is large (v // 2^40 for v < 2^93;
         # each part converts exactly, the power-of-two scale is exact,
-        # and the single IEEE add correctly rounds; SCALE.md §r14)
-        if re.search(r"(//|%)\s*\d+\s*$", body.strip()):
+        # and the single IEEE add correctly rounds; SCALE.md §r14).
+        # `// 2` would leave the quotient unbounded, so the floordiv
+        # exemption requires divisor >= 2^40 (ADVICE r14).
+        if re.search(r"%\s*\d+\s*$", body.strip()):
+            continue
+        mdiv = re.search(r"//\s*(\d+)\s*$", body.strip())
+        if mdiv and int(mdiv.group(1)) >= 2**40:
             continue
         probe = body.replace("count(*)", "count_rows").replace(
             "COUNT(*)", "count_rows"

@@ -2,7 +2,8 @@
 """Gate-SF vacuity sweep (VERDICT r13 "Next round" #5).
 
 A driver window row that matches its oracle with ZERO rows certifies
-only the empty result — weak evidence (`customers_without_orders` at
+only the empty result — weak evidence (`customers_without_urgent_orders`,
+né `customers_without_orders`, at
 sf0.01 was the observed case). This sweep runs every ORACLE (DuckDB
 side only — the oracle IS the expected result, so the Spark engine
 need not start) at the given SF and lists the queries whose certified
