@@ -1698,30 +1698,29 @@ LLM_ORACLES["docs_gopher_quality"] = _TOK_CTE + """
     FROM per_doc p JOIN top USING (doc_id)
     """
 
-LLM_ORACLES["docs_token_entropy"] = _TOK_CTE + """
+# Exact collision statistics (r15 migration of the ln-emitting token
+# entropy — SCALE.md watch list): simpson / eff_vocab / top_share as
+# the identical two-chained-division expressions the Spark side runs.
+LLM_ORACLES["docs_token_concentration"] = _TOK_CTE + """
     , counts AS (
       SELECT doc_id, n, tok, count(*) AS c FROM (
         SELECT doc_id, len(toks) AS n, unnest(toks) AS tok FROM tok)
       GROUP BY doc_id, n, tok
     ),
-    -- fold over SORTED counts, sequentially from 0.0: bit-identical to
-    -- the Spark side's sort_array + F.aggregate (see plans/llm.py)
-    ent AS (
-      SELECT doc_id, n,
-        -list_reduce(
-          list_prepend(0.0, list_transform(list_sort(list(c)),
-            c -> (CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n))),
-          (acc, x) -> acc + x) AS entropy,
-        count(*) AS n_distinct
+    per_doc AS (
+      SELECT doc_id, n, count(*) AS n_distinct,
+        sum(c * c) AS sum_c2, max(c) AS c_max
       FROM counts GROUP BY doc_id, n
     )
     SELECT doc_id, CAST(n AS INTEGER) AS n_toks,
       CAST(n_distinct AS BIGINT) AS n_distinct,
-      round(entropy, 4) AS entropy,
-      round(CASE WHEN n_distinct > 1
-                 THEN entropy / log2(CAST(n_distinct AS DOUBLE))
-                 ELSE 0.0 END, 4) AS norm_entropy
-    FROM ent
+      CAST(sum_c2 AS BIGINT) AS sum_c2,
+      round(CAST(sum_c2 AS DOUBLE) / CAST(n AS DOUBLE)
+            / CAST(n AS DOUBLE), 4) AS simpson,
+      round(CAST(n AS DOUBLE) / CAST(sum_c2 AS DOUBLE)
+            * CAST(n AS DOUBLE), 4) AS eff_vocab,
+      round(CAST(c_max AS DOUBLE) / CAST(n AS DOUBLE), 4) AS top_share
+    FROM per_doc
     """
 
 RELATIONAL_ORACLES["orders_salted_revenue"] = """
@@ -6033,7 +6032,10 @@ LLM_ORACLES["docs_learning_curve"] = r"""
 
 
 # Markov entropy rate: same lag pairs, same per-state sorted fold.
-RELATIONAL_ORACLES["events_entropy_rate"] = """
+# Exact Markov collision concentration (r15 migration of the
+# log2-emitting entropy rate — SCALE.md watch list): same lag-window
+# cells, Σn² per state, two-chained-division repeat probability.
+RELATIONAL_ORACLES["events_markov_concentration"] = """
     WITH pairs AS (
       SELECT lag(event_type) OVER (
           PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
@@ -6046,23 +6048,18 @@ RELATIONAL_ORACLES["events_entropy_rate"] = """
     ),
     per_state AS (
       SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
-        list(struct_pack(t := to_type, n := n) ORDER BY to_type, n) AS cs
+        CAST(sum(n * n) AS BIGINT) AS sum_sq
       FROM cells GROUP BY 1
     ),
-    total AS (SELECT CAST(sum(n_out) AS BIGINT) AS n_total FROM per_state),
-    ent AS (
-      SELECT from_type, n_out,
-        -list_reduce(list_prepend(0.0, list_transform(cs,
-          t -> (CAST(t.n AS DOUBLE) / CAST(n_out AS DOUBLE))
-               * log2(CAST(t.n AS DOUBLE) / CAST(n_out AS DOUBLE)))),
-          (a, b) -> a + b) AS entropy_bits
-      FROM per_state
-    )
-    SELECT from_type, n_out, round(entropy_bits, 4) AS entropy_bits,
+    total AS (SELECT CAST(sum(n_out) AS BIGINT) AS n_total FROM per_state)
+    SELECT from_type, n_out, sum_sq,
+      round(CAST(sum_sq AS DOUBLE) / CAST(n_out AS DOUBLE)
+            / CAST(n_out AS DOUBLE), 4) AS repeat_prob,
       round(CAST(n_out AS DOUBLE) / CAST(n_total AS DOUBLE), 4) AS pi,
       round((CAST(n_out AS DOUBLE) / CAST(n_total AS DOUBLE))
-            * entropy_bits, 4) AS rate_contribution_bits
-    FROM ent, total
+            * (CAST(sum_sq AS DOUBLE) / CAST(n_out AS DOUBLE)
+               / CAST(n_out AS DOUBLE)), 4) AS rate_contribution
+    FROM per_state, total
     """
 
 
@@ -9368,9 +9365,10 @@ LLM_ORACLES["docs_length_quantiles_by_source"] = r"""
     """
 
 
-# Byte-entropy QA: _UTF8_BYTES_CTE byte lists, sorted-fold per-blob
-# entropy, integer-nanos quantized cross-blob mean.
-LLM_ORACLES["multimodal_bytes_entropy"] = _UTF8_BYTES_CTE + """
+# Byte-collision QA (r15 migration of the log2-emitting byte entropy —
+# SCALE.md watch list): _UTF8_BYTES_CTE byte lists, per-blob collision
+# nano-quantized by exact integer floor division, integer low-info gate.
+LLM_ORACLES["multimodal_bytes_concentration"] = _UTF8_BYTES_CTE + """
     , ex AS (
       SELECT c.doc_id, d.source, c.n, unnest(c.bytes) AS byte
       FROM chars c JOIN documents d USING (doc_id) WHERE c.n > 0
@@ -9378,24 +9376,18 @@ LLM_ORACLES["multimodal_bytes_entropy"] = _UTF8_BYTES_CTE + """
       SELECT doc_id, source, n, byte, count(*) AS c
       FROM ex GROUP BY 1, 2, 3, 4
     ), per_doc AS (
-      SELECT doc_id, source, n, list_sort(list(c)) AS cs
+      SELECT doc_id, source, n, sum(c * c) AS sum_c2
       FROM cnt GROUP BY 1, 2, 3
-    ), ent AS (
-      SELECT source,
-        -list_reduce(list_prepend(0.0, list_transform(cs,
-            c -> (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
-                 * log2(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)))),
-          (acc, t) -> acc + t) AS entropy
-      FROM per_doc
     ), q AS (
-      SELECT source, CAST(floor(entropy * 1000000000.0) AS BIGINT) AS qe,
-        CASE WHEN entropy < 4.0 THEN 1 ELSE 0 END AS low
-      FROM ent
+      SELECT source,
+        (sum_c2 * 1000000000) // (n * n) AS qc,
+        CASE WHEN sum_c2 * 16 > n * n THEN 1 ELSE 0 END AS low_info
+      FROM per_doc
     )
     SELECT source, CAST(count(*) AS BIGINT) AS n_blobs,
-      round(CAST(sum(qe) AS DOUBLE) / 1000000000.0 / count(*), 4)
-        AS avg_entropy,
-      CAST(sum(low) AS BIGINT) AS n_low_entropy
+      round(CAST(sum(qc) AS DOUBLE) / 1000000000.0 / count(*), 4)
+        AS avg_collision,
+      CAST(sum(low_info) AS BIGINT) AS n_low_info
     FROM q GROUP BY 1
     """
 
@@ -10490,3 +10482,118 @@ RELATIONAL_ORACLES["stream_batch_qsample_parity"] = (
     FROM b
     """
 )
+
+RELATIONAL_ORACLES["stream_batch_ks_parity"] = (
+    "WITH b AS ("
+    + RELATIONAL_ORACLES["events_ks_two_sample"]
+    + """)
+    SELECT event_type, n_t, n_rest, d_stat, d_at_value,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)
+
+RELATIONAL_ORACLES["stream_batch_scd2_parity"] = (
+    "WITH b AS ("
+    + RELATIONAL_ORACLES["customer_scd2_history"]
+    + """)
+    SELECT cust_key, version, priority, valid_from, valid_to,
+      is_current, n_orders,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)
+
+# Lateness certificate: the batch face's exact arms (same global-window
+# SQL) plus the 1/64 qsample's rank-rule quantiles over the SAME
+# lateness values (the events_sampled_quantiles sample predicate keyed
+# by event_id).
+RELATIONAL_ORACLES["stream_batch_lateness_parity"] = """
+    WITH base AS (
+      SELECT event_id, event_type, epoch_us(ts) AS us FROM events
+    ), hw AS (
+      SELECT event_id, event_type, us,
+        max(us) OVER (ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS seen
+      FROM base
+    ), lat AS (
+      SELECT event_id, event_type,
+        greatest(0, coalesce(seen, 0) - us) AS value
+      FROM hw
+    ), exact AS (
+      SELECT event_type, count(*) AS n,
+        sum(CASE WHEN value > 600000000 THEN 1 ELSE 0 END) AS n_late,
+        max(value) AS max_us
+      FROM lat GROUP BY 1
+    ), samp AS (
+      SELECT event_type, value FROM lat
+      WHERE ((event_id % 2147483648) * 2654435761) % 2147483648
+            < 33554432
+    ), sranked AS (
+      SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM samp
+    ), est AS (
+      SELECT event_type, max(n) AS s_n,
+        max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+            THEN value END) AS s_p50,
+        max(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT)
+            THEN value END) AS s_p95,
+        max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+            THEN value END) AS s_p99
+      FROM sranked GROUP BY 1
+    )
+    SELECT e.event_type,
+      CAST(e.n AS BIGINT) AS n,
+      CAST(e.n_late AS BIGINT) AS n_late_10m,
+      CAST(e.max_us AS BIGINT) AS max_us,
+      CAST(s.s_n AS BIGINT) AS n_sample,
+      CAST(s.s_p50 AS BIGINT) AS est_p50_us,
+      CAST(s.s_p95 AS BIGINT) AS est_p95_us,
+      CAST(s.s_p99 AS BIGINT) AS est_p99_us,
+      TRUE AS matches_batch_face
+    FROM exact e LEFT JOIN est s ON e.event_type = s.event_type
+    """
+
+LLM_ORACLES["stream_batch_tv_parity"] = (
+    "WITH b AS ("
+    + LLM_ORACLES["docs_source_tv_distance"]
+    + """)
+    SELECT source_a, source_b, n_toks_a, n_toks_b, tv_distance,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)
+
+# LM-stats certificate: exact-integer bigram counts (the perplexity
+# oracle's tok/bgu/corpus_bg head) — top-20 by (count desc, bigram asc)
+# plus the global checksums.
+LLM_ORACLES["stream_batch_lm_parity"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+        list_transform(regexp_split_to_array(trim(text), '\s+'),
+                       t -> lower(t)) AS toks
+      FROM documents
+    ), bgu AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM tok WHERE len(toks) >= 2
+    ), cb AS (
+      SELECT bg, count(*) AS c FROM bgu GROUP BY 1
+    ), g AS (
+      SELECT count(*) AS n_distinct_bg, sum(c) AS total_c FROM cb
+    ), top AS (
+      SELECT bg, c,
+        row_number() OVER (ORDER BY c DESC, bg ASC) AS rank
+      FROM cb
+    )
+    SELECT CAST(t.rank AS INTEGER) AS rank, t.bg,
+      CAST(t.c AS BIGINT) AS c,
+      CAST(g.n_distinct_bg AS BIGINT) AS n_distinct_bg,
+      CAST(g.total_c AS BIGINT) AS total_c,
+      TRUE AS matches_batch_face
+    FROM top t CROSS JOIN g
+    WHERE t.rank <= 20
+    """

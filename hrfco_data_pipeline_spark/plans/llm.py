@@ -1201,21 +1201,33 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram Shannon entropy per document — the cheap perplexity
-    proxy used to flag degenerate/low-information text.
+def docs_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram repetition/diversity per document via EXACT collision
+    statistics — the cheap degenerate-text screen, migrated in r15
+    from the ln-emitting ``docs_token_entropy`` (SCALE.md watch list:
+    JVM ``Math.log`` is one ulp off correctly-rounded ln on some
+    arguments, so a Shannon emission is a latent driver-hash split on
+    regenerated data; the Rényi-2/collision family carries the same
+    signal over exact integers — the multimodal patch-profile
+    precedent, VERDICT r14 'Next round' #4).
 
-    entropy = -Σ p·log2(p) over the doc's token distribution;
-    norm_entropy divides by log2(#distinct) (1.0 = uniform usage).
-    One (doc_id, token) count shuffle, partials map-side.
+    simpson = Σc²/n² — the probability two random tokens of the doc
+    coincide (1/n_distinct = perfectly even usage, 1.0 = one token
+    repeated; high = degenerate/boilerplate, the entropy-collapse
+    face). eff_vocab = n²/Σc² is its inverse 'effective vocabulary
+    size' (the Rényi-2 analogue of perplexity); top_share = max(c)/n
+    the mode share. sum_c2 is the raw exact collision count.
 
-    Bit-determinism: a plain double SUM over shuffled count rows is
-    summation-order-dependent — the one construct that can flip a
-    rounded 4th decimal between engines (or between runs). The term
-    sum therefore folds over the SORTED count list (sequential
-    fold-left, ties are equal values), which the DuckDB twin mirrors
-    with the same sort and fold — bit-equal pre-rounding.
-    """
+    Exactness: sum_c2, n, n_distinct, c_max are exact longs
+    (Σc² ≤ n² — doc-length bounded, orders of magnitude under 2^53);
+    each emitted ratio is ONE IEEE division (or one divide of two
+    exact casts) on identical operands in both engines — correctly
+    rounded, no transcendental, no order-dependent fold anywhere.
+
+    Scale shape: one (doc_id, token) count shuffle with map-side
+    partials, then a per-doc aggregate — strictly cheaper than the
+    entropy form it replaces (no sorted-list collect, plain SUM of
+    c·c)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens().alias("toks"))
     counts = (
@@ -1224,27 +1236,24 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     per_doc = counts.groupBy("doc_id", "n").agg(
-        F.sort_array(F.collect_list("c")).alias("cs"),
         F.count("*").alias("n_distinct"),
+        F.sum(F.col("c").cast("long") * F.col("c")).alias("sum_c2"),
+        F.max("c").alias("c_max"),
     )
-    p = lambda c: c.cast("double") / F.col("n")
-    ent = per_doc.withColumn(
-        "entropy",
-        -F.aggregate(
-            "cs", F.lit(0.0), lambda acc, c: acc + p(c) * F.log2(p(c))
-        ),
-    )
-    return ent.select(
+    # two chained divisions instead of an n·n product: no integer
+    # product ever crosses into the double domain (the 2^53 audit
+    # class stays structurally empty), and both engines evaluate the
+    # identical left-associative chain
+    nd = F.col("n").cast("double")
+    s2 = F.col("sum_c2").cast("double")
+    return per_doc.select(
         "doc_id",
         F.col("n").alias("n_toks"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
-        _r4("entropy").alias("entropy"),
-        _r4(
-            F.when(
-                F.col("n_distinct") > 1,
-                F.col("entropy") / F.log2(F.col("n_distinct").cast("double")),
-            ).otherwise(F.lit(0.0))
-        ).alias("norm_entropy"),
+        F.col("sum_c2").cast("long").alias("sum_c2"),
+        _r4(s2 / nd / nd).alias("simpson"),
+        _r4(nd / s2 * nd).alias("eff_vocab"),
+        _r4(F.col("c_max").cast("double") / nd).alias("top_share"),
     )
 
 
@@ -5924,28 +5933,36 @@ def docs_length_quantiles_by_source(
     )
 
 
-def multimodal_bytes_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-level Shannon entropy per blob, rolled up per source — the
-    codec-free multimodal QA that IS honest in this environment: raw
-    byte statistics need no decoder, and they catch the two failure
-    classes a blob pipeline sees first (truncated/zero-padded payloads
-    → entropy collapse; double-compressed or encrypted payloads →
-    entropy pegged at ~8 bits/byte). The decode-dependent features
-    stay behind the documented stub boundary; this one is real end to
-    end.
+def multimodal_bytes_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Byte-level collision concentration per blob, rolled up per
+    source — the codec-free multimodal QA that IS honest in this
+    environment, migrated in r15 from the log2-emitting
+    ``multimodal_bytes_entropy`` (SCALE.md watch list; the Rényi-2/
+    collision family carries the same two failure signals over exact
+    integers — the patch-profile precedent, VERDICT r14 'Next round'
+    #4). collision = Σc²/n² — the probability two random payload
+    bytes coincide: truncated/zero-padded payloads spike it (the
+    entropy-collapse face); well-compressed or encrypted payloads sit
+    near the uniform floor 1/256. A blob is flagged low-information
+    when 16·Σc² > n² (collision above the 16-symbol-uniform line —
+    the exact-INTEGER twin of the old 'entropy < 4 bits' gate, and
+    strict > keeps an exactly-16-symbol-uniform blob unflagged just
+    as strict < 4.0 did).
 
-    Exactness: byte values via the hex face (the dhash idiom — one
-    hex() per blob, O(1) substr per byte); per-blob entropy folds over
-    the SORTED byte-count list (the docs_token_entropy precedent, so
-    the 256-term double sum is bit-equal to the DuckDB twin); the
-    cross-blob mean floor-quantizes each entropy to integer nanos and
-    sums EXACTLY (the train_linear_gate convention) — no
-    order-dependent double aggregation anywhere.
+    Exactness: byte values via the hex face (the dhash idiom); Σc² and
+    the flag are pure integer arithmetic; the per-blob collision is
+    floor-quantized to integer nanos BY INTEGER FLOOR DIVISION
+    (Σc²·10⁹ // n² — n ≤ blob bytes keeps every product far under
+    2^63) and summed exactly; only the final mean divides. No
+    transcendental, no double fold, anywhere.
 
     Scale shape: one explode to (blob, byte) rows — 1 row per payload
     byte, the same linear pass a decoder would make — then two
     map-side-combined groupBys ((doc, byte) then doc) and a
-    metadata-sized source rollup.
+    metadata-sized source rollup; cheaper than the entropy form it
+    replaces (plain SUM of c·c, no sorted-list collect).
     """
     from hrfco_data_pipeline_spark.operators.multimodal import to_multimodal
 
@@ -5970,24 +5987,24 @@ def multimodal_bytes_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c")
     )
     per_doc = counts.groupBy("doc_id", "source", "n").agg(
-        F.sort_array(F.collect_list("c")).alias("cs")
+        F.sum(F.col("c").cast("long") * F.col("c")).alias("sum_c2")
     )
-    p = lambda c: c.cast("double") / F.col("n").cast("double")
-    ent = -F.aggregate(
-        "cs", F.lit(0.0), lambda acc, c: acc + p(c) * F.log2(p(c))
-    )
-    q = per_doc.select(
+    n2 = F.col("n").cast("long") * F.col("n")
+    q = per_doc.withColumn("n2", n2).select(
         "source",
-        F.floor(ent * F.lit(1e9)).cast("long").alias("qe"),
-        (ent < 4.0).cast("long").alias("low"),
+        # exact integer floor division (SQL `div`), never a double
+        F.expr(
+            "(sum_c2 * CAST(1000000000 AS BIGINT)) div n2"
+        ).alias("qc"),
+        (F.col("sum_c2") * 16 > F.col("n2")).cast("long").alias("low_info"),
     )
     return q.groupBy("source").agg(
         F.count("*").alias("n_blobs"),
         F.round(
-            F.sum("qe").cast("double") / F.lit(1e9) / F.count("*").cast("double"),
+            F.sum("qc").cast("double") / F.lit(1e9) / F.count("*").cast("double"),
             4,
-        ).alias("avg_entropy"),
-        F.sum("low").alias("n_low_entropy"),
+        ).alias("avg_collision"),
+        F.sum("low_info").alias("n_low_info"),
     )
 
 
@@ -6876,6 +6893,164 @@ def bm25_parity_report(spark: SparkSession, sf_dir: str, table: str) -> DataFram
             F.col("doc_id").eqNullSafe(F.col("b_doc"))
             & F.col("score").eqNullSafe(F.col("b_score"))
             & F.col("n_terms").eqNullSafe(F.col("b_terms"))
+        ).alias("matches_batch_face"),
+    )
+
+
+def stream_batch_tv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the TV source-drift
+    maintainer (VERDICT r14 'Next round' #2): stream the documents
+    table through streaming/curation.tv_drift_stream in file
+    micro-batches (availableNow) — each batch appending its own
+    (source, bucket, c) token-count partials exactly-once — then serve
+    the pairwise total-variation distances FROM THE STORED PARTIALS
+    and emit them next to a matches-batch-face flag computed against
+    docs_source_tv_distance. Counts merge by plain addition, so the
+    served rows must be row-identical to the batch face in any
+    arrival order — a maintainer bug (lost batch, double-applied
+    batch, dropped bucket) shifts a count and breaks the integer-exact
+    TV numerator AND the flag (the oracle is the batch face's own SQL
+    + TRUE — the r13 cms_parity_report factoring).
+
+    EAGER query: the streaming run executes at call time into a
+    session temp dir; stored state is per-batch |sources|·256 bucket
+    partials — grid-bounded, never token-bounded. At scale the
+    certificate runs against an existing partial store, not a re-copy.
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        run_parity_stream,
+        tv_drift_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = run_parity_stream(
+        spark, docs, tv_drift_stream, "hrfco_tv_parity_"
+    )
+    return tv_parity_report(spark, sf_dir, table)
+
+
+def tv_parity_report(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """The serve-vs-batch comparison tail of stream_batch_tv_parity,
+    factored out so the negative-path test can point it at a TAMPERED
+    store (a re-appended partial double-counts a batch's buckets,
+    shifting both marginals) and watch the flag flip
+    (tests/test_r15_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        tv_report_from_counts,
+    )
+
+    served = tv_report_from_counts(spark, table)
+    batch = docs_source_tv_distance(spark, sf_dir).select(
+        F.col("source_a").alias("b_a"),
+        F.col("source_b").alias("b_b"),
+        F.col("n_toks_a").alias("b_na"),
+        F.col("n_toks_b").alias("b_nb"),
+        F.col("tv_distance").alias("b_tv"),
+    )
+    j = served.join(
+        batch,
+        (served["source_a"] == batch["b_a"])
+        & (served["source_b"] == batch["b_b"]),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("source_a"), F.col("b_a")).alias("source_a"),
+        F.coalesce(F.col("source_b"), F.col("b_b")).alias("source_b"),
+        F.col("n_toks_a"),
+        F.col("n_toks_b"),
+        F.col("tv_distance"),
+        (
+            F.col("n_toks_a").eqNullSafe(F.col("b_na"))
+            & F.col("n_toks_b").eqNullSafe(F.col("b_nb"))
+            & F.col("tv_distance").eqNullSafe(F.col("b_tv"))
+        ).alias("matches_batch_face"),
+    )
+
+
+def stream_batch_lm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the bigram-LM statistics
+    maintainer (VERDICT r14 'Next round' #2): stream the documents
+    table through streaming/curation.lm_stats_stream in file
+    micro-batches (availableNow) — each batch's bigram counts merged
+    into the stored table under the exactly-once staged swap — then
+    serve the top-20 corpus bigrams plus the global count checksums
+    FROM THE STORED TABLE and emit them next to a matches-batch-face
+    flag computed against a one-pass batch count of the same corpus.
+    Counts merge by plain addition, so the stored table must be
+    row-identical to the batch counts in any arrival order — a
+    maintainer bug (lost merge, double-applied batch, swap-crash data
+    loss) shifts a count and breaks the ranks, the checksums, AND the
+    flag. Emission is EXACT-INTEGER throughout (counts and ranks — no
+    perplexity/log in the certified surface, per the Math.log house
+    rule).
+
+    EAGER query: the streaming run executes at call time into a
+    session temp dir; stored state is the vocab-bounded (bg, c) table.
+    At scale the certificate runs against the existing LM store the
+    perplexity face already reads.
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        lm_stats_stream,
+        run_parity_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = run_parity_stream(
+        spark, docs, lm_stats_stream, "hrfco_lm_parity_"
+    )
+    return lm_parity_report(spark, sf_dir, table)
+
+
+def lm_parity_report(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """The serve-vs-batch comparison tail of stream_batch_lm_parity,
+    factored out so the negative-path test can point it at a TAMPERED
+    store (a perturbed count shifts a rank and both checksums) and
+    watch the flag flip (tests/test_r15_operators.py).
+
+    Scale shape: the top-20 is a TakeOrdered over the vocab-bounded
+    count table (no full sort); the rank window then runs over ≤20
+    rows; the checksums are two single-row aggregates cross-joined on."""
+    from hrfco_data_pipeline_spark.streaming.curation import bigram_counts
+
+    def _top20(counts: DataFrame, pre: str) -> DataFrame:
+        top = counts.orderBy(F.desc("c"), F.asc("bg")).limit(20)
+        w = Window.orderBy(F.desc("c"), F.asc("bg"))
+        return top.select(
+            F.row_number().over(w).alias(f"{pre}rank"),
+            F.col("bg").alias(f"{pre}bg"),
+            F.col("c").alias(f"{pre}c"),
+        )
+
+    def _totals(counts: DataFrame, pre: str) -> DataFrame:
+        return counts.agg(
+            F.count("*").alias(f"{pre}n_distinct_bg"),
+            F.sum("c").cast("long").alias(f"{pre}total_c"),
+        )
+
+    stored = spark.read.parquet(table)
+    docs = load_table(spark, sf_dir, "documents")
+    batch = bigram_counts(docs)
+    j = (
+        _top20(stored, "")
+        .join(_top20(batch, "b_"), F.col("rank") == F.col("b_rank"), "full_outer")
+        .crossJoin(F.broadcast(_totals(stored, "g_")))
+        .crossJoin(F.broadcast(_totals(batch, "gb_")))
+    )
+    return j.select(
+        F.coalesce(F.col("rank"), F.col("b_rank")).alias("rank"),
+        F.col("bg"),
+        F.col("c"),
+        F.col("g_n_distinct_bg").alias("n_distinct_bg"),
+        F.col("g_total_c").alias("total_c"),
+        (
+            F.col("bg").eqNullSafe(F.col("b_bg"))
+            & F.col("c").eqNullSafe(F.col("b_c"))
+            & F.col("g_n_distinct_bg").eqNullSafe(F.col("gb_n_distinct_bg"))
+            & F.col("g_total_c").eqNullSafe(F.col("gb_total_c"))
         ).alias("matches_batch_face"),
     )
 

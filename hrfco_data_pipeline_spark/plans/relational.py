@@ -4262,18 +4262,31 @@ def events_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked
 
 
-def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral predictability: per-state conditional entropy of the
-    event-type Markov chain (events_markov_transitions' matrix) and
-    the chain's overall entropy rate H = Σ πᵢ·Hᵢ under the empirical
-    source distribution — low bits mean strongly scripted journeys,
-    high bits mean exploratory ones. The information-theoretic summary
-    next to the raw transition matrix.
+def events_markov_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral predictability: per-state COLLISION concentration of
+    the event-type Markov chain (events_markov_transitions' matrix) —
+    repeat_prob = Σn²/n_out², the probability two independent
+    transitions out of a state pick the same next type (1/|types| =
+    exploratory, 1.0 = fully scripted) — and its π-weighted chain
+    contribution under the empirical source distribution. Migrated in
+    r15 from the log2-emitting ``events_entropy_rate`` (SCALE.md watch
+    list: a Shannon emission is one JVM-libm ulp from a driver-hash
+    split on regenerated data; the Rényi-2/collision family carries
+    the same predictability signal over exact integers — the
+    patch-profile precedent, VERDICT r14 'Next round' #4).
 
-    One user-keyed lag window + one types² aggregate; every entropy
-    fold runs over the SORTED ≤|types| cell list of one source state
-    (bounded, order-pinned), and πᵢ divides exact integer counts —
-    bit-portable throughout."""
+    Exactness: sum_sq = Σn² and n_out are exact longs (Σn² ≤ n_out² —
+    event-count bounded, far under 2^53); repeat_prob and π are each
+    ONE IEEE division of exact casts on identical operands in both
+    engines, and the contribution is one correctly-rounded product of
+    those two doubles. No transcendental, no order-dependent fold —
+    strictly cheaper than the sorted-struct-list entropy fold it
+    replaces.
+
+    One user-keyed lag window + one types² aggregate; everything after
+    the cell counts runs on the bounded |types|² grid."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = ev.select(
@@ -4285,23 +4298,26 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_state = cells.groupBy("from_type").agg(
         F.sum("n").alias("n_out"),
-        F.sort_array(F.collect_list(F.struct("to_type", "n"))).alias("cs"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
     )
     total = per_state.agg(F.sum("n_out").alias("n_total"))
-    p = lambda t: t["n"].cast("double") / F.col("n_out").cast("double")  # noqa: E731
-    ent = per_state.withColumn(
-        "entropy_bits",
-        -F.aggregate(
-            "cs", F.lit(0.0), lambda acc, t: acc + p(t) * F.log2(p(t))
-        ),
-    ).crossJoin(F.broadcast(total))
+    st = per_state.crossJoin(F.broadcast(total))
+    # two chained divisions instead of an n_out² product: no integer
+    # product ever crosses into the double domain (the 2^53 audit
+    # class stays structurally empty at any event count)
+    repeat = (
+        F.col("sum_sq").cast("double")
+        / F.col("n_out").cast("double")
+        / F.col("n_out").cast("double")
+    )
     pi = F.col("n_out").cast("double") / F.col("n_total").cast("double")
-    return ent.select(
+    return st.select(
         "from_type",
         "n_out",
-        _r4(F.col("entropy_bits")).alias("entropy_bits"),
+        F.col("sum_sq").cast("long").alias("sum_sq"),
+        _r4(repeat).alias("repeat_prob"),
         _r4(pi).alias("pi"),
-        _r4(pi * F.col("entropy_bits")).alias("rate_contribution_bits"),
+        _r4(pi * repeat).alias("rate_contribution"),
     )
 
 
@@ -5543,6 +5559,57 @@ def events_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_lateness_values(
+    ev: DataFrame, bucket_rows: int = 4096
+) -> DataFrame:
+    """Per-event arrival-order lateness (event_id, event_type,
+    lateness_us) — the shared substrate of
+    ``events_watermark_lateness_audit`` and the lateness parity
+    certificate's batch-side sample arm (r15). lateness(e) =
+    max(0, max_{arrived before e}(event_time) − e's event_time), all
+    in integer epoch microseconds. The running maximum never runs as
+    one unpartitioned window: per-bucket maxima (bucket = arrival id
+    div ``bucket_rows``), a running max over the BOUNDED bucket
+    aggregate, then an in-bucket prefix window keyed by bucket —
+    value-identical to the global window at any bucket size (max is
+    associative over any prefix split)."""
+    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
+    base = ev.select(
+        "event_id",
+        "event_type",
+        us.alias("us"),
+        F.floor(F.col("event_id") / F.lit(bucket_rows))
+        .cast("long")
+        .alias("bkt"),
+    )
+    bmax = base.groupBy("bkt").agg(F.max("us").alias("b_max"))
+    wrun = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    pre = bmax.select("bkt", F.max("b_max").over(wrun).alias("prev_max"))
+    win = (
+        Window.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(pre, "bkt")
+        .withColumn("in_max", F.max("us").over(win))
+        .withColumn(
+            "seen",
+            F.greatest(
+                F.coalesce(F.col("prev_max"), F.lit(0)),
+                F.coalesce(F.col("in_max"), F.lit(0)),
+            ),
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.greatest(F.lit(0), F.col("seen") - F.col("us")).alias(
+                "lateness_us"
+            ),
+        )
+    )
+
+
 def events_watermark_lateness_audit(
     spark: SparkSession,
     sf_dir: str,
@@ -5573,39 +5640,8 @@ def events_watermark_lateness_audit(
     prefix split) — the oracle runs the plain global form.
     """
     ev = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.to_utc_timestamp("ts", "UTC"))
-    base = ev.select(
-        "event_id",
-        "event_type",
-        us.alias("us"),
-        F.floor(F.col("event_id") / F.lit(bucket_rows))
-        .cast("long")
-        .alias("bkt"),
-    )
-    bmax = base.groupBy("bkt").agg(F.max("us").alias("b_max"))
-    wrun = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    pre = bmax.select("bkt", F.max("b_max").over(wrun).alias("prev_max"))
-    win = (
-        Window.partitionBy("bkt")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    lat = (
-        base.join(pre, "bkt")
-        .withColumn("in_max", F.max("us").over(win))
-        .withColumn(
-            "seen",
-            F.greatest(
-                F.coalesce(F.col("prev_max"), F.lit(0)),
-                F.coalesce(F.col("in_max"), F.lit(0)),
-            ),
-        )
-        .select(
-            "event_type",
-            F.greatest(F.lit(0), F.col("seen") - F.col("us")).alias(
-                "lateness_us"
-            ),
-        )
+    lat = events_lateness_values(ev, bucket_rows).select(
+        "event_type", "lateness_us"
     )
     q = _disc_quantiles(
         lat.select("event_type", F.col("lateness_us").alias("value")),
@@ -7770,6 +7806,257 @@ def qsample_parity_report(
             & F.col("est_p50").eqNullSafe(F.col("b_p50"))
             & F.col("est_p90").eqNullSafe(F.col("b_p90"))
             & F.col("est_p99").eqNullSafe(F.col("b_p99"))
+        ).alias("matches_batch_face"),
+    )
+
+
+def stream_batch_ks_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the KS-drift maintainer
+    (VERDICT r14 'Next round' #2): stream the events table through
+    streaming/curation.ks_drift_stream in file micro-batches
+    (availableNow) — each batch appending its own (event_type, value,
+    c_t) count partials exactly-once — then serve the per-type-vs-rest
+    KS statistics FROM THE STORED PARTIALS and emit them next to a
+    matches-batch-face flag computed against events_ks_two_sample.
+    Counts merge by plain addition, so the served rows must be
+    row-identical to the batch face in any arrival order — a
+    maintainer bug (lost batch, double-applied batch, dropped key)
+    shifts a count and breaks the exact-rational D statistic AND the
+    flag; the driver hash catches both (the oracle is the batch face's
+    own SQL + TRUE — the r13 cms_parity_report factoring).
+
+    EAGER query: the streaming run executes at call time into a
+    session temp dir; stored state is per-batch (type, value) count
+    partials — distinct-value-bounded, never event-bounded. At scale
+    the certificate runs against an existing partial store, not a
+    re-copy.
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        ks_drift_stream,
+        run_parity_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    table = run_parity_stream(
+        spark, ev, ks_drift_stream, "hrfco_ks_parity_"
+    )
+    return ks_parity_report(spark, sf_dir, table)
+
+
+def ks_parity_report(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """The serve-vs-batch comparison tail of stream_batch_ks_parity,
+    factored out so the negative-path test can point it at a TAMPERED
+    store (a re-appended partial double-counts a batch's values,
+    shifting both ECDFs) and watch the flag flip
+    (tests/test_r15_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        ks_report_from_counts,
+    )
+
+    served = ks_report_from_counts(spark, table)
+    batch = events_ks_two_sample(spark, sf_dir).select(
+        F.col("event_type").alias("b_et"),
+        F.col("n_t").alias("b_nt"),
+        F.col("n_rest").alias("b_nr"),
+        F.col("d_stat").alias("b_d"),
+        F.col("d_at_value").alias("b_dv"),
+    )
+    j = served.join(
+        batch, served["event_type"] == batch["b_et"], "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("event_type"), F.col("b_et")).alias("event_type"),
+        F.col("n_t"),
+        F.col("n_rest"),
+        F.col("d_stat"),
+        F.col("d_at_value"),
+        (
+            F.col("n_t").eqNullSafe(F.col("b_nt"))
+            & F.col("n_rest").eqNullSafe(F.col("b_nr"))
+            & F.col("d_stat").eqNullSafe(F.col("b_d"))
+            & F.col("d_at_value").eqNullSafe(F.col("b_dv"))
+        ).alias("matches_batch_face"),
+    )
+
+
+def stream_batch_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the SCD2 dimension-
+    history maintainer (VERDICT r14 'Next round' #2): stream the four
+    history-relevant order columns through
+    streaming/curation.scd2_ingest_stream in file micro-batches
+    (availableNow) — O(batch) exactly-once appends — then DERIVE the
+    customer priority-regime history ON READ from the accumulated
+    store and emit it next to a matches-batch-face flag computed
+    against customer_scd2_history. Regime splitting sorts by order
+    DATE, not arrival, so the derived history must be row-identical to
+    the batch face in any arrival order — a maintainer bug (lost
+    batch, double-applied batch, dropped column) perturbs a regime
+    boundary and breaks the versions AND the flag (the oracle is the
+    batch face's own SQL + TRUE).
+
+    EAGER query: the streaming run executes at call time into a
+    session temp dir; stored state is the four-column order log. At
+    scale the certificate runs against an existing store, restricted
+    to the customers a batch touched (the store partitions by
+    cust_key range).
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        run_parity_stream,
+        scd2_ingest_stream,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
+    )
+    table = run_parity_stream(
+        spark, orders, scd2_ingest_stream, "hrfco_scd2_parity_"
+    )
+    return scd2_parity_report(spark, sf_dir, table)
+
+
+def scd2_parity_report(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """The serve-vs-batch comparison tail of stream_batch_scd2_parity,
+    factored out so the negative-path test can point it at a TAMPERED
+    store (a re-appended batch duplicates order rows, inflating
+    n_orders) and watch the flag flip (tests/test_r15_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        scd2_history_from_store,
+    )
+
+    served = scd2_history_from_store(spark, table)
+    batch = customer_scd2_history(spark, sf_dir).select(
+        F.col("cust_key").alias("b_ck"),
+        F.col("version").alias("b_v"),
+        F.col("priority").alias("b_pr"),
+        F.col("valid_from").alias("b_vf"),
+        F.col("valid_to").alias("b_vt"),
+        F.col("is_current").alias("b_ic"),
+        F.col("n_orders").alias("b_no"),
+    )
+    j = served.join(
+        batch,
+        (served["cust_key"] == batch["b_ck"])
+        & (served["version"] == batch["b_v"]),
+        "full_outer",
+    )
+    return j.select(
+        F.coalesce(F.col("cust_key"), F.col("b_ck")).alias("cust_key"),
+        F.coalesce(F.col("version"), F.col("b_v")).alias("version"),
+        F.col("priority"),
+        F.col("valid_from"),
+        F.col("valid_to"),
+        F.col("is_current"),
+        F.col("n_orders"),
+        (
+            F.col("priority").eqNullSafe(F.col("b_pr"))
+            & F.col("valid_from").eqNullSafe(F.col("b_vf"))
+            & F.col("valid_to").eqNullSafe(F.col("b_vt"))
+            & F.col("is_current").eqNullSafe(F.col("b_ic"))
+            & F.col("n_orders").eqNullSafe(F.col("b_no"))
+        ).alias("matches_batch_face"),
+    )
+
+
+def stream_batch_lateness_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the watermark-lateness
+    monitor (VERDICT r14 'Next round' #2 — the last pytest-only
+    streaming maintainer): stream the events table through
+    streaming/curation.lateness_monitor_stream in ORDERED file
+    micro-batches (run_parity_stream_ordered — lateness is computed
+    against the high-water mark of everything that arrived BEFORE, so
+    this certificate, unlike the order-free count/sketch maintainers,
+    must replay arrival order), then serve the per-type exact arms
+    (n / 10-minute overflow count / max) and the stored-sample
+    quantile estimates FROM THE STATE TABLES next to a
+    matches-batch-face flag. The exact arms compare against
+    events_watermark_lateness_audit; the estimate arms against the
+    rank-rule quantiles of the batch-side 1/64 lateness qsample — a
+    maintainer bug (lost partial, wrong pre-batch mark, drifted
+    sample threshold) breaks the values AND the flag.
+
+    EAGER query: the streaming run executes at call time into a
+    session temp dir; stored state is per-batch per-type partials plus
+    the 1/64 sample — sketch-sized, never event-bounded. At scale the
+    certificate runs against an existing state store fed by the real
+    (arrival-ordered) ingest.
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        lateness_monitor_stream,
+        run_parity_stream_ordered,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    table = run_parity_stream_ordered(
+        spark, ev, "event_id", lateness_monitor_stream,
+        "hrfco_lat_parity_",
+    )
+    return lateness_parity_report(spark, sf_dir, table)
+
+
+def lateness_parity_report(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """The serve-vs-batch comparison tail of
+    stream_batch_lateness_parity, factored out so the negative-path
+    test can point it at a TAMPERED store (a corrupted partial shifts
+    the exact arms; a duplicated sample batch shifts every rank) and
+    watch the flag flip (tests/test_r15_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        lateness_report_from_state,
+    )
+
+    served = lateness_report_from_state(spark, table)
+    exact = events_watermark_lateness_audit(spark, sf_dir).select(
+        F.col("event_type").alias("b_et"),
+        F.col("n").alias("b_n"),
+        F.col("n_late_10m").alias("b_nl"),
+        F.col("max_us").alias("b_max"),
+    )
+    ev = load_table(spark, sf_dir, "events")
+    lat = events_lateness_values(ev)
+    est = _disc_quantiles(
+        lat.filter(qsample_filter(F.col("event_id"))).select(
+            "event_type", F.col("lateness_us").alias("value")
+        ),
+        ["event_type"],
+        [0.5, 0.95, 0.99],
+        "b_",
+    ).select(
+        F.col("event_type").alias("s_et"),
+        F.col("b_n").cast("long").alias("b_ns"),
+        F.col("b_p50").cast("long").alias("b_p50"),
+        F.col("b_p95").cast("long").alias("b_p95"),
+        F.col("b_p99").cast("long").alias("b_p99"),
+    )
+    batch = exact.join(
+        est, exact["b_et"] == est["s_et"], "left"
+    )
+    j = served.join(
+        batch, served["event_type"] == batch["b_et"], "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("event_type"), F.col("b_et")).alias("event_type"),
+        F.col("n"),
+        F.col("n_late_10m"),
+        F.col("max_us"),
+        F.col("n_sample"),
+        F.col("est_p50_us"),
+        F.col("est_p95_us"),
+        F.col("est_p99_us"),
+        (
+            F.col("n").eqNullSafe(F.col("b_n"))
+            & F.col("n_late_10m").eqNullSafe(F.col("b_nl"))
+            & F.col("max_us").eqNullSafe(F.col("b_max"))
+            & F.col("n_sample").eqNullSafe(F.col("b_ns"))
+            & F.col("est_p50_us").eqNullSafe(F.col("b_p50"))
+            & F.col("est_p95_us").eqNullSafe(F.col("b_p95"))
+            & F.col("est_p99_us").eqNullSafe(F.col("b_p99"))
         ).alias("matches_batch_face"),
     )
 

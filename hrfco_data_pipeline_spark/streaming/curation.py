@@ -1098,6 +1098,80 @@ def parity_workdir(prefix: str) -> str:
     return base
 
 
+def _bind_and_await(spark, frame_schema, src: str, bind, base: str,
+                    prefix: str, ordered: bool = False) -> str:
+    """Shared tail of the parity-certificate runners: open the file
+    stream over ``src`` (schema from the SOURCE frame, never
+    re-inferred from the written files — r13 self-review), bind the
+    maintainer writer, run availableNow to completion, and return the
+    store path. A hung query is stopped before raising so the orphaned
+    writer cannot race the workdir's exit-time removal (r14
+    self-review)."""
+    reader = (
+        spark.readStream.schema(frame_schema)
+        .option("maxFilesPerTrigger", 1)
+    )
+    if ordered:
+        reader = reader.option("recursiveFileLookup", "true")
+    stream = reader.parquet(src)
+    table = f"{base}/store"
+    q = (
+        bind(stream, table)
+        .option("checkpointLocation", f"{base}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"{prefix}parity stream did not terminate")
+    return table
+
+
+def run_parity_stream_ordered(
+    spark, frame, order_col: str, bind, prefix: str, k: int = 4
+) -> str:
+    """Ordered variant of ``run_parity_stream`` for ORDER-DEPENDENT
+    maintainers (the lateness monitor: per-batch lateness is computed
+    against the high-water mark of everything that ARRIVED before, so
+    micro-batch order must replay arrival order). Writes ``k``
+    contiguous ``order_col`` ranges as single-file parquet dirs with
+    strictly increasing mtimes; availableNow + maxFilesPerTrigger=1
+    then consumes them oldest-first (the proven
+    test_streaming_curation fixture pattern), so micro-batch order ==
+    ``order_col`` order. Order-FREE maintainers (counts, sketches,
+    append stores) should use ``run_parity_stream`` — this variant
+    costs k pushed-down range scans of the source instead of one.
+
+    At scale the certificate runs against an existing store fed by the
+    real ingest (which IS arrival-ordered); the range-file copy is
+    certificate scaffolding at the test SF only."""
+    import os
+    import time
+
+    base = parity_workdir(prefix)
+    src = f"{base}/src"
+    os.makedirs(src)
+    lo, hi = frame.agg(
+        F.min(order_col).cast("long"), F.max(order_col).cast("long")
+    ).first()
+    step = max(1, (hi - lo) // k + 1)
+    now = time.time()
+    for i in range(k):
+        a, b = lo + i * step, lo + (i + 1) * step
+        part = frame.filter(
+            (F.col(order_col) >= a) & (F.col(order_col) < b)
+        )
+        pdir = os.path.join(src, f"part-{i:04d}")
+        part.coalesce(1).write.parquet(pdir)
+        ts = now + i
+        os.utime(pdir, (ts, ts))
+        for f in os.listdir(pdir):
+            os.utime(os.path.join(pdir, f), (ts, ts))
+    return _bind_and_await(
+        spark, frame.schema, src, bind, base, prefix, ordered=True
+    )
+
+
 def run_parity_stream(spark, frame, bind, prefix: str) -> str:
     """The shared scaffold of every streaming↔batch parity certificate
     (five as of r14: CMS, PSI, BM25, KMV, quantile-sample; factored in
@@ -1113,19 +1187,4 @@ def run_parity_stream(spark, frame, bind, prefix: str) -> str:
     base = parity_workdir(prefix)
     src = f"{base}/src"
     frame.repartition(4).write.parquet(src)
-    stream = (
-        spark.readStream.schema(frame.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    table = f"{base}/store"
-    q = (
-        bind(stream, table)
-        .option("checkpointLocation", f"{base}/ck")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"{prefix}parity stream did not terminate")
-    return table
+    return _bind_and_await(spark, frame.schema, src, bind, base, prefix)

@@ -47,6 +47,21 @@ NEW_IN_R15: list[str] = [
     # registry name states its semantics; evidence ledger reset, so it
     # re-certifies here (the old customers_without_orders key retired)
     "customers_without_urgent_orders",
+    # the five remaining streaming-maintainer parity certificates
+    # (VERDICT r14 'Next round' #2), one-liners over run_parity_stream
+    "stream_batch_lateness_parity",
+    "stream_batch_tv_parity",
+    "stream_batch_ks_parity",
+    "stream_batch_scd2_parity",
+    "stream_batch_lm_parity",
+    # SCALE.md watch-list migrations (VERDICT r14 'Next round' #4):
+    # ln/log2-emitting certified queries re-expressed as exact-integer
+    # collision/Rényi-2 statistics and re-keyed to state the new
+    # semantics (the old docs_token_entropy / multimodal_bytes_entropy
+    # / events_entropy_rate keys retired; evidence ledgers reset)
+    "docs_token_concentration",
+    "multimodal_bytes_concentration",
+    "events_markov_concentration",
 ]
 
 # The pinned r15 backlog written at the end of r14 (VERDICT r14 "Next

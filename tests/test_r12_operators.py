@@ -482,17 +482,19 @@ def test_length_quantiles_by_source_recompute(spark, tmp_path):
     assert (got["tiny"].p10, got["tiny"].p50, got["tiny"].p90) == (4, 4, 4)
 
 
-def test_bytes_entropy_recompute(spark, tmp_path):
-    """Per-blob byte entropy recomputed in pure Python: a constant
-    blob has entropy 0 (low), a 16-symbol uniform blob exactly 4.0
-    (NOT low — strict <), and a two-symbol blob exactly 1.0."""
-    import math
-
-    from hrfco_data_pipeline_spark.plans.llm import multimodal_bytes_entropy
+def test_bytes_concentration_recompute(spark, tmp_path):
+    """Per-blob byte collision recomputed in pure Python (all exact
+    integers): a constant blob has collision 1.0 (low-information), a
+    16-symbol uniform blob exactly 1/16 (NOT flagged — the gate is
+    strict 16·Σc² > n², mirroring the old strict entropy < 4.0), and a
+    two-symbol blob exactly 1/2 (flagged)."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        multimodal_bytes_concentration,
+    )
 
     const = "a" * 32
-    uniform16 = "abcdefghijklmnop" * 2   # 16 symbols x 2 -> 4.0 bits
-    two = "abab"                          # 1.0 bit
+    uniform16 = "abcdefghijklmnop" * 2   # 16 symbols x 2 -> 1/16
+    two = "abab"                          # 1/2
     rows = [
         (1, const, "en", "s0", len(const)),
         (2, uniform16, "en", "s0", len(uniform16)),
@@ -500,28 +502,41 @@ def test_bytes_entropy_recompute(spark, tmp_path):
     ]
     sf = _write_docs(spark, tmp_path, rows)
 
-    def py_entropy(text):
+    def py_qc_low(text):
         b = text.encode()
         n = len(b)
-        counts = sorted(
-            sum(1 for x in b if x == v) for v in sorted(set(b))
+        sum_c2 = sum(
+            sum(1 for x in b if x == v) ** 2 for v in set(b)
         )
-        acc = 0.0
-        for c in counts:
-            p = c / n
-            acc += p * math.log2(p)
-        return -acc
+        return (sum_c2 * 10**9) // (n * n), 16 * sum_c2 > n * n
 
-    ents = {"s0": [py_entropy(const), py_entropy(uniform16)], "s1": [py_entropy(two)]}
-    got = {r.source: r for r in multimodal_bytes_entropy(spark, sf).collect()}
-    for src, es in ents.items():
-        qs = [math.floor(e * 1e9) for e in es]
+    stats = {
+        "s0": [py_qc_low(const), py_qc_low(uniform16)],
+        "s1": [py_qc_low(two)],
+    }
+    got = {
+        r.source: r
+        for r in multimodal_bytes_concentration(spark, sf).collect()
+    }
+    # Spark/DuckDB round() is HALF_UP on doubles; Python's round() is
+    # banker's — the hand corpus lands exactly on a .00005 tie
+    # (1.0625/2 = 0.53125), so the recompute must mirror HALF_UP
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r4_half_up(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+
+    for src, qs in stats.items():
         r = got[src]
-        assert r.n_blobs == len(es)
-        assert r.avg_entropy == round(sum(qs) / 1e9 / len(es), 4)
-        assert r.n_low_entropy == sum(1 for e in es if e < 4.0)
-    assert got["s0"].n_low_entropy == 1  # const low; uniform16 == 4.0 is NOT
-    assert got["s1"].n_low_entropy == 1
+        assert r.n_blobs == len(qs)
+        assert r.avg_collision == r4_half_up(
+            sum(q for q, _ in qs) / 1e9 / len(qs)
+        )
+        assert r.n_low_info == sum(1 for _, low in qs if low)
+    assert got["s0"].n_low_info == 1  # const flagged; uniform16 == 1/16 NOT
+    assert got["s1"].n_low_info == 1
 
 
 def test_quality_dup_contingency_recompute(spark, tmp_path):

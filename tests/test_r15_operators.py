@@ -1,0 +1,195 @@
+"""Round-15 operators: streaming↔batch parity certificates for the
+KS-drift, TV-drift, SCD2-ingest, bigram-LM, and watermark-lateness
+maintainers (the last five pytest-only maintainers, promoted to
+driver-gated certificates per VERDICT r14 'Next round' #2).
+
+Each certificate serves its report FROM THE STREAMING STORE next to a
+matches-batch-face flag; these tests pin (a) the positive path — a
+correctly-built store reads all-true — and (b) NON-VACUOUSNESS: a
+tampered store (double-applied batch / corrupted partial) flips the
+flag, so the green driver row certifies real parity, not a constant
+TRUE (the r13/r14 tampered-store convention).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, ".")
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ks_parity_flag_flips_on_double_applied_batch(spark, tmp_path):
+    """A re-appended count partial double-counts its values: both
+    ECDFs shift and the exact-rational D statistic breaks."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_type_value_counts,
+        ks_parity_report,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import _append_merge
+
+    ev = load_table(spark, SF, "events")
+    table = str(tmp_path / "store")
+    _append_merge(spark, table, events_type_value_counts(ev), 0)
+    ok = ks_parity_report(spark, SF, table).collect()
+    assert ok and all(r.matches_batch_face for r in ok)
+
+    _append_merge(
+        spark, table, events_type_value_counts(ev.limit(300)), 1
+    )
+    bad = ks_parity_report(spark, SF, table).collect()
+    assert not all(r.matches_batch_face for r in bad)
+
+
+def test_tv_parity_flag_flips_on_double_applied_batch(spark, tmp_path):
+    """A re-appended bucket partial inflates one source's counts and
+    total: every pair touching it drifts."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        source_bucket_counts,
+        tv_parity_report,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import _append_merge
+
+    docs = load_table(spark, SF, "documents")
+    table = str(tmp_path / "store")
+    _append_merge(spark, table, source_bucket_counts(docs), 0)
+    ok = tv_parity_report(spark, SF, table).collect()
+    assert ok and all(r.matches_batch_face for r in ok)
+
+    _append_merge(spark, table, source_bucket_counts(docs.limit(40)), 1)
+    bad = tv_parity_report(spark, SF, table).collect()
+    assert not all(r.matches_batch_face for r in bad)
+
+
+def test_scd2_parity_flag_flips_on_duplicated_orders(spark, tmp_path):
+    """A re-appended order batch duplicates rows: n_orders inflates
+    (and a duplicated boundary order can re-split a regime)."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        scd2_parity_report,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import _append_merge
+
+    keep = ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderdate"]
+    orders = load_table(spark, SF, "orders").select(*keep)
+    table = str(tmp_path / "store")
+    _append_merge(spark, table, orders, 0)
+    ok = scd2_parity_report(spark, SF, table).collect()
+    assert ok and all(r.matches_batch_face for r in ok)
+
+    _append_merge(spark, table, orders.limit(10), 1)
+    bad = scd2_parity_report(spark, SF, table).collect()
+    assert not all(r.matches_batch_face for r in bad)
+
+
+def test_lm_parity_flag_flips_on_double_merged_batch(spark, tmp_path):
+    """A double-merged batch inflates its bigram counts: the global
+    checksums (and possibly the top-20 ranks) break."""
+    from hrfco_data_pipeline_spark.plans.llm import lm_parity_report
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        bigram_counts,
+        merge_lm_counts,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    table = str(tmp_path / "store")
+    merge_lm_counts(spark, table, bigram_counts(docs), 0)
+    ok = lm_parity_report(spark, SF, table).collect()
+    assert ok and all(r.matches_batch_face for r in ok)
+
+    merge_lm_counts(spark, table, bigram_counts(docs.limit(3)), 1)
+    bad = lm_parity_report(spark, SF, table).collect()
+    assert not all(r.matches_batch_face for r in bad)
+
+
+def test_lateness_parity_flag_flips_on_corrupted_sample(spark, tmp_path):
+    """A corrupted sample batch (an injected extreme lateness row)
+    shifts the stored-sample ranks for its type: the estimate arms and
+    the flag must break, while the exact arms stay intact (the flag is
+    the conjunction). Build the positive store as ONE batch — a single
+    micro-batch IS the full arrival order, so its in-batch prefix
+    window equals the global high-water chain."""
+    import os
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        lateness_parity_report,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        _append_merge,
+        lateness_state_update,
+    )
+
+    ev = load_table(spark, SF, "events")
+    table = str(tmp_path / "store")
+    lateness_state_update(spark, table, ev, 0)
+    ok = lateness_parity_report(spark, SF, table).collect()
+    assert ok and all(r.matches_batch_face for r in ok)
+
+    et = ok[0].event_type
+    junk = spark.createDataFrame(
+        [(et, 10_000_000_000_000)], "event_type string, lateness_us long"
+    )
+    _append_merge(spark, os.path.join(table, "sample"), junk, 1)
+    bad = {
+        r.event_type: r
+        for r in lateness_parity_report(spark, SF, table).collect()
+    }
+    assert not bad[et].matches_batch_face
+    # exact arms came from the untouched partials table
+    good = {r.event_type: r for r in ok}
+    assert bad[et].n == good[et].n
+    assert bad[et].max_us == good[et].max_us
+
+
+def test_ks_streaming_certificate_end_to_end(spark):
+    """The full availableNow certificate run at sf0.001: real file
+    micro-batches through ks_drift_stream, served from the store —
+    every row true (the driver-shaped positive path)."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        stream_batch_ks_parity,
+    )
+
+    rows = stream_batch_ks_parity(spark, SF).collect()
+    assert rows and all(r.matches_batch_face for r in rows)
+
+
+def test_tv_streaming_certificate_end_to_end(spark):
+    from hrfco_data_pipeline_spark.plans.llm import stream_batch_tv_parity
+
+    rows = stream_batch_tv_parity(spark, SF).collect()
+    assert rows and all(r.matches_batch_face for r in rows)
+
+
+def test_scd2_streaming_certificate_end_to_end(spark):
+    from hrfco_data_pipeline_spark.plans.relational import (
+        stream_batch_scd2_parity,
+    )
+
+    rows = stream_batch_scd2_parity(spark, SF).collect()
+    assert rows and all(r.matches_batch_face for r in rows)
+
+
+def test_lm_streaming_certificate_end_to_end(spark):
+    from hrfco_data_pipeline_spark.plans.llm import stream_batch_lm_parity
+
+    rows = stream_batch_lm_parity(spark, SF).collect()
+    assert rows and all(r.matches_batch_face for r in rows)
+
+
+def test_lateness_streaming_certificate_end_to_end(spark):
+    """The ordered-runner path: 4 contiguous event_id ranges replayed
+    oldest-first (run_parity_stream_ordered) — the per-batch prefix +
+    stored-mark chain must reproduce the batch face exactly."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        stream_batch_lateness_parity,
+    )
+
+    rows = stream_batch_lateness_parity(spark, SF).collect()
+    assert rows and all(r.matches_batch_face for r in rows)

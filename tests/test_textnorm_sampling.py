@@ -186,15 +186,24 @@ def test_gopher_quality_flags(spark):
     assert 0 < kept_seen < 500
 
 
-def test_token_entropy_bounds(spark):
-    from hrfco_data_pipeline_spark.plans.llm import docs_token_entropy
+def test_token_concentration_bounds(spark):
+    """Simpson concentration lives in [1/n_distinct, 1]; eff_vocab in
+    [1, n_distinct]; top_share in [c_max/n bounds]; and the three are
+    mutually consistent (top_share² ≤ simpson ≤ top_share)."""
+    from hrfco_data_pipeline_spark.plans.llm import docs_token_concentration
 
-    rows = docs_token_entropy(spark, "/root/testdata/sf0.001").collect()
+    rows = docs_token_concentration(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 500
-    import math
     for r in rows:
-        assert 0.0 <= r.entropy <= math.log2(r.n_distinct) + 1e-6 or r.n_distinct == 1
-        assert 0.0 <= r.norm_entropy <= 1.0 + 1e-9
+        lo = 1.0 / r.n_distinct
+        assert lo - 1e-4 <= r.simpson <= 1.0 + 1e-9
+        assert 1.0 - 1e-4 <= r.eff_vocab <= r.n_distinct + 1e-4
+        assert 0.0 < r.top_share <= 1.0 + 1e-9
+        # the mode dominates: Σc² ≥ c_max² and Σc² ≤ c_max·n
+        assert r.top_share * r.top_share <= r.simpson + 1e-4
+        assert r.simpson <= r.top_share + 1e-4
+        # sum_c2 is the exact integer the ratios derive from
+        assert r.sum_c2 >= r.n_toks  # Σc² ≥ Σc when c ≥ 1
 
 
 def test_segment_dedup_flags_copied_segments(spark):

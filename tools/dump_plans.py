@@ -102,7 +102,7 @@ AUDIT = [
     "copurchase_bfs_levels",
     "docs_nb_holdout_eval",
     "docs_learning_curve",
-    "events_entropy_rate",
+    "events_markov_concentration",
     "hydro_baseflow_separation",
     "events_weekday_type_chisq",
     # r6: pushdown-barrier rework (single-parse bucket key) + shielded
@@ -180,7 +180,7 @@ AUDIT = [
     "embedding_cosine_histogram",
     "docs_partition_checksums",
     "docs_length_quantiles_by_source",
-    "multimodal_bytes_entropy",
+    "multimodal_bytes_concentration",
     "docs_quality_dup_contingency",
     "events_session_gap_sensitivity",
     "docs_dedup_threshold_curve",
