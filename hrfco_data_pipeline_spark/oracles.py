@@ -5597,6 +5597,96 @@ def _pq_code_balance_sql(m: int = 8, ksub: int = 16, dim: int = 64, quant: int =
 LLM_ORACLES["ann_pq_code_balance"] = _pq_code_balance_sql()
 
 
+def _ivf_pq_agreement_sql(
+    n_centroids: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    quant: int = 1_000_000,
+) -> str:
+    """Twin of plans/llm.ann_ivf_pq_agreement: the _ivf_cells_cte cell
+    chain joined to the sub-space-0 arm of the _pq_code_balance_sql
+    code chain, then the 16x16 contingency, per-cell modal codes
+    (tie -> smallest code, matching Spark's max(struct(o, -code))),
+    and the pure-integer Goodman-Kruskal lambda."""
+    dsub = dim // m
+    h60_0 = (
+        "list_reduce(list_transform(range(1, 16), "
+        "i -> strpos('0123456789abcdef', "
+        "substr(md5(vec_id::VARCHAR || ':0'), i, 1)) - 1), "
+        "(acc, d) -> acc * 16 + d)::BIGINT"
+    )
+    sums = ", ".join(
+        f"sum(floor(v[{t + 1}] * {quant}.0)::BIGINT) AS s{t}"
+        for t in range(dsub)
+    )
+    cvec = (
+        "["
+        + ", ".join(f"s{t}::DOUBLE / (n * {quant})::DOUBLE" for t in range(dsub))
+        + "]"
+    )
+    zeros = "[" + ", ".join("0.0" for _ in range(dsub)) + "]"
+    l2fold = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}), "
+        "t -> (v[t] - cv[t]) * (v[t] - cv[t]))), (acc, x) -> acc + x)"
+    )
+    return (
+        _ivf_cells_cte(n_centroids, dim, quant)
+        + f"""
+    , ph AS (
+      SELECT vec_id, v, {h60_0} % {ksub} AS c0 FROM e
+    ), psums AS (
+      SELECT c0, count(*) AS n, {sums} FROM ph GROUP BY c0
+    ), pcents AS (
+      SELECT r.range AS pcell,
+        CASE WHEN s.n IS NULL THEN {zeros} ELSE {cvec} END AS cv
+      FROM range(0, {ksub}) r LEFT JOIN psums s ON s.c0 = r.range
+    ), pcmat AS (
+      SELECT list(cv ORDER BY pcell) AS ml FROM pcents
+    ), coded AS (
+      SELECT vec_id,
+        (list_position(d0, list_min(d0)) - 1) AS code
+      FROM (
+        SELECT vec_id,
+          list_transform(pm.ml, cv -> {l2fold}) AS d0
+        FROM ph, pcmat pm
+      )
+    ), grid AS (
+      SELECT s.cell, c.code, count(*) AS o
+      FROM scored s JOIN coded c USING (vec_id) GROUP BY 1, 2
+    ), per_cell AS (
+      SELECT cell, sum(o) AS n_vecs, count(*) AS n_codes_used,
+        max(o) AS top_n
+      FROM grid GROUP BY cell
+    ), tops AS (
+      SELECT g.cell, min(g.code) AS top_code
+      FROM grid g JOIN per_cell p ON g.cell = p.cell AND g.o = p.top_n
+      GROUP BY g.cell
+    ), colm AS (
+      SELECT max(cn) AS max_col FROM (
+        SELECT code, sum(o) AS cn FROM grid GROUP BY code)
+    ), gtot AS (
+      SELECT sum(n_vecs) AS n_total, sum(top_n) AS sum_modal
+      FROM per_cell
+    )
+    SELECT CAST(p.cell AS INTEGER) AS cell,
+      CAST(p.n_vecs AS BIGINT) AS n_vecs,
+      CAST(p.n_codes_used AS BIGINT) AS n_codes_used,
+      CAST(t.top_code AS INTEGER) AS top_code,
+      CAST(p.top_n AS BIGINT) AS top_code_n,
+      CAST(g.n_total AS BIGINT) AS n_total,
+      round(CASE WHEN g.n_total > c.max_col
+            THEN CAST(g.sum_modal - c.max_col AS DOUBLE)
+                 / CAST(g.n_total - c.max_col AS DOUBLE)
+            ELSE 0.0 END, 4) AS lambda_cell_to_code
+    FROM per_cell p JOIN tops t ON p.cell = t.cell, colm c, gtot g
+    """
+    )
+
+
+LLM_ORACLES["ann_ivf_pq_agreement"] = _ivf_pq_agreement_sql()
+
+
 # Bidirectional as-of: the same two running frames (forward = running
 # last under the reversed order), same tie rule, exact microseconds.
 RELATIONAL_ORACLES["events_nearest_error"] = """
@@ -6326,6 +6416,57 @@ HYDRO_ORACLES["hydro_station_ewma"] = HYDRO_CTE + """
         daily_mean > 1.25 * ewma_prev
       END AS is_high
     FROM folded
+    """
+
+
+# Rising-limb lead time: the station_ewma fold's first is_high day
+# joined to the ladder's first ATTENTION+ day (anomaly excluded),
+# signed integer day lead.
+HYDRO_ORACLES["hydro_rising_limb_lead_time"] = HYDRO_CTE + """
+    , daily AS (
+      SELECT wlobscd, substr(obs_time_str, 1, 10) AS day,
+        CAST(sum(TRY_CAST(printf('%.2f', water_level) AS DECIMAL(12,2)))
+             AS DOUBLE) / count(*) AS m
+      FROM classified
+      WHERE water_level IS NOT NULL
+        AND substr(obs_time_str, 1, 10) IS NOT NULL
+      GROUP BY 1, 2
+    ), arrs AS (
+      SELECT wlobscd,
+        list(struct_pack(day := day, m := m) ORDER BY day) AS arr
+      FROM daily GROUP BY wlobscd
+    ), ex AS (
+      SELECT wlobscd, arr, unnest(range(1, len(arr) + 1)) AS i
+      FROM arrs
+    ), folded AS (
+      SELECT wlobscd, arr[i].day AS day, arr[i].m AS daily_mean,
+        CASE WHEN i > 1 THEN
+          list_reduce(
+            list_prepend(arr[1].m,
+              list_transform(range(2, i), j -> arr[j].m)),
+            (acc, x) -> (acc + x) * 0.5)
+        END AS ewma_prev
+      FROM ex
+    ), first_high AS (
+      SELECT wlobscd, min(day) AS first_high_day
+      FROM folded
+      WHERE ewma_prev IS NOT NULL AND daily_mean > 1.25 * ewma_prev
+      GROUP BY 1
+    ), first_ladder AS (
+      SELECT observation_code AS l_code,
+        min(substr(observation_time, 1, 10)) AS first_ladder_day
+      FROM alerts
+      WHERE warning_level IN ('ATTENTION', 'WARNING', 'CRITICAL')
+        AND substr(observation_time, 1, 10) IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT COALESCE(h.wlobscd, l.l_code) AS wlobscd,
+      h.first_high_day, l.first_ladder_day,
+      CAST(date_diff('day', CAST(h.first_high_day AS DATE),
+                     CAST(l.first_ladder_day AS DATE)) AS INTEGER)
+        AS lead_days
+    FROM first_high h FULL OUTER JOIN first_ladder l
+      ON h.wlobscd = l.l_code
     """
 
 HYDRO_ORACLES["hydro_alert_transition_matrix"] = HYDRO_CTE + """
@@ -9859,6 +10000,160 @@ LLM_ORACLES["dedup_survivor_source_flow"] = """
           / CAST(sum(n_losses) OVER (PARTITION BY loser_source) AS DOUBLE)
       END AS loss_share
     FROM filled
+    """
+
+# Dedup-rate curve: the chaining-audit closure at 0.5, arrivals
+# attributed to step = doc_id % 3, first-(step, doc_id)-wins keep.
+LLM_ORACLES["dedup_rate_by_snapshot"] = r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jp AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+        AND CAST(common AS DOUBLE) / (na + nb - common) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION
+      SELECT doc_b, doc_a FROM jp
+    ), reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), comp AS (
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    ), d AS (
+      SELECT doc_id, doc_id % 3 AS step,
+        md5(lower(trim(text))) AS h
+      FROM documents
+    ), cstep AS (
+      SELECT c.component, d.doc_id, d.step
+      FROM comp c JOIN d ON c.id = d.doc_id
+    ), cranked AS (
+      SELECT step, row_number() OVER (
+          PARTITION BY component ORDER BY step, doc_id) AS rn
+      FROM cstep
+    ), dn AS (
+      SELECT step, count(*) AS n_dropped_near
+      FROM cranked WHERE rn > 1 GROUP BY 1
+    ), hranked AS (
+      SELECT step, row_number() OVER (
+          PARTITION BY h ORDER BY step, doc_id) AS rn
+      FROM d
+    ), de AS (
+      SELECT step, count(*) AS n_dropped_exact
+      FROM hranked WHERE rn > 1 GROUP BY 1
+    ), arr AS (
+      SELECT step, count(*) AS n_arrived FROM d GROUP BY 1
+    )
+    SELECT CAST(a.step AS BIGINT) AS step,
+      CAST(a.n_arrived AS BIGINT) AS n_arrived,
+      CAST(COALESCE(dn.n_dropped_near, 0) AS BIGINT) AS n_dropped_near,
+      CAST(COALESCE(de.n_dropped_exact, 0) AS BIGINT) AS n_dropped_exact,
+      CAST(a.n_arrived - COALESCE(dn.n_dropped_near, 0) AS BIGINT)
+        AS n_kept,
+      round(CAST(COALESCE(dn.n_dropped_near, 0) AS DOUBLE)
+            / CAST(a.n_arrived AS DOUBLE), 4) AS near_dup_rate,
+      CAST(sum(a.n_arrived - COALESCE(dn.n_dropped_near, 0))
+             OVER (ORDER BY a.step
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_kept
+    FROM arr a
+    LEFT JOIN dn ON a.step = dn.step
+    LEFT JOIN de ON a.step = de.step
+    """
+
+# Bit-width quantization-error curve: floor-plus-half codes at
+# levels = 2^(b-1)-1, order-pinned per-vector SSE fold, nano-quantized
+# exact totals.
+LLM_ORACLES["embedding_quantize_bit_sweep"] = """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), g AS (
+      SELECT vec_id, v, unnest([2, 4, 6, 8]) AS bits FROM e
+    ), s AS (
+      SELECT bits,
+        CASE bits WHEN 2 THEN 1 WHEN 4 THEN 7 WHEN 6 THEN 31
+             ELSE 127 END AS levels,
+        list_max(list_transform(v, x -> abs(x))) AS amax, v
+      FROM g
+    ), per AS (
+      SELECT bits, levels,
+        CASE WHEN amax = 0 THEN 0 ELSE CAST(floor(
+          list_reduce(list_prepend(0.0, list_transform(v, x ->
+            (x - floor(x / (amax / levels) + 0.5) * (amax / levels))
+            * (x - floor(x / (amax / levels) + 0.5) * (amax / levels)))),
+            (acc, t) -> acc + t) * 1000000000.0) AS BIGINT) END AS qerr
+      FROM s
+    )
+    SELECT CAST(bits AS INTEGER) AS bits,
+      CAST(levels AS INTEGER) AS levels,
+      CAST(count(*) AS BIGINT) AS n_vecs,
+      CAST(sum(qerr) AS BIGINT) AS sum_qerr,
+      CAST(max(qerr) AS BIGINT) AS max_qerr,
+      round(CAST(sum(qerr) AS DOUBLE) / 1000000000.0 / count(*), 6)
+        AS avg_sse
+    FROM per GROUP BY 1, 2
+    """
+
+# Within-source halves drift: the docs_source_tv_distance machinery
+# split on doc_id parity; the terms sum converts through the hi/lo
+# 2^40 split (exact to 2^93).
+LLM_ORACLES["docs_source_halves_drift"] = _TOK_CTE + """
+    , tb AS (
+      SELECT source, half,
+        list_reduce(list_transform(range(1, 16),
+          i -> strpos('0123456789abcdef', substr(md5(lower(tok)), i, 1)) - 1),
+          (acc, d) -> acc * 16 + d)::BIGINT % 256 AS b
+      FROM (SELECT source, doc_id % 2 AS half, unnest(toks) AS tok
+            FROM tok)
+    ), counts AS (
+      SELECT source, half, b, count(*) AS c FROM tb GROUP BY 1, 2, 3
+    ), piv AS (
+      SELECT source, b,
+        sum(CASE WHEN half = 0 THEN c ELSE 0 END) AS ca,
+        sum(CASE WHEN half = 1 THEN c ELSE 0 END) AS cb
+      FROM counts GROUP BY 1, 2
+    ), tot AS (
+      SELECT source,
+        sum(CASE WHEN half = 0 THEN c ELSE 0 END) AS n_a,
+        sum(CASE WHEN half = 1 THEN c ELSE 0 END) AS n_b
+      FROM counts GROUP BY 1
+    ), agg AS (
+      SELECT p.source, t.n_a, t.n_b,
+        sum(abs(CAST(p.ca AS HUGEINT) * CAST(t.n_b AS HUGEINT)
+              - CAST(p.cb AS HUGEINT) * CAST(t.n_a AS HUGEINT))) AS terms
+      FROM piv p JOIN tot t USING (source)
+      GROUP BY 1, 2, 3
+    )
+    SELECT source,
+      CAST(n_a AS BIGINT) AS n_toks_even,
+      CAST(n_b AS BIGINT) AS n_toks_odd,
+      CASE WHEN n_a > 0 AND n_b > 0 THEN
+        (CAST(terms // 1099511627776 AS DOUBLE) * 1099511627776.0
+         + CAST(terms % 1099511627776 AS DOUBLE))
+          / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+      END AS tv_distance
+    FROM agg
     """
 
 LLM_ORACLES["dedup_chaining_audit"] = r"""

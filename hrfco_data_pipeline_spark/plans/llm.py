@@ -327,6 +327,85 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize_bit_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantization-error curve by bit width: the embedding_quantize
+    int8 scheme priced at 2/4/6/8 bits in ONE scan — per width, the
+    exact nano-quantized reconstruction SSE total, its per-vector
+    max, and the mean — the table that says how many bits the index
+    actually needs before committing a corpus-wide re-encode (the
+    docs_packing_waste capacity-planning pattern on the embedding
+    axis). levels = 2^(b−1) − 1 (symmetric max-scale; b = 8 is the
+    shipped embedding_quantize face).
+
+    Exactness: q_i = floor(v_i/scale + 0.5) (the quantize face's
+    portable floor-plus-half); the per-vector SSE folds left over the
+    component array (order-pinned, identical IEEE chain both
+    engines), is floor-quantized to integer nanos, and sums exactly —
+    at sf0.1 the total stays ≳ 25× under 2^53 even at the 2-bit worst
+    case (qerr ≤ dim·(amax/2)²·1e9 ≤ 1.6e10 per unit-norm-ish vector).
+    avg_sse is one division chain on identical operands.
+
+    Scale shape: one embeddings scan exploded ×4 (the bit axis is a
+    literal), zero joins, one 4-group map-side-combined aggregate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    grid = emb.select("vec_id", v.alias("v")).select(
+        "vec_id",
+        "v",
+        F.explode(F.array(*[F.lit(b) for b in (2, 4, 6, 8)])).alias(
+            "bits"
+        ),
+    )
+    levels = (
+        F.when(F.col("bits") == 2, 1)
+        .when(F.col("bits") == 4, 7)
+        .when(F.col("bits") == 6, 31)
+        .otherwise(127)
+    )
+    amax = F.array_max(F.transform("v", F.abs))
+    staged = grid.select(
+        "bits", levels.alias("levels"), amax.alias("amax"), "v"
+    )
+    scale = F.col("amax") / F.col("levels").cast("double")
+
+    def _sq(x):
+        d = x - F.floor(x / scale + F.lit(0.5)) * scale
+        return d * d
+
+    sse = F.when(F.col("amax") == 0.0, F.lit(0.0)).otherwise(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + _sq(x))
+    )
+    per = staged.select(
+        "bits",
+        "levels",
+        F.floor(sse * F.lit(1e9)).cast("long").alias("qerr"),
+    )
+    return (
+        per.groupBy("bits", "levels")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("qerr").alias("sum_qerr"),
+            F.max("qerr").alias("max_qerr"),
+        )
+        .select(
+            F.col("bits").cast("int").alias("bits"),
+            F.col("levels").cast("int").alias("levels"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("sum_qerr").cast("long").alias("sum_qerr"),
+            F.col("max_qerr").cast("long").alias("max_qerr"),
+            F.round(
+                F.col("sum_qerr").cast("double")
+                / F.lit(1e9)
+                / F.col("n_vecs").cast("double"),
+                6,
+            ).alias("avg_sse"),
+        )
+    )
+
+
 def docs_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level shingle document-frequency table, top-50 — the stats
     pass that backs boilerplate detection / the hot-shingle cap in
@@ -4541,6 +4620,94 @@ def docs_quality_bootstrap_ci(
     )
 
 
+def docs_source_halves_drift(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256
+) -> DataFrame:
+    """Within-source snapshot drift: per source, the total-variation
+    distance between the token-bucket distributions of its two
+    interleaved doc_id halves (even vs odd — the deterministic
+    snapshot-half split) — the cross-table drift matrix of VERDICT
+    r14 'Next round' #2, expressed TV-style per the Math.log rule
+    (the PSI form would add a watch-list entry; TV carries the same
+    drift signal with an integer-exact core). A source whose halves
+    diverge is changing register mid-corpus (a mixed crawl, a feed
+    format flip); docs_source_tv_distance reads drift ACROSS sources,
+    this reads drift WITHIN each.
+
+    INTEGER-EXACT core (the tv_from_counts convention):
+    TV·2·n_a·n_b = Σ_b |c_a·n_b − c_b·n_a| summed in DECIMAL(38,0);
+    the oracle converts the sum through the hi/lo 2^40 split (exact
+    for sums to 2^93 — stricter than the parent's direct HUGEINT
+    cast, per SCALE.md §r14), and the single final division runs on
+    identical operands in both engines.
+
+    Scale shape: one map-side-combined (source, half, bucket) count
+    over the token stream, then everything runs on the bounded
+    |sources|·2·n_buckets grid — dense-grid left joins and the final
+    per-source rollup are broadcast-sized by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(_tokens()).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.lower("tok")), 1, 15), 16, 10).cast("long")
+        % n_buckets
+    ).alias("b")
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    # the bounded |sources|·2·n_buckets count grid MATERIALIZES so its
+    # two consumers (bucket pivot, per-source totals) tokenize the
+    # corpus once, not twice (the r14 plan-census rule)
+    counts = _materialized(
+        toks.select("source", "half", bucket)
+        .groupBy("source", "half", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    # pivot the halves into columns instead of self-joining two
+    # filtered branches of the same frame (a filter-divergent
+    # self-join mis-resolves the join condition — measured: 0 rows);
+    # buckets absent from BOTH halves contribute |0-0| = 0, so no
+    # dense grid is needed either
+    ch = lambda h: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("half") == h, F.col("c"))), F.lit(0)
+    )
+    piv = counts.groupBy("source", "b").agg(
+        ch(0).alias("ca"), ch(1).alias("cb")
+    )
+    tot = counts.groupBy("source").agg(
+        ch(0).alias("n_a"), ch(1).alias("n_b")
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = piv.join(F.broadcast(tot), "source").select(
+        "source", "n_a", "n_b",
+        F.abs(
+            d38(F.col("ca")) * d38(F.col("n_b"))
+            - d38(F.col("cb")) * d38(F.col("n_a"))
+        ).alias("term"),
+    )
+    return pairs.groupBy("source", "n_a", "n_b").agg(
+        # NULL when either half is empty (a single-half source has no
+        # drift to measure; ANSI mode would throw on the division)
+        F.when(
+            (F.col("n_a") > 0) & (F.col("n_b") > 0),
+            F.sum("term").cast("double")
+            / (
+                F.lit(2.0)
+                * F.col("n_a").cast("double")
+                * F.col("n_b").cast("double")
+            ),
+        ).alias("tv_distance")
+    ).select(
+        "source",
+        F.col("n_a").cast("long").alias("n_toks_even"),
+        F.col("n_b").cast("long").alias("n_toks_odd"),
+        "tv_distance",
+    )
+
+
 def docs_source_tv_distance(
     spark: SparkSession, sf_dir: str, n_buckets: int = 256
 ) -> DataFrame:
@@ -6540,6 +6707,82 @@ def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_rate_by_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate curve across the three arrival snapshots (step =
+    doc_id % 3, the dedup_incremental_certificate fixture): per
+    snapshot, how many arrivals the NEAR-dup keep policy drops because
+    a cluster-mate arrived earlier — the curve a corpus build reads to
+    see whether later crawls are mostly re-crawl (rate rising) or
+    fresh content (rate flat), plus the exact-hash sub-count and the
+    cumulative kept-corpus growth (VERDICT r14 'Next round' #2: the
+    dup-trend measurement extended across the incremental fixture).
+    Near-dup clusters are the certified Jaccard ≥ 0.5 component
+    closure (dedup_chaining_audit's graph — exact dups alone are
+    vacuous below sf0.1, the r14 vacuity rule); within a cluster the
+    first (step, doc_id) arrival survives.
+
+    Exactness: all counts exact longs; near_dup_rate is one double
+    division; cum_kept an integer running sum over the 3-row step
+    domain.
+
+    Scale shape: reuses the banded/hot-capped pair machinery once;
+    ONE pointer-jumping component closure on the pair graph (pairs,
+    never docs); attribution joins are component- and hash-keyed; the
+    curve aggregates to the 3-row step domain and the running sum
+    windows over it.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3).alias("step"),
+        F.md5(F.lower(F.trim("text"))).alias("text_hash"),
+    )
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    cstep = comp.join(docs, comp["id"] == docs["doc_id"]).select(
+        "component", "doc_id", "step"
+    )
+    wc = Window.partitionBy("component").orderBy("step", "doc_id")
+    dn = (
+        cstep.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") > 1)
+        .groupBy("step")
+        .agg(F.count("*").alias("n_dropped_near"))
+    )
+    wh = Window.partitionBy("text_hash").orderBy("step", "doc_id")
+    de = (
+        docs.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") > 1)
+        .groupBy("step")
+        .agg(F.count("*").alias("n_dropped_exact"))
+    )
+    arrived = docs.groupBy("step").agg(F.count("*").alias("n_arrived"))
+    out = arrived.join(dn, "step", "left").join(de, "step", "left")
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    kept = F.col("n_arrived").cast("long") - z("n_dropped_near")
+    wcum = Window.orderBy("step").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return out.select(
+        F.col("step").cast("long").alias("step"),
+        F.col("n_arrived").cast("long").alias("n_arrived"),
+        z("n_dropped_near").alias("n_dropped_near"),
+        z("n_dropped_exact").alias("n_dropped_exact"),
+        kept.alias("n_kept"),
+        F.round(
+            z("n_dropped_near").cast("double")
+            / F.col("n_arrived").cast("double"),
+            4,
+        ).alias("near_dup_rate"),
+        F.sum(kept).over(wcum).cast("long").alias("cum_kept"),
+    )
+
+
 def lsh_band_tradeoff_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH (bands × rows) parameter pricing over the CERTIFIED
     exact-Jaccard candidate pair table: for each 128-hash banding
@@ -7527,6 +7770,92 @@ def ann_pq_code_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("s_max").cast("double") / F.col("n_total").cast("double")
             ).alias("max_code_share"),
+        )
+    )
+
+
+def ann_ivf_pq_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the two quantizers of the IVF-PQ index agree on
+    neighborhood structure? — the IVF cell (coarse routing) ×
+    sub-space-0 PQ code (fine residual-free codebook) contingency,
+    summarized per cell and by Goodman-Kruskal λ (VERDICT r14 'Next
+    round' #2: the mutual-information variant re-expressed
+    TRANSCENDENTAL-FREE per the Math.log house rule — λ is the
+    proportional reduction in error predicting the PQ code from the
+    IVF cell: λ = (Σ_cell max_code(O) − max_code_marginal) /
+    (N − max_code_marginal), pure integer numerator and denominator,
+    ONE division). λ = 0 means the codebooks quantize independent
+    directions (bits well spent); λ → 1 means the first PQ sub-space
+    re-encodes the coarse cell (wasted bits — retrain or re-slice).
+
+    Per-cell rows: occupancy, distinct codes used, the modal code and
+    its count (ties break to the smallest code, matching the SQL
+    min-among-max). Composes the SHARED encoders — assign_cells over
+    ivf_centroids and operators/similarity.pq_codes over
+    pq_subcentroids — so the contingency reads the exact same cell
+    and code columns the ADC scan, distortion report, and code
+    balance audit read (the r14 'same codebooks, same codes'
+    discipline).
+
+    Scale shape: both encodings are zero-shuffle projections against
+    literal codebooks (centroid training collects k·dim bounded
+    rows), stacked in ONE projection over ONE corpus scan —
+    assign_cells keeps the raw vector, so the sub-space-0 code
+    computes on its output instead of a second embeddings branch (a
+    first draft joined two branches and let Catalyst re-embed the
+    scan 6×; the r14 plan-census lesson). The 16×16 grid MATERIALIZES
+    (≤ 256 rows) so its three consumers (per-cell rollup, column
+    marginal, λ scalars) never re-run the encoding.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        assign_cells,
+        ivf_centroids,
+        pq_codes,
+        pq_subcentroids,
+    )
+
+    n_cells, m, ksub, dim = 16, 8, 16, 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    cents = ivf_centroids(vecs, n_centroids=n_cells, dim=dim)
+    pq_cents = pq_subcentroids(vecs, m=m, ksub=ksub, dim=dim)
+    enc = assign_cells(vecs, cents).select(
+        "vec_id",
+        "cell",
+        F.element_at(pq_codes(pq_cents), 1).alias("code"),
+    )
+    grid = _materialized(
+        enc.groupBy("cell", "code").agg(F.count("*").alias("o"))
+    )
+    per_cell = grid.groupBy("cell").agg(
+        F.sum("o").alias("n_vecs"),
+        F.count("*").alias("n_codes_used"),
+        F.max(F.struct(F.col("o"), (-F.col("code")).alias("nc"))).alias(
+            "top"
+        ),
+    )
+    col_marg = grid.groupBy("code").agg(F.sum("o").alias("cn"))
+    glob = per_cell.agg(
+        F.sum("n_vecs").alias("n_total"),
+        F.sum(F.col("top")["o"]).alias("sum_modal"),
+    ).crossJoin(F.broadcast(col_marg.agg(F.max("cn").alias("max_col"))))
+    lam = F.when(
+        F.col("n_total") > F.col("max_col"),
+        (F.col("sum_modal") - F.col("max_col")).cast("double")
+        / (F.col("n_total") - F.col("max_col")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_cell.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_codes_used").cast("long").alias("n_codes_used"),
+            (-F.col("top")["nc"]).cast("int").alias("top_code"),
+            F.col("top")["o"].cast("long").alias("top_code_n"),
+            F.col("n_total").cast("long").alias("n_total"),
+            F.round(lam, 4).alias("lambda_cell_to_code"),
         )
     )
 

@@ -4296,9 +4296,16 @@ def events_markov_concentration(
     cells = pairs.groupBy("from_type", "to_type").agg(
         F.count("*").alias("n")
     )
-    per_state = cells.groupBy("from_type").agg(
-        F.sum("n").alias("n_out"),
-        F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    # the bounded |types| rollup MATERIALIZES so the grand total and
+    # the per-state rows don't each re-run the lag window over the
+    # full event scan (the r14 plan-census rule)
+    per_state = _materialized(
+        cells.groupBy("from_type").agg(
+            F.sum("n").alias("n_out"),
+            F.sum(F.col("n") * F.col("n")).alias("sum_sq"),
+        )
     )
     total = per_state.agg(F.sum("n_out").alias("n_total"))
     st = per_state.crossJoin(F.broadcast(total))

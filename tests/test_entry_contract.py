@@ -62,6 +62,12 @@ NEW_IN_R15: list[str] = [
     "docs_token_concentration",
     "multimodal_bytes_concentration",
     "events_markov_concentration",
+    # remaining r15 candidate head (docs/ROUND14.md)
+    "ann_ivf_pq_agreement",
+    "hydro_rising_limb_lead_time",
+    "dedup_rate_by_snapshot",
+    "docs_source_halves_drift",
+    "embedding_quantize_bit_sweep",
 ]
 
 # The pinned r15 backlog written at the end of r14 (VERDICT r14 "Next

@@ -193,3 +193,134 @@ def test_lateness_streaming_certificate_end_to_end(spark):
 
     rows = stream_batch_lateness_parity(spark, SF).collect()
     assert rows and all(r.matches_batch_face for r in rows)
+
+
+def test_ivf_pq_agreement_identities(spark):
+    """Counting identities on the contingency rollup: per-cell
+    n_codes_used ≤ 16, top_code_n ≤ n_vecs, Σ n_vecs = n_total; λ in
+    [0, 1] and consistent with the modal sums."""
+    from hrfco_data_pipeline_spark.plans.llm import ann_ivf_pq_agreement
+
+    rows = ann_ivf_pq_agreement(spark, SF).collect()
+    assert rows
+    n_total = rows[0].n_total
+    assert sum(r.n_vecs for r in rows) == n_total
+    lam = rows[0].lambda_cell_to_code
+    assert all(r.lambda_cell_to_code == lam for r in rows)
+    assert 0.0 <= lam <= 1.0
+    for r in rows:
+        assert 1 <= r.n_codes_used <= 16
+        assert 0 <= r.top_code <= 15
+        assert 1 <= r.top_code_n <= r.n_vecs
+
+
+def test_rising_limb_lead_time_consistent_with_charts(spark):
+    """The lead-time row per station must equal the recomputed first
+    firing days of the two underlying certified charts."""
+    from hrfco_data_pipeline_spark.plans.hydro import (
+        alerts,
+        rising_limb_lead_time,
+        station_ewma_chart,
+    )
+
+    got = {r.wlobscd: r for r in rising_limb_lead_time(spark, SF).collect()}
+    assert got
+    ewma = station_ewma_chart(spark, SF).collect()
+    first_high = {}
+    for r in ewma:
+        if r.is_high:
+            d = first_high.get(r.wlobscd)
+            first_high[r.wlobscd] = min(d, r.day) if d else r.day
+    al = alerts(spark, SF).collect()
+    first_ladder = {}
+    for r in al:
+        if (
+            r.warning_level in ("ATTENTION", "WARNING", "CRITICAL")
+            and r.observation_time is not None
+        ):
+            d = r.observation_time[:10]
+            p = first_ladder.get(r.observation_code)
+            first_ladder[r.observation_code] = min(p, d) if p else d
+    assert set(got) == set(first_high) | set(first_ladder)
+    from datetime import date
+
+    for st, r in got.items():
+        assert r.first_high_day == first_high.get(st)
+        assert r.first_ladder_day == first_ladder.get(st)
+        if r.first_high_day and r.first_ladder_day:
+            a = date.fromisoformat(r.first_high_day)
+            b = date.fromisoformat(r.first_ladder_day)
+            assert r.lead_days == (b - a).days
+        else:
+            assert r.lead_days is None
+
+
+def test_dedup_rate_by_snapshot_identities(spark):
+    """Arrivals partition across steps; kept + dropped_near = arrived;
+    exact drops never exceed near drops in total (exact dups with ≥ 5
+    tokens are Jaccard-1 cluster mates); cum_kept telescopes."""
+    from hrfco_data_pipeline_spark.plans.llm import dedup_rate_by_snapshot
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    rows = sorted(
+        dedup_rate_by_snapshot(spark, SF).collect(), key=lambda r: r.step
+    )
+    assert [r.step for r in rows] == [0, 1, 2]
+    n_docs = load_table(spark, SF, "documents").count()
+    assert sum(r.n_arrived for r in rows) == n_docs
+    cum = 0
+    for r in rows:
+        assert r.n_kept == r.n_arrived - r.n_dropped_near
+        cum += r.n_kept
+        assert r.cum_kept == cum
+    # the pair graph is non-empty at this SF, so SOME drop must show
+    assert sum(r.n_dropped_near for r in rows) > 0
+
+
+def test_source_halves_drift_bounds_and_grid(spark):
+    """One row per source; TV in [0, 1]; token counts partition each
+    source's total token count."""
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.plans.llm import (
+        _tokens,
+        docs_source_halves_drift,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    rows = {r.source: r for r in docs_source_halves_drift(spark, SF).collect()}
+    docs = load_table(spark, SF, "documents")
+    want = {
+        r.source: r.n
+        for r in docs.select(
+            "source", F.size(_tokens()).alias("n")
+        ).groupBy("source").agg(F.sum("n").alias("n")).collect()
+    }
+    assert set(rows) == set(want)
+    for src, r in rows.items():
+        assert r.n_toks_even + r.n_toks_odd == want[src]
+        if r.tv_distance is not None:
+            assert 0.0 <= r.tv_distance <= 1.0
+
+
+def test_quantize_bit_sweep_monotone(spark):
+    """More bits never increase reconstruction error: sum_qerr and
+    max_qerr are non-increasing in bit width, and the 8-bit arm's
+    codes match embedding_quantize's scheme (levels = 127)."""
+    from hrfco_data_pipeline_spark.plans.llm import (
+        embedding_quantize_bit_sweep,
+    )
+
+    rows = sorted(
+        embedding_quantize_bit_sweep(spark, SF).collect(),
+        key=lambda r: r.bits,
+    )
+    assert [(r.bits, r.levels) for r in rows] == [
+        (2, 1), (4, 7), (6, 31), (8, 127)
+    ]
+    n = rows[0].n_vecs
+    assert all(r.n_vecs == n for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a.sum_qerr >= b.sum_qerr
+        assert a.max_qerr >= b.max_qerr
+    assert rows[0].sum_qerr > rows[-1].sum_qerr  # the curve is real
