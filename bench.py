@@ -115,7 +115,9 @@ HEADLINE = [
     # payload-byte entropy scan, and the Bloom pass re-cut as the
     # source x shard heatmap
     "docs_crosssnap_containment",
-    "multimodal_bytes_entropy",
+    # r15: multimodal_bytes_entropy migrated to the log-free collision
+    # form (same scan shape, cheaper tail — SCALE.md watch list)
+    "multimodal_bytes_concentration",
     "docs_contamination_heatmap",
     "hydro_level_mad_outliers",
     "docs_source_vocab_overlap",
@@ -162,6 +164,27 @@ HEADLINE = [
     "hydro_alert_transition_matrix",
     "multimodal_patch_energy_profile",
     "events_kanon_generalization_ladder",
+    # round-15 additions: the standing composition policy again — all
+    # 14 r15 operators cleared ~0.5 s isolated cold at sf0.1 (bands in
+    # BASELINE.md §r15), including the five new streaming parity
+    # certificates (real availableNow micro-batch runs; the lateness
+    # one replays ordered range files) and the three exact-integer
+    # migrations of the former entropy emissions
+    # (multimodal_bytes_concentration sits at its pre-migration slot
+    # above)
+    "customers_without_urgent_orders",
+    "stream_batch_lateness_parity",
+    "stream_batch_tv_parity",
+    "stream_batch_ks_parity",
+    "stream_batch_scd2_parity",
+    "stream_batch_lm_parity",
+    "docs_token_concentration",
+    "events_markov_concentration",
+    "ann_ivf_pq_agreement",
+    "hydro_rising_limb_lead_time",
+    "dedup_rate_by_snapshot",
+    "docs_source_halves_drift",
+    "embedding_quantize_bit_sweep",
 ]
 
 
@@ -189,6 +212,35 @@ def main() -> None:
     load_table(spark, sf_dir, "events").limit(1000).write.format("noop").mode(
         "overwrite"
     ).save()
+
+    # Second calibration anchor (VERDICT r14 'Next round' #7): the
+    # 2e9-row sum above tracks SCALAR CPU and over/under-corrects on a
+    # loaded box (r14: a 0.842 probe produced 0.39–0.87x "speedups" on
+    # queries that had not changed). This one is STAGE-SHAPED — a warm
+    # 32-partition parquet scan + hash-shuffle + aggregate over the
+    # fixed sf0.001 events table (constant input regardless of
+    # $SPARK_GRAFT_SF_DIR, so the probe is comparable across runs) —
+    # matching the scan/exchange/agg mix that dominates bench totals.
+    # BASELINE.md §Box-speed says which anchor to normalize by when.
+    cal_dir = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F  # noqa: E402
+
+    def _shuffle_probe() -> None:
+        (
+            load_table(spark, cal_dir, "events")
+            .repartition(32)
+            .groupBy("event_type", (F.col("user_id") % 64).alias("u"))
+            .agg(F.count("*"), F.sum("value"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    _shuffle_probe()  # warm the footer/codegen caches for the probe shape
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _shuffle_probe()
+    calibration_shuffle_s = round(time.perf_counter() - t0, 3)
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -233,6 +285,7 @@ def main() -> None:
                 "queries": timings,
                 "warm": warm,
                 "calibration_s": calibration_s,
+                "calibration_shuffle_s": calibration_shuffle_s,
                 "sf": sf,
                 "sf_dir": sf_dir,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", ""),
@@ -260,6 +313,7 @@ def main() -> None:
                 "queries": {k: round(v, 2) for k, v in slowest.items()},
                 "warm_total": warm_total,
                 "calibration_s": calibration_s,
+                "calibration_shuffle_s": calibration_shuffle_s,
                 "n_queries": len(timings),
                 "n_reported": min(TOP_N, len(timings)),
                 "detail": "BENCH_DETAIL.json",

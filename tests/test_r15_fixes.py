@@ -116,3 +116,28 @@ def test_snapshot_oracles_interpolate_moduli_by_construction():
         rendered = oracles.LLM_ORACLES[key]
         assert f"% {oracles.SNAPSHOT_GAP_MOD}" in rendered, key
         assert f"% {oracles.SNAPSHOT_REV_MOD}" in rendered, key
+
+
+def test_vacuity_sweep_exits_nonzero_on_hit(monkeypatch):
+    """VERDICT r14 #8: round_start folds the vacuity sweep in and
+    relies on a non-zero exit for a loud failure — pin that a vacuous
+    oracle flips the return code and a clean registry returns 0."""
+    import __spark_entry__ as entry
+    from tools import vacuity_sweep
+
+    real_q = entry.queries()
+    one = next(iter(entry.oracle_sql()))
+    monkeypatch.setattr(sys, "argv", ["vacuity_sweep.py"])
+    monkeypatch.setattr(
+        entry, "queries", lambda: {one: real_q[one]}
+    )
+    monkeypatch.setattr(
+        entry,
+        "oracle_sql",
+        lambda: {one: "SELECT 1 AS x WHERE 1 = 0"},
+    )
+    assert vacuity_sweep.main() == 1
+    monkeypatch.setattr(
+        entry, "oracle_sql", lambda: {one: "SELECT 1 AS x"}
+    )
+    assert vacuity_sweep.main() == 0

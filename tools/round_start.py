@@ -64,6 +64,22 @@ def main() -> int:
     for age, n in sorted(ages.items()):
         print(f"  {age:>6s}: {n}")
     print(f"  total registered: {len(names)}")
+
+    # Registry-wide vacuity sweep at the gate SF (VERDICT r14 'Next
+    # round' #8): a zero-row oracle result means a green driver row
+    # would certify only the empty set — the sweep at every round open
+    # keeps that class structurally dead as fixtures evolve. Fails
+    # LOUD on any hit (vacuity_sweep exits non-zero with the list).
+    # Skip with --no-vacuity when testdata is unavailable.
+    if "--no-vacuity" not in sys.argv:
+        print("== round_start: vacuity sweep (sf0.01 oracles) ==")
+        rc = subprocess.call(
+            [sys.executable, "tools/vacuity_sweep.py", "/root/testdata/sf0.01"]
+        )
+        if rc != 0:
+            print("vacuity sweep FAILED — a certified oracle returns "
+                  "zero rows at the gate SF", file=sys.stderr)
+            return rc
     return 0
 
 

@@ -50,7 +50,9 @@ def main() -> int:
         f"swept {len(oracles)} oracle-backed queries at {sf_dir}: "
         f"{len(vacuous)} vacuous"
     )
-    return 0
+    # non-zero on any hit so tools/round_start.py fails LOUD at round
+    # open (VERDICT r14 'Next round' #8)
+    return 1 if vacuous else 0
 
 
 if __name__ == "__main__":
