@@ -205,6 +205,18 @@ AUDIT = [
     "wire_dedup_replay",
     "docs_tokenizer_fertility",
     "ann_recall_by_occupancy",
+    # r15 new operators (streaming parity certificates excluded as
+    # above; ann_ivf_pq_agreement and docs_source_halves_drift
+    # materialize a bounded intermediate mid-plan, so their final
+    # plans root at the checkpoint — the scan-side shape was audited
+    # by the r15 plan census, docs/ROUND15.md)
+    "customers_without_urgent_orders",
+    "docs_token_concentration",
+    # (events_markov_concentration sits at the renamed
+    # events_entropy_rate slot above)
+    "hydro_rising_limb_lead_time",
+    "dedup_rate_by_snapshot",
+    "embedding_quantize_bit_sweep",
 ]
 
 
