@@ -185,6 +185,10 @@ HEADLINE = [
     "dedup_rate_by_snapshot",
     "docs_source_halves_drift",
     "embedding_quantize_bit_sweep",
+    # the 16-cap fillers: fragment-state sessionization certificate +
+    # Apriori level-3 mining
+    "stream_batch_session_parity",
+    "brand_itemset3_support",
 ]
 
 

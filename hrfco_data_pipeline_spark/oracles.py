@@ -10892,3 +10892,61 @@ LLM_ORACLES["stream_batch_lm_parity"] = r"""
     FROM top t CROSS JOIN g
     WHERE t.rank <= 20
     """
+
+# Sessionization certificate: the batch face's own SQL + TRUE (the
+# r13/r14 parity-oracle convention — the certificate's value is the
+# matches_batch_face conjunction computed Spark-side from the store).
+RELATIONAL_ORACLES["stream_batch_session_parity"] = (
+    "WITH b AS ("
+    + RELATIONAL_ORACLES["events_sessionize"]
+    + """)
+    SELECT user_id, n_sessions, max_session_events,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)
+
+# Apriori level-3 mining: CTEs are AS MATERIALIZED — DuckDB's default
+# inlining re-plans the multiply-referenced pair/triple CTEs into a
+# pathological join order (>10 min at sf0.1 vs 0.9 s materialized;
+# measured 2026-08-16). States the LOGICAL form (triples
+# clearing relative minsup, with singleton/pair supports); the Spark
+# plan's candidate pruning is efficiency-only — support monotonicity
+# guarantees identical result sets, which is exactly what the hash
+# compare certifies. minsup is the integer test 10000*n >= 35*n_orders
+# (0.35%, measured selective AND non-vacuous at all three SFs:
+# 771/2217, 796/2300, 423/2300 pass).
+RELATIONAL_ORACLES["brand_itemset3_support"] = """
+    WITH ob AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+    c1 AS MATERIALIZED (SELECT b, count(*) AS n1 FROM ob GROUP BY b),
+    c2 AS MATERIALIZED (
+      SELECT a.b AS ia, x.b AS ib, count(*) AS n2
+      FROM ob a JOIN ob x ON a.ok = x.ok AND a.b < x.b
+      GROUP BY 1, 2
+    ), c3 AS MATERIALIZED (
+      SELECT a.b AS ia, x.b AS ib, y.b AS ic, count(*) AS n_abc
+      FROM ob a JOIN ob x ON a.ok = x.ok AND a.b < x.b
+                JOIN ob y ON a.ok = y.ok AND x.b < y.b
+      GROUP BY 1, 2, 3
+    )
+    SELECT c3.ia AS brand_a, c3.ib AS brand_b, c3.ic AS brand_c,
+      CAST(c3.n_abc AS BIGINT) AS n_abc,
+      CAST(sa.n1 AS BIGINT) AS n_a,
+      CAST(sb.n1 AS BIGINT) AS n_b,
+      CAST(sc.n1 AS BIGINT) AS n_c,
+      CAST(least(pab.n2, pac.n2, pbc.n2) AS BIGINT) AS min_pair_support,
+      round(CAST(c3.n_abc AS DOUBLE) / CAST(n.n_orders AS DOUBLE), 6)
+        AS support_share
+    FROM c3
+    CROSS JOIN n
+    JOIN c1 sa ON sa.b = c3.ia
+    JOIN c1 sb ON sb.b = c3.ib
+    JOIN c1 sc ON sc.b = c3.ic
+    JOIN c2 pab ON pab.ia = c3.ia AND pab.ib = c3.ib
+    JOIN c2 pac ON pac.ia = c3.ia AND pac.ib = c3.ic
+    JOIN c2 pbc ON pbc.ia = c3.ib AND pbc.ib = c3.ic
+    WHERE 10000 * c3.n_abc >= 35 * n.n_orders
+    """

@@ -8263,3 +8263,268 @@ def events_kanon_generalization_ladder(
             ).alias("at_risk_share"),
         )
     )
+
+
+def session_fragments(ev: DataFrame) -> DataFrame:
+    """Gap-maximal session fragments of an event frame: the
+    events_sessionize gap rule (30-minute inactivity on
+    second-truncated timestamps; lag + cumulative sum per user) run on
+    ``ev`` ALONE, each fragment collapsed to (user_id, start_ts,
+    end_ts, n_events). The per-batch map step of the streaming
+    sessionization maintainer (streaming/curation.
+    session_fragment_stream): fragments are mergeable state —
+    ``sessions_from_fragments`` reconstitutes the full set's sessions
+    from any partition of the events into frames."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", prev),
+        F.date_trunc("second", F.col("ts")),
+    )
+    flagged = ev.withColumn(
+        "new_frag",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    frag = flagged.withColumn(
+        "frag_id",
+        F.sum("new_frag").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return frag.groupBy("user_id", "frag_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.count("*").cast("long").alias("n_events"),
+    ).select("user_id", "start_ts", "end_ts", "n_events")
+
+
+def sessions_from_fragments(fr: DataFrame) -> DataFrame:
+    """Per-user (n_sessions, max_session_events) from session
+    fragments — row-identical to events_sessionize over the union of
+    the frames that produced ``fr``, in ANY split of the events across
+    frames. Correctness of the merge: adding events only ever SHRINKS
+    inter-event gaps, so the union's sessions are coarsenings of
+    per-frame fragments; two fragments belong to the same union
+    session iff the earlier one's end (or any already-merged
+    predecessor's end — hence the running MAX of end_ts, which also
+    absorbs time-overlapping fragments from different frames) is
+    within the 30-minute gap of the later one's start. Consecutive
+    union events that straddle a frame boundary are exactly a
+    (fragment end, fragment start) pair, so no union-level merge is
+    missed; conversely a merge only fires when such a pair is within
+    the gap, so no spurious session forms. Tie order (identical
+    start_ts across frames) is irrelevant: a tied fragment always
+    merges into its twin via the gap<=0 path.
+
+    Scale shape: one user_id-partitioned window pass + two
+    map-side-combined aggs over the FRAGMENT table (<< event count);
+    same shuffle key throughout — one exchange."""
+    w = Window.partitionBy("user_id").orderBy(
+        "start_ts", "end_ts", "n_events"
+    )
+    prev_end = F.max("end_ts").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    gap = F.timestamp_diff(
+        "SECOND",
+        F.date_trunc("second", prev_end),
+        F.date_trunc("second", F.col("start_ts")),
+    )
+    flagged = fr.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.sum("n_events").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+    )
+
+
+def stream_batch_session_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming↔batch parity CERTIFICATE for the sessionization
+    maintainer — the first certificate whose stored state is neither a
+    sketch nor a raw log but COMPACTED MERGEABLE FRAGMENTS: stream the
+    events table through streaming/curation.session_fragment_stream in
+    file micro-batches (availableNow, order-FREE — the gap-closure
+    merge is arrival-order-invariant by construction, unlike the
+    lateness monitor), each batch appending its own gap-maximal
+    session fragments exactly-once, then serve the per-user
+    (n_sessions, max_session_events) rollup FROM THE FRAGMENT STORE
+    and emit it next to a matches-batch-face flag computed against
+    events_sessionize. A maintainer bug (lost batch, double-applied
+    batch, a fragment split/merged wrongly) perturbs a session count
+    or a session size and breaks the values AND the flag; the driver
+    hash catches both (the oracle is the batch face's own SQL + TRUE).
+
+    EAGER query: the streaming run executes at call time into a
+    session temp dir; stored state is fragment-bounded, never
+    event-bounded. At scale the certificate runs against an existing
+    fragment store, not a re-copy.
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        run_parity_stream,
+        session_fragment_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    table = run_parity_stream(
+        spark, ev, session_fragment_stream, "hrfco_sess_parity_"
+    )
+    return session_parity_report(spark, sf_dir, table)
+
+
+def session_parity_report(
+    spark: SparkSession, sf_dir: str, table: str
+) -> DataFrame:
+    """The serve-vs-batch comparison tail of
+    stream_batch_session_parity, factored out so the negative-path
+    test can point it at a TAMPERED store (a re-appended fragment
+    batch double-counts events inside a session, inflating
+    max_session_events) and watch the flag flip
+    (tests/test_r15_operators.py)."""
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        session_report_from_fragments,
+    )
+
+    served = session_report_from_fragments(spark, table)
+    batch = events_sessionize(spark, sf_dir).select(
+        F.col("user_id").alias("b_uid"),
+        F.col("n_sessions").alias("b_ns"),
+        F.col("max_session_events").alias("b_mx"),
+    )
+    j = served.join(batch, served["user_id"] == batch["b_uid"], "full_outer")
+    return j.select(
+        F.coalesce(F.col("user_id"), F.col("b_uid")).alias("user_id"),
+        F.col("n_sessions"),
+        F.col("max_session_events"),
+        (
+            F.col("n_sessions").eqNullSafe(F.col("b_ns"))
+            & F.col("max_session_events").eqNullSafe(F.col("b_mx"))
+        ).alias("matches_batch_face"),
+    )
+
+
+def brand_itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining (Apriori level 3) over order baskets:
+    brand triples co-occurring in >= 0.35% of orders, with the triple
+    support, the three singleton supports, and the weakest sub-pair
+    support (the Apriori bound the candidate survived). Extends the
+    market-basket family (parts_copurchase_lift = level 2) to the
+    candidate-generation regime where naive enumeration dies at scale.
+
+    Plan shape IS the Apriori algorithm, with the classic memory
+    contract made explicit: the L1/L2 candidate tables are BOUNDED
+    METADATA (<= 25 brands, <= C(25,2) = 300 pairs — the brand grid is
+    a constant), so they are collected once and re-enter the plan as
+    literal frames / isin filters (the Lloyd-centroid convention; the
+    first draft broadcast them as live subplans and re-embedded the
+    base scan 116x — r15 plan census). The big side is touched exactly
+    three times — the unavoidable embeds of a within-basket 3-way
+    self-join (the certified pair-table precedent): (1) pair instances
+    a<b, (2) their extension with c>b, both shuffled ONCE on the
+    basket key, L2-pruned BEFORE the extension and BEFORE the count —
+    by support monotonicity this drops no frequent triple, but at
+    partkey granularity it is the difference between counting
+    |basket|^3 candidates and only L2-closed ones. All counts are
+    exact longs; minsup is the INTEGER test 10000*n >= 35*n_orders
+    (0.35% — measured selective AND non-vacuous at all three SFs:
+    771/2217, 796/2300, 423/2300 triples pass); the one double
+    division (support share) is round()ed per house convention.
+
+    At 100 TB with partkey-level items the same plan holds with L2
+    kept distributed (broadcast if it fits, shuffle join otherwise) —
+    the collect here is a test-grid simplification the docstring
+    contract makes auditable, not a hidden driver loop.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b")
+        )
+        .distinct()
+    )
+    # bounded metadata pass: basket count + L1 + L2 in two scans
+    n_orders, = ob.agg(F.countDistinct("ok")).first()
+    c1 = {r.b: r.n1 for r in ob.groupBy("b").agg(
+        F.count("*").alias("n1")).collect()}
+    l1 = sorted(b for b, n in c1.items() if 10000 * n >= 35 * n_orders)
+    obf = ob.filter(F.col("b").isin(l1))
+    a, bb = obf.alias("a"), obf.alias("b")
+    pair_inst = a.join(
+        bb,
+        (F.col("a.ok") == F.col("b.ok")) & (F.col("a.b") < F.col("b.b")),
+    ).select(
+        F.col("a.ok").alias("ok"),
+        F.col("a.b").alias("ia"),
+        F.col("b.b").alias("ib"),
+    )
+    c2 = {
+        (r.ia, r.ib): r.n2
+        for r in pair_inst.groupBy("ia", "ib")
+        .agg(F.count("*").alias("n2"))
+        .collect()
+    }
+    l2 = {p: n for p, n in c2.items() if 10000 * n >= 35 * n_orders}
+    l2_rows = [(ia, ib) for ia, ib in sorted(l2)]
+    l2_df = spark.createDataFrame(l2_rows, "ia string, ib string")
+    # Apriori candidate pruning: (a,b) instances must be frequent ...
+    pruned = pair_inst.join(F.broadcast(l2_df), ["ia", "ib"]).alias("p")
+    cc = obf.alias("c")
+    tri_inst = pruned.join(
+        cc,
+        (F.col("p.ok") == F.col("c.ok")) & (F.col("p.ib") < F.col("c.b")),
+    ).select("ia", "ib", F.col("c.b").alias("ic"))
+    # ... and so must (a,c) and (b,c), BEFORE counting
+    l2ac = l2_df.select("ia", F.col("ib").alias("ic"))
+    l2bc = l2_df.select(F.col("ia").alias("ib"), F.col("ib").alias("ic"))
+    tri_pruned = tri_inst.join(F.broadcast(l2ac), ["ia", "ic"]).join(
+        F.broadcast(l2bc), ["ib", "ic"]
+    )
+    c3 = tri_pruned.groupBy("ia", "ib", "ic").agg(
+        F.count("*").alias("n_abc")
+    )
+    l3 = c3.filter(F.lit(10000) * F.col("n_abc") >= F.lit(35 * n_orders))
+    # attach the collected supports as literal lookup expressions
+    n1_map = F.create_map(
+        *[F.lit(x) for b in l1 for x in (b, c1[b])]
+    )
+    l2_map = F.create_map(
+        *[F.lit(x) for (ia, ib), n in sorted(l2.items())
+          for x in (f"{ia}|{ib}", n)]
+    )
+    pair_n = lambda x, y: l2_map[F.concat_ws("|", F.col(x), F.col(y))]  # noqa: E731
+    return l3.select(
+        F.col("ia").alias("brand_a"),
+        F.col("ib").alias("brand_b"),
+        F.col("ic").alias("brand_c"),
+        F.col("n_abc").cast("long").alias("n_abc"),
+        n1_map[F.col("ia")].cast("long").alias("n_a"),
+        n1_map[F.col("ib")].cast("long").alias("n_b"),
+        n1_map[F.col("ic")].cast("long").alias("n_c"),
+        F.least(
+            pair_n("ia", "ib"), pair_n("ia", "ic"), pair_n("ib", "ic")
+        ).cast("long").alias("min_pair_support"),
+        F.round(
+            F.col("n_abc").cast("double") / F.lit(float(n_orders)), 6
+        ).alias("support_share"),
+    )

@@ -1188,3 +1188,53 @@ def run_parity_stream(spark, frame, bind, prefix: str) -> str:
     src = f"{base}/src"
     frame.repartition(4).write.parquet(src)
     return _bind_and_await(spark, frame.schema, src, bind, base, prefix)
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization maintenance (stream face of
+# plans/relational.events_sessionize)
+# ---------------------------------------------------------------------------
+
+
+def session_fragment_stream(events_stream: DataFrame, table_path: str):
+    """Maintain the sessionization substrate as events stream in: per
+    micro-batch, the BATCH's gap-maximal session FRAGMENTS (user_id,
+    start_ts, end_ts, n_events — plans/relational.session_fragments)
+    appended exactly-once through ``_append_merge``. Unlike the SCD2
+    maintainer (which stores the raw log and derives on read),
+    fragments are COMPACTED mergeable state: adding events can only
+    SHRINK inter-event gaps, so the union's 30-minute-gap sessions are
+    exactly the gap-closure of per-batch fragments — the serve face
+    (``session_report_from_fragments``) interval-merges the stored
+    fragments per user with a running-max-end window and never re-reads
+    an event. Stored state is O(fragments) ≤ O(sessions + users per
+    batch), not O(events) — at 100 TB the store is smaller than the
+    event log by the mean session length.
+
+    Returns a DataStreamWriter; callers add checkpoint/trigger and
+    start()."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        session_fragments,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        _append_merge(
+            batch_df.sparkSession,
+            table_path,
+            session_fragments(batch_df),
+            batch_id,
+        )
+
+    return events_stream.writeStream.foreachBatch(_merge)
+
+
+def session_report_from_fragments(spark, table_path: str) -> DataFrame:
+    """Per-user session rollup over the accumulated fragments —
+    identical rows to plans/relational.events_sessionize for the same
+    events (shared 30-minute gap rule; the gap-closure argument in
+    plans/relational.sessions_from_fragments)."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        sessions_from_fragments,
+    )
+
+    return sessions_from_fragments(read_appended(spark, table_path))

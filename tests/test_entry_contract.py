@@ -68,6 +68,11 @@ NEW_IN_R15: list[str] = [
     "dedup_rate_by_snapshot",
     "docs_source_halves_drift",
     "embedding_quantize_bit_sweep",
+    # filling the head to the ~16 cap: the sessionization parity
+    # certificate (first COMPACTED-mergeable-fragment state design)
+    # and Apriori level-3 frequent-itemset mining
+    "stream_batch_session_parity",
+    "brand_itemset3_support",
 ]
 
 # The pinned r15 backlog written at the end of r14 (VERDICT r14 "Next

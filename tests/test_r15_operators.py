@@ -324,3 +324,108 @@ def test_quantize_bit_sweep_monotone(spark):
         assert a.sum_qerr >= b.sum_qerr
         assert a.max_qerr >= b.max_qerr
     assert rows[0].sum_qerr > rows[-1].sum_qerr  # the curve is real
+
+
+def test_session_parity_flag_flips_on_double_applied_fragments(
+    spark, tmp_path
+):
+    """A re-appended fragment batch double-counts every session's
+    events (and can inflate n_sessions via duplicate fragments being
+    absorbed): max_session_events breaks."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        session_fragments,
+        session_parity_report,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+    from hrfco_data_pipeline_spark.streaming.curation import _append_merge
+
+    ev = load_table(spark, SF, "events")
+    table = str(tmp_path / "store")
+    _append_merge(spark, table, session_fragments(ev), 0)
+    ok = session_parity_report(spark, SF, table).collect()
+    assert ok and all(r.matches_batch_face for r in ok)
+
+    _append_merge(spark, table, session_fragments(ev.limit(500)), 1)
+    bad = session_parity_report(spark, SF, table).collect()
+    assert not all(r.matches_batch_face for r in bad)
+
+
+def test_session_fragments_merge_invariant_under_splits(spark):
+    """The gap-closure claim itself: fragments computed over ANY
+    partition of the events (here: 3 hash classes of event_id — a
+    worst case that interleaves every user's timeline across frames)
+    merge back to exactly the batch face's per-user rollup."""
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        events_sessionize,
+        session_fragments,
+        sessions_from_fragments,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    parts = [
+        session_fragments(ev.filter(F.col("event_id") % 3 == i))
+        for i in range(3)
+    ]
+    frags = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = {
+        r.user_id: (r.n_sessions, r.max_session_events)
+        for r in sessions_from_fragments(frags).collect()
+    }
+    batch = {
+        r.user_id: (r.n_sessions, r.max_session_events)
+        for r in events_sessionize(spark, SF).collect()
+    }
+    assert merged == batch
+
+
+def test_session_streaming_certificate_end_to_end(spark):
+    """The full availableNow certificate run at sf0.001: real file
+    micro-batches through session_fragment_stream, fragment store
+    merged on read — every row true."""
+    from hrfco_data_pipeline_spark.plans.relational import (
+        stream_batch_session_parity,
+    )
+
+    rows = stream_batch_session_parity(spark, SF).collect()
+    assert rows and all(r.matches_batch_face for r in rows)
+
+
+def test_itemset3_apriori_identities(spark):
+    """Support monotonicity (n_abc <= weakest sub-pair <= weakest
+    singleton), canonical item order, the integer minsup bar, and a
+    direct recount of the top triple's support."""
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.plans.relational import (
+        brand_itemset3_support,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    rows = brand_itemset3_support(spark, SF).collect()
+    assert rows
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part")
+    ob = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.select(F.countDistinct("l_orderkey")).first()[0]
+    for r in rows:
+        assert r.brand_a < r.brand_b < r.brand_c
+        assert r.n_abc <= r.min_pair_support
+        assert r.min_pair_support <= min(r.n_a, r.n_b, r.n_c)
+        assert 10000 * r.n_abc >= 35 * n_orders
+    top = max(rows, key=lambda r: (r.n_abc, r.brand_a, r.brand_b, r.brand_c))
+    tri = set((top.brand_a, top.brand_b, top.brand_c).__iter__())
+    recount = (
+        ob.filter(F.col("p_brand").isin(list(tri)))
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("p_brand").alias("k"))
+        .filter(F.col("k") == 3)
+        .count()
+    )
+    assert recount == top.n_abc
