@@ -141,3 +141,28 @@ def test_vacuity_sweep_exits_nonzero_on_hit(monkeypatch):
         entry, "oracle_sql", lambda: {one: "SELECT 1 AS x"}
     )
     assert vacuity_sweep.main() == 0
+
+
+def test_vacuity_sweep_flags_slow_oracles(monkeypatch):
+    """The r15 latency guard (SCALE.md §r15 CTE-inlining finding):
+    an oracle slower than --slow-threshold flips the exit code, so
+    round_start fails loud on a pathological oracle plan before the
+    driver meets it. Pinned with threshold 0 (any real execution
+    exceeds it) and a generous threshold (clean registry returns 0)."""
+    import __spark_entry__ as entry
+    from tools import vacuity_sweep
+
+    real_q = entry.queries()
+    one = next(iter(entry.oracle_sql()))
+    monkeypatch.setattr(entry, "queries", lambda: {one: real_q[one]})
+    monkeypatch.setattr(
+        entry, "oracle_sql", lambda: {one: "SELECT 1 AS x"}
+    )
+    monkeypatch.setattr(
+        sys, "argv", ["vacuity_sweep.py", "--slow-threshold", "0"]
+    )
+    assert vacuity_sweep.main() == 1
+    monkeypatch.setattr(
+        sys, "argv", ["vacuity_sweep.py", "--slow-threshold", "600"]
+    )
+    assert vacuity_sweep.main() == 0
