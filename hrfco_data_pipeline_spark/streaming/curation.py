@@ -1174,8 +1174,10 @@ def run_parity_stream_ordered(
 
 def run_parity_stream(spark, frame, bind, prefix: str) -> str:
     """The shared scaffold of every streaming↔batch parity certificate
-    (five as of r14: CMS, PSI, BM25, KMV, quantile-sample; factored in
-    r14 — the five sites carried byte-identical copies): copy ``frame``
+    (factored in r14 from the five then-extant sites' byte-identical
+    copies: CMS, PSI, BM25, KMV, quantile-sample; r15 added KS, TV,
+    SCD2, LM, sessionization here and lateness on the ordered
+    variant): copy ``frame``
     into a session parity workdir as 4 parquet files, stream them as
     availableNow micro-batches through ``bind(stream, table_path)``
     (a maintainer writer factory returning a DataStreamWriter), and
