@@ -10950,3 +10950,77 @@ RELATIONAL_ORACLES["brand_itemset3_support"] = """
     JOIN c2 pbc ON pbc.ia = c3.ib AND pbc.ib = c3.ic
     WHERE 10000 * c3.n_abc >= 35 * n.n_orders
     """
+
+# ---------------------------------------------------------------------------
+# STAGED r16 oracles — NOT registered in oracle_sql() (the r15 window
+# is pinned at the 16-cap). Move into RELATIONAL_ORACLES alongside the
+# queries() head entries at r16 open. Verified against the staged
+# Spark faces at sf0.001/0.01 by tests/test_r16_staged.py.
+# ---------------------------------------------------------------------------
+
+STAGED_R16_ORACLES: dict[str, str] = {}
+
+# Compaction-invariance certificate: the KS batch face + both flags.
+STAGED_R16_ORACLES["stream_batch_compaction_parity"] = (
+    "WITH b AS ("
+    + RELATIONAL_ORACLES["events_ks_two_sample"]
+    + """)
+    SELECT event_type, n_t, n_rest, d_stat, d_at_value,
+      TRUE AS survives_compaction,
+      TRUE AS matches_batch_face
+    FROM b
+    """
+)
+
+# Association rules from the frequent triples: the itemset oracle's
+# MATERIALIZED CTE skeleton (see the brand_itemset3_support note on
+# DuckDB CTE inlining), three pair-antecedent rules per triple, and
+# the chained-division confidence/lift both engines evaluate
+# identically.
+STAGED_R16_ORACLES["brand_assoc_rules"] = """
+    WITH ob AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (SELECT count(DISTINCT ok) AS n_orders FROM ob),
+    c1 AS MATERIALIZED (SELECT b, count(*) AS n1 FROM ob GROUP BY b),
+    c2 AS MATERIALIZED (
+      SELECT a.b AS ia, x.b AS ib, count(*) AS n2
+      FROM ob a JOIN ob x ON a.ok = x.ok AND a.b < x.b
+      GROUP BY 1, 2
+    ), c3 AS MATERIALIZED (
+      SELECT a.b AS ia, x.b AS ib, y.b AS ic, count(*) AS n_abc
+      FROM ob a JOIN ob x ON a.ok = x.ok AND a.b < x.b
+                JOIN ob y ON a.ok = y.ok AND x.b < y.b
+      GROUP BY 1, 2, 3
+    ), l3 AS MATERIALIZED (
+      SELECT c3.ia, c3.ib, c3.ic, c3.n_abc,
+        sa.n1 AS n_a, sb.n1 AS n_b, sc.n1 AS n_c,
+        pab.n2 AS n_ab, pac.n2 AS n_ac, pbc.n2 AS n_bc
+      FROM c3
+      CROSS JOIN n
+      JOIN c1 sa ON sa.b = c3.ia
+      JOIN c1 sb ON sb.b = c3.ib
+      JOIN c1 sc ON sc.b = c3.ic
+      JOIN c2 pab ON pab.ia = c3.ia AND pab.ib = c3.ib
+      JOIN c2 pac ON pac.ia = c3.ia AND pac.ib = c3.ic
+      JOIN c2 pbc ON pbc.ia = c3.ib AND pbc.ib = c3.ic
+      WHERE 10000 * c3.n_abc >= 35 * n.n_orders
+    ), rules AS (
+      SELECT ia AS antecedent_a, ib AS antecedent_b, ic AS consequent,
+        n_ab AS n_antecedent, n_abc, n_c AS n_consequent FROM l3
+      UNION ALL
+      SELECT ia, ic, ib, n_ac, n_abc, n_b FROM l3
+      UNION ALL
+      SELECT ib, ic, ia, n_bc, n_abc, n_a FROM l3
+    )
+    SELECT antecedent_a, antecedent_b, consequent,
+      CAST(n_antecedent AS BIGINT) AS n_antecedent,
+      CAST(n_abc AS BIGINT) AS n_abc,
+      CAST(n_consequent AS BIGINT) AS n_consequent,
+      round(CAST(n_abc AS DOUBLE) / CAST(n_antecedent AS DOUBLE), 6)
+        AS confidence,
+      round((CAST(n_abc AS DOUBLE) / CAST(n_antecedent AS DOUBLE))
+            / (CAST(n_consequent AS DOUBLE) / CAST(n.n_orders AS DOUBLE)),
+            6) AS lift
+    FROM rules CROSS JOIN n
+    """

@@ -8418,11 +8418,11 @@ def session_parity_report(
     )
 
 
-def brand_itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _brand_itemset3_base(spark: SparkSession, sf_dir: str):
     """Frequent 3-itemset mining (Apriori level 3) over order baskets:
     brand triples co-occurring in >= 0.35% of orders, with the triple
-    support, the three singleton supports, and the weakest sub-pair
-    support (the Apriori bound the candidate survived). Extends the
+    support, the three singleton supports, and all three sub-pair
+    supports; returns (enriched frame, n_orders). Extends the
     market-basket family (parts_copurchase_lift = level 2) to the
     candidate-generation regime where naive enumeration dies at scale.
 
@@ -8519,18 +8519,184 @@ def brand_itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
           for x in (f"{ia}|{ib}", n)]
     )
     pair_n = lambda x, y: l2_map[F.concat_ws("|", F.col(x), F.col(y))]  # noqa: E731
-    return l3.select(
-        F.col("ia").alias("brand_a"),
-        F.col("ib").alias("brand_b"),
-        F.col("ic").alias("brand_c"),
+    enriched = l3.select(
+        "ia",
+        "ib",
+        "ic",
         F.col("n_abc").cast("long").alias("n_abc"),
         n1_map[F.col("ia")].cast("long").alias("n_a"),
         n1_map[F.col("ib")].cast("long").alias("n_b"),
         n1_map[F.col("ic")].cast("long").alias("n_c"),
-        F.least(
-            pair_n("ia", "ib"), pair_n("ia", "ic"), pair_n("ib", "ic")
-        ).cast("long").alias("min_pair_support"),
+        pair_n("ia", "ib").cast("long").alias("n_ab"),
+        pair_n("ia", "ic").cast("long").alias("n_ac"),
+        pair_n("ib", "ic").cast("long").alias("n_bc"),
+    )
+    return enriched, n_orders
+
+
+def brand_itemset3_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemset mining (Apriori level 3) over order baskets
+    — the certified face of _brand_itemset3_base (full design notes
+    there): brand triples clearing the 0.35% integer minsup, with the
+    triple support, the three singleton supports, and the weakest
+    sub-pair support (the Apriori bound the candidate survived)."""
+    enriched, n_orders = _brand_itemset3_base(spark, sf_dir)
+    return enriched.select(
+        F.col("ia").alias("brand_a"),
+        F.col("ib").alias("brand_b"),
+        F.col("ic").alias("brand_c"),
+        "n_abc",
+        "n_a",
+        "n_b",
+        "n_c",
+        F.least("n_ab", "n_ac", "n_bc").alias("min_pair_support"),
         F.round(
             F.col("n_abc").cast("double") / F.lit(float(n_orders)), 6
         ).alias("support_share"),
+    )
+
+
+def brand_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for the r16 head (docs/ROUND15.md candidate list; not
+    yet registered): association rules {x, y} -> z from the certified
+    frequent triples — for each L3 itemset, its three pair-antecedent
+    rules with exact supports, confidence = n_xyz / n_xy (one IEEE
+    division of exact longs), and lift = confidence / (n_z /
+    n_orders) (the chained-division form both engines evaluate
+    identically; no integer product crosses into the double domain).
+    The "customers who buy x and y also buy z" table Apriori exists
+    to produce; reads ONLY the miner's bounded output (triples are
+    grid-bounded), so the rule fan-out is 3 rows per frequent triple
+    and the plan adds zero scans beyond _brand_itemset3_base.
+    """
+    enriched, n_orders = _brand_itemset3_base(spark, sf_dir)
+    rule = lambda x, y, z, nxy, nz: enriched.select(  # noqa: E731
+        F.col(x).alias("antecedent_a"),
+        F.col(y).alias("antecedent_b"),
+        F.col(z).alias("consequent"),
+        F.col(nxy).alias("n_antecedent"),
+        "n_abc",
+        F.col(nz).alias("n_consequent"),
+    )
+    rules = (
+        rule("ia", "ib", "ic", "n_ab", "n_c")
+        .unionByName(rule("ia", "ic", "ib", "n_ac", "n_b"))
+        .unionByName(rule("ib", "ic", "ia", "n_bc", "n_a"))
+    )
+    conf = F.col("n_abc").cast("double") / F.col("n_antecedent").cast(
+        "double"
+    )
+    base = F.col("n_consequent").cast("double") / F.lit(float(n_orders))
+    return rules.select(
+        "antecedent_a",
+        "antecedent_b",
+        "consequent",
+        "n_antecedent",
+        "n_abc",
+        "n_consequent",
+        F.round(conf, 6).alias("confidence"),
+        F.round(conf / base, 6).alias("lift"),
+    )
+
+
+def stream_batch_compaction_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STAGED for the r16 head (docs/ROUND15.md candidate list; not
+    yet registered — the r15 window is pinned at the 16-cap): a
+    compaction-INVARIANCE certificate, the first of the
+    storage-maintenance class. The streaming↔batch parity family
+    certifies that maintainer stores serve batch-identical results;
+    this certifies that `compact_appended` — the fold that keeps
+    listing costs bounded on long streams — preserves them: build the
+    KS-drift store in availableNow micro-batches, serve the report,
+    FORCE the staged-swap fold, serve again from the flattened table,
+    and emit the per-type rows next to BOTH a survives_compaction
+    flag (pre == post row equality) and the usual matches-batch-face
+    flag. A fold bug (dropped b-dir, lost marker, partial flatten)
+    breaks post-rows AND both flags; the oracle is the batch face's
+    own SQL + TRUE + TRUE.
+
+    The pre-fold serving frame MATERIALIZES before the fold runs —
+    read_appended is lazy, and a lazy pre-frame would silently read
+    the post-fold table and certify a tautology (the vacuity lesson
+    applied at design time).
+
+    EAGER query: streaming run + fold execute at call time into a
+    session temp dir. At scale the certificate brackets a real
+    scheduled compaction of an existing store.
+    """
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        compact_appended,
+        ks_drift_stream,
+        run_parity_stream,
+    )
+
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        ks_report_from_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    table = run_parity_stream(
+        spark, ev, ks_drift_stream, "hrfco_compact_parity_"
+    )
+    pre = _materialized(ks_report_from_counts(spark, table))
+    compact_appended(spark, table)
+    return compaction_parity_report(spark, sf_dir, table, pre)
+
+
+def compaction_parity_report(
+    spark: SparkSession, sf_dir: str, table: str, pre: DataFrame
+) -> DataFrame:
+    """The serve-vs-pre-vs-batch tail of
+    stream_batch_compaction_parity, factored out so the negative-path
+    test can drop a committed b-dir before forcing the fold (a lost
+    batch mid-compaction) and watch both flags flip. ``pre`` is the
+    MATERIALIZED pre-fold report (the certificate materializes it
+    before folding — a lazy pre would re-read the post-fold table and
+    certify a tautology)."""
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+    from hrfco_data_pipeline_spark.streaming.curation import (
+        ks_report_from_counts,
+    )
+
+    post = _materialized(ks_report_from_counts(spark, table))
+    p = pre.select(
+        F.col("event_type").alias("p_et"),
+        F.col("n_t").alias("p_nt"),
+        F.col("n_rest").alias("p_nr"),
+        F.col("d_stat").alias("p_d"),
+        F.col("d_at_value").alias("p_dv"),
+    )
+    batch = events_ks_two_sample(spark, sf_dir).select(
+        F.col("event_type").alias("b_et"),
+        F.col("n_t").alias("b_nt"),
+        F.col("n_rest").alias("b_nr"),
+        F.col("d_stat").alias("b_d"),
+        F.col("d_at_value").alias("b_dv"),
+    )
+    j = post.join(p, post["event_type"] == p["p_et"], "full_outer").join(
+        batch, post["event_type"] == batch["b_et"], "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("event_type"), F.col("p_et"), F.col("b_et")).alias(
+            "event_type"
+        ),
+        F.col("n_t"),
+        F.col("n_rest"),
+        F.col("d_stat"),
+        F.col("d_at_value"),
+        (
+            F.col("n_t").eqNullSafe(F.col("p_nt"))
+            & F.col("n_rest").eqNullSafe(F.col("p_nr"))
+            & F.col("d_stat").eqNullSafe(F.col("p_d"))
+            & F.col("d_at_value").eqNullSafe(F.col("p_dv"))
+        ).alias("survives_compaction"),
+        (
+            F.col("n_t").eqNullSafe(F.col("b_nt"))
+            & F.col("n_rest").eqNullSafe(F.col("b_nr"))
+            & F.col("d_stat").eqNullSafe(F.col("b_d"))
+            & F.col("d_at_value").eqNullSafe(F.col("b_dv"))
+        ).alias("matches_batch_face"),
     )
