@@ -11024,3 +11024,112 @@ STAGED_R16_ORACLES["brand_assoc_rules"] = """
             6) AS lift
     FROM rules CROSS JOIN n
     """
+
+# Token-budget dedup curve: the chaining-sweep recursive-closure
+# skeleton per rung, with the dropped set joined back to exact
+# whitespace token counts. Same-name CTE conventions as the certified
+# sweep oracle.
+STAGED_R16_ORACLES["dedup_token_budget_curve"] = r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents
+    ), tokc AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM tok
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs_total,
+        CAST(sum(n_tok) AS BIGINT) AS tokens_total
+      FROM tokc
+    ), sh AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 5 THEN
+          list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN range(1, len(toks) - 3)])
+        ELSE [] END AS shingles
+      FROM tok
+    ), ex AS (
+      SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh
+    ), hot AS (
+      SELECT s FROM ex GROUP BY s HAVING count(*) > 50
+    ), exc AS (
+      SELECT ex.* FROM ex ANTI JOIN hot USING (s)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        a.n_sh AS na, b.n_sh AS nb, count(*) AS common
+      FROM exc a JOIN exc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ), jpbase AS (
+      SELECT doc_a, doc_b,
+        CAST(common AS DOUBLE) / (na + nb - common) AS j
+      FROM pairs
+      WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.2
+    )
+    , jp_t30 AS (SELECT doc_a, doc_b FROM jpbase WHERE j >= 0.3
+    ), edges_t30 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp_t30
+      UNION SELECT doc_b, doc_a FROM jp_t30
+    ), reach_t30 AS (
+      SELECT src AS id, src AS r FROM edges_t30
+      UNION
+      SELECT reach_t30.id, e.dst FROM reach_t30
+        JOIN edges_t30 e ON reach_t30.r = e.src
+    ), comp_t30 AS (
+      SELECT id, min(r) AS component FROM reach_t30 GROUP BY id
+    ), drop_t30 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs_dropped,
+        CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tokens_dropped
+      FROM comp_t30 JOIN tokc ON comp_t30.id = tokc.doc_id
+      WHERE id <> component
+    )
+    , jp_t50 AS (SELECT doc_a, doc_b FROM jpbase WHERE j >= 0.5
+    ), edges_t50 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp_t50
+      UNION SELECT doc_b, doc_a FROM jp_t50
+    ), reach_t50 AS (
+      SELECT src AS id, src AS r FROM edges_t50
+      UNION
+      SELECT reach_t50.id, e.dst FROM reach_t50
+        JOIN edges_t50 e ON reach_t50.r = e.src
+    ), comp_t50 AS (
+      SELECT id, min(r) AS component FROM reach_t50 GROUP BY id
+    ), drop_t50 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs_dropped,
+        CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tokens_dropped
+      FROM comp_t50 JOIN tokc ON comp_t50.id = tokc.doc_id
+      WHERE id <> component
+    )
+    , jp_t70 AS (SELECT doc_a, doc_b FROM jpbase WHERE j >= 0.7
+    ), edges_t70 AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp_t70
+      UNION SELECT doc_b, doc_a FROM jp_t70
+    ), reach_t70 AS (
+      SELECT src AS id, src AS r FROM edges_t70
+      UNION
+      SELECT reach_t70.id, e.dst FROM reach_t70
+        JOIN edges_t70 e ON reach_t70.r = e.src
+    ), comp_t70 AS (
+      SELECT id, min(r) AS component FROM reach_t70 GROUP BY id
+    ), drop_t70 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs_dropped,
+        CAST(COALESCE(sum(n_tok), 0) AS BIGINT) AS tokens_dropped
+      FROM comp_t70 JOIN tokc ON comp_t70.id = tokc.doc_id
+      WHERE id <> component
+    ), curve AS (
+      SELECT CAST(0.3 AS DOUBLE) AS threshold, * FROM drop_t30
+      UNION ALL
+      SELECT CAST(0.5 AS DOUBLE), * FROM drop_t50
+      UNION ALL
+      SELECT CAST(0.7 AS DOUBLE), * FROM drop_t70
+    )
+    SELECT threshold,
+      tot.n_docs_total,
+      curve.n_docs_dropped,
+      CAST(tot.n_docs_total - curve.n_docs_dropped AS BIGINT)
+        AS n_docs_kept,
+      tot.tokens_total,
+      curve.tokens_dropped,
+      CAST(tot.tokens_total - curve.tokens_dropped AS BIGINT)
+        AS tokens_kept,
+      round(CAST(tot.tokens_total - curve.tokens_dropped AS DOUBLE)
+            / CAST(tot.tokens_total AS DOUBLE), 6) AS kept_token_share
+    FROM curve CROSS JOIN tot
+    """

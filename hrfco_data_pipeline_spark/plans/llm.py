@@ -7916,3 +7916,78 @@ def multimodal_patch_energy_profile(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("e_max").cast("double") / F.col("e_tot").cast("double"),
         ).alias("max_patch_share"),
     )
+
+
+def dedup_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for the r16 head (docs/ROUND15.md candidate list; not
+    yet registered): the dedup threshold decision priced in KEPT
+    TRAINING TOKENS rather than document counts — per Jaccard rung
+    {0.3, 0.5, 0.7}, the component-closure keep policy's surviving
+    corpus size in exact whitespace tokens, next to the doc counts.
+    Two thresholds that drop similar doc counts can retire very
+    different token volumes (near-dup clusters skew long); this is
+    the capacity-planning face the budget decision actually needs.
+
+    Composition: the certified banded/hot-capped pair table builds
+    ONCE (docs_ngram_jaccard_pairs materializes); one (doc_id, n_tok)
+    projection MATERIALIZES for its four consumers (corpus totals +
+    three per-rung dropped-set joins); per rung, ONE pointer-jumping
+    CC on the monotonically shrinking pair graph (pairs, never docs)
+    and a doc_id-keyed join of the dropped set back to token counts.
+    All counts exact longs; kept_token_share is one IEEE division.
+
+    Non-vacuous by construction at every SF: the 0.3 rung's pair
+    graph is non-empty wherever the certified chaining sweep's is.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        _materialized,
+        connected_components,
+    )
+
+    thresholds = [0.3, 0.5, 0.7]
+    docs = _materialized(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.size(_tokens()).cast("long").alias("n_tok")
+        )
+    )
+    totals = docs.agg(
+        F.count("*").cast("long").alias("n_docs_total"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+    )
+    pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
+    per_rung = []
+    for t in thresholds:
+        comp = connected_components(
+            pairs.filter(F.col("jaccard") >= t), "doc_a", "doc_b"
+        )
+        dropped = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        )
+        per_rung.append(
+            dropped.join(docs, "doc_id").agg(
+                F.lit(t).alias("threshold"),
+                F.count("*").cast("long").alias("n_docs_dropped"),
+                F.coalesce(F.sum("n_tok"), F.lit(0))
+                .cast("long")
+                .alias("tokens_dropped"),
+            )
+        )
+    curve = per_rung[0]
+    for df in per_rung[1:]:
+        curve = curve.unionByName(df)
+    out = curve.crossJoin(F.broadcast(totals))
+    kept_docs = F.col("n_docs_total") - F.col("n_docs_dropped")
+    kept_toks = F.col("tokens_total") - F.col("tokens_dropped")
+    return out.select(
+        F.col("threshold").cast("double").alias("threshold"),
+        "n_docs_total",
+        "n_docs_dropped",
+        kept_docs.cast("long").alias("n_docs_kept"),
+        "tokens_total",
+        "tokens_dropped",
+        kept_toks.cast("long").alias("tokens_kept"),
+        F.round(
+            kept_toks.cast("double") / F.col("tokens_total").cast("double"),
+            6,
+        ).alias("kept_token_share"),
+    )

@@ -148,3 +148,29 @@ def test_assoc_rules_identities_and_oracle(spark):
         assert 0 < r.confidence <= 1
         assert abs(r.confidence - round(r.n_abc / r.n_antecedent, 6)) < 1e-12
     _multisets_match(df, STAGED_R16_ORACLES["brand_assoc_rules"], SF)
+
+
+def test_token_budget_curve_identities_and_oracle(spark):
+    """Monotone in the threshold (a tighter rung drops no more than a
+    looser one), token accounting closed, and the full multiset match
+    against the recursive-closure oracle."""
+    from hrfco_data_pipeline_spark.oracles import STAGED_R16_ORACLES
+    from hrfco_data_pipeline_spark.plans.llm import (
+        dedup_token_budget_curve,
+    )
+
+    df = dedup_token_budget_curve(spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == [0.3, 0.5, 0.7]
+    for r in rows:
+        assert r.n_docs_kept == r.n_docs_total - r.n_docs_dropped
+        assert r.tokens_kept == r.tokens_total - r.tokens_dropped
+        assert 0 < r.kept_token_share <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs_dropped <= a.n_docs_dropped
+        assert b.tokens_dropped <= a.tokens_dropped
+    # the loosest rung must actually drop something (non-vacuity)
+    assert rows[0].n_docs_dropped > 0
+    _multisets_match(
+        df, STAGED_R16_ORACLES["dedup_token_budget_curve"], SF
+    )
