@@ -11133,3 +11133,66 @@ STAGED_R16_ORACLES["dedup_token_budget_curve"] = r"""
             / CAST(tot.tokens_total AS DOUBLE), 6) AS kept_token_share
     FROM curve CROSS JOIN tot
     """
+
+# k-truss peel rung: dense support-1 co-purchase graph (the support-2
+# substrate is triangle-vacuous above sf0.001 — measured), two
+# per-stage exact-integer rollups. CTEs materialized per the r15
+# inlining rule.
+STAGED_R16_ORACLES["copurchase_truss_peel"] = """
+    WITH op AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), tri0 AS MATERIALIZED (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges0 e1
+      JOIN edges0 e2 ON e1.v = e2.u
+      JOIN edges0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), sup0 AS MATERIALIZED (
+      SELECT u, v, count(*) AS sup FROM (
+        SELECT x AS u, y AS v FROM tri0
+        UNION ALL SELECT y, z FROM tri0
+        UNION ALL SELECT x, z FROM tri0
+      ) GROUP BY 1, 2
+    ), j0 AS (
+      SELECT COALESCE(s.sup, 0) AS sup
+      FROM edges0 e LEFT JOIN sup0 s ON e.u = s.u AND e.v = s.v
+    ), edges1 AS MATERIALIZED (
+      SELECT e.u, e.v
+      FROM edges0 e JOIN sup0 s ON e.u = s.u AND e.v = s.v
+      WHERE s.sup >= 8
+    ), tri1 AS MATERIALIZED (
+      SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      FROM edges1 e1
+      JOIN edges1 e2 ON e1.v = e2.u
+      JOIN edges1 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), sup1 AS MATERIALIZED (
+      SELECT u, v, count(*) AS sup FROM (
+        SELECT x AS u, y AS v FROM tri1
+        UNION ALL SELECT y, z FROM tri1
+        UNION ALL SELECT x, z FROM tri1
+      ) GROUP BY 1, 2
+    ), j1 AS (
+      SELECT COALESCE(s.sup, 0) AS sup
+      FROM edges1 e LEFT JOIN sup1 s ON e.u = s.u AND e.v = s.v
+    )
+    SELECT CAST(0 AS INTEGER) AS stage,
+      CAST(count(*) AS BIGINT) AS n_edges,
+      CAST(COALESCE(sum(sup), 0) // 3 AS BIGINT) AS n_triangles,
+      CAST(COALESCE(sum(sup), 0) AS BIGINT) AS sum_support,
+      CAST(COALESCE(max(sup), 0) AS BIGINT) AS max_support,
+      CAST(COALESCE(sum(CASE WHEN sup < 8 THEN 1 ELSE 0 END), 0)
+           AS BIGINT) AS n_below_k
+    FROM j0
+    UNION ALL
+    SELECT CAST(1 AS INTEGER),
+      CAST(count(*) AS BIGINT),
+      CAST(COALESCE(sum(sup), 0) // 3 AS BIGINT),
+      CAST(COALESCE(sum(sup), 0) AS BIGINT),
+      CAST(COALESCE(max(sup), 0) AS BIGINT),
+      CAST(COALESCE(sum(CASE WHEN sup < 8 THEN 1 ELSE 0 END), 0)
+           AS BIGINT)
+    FROM j1
+    """

@@ -8700,3 +8700,100 @@ def compaction_parity_report(
             & F.col("d_at_value").eqNullSafe(F.col("b_dv"))
         ).alias("matches_batch_face"),
     )
+
+
+def copurchase_truss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for the r16 head (docs/ROUND15.md candidate list; not
+    yet registered): one k-truss peel iteration (k = 10) on the DENSE
+    co-purchase graph — edges = part pairs co-ordered at least once
+    (the support-2 substrate the triangle/k-core family uses goes
+    triangle-vacuous above sf0.001: 0 edges with truss support >= 2
+    at sf0.1, measured — the design-time vacuity rule applied), with
+    per-stage exact-integer rollups: stage 0 is the full graph, stage
+    1 the subgraph of edges whose stage-0 triangle support clears
+    k - 2 = 8, re-counted. Emits per stage the edge count, triangle
+    count, support sum/max, and how many edges fall below the bar —
+    the peel-convergence signal a full truss decomposition iterates
+    on. All-integer emission (counts and sums of counts); zero FP.
+
+    Measured selectivity (edges with support >= 8 / edges): 8899/8899
+    at sf0.001 (max support 85), 93k/116k at sf0.01, 130k/1.2M at
+    sf0.1 — the peel bites harder as the graph grows, exactly the
+    regime a truss decomposition exists for.
+
+    Scale shape: triangle enumeration is the certified
+    copurchase_triangles wedge pattern (orient low->high, wedge join
+    on the middle vertex, closure equi-join; at 100 TB orient by
+    (degree, id) so no out-list exceeds O(sqrt |E|)); the edge table
+    MATERIALIZES once per stage and feeds all three join legs; the
+    support aggregation is a union-all of the three edge projections
+    of the triangle set with map-side partials. Stage-1 re-counts on
+    the (much smaller) surviving edge set only.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    k_sup = 8  # k-truss with k = 10: every edge needs >= k-2 triangles
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges0 = _materialized(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+
+    def supports(edges: DataFrame) -> DataFrame:
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u"))
+                & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("x"),
+                F.col("e1.v").alias("y"),
+                F.col("e2.v").alias("z"),
+            )
+        )
+        sides = (
+            tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+            .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+            .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        )
+        return sides.groupBy("u", "v").agg(F.count("*").alias("sup"))
+
+    def stage_row(edges: DataFrame, sup: DataFrame, stage: int) -> DataFrame:
+        joined = edges.join(sup, ["u", "v"], "left").select(
+            F.coalesce(F.col("sup"), F.lit(0)).alias("sup")
+        )
+        return joined.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.count("*").cast("long").alias("n_edges"),
+            # every triangle contributes its three sides within the
+            # same edge set, so sum_support div 3 is exact
+            F.expr("sum(sup) div 3").cast("long").alias("n_triangles"),
+            F.sum("sup").cast("long").alias("sum_support"),
+            F.max("sup").cast("long").alias("max_support"),
+            F.sum(F.when(F.col("sup") < k_sup, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_k"),
+        )
+
+    sup0 = _materialized(supports(edges0))
+    edges1 = _materialized(
+        edges0.join(
+            sup0.filter(F.col("sup") >= k_sup).select("u", "v"), ["u", "v"]
+        )
+    )
+    return stage_row(edges0, sup0, 0).unionByName(
+        stage_row(edges1, supports(edges1), 1)
+    )

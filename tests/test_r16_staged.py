@@ -174,3 +174,28 @@ def test_token_budget_curve_identities_and_oracle(spark):
     _multisets_match(
         df, STAGED_R16_ORACLES["dedup_token_budget_curve"], SF
     )
+
+
+def test_truss_peel_identities_and_oracle(spark):
+    """Two stages; integer closure (sum_support = 3*n_triangles on
+    both stages — every triangle's sides live inside the stage's edge
+    set); the peel shrinks or holds every rollup; full multiset match
+    against the plain-SQL oracle."""
+    from hrfco_data_pipeline_spark.oracles import STAGED_R16_ORACLES
+    from hrfco_data_pipeline_spark.plans.relational import (
+        copurchase_truss_peel,
+    )
+
+    df = copurchase_truss_peel(spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r.stage)
+    assert [r.stage for r in rows] == [0, 1]
+    for r in rows:
+        assert r.sum_support == 3 * r.n_triangles
+        assert r.max_support <= r.sum_support
+    s0, s1 = rows
+    assert s1.n_edges == s0.n_edges - s0.n_below_k
+    assert s1.n_triangles <= s0.n_triangles
+    assert s0.n_triangles > 0  # non-vacuity of the dense substrate
+    _multisets_match(
+        df, STAGED_R16_ORACLES["copurchase_truss_peel"], SF
+    )
