@@ -11196,3 +11196,89 @@ STAGED_R16_ORACLES["copurchase_truss_peel"] = """
            AS BIGINT)
     FROM j1
     """
+
+
+# JL distortion histogram: the projection oracle's component
+# expressions verbatim (shared matrix by construction), adjacent-pair
+# join, index-ordered distance folds, explicit floor() band
+# arithmetic (Spark's double->long cast truncates, DuckDB's rounds —
+# floor is the shared form).
+STAGED_R16_ORACLES["embedding_jl_distortion"] = """
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, embedding,
+      sqrt(3) * list_reduce(list_prepend(0.0,
+        list_transform(range(0, len(embedding)),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE ((i * 8 + 0) * 2654435761) % 2147483648 % 6
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        (acc, x) -> acc + x) AS p0,
+      sqrt(3) * list_reduce(list_prepend(0.0,
+        list_transform(range(0, len(embedding)),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE ((i * 8 + 1) * 2654435761) % 2147483648 % 6
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        (acc, x) -> acc + x) AS p1,
+      sqrt(3) * list_reduce(list_prepend(0.0,
+        list_transform(range(0, len(embedding)),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE ((i * 8 + 2) * 2654435761) % 2147483648 % 6
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        (acc, x) -> acc + x) AS p2,
+      sqrt(3) * list_reduce(list_prepend(0.0,
+        list_transform(range(0, len(embedding)),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE ((i * 8 + 3) * 2654435761) % 2147483648 % 6
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        (acc, x) -> acc + x) AS p3,
+      sqrt(3) * list_reduce(list_prepend(0.0,
+        list_transform(range(0, len(embedding)),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE ((i * 8 + 4) * 2654435761) % 2147483648 % 6
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        (acc, x) -> acc + x) AS p4,
+      sqrt(3) * list_reduce(list_prepend(0.0,
+        list_transform(range(0, len(embedding)),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE ((i * 8 + 5) * 2654435761) % 2147483648 % 6
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        (acc, x) -> acc + x) AS p5,
+      sqrt(3) * list_reduce(list_prepend(0.0,
+        list_transform(range(0, len(embedding)),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE ((i * 8 + 6) * 2654435761) % 2147483648 % 6
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        (acc, x) -> acc + x) AS p6,
+      sqrt(3) * list_reduce(list_prepend(0.0,
+        list_transform(range(0, len(embedding)),
+          i -> CAST(embedding[i + 1] AS DOUBLE) *
+               (CASE ((i * 8 + 7) * 2654435761) % 2147483648 % 6
+                WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END))),
+        (acc, x) -> acc + x) AS p7
+      FROM embeddings
+    ), pr AS (
+      SELECT
+        list_reduce(list_prepend(0.0,
+          list_transform(range(0, len(a.embedding)),
+            i -> (CAST(a.embedding[i + 1] AS DOUBLE)
+                  - CAST(b.embedding[i + 1] AS DOUBLE))
+                 * (CAST(a.embedding[i + 1] AS DOUBLE)
+                    - CAST(b.embedding[i + 1] AS DOUBLE)))),
+          (acc, x) -> acc + x) AS d2o,
+        (a.p0 - b.p0) * (a.p0 - b.p0) + (a.p1 - b.p1) * (a.p1 - b.p1) + (a.p2 - b.p2) * (a.p2 - b.p2) + (a.p3 - b.p3) * (a.p3 - b.p3) + (a.p4 - b.p4) * (a.p4 - b.p4) + (a.p5 - b.p5) * (a.p5 - b.p5) + (a.p6 - b.p6) * (a.p6 - b.p6) + (a.p7 - b.p7) * (a.p7 - b.p7) AS d2p
+      FROM base a JOIN base b
+        ON a.vec_id % 2 = 0 AND b.vec_id = a.vec_id + 1
+    ), rn AS (
+      SELECT CAST(floor(d2p / d2o / 8.0 * 1e9) AS BIGINT) AS rn
+      FROM pr WHERE d2o > 0.0
+    ), banded AS (
+      SELECT rn,
+        CAST(least(floor(rn / 250000000.0), 12) AS INTEGER) AS band
+      FROM rn
+    )
+    SELECT band,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(min(rn) AS BIGINT) AS min_ratio_nano,
+      CAST(max(rn) AS BIGINT) AS max_ratio_nano,
+      CAST(sum(rn) AS BIGINT) AS sum_ratio_nano
+    FROM banded GROUP BY band
+    """

@@ -3274,16 +3274,29 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     does not — Spark's BigDecimal HALF_UP has no signed zero while
     DuckDB's binary round keeps -0.0 (CORRECTNESS_r06 caught exactly
     that on one near-zero component)."""
-    import math as _math
-
     from hrfco_data_pipeline_spark.operators.similarity import as_double_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", as_double_vec("embedding", "v"))
-    d = F.size("v")
-    kn, m = 2654435761, 2_147_483_648
+    return v.select(
+        "vec_id",
+        *[_achlioptas_component("v", j).alias(f"p{j}") for j in range(8)],
+    )
 
-    def sign(i: Column, j: int) -> Column:
+
+def _achlioptas_component(vcol: str, j: int) -> Column:
+    """Component j of the Achlioptas sparse random projection over the
+    double-array column ``vcol`` (the embedding_random_projection
+    construction, factored in r15 so the JL distortion audit reads
+    the exact same matrix): entry sign from the integer Knuth hash of
+    the flat index, index-ordered fold, sqrt(3) scale — regenerated
+    from arithmetic alone in both engines."""
+    import math as _math
+
+    kn, m = 2654435761, 2_147_483_648
+    d = F.size(vcol)
+
+    def sign(i: Column) -> Column:
         h = F.pmod((i * 8 + F.lit(j)) * F.lit(kn), F.lit(m)) % 6
         return (
             F.when(h == 0, F.lit(1.0))
@@ -3291,18 +3304,13 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
         )
 
-    def comp(j: int) -> Column:
-        fold = F.aggregate(
-            F.sequence(F.lit(0), d - 1),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at("v", (i + 1).cast("int")) * sign(i, j),
-        )
-        return F.lit(_math.sqrt(3.0)) * fold
-
-    return v.select(
-        "vec_id", *[comp(j).alias(f"p{j}") for j in range(8)]
+    fold = F.aggregate(
+        F.sequence(F.lit(0), d - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(vcol, (i + 1).cast("int")) * sign(i),
     )
+    return F.lit(_math.sqrt(3.0)) * fold
 
 
 def _nb_confusion(train: DataFrame, evald: DataFrame) -> DataFrame:
@@ -7990,4 +7998,92 @@ def dedup_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept_toks.cast("double") / F.col("tokens_total").cast("double"),
             6,
         ).alias("kept_token_share"),
+    )
+
+
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED for the r16 head (docs/ROUND15.md candidate list; not
+    yet registered): Johnson-Lindenstrauss distortion audit of the
+    certified Achlioptas projection — does the 8-component sketch
+    preserve pairwise geometry well enough for the dedup/ANN indexes
+    built on it? Over the deterministic consecutive-pair sample
+    (vec 2k with vec 2k+1 — no sampling RNG, no pair explosion), the
+    normalized squared-distance ratio r = ||p(a)−p(b)||² /
+    (8·||a−b||²) — expectation 1 under the JL lemma — nano-quantized
+    and rolled into 0.25-wide histogram bands with exact min/max/sum
+    per band. A projection bug (wrong sign hash, dropped component,
+    broken scale) moves the whole histogram; heavy tails mean the
+    8-dim sketch is too coarse for the corpus.
+
+    Exactness: both distance folds are index-ordered IEEE chains
+    mirrored op-for-op in DuckDB (the projection's own oracle
+    convention); the ratio is the two-division left chain on
+    identical operands; floor(r·1e9) is exact; band arithmetic is
+    integer. sum_ratio_nano ≤ n_pairs·O(5e9) ≈ 2.5e13 at sf0.1 —
+    three orders under 2^53 (audited ceiling class). Zero-distance
+    originals (exact duplicate vectors) are excluded — r is
+    undefined there and the dedup family owns that case.
+
+    Scale shape: the projected-plus-raw frame MATERIALIZES once (at
+    100 TB this is the projection table you persist anyway); the
+    pair join is vec_id-adjacent (equi-join on vec_id+1, no
+    fan-out); the rollup is a bounded 13-band grid.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+    from hrfco_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", as_double_vec("embedding", "v"))
+    proj = _materialized(
+        v.select(
+            "vec_id",
+            "v",
+            *[
+                _achlioptas_component("v", j).alias(f"p{j}")
+                for j in range(8)
+            ],
+        )
+    )
+    a, b = proj.alias("a"), proj.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") % 2 == 0)
+        & (F.col("b.vec_id") == F.col("a.vec_id") + 1),
+    )
+    d = F.size(F.col("a.v"))
+    ea = lambda i: F.element_at(F.col("a.v"), (i + 1).cast("int"))  # noqa: E731
+    eb = lambda i: F.element_at(F.col("b.v"), (i + 1).cast("int"))  # noqa: E731
+    d2o = F.aggregate(
+        F.sequence(F.lit(0), d - 1),
+        F.lit(0.0),
+        lambda acc, i: acc + (ea(i) - eb(i)) * (ea(i) - eb(i)),
+    )
+    d2p = None
+    for j in range(8):
+        term = (F.col(f"a.p{j}") - F.col(f"b.p{j}")) * (
+            F.col(f"a.p{j}") - F.col(f"b.p{j}")
+        )
+        d2p = term if d2p is None else d2p + term
+    staged = pairs.select(
+        d2o.alias("d2o"), d2p.alias("d2p")
+    ).filter(F.col("d2o") > 0.0)
+    ratio_nano = F.floor(
+        F.col("d2p") / F.col("d2o") / F.lit(8.0) * F.lit(1e9)
+    ).cast("long")
+    banded = staged.select(
+        ratio_nano.alias("rn"),
+        # explicit floor in BOTH engines: Spark's double->long cast
+        # truncates while DuckDB's ROUNDS — floor() is the one form
+        # they share (positives only here)
+        F.least(
+            F.floor(ratio_nano / F.lit(250_000_000.0)), F.lit(12)
+        ).cast("int").alias("band"),
+    )
+    return banded.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.min("rn").alias("min_ratio_nano"),
+        F.max("rn").alias("max_ratio_nano"),
+        F.sum("rn").alias("sum_ratio_nano"),
     )

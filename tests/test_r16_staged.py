@@ -199,3 +199,33 @@ def test_truss_peel_identities_and_oracle(spark):
     _multisets_match(
         df, STAGED_R16_ORACLES["copurchase_truss_peel"], SF
     )
+
+
+def test_jl_distortion_identities_and_oracle(spark):
+    """Pair accounting (bands partition the non-degenerate adjacent
+    pairs), band boundaries respected, the mass centers near ratio 1
+    (the JL expectation), and the full multiset match."""
+    from hrfco_data_pipeline_spark.oracles import STAGED_R16_ORACLES
+    from hrfco_data_pipeline_spark.plans.llm import (
+        embedding_jl_distortion,
+    )
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    df = embedding_jl_distortion(spark, SF)
+    rows = sorted(df.collect(), key=lambda r: r.band)
+    assert rows
+    n_vecs = load_table(spark, SF, "embeddings").count()
+    assert sum(r.n_pairs for r in rows) <= n_vecs // 2
+    total_pairs = sum(r.n_pairs for r in rows)
+    weighted = sum(r.sum_ratio_nano for r in rows) / total_pairs
+    assert 0.5e9 < weighted < 2.0e9  # mean ratio near 1 (JL)
+    for r in rows:
+        assert 0 <= r.band <= 12
+        if r.band < 12:
+            assert r.band * 250_000_000 <= r.min_ratio_nano
+            assert r.max_ratio_nano < (r.band + 1) * 250_000_000
+        assert r.min_ratio_nano <= r.max_ratio_nano
+        assert r.n_pairs * r.min_ratio_nano <= r.sum_ratio_nano
+    _multisets_match(
+        df, STAGED_R16_ORACLES["embedding_jl_distortion"], SF
+    )
