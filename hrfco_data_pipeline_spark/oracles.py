@@ -6456,7 +6456,7 @@ HYDRO_ORACLES["hydro_rising_limb_lead_time"] = HYDRO_CTE + """
       SELECT observation_code AS l_code,
         min(substr(observation_time, 1, 10)) AS first_ladder_day
       FROM alerts
-      WHERE warning_level IN ('ATTENTION', 'WARNING', 'CRITICAL')
+      WHERE warning_level IN ('ATTENTION', 'CAUTION', 'WARNING', 'CRITICAL')
         AND substr(observation_time, 1, 10) IS NOT NULL
       GROUP BY 1
     )

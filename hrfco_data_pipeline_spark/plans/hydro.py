@@ -1885,7 +1885,9 @@ def rising_limb_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = F.substring("observation_time", 1, 10)
     first_ladder = (
         a.filter(
-            F.col("warning_level").isin("ATTENTION", "WARNING", "CRITICAL")
+            F.col("warning_level").isin(
+                "ATTENTION", "CAUTION", "WARNING", "CRITICAL"
+            )
             & day.isNotNull()
         )
         .groupBy(F.col("observation_code").alias("l_code"))
