@@ -420,11 +420,21 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Seed label = least(id, min neighbor): one aggregation over the
+    # bidirectional edge table (covers every node, since each node
+    # appears as src) that ABSORBS the first min-propagation round —
+    # the identity seed always spent iteration 1 computing exactly
+    # this. Same unique fixpoint (min node id per component), one
+    # fewer round to reach it. (r16 optimization: guide §2.4 — the
+    # seed's groupBy is the same shuffle shape the old round 1 paid,
+    # so this removes a full iteration's joins and checkpoint.)
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .persist()
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr"))
+        .select(
+            F.col("src").alias("id"),
+            F.least("src", "nbr").alias("component"),
+        )
     )
     converged = False
     for _ in range(max_iterations):
@@ -437,6 +447,12 @@ def connected_components(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
+                # carry the pre-iteration label so convergence is a
+                # FILTER on the checkpointed output instead of a
+                # shuffle join back against the previous labels
+                # (r16 optimization: one job + one exchange fewer per
+                # iteration; same convergence predicate)
+                F.col("component").alias("prev"),
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
@@ -452,19 +468,17 @@ def connected_components(
             .join(lookup, F.col("x.component") == F.col("cid"), "left")
             .select(
                 F.col("x.id").alias("id"),
+                F.col("x.prev").alias("prev"),
                 F.coalesce("cc", F.col("x.component")).alias("component"),
             )
         )
         jumped = _truncate(jumped)
         changed = (
-            jumped.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
+            jumped.filter(F.col("component") != F.col("prev"))
             .limit(1)
             .count()
         )
-        labels.unpersist()
-        labels = jumped
+        labels = jumped.select("id", "component")
         if changed == 0:
             converged = True
             break

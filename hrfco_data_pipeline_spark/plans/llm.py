@@ -6680,13 +6680,14 @@ def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.count_distinct("doc_b").alias("n_dropped_pairwise"),
     )
-    chain_stats = comp.join(
-        comp_sizes, "component"
-    ).agg(
-        F.sum(
-            F.when(F.col("id") != F.col("component"), 1).otherwise(0)
-        ).alias("n_dropped_chained"),
-        F.count_distinct("component").alias("n_components"),
+    # dropped = Σ(sz - 1): the component label is the min member id and
+    # appears exactly once per cluster, so "id != component" counts
+    # every member but one — no need to join the labels back against
+    # their own size table (r16 optimization: one exchange + one join
+    # fewer, same longs)
+    chain_stats = comp_sizes.agg(
+        (F.sum("sz") - F.count("*")).alias("n_dropped_chained"),
+        F.count("*").alias("n_components"),
         F.max("sz").alias("max_component_size"),
     )
     return (
@@ -7347,20 +7348,33 @@ def dedup_chaining_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
         F.count_distinct("doc_b").alias("n_dropped_pairwise"),
     )
     # closure arm: one CC per threshold on the shrinking pair graph
-    chained_rows = []
-    for t in thresholds:
+    def _closure_stats(t: float) -> DataFrame:
         p_t = pairs.filter(F.col("jaccard") >= t)
         comp = connected_components(p_t, "doc_a", "doc_b")
         comp_sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
-        chained_rows.append(
-            comp.join(comp_sizes, "component").agg(
-                F.lit(t).alias("threshold"),
-                F.sum(
-                    F.when(F.col("id") != F.col("component"), 1).otherwise(0)
-                ).alias("n_dropped_chained"),
-                F.count_distinct("component").alias("n_components"),
-                F.max("sz").alias("max_component_size"),
-            )
+        # dropped = Σ(sz - 1): the min-id label appears exactly once
+        # per cluster (see dedup_chaining_audit) — aggregate the size
+        # table directly instead of joining the labels back onto it
+        # (r16 optimization)
+        return comp_sizes.agg(
+            F.lit(t).alias("threshold"),
+            (F.sum("sz") - F.count("*")).alias("n_dropped_chained"),
+            F.count("*").alias("n_components"),
+            F.max("sz").alias("max_component_size"),
+        )
+
+    # the three closures are independent eager fixpoint loops — run
+    # them from a small thread pool so one threshold's checkpoint/
+    # convergence jobs back-fill the idle tail of another's stages
+    # (guide §2.6 overlap-independent-jobs; results are deterministic
+    # per threshold, the union order below is fixed by the list)
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thresholds)) as pool:
+        chained_rows = list(
+            pool.map(inheritable_thread_target(_closure_stats), thresholds)
         )
     chained = chained_rows[0]
     for df in chained_rows[1:]:
