@@ -1797,12 +1797,25 @@ def cms_counters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """CMS counter matrix as a (j, pos, c) DataFrame — works unchanged
     over a batch DataFrame or a streaming one (groupBy count is an
     incremental-merge aggregation; the fixed 3x1024 key space keeps
-    streaming state constant-size)."""
+    streaming state constant-size).
+
+    Cell counts are built from DISTINCT-token counts, not raw
+    occurrences: count per token first (map-side partial aggregation
+    on the token string), then hash only the distinct tokens and sum
+    their counts into cells. Σ_t∈cell count(t) == count of occurrences
+    per cell — identical longs — but the md5/conv pair runs once per
+    distinct term instead of once per token occurrence (r16
+    optimization, guide §1.2 per-task work: the corpus has ~20x more
+    occurrences than distinct terms, and the hash is the kernel's
+    dominant cost)."""
     tok, cells = cms_cells(text_col)
-    occ = docs.select(tok).select(
-        "t", F.posexplode(cells).alias("j", "pos")
+    term_counts = (
+        docs.select(tok).groupBy("t").agg(F.count("*").alias("n"))
     )
-    return occ.groupBy("j", "pos").agg(F.count("*").alias("c"))
+    occ = term_counts.select(
+        "n", F.posexplode(cells).alias("j", "pos")
+    )
+    return occ.groupBy("j", "pos").agg(F.sum("n").alias("c"))
 
 
 def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1825,12 +1838,21 @@ def docs_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top_k = 20
     docs = _docs_parallel(spark, sf_dir)
     tok_expr, cells = cms_cells()
-    tok = docs.select(tok_expr)
-    counters = cms_counters(docs)
+    # ONE tokenize+count pass feeds both the exact top-k probe and the
+    # counter matrix (cells from distinct-term counts — see
+    # cms_counters; r16 optimization: previously the corpus was
+    # tokenized twice, once per arm)
+    term_counts = (
+        docs.select(tok_expr).groupBy("t").agg(F.count("*").alias("n"))
+    )
+    counters = (
+        term_counts.select("n", F.posexplode(cells).alias("j", "pos"))
+        .groupBy("j", "pos")
+        .agg(F.sum("n").alias("c"))
+    )
 
     top = (
-        tok.groupBy("t")
-        .agg(F.count("*").alias("exact_cnt"))
+        term_counts.select("t", F.col("n").alias("exact_cnt"))
         .orderBy(F.desc("exact_cnt"), F.asc("t"))
         .limit(top_k)
     )
@@ -3926,7 +3948,18 @@ def _bm25_candidates(docs: DataFrame, qterms: DataFrame) -> DataFrame:
     query term: (query_id, doc_id, term, s). ``qterms`` is a small
     (query_id, term) frame (broadcast). Shared by docs_bm25_topk and
     the hybrid RRF fusion; the arithmetic chain is the bit-portable
-    one documented on docs_bm25_topk."""
+    one documented on docs_bm25_topk.
+
+    The postings frame is consumed three times downstream (tf join
+    side, per-term df aggregate, corpus stats aggregate) and each
+    consumer re-embeds the scan+tokenize chain — but an r16
+    interleaved A/B showed `_materialized(bm25_postings(docs))` is a
+    WASH-to-loss (old 1.63–1.84 s vs new 1.54–3.00 s warm at sf0.1):
+    the re-embedded subtrees are column-pruned far below the full
+    postings row (df needs `term` only, stats `doc_id`/`tf` only) and
+    execute as parallel stages, while the checkpoint pays a full
+    serialize+write of the widest row. Left as live subplans
+    deliberately."""
     return bm25_candidates_from_postings(bm25_postings(docs), qterms)
 
 

@@ -1679,6 +1679,11 @@ def lineitem_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((pk - min_pk) * 256) div (max_pk - min_pk + 1)").alias("qx"),
         F.expr("((sk - min_sk) * 256) div (max_sk - min_sk + 1)").alias("qy"),
     )
+    # NOTE (r16): parallelize_small_scan here was tried and REVERTED —
+    # the Morton interleave is cheap enough that the extra round-robin
+    # exchange LOST the interleaved A/B 3× (0.47 s -> 1.4 s warm at
+    # sf0.1). Its Hilbert sibling keeps the spread: that kernel's deep
+    # bit-twiddling chain is ~6× heavier per row and wins 1.9×.
     z = morton_interleave(F.col("qx"), F.col("qy"), bits=8)
     return (
         q.withColumn("shard", F.shiftright(z, 8))
@@ -1725,6 +1730,11 @@ def lineitem_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("((pk - min_pk) * 256) div (max_pk - min_pk + 1)").alias("qx"),
         F.expr("((sk - min_sk) * 256) div (max_sk - min_sk + 1)").alias("qy"),
     )
+    # Same under-split mitigation as lineitem_zorder_layout (r16):
+    # the Hilbert kernel is even heavier per row than Morton's.
+    from hrfco_data_pipeline_spark.sources.tables import parallelize_small_scan
+
+    q = parallelize_small_scan(q)
     h = hilbert_index(F.col("qx"), F.col("qy"), bits=8)
     return (
         q.withColumn("shard", F.shiftright(h, 8))
@@ -1793,8 +1803,15 @@ def layout_pruning_report(
         F.expr("((pk - min_pk) * 256) div (max_pk - min_pk + 1)").alias("qx"),
         F.expr("((sk - min_sk) * 256) div (max_sk - min_sk + 1)").alias("qy"),
     )
+    # Spread the CPU-heavy curve-code kernels across cores before the
+    # eager materialization: the single-file scan plans 3 tasks (one
+    # straggler serialized the whole build — measured 3.1 s -> 1.3 s
+    # for the kernel alone); no-op on real multi-split layouts (r16
+    # optimization, same mitigation as lineitem_zorder_layout).
+    from hrfco_data_pipeline_spark.sources.tables import parallelize_small_scan
+
     codes = _materialized(
-        q.select(
+        parallelize_small_scan(q).select(
             "uid",
             "pk",
             "sk",
