@@ -1495,9 +1495,18 @@ def level_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-evaluated the parse→classify chain per two-pass layer: 16.5 s
     cold at sf0.1 vs ~intrinsic-chain cost for this form (SCALE.md
     §r12). Medians/MADs broadcast back (|stations| rows).
+
+    The domain table is MATERIALIZED once (r16): its five lazy
+    consumers (median pick, deviation build ×2, MAD pick, rollup)
+    re-embedded the whole parse→classify chain — 5 events scans and
+    52 Exchanges in one plan; checkpointing the ≤ |stations|·6001-row
+    frame makes every layer read the bounded domain instead
+    (guide §5 — reuse beats recompute when the intermediate is tiny).
     """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
     c = classified(spark, sf_dir)
-    agg = (
+    agg = _materialized(
         c.filter(F.col("water_level").isNotNull())
         .groupBy(
             F.col("wlobscd").alias("station"),

@@ -235,7 +235,7 @@ def test_rising_limb_lead_time_consistent_with_charts(spark):
     first_ladder = {}
     for r in al:
         if (
-            r.warning_level in ("ATTENTION", "WARNING", "CRITICAL")
+            r.warning_level in ("ATTENTION", "CAUTION", "WARNING", "CRITICAL")
             and r.observation_time is not None
         ):
             d = r.observation_time[:10]
