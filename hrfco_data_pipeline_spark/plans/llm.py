@@ -1799,7 +1799,7 @@ def cms_counters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     incremental-merge aggregation; the fixed 3x1024 key space keeps
     streaming state constant-size).
 
-    Cell counts are built from DISTINCT-token counts, not raw
+    Batch cell counts are built from DISTINCT-token counts, not raw
     occurrences: count per token first (map-side partial aggregation
     on the token string), then hash only the distinct tokens and sum
     their counts into cells. Σ_t∈cell count(t) == count of occurrences
@@ -1807,8 +1807,18 @@ def cms_counters(docs: DataFrame, text_col: str = "text") -> DataFrame:
     distinct term instead of once per token occurrence (r16
     optimization, guide §1.2 per-task work: the corpus has ~20x more
     occurrences than distinct terms, and the hash is the kernel's
-    dominant cost)."""
+    dominant cost).
+
+    A STREAMING frame keeps the pre-r16 one-level form (hash every
+    occurrence, one groupBy over the fixed key space): the two-level
+    form chains two stateful aggregations, which Spark's
+    global-watermark correctness check rejects in a streaming query.
+    Same counters either way — the two forms differ only in where the
+    per-term partial sums happen."""
     tok, cells = cms_cells(text_col)
+    if docs.isStreaming:
+        occ = docs.select(tok).select(F.posexplode(cells).alias("j", "pos"))
+        return occ.groupBy("j", "pos").agg(F.count("*").alias("c"))
     term_counts = (
         docs.select(tok).groupBy("t").agg(F.count("*").alias("n"))
     )
@@ -3959,8 +3969,25 @@ def _bm25_candidates(docs: DataFrame, qterms: DataFrame) -> DataFrame:
     postings row (df needs `term` only, stats `doc_id`/`tf` only) and
     execute as parallel stages, while the checkpoint pays a full
     serialize+write of the widest row. Left as live subplans
-    deliberately."""
-    return bm25_candidates_from_postings(bm25_postings(docs), qterms)
+    deliberately.
+
+    r16 batch-face stats: (n_docs, total_tokens) ≡
+    (count of docs with a non-null token array, sum of dl) — every doc
+    with non-null text yields ≥1 token (split(trim('')) is ['']), so
+    the doc set and token total match the postings-derived aggregates
+    integer-for-integer while skipping the explode + (doc, term)
+    aggregate the postings pass pays (guide §2.3 — aggregate before
+    you shuffle; this arm now shuffles 2 longs)."""
+    toks = docs.select("doc_id", _tokens().alias("toks"))
+    stats = toks.agg(
+        F.countDistinct(
+            F.when(F.col("toks").isNotNull(), F.col("doc_id"))
+        ).alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+    )
+    return bm25_candidates_from_postings(
+        bm25_postings(docs), qterms, stats=stats
+    )
 
 
 def bm25_postings(docs: DataFrame) -> DataFrame:
@@ -3979,17 +4006,35 @@ def bm25_postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_candidates_from_postings(tf: DataFrame, qterms: DataFrame) -> DataFrame:
+def bm25_candidates_from_postings(
+    tf: DataFrame, qterms: DataFrame, stats: DataFrame | None = None
+) -> DataFrame:
     """The scoring tail over a postings frame — batch and stored-index
     faces share it row for row. df and the corpus stats re-derive
-    from the postings in one scan of the (vocabulary x doc)-sized
-    index, never the raw corpus: n_docs = distinct doc_id, total
-    tokens = sum(tf) (each doc's tf sums to its dl exactly)."""
+    from the postings, never the raw corpus: n_docs = distinct doc_id,
+    total tokens = sum(tf) (each doc's tf sums to its dl exactly).
+
+    ``stats`` may be supplied by callers that can derive
+    (n_docs, total_tokens) cheaper than a postings scan (the batch
+    face's explode-free pass); identity is pinned by the parity
+    certificate.
+
+    r16 tried-and-reverted: semi-joining the postings to the broadcast
+    query-term list FIRST (so the tf exchange and the df aggregate see
+    only query-term occurrences — the 100 TB-right shape) lost 0.9 s
+    median in an 8-rep interleaved A/B at sf0.1 (1.75 → 2.64 s): the
+    filter needs the distinct-term list built and broadcast under BOTH
+    arms (two extra jobs + broadcast exchanges), the planner does not
+    ReuseExchange the two filtered aggregates, and at this corpus size
+    the saved work (a 31-term vocabulary aggregate) is free. Left in
+    the pre-filterless form; at real scale the semi-join belongs ahead
+    of the tf aggregate."""
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    stats = tf.agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.sum("tf").alias("total_tokens"),
-    )
+    if stats is None:
+        stats = tf.agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("tf").alias("total_tokens"),
+        )
     return (
         tf.join(df_tbl, "term")
         .join(F.broadcast(qterms), "term")

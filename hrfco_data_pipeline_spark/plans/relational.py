@@ -2728,13 +2728,24 @@ def nation_trade_pagerank(
     (no out-edges) redistribute their mass uniformly via an exact
     integer share, so total mass is conserved up to floor losses.
 
-    ``materialize`` checkpoints the edge table once and the rank
-    table each iteration — without the cut, every iteration re-embeds
-    the full upstream tree of BOTH its inputs and the lazy plan grows
-    exponentially in ``iters`` (measured: 5 lazy iterations analyze
-    to a ~2 MB / 2000-exchange plan; materialized, each iteration is
-    one join + one agg). Plan audits pass materialize=False with
-    iters=1 to see the per-iteration shape."""
+    ``materialize`` (the default) runs the fixpoint on the DRIVER over
+    the collected probability-edge table (r16, guide §1.2 — the
+    distributed algorithm first): the graph here is the NATION
+    dimension — ≤25 nodes and ≤600 edges at every scale factor, a
+    schema-bounded metadata table (the Lloyd-centroid /
+    Apriori-grid collect convention), while the DATA-scale work (the
+    lineitem 5-way join that weighs the edges) stays fully
+    distributed. The pre-r16 in-Spark loop checkpointed the 25-row
+    rank table every iteration and scheduled ~64 jobs per execution
+    (3 broadcast builds + a checkpoint per round) to move a few
+    hundred bytes; the driver fold is the same exact integer
+    recurrence (Python int `//`/`%` ≡ Spark `div`/`%` on these
+    non-negative int64-bounded terms) so the fixpoint is
+    bit-identical. At web scale — vertices NOT schema-bounded — the
+    iteration must stay in Spark: that shape is preserved under
+    ``materialize=False`` (lazy, per-round join + agg; plan audits
+    pass iters=1 to see it), and lineage would be cut per round as
+    connected_components does."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -2783,9 +2794,40 @@ def nation_trade_pagerank(
         )
     )
     if materialize:
-        from hrfco_data_pipeline_spark.operators.dedup import _materialized
-
-        p_edges = _materialized(p_edges)
+        # driver-side exact fixpoint over the bounded nation graph:
+        # two metadata-scale collects (≤600 probability edges, 25
+        # node names), then pure-int recurrence — zero per-iteration
+        # Spark jobs. The final rank_rel arithmetic stays in Spark so
+        # the double rounding is the engine's own.
+        B = 1_000_000_000
+        edges = [
+            (r["u"], r["v"], r["p"]) for r in p_edges.collect()
+        ]
+        node_names = [r["node"] for r in
+                      nat.select(F.col("n_name").alias("node")).collect()]
+        n = len(node_names)
+        has_out = {u for u, _, _ in edges}
+        dangling = [x for x in node_names if x not in has_out]
+        ranks = {x: 40_000_000_000 for x in node_names}
+        for _ in range(iters):
+            d = sum(ranks[x] for x in dangling)
+            ds = d // n
+            s = dict.fromkeys(node_names, 0)
+            for u, v, p in edges:
+                r = ranks[u]
+                s[v] += (r // B) * p + ((r % B) * p) // B
+            ranks = {
+                x: 6_000_000_000 + (85 * (s[x] + ds)) // 100
+                for x in node_names
+            }
+        out = spark.createDataFrame(
+            [(x, ranks[x]) for x in node_names], "node string, r long"
+        )
+        return out.select(
+            F.col("node").alias("nation"),
+            F.col("r").alias("rank_e12"),
+            _r4(F.col("r").cast("double") / 1.0e12 * 25).alias("rank_rel"),
+        )
     nodes = nat.select(F.col("n_name").alias("node"))
     ranks = nodes.select("node", F.lit(40_000_000_000).alias("r"))
     contrib = (
@@ -2823,11 +2865,6 @@ def nation_trade_pagerank(
                 ).alias("r"),
             )
         )
-        if materialize:
-            # cut lineage every iteration: the rank table is
-            # |nodes|-sized, so the checkpoint is trivially cheap and
-            # the next iteration's plan starts from a leaf
-            ranks = _materialized(ranks)
     return ranks.select(
         F.col("node").alias("nation"),
         F.col("r").alias("rank_e12"),

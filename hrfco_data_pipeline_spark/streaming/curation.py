@@ -1144,8 +1144,21 @@ def run_parity_stream_ordered(
 
     At scale the certificate runs against an existing store fed by the
     real ingest (which IS arrival-ordered); the range-file copy is
-    certificate scaffolding at the test SF only."""
+    certificate scaffolding at the test SF only.
+
+    r16 (guide §2.4 — remove passes outright): the k range files are
+    written by ONE partitioned job — bucket = floor((order−lo)/step),
+    repartition(k, bucket), write.partitionBy(bucket) — instead of k
+    separate filtered scans of the source. Each bucket value lives in
+    exactly one task, so every range dir holds exactly one data file,
+    as before; a range with no rows (possible under a skewed order
+    column) still gets its schema-only file so the micro-batch
+    sequence is unchanged. Row order WITHIN a range file is shuffle
+    order, which no consumer observes: the one order-dependent
+    maintainer (lateness) re-sorts each batch by its in-batch
+    event_id window, and batch composition is unchanged."""
     import os
+    import shutil
     import time
 
     base = parity_workdir(prefix)
@@ -1155,18 +1168,32 @@ def run_parity_stream_ordered(
         F.min(order_col).cast("long"), F.max(order_col).cast("long")
     ).first()
     step = max(1, (hi - lo) // k + 1)
+    staging = f"{base}/staging"
+    bucket = F.floor(
+        (F.col(order_col).cast("long") - F.lit(lo)) / F.lit(step)
+    ).cast("int")
+    (
+        frame.withColumn("_rng", bucket)
+        .repartition(k, "_rng")
+        .write.partitionBy("_rng")
+        .parquet(staging)
+    )
     now = time.time()
     for i in range(k):
-        a, b = lo + i * step, lo + (i + 1) * step
-        part = frame.filter(
-            (F.col(order_col) >= a) & (F.col(order_col) < b)
-        )
         pdir = os.path.join(src, f"part-{i:04d}")
-        part.coalesce(1).write.parquet(pdir)
+        sdir = os.path.join(staging, f"_rng={i}")
+        if os.path.isdir(sdir):
+            os.rename(sdir, pdir)
+        else:
+            # empty range: keep the schema-only file the per-range
+            # write used to produce, so batch count/order is identical
+            spark.createDataFrame([], frame.schema).coalesce(1)\
+                .write.parquet(pdir)
         ts = now + i
         os.utime(pdir, (ts, ts))
         for f in os.listdir(pdir):
             os.utime(os.path.join(pdir, f), (ts, ts))
+    shutil.rmtree(staging, ignore_errors=True)
     return _bind_and_await(
         spark, frame.schema, src, bind, base, prefix, ordered=True
     )
