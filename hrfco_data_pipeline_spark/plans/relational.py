@@ -4090,7 +4090,18 @@ def copurchase_bfs_levels(
     an empty frontier makes remaining rounds no-ops without a
     driver-side convergence check. The DuckDB twin is a recursive CTE
     (min-level per node == first-discovery depth), making this the
-    registry's oracle-backed graph-traversal representative."""
+    registry's oracle-backed graph-traversal representative.
+
+    r16 (guide §2.4): only the NEW level is checkpointed each round —
+    the pre-r16 loop checkpointed ``visited ∪ nxt``, re-serializing
+    every previously discovered node once per remaining level
+    (O(V·depth) write volume) and paying a second job; ``visited`` is
+    now a lazy union of the per-level checkpoint LEAVES (plan size
+    grows by one leaf per level, never re-embedding computation), the
+    frontier is the previous round's already-materialized level, and
+    each round is ONE job (join + distinct + anti-join + checkpoint).
+    Same rows: visited ≡ ∪ levels, and the anti-join reads the same
+    node set either way."""
     from hrfco_data_pipeline_spark.operators.dedup import _materialized
 
     half = _copurchase_edges(spark, sf_dir)
@@ -4099,23 +4110,23 @@ def copurchase_bfs_levels(
             half.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
     )
-    visited = _materialized(
+    frontier = _materialized(
         adj.agg(F.min("u").alias("node")).select(
             "node", F.lit(0).alias("level")
         )
     )
+    visited = frontier
     for depth in range(1, max_depth + 1):
-        frontier = visited.filter(F.col("level") == depth - 1).select(
-            F.col("node").alias("u")
-        )
-        nxt = (
-            frontier.join(adj, "u")
+        nxt = _materialized(
+            frontier.select(F.col("node").alias("u"))
+            .join(adj, "u")
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
             .select("node", F.lit(depth).alias("level"))
         )
-        visited = _materialized(visited.unionAll(nxt))
+        visited = visited.unionAll(nxt)
+        frontier = nxt
     return visited.groupBy("level").agg(
         F.count("*").alias("n_nodes"),
         F.min("node").alias("min_node"),
@@ -5973,77 +5984,110 @@ def events_type_value_counts(ev: DataFrame) -> DataFrame:
 def ks_from_counts(raw_counts: DataFrame) -> DataFrame:
     """The KS tail over (event_type, value, c_t) count rows; re-groups
     first so both the batch counts and unioned per-batch partials feed
-    the identical computation."""
+    the identical computation.
+
+    r16 shape (guide §2.4 — remove shuffles outright; measured: the
+    pre-r16 dense-grid form scheduled ~25 AQE stage-materialization
+    jobs per execution, and on small inputs per-job driver latency IS
+    the runtime): the event-type domain is bounded metadata (it was
+    already broadcast pre-r16 — same contract, now collected, the
+    Lloyd convention), so the per-type ECDF steps ride ONE row per
+    DISTINCT VALUE as an array column: s_t(v) = c_t(v)·n_rest −
+    (c_all(v) − c_t(v))·n_t in DECIMAL(38,0), cumulated per array slot
+    by a single un-partitioned ranked_cumsum pass over the |values|
+    domain (still the range-bucketed two-pass — the value domain IS
+    data-scale), then one scalar aggregate takes each type's
+    (|cum| desc, value asc) arg-max struct. Exchanges: 2 aggregates +
+    the two-pass, instead of aggregates + a |values|×|types| grid
+    join + a partitioned two-pass + a per-type aggregate. Identical
+    integers: same steps, same decimal sums, same tie-break, and the
+    final division is the same two exact-int casts."""
+    d38 = lambda c: c.cast("decimal(38,0)")
     ct = raw_counts.groupBy("event_type", "value").agg(
         F.sum("c_t").alias("c_t")
     )
-    per_type = ct.groupBy("event_type").agg(F.sum("c_t").alias("n_t"))
-    totals = per_type.agg(F.sum("n_t").alias("n_all"))
-    cv = ct.groupBy("value").agg(F.sum("c_t").alias("c_all"))
-    grid = (
-        cv.crossJoin(F.broadcast(per_type))
-        .join(ct, ["event_type", "value"], "left")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "event_type",
-            "value",
-            "n_t",
-            (F.col("n_all") - F.col("n_t")).alias("n_rest"),
-            F.coalesce(F.col("c_t"), F.lit(0)).alias("ct"),
-            (F.col("c_all") - F.coalesce(F.col("c_t"), F.lit(0))).alias(
-                "cr"
-            ),
-        )
+    per_type = sorted(
+        (r["event_type"], r["n_t"])
+        for r in ct.groupBy("event_type")
+        .agg(F.sum("c_t").alias("n_t"))
+        .collect()
     )
-    d38 = lambda c: c.cast("decimal(38,0)")
-    step = d38(F.col("ct")) * d38(F.col("n_rest")) - d38(
-        F.col("cr")
-    ) * d38(F.col("n_t"))
-    # per-type cumulative over value order via the PARTITIONED
-    # range-bucketed two-pass: a plain Window.partitionBy(type)
-    # .orderBy(value) puts each type's ENTIRE distinct-value domain in
-    # one task — the same single-task exposure as a global window when
-    # the value domain grows with the data (VERDICT r10 "What's
-    # wrong" #3). Buckets split each type's value order across tasks;
-    # the offset join is |types| x n_buckets rows, broadcast.
+    types = [t for t, _ in per_type]
+    if not types:  # no counts at all: the pre-r16 grid was empty too
+        return raw_counts.sparkSession.createDataFrame(
+            [],
+            "event_type string, n_t long, n_rest long, "
+            "d_stat double, d_at_value double",
+        )
+    n_t = {t: n for t, n in per_type}
+    n_all = sum(n_t.values())
+    cv = ct.groupBy("value").agg(
+        F.sum("c_t").alias("c_all"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c_t"))
+        ).alias("m"),
+    )
+    ctv = lambda t: F.coalesce(
+        F.element_at(F.col("m"), F.lit(t)), F.lit(0)
+    )
+    steps = F.array(
+        *[
+            d38(ctv(t)) * d38(F.lit(n_all - n_t[t]))
+            - d38(F.col("c_all") - ctv(t)) * d38(F.lit(n_t[t]))
+            for t in types
+        ]
+    )
+    g = cv.select("value", steps.alias("_steps"))
     from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
 
     cum = ranked_cumsum(
-        grid.withColumn("_step", step),
+        g,
         F.col("value"),
         [F.col("value")],
-        sample_key=F.xxhash64("event_type", "value"),
-        sums={"_cum_step": F.col("_step")},
+        sample_key=F.col("value"),
+        sums={
+            f"_c{i}": F.col("_steps")[i] for i in range(len(types))
+        },
         rank_name="_vrank",
-        partition_cols=["event_type"],
-    ).select(
+    )
+    best = cum.agg(
+        *[
+            F.max(
+                F.struct(
+                    F.abs(F.col(f"_c{i}")).alias("absnum"),
+                    (-F.col("value")).alias("nv"),
+                )
+            ).alias(f"_b{i}")
+            for i in range(len(types))
+        ]
+    )
+    rows = best.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("event_type"),
+                        F.lit(n_t[t]).cast("long").alias("n_t"),
+                        F.lit(n_all - n_t[t]).cast("long").alias("n_rest"),
+                        F.col(f"_b{i}").alias("b"),
+                    )
+                    for i, t in enumerate(types)
+                ]
+            )
+        ).alias("e")
+    ).select("e.event_type", "e.n_t", "e.n_rest", "e.b")
+    return rows.select(
         "event_type",
-        "value",
         "n_t",
         "n_rest",
-        F.abs(F.col("_cum_step")).alias("absnum"),
-    )
-    best = F.max(F.struct(F.col("absnum"), (-F.col("value")).alias("nv")))
-    return (
-        cum.groupBy("event_type")
-        .agg(
-            F.max("n_t").cast("long").alias("n_t"),
-            F.max("n_rest").cast("long").alias("n_rest"),
-            best.alias("b"),
-        )
-        .select(
-            "event_type",
-            "n_t",
-            "n_rest",
-            (
-                F.col("b")["absnum"].cast("double")
-                / (
-                    F.col("n_t").cast("double")
-                    * F.col("n_rest").cast("double")
-                )
-            ).alias("d_stat"),
-            (-F.col("b")["nv"]).alias("d_at_value"),
-        )
+        (
+            F.col("b")["absnum"].cast("double")
+            / (
+                F.col("n_t").cast("double")
+                * F.col("n_rest").cast("double")
+            )
+        ).alias("d_stat"),
+        (-F.col("b")["nv"]).alias("d_at_value"),
     )
 
 
