@@ -944,7 +944,15 @@ def double_mass_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("water_level") * 100).cast("long").alias("cents"),
     )
     sd = base.groupBy("station", "day").agg(F.sum("cents").alias("s_cents"))
-    dd = base.groupBy("day").agg(F.sum("cents").alias("d_cents"))
+    # r16 (guide §2.4 — remove passes outright): the basin daily total
+    # re-aggregates the per-station daily table instead of re-scanning
+    # `base` — Σ_station s_cents ≡ Σ cents per day exactly (integer
+    # cents, associative), and both consumers now hang off the SAME
+    # groupBy(station, day) exchange subtree, so the classify chain
+    # executes once per run (ReusedExchange) instead of twice
+    # (measured: 2 events scans → 1 at runtime; plan diff in
+    # plans/r16/hydro_double_mass_{before,after}.txt).
+    dd = sd.groupBy("day").agg(F.sum("s_cents").alias("d_cents"))
     run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     basin = dd.select("day", F.sum("d_cents").over(run).alias("x_cum"))
     wst = Window.partitionBy("station").orderBy("day").rowsBetween(

@@ -5029,7 +5029,14 @@ def events_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     raw = ev.select("event_type", kmv_hash(F.col("user_id")).alias("h"))
     ests = kmv_pair_estimates(kmv_bottomk_from_raw(raw))
-    base = ev.select("event_type", "user_id").distinct()
+    # r16: the exact-QA base feeds three branches (per-type counts and
+    # both sides of the overlap self-join); materialized once so the
+    # scan+distinct runs once instead of three times (the r15
+    # live-subplan lesson). The exact arms remain the toy-scale QA
+    # face — a production 100 TB run ships only the sketch arms.
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    base = _materialized(ev.select("event_type", "user_id").distinct())
     exact = base.groupBy("event_type").agg(F.count("*").alias("exact_n"))
     inter = (
         base.alias("x")
@@ -5155,7 +5162,21 @@ def kmv_pair_estimates(kmin: DataFrame, k: int = 64) -> DataFrame:
     sketches: per-type estimate (k-1)·2^31/kth, union sketch = k
     smallest of the merged k-mins, intersection by inclusion-exclusion.
     All arithmetic is one double division of exact integers per
-    estimate, IEEE bit-identical across engines."""
+    estimate, IEEE bit-identical across engines.
+
+    r16 (the r15 live-subplan lesson): ``kmin`` is consumed by FIVE
+    branches below (the per-type sk aggregate three times via its
+    a/b/union projections, plus the members join) and each branch
+    re-embedded the entire upstream — scan, prefilter, distinct, both
+    k-min windows — per consumer (events_kmv_setops audited at 18
+    executed parquet scans; the parity certificate at 21). The kmin
+    table is ≤ k·|types| rows BY CONSTRUCTION (the bounded-metadata
+    contract of a bottom-k sketch), so it is materialized once here
+    and every branch reads the checkpoint instead of re-deriving it.
+    """
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    kmin = _materialized(kmin.select("event_type", "h"))
     M = 2_147_483_648  # 2^31
 
     def est(kth, sk_n):
@@ -7662,7 +7683,7 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_parity_stream,
     )
 
-    edges, reference, second = psi_parity_inputs(spark, sf_dir)
+    edges, mid, reference, second = psi_parity_inputs(spark, sf_dir)
     if not edges:
         # degenerate corpus (no value/ts-valid events): the batch face
         # and oracle emit zero rows — mirror that instead of crashing
@@ -7678,16 +7699,20 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stream, t: psi_drift_stream(stream, t, edges),
         "hrfco_psi_parity_",
     )
-    return psi_parity_report(spark, sf_dir, table, reference)
+    return psi_parity_report(
+        spark, sf_dir, table, reference, edges=edges, mid=mid
+    )
 
 
 def psi_parity_inputs(
     spark: SparkSession, sf_dir: str
-) -> tuple[list, DataFrame, DataFrame]:
-    """(edges, reference_counts, second_half) — the frozen decile
-    edges, first-half reference bucket counts, and second-half frame
-    built by the batch face's own construction; shared by the parity
-    query and its negative-path test."""
+) -> tuple[list, int, DataFrame, DataFrame]:
+    """(edges, mid, reference_counts, second_half) — the frozen decile
+    edges, midpoint day, first-half reference bucket counts, and
+    second-half frame built by the batch face's own construction;
+    shared by the parity query and its negative-path test. ``mid`` is
+    exposed (r16) so the report's batch-face arm can reuse the frozen
+    split instead of re-deriving deciles+midpoint from scratch."""
     from hrfco_data_pipeline_spark.operators.ranking import ranked_cumsum
 
     ev = (
@@ -7712,7 +7737,7 @@ def psi_parity_inputs(
     ).collect()[0]
     if tot.n_all == 0:
         empty = ev.drop("day").limit(0)
-        return [], psi_bucket_counts(empty, [0.0]), empty
+        return [], 0, psi_bucket_counts(empty, [0.0]), empty
     mid = (tot.dmin + tot.dmax) // 2
     ranked = ranked_cumsum(
         ev.select("event_id", "value"),
@@ -7731,21 +7756,68 @@ def psi_parity_inputs(
     ]
     first = ev.filter(F.col("day") <= mid).drop("day")
     second = ev.filter(F.col("day") > mid).drop("day")
-    return edges, psi_bucket_counts(first, edges), second
+    return edges, mid, psi_bucket_counts(first, edges), second
 
 
 def psi_parity_report(
-    spark: SparkSession, sf_dir: str, table: str, reference: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    reference: DataFrame,
+    edges: list | None = None,
+    mid: int | None = None,
 ) -> DataFrame:
     """The serve-vs-batch comparison tail of stream_batch_psi_parity,
     factored out so the negative-path test can point it at a TAMPERED
-    store and watch the flag flip (tests/test_r13_operators.py)."""
+    store and watch the flag flip (tests/test_r13_operators.py).
+
+    ``edges``/``mid`` (r16, guide §2.4 — remove passes outright): the
+    certificate already derives the frozen decile edges and midpoint
+    day in psi_parity_inputs with the batch face's own construction;
+    passing them here lets the batch-face arm bucket the raw events
+    against those frozen literals instead of re-running the whole
+    ranked-cumsum decile derivation a second time per execution
+    (measured: the report phase dropped ~8 AQE jobs). Values are
+    bit-identical: the edges literals are the exact doubles the
+    in-plan derivation collects, the bucketing expression is the same
+    size(filter(es, e -> value > e)), and the PSI tail is the shared
+    psi_from_bucket_counts. Callers without frozen inputs (the
+    negative-path test) fall back to the full batch face."""
     from hrfco_data_pipeline_spark.streaming.curation import (
         psi_report_vs_reference,
     )
 
     served = psi_report_vs_reference(spark, table, reference)
-    batch = events_psi_by_type(spark, sf_dir).select(
+    if edges is not None and mid is not None:
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+            .select(
+                "event_type",
+                "value",
+                F.datediff(
+                    F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
+                ).cast("long").alias("day"),
+            )
+        )
+        es = F.array(*[F.lit(float(e)) for e in edges])
+        bucketed = ev.select(
+            "event_type",
+            F.size(
+                F.filter(es, lambda e: F.col("value") > e)
+            ).alias("bucket"),
+            (F.col("day") <= F.lit(int(mid))).cast("long").alias(
+                "first_half"
+            ),
+        )
+        counts = bucketed.groupBy("event_type", "bucket").agg(
+            F.sum("first_half").alias("c1"),
+            F.sum(F.lit(1) - F.col("first_half")).alias("c2"),
+        )
+        batch_face = psi_from_bucket_counts(counts)
+    else:
+        batch_face = events_psi_by_type(spark, sf_dir)
+    batch = batch_face.select(
         F.col("event_type").alias("b_et"),
         F.col("n_first").alias("b_n1"),
         F.col("n_second").alias("b_n2"),
@@ -7813,7 +7885,18 @@ def kmv_parity_report(spark: SparkSession, sf_dir: str, table: str) -> DataFrame
     )
 
     served = kmv_setops_from_partials(spark, table)
-    batch = events_kmv_setops(spark, sf_dir).select(
+    # r16 (guide §2.4 — don't compute what you throw away): the flag
+    # compares ONLY the sketch arms, so the batch-face arm runs just
+    # the sketch pipeline (the same kmv_bottomk_from_raw →
+    # kmv_pair_estimates code events_kmv_setops uses, sharing every
+    # line) and skips the exact-QA arms — the full-corpus
+    # (type, user) distinct + per-user type self-join + three
+    # join-backs that the comparison never reads. The before-plan
+    # carried 46 parquet scans / 148 Exchanges; the exact arms were
+    # most of them. Sketch values are bit-identical by shared code.
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select("event_type", kmv_hash(F.col("user_id")).alias("h"))
+    batch = kmv_pair_estimates(kmv_bottomk_from_raw(raw)).select(
         F.col("type_a").alias("b_a"),
         F.col("type_b").alias("b_b"),
         F.col("kmv_a").alias("b_kmv_a"),
@@ -7890,12 +7973,28 @@ def qsample_parity_report(
     )
 
     served = quantiles_from_samples(spark, table)
-    batch = events_sampled_quantiles(spark, sf_dir).select(
+    # r16 (guide §2.4 — don't compute what you throw away): the flag
+    # compares ONLY the est_* sample arms, so the batch-face arm runs
+    # just the sample-arm quantiles (the same qsample_filter +
+    # _disc_quantiles code events_sampled_quantiles uses) and skips
+    # the exact arm — a full per-type sort over ALL events that the
+    # comparison never reads. Row set is identical: every sampled
+    # type exists in the corpus, so the dropped inner join to the
+    # exact arm never filtered a row; values are bit-identical by
+    # shared code.
+    sample = (
+        load_table(spark, sf_dir, "events")
+        .filter(qsample_filter(F.col("event_id")))
+        .select("event_type", "value")
+    )
+    batch = _disc_quantiles(
+        sample, ["event_type"], [0.5, 0.9, 0.99], "s_"
+    ).select(
         F.col("event_type").alias("b_et"),
-        F.col("n_sample").alias("b_ns"),
-        F.col("est_p50").alias("b_p50"),
-        F.col("est_p90").alias("b_p90"),
-        F.col("est_p99").alias("b_p99"),
+        F.col("s_n").cast("long").alias("b_ns"),
+        F.col("s_p50").alias("b_p50"),
+        F.col("s_p90").alias("b_p90"),
+        F.col("s_p99").alias("b_p99"),
     )
     j = served.join(
         batch, served["event_type"] == batch["b_et"], "full_outer"

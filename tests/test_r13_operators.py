@@ -564,7 +564,7 @@ def test_psi_parity_flag_flips_on_tampered_store(spark, tmp_path):
     from hrfco_data_pipeline_spark.streaming.curation import _append_merge
 
     sf = "/root/testdata/sf0.001"
-    edges, reference, second = psi_parity_inputs(spark, sf)
+    edges, _mid, reference, second = psi_parity_inputs(spark, sf)
     table = str(tmp_path / "store")
     _append_merge(spark, table, psi_bucket_counts(second, edges), 0)
     ok = psi_parity_report(spark, sf, table, reference).collect()
