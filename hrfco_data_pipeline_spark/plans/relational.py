@@ -1779,10 +1779,7 @@ def layout_pruning_report(
         morton_interleave,
     )
     from hrfco_data_pipeline_spark.operators.dedup import _materialized
-    from hrfco_data_pipeline_spark.operators.ranking import (
-        int_ntile,
-        ranked_cumsum,
-    )
+    from hrfco_data_pipeline_spark.operators.ranking import int_ntile
 
     pk_lo, pk_hi, sk_lo, sk_hi = 500, 700, 20, 40
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -1822,23 +1819,90 @@ def layout_pruning_report(
     total = codes.agg(F.count("*").alias("n"))
 
     def arm(code: str, name: str) -> DataFrame:
-        ranked = ranked_cumsum(
-            codes,
-            F.col(code).cast("double"),
-            [F.asc(code), F.asc("uid")],
-            sample_key=F.col("uid"),
-            rank_name="rk",
+        # r16 (guide §2.3 — aggregate before you shuffle): the curve
+        # code domain is ≤ 2^16 cells BY CONSTRUCTION (two 8-bit
+        # quantized axes), so the equal-row NTILE cut no longer ranks
+        # every ROW through the two-pass range-bucketed window.
+        # Instead: one map-side-combinable per-cell aggregate (count +
+        # bbox), an exclusive cumsum over the BOUNDED cell table gives
+        # each cell's global start rank (rank under (code, uid) order
+        # = cell start + in-cell uid rank — same total order as
+        # before), and int_ntile of the start/end ranks tells whether
+        # a cell lies wholly inside one shard. Whole cells contribute
+        # their bbox directly; only the ≤ n_shards−1 BOUNDARY-
+        # STRADDLING cells send their rows through a per-cell
+        # row_number (per-task sort bounded by the largest straddling
+        # cell — the same degenerate bound the bucketed rank had,
+        # since equal keys never split across its buckets either).
+        # Shuffled bytes drop from 2×|rows| window passes to one
+        # bounded cell table + straddler rows. Shard values are
+        # NTILE-identical: int_ntile is rank-monotone, so every row of
+        # a whole cell gets the cell's shard.
+        g = codes.groupBy(code).agg(
+            F.count("*").alias("cnt"),
+            F.min("pk").alias("pk_lo"),
+            F.max("pk").alias("pk_hi"),
+            F.min("sk").alias("sk_lo"),
+            F.max("sk").alias("sk_hi"),
+        )
+        wcum = Window.orderBy(code).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        gs = (
+            g.withColumn(
+                "start", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+            )
+            .crossJoin(F.broadcast(total))
+            .withColumn(
+                "sh_f", int_ntile(F.col("start") + 1, F.col("n"), n_shards)
+            )
+            .withColumn(
+                "sh_l",
+                int_ntile(
+                    F.col("start") + F.col("cnt"), F.col("n"), n_shards
+                ),
+            )
+        )
+        whole = gs.filter(F.col("sh_f") == F.col("sh_l")).select(
+            F.col("sh_f").alias("shard"),
+            F.col("cnt").alias("n_rows"),
+            "pk_lo",
+            "pk_hi",
+            "sk_lo",
+            "sk_hi",
+        )
+        strad = gs.filter(F.col("sh_f") != F.col("sh_l")).select(
+            F.col(code).alias("_sc"), "start", "n"
+        )
+        win = Window.partitionBy("_sc").orderBy("uid")
+        srows = (
+            codes.join(F.broadcast(strad), codes[code] == F.col("_sc"))
+            .withColumn(
+                "shard",
+                int_ntile(
+                    F.row_number().over(win) + F.col("start"),
+                    F.col("n"),
+                    n_shards,
+                ),
+            )
+            .select(
+                "shard",
+                F.lit(1).cast("long").alias("n_rows"),
+                F.col("pk").alias("pk_lo"),
+                F.col("pk").alias("pk_hi"),
+                F.col("sk").alias("sk_lo"),
+                F.col("sk").alias("sk_hi"),
+            )
         )
         shards = (
-            ranked.crossJoin(F.broadcast(total))
-            .withColumn("shard", int_ntile(F.col("rk"), F.col("n"), n_shards))
+            whole.unionByName(srows)
             .groupBy("shard")
             .agg(
-                F.count("*").alias("n_rows"),
-                F.min("pk").alias("pk_lo"),
-                F.max("pk").alias("pk_hi"),
-                F.min("sk").alias("sk_lo"),
-                F.max("sk").alias("sk_hi"),
+                F.sum("n_rows").alias("n_rows"),
+                F.min("pk_lo").alias("pk_lo"),
+                F.max("pk_hi").alias("pk_hi"),
+                F.min("sk_lo").alias("sk_lo"),
+                F.max("sk_hi").alias("sk_hi"),
             )
         )
         hit = (
