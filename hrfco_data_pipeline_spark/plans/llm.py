@@ -7183,7 +7183,9 @@ def stream_batch_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_parity_stream,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.3 — project before the exchange): stage only the
+    # columns the index maintainer reads.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     table = run_parity_stream(
         spark, docs, bm25_index_stream, "hrfco_bm25_parity_"
     )
@@ -7252,7 +7254,8 @@ def stream_batch_tv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         tv_drift_stream,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.3): stage only the maintainer's columns.
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
     table = run_parity_stream(
         spark, docs, tv_drift_stream, "hrfco_tv_parity_"
     )
@@ -7326,7 +7329,8 @@ def stream_batch_lm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_parity_stream,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r16 (guide §2.3): stage only the maintainer's columns.
+    docs = load_table(spark, sf_dir, "documents").select("text")
     table = run_parity_stream(
         spark, docs, lm_stats_stream, "hrfco_lm_parity_"
     )

@@ -7783,12 +7783,13 @@ def psi_parity_inputs(
         load_table(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(
+            # r16 (guide §2.3): only the columns the decile derivation,
+            # the halves split, and the PSI maintainer read — the
+            # second half is STAGED as parquet by the certificate, so
+            # dropped columns shrink that copy and its 4 batch scans.
             "event_id",
-            "ts",
-            "user_id",
             "event_type",
             "value",
-            "props",
             F.datediff(
                 F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))
             ).cast("long").alias("day"),
@@ -7931,7 +7932,12 @@ def stream_batch_kmv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_parity_stream,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # r16 (guide §2.3 — project before the exchange): stage only the
+    # columns the maintainer reads; the staged copy, its shuffle, and
+    # the four micro-batch scans all shrink accordingly.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id"
+    )
     table = run_parity_stream(
         spark, ev, kmv_sketch_stream, "hrfco_kmv_parity_"
     )
@@ -8017,7 +8023,10 @@ def stream_batch_qsample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_parity_stream,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # r16 (guide §2.3): stage only the maintainer's columns.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
     table = run_parity_stream(
         spark, ev, quantile_sample_stream, "hrfco_qsample_parity_"
     )
@@ -8104,7 +8113,8 @@ def stream_batch_ks_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_parity_stream,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # r16 (guide §2.3): stage only the maintainer's columns.
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     table = run_parity_stream(
         spark, ev, ks_drift_stream, "hrfco_ks_parity_"
     )
@@ -8259,7 +8269,10 @@ def stream_batch_lateness_parity(
         run_parity_stream_ordered,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # r16 (guide §2.3): stage only the maintainer's columns.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
     table = run_parity_stream_ordered(
         spark, ev, "event_id", lateness_monitor_stream,
         "hrfco_lat_parity_",
@@ -8641,7 +8654,10 @@ def stream_batch_session_parity(
         session_fragment_stream,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # r16 (guide §2.3): stage only the maintainer's columns.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id"
+    )
     table = run_parity_stream(
         spark, ev, session_fragment_stream, "hrfco_sess_parity_"
     )
@@ -8737,6 +8753,12 @@ def _brand_itemset3_base(spark: SparkSession, sf_dir: str):
     l1 = sorted(b for b, n in c1.items() if 10000 * n >= 35 * n_orders)
     obf = ob.filter(F.col("b").isin(l1))
     a, bb = obf.alias("a"), obf.alias("b")
+    # r16 tried-and-REVERTED: materializing pair_inst (it is consumed
+    # by the C2 collect AND the L3 extension join) measured 4.5/4.6 ->
+    # 6.0/5.1 s warm in an interleaved A/B at sf0.1 — the pair
+    # fan-out table is ~|baskets|·C(brands,2) rows and the checkpoint
+    # write costs more than re-running the (cheap, checkpoint-fed)
+    # self-join. Both consumers re-embed the join deliberately.
     pair_inst = a.join(
         bb,
         (F.col("a.ok") == F.col("b.ok")) & (F.col("a.b") < F.col("b.b")),
@@ -8898,7 +8920,8 @@ def stream_batch_compaction_parity(
         ks_report_from_counts,
     )
 
-    ev = load_table(spark, sf_dir, "events")
+    # r16 (guide §2.3): stage only the maintainer's columns.
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     table = run_parity_stream(
         spark, ev, ks_drift_stream, "hrfco_compact_parity_"
     )
