@@ -25,6 +25,7 @@ from hrfco_data_pipeline_spark.functions.coercion import (
     java_double,
     reformat_ymdhm,
 )
+from hrfco_data_pipeline_spark.functions.exprcache import cached_exprs
 from hrfco_data_pipeline_spark.functions.alerts import alert_message
 from hrfco_data_pipeline_spark.operators.validate import (
     range_valid_predicate,
@@ -42,10 +43,19 @@ def parse_observations(df: DataFrame) -> DataFrame:
     ``obs_time_str`` (``yyyy-MM-dd HH:mm`` reformat, T5).
     Unknown extra columns pass through untouched (POJO ignore-unknown).
     """
-    return (
-        df.withColumn("water_level", java_double("wl"))
-        .withColumn("flow_rate", java_double("fw"))
-        .withColumn("obs_time_str", reformat_ymdhm("ymdhm"))
+    # one withColumns round: sequential withColumn calls each pay a
+    # full plan-analysis pass (r16 build-time profile: the classify
+    # chain cost ~0.8 s of pure plan construction per query, paid by
+    # every hydro query on every run)
+    return df.withColumns(
+        cached_exprs(
+            "parse_observations",
+            lambda: {
+                "water_level": java_double("wl"),
+                "flow_rate": java_double("fw"),
+                "obs_time_str": reformat_ymdhm("ymdhm"),
+            },
+        )
     )
 
 
@@ -59,17 +69,25 @@ def join_thresholds(obs: DataFrame, stations: DataFrame) -> DataFrame:
     (→ NO_THRESHOLD) from "station with null thresholds".
     """
     dim = stations.select(
-        F.col("wlobscd").alias("__station_code"),
-        *[java_double(c).alias(f"__{c}") for c in THRESHOLD_COLS],
-        F.lit(True).alias("station_found"),
+        *cached_exprs(
+            "join_thresholds.dim",
+            lambda: [
+                F.col("wlobscd").alias("__station_code"),
+                *[java_double(c).alias(f"__{c}") for c in THRESHOLD_COLS],
+                F.lit(True).alias("station_found"),
+            ],
+        )
     )
     joined = obs.join(
         F.broadcast(dim), obs["wlobscd"] == dim["__station_code"], "left"
-    ).drop("__station_code")
-    out = joined.withColumn("station_found", F.coalesce("station_found", F.lit(False)))
-    for c in THRESHOLD_COLS:
-        out = out.withColumnRenamed(f"__{c}", c)
-    return out
+    )
+    # single select instead of withColumn + 4 withColumnRenamed: five
+    # analysis rounds -> one (r16 plan-construction profile)
+    return joined.select(
+        *[obs[c] for c in obs.columns],
+        *[F.col(f"__{c}").alias(c) for c in THRESHOLD_COLS],
+        F.coalesce("station_found", F.lit(False)).alias("station_found"),
+    )
 
 
 def valid_threshold_count(
@@ -116,27 +134,42 @@ def classify(df: DataFrame, **bounds: float) -> DataFrame:
     validCount==1) → PARTIAL_THRESHOLD; else the C3 ladder with
     null → NORMAL fallback (C4).
     """
-    wl = F.col("water_level")
-    t = {c: F.col(c) for c in THRESHOLD_COLS}
-    vcnt = valid_threshold_count(*[t[c] for c in THRESHOLD_COLS])
-    c3 = flood_warning_level(wl, *[t[c] for c in THRESHOLD_COLS])
+    # one withColumns round, new columns expressed from the shared
+    # EXPRESSIONS rather than each other (five analysis passes -> one;
+    # Catalyst dedups the repeated subtrees at codegen), and the whole
+    # constant tree built once per JVM (r16 plan-construction profile:
+    # ~4,000 py4j round trips ~ 0.8 s per query build)
+    def _build():
+        wl = F.col("water_level")
+        t = {c: F.col(c) for c in THRESHOLD_COLS}
+        vcnt = valid_threshold_count(*[t[c] for c in THRESHOLD_COLS])
+        c3 = flood_warning_level(wl, *[t[c] for c in THRESHOLD_COLS])
+        range_valid = range_valid_predicate(
+            wl, F.col("flow_rate"), **bounds
+        )
+        is_anomaly = ~range_valid
+        level = (
+            F.when(is_anomaly, F.lit(None).cast("string"))
+            .when(~F.col("station_found"), "NO_THRESHOLD")
+            .when(wl.isNotNull() & (vcnt == 0), "NO_THRESHOLD")
+            .when(
+                wl.isNotNull() & (vcnt == 1), "PARTIAL_THRESHOLD"
+            )
+            .otherwise(F.coalesce(c3, F.lit("NORMAL")))
+        )
+        return {
+            "range_valid": range_valid,
+            "is_anomaly": is_anomaly,
+            "anomaly_reason": F.when(
+                is_anomaly, "Data out of physical range"
+            ),
+            "valid_threshold_cnt": vcnt,
+            "flood_warning_level": level,
+        }
 
-    range_valid = range_valid_predicate(wl, F.col("flow_rate"), **bounds)
-    df = df.withColumn("range_valid", range_valid)
-    df = df.withColumn("is_anomaly", ~F.col("range_valid"))
-    df = df.withColumn(
-        "anomaly_reason",
-        F.when(F.col("is_anomaly"), "Data out of physical range"),
+    return df.withColumns(
+        cached_exprs(("classify", tuple(sorted(bounds.items()))), _build)
     )
-    df = df.withColumn("valid_threshold_cnt", vcnt)
-    level = (
-        F.when(F.col("is_anomaly"), F.lit(None).cast("string"))
-        .when(~F.col("station_found"), "NO_THRESHOLD")
-        .when(wl.isNotNull() & (F.col("valid_threshold_cnt") == 0), "NO_THRESHOLD")
-        .when(wl.isNotNull() & (F.col("valid_threshold_cnt") == 1), "PARTIAL_THRESHOLD")
-        .otherwise(F.coalesce(c3, F.lit("NORMAL")))
-    )
-    return df.withColumn("flood_warning_level", level)
 
 
 def build_alerts(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -147,27 +180,36 @@ def build_alerts(df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     ``timestamp`` epoch-millis publish time is added by the sink, not
     here, to keep this transform deterministic.
     """
-    alert_level = F.when(F.col("is_anomaly"), "ANOMALY").otherwise(
-        F.when(
-            F.col("flood_warning_level").isin("NO_THRESHOLD", "PARTIAL_THRESHOLD"),
-            "NORMAL",
-        ).otherwise(F.col("flood_warning_level"))
-    )
-    df = df.withColumn("warning_level", alert_level)
+    # single select, the level as a shared expression (two analysis
+    # rounds -> one), constant tail built once per JVM (r16
+    # plan-construction profile)
+    def _build():
+        alert_level = F.when(F.col("is_anomaly"), "ANOMALY").otherwise(
+            F.when(
+                F.col("flood_warning_level").isin(
+                    "NO_THRESHOLD", "PARTIAL_THRESHOLD"
+                ),
+                "NORMAL",
+            ).otherwise(F.col("flood_warning_level"))
+        )
+        return [
+            F.col("wlobscd").alias("observation_code"),
+            F.col("obs_time_str").alias("observation_time"),
+            F.col("water_level").alias("water_level"),
+            F.col("flow_rate").alias("flow_rate"),
+            alert_level.alias("warning_level"),
+            F.col("is_anomaly"),
+            alert_message(
+                F.col("wlobscd"),
+                alert_level,
+                F.col("water_level"),
+                F.col("is_anomaly"),
+            ).alias("message"),
+        ]
+
     return df.select(
         *[F.col(c) for c in extra_cols],
-        F.col("wlobscd").alias("observation_code"),
-        F.col("obs_time_str").alias("observation_time"),
-        F.col("water_level").alias("water_level"),
-        F.col("flow_rate").alias("flow_rate"),
-        F.col("warning_level"),
-        F.col("is_anomaly"),
-        alert_message(
-            F.col("wlobscd"),
-            F.col("warning_level"),
-            F.col("water_level"),
-            F.col("is_anomaly"),
-        ).alias("message"),
+        *cached_exprs("build_alerts.tail", _build),
     )
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hrfco_data_pipeline_spark.functions.exprcache import cached_exprs
+
 DEFAULT_MIN_WATER_LEVEL = -10.0
 DEFAULT_MAX_WATER_LEVEL = 50.0
 DEFAULT_MIN_FLOW_RATE = 0.0
@@ -49,7 +51,12 @@ def required_fields_filter(
 ) -> DataFrame:
     """F1: silently drop records missing required fields."""
     return df.filter(
-        required_fields_predicate(F.col(code), F.col(time), F.col(wl), F.col(fw))
+        cached_exprs(
+            ("required_fields", code, time, wl, fw),
+            lambda: required_fields_predicate(
+                F.col(code), F.col(time), F.col(wl), F.col(fw)
+            ),
+        )
     )
 
 

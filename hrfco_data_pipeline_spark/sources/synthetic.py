@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hrfco_data_pipeline_spark.functions.exprcache import cached_exprs
 from hrfco_data_pipeline_spark.sources.tables import load_table
 
 
@@ -55,34 +56,40 @@ def synthetic_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     if cores > 1 and ev.rdd.getNumPartitions() < cores:
         ev = ev.repartition(cores)
-    eid = F.col("event_id")
-    code = (F.col("user_id") % 120).cast("string")
-    wl_cents = (eid * 7919 + F.col("user_id") * 13) % 1300
-    fw_cents = (eid * 104729) % 4000000
-    return ev.select(
-        eid.alias("obs_id"),
-        F.when(eid % 37 == 0, "")
-        .when(eid % 37 == 1, " ")
-        .otherwise(code)
-        .alias("wlobscd"),
-        F.when(eid % 41 == 0, F.lit(None).cast("string"))
-        .when(eid % 41 == 1, F.date_format("ts", "yyyyMMdd"))
-        .otherwise(F.date_format("ts", "yyyyMMddHHmm"))
-        .alias("ymdhm"),
-        F.when(eid % 43 == 0, "")
-        .when(eid % 43 == 1, "abc")
-        .when(eid % 43 == 2, F.lit(None).cast("string"))
-        .when(eid % 43 == 3, "55.0")
-        .when(eid % 43 == 4, "-15.0")
-        .when(eid % 43 == 5, " ")
-        .otherwise(_cents_str(wl_cents))
-        .alias("wl"),
-        F.when(eid % 47 == 0, F.lit(None).cast("string"))
-        .when(eid % 47 == 1, "")
-        .when(eid % 47 == 2, "60000.0")
-        .otherwise(_cents_str(fw_cents))
-        .alias("fw"),
-    )
+
+    # constant unresolved expression trees, built once per JVM
+    # (functions/exprcache — the derivation is ~1,000 py4j calls)
+    def _build():
+        eid = F.col("event_id")
+        code = (F.col("user_id") % 120).cast("string")
+        wl_cents = (eid * 7919 + F.col("user_id") * 13) % 1300
+        fw_cents = (eid * 104729) % 4000000
+        return [
+            eid.alias("obs_id"),
+            F.when(eid % 37 == 0, "")
+            .when(eid % 37 == 1, " ")
+            .otherwise(code)
+            .alias("wlobscd"),
+            F.when(eid % 41 == 0, F.lit(None).cast("string"))
+            .when(eid % 41 == 1, F.date_format("ts", "yyyyMMdd"))
+            .otherwise(F.date_format("ts", "yyyyMMddHHmm"))
+            .alias("ymdhm"),
+            F.when(eid % 43 == 0, "")
+            .when(eid % 43 == 1, "abc")
+            .when(eid % 43 == 2, F.lit(None).cast("string"))
+            .when(eid % 43 == 3, "55.0")
+            .when(eid % 43 == 4, "-15.0")
+            .when(eid % 43 == 5, " ")
+            .otherwise(_cents_str(wl_cents))
+            .alias("wl"),
+            F.when(eid % 47 == 0, F.lit(None).cast("string"))
+            .when(eid % 47 == 1, "")
+            .when(eid % 47 == 2, "60000.0")
+            .otherwise(_cents_str(fw_cents))
+            .alias("fw"),
+        ]
+
+    return ev.select(*cached_exprs("synthetic_observations", _build))
 
 
 def synthetic_stations(spark: SparkSession) -> DataFrame:
@@ -98,27 +105,35 @@ def synthetic_stations(spark: SparkSession) -> DataFrame:
     StationThresholdTest.
     """
     df = spark.range(0, 100).select(F.col("id"))
-    code = F.col("id")
-    att_c = F.lit(200) + (code % 7) * F.lit(50)
-    m = code % 5
-    return df.select(
-        code.cast("string").alias("wlobscd"),
-        F.when(code % 17 == 0, F.lit(None).cast("string"))
-        .otherwise(F.concat(F.lit("Station "), code.cast("string")))
-        .alias("obsnm"),
-        F.concat(F.lit("Addr "), code.cast("string")).alias("addr"),
-        F.when(m == 0, _cents_str(att_c))
-        .when(m == 2, "0")
-        .when(m == 4, _cents_str(att_c))
-        .alias("attwl"),
-        F.when(m == 0, _cents_str(att_c + 200)).when(m == 2, "-1").alias("wrnwl"),
-        F.when(m == 0, _cents_str(att_c + 400)).when(m == 2, "").alias("almwl"),
-        F.when(m == 0, _cents_str(att_c + 600))
-        .when(m == 1, _cents_str(F.lit(800) + (code % 3) * F.lit(100)))
-        .when(m == 2, "x")
-        .when(m == 4, _cents_str(att_c + 600))
-        .alias("srswl"),
-    )
+
+    def _build():
+        code = F.col("id")
+        att_c = F.lit(200) + (code % 7) * F.lit(50)
+        m = code % 5
+        return [
+            code.cast("string").alias("wlobscd"),
+            F.when(code % 17 == 0, F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("Station "), code.cast("string")))
+            .alias("obsnm"),
+            F.concat(F.lit("Addr "), code.cast("string")).alias("addr"),
+            F.when(m == 0, _cents_str(att_c))
+            .when(m == 2, "0")
+            .when(m == 4, _cents_str(att_c))
+            .alias("attwl"),
+            F.when(m == 0, _cents_str(att_c + 200))
+            .when(m == 2, "-1")
+            .alias("wrnwl"),
+            F.when(m == 0, _cents_str(att_c + 400))
+            .when(m == 2, "")
+            .alias("almwl"),
+            F.when(m == 0, _cents_str(att_c + 600))
+            .when(m == 1, _cents_str(F.lit(800) + (code % 3) * F.lit(100)))
+            .when(m == 2, "x")
+            .when(m == 4, _cents_str(att_c + 600))
+            .alias("srswl"),
+        ]
+
+    return df.select(*cached_exprs("synthetic_stations", _build))
 
 
 # ---------------------------------------------------------------------------
