@@ -139,6 +139,8 @@ def classify(df: DataFrame, **bounds: float) -> DataFrame:
     # Catalyst dedups the repeated subtrees at codegen), and the whole
     # constant tree built once per JVM (r16 plan-construction profile:
     # ~4,000 py4j round trips ~ 0.8 s per query build)
+    bounds = {k: float(v) for k, v in bounds.items()}  # type-canonical build
+
     def _build():
         wl = F.col("water_level")
         t = {c: F.col(c) for c in THRESHOLD_COLS}
@@ -167,8 +169,14 @@ def classify(df: DataFrame, **bounds: float) -> DataFrame:
             "flood_warning_level": level,
         }
 
+    # bounds normalized to float in the key: 50 == 50.0 hash identically,
+    # so an int-bounds caller must not be served the float-literal tree
+    # (or vice versa) — type-canonical key, type-canonical build (ADVICE r16)
     return df.withColumns(
-        cached_exprs(("classify", tuple(sorted(bounds.items()))), _build)
+        cached_exprs(
+            ("classify", tuple(sorted((k, float(v)) for k, v in bounds.items()))),
+            _build,
+        )
     )
 
 

@@ -2870,6 +2870,20 @@ def nation_trade_pagerank(
         node_names = [r["node"] for r in
                       nat.select(F.col("n_name").alias("node")).collect()]
         n = len(node_names)
+        # Bounded-metadata contract (the KMV "BY CONSTRUCTION"
+        # convention): the nation dimension is schema-bounded (25 rows
+        # in TPC-H at every SF), so nodes and the ≤n² probability edges
+        # are metadata-scale collects. A graph that is NOT
+        # schema-bounded must use the in-Spark loop (materialize=False)
+        # — fail loudly rather than fold an unbounded graph on the
+        # driver.
+        if n > 1000 or len(edges) > n * n:
+            raise ValueError(
+                f"nation_trade_pagerank: {n} nodes / {len(edges)} edges "
+                "exceed the schema-bounded nation-dimension contract; "
+                "use materialize=False (distributed per-round loop) for "
+                "unbounded vertex domains"
+            )
         has_out = {u for u, _, _ in edges}
         dangling = [x for x in node_names if x not in has_out]
         ranks = {x: 40_000_000_000 for x in node_names}
@@ -5221,7 +5235,9 @@ def kmv_bottomk_from_raw(
     return kmv_kmin(survivors, k)
 
 
-def kmv_pair_estimates(kmin: DataFrame, k: int = 64) -> DataFrame:
+def kmv_pair_estimates(
+    kmin: DataFrame, k: int = 64, materialize: bool = True
+) -> DataFrame:
     """Distinct-count estimates per event-type pair from bottom-k
     sketches: per-type estimate (k-1)·2^31/kth, union sketch = k
     smallest of the merged k-mins, intersection by inclusion-exclusion.
@@ -5237,10 +5253,17 @@ def kmv_pair_estimates(kmin: DataFrame, k: int = 64) -> DataFrame:
     table is ≤ k·|types| rows BY CONSTRUCTION (the bounded-metadata
     contract of a bottom-k sketch), so it is materialized once here
     and every branch reads the checkpoint instead of re-deriving it.
-    """
-    from hrfco_data_pipeline_spark.operators.dedup import _materialized
 
-    kmin = _materialized(kmin.select("event_type", "h"))
+    ``materialize=False`` keeps the function lazy (no Spark job, no
+    checkpoint write at construction) for audit/timing callers —
+    plan dumps, ``tools/scale_probe_kmv.py``'s construction-vs-collect
+    split — the ``lsh_candidate_pairs`` precedent (ADVICE r16).
+    """
+    kmin = kmin.select("event_type", "h")
+    if materialize:
+        from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+        kmin = _materialized(kmin)
     M = 2_147_483_648  # 2^31
 
     def est(kth, sk_n):
@@ -6098,6 +6121,18 @@ def ks_from_counts(raw_counts: DataFrame) -> DataFrame:
         .collect()
     )
     types = [t for t, _ in per_type]
+    # Bounded-metadata contract (the KMV "BY CONSTRUCTION" convention):
+    # one array slot + one cumsum column is generated PER TYPE, so an
+    # unbounded type domain would build an unbounded select list and an
+    # unbounded driver collect. The event-type domain is a schema-level
+    # enum (single digits); fail loudly long before the plan melts.
+    if len(types) > 1000:
+        raise ValueError(
+            f"ks_from_counts: {len(types)} distinct event types — the "
+            "per-type array/cumsum layout assumes a bounded (enum-like) "
+            "type domain; partition the input or use a partitioned "
+            "cumulative form for unbounded domains"
+        )
     if not types:  # no counts at all: the pre-r16 grid was empty too
         return raw_counts.sparkSession.createDataFrame(
             [],

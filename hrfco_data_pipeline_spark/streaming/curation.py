@@ -1199,23 +1199,40 @@ def run_parity_stream_ordered(
     )
 
 
-def run_parity_stream(spark, frame, bind, prefix: str) -> str:
+def run_parity_stream(spark, frame, bind, prefix: str, n_files: int = 4) -> str:
     """The shared scaffold of every streaming↔batch parity certificate
     (factored in r14 from the five then-extant sites' byte-identical
     copies: CMS, PSI, BM25, KMV, quantile-sample; r15 added KS, TV,
     SCD2, LM, sessionization here and lateness on the ordered
     variant): copy ``frame``
-    into a session parity workdir as 4 parquet files, stream them as
-    availableNow micro-batches through ``bind(stream, table_path)``
-    (a maintainer writer factory returning a DataStreamWriter), and
-    return the store path once the run completes. The stream schema
+    into a session parity workdir as ``n_files`` parquet files, stream
+    them as availableNow micro-batches through ``bind(stream,
+    table_path)`` (a maintainer writer factory returning a
+    DataStreamWriter), and return the store path once the run
+    completes. The stream schema
     comes from the SOURCE frame, never re-inferred from the written
     files (r13 self-review), and a hung query is stopped before
     raising so the orphaned writer cannot race the workdir's exit-time
-    removal (r14 self-review)."""
+    removal (r14 self-review).
+
+    ``n_files`` (r17, guide §2.4 + the r16 verdict's item 2 — the
+    availableNow floor: every micro-batch pays ~0.25 s of engine
+    overhead PLUS one full maintainer plan/execute round before any
+    data-size-dependent work): maintainers whose stored state is a
+    batch-boundary-INVARIANT merge (additive count/bucket partials:
+    CMS, PSI, KS, TV, LM; bottom-k partials: KMV; hash-threshold
+    samples: qsample; append-then-derive-on-read logs: BM25 postings,
+    SCD2) produce bit-identical reports for ANY partition of the same
+    rows, so their certificates stage 2 files — still a real
+    multi-batch merge (exactly-once append, replay guard, cross-batch
+    re-aggregation all exercised), at half the per-batch floor.
+    Boundary-SENSITIVE maintainers keep 4: sessionization (cross-batch
+    fragment merging is the mechanism under test) and the lateness
+    monitor (per-batch high-water marks are the OUTPUT — ordered
+    runner below)."""
     base = parity_workdir(prefix)
     src = f"{base}/src"
-    frame.repartition(4).write.parquet(src)
+    frame.repartition(n_files).write.parquet(src)
     return _bind_and_await(spark, frame.schema, src, bind, base, prefix)
 
 

@@ -564,15 +564,27 @@ def test_psi_parity_flag_flips_on_tampered_store(spark, tmp_path):
     from hrfco_data_pipeline_spark.streaming.curation import _append_merge
 
     sf = "/root/testdata/sf0.001"
-    edges, _mid, reference, second = psi_parity_inputs(spark, sf)
+    edges, mid, reference, second = psi_parity_inputs(spark, sf)
     table = str(tmp_path / "store")
     _append_merge(spark, table, psi_bucket_counts(second, edges), 0)
-    ok = psi_parity_report(spark, sf, table, reference).collect()
-    assert ok and all(r.matches_batch_face for r in ok)
+    # exercise BOTH report arms (ADVICE r16): the frozen-edges fast
+    # path (what production stream_batch_psi_parity runs) and the
+    # events_psi_by_type fallback must agree row-for-row on the good
+    # store, and BOTH must flip on the tampered one
+    ok_fast = psi_parity_report(
+        spark, sf, table, reference, edges=edges, mid=mid
+    ).collect()
+    ok_fall = psi_parity_report(spark, sf, table, reference).collect()
+    assert ok_fast and all(r.matches_batch_face for r in ok_fast)
+    assert sorted(map(tuple, ok_fast)) == sorted(map(tuple, ok_fall))
 
     _append_merge(spark, table, psi_bucket_counts(second, edges), 1)
-    bad = psi_parity_report(spark, sf, table, reference).collect()
-    assert not any(r.matches_batch_face for r in bad)
+    bad_fast = psi_parity_report(
+        spark, sf, table, reference, edges=edges, mid=mid
+    ).collect()
+    bad_fall = psi_parity_report(spark, sf, table, reference).collect()
+    assert not any(r.matches_batch_face for r in bad_fast)
+    assert sorted(map(tuple, bad_fast)) == sorted(map(tuple, bad_fall))
 
 
 def test_survivor_bias_source_with_zero_kept(spark, tmp_path):

@@ -96,10 +96,13 @@ def main() -> None:
 
     raw = ev.select("event_type", kmv_hash(F.col("user_id")).alias("h"))
 
-    naive = kmv_pair_estimates(kmv_kmin(raw.distinct()))
+    # materialize=False: keep construction lazy so timed() covers the
+    # FULL pipeline (upstream distinct/prefilter + windows + estimates),
+    # not just a checkpoint-fed tail (ADVICE r16)
+    naive = kmv_pair_estimates(kmv_kmin(raw.distinct()), materialize=False)
     t_naive, naive_rows = timed("KMV naive (full-distinct windows)", naive)
 
-    pre = kmv_pair_estimates(kmv_bottomk_from_raw(raw))
+    pre = kmv_pair_estimates(kmv_bottomk_from_raw(raw), materialize=False)
     t_pre, pre_rows = timed("KMV prefiltered (kmv_bottomk_from_raw)", pre)
 
     key = lambda r: (r["type_a"], r["type_b"])  # noqa: E731
