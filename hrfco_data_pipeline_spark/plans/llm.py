@@ -7121,8 +7121,14 @@ def stream_batch_cms_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_parity_stream,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    table = run_parity_stream(spark, docs, cms_stream, "hrfco_cms_parity_")
+    # r17: stage only the tokenized column (guide §2.3 — the r16
+    # projection pass missed this site); n_files=2 (verdict item 2):
+    # CMS cells merge by cell-wise ADD — batch-boundary-invariant
+    # report, half the availableNow floor.
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    table = run_parity_stream(
+        spark, docs, cms_stream, "hrfco_cms_parity_", n_files=2
+    )
     return cms_parity_report(spark, sf_dir, table)
 
 
@@ -7186,8 +7192,11 @@ def stream_batch_bm25_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r16 (guide §2.3 — project before the exchange): stage only the
     # columns the index maintainer reads.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # n_files=2 (r17, verdict item 2): postings are per-doc rows and
+    # docs are whole rows — the appended union is batching-invariant;
+    # half the availableNow floor.
     table = run_parity_stream(
-        spark, docs, bm25_index_stream, "hrfco_bm25_parity_"
+        spark, docs, bm25_index_stream, "hrfco_bm25_parity_", n_files=2
     )
     return bm25_parity_report(spark, sf_dir, table)
 
@@ -7256,8 +7265,10 @@ def stream_batch_tv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16 (guide §2.3): stage only the maintainer's columns.
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    # n_files=2 (r17, verdict item 2): token-count partials merge by
+    # plain addition — batch-boundary-invariant report, half the floor.
     table = run_parity_stream(
-        spark, docs, tv_drift_stream, "hrfco_tv_parity_"
+        spark, docs, tv_drift_stream, "hrfco_tv_parity_", n_files=2
     )
     return tv_parity_report(spark, sf_dir, table)
 
@@ -7331,8 +7342,10 @@ def stream_batch_lm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16 (guide §2.3): stage only the maintainer's columns.
     docs = load_table(spark, sf_dir, "documents").select("text")
+    # n_files=2 (r17, verdict item 2): bigram counts merge by plain
+    # addition — batch-boundary-invariant report, half the floor.
     table = run_parity_stream(
-        spark, docs, lm_stats_stream, "hrfco_lm_parity_"
+        spark, docs, lm_stats_stream, "hrfco_lm_parity_", n_files=2
     )
     return lm_parity_report(spark, sf_dir, table)
 

@@ -2810,7 +2810,24 @@ def nation_trade_pagerank(
     ``materialize=False`` (lazy, per-round join + agg; plan audits
     pass iters=1 to see it), and lineage would be cut per round as
     connected_components does."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from hrfco_data_pipeline_spark.sources.tables import (
+        parallelize_small_scan,
+    )
+
+    # r17 (verdict item 1, guide §2.5 input under-split): the testdata
+    # lineitem file is ONE parquet row group, so the scan stage — which
+    # also carries the five broadcast-join probes and the per-row
+    # %.2f→decimal revenue arithmetic — ran as a single straggler task
+    # (~2.3 s of the driver's 8.08 s cold; REST-API stage profile).
+    # Project to the four join/measure columns and spread the scan so
+    # the probe+decimal work runs at full parallelism; the helper
+    # no-ops at real scale (many splits). Interleaved A/B (4 reps):
+    # p_edges collect 4.0–5.5 s → 2.3–2.7 s, identical 600 edges.
+    li = parallelize_small_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+    )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
@@ -7792,11 +7809,16 @@ def stream_batch_psi_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type string, n_first long, n_second long, "
             "psi double, matches_batch_face boolean",
         )
+    # n_files=2 (r17, verdict item 2): bucket-count partials merge by
+    # plain addition — the report is batch-boundary-invariant, so two
+    # micro-batches exercise the same merge at half the availableNow
+    # floor (see run_parity_stream).
     table = run_parity_stream(
         spark,
         second,
         lambda stream, t: psi_drift_stream(stream, t, edges),
         "hrfco_psi_parity_",
+        n_files=2,
     )
     return psi_parity_report(
         spark, sf_dir, table, reference, edges=edges, mid=mid
@@ -7973,8 +7995,11 @@ def stream_batch_kmv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "user_id"
     )
+    # n_files=2 (r17, verdict item 2): the global bottom-k is the
+    # bottom-k of per-batch bottom-k partials under ANY batching —
+    # batch-boundary-invariant report, half the availableNow floor.
     table = run_parity_stream(
-        spark, ev, kmv_sketch_stream, "hrfco_kmv_parity_"
+        spark, ev, kmv_sketch_stream, "hrfco_kmv_parity_", n_files=2
     )
     return kmv_parity_report(spark, sf_dir, table)
 
@@ -8062,8 +8087,11 @@ def stream_batch_qsample_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
+    # n_files=2 (r17, verdict item 2): the sample predicate is a fixed
+    # per-row hash threshold — the union of per-batch samples is the
+    # stream sample under ANY batching; half the availableNow floor.
     table = run_parity_stream(
-        spark, ev, quantile_sample_stream, "hrfco_qsample_parity_"
+        spark, ev, quantile_sample_stream, "hrfco_qsample_parity_", n_files=2
     )
     return qsample_parity_report(spark, sf_dir, table)
 
@@ -8150,8 +8178,11 @@ def stream_batch_ks_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # r16 (guide §2.3): stage only the maintainer's columns.
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # n_files=2 (r17, verdict items 2+3): count partials merge by plain
+    # addition — batch-boundary-invariant report, half the availableNow
+    # floor (the r16 ks regression sat on this floor, not the KS tail).
     table = run_parity_stream(
-        spark, ev, ks_drift_stream, "hrfco_ks_parity_"
+        spark, ev, ks_drift_stream, "hrfco_ks_parity_", n_files=2
     )
     return ks_parity_report(spark, sf_dir, table)
 
@@ -8223,8 +8254,11 @@ def stream_batch_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderpriority", "o_orderdate"
     )
+    # n_files=2 (r17, verdict item 2): the store is an append-only
+    # order log and the history derives ON READ from the full set —
+    # batch-boundary-invariant report, half the availableNow floor.
     table = run_parity_stream(
-        spark, orders, scd2_ingest_stream, "hrfco_scd2_parity_"
+        spark, orders, scd2_ingest_stream, "hrfco_scd2_parity_", n_files=2
     )
     return scd2_parity_report(spark, sf_dir, table)
 
@@ -8957,8 +8991,11 @@ def stream_batch_compaction_parity(
 
     # r16 (guide §2.3): stage only the maintainer's columns.
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    # n_files=2 (r17, verdict item 2): additive count partials — the
+    # certificate's subject is the FOLD (compact_appended), which still
+    # folds 2 b-dirs + marker exactly as before.
     table = run_parity_stream(
-        spark, ev, ks_drift_stream, "hrfco_compact_parity_"
+        spark, ev, ks_drift_stream, "hrfco_compact_parity_", n_files=2
     )
     pre = _materialized(ks_report_from_counts(spark, table))
     compact_appended(spark, table)
