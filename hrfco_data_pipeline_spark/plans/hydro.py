@@ -937,7 +937,10 @@ def double_mass_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = classified(spark, sf_dir)
     base = c.filter(
-        F.col("water_level").isNotNull() & (F.length("ymdhm") == 12)
+        # shielded derived-column filter (SCALE.md §Optimizer traps, r17)
+        no_pushdown(
+            F.col("water_level").isNotNull() & (F.length("ymdhm") == 12)
+        )
     ).select(
         F.col("wlobscd").alias("station"),
         F.substring("ymdhm", 1, 8).alias("day"),
@@ -1043,7 +1046,10 @@ def recession_constant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = classified(spark, sf_dir)
     base = c.filter(
-        F.col("water_level").isNotNull() & (F.length("ymdhm") == 12)
+        # shielded derived-column filter (SCALE.md §Optimizer traps, r17)
+        no_pushdown(
+            F.col("water_level").isNotNull() & (F.length("ymdhm") == 12)
+        )
     ).select(
         F.col("wlobscd").alias("station"),
         F.substring("ymdhm", 1, 8).alias("day"),
@@ -1106,7 +1112,10 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     recession_constant / the r10 changepoint + cross-correlation QA."""
     c = classified(spark, sf_dir)
     return (
-        c.filter(F.col("water_level").isNotNull() & (F.length("ymdhm") == 12))
+        # shielded derived-column filter (SCALE.md §Optimizer traps, r17)
+        c.filter(no_pushdown(
+            F.col("water_level").isNotNull() & (F.length("ymdhm") == 12)
+        ))
         .select(
             F.col("wlobscd").alias("station"),
             F.substring("ymdhm", 1, 8).alias("day"),
@@ -1235,6 +1244,14 @@ def station_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("arr").over(wday),
         ).alias("arr_p1"),
     )
+    # r17 (guide §2.5 stragglers): the un-partitioned day window leaves
+    # ONE task holding every day row, and the |stations|²×3 pair
+    # generate below it ran serially in that task (SQL profile: 922 ms
+    # in WholeStageCodegen over Generate, 1.27 M rows from one task).
+    # The day frame is bounded (|days| rows of station arrays), so a
+    # round-robin spread ahead of the explode is metadata-scale and the
+    # fan-out then runs at full parallelism.
+    framed = framed.repartition(spark.sparkContext.defaultParallelism)
     lagged = framed.select(
         "arr",
         F.explode(
@@ -1334,7 +1351,7 @@ def rolling_rise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("obs_time_str"), F.lit("yyyy-MM-dd HH:mm")
     )
     base = (
-        c.filter(F.col("water_level").isNotNull())
+        c.filter(no_pushdown(F.col("water_level").isNotNull()))
         .withColumn("obs_ts", ts)
         .filter(no_pushdown(F.col("obs_ts")).isNotNull())
         .select(
@@ -1396,7 +1413,10 @@ def drought_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = classified(spark, sf_dir)
     dm = (
-        c.filter(F.col("water_level").isNotNull() & (F.length("ymdhm") == 12))
+        # shielded derived-column filter (SCALE.md §Optimizer traps, r17)
+        c.filter(no_pushdown(
+            F.col("water_level").isNotNull() & (F.length("ymdhm") == 12)
+        ))
         .select(
             F.col("wlobscd").alias("station"),
             F.substring("ymdhm", 1, 8).alias("day"),
@@ -1515,7 +1535,8 @@ def level_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = classified(spark, sf_dir)
     agg = _materialized(
-        c.filter(F.col("water_level").isNotNull())
+        # shielded derived-column filter (SCALE.md §Optimizer traps, r17)
+        c.filter(no_pushdown(F.col("water_level").isNotNull()))
         .groupBy(
             F.col("wlobscd").alias("station"),
             F.round(F.col("water_level") * 100).cast("long").alias("cents"),

@@ -3184,6 +3184,9 @@ def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc term sum folds over the SORTED bigram list
     (docs_token_entropy's order-pinned double fold), so the score is
     bit-deterministic at any parallelism and engine-portable."""
+    # r17: a _docs_parallel spread was tried and REVERTED — interleaved
+    # A/B made the kernel slower (the forced exchange costs more than
+    # the serial scan saves here; the r3 docs_ngram lesson repeats).
     docs = load_table(spark, sf_dir, "documents")
     toks = F.transform(_tokens(), lambda t: F.lower(t))
     n = F.size(toks)
@@ -3462,6 +3465,10 @@ def docs_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank — so the trained model's predictions are bit-reproducible at
     any parallelism and engine-portable (core shared with
     docs_nb_holdout_eval via _nb_confusion)."""
+    # r17: a _docs_parallel spread was tried and REVERTED — interleaved
+    # same-process A/B at sf0.1: old 2.95-3.66 s vs spread 3.41-4.24 s
+    # per run (the forced exchange costs more than the serial scan
+    # saves; the r3 docs_ngram lesson repeats on the NB kernels).
     docs = load_table(spark, sf_dir, "documents")
     return _nb_confusion(docs, docs)
 
@@ -7051,9 +7058,18 @@ def ann_recall_by_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroids,
         ivf_topk,
     )
+    from hrfco_data_pipeline_spark.sources.tables import (
+        parallelize_small_scan,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    # r17 (guide §2.5): spread the ~1 MB single-row-group vector frame
+    # once so the Lloyd iterations and the IVF/brute scoring kernels
+    # run at full parallelism instead of in the single scan task (REST
+    # stage profile: serial 0.2–0.8 s stages); no-ops at real scale.
+    vecs = parallelize_small_scan(
+        emb.select("vec_id", as_double_vec("embedding", "v"))
+    )
     cents = ivf_centroids(vecs, n_centroids=16, dim=64)
     cells = assign_cells(vecs, cents).select("vec_id", "cell")
     sizes = cells.groupBy("cell").agg(F.count("*").alias("n_vecs"))
@@ -7932,10 +7948,21 @@ def ann_ivf_pq_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_codes,
         pq_subcentroids,
     )
+    from hrfco_data_pipeline_spark.sources.tables import (
+        parallelize_small_scan,
+    )
 
     n_cells, m, ksub, dim = 16, 8, 16, 64
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", as_double_vec("embedding", "v"))
+    # r17 (guide §2.5): the single-row-group embeddings file scans as
+    # ONE task, so every Lloyd/PQ iteration's per-vector distance pass
+    # ran serially (REST stage profile: 0.4–1.2 s single-task stages,
+    # ~4 s total). The vector frame is ~1 MB — spread it once and every
+    # downstream per-row kernel runs at full parallelism; no-ops at
+    # real scale.
+    vecs = parallelize_small_scan(
+        emb.select("vec_id", as_double_vec("embedding", "v"))
+    )
     cents = ivf_centroids(vecs, n_centroids=n_cells, dim=dim)
     pq_cents = pq_subcentroids(vecs, m=m, ksub=ksub, dim=dim)
     enc = assign_cells(vecs, cents).select(

@@ -55,6 +55,16 @@ def synthetic_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events directly and are NOT affected — see load_table's note).
     cores = spark.sparkContext.defaultParallelism
     if cores > 1 and ev.rdd.getNumPartitions() < cores:
+        # NOTE (r17): this spread only helps if downstream filters on
+        # DERIVED (parse/classify) columns are shielded with
+        # functions/barriers.no_pushdown — PushDownPredicates otherwise
+        # re-inlines the whole derivation tree below this exchange,
+        # into the single scan task (hydro_station_crosscorr profiled
+        # 1.7 s of classify work under the round-robin Exchange before
+        # the r17 no_pushdown sweep). A checkpoint barrier here was
+        # tried and reverted: it fixed those sites but taxed every
+        # other classify consumer ~0.3-0.6 s per run (classify_alerts
+        # 0.92→1.04, resample_10min 3.42→3.98 warm medians).
         ev = ev.repartition(cores)
 
     # constant unresolved expression trees, built once per JVM
