@@ -15,8 +15,11 @@ testdata. Compare runs across commits via ``git worktree add`` +
 Usage:
     python tools/ab_single_query.py QUERY [SF_DIR] [WARM_REPS]
 
-Prints one JSON line: {"query", "sf_dir", "calibration_s", "cold_s",
-"warm_s": [...], "warm_median_s"}.
+Prints one JSON line: {"query", "sf_dir", "calibration_s",
+"calibration_shuffle_s", "cold_s", "warm_s": [...], "warm_median_s"}.
+Both bench.py calibration anchors are recorded (r16 verdict item 4):
+the scalar 2e9-row sum AND the stage-shaped sf0.001 scan+shuffle+agg
+probe, so A/B legs can be matched the same way bench runs are.
 """
 
 from __future__ import annotations
@@ -47,6 +50,28 @@ def main() -> int:
     spark.range(2_000_000_000).selectExpr("sum(id)").collect()
     calibration_s = round(time.perf_counter() - t0, 3)
 
+    # Stage-shaped anchor — identical to bench.py's second probe.
+    from pyspark.sql import functions as F
+
+    from hrfco_data_pipeline_spark.sources.tables import load_table
+
+    def _shuffle_probe() -> None:
+        (
+            load_table(spark, "/root/testdata/sf0.001", "events")
+            .repartition(32)
+            .groupBy("event_type", (F.col("user_id") % 64).alias("u"))
+            .agg(F.count("*"), F.sum("value"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    _shuffle_probe()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        _shuffle_probe()
+    calibration_shuffle_s = round(time.perf_counter() - t0, 3)
+
     fn = entry_mod.queries()[query]
 
     def run() -> float:
@@ -64,6 +89,7 @@ def main() -> int:
                 "query": query,
                 "sf_dir": sf_dir,
                 "calibration_s": calibration_s,
+                "calibration_shuffle_s": calibration_shuffle_s,
                 "cold_s": cold,
                 "warm_s": warms,
                 "warm_median_s": round(statistics.median(warms), 3),
