@@ -376,6 +376,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 20,
     strict: bool = True,
+    distinct_pairs: bool = False,
 ) -> DataFrame:
     """Duplicate-cluster labeling: connected components of the near-dup
     pair graph via iterative min-label propagation + pointer jumping.
@@ -399,6 +400,17 @@ def connected_components(
     within ``max_iterations`` — silently returning half-propagated
     labels would split real clusters.
 
+    ``distinct_pairs=True`` (r17, guide §2.4 — remove shuffles
+    outright) declares that ``pairs`` is already one row per
+    UNDIRECTED edge (e.g. the output of a groupBy or dropDuplicates
+    pair generator — every in-repo generator is), so the
+    bidirectional union is distinct BY CONSTRUCTION and the edge
+    dedup exchange is skipped. The LABELING is identical either way —
+    min-propagation is duplicate-insensitive (min over a multiset ==
+    min over its support) — so the flag is purely a size/shuffle
+    guard: leave it False for pair lists of unknown provenance, where
+    deduping once may shrink the per-iteration join input.
+
     Returns (id, component) where component = min node id in the
     cluster. Nodes only appear if they occur in ``pairs``.
     """
@@ -412,14 +424,14 @@ def connected_components(
             df = df.localCheckpoint(eager=True)
         return df
 
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-        .persist()
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     )
+    if not distinct_pairs:
+        edges = edges.distinct()
+    edges = edges.persist()
     # Seed label = least(id, min neighbor): one aggregation over the
     # bidirectional edge table (covers every node, since each node
     # appears as src) that ABSORBS the first min-propagation round —

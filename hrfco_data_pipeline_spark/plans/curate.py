@@ -108,7 +108,7 @@ def curate_corpus(
     # 5: near dedup — banded MinHash pairs → components → min-id keeps;
     # every clustered doc also learns its cluster root for stage 7
     pairs = minhash_dedup(exact, threshold=near_dup_threshold)
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", distinct_pairs=True)
     rooted = exact.join(
         comp.select(F.col("id").alias("doc_id"), "component"),
         "doc_id",

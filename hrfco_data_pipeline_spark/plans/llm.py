@@ -994,7 +994,7 @@ def dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hrfco_data_pipeline_spark.operators.dedup import connected_components
 
     pairs = docs_ngram_jaccard_pairs(spark, sf_dir)
-    return connected_components(pairs, "doc_a", "doc_b")
+    return connected_components(pairs, "doc_a", "doc_b", distinct_pairs=True)
 
 
 def docs_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,7 +1495,7 @@ def near_dedup_keep(
 
     docs = _docs_parallel(spark, sf_dir)
     pairs = minhash_dedup(docs, threshold=threshold, materialize=materialize)
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", distinct_pairs=True)
     w = Window.partitionBy("component")
     return (
         comp.withColumn("keep_doc_id", F.min("id").over(w))
@@ -1625,7 +1625,7 @@ def near_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sigs, bands=4, k=8).filter(
         F.col("est_jaccard") >= 0.7
     )
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", distinct_pairs=True)
     w = Window.partitionBy("component")
     return (
         comp.withColumn("keep_doc_id", F.min("id").over(w))
@@ -6756,7 +6756,7 @@ def dedup_chaining_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs_ngram_jaccard_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= 0.5
     )
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b", distinct_pairs=True)
     comp_sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
     n_docs = load_table(spark, sf_dir, "documents").agg(
         F.count("*").alias("n_docs")
@@ -6837,7 +6837,7 @@ def dedup_rate_by_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = docs_ngram_jaccard_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= 0.5
     )
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b", distinct_pairs=True)
     cstep = comp.join(docs, comp["id"] == docs["doc_id"]).select(
         "component", "doc_id", "step"
     )
@@ -7461,7 +7461,7 @@ def dedup_chaining_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     # closure arm: one CC per threshold on the shrinking pair graph
     def _closure_stats(t: float) -> DataFrame:
         p_t = pairs.filter(F.col("jaccard") >= t)
-        comp = connected_components(p_t, "doc_a", "doc_b")
+        comp = connected_components(p_t, "doc_a", "doc_b", distinct_pairs=True)
         comp_sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
         # dropped = Σ(sz - 1): the min-id label appears exactly once
         # per cluster (see dedup_chaining_audit) — aggregate the size
@@ -8102,7 +8102,10 @@ def dedup_token_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_rung = []
     for t in thresholds:
         comp = connected_components(
-            pairs.filter(F.col("jaccard") >= t), "doc_a", "doc_b"
+            pairs.filter(F.col("jaccard") >= t),
+            "doc_a",
+            "doc_b",
+            distinct_pairs=True,
         )
         dropped = comp.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias("doc_id")

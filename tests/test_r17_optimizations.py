@@ -84,6 +84,39 @@ def test_exprcache_token_not_id_based(spark):
     assert built == [1]  # second call served from cache
 
 
+def test_connected_components_distinct_pairs_same_labels(spark):
+    """distinct_pairs=True skips the edge-dedup exchange; the labeling
+    is identical because min-propagation is duplicate-insensitive —
+    pinned on a graph with duplicate AND reversed pair rows (the
+    adversarial input the flag is NOT meant for) vs the same graph
+    deduped (the in-repo generators' contract)."""
+    from hrfco_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    dup_pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (5, 6), (5, 6)],
+        "id_a long, id_b long",
+    )
+    uniq_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    expect = {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)}
+    for df, flag in [
+        (uniq_pairs, True),
+        (uniq_pairs, False),
+        (dup_pairs, True),  # duplicates tolerated, labels unchanged
+        (dup_pairs, False),
+    ]:
+        got = {
+            (r.id, r.component)
+            for r in connected_components(
+                df, distinct_pairs=flag
+            ).collect()
+        }
+        assert got == expect, (flag, got)
+
+
 def test_classify_bounds_key_type_canonical(spark):
     """int and float bounds that are numerically equal must share one
     type-canonical cached tree (ADVICE r16)."""
