@@ -3678,10 +3678,21 @@ def docs_train_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     and summed EXACTLY (DECIMAL), so the gradient — and therefore every
     weight and the final accuracy — is identical at any parallelism
     and in the DuckDB twin (which unrolls the same three iterations as
-    CTEs). Per iteration: one scan + a 5-sum aggregate; the driver
-    holds only the 5 weights (the k-means bounded-collect pattern).
+    CTEs). Per iteration: one 5-sum aggregate over the MATERIALIZED
+    feature table; the driver holds only the 5 weights (the k-means
+    bounded-collect pattern). r17 (guide §2.4 — don't compute things
+    four times; the hydro_level_mad_outliers domain-checkpoint
+    precedent): the featurization pass (tokenize + array_distinct +
+    stopword filter + per-token length fold) used to re-run inside all
+    THREE descent aggregates AND the accuracy pass; `feats` is 6
+    narrow doubles per doc, so it checkpoints once and the four
+    aggregates read the checkpoint — the classic featurize-once ML
+    shape. Interleaved 6-rep A/B at sf0.1: old 5.10 s / new 2.86 s
+    median, new wins every pair; identical output row.
     Eager exception like events_median_bisect: the descent loop runs
     at call time (the CLI explain path warns)."""
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
     docs = load_table(spark, sf_dir, "documents")
     toks = _tokens()
     n = F.size(toks)
@@ -3698,13 +3709,15 @@ def docs_train_linear_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(ttr >= 0.3, 0.3).otherwise(0.0)
         + F.when((stop >= 0.01) & (stop <= 0.5), 0.3).otherwise(0.0)
     )
-    feats = docs.select(
-        F.lit(1.0).alias("x0"),
-        (F.least(n, F.lit(1000)).cast("double") / 1000.0).alias("x1"),
-        ttr.alias("x2"),
-        stop.alias("x3"),
-        (F.least(mean_wlen, F.lit(20.0)) / 20.0).alias("x4"),
-        F.when(quality >= 0.7, 1.0).otherwise(0.0).alias("y"),
+    feats = _materialized(
+        docs.select(
+            F.lit(1.0).alias("x0"),
+            (F.least(n, F.lit(1000)).cast("double") / 1000.0).alias("x1"),
+            ttr.alias("x2"),
+            stop.alias("x3"),
+            (F.least(mean_wlen, F.lit(20.0)) / 20.0).alias("x4"),
+            F.when(quality >= 0.7, 1.0).otherwise(0.0).alias("y"),
+        )
     )
 
     def dot(w: list[float]):
