@@ -3353,7 +3353,20 @@ def _nb_confusion(train: DataFrame, evald: DataFrame) -> DataFrame:
     ``train``, score and argmax every ``evald`` doc, return the
     (true lang x predicted lang) confusion matrix. Eval tokens absent
     from the training vocabulary are dropped (the deterministic OOV
-    rule both faces and their oracles mirror)."""
+    rule both faces and their oracles mirror).
+
+    r17 (the r15 live-subplan lesson; guide §2.4): the trained model
+    tables are MATERIALIZED once. ``ct`` is consumed by four branches
+    (nl, vocab, v, and the dense grid) and each used to re-embed the
+    whole tokenize+count subtree — the classifier face executed
+    7 parquet scans / 11 exchanges per run. ``ct`` is vocab×langs
+    rows BY CONSTRUCTION (never token-instance-bounded), so the
+    checkpoint is sketch-sized; ``pri`` likewise, and ``tot`` is now
+    derived from ``pri`` (Σ n_docs ≡ count(*), exact longs) instead
+    of a separate corpus scan. Executed plan: 7 scans → 2 (the ct
+    build + the eval tokenize), 11 → 5 exchanges."""
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
     toks_of = lambda d: d.select(  # noqa: E731
         "doc_id",
         "lang",
@@ -3363,12 +3376,16 @@ def _nb_confusion(train: DataFrame, evald: DataFrame) -> DataFrame:
     )
     toks = toks_of(train)
     # training counts: c(tok, lang), N_lang, priors, vocabulary
-    ct = toks.groupBy("tok", "lang").agg(F.count("*").alias("c"))
-    nl = ct.groupBy("lang").agg(F.sum("c").alias("n_l"))
-    pri = train.groupBy(F.col("lang").alias("p_lang")).agg(
-        F.count("*").alias("n_docs")
+    ct = _materialized(
+        toks.groupBy("tok", "lang").agg(F.count("*").alias("c"))
     )
-    tot = train.agg(F.count("*").alias("n_total"))
+    nl = ct.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    pri = _materialized(
+        train.groupBy(F.col("lang").alias("p_lang")).agg(
+            F.count("*").alias("n_docs")
+        )
+    )
+    tot = pri.agg(F.sum("n_docs").alias("n_total"))
     vocab = ct.select("tok").distinct()
     v = vocab.agg(F.count("*").alias("v"))
     # dense (tok, lang) grid so unseen cells carry the smoothed
