@@ -2744,10 +2744,22 @@ def docs_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     budget = 15_000
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        quality_score_expr(_tokens()).alias("q"),
-        F.size(_tokens()).cast("long").alias("n_toks"),
+    # r17 (guide §2.4; the r15 live-subplan lesson): ranked_cumsum
+    # consumes its input from FOUR branches (two sample passes, the
+    # local windows, the bucket stats), each of which re-embedded the
+    # tokenize + quality-score derivation — 6 parquet scans per
+    # execution. ``scored`` is 3 narrow columns per doc (the
+    # featurize-once shape), so it materializes once and every branch
+    # reads the checkpoint. Static plan 6 → 0 embedded scans (one
+    # eager build scan).
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    scored = _materialized(
+        docs.select(
+            "doc_id",
+            quality_score_expr(_tokens()).alias("q"),
+            F.size(_tokens()).cast("long").alias("n_toks"),
+        )
     )
     ranked = ranked_cumsum(
         scored,

@@ -6128,8 +6128,21 @@ def ks_from_counts(raw_counts: DataFrame) -> DataFrame:
     integers: same steps, same decimal sums, same tie-break, and the
     final division is the same two exact-int casts."""
     d38 = lambda c: c.cast("decimal(38,0)")
-    ct = raw_counts.groupBy("event_type", "value").agg(
-        F.sum("c_t").alias("c_t")
+    from hrfco_data_pipeline_spark.operators.dedup import _materialized
+
+    # r17 (guide §2.4; the r15 live-subplan lesson): the counts table
+    # is consumed by the per-type collect, the cv aggregate, and —
+    # through ranked_cumsum — four more branches (two sample passes,
+    # local windows, bucket stats), each of which re-embedded the
+    # upstream scan + groupBy of raw events (or the store read on the
+    # streaming serve face). ct is one row per (type, distinct value)
+    # — the compressed KS substrate everything downstream derives
+    # from — so it materializes once and every branch reads the
+    # checkpoint: ~5 upstream re-aggregations per face → 1.
+    ct = _materialized(
+        raw_counts.groupBy("event_type", "value").agg(
+            F.sum("c_t").alias("c_t")
+        )
     )
     per_type = sorted(
         (r["event_type"], r["n_t"])
